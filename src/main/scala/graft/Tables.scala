@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-table access for the driver-generated TPC-H-ish star schema
+  * (see /root/repo/TESTDATA.md). One parquet file per table.
+  *
+  * At 100 TB these would be partitioned/bucketed datasets; the reader
+  * path is identical (`spark.read.parquet(dir)`), so nothing here
+  * assumes single-file inputs.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables small enough to broadcast at ANY scale factor:
+    * region (5 rows) and nation (25 rows) are fixed-size in TPC-H.
+    */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view named after the table, so
+    * spark.sql(...) queries mirror the DuckDB oracle's table refs.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n => load(spark, dir, n).createOrReplaceTempView(n) }
+}
