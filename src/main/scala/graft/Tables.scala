@@ -5,6 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Test-table access for the driver-generated TPC-H-ish star schema
   * (see /root/repo/TESTDATA.md). One parquet file per table.
   *
+  * `documents` and `embeddings` exist on disk at every scale factor but
+  * are undocumented in TESTDATA.md (which is read-only) — this list is
+  * the source of truth for what the driver actually generated.
+  *
   * At 100 TB these would be partitioned/bucketed datasets; the reader
   * path is identical (`spark.read.parquet(dir)`), so nothing here
   * assumes single-file inputs.
@@ -20,7 +24,14 @@ object Tables {
   val broadcastable: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read nanos as long and convert (integer division
+      // — a double division would lose precision at the 1e18-ns scale).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view named after the table, so
     * spark.sql(...) queries mirror the DuckDB oracle's table refs.

@@ -1,0 +1,149 @@
+package graft.agent
+
+import scala.collection.mutable
+import org.apache.spark.sql.DataFrame
+import graft.engine.Engine
+import graft.response.{ErrorR, Response}
+
+/** The conversational shell around the engine: prompt assembly from
+  * serialized schemas+heads, an LLM trait (+ FakeLLM for tests), and the
+  * retry-with-error-context loop
+  * (reference: pandasai/agent/base.py:92-308, llm/fake.py:11-32).
+  *
+  * Design deviation (SURVEY.md §3.1): no Python exec layer — the LLM
+  * contract here is "emit one SQL SELECT"; the engine validates and runs
+  * it. This matches the reference's own validator requirement that all
+  * heavy lifting go through execute_sql_query
+  * (core/code_generation/code_validation.py:41-67).
+  */
+trait Llm {
+  def generate(prompt: String): String
+}
+
+/** Returns canned outputs in order, repeating the last
+  * (reference: pandasai/llm/fake.py:11-32). */
+final class FakeLlm(outputs: Seq[String]) extends Llm {
+  private var i = -1
+  val prompts: mutable.Buffer[String] = mutable.Buffer.empty
+  def lastPrompt: Option[String] = prompts.lastOption
+  override def generate(prompt: String): String = {
+    prompts += prompt
+    i = math.min(i + 1, outputs.length - 1)
+    outputs(i)
+  }
+}
+
+/** Conversation memory (reference: pandasai/helpers/memory.py:39-70). */
+final class Memory(val memorySize: Int = 10) {
+  private val msgs = mutable.Buffer.empty[(String, Boolean)] // (text, isUser)
+  def add(text: String, isUser: Boolean): Unit = msgs += ((text, isUser))
+  def count: Int = msgs.size
+  def all: Seq[(String, Boolean)] = msgs.toSeq
+  def getConversation: String =
+    msgs.takeRight(memorySize).map { case (t, u) =>
+      if (u) s"### QUERY\n $t" else s"### ANSWER\n $t"
+    }.mkString("\n")
+  def clear(): Unit = msgs.clear()
+}
+
+object Serializer {
+  /** Serialize a frame for the prompt: an xml-ish table tag with schema +
+    * truncated head rows as CSV
+    * (reference: pandasai/helpers/dataframe_serializer.py:12-59).
+    */
+  def serialize(name: String, df: DataFrame, headN: Int = 5, maxCell: Int = 100): String = {
+    val cols = df.schema.fields
+      .map(f => s"""<column name="${f.name}" type="${f.dataType.simpleString}"/>""")
+      .mkString("\n  ")
+    val header = df.columns.mkString(",")
+    val rows = df.limit(headN).collect().map { row =>
+      row.toSeq.map { v =>
+        val s = String.valueOf(v)
+        val trunc = if (s.length > maxCell) s.take(maxCell) + "…" else s
+        if (trunc.contains(",") || trunc.contains("\"") || trunc.contains("\n"))
+          "\"" + trunc.replace("\"", "\"\"") + "\""
+        else trunc
+      }.mkString(",")
+    }.mkString("\n")
+    s"""<table dialect="spark" table_name="$name">
+  $cols
+<head>
+$header
+$rows
+</head>
+</table>"""
+  }
+}
+
+final class Agent(
+    val engine: Engine,
+    val llm: Llm,
+    val maxRetries: Int = 3,
+) {
+  val memory = new Memory()
+
+  def buildPrompt(question: String, errorContext: Option[String]): String = {
+    val tables = engine.knownTables.toSeq.sorted.map { t =>
+      Serializer.serialize(t, engine.table(t))
+    }.mkString("\n\n")
+    val base =
+      s"""You are an analytics engine. The following tables are available:
+$tables
+
+${memory.getConversation}
+
+### QUERY
+ $question
+
+Write ONE Spark SQL SELECT statement that answers the query. Do aggregation, sorting, joins and groupby through the sql query. Return only SQL."""
+    errorContext.fold(base)(e => s"$base\n\nThe previous attempt failed with:\n$e\nFix the query.")
+  }
+
+  /** Strip markdown fences the LLM may wrap around the SQL. */
+  def extractSql(raw: String): String = {
+    val fenced = "(?s)```(?:sql)?\\s*(.*?)```".r
+    (fenced.findFirstMatchIn(raw).map(_.group(1)).getOrElse(raw)).trim.stripSuffix(";")
+  }
+
+  /** chat: prompt → LLM → gate+execute → typed response, regenerating with
+    * error context up to maxRetries (reference: agent/base.py:171-216).
+    */
+  def chat(question: String): Response = {
+    memory.add(question, isUser = true)
+    var err: Option[String] = None
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val sql = extractSql(llm.generate(buildPrompt(question, err)))
+      try {
+        val out = engine.executeSqlQuery(sql)
+        val resp = Response.fromResult(out)
+        memory.add(sql, isUser = false)
+        return resp
+      } catch {
+        case e: Exception =>
+          err = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          attempt += 1
+      }
+    }
+    ErrorR(s"query failed after ${maxRetries + 1} attempts: ${err.getOrElse("")}")
+  }
+}
+
+/** Skills registry: named user functions advertised to the LLM and
+  * registered as Spark SQL functions so generated SQL can call them
+  * (reference: pandasai/ee/skills/__init__.py:76-135).
+  */
+final class SkillRegistry(engine: Engine) {
+  private val skills = mutable.LinkedHashMap.empty[String, String]
+
+  def register(name: String, description: String,
+      udf: org.apache.spark.sql.expressions.UserDefinedFunction): Unit = {
+    engine.spark.udf.register(name, udf)
+    skills(name) = description
+  }
+
+  def describeForPrompt: String =
+    skills.map { case (n, d) => s"- $n: $d" }.mkString("\n")
+
+  def names: Set[String] = skills.keySet.toSet
+}

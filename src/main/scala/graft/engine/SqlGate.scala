@@ -1,0 +1,103 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan}
+
+/** SELECT-only gate + relation whitelist for LLM-authored SQL.
+  *
+  * The reference sanitizes SQL strings with a sqlglot parse + a keyword
+  * regex screen (reference: pandasai/helpers/sql_sanitizer.py:40-112) and
+  * whitelists table names via an AST walk (reference:
+  * pandasai/core/code_generation/code_cleaning.py:42-110). Spark-first
+  * version: parse with Spark's own parser, reject any plan that is a
+  * Command (DDL/DML), then walk the analyzed tree's UnresolvedRelations
+  * against the set of registered dataset views. No string rewriting — the
+  * datasets are registered as temp views so the LLM's table refs resolve
+  * directly (SURVEY.md §2.3 Q3).
+  */
+object SqlGate {
+
+  final class MaliciousQueryError(msg: String) extends RuntimeException(msg)
+
+  /** The reference's blocked-keyword screen (sql_sanitizer.py:42-79),
+    * kept as defense-in-depth on top of the plan-type check. `EXPLAIN`,
+    * comments, and session/user probes are rejected outright.
+    */
+  private val blockedKeywords: Seq[String] = Seq(
+    "INSERT", "UPDATE", "DELETE", "DROP", "EXEC", "ALTER", "CREATE",
+    "MERGE", "TRUNCATE", "LOAD", "GRANT", "REVOKE", "CALL", "EXECUTE",
+    "SHOW", "DESCRIBE", "EXPLAIN", "DECLARE", "SLEEP", "BENCHMARK",
+    "CURRENT_USER", "SESSION_USER", "SYSTEM_USER")
+
+  private val blockedPatterns: Seq[scala.util.matching.Regex] =
+    blockedKeywords.map(k => s"(?i)\\b$k\\b".r) ++
+      Seq("--".r, "(?s)/\\*.*\\*/".r)
+
+  def isSqlQuerySafe(spark: SparkSession, sql: String): Boolean =
+    try { validate(spark, sql); true }
+    catch { case _: Throwable => false }
+
+  /** Throws MaliciousQueryError unless `sql` is a pure query. */
+  def validate(spark: SparkSession, sql: String): LogicalPlan = {
+    blockedPatterns.find(_.findFirstIn(sql).isDefined).foreach { p =>
+      throw new MaliciousQueryError(
+        s"query blocked: contains forbidden token ${p.regex}")
+    }
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch {
+        case e: Exception =>
+          throw new MaliciousQueryError(s"query failed to parse: ${e.getMessage}")
+      }
+    if (plan.isInstanceOf[Command] || plan.find(_.isInstanceOf[Command]).isDefined)
+      throw new MaliciousQueryError("only SELECT queries are allowed")
+    plan
+  }
+
+  /** All table names referenced by the (unanalyzed) plan — CTE names
+    * excluded the Spark way: UnresolvedRelations that match a
+    * WITH-clause alias are still listed here; callers pass CTE names in
+    * `known` implicitly since `spark.sql` resolves them first. We walk
+    * the raw parse tree and subtract CTE definitions.
+    */
+  def referencedTables(plan: LogicalPlan): Set[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    val cteNames = plan.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    plan.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
+    }.toSet -- cteNames
+  }
+
+  /** Whitelist check (code_cleaning.py:42-110): every referenced relation
+    * must be a registered dataset/view. */
+  def checkTables(spark: SparkSession, sql: String, known: Set[String]): LogicalPlan = {
+    val plan = validate(spark, sql)
+    val refs = referencedTables(plan)
+    val knownLower = known.map(_.toLowerCase)
+    val unknown = refs -- knownLower
+    if (unknown.nonEmpty)
+      throw new MaliciousQueryError(
+        s"query references unknown tables: ${unknown.mkString(", ")}")
+    plan
+  }
+
+  /** Table/file name sanitizer (sql_sanitizer.py:9-37): non-alphanumeric →
+    * `_`, 64-char cap; lowercase variant for file-derived table names. */
+  def sanitizeTableName(name: String): String =
+    name.replaceAll("[^a-zA-Z0-9_]", "_").take(64)
+
+  def sanitizeTableNameLowercase(name: String): String =
+    sanitizeTableName(name).toLowerCase
+
+  def sanitizeFileName(path: String): String = {
+    val base = new java.io.File(path).getName
+    val noExt = base.lastIndexOf('.') match {
+      case -1 => base
+      case i  => base.substring(0, i)
+    }
+    sanitizeTableNameLowercase(noExt)
+  }
+}

@@ -1,0 +1,230 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (the whole point):
+  *  - NO all-pairs comparison anywhere. Candidate pairs come from banded
+  *    LSH bucket joins — the shuffle key is (band_id, band_hash), so cost
+  *    is O(n · bands) map-side plus bucket-local joins.
+  *  - Signatures are computed with higher-order functions
+  *    (transform/aggregate/xxhash64) — whole-stage-codegen'd, no UDFs, no
+  *    explode of (doc × hash) rows.
+  *  - Verification (exact Jaccard / Hamming) runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first (min id) row per duplicate group.
+    * Deterministic, unlike dropDuplicates (which keeps an arbitrary row).
+    * One hash-aggregate shuffle on the dedup key.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val others = df.columns.filterNot(c => keyCols.contains(c) || c == idCol)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol),
+        others.map(c => min(col(c)).as(c)).toSeq: _*)
+  }
+
+  /** Word k-shingles of a text column (distinct, as a set).
+    *
+    * INLINE-ONLY: higher-order array lambdas are interpreted and the
+    * token-split subtree re-evaluates per element — fine on a handful of
+    * rows, quadratic in tokens on a corpus. The corpus paths below use
+    * [[shingleRows]] (explode + window lead, whole-stage codegen'd).
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val tokens = split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(tokens) - k, lit(0))),
+          i => when(i + k <= size(tokens),
+            array_join(slice(tokens, i + 1, lit(k)), " "))),
+        s => s.isNotNull))
+  }
+
+  /** One row per (doc, k-shingle) occurrence: tokens exploded once, then
+    * k-grams assembled with window `lead` over token position. One
+    * doc-keyed shuffle; everything codegen'd. Multiplicity preserved
+    * (min-hash is insensitive to it; set consumers dedup downstream).
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(split(regexp_replace(lower(trim(col(textCol))), "[^a-z0-9\\s]", ""), "\\s+")))
+      .toDF("doc", "pos", "tok")
+    val w = Window.partitionBy("doc").orderBy("pos")
+    toks
+      .select(col("doc"),
+        concat_ws(" ", col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(w)): _*)
+          .as("shingle"),
+        (if (k > 1) lead(col("tok"), k - 1).over(w).isNotNull else lit(true)).as("complete"))
+      .where(col("complete"))
+      .select("doc", "shingle")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min of xxhash64(shingle, seed) over the doc's shingle set.
+    * Pure expression tree — evaluated per row inside codegen.
+    */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingleSet, s => xxhash64(s, seed))))
+
+  /** Banded LSH candidate pairs over a MinHash signature.
+    *
+    * @return (docA, docB) candidate pairs with docA < docB, distinct.
+    *         The join is an equi-join on (band, band_hash) — never a
+    *         crossJoin; each doc lands in `bands` buckets.
+    *
+    * Implementation note: the signature is computed by the canonical
+    * explode→hash→min-aggregate dataflow, NOT by nesting higher-order
+    * array lambdas. A `transform(seq(0,H), i → array_min(transform(
+    * shingles, …)))` expression re-evaluates the shingles expression once
+    * per seed (higher-order functions are interpreted, not codegen'd) —
+    * measured ~200× slower. The explode shape is whole-stage-codegen'd,
+    * and the per-(doc,seed) min aggregation map-side combines, so the
+    * shuffle carries only docs × numHashes rows.
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sh = shingleRows(df, idCol, textCol, shingleK)
+    val seedHashes = sh
+      .select(col("doc"), posexplode(
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          seed => xxhash64(col("shingle"), seed))))
+      .toDF("doc", "seed", "h")
+    val minHashes = seedHashes.groupBy("doc", "seed").agg(min("h").as("mh"))
+    val banded = minHashes
+      .withColumn("band", floor(col("seed") / rows).cast("int"))
+      .groupBy("doc", "band")
+      .agg(xxhash64(sort_array(collect_list(struct(col("seed"), col("mh")))))
+        .as("band_hash"))
+    val a = banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard similarity between two shingle-set columns. */
+  def jaccard(setA: Column, setB: Column): Column =
+    size(array_intersect(setA, setB)).cast("double") /
+      size(array_union(setA, setB)).cast("double")
+
+  /** Distinct shingle set per doc, via the codegen'd explode + hash-agg
+    * path (one pass; the array-lambda formulation is interpreted and
+    * far slower). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingleRows(df, idCol, textCol, k)
+      .groupBy("doc").agg(collect_set("shingle").as("sset"))
+      .withColumnRenamed("doc", "sid")
+
+  /** Full MinHash-LSH near-dup pipeline: candidates from banded LSH,
+    * verified with exact n-gram Jaccard ≥ threshold. Joins back to the
+    * docs only for candidate ids (two equi-joins on the id).
+    */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+  ): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
+    val sets = shingleSets(df, idCol, textCol, shingleK)
+    cands
+      .join(sets.withColumnRenamed("sid", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
+      .join(sets.withColumnRenamed("sid", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("set_a"), col("set_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over token hashes: bit i of the fingerprint is the
+    * sign of Σ over tokens of (±1 by token-hash bit i). Expression-only.
+    */
+  def simhash64(text: Column): Column = {
+    val tokens = split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+")
+    val hashes = transform(tokens, t => xxhash64(t))
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)),
+        (a, x) => a + x))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+
+  /** Per-doc SimHash via explode + 64 codegen'd conditional sums — the
+    * aggregation shape (same result as [[simhash64]], which re-walks the
+    * token array per bit in interpreted lambdas and is only suitable for
+    * short inline use). Map-side combine keeps the shuffle at one row per
+    * doc.
+    */
+  def simhashPerDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      explode(split(regexp_replace(lower(trim(col(textCol))), "[^a-z0-9\\s]", ""), "\\s+")).as("tok"))
+    val hashed = toks.select(col("doc"), xxhash64(col("tok")).as("h"))
+    val bitCols = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val sums = hashed.groupBy("doc").agg(bitCols.head, bitCols.tail: _*)
+    sums.select(col("doc"),
+      (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce((a, c) => a.bitwiseOR(c)).as("fp"))
+  }
+
+  /** SimHash near-dup pairs: bucket by 16-bit bands of the fingerprint
+    * (pigeonhole: ≤3 differing bits ⇒ at least one of 4 bands identical),
+    * verify with bit_count(xor) ≤ maxHamming.
+    */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+  ): DataFrame = {
+    val fp = simhashPerDoc(df, idCol, textCol)
+    val banded = fp.select(col("doc"), col("fp"), posexplode(
+      transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL))))
+      .toDF("doc", "fp", "band", "band_val")
+    val a = banded.select(col("band"), col("band_val"),
+      col("doc").as("doc_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("doc").as("doc_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup: LSH-bucketed candidates (sign-random-
+    * projection) verified by exact cosine ≥ threshold. See Similarity for
+    * the bucketing; no all-pairs.
+    */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 12,
+  ): DataFrame = {
+    val sig = Similarity.lshSignature(col(vecCol), dim = Similarity.dimOf(df, vecCol), planes)
+    val keyed = df.select(col(idCol).as("doc"), col(vecCol).as("vec"), sig.as("bucket"))
+      .repartition(col("doc"))
+    val a = keyed.select(col("bucket"), col("doc").as("doc_a"), col("vec").as("vec_a"))
+    val b = keyed.select(col("bucket"), col("doc").as("doc_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(Similarity.cosine(col("vec_a"), col("vec_b")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .distinct()
+  }
+}

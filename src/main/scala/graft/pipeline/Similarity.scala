@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  *  - Brute-force cosine top-k is the baseline: a single linear scan with
+  *    a TakeOrdered (no full sort, no shuffle of the corpus).
+  *  - The scale path is sign-random-projection LSH: each vector maps to a
+  *    bucket id from the signs of `planes` fixed pseudo-random hyperplane
+  *    dot products. Search touches only the query's bucket (multi-probe
+  *    widens to Hamming-1 neighbors). Bucket assignment is a pure
+  *    expression; hyperplanes are generated from a fixed seed so results
+  *    are deterministic.
+  *
+  * Dot products use zip_with + aggregate (codegen'd) — no UDFs.
+  */
+object Similarity {
+
+  def dimOf(df: DataFrame, vecCol: String): Int = {
+    require(df.schema(vecCol).dataType.isInstanceOf[ArrayType],
+      s"$vecCol must be an array column")
+    // head of a 1-row limit — driver-side constant, not a data collect
+    df.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+  }
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Literal column for a query vector. */
+  def vecLit(v: Seq[Float]): Column = array(v.map(x => lit(x)): _*)
+
+  /** Baseline: exact top-k by cosine against one query vector. Catalyst
+    * plans orderBy+limit as TakeOrderedAndProject — each partition keeps
+    * only k rows, the driver merges k·p rows; nothing resembling a full
+    * sort at 100 TB.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int,
+  ): DataFrame =
+    corpus
+      .select(col(idCol), round(cosine(col(vecCol), vecLit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed). */
+  def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bucket id: bit p = sign(vec · plane_p). Expression-only. */
+  def lshSignature(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    val hp = hyperplanes(dim, planes, seed)
+    val bits = hp.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Corpus with its bucket id materialized — at scale this is what you
+    * would write out partitioned/bucketed by `bucket` so queries prune
+    * partitions instead of scanning.
+    */
+  def indexed(corpus: DataFrame, vecCol: String, planes: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val d = dimOf(corpus, vecCol)
+    corpus.withColumn("bucket", lshSignature(col(vecCol), d, planes, seed))
+  }
+
+  /** ANN search: scan only the query's bucket (plus Hamming-1 probe
+    * buckets when `multiProbe`), exact cosine within candidates.
+    */
+  def annTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, planes: Int = 12, seed: Long = 42L,
+      multiProbe: Boolean = true,
+  ): DataFrame = {
+    val dim = query.length
+    val hp = hyperplanes(dim, planes, seed)
+    // query signature computed driver-side (tiny, no Spark job)
+    val qSig = hp.zipWithIndex.map { case (plane, p) =>
+      val d = plane.zip(query).map { case (w, x) => w * x.toDouble }.sum
+      if (d >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+    val probes: Seq[Long] =
+      if (multiProbe) qSig +: (0 until planes).map(p => qSig ^ (1L << p))
+      else Seq(qSig)
+    val withBucket = corpus.withColumn("bucket",
+      lshSignature(col(vecCol), dim, planes, seed))
+    withBucket
+      .where(col("bucket").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), vecLit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batch k-NN join: for EVERY query row, its top-k corpus neighbors via
+    * shared LSH buckets — an equi-join on bucket, ranked per query. This
+    * is the scale path for "join 1M queries against 10B vectors": shuffle
+    * keys are buckets, never a crossJoin.
+    */
+  def annJoin(
+      queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, vecCol: String,
+      k: Int, planes: Int = 8, seed: Long = 42L,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = dimOf(corpus, vecCol)
+    val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("qvec"),
+      lshSignature(col(vecCol), dim, planes, seed).as("bucket"))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      lshSignature(col(vecCol), dim, planes, seed).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, and document
+  * fingerprinting. All are compositions of codegen'd built-in functions —
+  * no UDFs — so they stay inside whole-stage codegen and scale linearly
+  * with no shuffle (beyond whatever aggregation the caller adds).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: words are split from punctuation runs the way a
+    * byte-pair pretokenizer would (letters+digits runs, single punct
+    * marks), counted via regexp_count — codegen'd, no explode.
+    */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Rough chars-per-token estimate (~4 chars/token heuristic). */
+  def tokenCountEstimate(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast("long")
+
+  /** Quality-scoring features: length, word stats, punctuation / stopword /
+    * uppercase / digit / non-alnum ratios, mean word length, repetition.
+    * Returned as individual columns so downstream filters push down.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val words = split(trim(text), "\\s+")
+    val nWords = size(words)
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_words" -> nWords.cast("long"),
+      "mean_word_len" ->
+        (nChars.cast("double") / greatest(nWords, lit(1)).cast("double")),
+      "punct_ratio" ->
+        (regexp_count(text, lit("[\\.,;:!\\?'\"()\\[\\]{}-]")).cast("double") /
+          greatest(nChars, lit(1)).cast("double")),
+      "digit_ratio" ->
+        (regexp_count(text, lit("[0-9]")).cast("double") /
+          greatest(nChars, lit(1)).cast("double")),
+      "upper_ratio" ->
+        (regexp_count(text, lit("[A-Z]")).cast("double") /
+          greatest(nChars, lit(1)).cast("double")),
+      "stopword_ratio" ->
+        (regexp_count(lower(text), lit("\\b(the|a|an|and|or|of|to|in|is|it|that|was|for|on|with)\\b"))
+          .cast("double") / greatest(nWords, lit(1)).cast("double")),
+      "uniq_word_ratio" ->
+        (size(array_distinct(words)).cast("double") /
+          greatest(nWords, lit(1)).cast("double")),
+    )
+  }
+
+  /** Composite quality score in [0,1]: penalizes very short/very long docs,
+    * punctuation soup, digit soup, and heavy repetition. Deterministic and
+    * cheap; meant as a filter input, not a model.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lenScore = least(f("n_words").cast("double") / lit(20.0), lit(1.0))
+    val punctOk = when(f("punct_ratio") <= 0.2, 1.0).otherwise(0.5)
+    val digitOk = when(f("digit_ratio") <= 0.3, 1.0).otherwise(0.5)
+    val repeatOk = f("uniq_word_ratio")
+    round(lenScore * punctOk * digitOk * lit(0.5) + repeatOk * lit(0.5), 4)
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-hit language
+    * heuristic. Public knowledge (most-frequent function words).
+    */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "他", "这", "不"),
+  )
+
+  /** Per-language hit counts; the language with the max normalized hits
+    * wins, 'und' when nothing matches. One pass, all codegen'd regexes.
+    */
+  def languageId(text: Column): Column = {
+    val lowered = lower(text)
+    val scores: Seq[(String, Column)] = stopwords.toSeq.map { case (lang, words) =>
+      val pattern =
+        if (lang == "zh") words.mkString("(", "|", ")")
+        else words.mkString("\\b(", "|", ")\\b")
+      lang -> regexp_count(lowered, lit(pattern)).cast("double")
+    }
+    // argmax via a struct sort: (score, lang) max
+    val packed = array(scores.map { case (lang, s) =>
+      struct(s.as("score"), lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(packed)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit rolling-hash document fingerprint over normalized tokens:
+    * whitespace/case/punct-insensitive, order-sensitive. xxhash64 of the
+    * canonicalized token stream — a stable content fingerprint for exact
+    * near-canonical dedup.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(array_join(
+      split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+"), " "))
+
+  /** Append the full text-analysis column set to a frame. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val withFeatures = qualityFeatures(t).foldLeft(df) { case (d, (name, c)) =>
+      d.withColumn(name, c)
+    }
+    withFeatures
+      .withColumn("tokens_ws", tokenCountWs(t))
+      .withColumn("tokens_bpe", tokenCountBpe(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", languageId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

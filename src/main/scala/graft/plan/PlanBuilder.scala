@@ -1,0 +1,219 @@
+package graft.plan
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema._
+import graft.transform.Transformations
+
+/** Compiles a SemanticSchema into a lazy Spark DataFrame — the Spark-first
+  * replacement for the reference's SQL-string compiler
+  * (reference: pandasai/query_builders/base_query_builder.py:25-42). Where
+  * the reference emits `SELECT [DISTINCT] cols FROM src [GROUP BY] [ORDER
+  * BY] [LIMIT]` text for DuckDB, we build the same logical plan with the
+  * DataFrame API and let Catalyst plan it (predicate pushdown, column
+  * pruning, join selection are free).
+  */
+object DatasetPlanBuilder {
+
+  /** `resolver` maps a dataset/table name to its DataFrame (used by
+    * validate_foreign_key and by views). */
+  def build(
+      spark: SparkSession,
+      schema: SemanticSchema,
+      baseDir: String,
+      resolver: String => DataFrame,
+  ): DataFrame = {
+    if (schema.view) return ViewPlanBuilder.build(spark, schema, resolver)
+    val base = readSource(spark, schema, baseDir)
+    applyQueryShape(base, schema, resolver, viewMode = false)
+  }
+
+  def readSource(spark: SparkSession, schema: SemanticSchema, baseDir: String): DataFrame = {
+    val src = schema.source.getOrElse(
+      throw new IllegalArgumentException(s"dataset ${schema.name} has no source"))
+    src.stype match {
+      case "csv" =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(resolvePath(src, baseDir))
+      case "parquet" =>
+        spark.read.parquet(resolvePath(src, baseDir))
+      case t if SourceDef.remoteTypes.contains(t) =>
+        val conn = src.connection
+        val url = conn.getOrElse("url", jdbcUrl(t, conn))
+        val reader = spark.read.format("jdbc").option("url", url)
+        val withTable = src.table.fold(reader)(tbl => reader.option("dbtable", tbl))
+        conn.get("user").fold(withTable)(u => withTable.option("user", u))
+          .load()
+      case other =>
+        throw new IllegalArgumentException(s"unsupported source type: $other")
+    }
+  }
+
+  private def jdbcUrl(stype: String, conn: Map[String, String]): String = {
+    val host = conn.getOrElse("host", "localhost")
+    val database = conn.getOrElse("database", "")
+    val proto = stype match {
+      case "postgres" | "cockroachdb" => "postgresql"
+      case other                      => other
+    }
+    val port = conn.get("port").map(p => s":$p").getOrElse("")
+    s"jdbc:$proto://$host$port/$database"
+  }
+
+  private def resolvePath(src: SourceDef, baseDir: String): String = {
+    val p = src.path.getOrElse(
+      throw new IllegalArgumentException("local source requires a path"))
+    if (p.startsWith("/")) p else s"$baseDir/$p"
+  }
+
+  /** The shared SELECT shape: projection+transform → group → distinct →
+    * order → limit. `viewMode` switches column naming to the view rules
+    * (`dataset.column` → `dataset_column`,
+    * reference: view_query_builder.py:29-45).
+    */
+  private[plan] def applyQueryShape(
+      base: DataFrame,
+      schema: SemanticSchema,
+      resolver: String => DataFrame,
+      viewMode: Boolean,
+  ): DataFrame = {
+    val projected: DataFrame =
+      if (schema.columns.isEmpty) base
+      else {
+        // fold the frame through per-column transformation chains (some
+        // chains re-plan the frame: normalize/standardize/foreign-key)
+        val (framed, outCols) =
+          schema.columns.foldLeft((base, Vector.empty[Column])) {
+            case ((df, acc), c) =>
+              val raw = c.expression.map(expr).getOrElse(colRef(c.name, viewMode))
+              val (df2, e) = Transformations.applyColumn(
+                df, c.name, raw, schema.transformations, resolver)
+              val outName = outputName(c, schema)
+              (df2, acc :+ e.as(outName))
+          }
+        if (schema.groupBy.nonEmpty) {
+          val keyNames = schema.groupBy.map(k => normalizeKey(k, viewMode).toLowerCase).toSet
+          val (keys, aggs) = schema.columns.zip(outCols).partition { case (c, _) =>
+            keyNames.contains(outputName(c, schema).toLowerCase) ||
+              keyNames.contains(c.name.toLowerCase)
+          }
+          require(aggs.nonEmpty, s"group_by on ${schema.name} needs at least one aggregated column")
+          val grouped = framed
+            .groupBy(keys.map(_._2): _*)
+            .agg(aggs.head._2, aggs.tail.map(_._2): _*)
+          // restore declared column order
+          grouped.select(schema.columns.map(c => col(outputName(c, schema))): _*)
+        } else framed.select(outCols: _*)
+      }
+
+    val distincted =
+      if (Transformations.hasRemoveDuplicates(schema.transformations))
+        projected.distinct()
+      else projected
+
+    val ordered =
+      if (schema.orderBy.nonEmpty)
+        distincted.orderBy(schema.orderBy.map(parseOrder): _*)
+      else distincted
+
+    schema.limit.fold(ordered)(ordered.limit)
+  }
+
+  private def colRef(name: String, viewMode: Boolean): Column =
+    if (viewMode) col(name) else col(name)
+
+  private def normalizeKey(k: String, viewMode: Boolean): String =
+    if (viewMode) k.replace(".", "_") else k
+
+  /** Output naming: explicit alias > rename transformation > (view:
+    * `ds.col`→`ds_col`) > declared name. */
+  def outputName(c: ColumnDef, schema: SemanticSchema): String =
+    c.alias
+      .orElse(Transformations.renameTarget(c.name, schema.transformations))
+      .getOrElse(if (schema.view) c.name.replace(".", "_") else c.name)
+
+  /** Parse an `order_by` entry like `"revenue DESC"` into a sort Column. */
+  def parseOrder(s: String): Column = {
+    val t = s.trim
+    val m = "(?i)^(.*?)\\s+(asc|desc)$".r
+    t match {
+      case m(e, dir) =>
+        if (dir.equalsIgnoreCase("desc")) expr(e).desc else expr(e).asc
+      case _ => expr(t).asc
+    }
+  }
+}
+
+/** View composition: joins of dependency plans by declared relations
+  * (reference: pandasai/query_builders/view_query_builder.py:100-148,
+  * dependency resolution pandasai/data_loader/view_loader.py:43-71).
+  * Each side of the join is the dependency's own compiled plan; Catalyst
+  * sees the whole tree and can pick broadcast joins for small sides.
+  */
+object ViewPlanBuilder {
+
+  def build(
+      spark: SparkSession,
+      schema: SemanticSchema,
+      resolver: String => DataFrame,
+  ): DataFrame = {
+    require(schema.view, s"${schema.name} is not a view")
+    val datasets: Seq[String] = {
+      val fromCols = schema.columns.map(_.name.split("\\.")(0))
+      val fromRels = schema.relations.flatMap(r =>
+        Seq(r.from.split("\\.")(0), r.to.split("\\.")(0)))
+      (fromRels ++ fromCols).distinct
+    }
+    val first = schema.relations.headOption
+      .map(_.from.split("\\.")(0))
+      .getOrElse(schema.columns.head.name.split("\\.")(0))
+
+    val depFrames = datasets.map(d => d -> resolver(d)).toMap
+    var joined = depFrames(first).alias(first)
+    // group relations by target dataset → one join per target with AND-ed
+    // conditions (view_query_builder.py:120-138)
+    val grouped = schema.relations
+      .groupBy(_.to.split("\\.")(0)).toSeq
+      .sortBy { case (ds, _) => datasets.indexOf(ds) }
+    grouped.foreach { case (target, rels) =>
+      if (target != first) {
+        val cond = rels.map(r => col(r.from) === col(r.to)).reduce(_ && _)
+        joined = joined.join(depFrames(target).alias(target), cond, "inner")
+      }
+    }
+
+    // flatten every dependency column `ds.col` → `ds_col`
+    // (view_query_builder.py:29-45); declared columns and rewritten
+    // expressions then resolve against the flat names, and Catalyst prunes
+    // whatever the projection doesn't use.
+    val flattened = joined.select(datasets.flatMap { ds =>
+      depFrames(ds).columns.map(c => col(s"$ds.$c").as(s"${ds}_$c"))
+    }: _*)
+
+    val innerSchema = schema.copy(
+      view = false,
+      source = None,
+      columns = schema.columns.map { c =>
+        val flat = c.name.replace(".", "_")
+        c.copy(name = flat,
+          expression = c.expression.map(rewriteViewExpr))
+      },
+      relations = Seq.empty,
+      groupBy = schema.groupBy.map(_.replace(".", "_")),
+      orderBy = schema.orderBy.map(_.replace(".", "_")),
+      transformations = schema.transformations.map { t =>
+        t.column match {
+          case Some(cn) => t.copy(params = t.params.updated("column", cn.replace(".", "_")))
+          case None     => t
+        }
+      },
+    )
+    DatasetPlanBuilder.applyQueryShape(flattened, innerSchema, resolver, viewMode = true)
+  }
+
+  /** The reference rewrites `a.b`/`a-b` inside view expressions to `a_b`
+    * (view_query_builder.py:52-57). */
+  def rewriteViewExpr(e: String): String =
+    e.replaceAll("([a-zA-Z0-9_]+)-([a-zA-Z0-9_]+)", "$1_$2")
+      .replaceAll("([a-zA-Z0-9_]+)\\.([a-zA-Z0-9_]+)", "$1_$2")
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline._
+import graft.streaming.EventStreams
+
+/** Beyond-reference LLM-data-pipeline operators over the `documents`,
+  * `embeddings`, and `events` tables: dedup (exact/MinHash/SimHash/
+  * n-gram/embedding), similarity search (brute-force + LSH), text
+  * analysis, multimodal plumbing, and the batch shape of the streaming
+  * windowed aggregation.
+  *
+  * Oracles are declared where DuckDB can express the semantics; the
+  * LSH/hash-based operators are rows-only checked (xxhash64 has no DuckDB
+  * equivalent) but are deterministic and covered by ScalaTest.
+  */
+object PipelineQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: first-id-wins per duplicate group (deterministic, unlike
+    // dropDuplicates)
+    QueryDef("p01_dedup_exact",
+      (s, dir) => Dedup.exact(
+        Tables.load(s, dir, "documents").select("doc_id", "lang", "source"),
+        keyCols = Seq("lang", "source"), idCol = "doc_id")
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, MIN(doc_id) AS doc_id
+              FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // MinHash-LSH near-dup pairs, Jaccard-verified (banded bucket join —
+    // no crossJoin in the plan)
+    QueryDef("p02_dedup_minhash",
+      (s, dir) => Dedup.minhashNearDups(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.12, shingleK = 3, numHashes = 32, bands = 16)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    // SimHash near-dup pairs (16-bit band buckets + Hamming verify)
+    QueryDef("p03_dedup_simhash",
+      (s, dir) => Dedup.simhashNearDups(
+        Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 14)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    // n-gram Jaccard similarity on LSH candidates — the verification
+    // surface alone, reported for all candidate pairs
+    QueryDef("p04_ngram_jaccard",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+          shingleK = 2, numHashes = 16, bands = 8)
+        val sets = Dedup.shingleSets(docs, "doc_id", "text", 2)
+        cands
+          .join(sets.withColumnRenamed("sid", "doc_a")
+            .withColumnRenamed("sset", "set_a"), "doc_a")
+          .join(sets.withColumnRenamed("sid", "doc_b")
+            .withColumnRenamed("sset", "set_b"), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(Dedup.jaccard(col("set_a"), col("set_b")), 6).as("jaccard"))
+          .where(col("jaccard") >= 0.2)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // Embedding-cosine near-dup via sign-LSH buckets
+    QueryDef("p05_embedding_neardup",
+      (s, dir) => Dedup.embeddingNearDups(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.30, planes = 4)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    // Brute-force cosine top-k (the exact baseline; TakeOrdered plan).
+    // Oracle: DuckDB list_cosine_similarity on the same query vector.
+    QueryDef("p06_ann_bruteforce",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 10)
+      },
+      Some("""SELECT vec_id,
+              ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+              FROM embeddings ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
+
+    // LSH-bucketed ANN for the same query (scale path: bucket pruning +
+    // multi-probe)
+    QueryDef("p07_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        Similarity.annTopK(emb, "vec_id", "embedding", q, k = 10, planes = 6)
+      },
+      None),
+
+    // Batch k-NN join: every query row gets its top-k neighbors via
+    // shared LSH buckets (equi-join on bucket, ranked per query)
+    QueryDef("p08_ann_join",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.annJoin(
+          emb.where(col("vec_id") < 20), emb.where(col("vec_id") >= 20),
+          "vec_id", "vec_id", "embedding", k = 3, planes = 4)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // Text statistics with a DuckDB-expressible oracle subset
+    QueryDef("p09_text_stats",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_words"),
+          round(length(col("text")).cast("double") /
+            greatest(TextAnalysis.tokenCountWs(col("text")), lit(1)).cast("double"), 4)
+            .as("mean_word_len"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+              LENGTH(text) AS n_chars_calc,
+              LEN(string_split_regex(TRIM(text), '\s+')) AS n_words,
+              ROUND(CAST(LENGTH(text) AS DOUBLE) / GREATEST(LEN(string_split_regex(TRIM(text), '\s+')), 1), 4) AS mean_word_len
+              FROM documents ORDER BY doc_id""")),
+
+    // Full text-analysis surface: quality score, language ID, BPE-ish
+    // token count, rolling-hash fingerprint (deterministic; hash values
+    // not portable to DuckDB → rows-only)
+    QueryDef("p10_text_analysis",
+      (s, dir) => TextAnalysis.analyze(
+        Tables.load(s, dir, "documents"), "text")
+        .select("doc_id", "n_words", "tokens_bpe", "quality", "lang_pred", "fingerprint")
+        .orderBy("doc_id"),
+      None),
+
+    // Multimodal plumbing: synthetic binary assets → batched decode stub →
+    // resize plan → frame-sample counts, all deterministic
+    QueryDef("p11_multimodal",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").limit(200)
+        val assets = Multimodal.syntheticAssets(s, docs, "doc_id")
+        val decoded = Multimodal.decode(s, assets, batchSize = 32).toDF()
+        Multimodal.resizePlan(decoded, maxSide = 256)
+          .select("asset_id", "modality", "n_bytes", "width", "height",
+            "target_width", "target_height")
+          .orderBy("asset_id")
+      },
+      None),
+
+    // Streaming windowed aggregation, batch-executed (same code path the
+    // stream runs; oracle via date_trunc)
+    QueryDef("p12_stream_window",
+      (s, dir) => EventStreams.windowedStats(
+        Tables.load(s, dir, "events"), windowLen = "1 hour")
+        .select(QueryDef.ntz(col("window_start")).as("window_start"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+              COUNT(*) AS n_events,
+              ROUND(SUM(value), 4) AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+  )
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.engine.Engine
+import graft.plan.DatasetPlanBuilder
+import graft.schema._
+
+/** SURVEY §2.1 sources/sinks (S1, S3–S5, S9–S11) and the semantic-layer
+  * L1 paths: compiled dataset plans and relation-joined views (R5).
+  *
+  * CSV/dataset-store fixtures are written under /root/repo/target (the
+  * only writable area) as a deterministic function of the input tables,
+  * so the oracle can be expressed against the original parquet.
+  */
+object SourceQueries {
+
+  private val tmpRoot = "/root/repo/target/graft-tmp"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // S1 — read_csv with header + schema inference
+    QueryDef("s01_read_csv", (s, dir) => {
+      val path = s"$tmpRoot/region_csv"
+      Tables.load(s, dir, "region")
+        .orderBy("r_regionkey")
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true").option("inferSchema", "true").csv(path)
+        .orderBy("r_regionkey")
+    }, Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+    // S3 — CSV scan registered as a temp view, queried via SQL
+    QueryDef("s03_csv_scan", (s, dir) => {
+      val path = s"$tmpRoot/nation_csv"
+      Tables.load(s, dir, "nation")
+        .orderBy("n_nationkey")
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true").option("inferSchema", "true").csv(path)
+        .createOrReplaceTempView("nation_csv")
+      s.sql("SELECT n_nationkey, n_name FROM nation_csv WHERE n_regionkey >= 2 ORDER BY n_nationkey")
+    }, Some("SELECT n_nationkey, n_name FROM nation WHERE n_regionkey >= 2 ORDER BY n_nationkey")),
+
+    // S4 — parquet scan
+    QueryDef("s04_parquet_scan",
+      (s, dir) => Tables.load(s, dir, "nation").orderBy("n_nationkey"),
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // S5 — in-memory/temp-view registration + SQL over it
+    QueryDef("s05_temp_view", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("SELECT n_name, n_regionkey FROM nation ORDER BY n_name")
+    }, Some("SELECT n_name, n_regionkey FROM nation ORDER BY n_name")),
+
+    // S9/S10 — dataset store + load round-trip: write data.parquet +
+    // schema.yaml under datasets/org/name, reload through the loader
+    // factory, query the registered view
+    QueryDef("s09_dataset_store_load", (s, dir) => {
+      val engine = new Engine(s, s"$tmpRoot/datasets")
+      engine.create("graft/customers",
+        Tables.load(s, dir, "customer"), Some("customer dataset"))
+      engine.executeSqlQuery(
+        "SELECT c_custkey, c_name, c_acctbal FROM customers WHERE c_acctbal > 9000 ORDER BY c_custkey")
+    }, Some("SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 9000 ORDER BY c_custkey")),
+
+    // S11 — destination sink: declared output written then read back
+    QueryDef("s11_sink", (s, dir) => {
+      val out = s"$tmpRoot/sink_parquet"
+      val df = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") > 5000)
+        .select("s_suppkey", "s_name", "s_acctbal")
+      new Engine(s, s"$tmpRoot/datasets")
+        .writeDestination(df, DestinationDef("local", "parquet", out))
+      s.read.parquet(out).orderBy("s_suppkey")
+    }, Some("SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_acctbal > 5000 ORDER BY s_suppkey")),
+
+    // L1 — compiled semantic dataset: declared columns with expressions,
+    // group_by + order_by + limit, straight from a schema definition
+    // (the reference's `SELECT cols FROM src GROUP BY ... ORDER BY ...
+    // LIMIT n` shape, base_query_builder.py:25-42)
+    QueryDef("l1_semantic_dataset", (s, dir) => {
+      val schema = SemanticSchema(
+        name = "order_stats",
+        source = Some(SourceDef("parquet", path = Some(s"$dir/orders.parquet"))),
+        columns = Seq(
+          ColumnDef("o_orderstatus"),
+          ColumnDef("total_spend",
+            expression = Some("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")),
+          ColumnDef("n_orders", expression = Some("COUNT(*)")),
+        ),
+        groupBy = Seq("o_orderstatus"),
+        orderBy = Seq("o_orderstatus ASC"),
+        limit = Some(10),
+      ).validate()
+      DatasetPlanBuilder.build(s, schema, dir, n => Tables.load(s, dir, n))
+    }, Some("""SELECT o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+               COUNT(*) AS n_orders
+               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus ASC LIMIT 10""")),
+
+    // R5/L1 — view: relation-grouped equi-join of two compiled datasets
+    // with `dataset.column` → `dataset_column` aliasing
+    // (view_query_builder.py:29-45,100-148)
+    QueryDef("l1_semantic_view", (s, dir) => {
+      val view = SemanticSchema(
+        name = "cust_nation",
+        view = true,
+        columns = Seq(
+          ColumnDef("customers.c_custkey"),
+          ColumnDef("customers.c_acctbal"),
+          ColumnDef("nations.n_name"),
+        ),
+        relations = Seq(RelationDef(None, None,
+          "customers.c_nationkey", "nations.n_nationkey")),
+        orderBy = Seq("customers.c_custkey ASC"),
+      ).validate()
+      val deps = Map(
+        "customers" -> Tables.load(s, dir, "customer"),
+        "nations" -> Tables.load(s, dir, "nation"))
+      graft.plan.ViewPlanBuilder.build(s, view, deps(_))
+    }, Some("""SELECT c_custkey AS customers_c_custkey, c_acctbal AS customers_c_acctbal,
+               n_name AS nations_n_name
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               ORDER BY customers_c_custkey ASC""")),
+
+    // L1 view with group_by over the aliased columns
+    QueryDef("l1_view_groupby", (s, dir) => {
+      val view = SemanticSchema(
+        name = "nation_balance",
+        view = true,
+        columns = Seq(
+          ColumnDef("nations.n_name"),
+          ColumnDef("customers.total_bal",
+            expression = Some("CAST(SUM(CAST(customers.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)")),
+        ),
+        relations = Seq(RelationDef(None, None,
+          "customers.c_nationkey", "nations.n_nationkey")),
+        groupBy = Seq("nations.n_name"),
+        orderBy = Seq("nations.n_name ASC"),
+      ).validate()
+      val deps = Map(
+        "customers" -> Tables.load(s, dir, "customer"),
+        "nations" -> Tables.load(s, dir, "nation"))
+      graft.plan.ViewPlanBuilder.build(s, view, deps(_))
+    }, Some("""SELECT n_name AS nations_n_name,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS customers_total_bal
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY n_name ORDER BY n_name ASC""")),
+  )
+}

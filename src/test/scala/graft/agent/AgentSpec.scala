@@ -1,0 +1,94 @@
+package graft.agent
+
+import graft.{SparkSpec, Tables}
+import graft.engine.Engine
+import graft.response._
+
+class AgentSpec extends SparkSpec {
+
+  private def engineWithTables(): Engine = {
+    val e = new Engine(spark, "/root/repo/target/graft-tmp/agent-ds")
+    e.register("region", Tables.load(spark, sf, "region"))
+    e.register("nation", Tables.load(spark, sf, "nation"))
+    e
+  }
+
+  test("chat executes FakeLLM SQL and types the response (number for 1×1 numeric)") {
+    val agent = new Agent(engineWithTables(),
+      new FakeLlm(Seq("SELECT count(*) AS n FROM region")))
+    agent.chat("how many regions?") match {
+      case NumberR(v) => assert(v == 5.0)
+      case other      => fail(s"expected NumberR, got $other")
+    }
+  }
+
+  test("markdown fences are stripped before execution") {
+    val agent = new Agent(engineWithTables(),
+      new FakeLlm(Seq("```sql\nSELECT r_name FROM region ORDER BY r_name LIMIT 1;\n```")))
+    agent.chat("first region name?") match {
+      case StringR(v) => assert(v.nonEmpty)
+      case other      => fail(s"expected StringR, got $other")
+    }
+  }
+
+  test("retry loop: bad SQL then good SQL succeeds, error context fed back") {
+    val llm = new FakeLlm(Seq(
+      "SELECT * FROM does_not_exist",
+      "SELECT count(*) AS n FROM nation"))
+    val agent = new Agent(engineWithTables(), llm)
+    agent.chat("count nations") match {
+      case NumberR(v) => assert(v == 25.0)
+      case other      => fail(s"expected NumberR after retry, got $other")
+    }
+    assert(llm.prompts.size == 2)
+    assert(llm.prompts(1).contains("previous attempt failed"))
+  }
+
+  test("exhausted retries yield ErrorR (agent/base.py:171-216 semantics)") {
+    val agent = new Agent(engineWithTables(),
+      new FakeLlm(Seq("SELECT * FROM nope")), maxRetries = 1)
+    assert(agent.chat("?").isInstanceOf[ErrorR])
+  }
+
+  test("dataframe-shaped results come back as DataFrameR") {
+    val agent = new Agent(engineWithTables(),
+      new FakeLlm(Seq("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")))
+    agent.chat("list regions") match {
+      case DataFrameR(df) => assert(df.count() == 5)
+      case other          => fail(s"expected DataFrameR, got $other")
+    }
+  }
+
+  test("serializer emits schema + truncated head (dataframe_serializer.py:12-59)") {
+    val s = Serializer.serialize("region", Tables.load(spark, sf, "region"), headN = 2)
+    assert(s.contains("""table_name="region""""))
+    assert(s.contains("""<column name="r_name" type="string"/>"""))
+    assert(s.split("\n").count(_.startsWith("0,")) <= 1)
+  }
+
+  test("memory keeps conversation with QUERY/ANSWER tags (memory.py:39-70)") {
+    val m = new Memory(memorySize = 2)
+    m.add("q1", isUser = true); m.add("a1", isUser = false); m.add("q2", isUser = true)
+    val conv = m.getConversation
+    assert(!conv.contains("q1")) // truncated to last 2
+    assert(conv.contains("### ANSWER\n a1") && conv.contains("### QUERY\n q2"))
+  }
+
+  test("response parser validates type/value agreement (response/parser.py:32-75)") {
+    assert(Response.parse("number", 3.5) == NumberR(3.5))
+    assert(Response.parse("string", "hi") == StringR("hi"))
+    intercept[Response.InvalidOutputValueMismatch] {
+      Response.parse("dataframe", "not a frame")
+    }
+  }
+
+  test("skills registry exposes UDFs to SQL (ee/skills semantics)") {
+    val e = engineWithTables()
+    val reg = new SkillRegistry(e)
+    reg.register("double_it", "doubles a number",
+      org.apache.spark.sql.functions.udf((x: Long) => x * 2))
+    val out = e.executeSqlQuery("SELECT double_it(n_nationkey) AS d FROM nation ORDER BY d DESC LIMIT 1")
+    assert(out.head().getLong(0) == 48)
+    assert(reg.describeForPrompt.contains("double_it"))
+  }
+}

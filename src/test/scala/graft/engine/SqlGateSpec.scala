@@ -1,0 +1,69 @@
+package graft.engine
+
+import graft.SparkSpec
+
+/** The reference's SQL-injection corpus re-expressed against the plan-level
+  * gate (reference: tests/unit_tests/query_builders/test_query_builder.py:
+  * 215-366 and helpers/sql_sanitizer.py:40-112): every malicious string
+  * must be rejected; plain SELECT shapes must pass.
+  */
+class SqlGateSpec extends SparkSpec {
+
+  private val malicious = Seq(
+    "DROP TABLE users",
+    "INSERT INTO t VALUES (1)",
+    "UPDATE t SET a = 1",
+    "DELETE FROM t",
+    "SELECT * FROM t; DROP TABLE t",
+    "SELECT * FROM t WHERE 1=1; TRUNCATE TABLE t",
+    "CREATE TABLE x AS SELECT 1",
+    "SELECT * FROM t -- hidden comment",
+    "SELECT * FROM t /* block */",
+    "GRANT ALL ON t TO PUBLIC",
+    "SELECT * FROM (SELECT * FROM t; DELETE FROM t) sub",
+    "EXPLAIN SELECT 1",
+    "SHOW TABLES",
+    "SET spark.sql.shuffle.partitions=1",
+  )
+
+  private val benign = Seq(
+    "SELECT 1",
+    "SELECT a, b FROM t WHERE a > 1 ORDER BY b LIMIT 5",
+    "SELECT count(*) FROM t GROUP BY a HAVING count(*) > 1",
+    "WITH c AS (SELECT 1 AS x) SELECT * FROM c",
+    "SELECT * FROM a JOIN b ON a.id = b.id",
+    "SELECT rank() OVER (PARTITION BY a ORDER BY b) FROM t",
+  )
+
+  test("malicious statements are rejected") {
+    malicious.foreach { q =>
+      assert(!SqlGate.isSqlQuerySafe(spark, q), s"should reject: $q")
+    }
+  }
+
+  test("benign SELECT shapes pass") {
+    benign.foreach { q =>
+      assert(SqlGate.isSqlQuerySafe(spark, q), s"should accept: $q")
+    }
+  }
+
+  test("table whitelist rejects unknown relations, tolerates CTE names") {
+    val known = Set("orders", "customer")
+    SqlGate.checkTables(spark, "SELECT * FROM orders", known)
+    SqlGate.checkTables(spark,
+      "WITH t AS (SELECT * FROM orders) SELECT * FROM t JOIN customer ON true", known)
+    intercept[SqlGate.MaliciousQueryError] {
+      SqlGate.checkTables(spark, "SELECT * FROM secret", known)
+    }
+    intercept[SqlGate.MaliciousQueryError] {
+      SqlGate.checkTables(spark, "SELECT * FROM orders JOIN leak ON true", known)
+    }
+  }
+
+  test("name sanitizers (sql_sanitizer.py:9-37)") {
+    assert(SqlGate.sanitizeTableName("my table!") == "my_table_")
+    assert(SqlGate.sanitizeTableName("a" * 100) == "a" * 64)
+    assert(SqlGate.sanitizeTableNameLowercase("MiXeD-Case") == "mixed_case")
+    assert(SqlGate.sanitizeFileName("/data/Sales Report.csv") == "sales_report")
+  }
+}

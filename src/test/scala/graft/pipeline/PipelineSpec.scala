@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("exact dedup keeps min-id row per key group, deterministically") {
+    val df = Seq((3L, "x", "b"), (1L, "x", "a"), (2L, "y", "c")).toDF("id", "k", "v")
+    val out = Dedup.exact(df, Seq("k"), "id").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(("x", 1L, "a"), ("y", 2L, "c")))
+  }
+
+  test("shingles are distinct, ordered word k-grams") {
+    val out = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 2).as("s"))
+      .head().getSeq[String](0)
+    assert(out.toSet == Set("a b", "b c", "c d"))
+  }
+
+  test("jaccard of identical and disjoint sets") {
+    val df = Seq(("a b c a b", "a b c x y")).toDF("t1", "t2")
+    val j = df.select(Dedup.jaccard(
+      Dedup.shingles(col("t1"), 1), Dedup.shingles(col("t2"), 1)).as("j"))
+      .head().getDouble(0)
+    assert(j == 0.6) // {a,b,c} vs {a,b,c,x,y} → 3/5
+  }
+
+  test("minhash near-dups: identical docs found, no crossJoin in plan") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark query engines at scale"),
+    ).toDF("doc_id", "text")
+    val dups = Dedup.minhashNearDups(d, "doc_id", "text", threshold = 0.9)
+    val plan = dups.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), "must not be an all-pairs plan")
+    val rows = dups.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(rows.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical texts share fingerprints; near-dups found by banding") {
+    val d = Seq(
+      (1L, "spark is a unified analytics engine for large scale data"),
+      (2L, "spark is a unified analytics engine for large scale data"),
+      (3L, "entirely unrelated words about cooking pasta and tomato sauce"),
+    ).toDF("doc_id", "text")
+    val fps = d.select(Dedup.simhash64(col("text")).as("fp")).as[Long].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+    val pairs = Dedup.simhashNearDups(d, "doc_id", "text", maxHamming = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("cosine similarity: orthogonal, identical, opposite") {
+    val df = Seq((Seq(1f, 0f), Seq(0f, 1f)), (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(-1f, 0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    assert(out.toSeq == Seq(0.0, 1.0, -1.0))
+  }
+
+  test("brute-force top-k is exact and self-ranked first") {
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
+    assert(top.map(_.getDouble(1)).toSeq.reverse.sorted.reverse == top.map(_.getDouble(1)).toSeq)
+  }
+
+  test("LSH ANN recalls the exact top-1 neighbor (multi-probe)") {
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 2)
+      .collect().map(_.getLong(0))
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", q, 5, planes = 6)
+      .collect().map(_.getLong(0))
+    assert(ann.contains(exact.head)) // self always bucket-matches
+  }
+
+  test("annJoin: each query gets ≤k ranked neighbors, no crossJoin") {
+    val joined = Similarity.annJoin(
+      emb.where(col("vec_id") < 5), emb.where(col("vec_id") >= 5),
+      "vec_id", "vec_id", "embedding", k = 3, planes = 3)
+    assert(!joined.queryExecution.optimizedPlan.toString.toLowerCase.contains("cartesian"))
+    val counts = joined.groupBy("query_id").count().collect()
+    assert(counts.forall(_.getLong(1) <= 3))
+  }
+
+  test("text analysis: token counts, quality bounds, langid, fingerprint stability") {
+    val df = Seq(
+      "The quick brown fox, and the lazy dog!",
+      "el perro y el gato en la casa de la abuela",
+    ).toDF("text")
+    val out = TextAnalysis.analyze(df, "text").collect()
+    val en = out(0); val es = out(1)
+    assert(en.getAs[Int]("tokens_ws") == 8)
+    assert(en.getAs[Long]("n_words") == 8)
+    val q = en.getAs[Double]("quality")
+    assert(q >= 0.0 && q <= 1.0)
+    assert(en.getAs[String]("lang_pred") == "en")
+    assert(es.getAs[String]("lang_pred") == "es")
+    // fingerprint is punctuation/case-insensitive
+    val fp = Seq("Hello, World!", "hello world").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    assert(fp(0) == fp(1))
+  }
+
+  test("multimodal: batched decode stub preserves ids and emits fixed-width features") {
+    val assets = Multimodal.syntheticAssets(spark, docs.limit(10), "doc_id")
+    val decoded = Multimodal.decode(spark, assets, batchSize = 4).collect()
+    assert(decoded.length == 10)
+    assert(decoded.forall(_.feature.length == 16))
+    assert(decoded.map(_.asset_id).sorted.toSeq == (0L until 10L))
+    val resized = Multimodal.resizePlan(
+      Multimodal.decode(spark, assets).toDF(), 128)
+    assert(resized.select(max(greatest(col("target_width"), col("target_height"))))
+      .head().getInt(0) <= 128)
+    // frame sampling only emits video rows
+    val frames = Multimodal.frameSamplePlan(
+      Multimodal.decode(spark, assets).toDF(), 60000)
+    assert(frames.select("asset_id").distinct().count() ==
+      decoded.count(_.modality == "video"))
+  }
+}

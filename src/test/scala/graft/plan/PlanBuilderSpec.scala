@@ -1,0 +1,106 @@
+package graft.plan
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.Tables
+import graft.schema._
+
+class PlanBuilderSpec extends SparkSpec {
+
+  private def resolver(n: String) = Tables.load(spark, sf, n)
+
+  test("L1 shape: projection + expression + group_by + order_by + limit") {
+    val schema = SemanticSchema(
+      name = "order_stats",
+      source = Some(SourceDef("parquet", path = Some(s"$sf/orders.parquet"))),
+      columns = Seq(
+        ColumnDef("o_orderstatus"),
+        ColumnDef("n", expression = Some("count(*)")),
+      ),
+      groupBy = Seq("o_orderstatus"),
+      orderBy = Seq("n DESC", "o_orderstatus ASC"),
+      limit = Some(2),
+    ).validate()
+    val df = DatasetPlanBuilder.build(spark, schema, sf, resolver)
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(df.columns.toSeq == Seq("o_orderstatus", "n"))
+    // descending by count
+    assert(rows(0).getLong(1) >= rows(1).getLong(1))
+  }
+
+  test("remove_duplicates triggers whole-plan DISTINCT (base_query_builder.py:93-103)") {
+    val schema = SemanticSchema(
+      name = "segs",
+      source = Some(SourceDef("parquet", path = Some(s"$sf/customer.parquet"))),
+      columns = Seq(ColumnDef("c_mktsegment")),
+      transformations = Seq(
+        TransformDef("remove_duplicates", Map("column" -> "c_mktsegment"))),
+      orderBy = Seq("c_mktsegment ASC"),
+    ).validate()
+    val out = DatasetPlanBuilder.build(spark, schema, sf, resolver).collect()
+    assert(out.length == 5) // 5 market segments, deduped
+  }
+
+  test("alias and rename-transformation naming") {
+    val schema = SemanticSchema(
+      name = "c",
+      source = Some(SourceDef("parquet", path = Some(s"$sf/customer.parquet"))),
+      columns = Seq(
+        ColumnDef("c_custkey", alias = Some("id")),
+        ColumnDef("c_acctbal"),
+      ),
+      transformations = Seq(TransformDef("rename",
+        Map("column" -> "c_acctbal", "new_name" -> "balance"))),
+      limit = Some(1),
+    ).validate()
+    val df = DatasetPlanBuilder.build(spark, schema, sf, resolver)
+    assert(df.columns.toSeq == Seq("id", "balance"))
+  }
+
+  test("csv source reads with header+inferSchema") {
+    val tmp = "/root/repo/target/graft-tmp/test_csv"
+    Tables.load(spark, sf, "region").coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = SemanticSchema(
+      name = "regions",
+      source = Some(SourceDef("csv", path = Some(tmp))),
+      orderBy = Seq("r_regionkey ASC"),
+    ).validate()
+    val df = DatasetPlanBuilder.build(spark, schema, sf, resolver)
+    assert(df.count() == 5)
+    assert(df.schema("r_regionkey").dataType.typeName == "integer")
+  }
+
+  test("view: relation join + dataset_column aliasing + group_by (view_query_builder.py)") {
+    val view = SemanticSchema(
+      name = "cust_nation",
+      view = true,
+      columns = Seq(
+        ColumnDef("customers.c_custkey"),
+        ColumnDef("nations.n_name"),
+      ),
+      relations = Seq(RelationDef(None, None,
+        "customers.c_nationkey", "nations.n_nationkey")),
+      orderBy = Seq("customers.c_custkey ASC"),
+      limit = Some(3),
+    ).validate()
+    val deps = Map(
+      "customers" -> Tables.load(spark, sf, "customer"),
+      "nations" -> Tables.load(spark, sf, "nation"))
+    val df = ViewPlanBuilder.build(spark, view, deps(_))
+    assert(df.columns.toSeq == Seq("customers_c_custkey", "nations_n_name"))
+    assert(df.count() == 3)
+  }
+
+  test("view expression rewriting: a.b → a_b (view_query_builder.py:52-57)") {
+    assert(ViewPlanBuilder.rewriteViewExpr("sum(orders.total) - fees.flat-rate")
+      == "sum(orders_total) - fees_flat_rate")
+  }
+
+  test("order_by parser handles direction suffixes") {
+    assert(DatasetPlanBuilder.parseOrder("x DESC").toString.contains("DESC"))
+    assert(DatasetPlanBuilder.parseOrder("x").toString.contains("ASC"))
+    assert(DatasetPlanBuilder.parseOrder("a + b desc").toString.contains("DESC"))
+  }
+}

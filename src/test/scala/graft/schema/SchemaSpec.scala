@@ -1,0 +1,93 @@
+package graft.schema
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SchemaSpec extends AnyFunSuite {
+
+  private val yaml =
+    """name: sales-data
+      |description: sales dataset
+      |source:
+      |  type: parquet
+      |  path: data.parquet
+      |columns:
+      |- name: region
+      |  type: string
+      |- name: revenue
+      |  type: float
+      |  expression: sum(amount)
+      |  alias: total_revenue
+      |transformations:
+      |- type: to_uppercase
+      |  params:
+      |    column: region
+      |group_by:
+      |- region
+      |order_by:
+      |- region ASC
+      |limit: 100
+      |""".stripMargin
+
+  test("YAML parse carries every declared field") {
+    val s = SemanticSchema.fromYaml(yaml)
+    assert(s.name == "sales-data")
+    assert(s.source.exists(_.stype == "parquet"))
+    assert(s.columns.map(_.name) == Seq("region", "revenue"))
+    assert(s.columns(1).expression.contains("sum(amount)"))
+    assert(s.columns(1).alias.contains("total_revenue"))
+    assert(s.transformations.head.ttype == "to_uppercase")
+    assert(s.transformations.head.column.contains("region"))
+    assert(s.groupBy == Seq("region"))
+    assert(s.orderBy == Seq("region ASC"))
+    assert(s.limit.contains(100))
+  }
+
+  test("YAML round-trip: emit → parse → same schema") {
+    val s = SemanticSchema.fromYaml(yaml)
+    val s2 = SemanticSchema.fromYaml(SemanticSchema.toYaml(s))
+    assert(s2 == s)
+  }
+
+  test("group_by × expression exclusivity (semantic_layer_schema.py:316-331)") {
+    // a column that is neither grouped nor aggregated must be rejected
+    intercept[IllegalArgumentException] {
+      SemanticSchema(
+        name = "bad",
+        source = Some(SourceDef("parquet", path = Some("x.parquet"))),
+        columns = Seq(ColumnDef("a"), ColumnDef("b")),
+        groupBy = Seq("a"),
+      ).validate()
+    }
+  }
+
+  test("source xor view (semantic_layer_schema.py:348-351)") {
+    intercept[IllegalArgumentException] {
+      SemanticSchema(name = "nosource").validate()
+    }
+    intercept[IllegalArgumentException] {
+      SemanticSchema(name = "both", view = true,
+        source = Some(SourceDef("parquet", path = Some("x.parquet"))),
+        columns = Seq(ColumnDef("a.b"))).validate()
+    }
+  }
+
+  test("view columns must be dataset.column") {
+    intercept[IllegalArgumentException] {
+      SemanticSchema(name = "v", view = true,
+        columns = Seq(ColumnDef("noprefix"))).validate()
+    }
+  }
+
+  test("invalid column type and transformation type are rejected") {
+    intercept[IllegalArgumentException] {
+      SemanticSchema(name = "t",
+        source = Some(SourceDef("parquet", path = Some("x.parquet"))),
+        columns = Seq(ColumnDef("a", ctype = Some("decimal")))).validate()
+    }
+    intercept[IllegalArgumentException] {
+      SemanticSchema(name = "t",
+        source = Some(SourceDef("parquet", path = Some("x.parquet"))),
+        transformations = Seq(TransformDef("not_a_transform", Map.empty))).validate()
+    }
+  }
+}
