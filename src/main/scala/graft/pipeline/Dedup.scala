@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the first (min id) row per duplicate group.
+  /** Exact dedup: keep the first (min id) ROW per duplicate group —
+    * row-consistent via min_by, so non-key columns all come from that one
+    * row (per-column min would stitch values from different rows).
     * Deterministic, unlike dropDuplicates (which keeps an arbitrary row).
     * One hash-aggregate shuffle on the dedup key.
     */
@@ -25,7 +27,7 @@ object Dedup {
     val others = df.columns.filterNot(c => keyCols.contains(c) || c == idCol)
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol),
-        others.map(c => min(col(c)).as(c)).toSeq: _*)
+        others.map(c => min_by(col(c), col(idCol)).as(c)).toSeq: _*)
   }
 
   /** Word k-shingles of a text column (distinct, as a set).

@@ -23,10 +23,11 @@ object PipelineQueries {
     // dropDuplicates)
     QueryDef("p01_dedup_exact",
       (s, dir) => Dedup.exact(
-        Tables.load(s, dir, "documents").select("doc_id", "lang", "source"),
+        Tables.load(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
         keyCols = Seq("lang", "source"), idCol = "doc_id")
         .orderBy("lang", "source"),
-      Some("""SELECT lang, source, MIN(doc_id) AS doc_id
+      Some("""SELECT lang, source, MIN(doc_id) AS doc_id,
+              ARG_MIN(n_chars, doc_id) AS n_chars
               FROM documents GROUP BY lang, source ORDER BY lang, source""")),
 
     // MinHash-LSH near-dup pairs, Jaccard-verified (banded bucket join —

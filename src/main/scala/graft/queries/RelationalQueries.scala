@@ -179,6 +179,43 @@ object RelationalQueries {
                GROUP BY l_returnflag, l_linestatus
                ORDER BY l_returnflag, l_linestatus""")),
 
+    // R7 — ROLLUP: hierarchical subtotals (NULLS FIRST pinned — Spark's
+    // asc default — since rollup emits NULL group keys)
+    QueryDef("r07_rollup",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc, col("l_linestatus").asc),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+               ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+               ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // R7 — HAVING (post-aggregation filter)
+    QueryDef("r07_having",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey"),
+      Some(s"""SELECT o_custkey, COUNT(*) AS n_orders,
+               ${dsumSql("o_totalprice")} AS spend
+               FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+               ORDER BY o_custkey""")),
+
+    // R15 — IN-subquery + scalar subquery (same ANSI text on both engines)
+    QueryDef("r15_subquery", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(SUBQUERY_SQL)
+    }, Some(SUBQUERY_SQL)),
+
+    // R16 — second window surface: dense_rank / ntile / first_value
+    QueryDef("r16_window_rank", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(WINDOW_RANK_SQL)
+    }, Some(WINDOW_RANK_SQL)),
+
     // R8 — aggregate-function surface: count / count distinct / min / max /
     // deterministic stddev
     QueryDef("r08_agg_functions",
@@ -412,6 +449,20 @@ object RelationalQueries {
       |       CAST(SUM(n_orders) AS BIGINT) AS segment_orders
       |FROM cust_spend JOIN customer ON c_custkey = o_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val SUBQUERY_SQL =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+      |  AND c_acctbal > (SELECT MAX(s_acctbal) FROM supplier WHERE s_nationkey = c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val WINDOW_RANK_SQL =
+    """SELECT p_partkey, p_brand,
+      |  DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS price_rank,
+      |  NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS quartile,
+      |  FIRST_VALUE(p_partkey) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_part
+      |FROM part ORDER BY p_brand, price_rank, p_partkey""".stripMargin
 
   private val U2_SQL =
     """SELECT n_name, COUNT(*) AS n_customers
