@@ -92,6 +92,16 @@ object SqlGate {
   def sanitizeTableNameLowercase(name: String): String =
     sanitizeTableName(name).toLowerCase
 
+  /** Identifier normalize+quote for SQL-string contexts (reference
+    * normalizes to lowercase and double-quotes every identifier so
+    * injection is inert, base_query_builder.py:30,42). Plan-building via
+    * the Column API doesn't need this; it exists for the few places that
+    * splice an identifier into `spark.sql` text — Spark quotes with
+    * backticks.
+    */
+  def quoteIdentifier(name: String): String =
+    "`" + name.toLowerCase.replace("`", "``") + "`"
+
   def sanitizeFileName(path: String): String = {
     val base = new java.io.File(path).getName
     val noExt = base.lastIndexOf('.') match {

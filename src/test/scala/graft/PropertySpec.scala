@@ -1,0 +1,114 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.engine.SqlGate
+import graft.plan.DatasetPlanBuilder
+import graft.schema.TransformDef
+import graft.transform.Transformations
+import graft.types.Strftime
+
+/** Property-based checks over the pure functions and, in one batched pass,
+  * the transformation chain semantics (order sensitivity, null-safety).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling from a ScalaCheck generator (scalatestplus is
+    * not in the offline cache, so we drive Gen directly). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("sanitizeTableName: idempotent, ≤64 chars, alphanumeric+underscore only") {
+    samples(Gen.asciiPrintableStr, 200).foreach { s =>
+      val once = SqlGate.sanitizeTableName(s)
+      assert(SqlGate.sanitizeTableName(once) == once)
+      assert(once.length <= 64)
+      assert(once.forall(c => c.isLetterOrDigit || c == '_'))
+    }
+  }
+
+  test("strftime translation: known directives never leak bare letters") {
+    val directive = Gen.oneOf("%Y", "%y", "%m", "%d", "%H", "%M", "%S", "%p", "%b", "%B")
+    val literal = Gen.oneOf("-", "/", " ", ":", ".", "T", "at ")
+    val fmtGen = Gen.listOfN(4, Gen.oneOf(directive, literal)).map(_.mkString)
+    samples(fmtGen, 200).foreach { fmt =>
+      val jt = Strftime.toJavaTime(fmt)
+      // outside quoted runs, only java.time pattern letters may appear
+      var inQuote = false
+      val bare = jt.filter {
+        case '\'' => inQuote = !inQuote; false
+        case c if !inQuote && c.isLetter => true
+        case _ => false
+      }
+      assert(bare.forall("yMdHmsaEDwxz".contains(_)), s"'$fmt' → '$jt' leaks: $bare")
+    }
+  }
+
+  test("order_by injection strings fail to parse (reference corpus semantics)") {
+    // Column construction is lazy in Spark 4 — parsing happens at plan
+    // resolution, so force the sort into a plan
+    val df = Seq(1, 2).toDF("created_at")
+    val injections = Seq(
+      "created_at; DROP TABLE users",
+      "x DESC; DELETE FROM t",
+      "a' OR '1'='1",
+    )
+    injections.foreach { s =>
+      intercept[Exception] {
+        df.orderBy(DatasetPlanBuilder.parseOrder(s)).collect()
+      }
+    }
+    // and the legitimate shape still sorts
+    assert(df.orderBy(DatasetPlanBuilder.parseOrder("created_at DESC"))
+      .head().getInt(0) == 2)
+  }
+
+  test("transformation chains: null-safety and order sensitivity, batched") {
+    // one Spark pass over a generated corpus instead of a job per case
+    val values: Seq[Option[String]] =
+      Seq(None, Some(""), Some("  x  "), Some("HeLLo WORLD"), Some("a'b\"c"),
+        Some("x" * 200), Some("123"), Some("ünïcode"), Some(" trailing "))
+    val df = values.map(v => Tuple1(v.orNull)).toDF("s")
+
+    def run(ts: TransformDef*): Seq[Option[String]] = {
+      val (d, e) = Transformations.applyColumn(df, "s", col("s"), ts,
+        n => fail(s"unexpected resolve $n"))
+      d.select(e.cast("string")).collect().map(r => Option(r.getString(0))).toSeq
+    }
+    val strip = TransformDef("strip", Map("column" -> "s"))
+    val lowerT = TransformDef("to_lowercase", Map("column" -> "s"))
+    val trunc = TransformDef("truncate", Map("column" -> "s", "length" -> 4))
+
+    // null in → null out for every per-row transformation
+    for (t <- Seq(strip, lowerT, trunc)) assert(run(t).head.isEmpty)
+    // truncate bounds
+    assert(run(trunc).flatten.forall(_.length <= 4))
+    // strip∘truncate ≠ truncate∘strip on padded input (declaration order matters)
+    val a = run(strip, trunc)
+    val b = run(trunc, strip)
+    assert(a != b)
+    // lower∘strip == strip∘lower (independent ops commute)
+    assert(run(lowerT, strip) == run(strip, lowerT))
+  }
+
+  test("jaccard stays within [0,1] and is 1 on identical sets, batched") {
+    val gen = Gen.listOfN(8, Gen.alphaLowerStr.suchThat(_.nonEmpty))
+    val texts = samples(gen, 30).map(_.mkString(" "))
+    val df = texts.zip(texts.reverse).toDF("t1", "t2")
+    val out = df.select(
+      graft.pipeline.Dedup.jaccard(
+        graft.pipeline.Dedup.shingles(col("t1"), 1),
+        graft.pipeline.Dedup.shingles(col("t2"), 1)).as("j12"),
+      graft.pipeline.Dedup.jaccard(
+        graft.pipeline.Dedup.shingles(col("t1"), 1),
+        graft.pipeline.Dedup.shingles(col("t1"), 1)).as("j11"))
+      .collect()
+    out.foreach { r =>
+      val j12 = r.getDouble(0); val j11 = r.getDouble(1)
+      assert(j12 >= 0.0 && j12 <= 1.0)
+      assert(j11 == 1.0)
+    }
+  }
+}

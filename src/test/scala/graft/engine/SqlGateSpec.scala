@@ -60,6 +60,20 @@ class SqlGateSpec extends SparkSpec {
     }
   }
 
+  test("quoteIdentifier renders injection attempts inert in spark.sql") {
+    import spark.implicits._
+    Seq((1, "x")).toDF("id", "weird name").createOrReplaceTempView("qi_test")
+    // an injection-shaped column name stays a (missing-column) identifier,
+    // never executable SQL
+    val quoted = SqlGate.quoteIdentifier("weird name")
+    assert(spark.sql(s"SELECT $quoted FROM qi_test").count() == 1)
+    val evil = SqlGate.quoteIdentifier("a`; DROP TABLE qi_test; --")
+    val err = intercept[Exception](spark.sql(s"SELECT $evil FROM qi_test").collect())
+    assert(err.getMessage.toLowerCase.contains("cannot be resolved")
+      || err.getMessage.contains("UNRESOLVED_COLUMN"))
+    assert(spark.catalog.tableExists("qi_test"))
+  }
+
   test("name sanitizers (sql_sanitizer.py:9-37)") {
     assert(SqlGate.sanitizeTableName("my table!") == "my_table_")
     assert(SqlGate.sanitizeTableName("a" * 100) == "a" * 64)

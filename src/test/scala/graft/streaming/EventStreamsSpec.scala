@@ -40,6 +40,23 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamFromDirectory: file-source stream over parquet matches batch counts") {
+    // copy a small slice to a writable dir (file stream needs a listing dir)
+    val dir = "/root/repo/target/graft-tmp/stream-src"
+    Tables.load(spark, sf, "events").limit(200)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val agg = EventStreams.streamFromDirectory(spark, dir)
+    assert(agg.isStreaming)
+    val q = agg.writeStream.format("memory").queryName("dir_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dir_stream")
+        .agg(sum("n_events")).head().getLong(0)
+      assert(streamed == 200)
+    } finally q.stop()
+  }
+
   test("sessionize aggregates per user via mapGroupsWithState") {
     val events = Tables.load(spark, sf, "events").limit(100)
     val sessions = EventStreams.sessionize(spark, events)
