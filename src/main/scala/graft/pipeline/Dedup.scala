@@ -209,6 +209,58 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation (the classic large-star/small-star simplification):
+    * every doc converges to the smallest id reachable in its cluster.
+    * Bounded driver-side loop with a convergence check — the standard
+    * Spark shape for iterative algorithms; localCheckpoint cuts lineage
+    * growth per round. Diameter of near-dup clusters is tiny in practice,
+    * so this converges in 2–3 iterations.
+    *
+    * @param pairs frame with (doc_a, doc_b) edges
+    * @return (doc, label) — label = cluster representative (min id)
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc", "nb"), col("dst") === col("nb"))
+        .groupBy(col("src")).agg(min("label").as("nlabel"))
+      val next = labels
+        .join(neighborMin, col("doc") === col("src"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc")
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup dedup end-to-end: MinHash-LSH pairs → clusters → keep one
+    * representative (min id) per cluster plus every unpaired doc.
+    */
+  def dedupNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+  ): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold, shingleK, numHashes, bands)
+    val clusters = nearDupClusters(pairs)
+    val dropped = clusters.where(col("doc") =!= col("label"))
+      .select(col("doc").as("__drop"))
+    df.join(dropped, col(idCol) === col("__drop"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup: LSH-bucketed candidates (sign-random-
     * projection) verified by exact cosine ≥ threshold. See Similarity for
     * the bucketing; no all-pairs.

@@ -150,6 +150,16 @@ object PipelineQueries {
       },
       None),
 
+    // End-to-end near-dup dedup: LSH pairs → connected components → keep
+    // the min-id representative per cluster (deterministic row set)
+    QueryDef("p13_neardup_dedup",
+      (s, dir) => Dedup.dedupNearDuplicates(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.12, shingleK = 3, numHashes = 32, bands = 16)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      None),
+
     // Streaming windowed aggregation, batch-executed (same code path the
     // stream runs; oracle via date_trunc)
     QueryDef("p12_stream_window",

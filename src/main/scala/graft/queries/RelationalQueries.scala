@@ -234,6 +234,64 @@ object RelationalQueries {
                ${dstddevSql("l_quantity")} AS stddev_qty
                FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // R8 — exact interpolated percentiles (Spark `percentile` and DuckDB
+    // `quantile_cont` share the linear-interpolation definition)
+    QueryDef("r08_percentile",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.25)").as("price_p25"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.5) AS p50,
+              quantile_cont(l_quantity, 0.9) AS p90,
+              quantile_cont(l_extendedprice, 0.25) AS price_p25
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // L2 grammar — datetime scalar surface (dayofweek differs between
+    // engines; pinned to Monday=0 via weekday/isodow)
+    QueryDef("l2_datetime_funcs",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          weekday(col("o_orderdate")).as("dow_mon0"),
+          date_add(col("o_orderdate"), 30).as("plus30"),
+          datediff(lit("2002-01-01"), col("o_orderdate")).as("days_to_2002"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+              CAST(year(o_orderdate) AS INT) AS y,
+              CAST(month(o_orderdate) AS INT) AS m,
+              CAST(day(o_orderdate) AS INT) AS d,
+              CAST(quarter(o_orderdate) AS INT) AS q,
+              CAST(isodow(o_orderdate) - 1 AS INT) AS dow_mon0,
+              CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+              CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to_2002
+              FROM orders ORDER BY o_orderkey""")),
+
+    // L2 grammar — string scalar surface
+    QueryDef("l2_string_funcs",
+      (s, dir) => Tables.load(s, dir, "part")
+        .select(col("p_partkey"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("tag"),
+          substring(col("p_name"), 2, 4).as("mid"),
+          instr(col("p_name"), "e").as("first_e"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("shouty"),
+          reverse(col("p_name")).as("backwards"),
+          length(col("p_name")).as("name_len"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+              concat_ws('|', p_brand, p_type) AS tag,
+              substring(p_name, 2, 4) AS mid,
+              CAST(strpos(p_name, 'e') AS INT) AS first_e,
+              translate(p_name, 'aeiou', 'AEIOU') AS shouty,
+              reverse(p_name) AS backwards,
+              CAST(length(p_name) AS INT) AS name_len
+              FROM part ORDER BY p_partkey""")),
+
     // R9 — distinct
     QueryDef("r09_distinct",
       (s, dir) => Tables.load(s, dir, "lineitem")

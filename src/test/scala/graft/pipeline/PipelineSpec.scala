@@ -57,6 +57,21 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("near-dup clusters: chain converges to min label; dedup keeps representatives") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"), (2L, "aa bb cc dd ee ff gg hh"),
+      (3L, "aa bb cc dd ee ff gg hh"), (4L, "totally different text about something else"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupNearDuplicates(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L)) // 2,3 dropped; isolated 4 kept
+  }
+
   test("cosine similarity: orthogonal, identical, opposite") {
     val df = Seq((Seq(1f, 0f), Seq(0f, 1f)), (Seq(1f, 0f), Seq(1f, 0f)),
       (Seq(1f, 0f), Seq(-1f, 0f))).toDF("a", "b")
