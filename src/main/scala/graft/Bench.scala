@@ -30,6 +30,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed warmup: session/codegen/noop-sink init and parquet footer
+    // reads land here, not in the first timed query
+    try spark.read.parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
     val qs = SparkEntry.queries
     val results: Seq[(String, Either[String, Double])] = headline
       .filter(qs.contains)
