@@ -1,0 +1,86 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.agent.{Agent, FakeLlm, Llm}
+import graft.engine.{Engine, SqlGate}
+import graft.response.Response
+import graft.schema.SourceDef
+
+/** Top-level facade mirroring the reference's module API — `pai.config.set`,
+  * `pai.create/load/read_csv`, `df.chat(...)` (reference:
+  * pandasai/__init__.py:46-321, dataframe/base.py:100-118) — so a
+  * reference user maps 1:1 onto this library:
+  *
+  * {{{
+  * Graft.configure(spark, llm)
+  * val sales = Graft.readCsv("data/sales.csv")
+  * import Graft.ChatOps
+  * sales.chat("top 3 regions by revenue")          // Response
+  * Graft.create("org/sales", sales)
+  * val ds = Graft.load("org/sales")
+  * Graft.chat("compare sales and costs", sales, costs)
+  * }}}
+  */
+object Graft {
+
+  @volatile private var state: Option[(Engine, Agent)] = None
+
+  def configure(
+      spark: SparkSession,
+      llm: Llm = new FakeLlm(Seq("SELECT 1 AS answer")),
+      datasetsRoot: String = "datasets",
+      maxRetries: Int = 3,
+  ): Engine = synchronized {
+    val engine = new Engine(spark, datasetsRoot)
+    state = Some((engine, new Agent(engine, llm, maxRetries)))
+    engine
+  }
+
+  def engine: Engine = state.map(_._1).getOrElse(
+    throw new IllegalStateException("call Graft.configure(spark, llm) first"))
+  private def agent: Agent = state.map(_._2).get
+
+  /** `pai.read_csv`: eager-named, lazy-planned CSV table; table name
+    * derives from the file name (reference: pandasai/__init__.py:294-298). */
+  def readCsv(path: String): DataFrame = {
+    val df = engine.spark.read
+      .option("header", "true").option("inferSchema", "true").csv(path)
+    engine.register(SqlGate.sanitizeFileName(path), df)
+    df
+  }
+
+  def create(path: String, df: DataFrame, description: Option[String] = None): DataFrame =
+    engine.create(path, df, description)
+
+  def load(path: String): DataFrame = engine.load(path)
+
+  /** `pai.chat(query, *dfs)`: register the frames (checking source
+    * compatibility like Agent.__init__, reference: agent/base.py:74-79),
+    * then run the conversational loop. */
+  def chat(question: String, dfs: (String, DataFrame)*): Response = {
+    require(dfs.nonEmpty || engine.knownTables.nonEmpty,
+      "chat needs at least one table")
+    dfs.foreach { case (name, df) => engine.register(name, df) }
+    agent.chat(question)
+  }
+
+  /** Follow-up on the running conversation (reference: agent.follow_up). */
+  def followUp(question: String): Response = agent.chat(question)
+
+  /** `df.chat(...)` extension, the reference's main entry point. */
+  implicit final class ChatOps(private val df: DataFrame) extends AnyVal {
+    def chat(question: String, name: String = "df"): Response =
+      Graft.chat(question, name -> df)
+  }
+
+  /** Sources are mixable in one query only within the same family
+    * (reference: Agent source-compatibility check, agent/base.py:74-79 and
+    * base_query_builder.py check_compatible_sources). Local files are one
+    * family; each remote connection is its own. */
+  def checkCompatibleSources(sources: Seq[SourceDef]): Boolean =
+    sources.map(family).distinct.size <= 1
+
+  private def family(s: SourceDef): String =
+    if (SourceDef.localTypes.contains(s.stype)) "local"
+    else s"${s.stype}:${s.connection.getOrElse("host", "")}:${s.connection.getOrElse("database", "")}"
+}
