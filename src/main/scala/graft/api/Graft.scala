@@ -54,13 +54,18 @@ object Graft {
 
   def load(path: String): DataFrame = engine.load(path)
 
-  /** `pai.chat(query, *dfs)`: register the frames (checking source
-    * compatibility like Agent.__init__, reference: agent/base.py:74-79),
-    * then run the conversational loop. */
+  /** `pai.chat(query, *dfs)`: register the frames, enforce the source-
+    * compatibility check (reference: agent/base.py:74-79 — mixing source
+    * families in one conversation is rejected), then run the loop. */
   def chat(question: String, dfs: (String, DataFrame)*): Response = {
     require(dfs.nonEmpty || engine.knownTables.nonEmpty,
       "chat needs at least one table")
     dfs.foreach { case (name, df) => engine.register(name, df) }
+    val declaredSources = engine.knownTables.toSeq
+      .flatMap(engine.schemaOf).flatMap(_.source)
+    require(checkCompatibleSources(declaredSources),
+      "cannot mix tables from incompatible sources in one query " +
+        s"(families: ${declaredSources.map(_.stype).distinct.mkString(", ")})")
     agent.chat(question)
   }
 

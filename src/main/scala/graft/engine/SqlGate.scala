@@ -55,20 +55,41 @@ object SqlGate {
     plan
   }
 
-  /** All table names referenced by the (unanalyzed) plan — CTE names
-    * excluded the Spark way: UnresolvedRelations that match a
-    * WITH-clause alias are still listed here; callers pass CTE names in
-    * `known` implicitly since `spark.sql` resolves them first. We walk
-    * the raw parse tree and subtract CTE definitions.
+  /** All table names referenced by the (unanalyzed) plan that must be
+    * whitelisted. Scope-aware recursive walk:
+    *  - descends into expression subqueries (EXISTS / IN / scalar) — a
+    *    plain plan.collect misses them and would let
+    *    `WHERE EXISTS (SELECT 1 FROM secret)` through;
+    *  - CTE names are visible only within their defining WITH's scope,
+    *    so an inner CTE cannot shadow-exempt an outer real table;
+    *  - qualified references (`db.table`) are reported verbatim — they
+    *    resolve to catalog tables, never to registered temp views, so
+    *    they can never match a whitelist of bare view names.
     */
   def referencedTables(plan: LogicalPlan): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
     import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
-    val cteNames = plan.collect {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-    }.flatten.toSet
-    plan.collect {
-      case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
-    }.toSet -- cteNames
+
+    def walk(p: LogicalPlan, visible: Set[String]): Set[String] = p match {
+      case w: UnresolvedWith =>
+        val names = w.cteRelations.map(_._1.toLowerCase).toSet
+        val scope = visible ++ names
+        w.cteRelations.map(_._2).foldLeft(walk(w.child, scope)) {
+          (acc, cte) => acc ++ walk(cte, scope)
+        }
+      case r: UnresolvedRelation =>
+        val parts = r.multipartIdentifier.map(_.toLowerCase)
+        if (parts.length > 1) Set(parts.mkString("."))
+        else if (visible.contains(parts.head)) Set.empty
+        else Set(parts.head)
+      case other =>
+        val fromChildren = other.children.flatMap(walk(_, visible)).toSet
+        val fromSubqueries = other.expressions.flatMap(_.collect {
+          case sq: SubqueryExpression => walk(sq.plan, visible)
+        }).flatten.toSet
+        fromChildren ++ fromSubqueries
+    }
+    walk(plan, Set.empty)
   }
 
   /** Whitelist check (code_cleaning.py:42-110): every referenced relation

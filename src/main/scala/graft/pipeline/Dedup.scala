@@ -271,7 +271,6 @@ object Dedup {
   ): DataFrame = {
     val sig = Similarity.lshSignature(col(vecCol), dim = Similarity.dimOf(df, vecCol), planes)
     val keyed = df.select(col(idCol).as("doc"), col(vecCol).as("vec"), sig.as("bucket"))
-      .repartition(col("doc"))
     val a = keyed.select(col("bucket"), col("doc").as("doc_a"), col("vec").as("vec_a"))
     val b = keyed.select(col("bucket"), col("doc").as("doc_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))

@@ -40,10 +40,15 @@ object DatasetPlanBuilder {
       case t if SourceDef.remoteTypes.contains(t) =>
         val conn = src.connection
         val url = conn.getOrElse("url", jdbcUrl(t, conn))
-        val reader = spark.read.format("jdbc").option("url", url)
-        val withTable = src.table.fold(reader)(tbl => reader.option("dbtable", tbl))
-        conn.get("user").fold(withTable)(u => withTable.option("user", u))
-          .load()
+        var reader = spark.read.format("jdbc").option("url", url)
+        src.table.foreach(tbl => reader = reader.option("dbtable", tbl))
+        // forward every credential/tuning key the connection declares
+        // (user, password, driver, fetchsize, ...) except the ones we
+        // already consumed to build the url
+        (conn -- Seq("host", "port", "database", "url")).foreach {
+          case (k, v) => reader = reader.option(k, v)
+        }
+        reader.load()
       case other =>
         throw new IllegalArgumentException(s"unsupported source type: $other")
     }
@@ -92,14 +97,24 @@ object DatasetPlanBuilder {
               (df2, acc :+ e.as(outName))
           }
         if (schema.groupBy.nonEmpty) {
-          val keyNames = schema.groupBy.map(k => normalizeKey(k, viewMode).toLowerCase).toSet
-          val (keys, aggs) = schema.columns.zip(outCols).partition { case (c, _) =>
+          val keyNames = schema.groupBy.map(k => normalizeKey(k, viewMode).toLowerCase)
+          def matchesKey(c: ColumnDef): Boolean =
             keyNames.contains(outputName(c, schema).toLowerCase) ||
               keyNames.contains(c.name.toLowerCase)
+          val (keys, aggs) = schema.columns.zip(outCols).partition {
+            case (c, _) => matchesKey(c)
           }
+          // SQL allows grouping by a column that isn't selected — keys
+          // with no declared column group on the raw expression (and are
+          // dropped by the final projection), instead of being silently
+          // ignored (which would degrade to ONE global row)
+          val extraKeys = keyNames.filterNot(k =>
+            schema.columns.exists(c => matchesKey(c) &&
+              (outputName(c, schema).toLowerCase == k || c.name.toLowerCase == k)))
+            .map(expr(_))
           require(aggs.nonEmpty, s"group_by on ${schema.name} needs at least one aggregated column")
           val grouped = framed
-            .groupBy(keys.map(_._2): _*)
+            .groupBy(keys.map(_._2) ++ extraKeys: _*)
             .agg(aggs.head._2, aggs.tail.map(_._2): _*)
           // restore declared column order
           grouped.select(schema.columns.map(c => col(outputName(c, schema))): _*)
@@ -119,8 +134,7 @@ object DatasetPlanBuilder {
     schema.limit.fold(ordered)(ordered.limit)
   }
 
-  private def colRef(name: String, viewMode: Boolean): Column =
-    if (viewMode) col(name) else col(name)
+  private def colRef(name: String, viewMode: Boolean): Column = col(name)
 
   private def normalizeKey(k: String, viewMode: Boolean): String =
     if (viewMode) k.replace(".", "_") else k
@@ -169,18 +183,42 @@ object ViewPlanBuilder {
       .getOrElse(schema.columns.head.name.split("\\.")(0))
 
     val depFrames = datasets.map(d => d -> resolver(d)).toMap
+    def dsOf(ref: String): String = ref.split("\\.")(0)
+
+    // Join relations in dependency order: each step pulls in ONE not-yet-
+    // joined dataset with ALL relations connecting it to the joined set
+    // AND-ed into that join (view_query_builder.py:120-138 groups by
+    // target only, which breaks when a dataset appears solely on the
+    // `from` side — e.g. two facts sharing a dimension). Relations whose
+    // datasets are both already joined become filters.
     var joined = depFrames(first).alias(first)
-    // group relations by target dataset → one join per target with AND-ed
-    // conditions (view_query_builder.py:120-138)
-    val grouped = schema.relations
-      .groupBy(_.to.split("\\.")(0)).toSeq
-      .sortBy { case (ds, _) => datasets.indexOf(ds) }
-    grouped.foreach { case (target, rels) =>
-      if (target != first) {
-        val cond = rels.map(r => col(r.from) === col(r.to)).reduce(_ && _)
-        joined = joined.join(depFrames(target).alias(target), cond, "inner")
+    val joinedSet = scala.collection.mutable.Set(first)
+    var pending = schema.relations.toList
+    while (pending.nonEmpty) {
+      val touching = pending.filter(r =>
+        joinedSet(dsOf(r.from)) || joinedSet(dsOf(r.to)))
+      if (touching.isEmpty)
+        throw new IllegalArgumentException(
+          s"view ${schema.name}: relations ${pending.map(r => s"${r.from}->${r.to}")} are disconnected from the join tree")
+      val (bothJoined, bridging) = touching.partition(r =>
+        joinedSet(dsOf(r.from)) && joinedSet(dsOf(r.to)))
+      if (bridging.nonEmpty) {
+        val next = bridging.head
+        val newDs = if (joinedSet(dsOf(next.from))) dsOf(next.to) else dsOf(next.from)
+        val connecting = bridging.filter(r =>
+          dsOf(r.from) == newDs || dsOf(r.to) == newDs)
+        val cond = connecting.map(r => col(r.from) === col(r.to)).reduce(_ && _)
+        joined = joined.join(depFrames(newDs).alias(newDs), cond, "inner")
+        joinedSet += newDs
+        pending = pending.filterNot(connecting.contains)
+      } else {
+        bothJoined.foreach(r => joined = joined.where(col(r.from) === col(r.to)))
+        pending = pending.filterNot(bothJoined.contains)
       }
     }
+    // datasets with no relations at all (single-dataset views) are already
+    // covered by `first`; any other unjoined dataset is an error caught by
+    // column resolution
 
     // flatten every dependency column `ds.col` → `ds_col`
     // (view_query_builder.py:29-45); declared columns and rewritten
@@ -212,8 +250,12 @@ object ViewPlanBuilder {
   }
 
   /** The reference rewrites `a.b`/`a-b` inside view expressions to `a_b`
-    * (view_query_builder.py:52-57). */
+    * (view_query_builder.py:52-57). Divergence on purpose: both sides
+    * must START with a letter/underscore — the reference's
+    * `[a-zA-Z0-9_]+` also matches decimal literals, corrupting
+    * `x * 0.5` into `x * 0_5` (SURVEY.md §7.4 class of quirk).
+    */
   def rewriteViewExpr(e: String): String =
-    e.replaceAll("([a-zA-Z0-9_]+)-([a-zA-Z0-9_]+)", "$1_$2")
-      .replaceAll("([a-zA-Z0-9_]+)\\.([a-zA-Z0-9_]+)", "$1_$2")
+    e.replaceAll("([a-zA-Z_][a-zA-Z0-9_]*)-([a-zA-Z_][a-zA-Z0-9_]*)", "$1_$2")
+      .replaceAll("([a-zA-Z_][a-zA-Z0-9_]*)\\.([a-zA-Z_][a-zA-Z0-9_]*)", "$1_$2")
 }

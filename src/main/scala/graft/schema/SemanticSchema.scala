@@ -93,8 +93,7 @@ final case class SemanticSchema(
       name.matches("^[a-zA-Z0-9_-]+$"),
       s"invalid schema name '$name' (alphanumeric, dash, underscore only)")
     // single source xor view (:348-351)
-    require(
-      source.isDefined ^ view || (view && source.isEmpty) || (!view && source.isDefined),
+    require(source.isDefined ^ view,
       "schema must have exactly one of: a source, or view=true")
     if (view) {
       require(source.isEmpty, "a view cannot also declare a source")
@@ -304,16 +303,27 @@ object SemanticSchema {
         sb ++= s"- type: ${t.ttype}\n"
         if (t.params.nonEmpty) {
           sb ++= "  params:\n"
-          t.params.foreach {
-            case (k, v: Number)  => sb ++= s"    $k: $v\n"
-            case (k, v: Boolean) => sb ++= s"    $k: $v\n"
-            case (k, v: Map[_, _]) =>
-              sb ++= s"    $k:\n"
-              v.foreach { case (mk, mv) => sb ++= s"      $mk: ${quote(String.valueOf(mv))}\n" }
-            case (k, v: Seq[_]) =>
-              sb ++= v.map(x => String.valueOf(x))
-                .mkString(s"    $k:\n    - ", "\n    - ", "\n")
-            case (k, v) => sb ++= s"    $k: ${quote(String.valueOf(v))}\n"
+          // normalize snakeyaml's java collections so a loaded schema
+          // round-trips (java.util.Map/List would fall into the generic
+          // toString case and corrupt the emitted YAML)
+          def normalize(v: Any): Any = v match {
+            case jm: JMap[_, _] =>
+              jm.asScala.map { case (k2, v2) => k2.toString -> v2 }.toMap
+            case jl: JList[_] => jl.asScala.toSeq
+            case other        => other
+          }
+          t.params.foreach { case (k, raw) =>
+            normalize(raw) match {
+              case v: Number  => sb ++= s"    $k: $v\n"
+              case v: Boolean => sb ++= s"    $k: $v\n"
+              case v: Map[_, _] =>
+                sb ++= s"    $k:\n"
+                v.foreach { case (mk, mv) => sb ++= s"      $mk: ${quote(String.valueOf(mv))}\n" }
+              case v: Seq[_] =>
+                sb ++= v.map(x => String.valueOf(x))
+                  .mkString(s"    $k:\n    - ", "\n    - ", "\n")
+              case v => sb ++= s"    $k: ${quote(String.valueOf(v))}\n"
+            }
           }
         }
       }

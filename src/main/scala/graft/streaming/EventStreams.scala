@@ -48,16 +48,24 @@ object EventStreams {
     typed.groupByKey(_._1)
       .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.ProcessingTimeTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-          var count = prev.count
-          var sumV = prev.sumValue
-          var lastTs = prev.lastTs
-          rows.foreach { case (_, ts, v) =>
-            count += 1; sumV += v; lastTs = math.max(lastTs, ts)
+          if (state.hasTimedOut) {
+            // session expired: emit the final aggregate and EVICT the
+            // state — without remove() every user key lives forever
+            val fin = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            state.remove()
+            SessionOut(userId, fin.count, fin.sumValue)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            var count = prev.count
+            var sumV = prev.sumValue
+            var lastTs = prev.lastTs
+            rows.foreach { case (_, ts, v) =>
+              count += 1; sumV += v; lastTs = math.max(lastTs, ts)
+            }
+            state.update(SessionState(count, sumV, lastTs))
+            state.setTimeoutDuration(timeoutMs)
+            SessionOut(userId, count, sumV)
           }
-          state.update(SessionState(count, sumV, lastTs))
-          if (!state.hasTimedOut) state.setTimeoutDuration(timeoutMs)
-          SessionOut(userId, count, sumV)
       }.toDF()
   }
 

@@ -60,6 +60,33 @@ class SqlGateSpec extends SparkSpec {
     }
   }
 
+  test("whitelist sees through expression subqueries (EXISTS/IN/scalar)") {
+    val known = Set("orders")
+    Seq(
+      "SELECT 1 FROM orders WHERE EXISTS (SELECT 1 FROM secret)",
+      "SELECT 1 FROM orders WHERE o_custkey IN (SELECT id FROM secret)",
+      "SELECT (SELECT max(x) FROM secret) FROM orders",
+    ).foreach { q =>
+      intercept[SqlGate.MaliciousQueryError](SqlGate.checkTables(spark, q, known))
+    }
+    // legitimate subqueries over known tables pass
+    SqlGate.checkTables(spark,
+      "SELECT 1 FROM orders WHERE o_custkey IN (SELECT o_custkey FROM orders)", known)
+  }
+
+  test("inner CTE cannot shadow-exempt an outer real table; qualified names rejected") {
+    val known = Set("orders")
+    intercept[SqlGate.MaliciousQueryError] {
+      SqlGate.checkTables(spark,
+        "SELECT * FROM secret JOIN (WITH secret AS (SELECT 1 AS a) SELECT * FROM secret) x ON true",
+        known)
+    }
+    // db-qualified refs resolve to catalog tables, never temp views
+    intercept[SqlGate.MaliciousQueryError] {
+      SqlGate.checkTables(spark, "SELECT * FROM default.orders", known)
+    }
+  }
+
   test("quoteIdentifier renders injection attempts inert in spark.sql") {
     import spark.implicits._
     Seq((1, "x")).toDF("id", "weird name").createOrReplaceTempView("qi_test")

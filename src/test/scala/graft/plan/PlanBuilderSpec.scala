@@ -96,6 +96,48 @@ class PlanBuilderSpec extends SparkSpec {
   test("view expression rewriting: a.b → a_b (view_query_builder.py:52-57)") {
     assert(ViewPlanBuilder.rewriteViewExpr("sum(orders.total) - fees.flat-rate")
       == "sum(orders_total) - fees_flat_rate")
+    // decimal literals survive (the reference's regex corrupts 0.5 → 0_5)
+    assert(ViewPlanBuilder.rewriteViewExpr("customers.c_acctbal * 0.5")
+      == "customers_c_acctbal * 0.5")
+  }
+
+  test("group_by key outside the declared columns still groups per key") {
+    val schema = SemanticSchema(
+      name = "spend",
+      source = Some(SourceDef("parquet", path = Some(s"$sf/orders.parquet"))),
+      columns = Seq(ColumnDef("total",
+        expression = Some("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"))),
+      groupBy = Seq("o_orderstatus"),
+    ).validate()
+    val out = DatasetPlanBuilder.build(spark, schema, sf, resolver)
+    assert(out.columns.toSeq == Seq("total"))
+    // one row PER status, not one global row
+    assert(out.count() == 3)
+  }
+
+  test("view joins a dataset that appears only on the relation's from side") {
+    // two facts sharing one dimension: customers.nk→nations.nk AND
+    // suppliers.nk→nations.nk (suppliers is never a relation target)
+    val view = SemanticSchema(
+      name = "nation_actors",
+      view = true,
+      columns = Seq(
+        ColumnDef("nations.n_name"),
+        ColumnDef("customers.c_custkey"),
+        ColumnDef("suppliers.s_suppkey"),
+      ),
+      relations = Seq(
+        RelationDef(None, None, "customers.c_nationkey", "nations.n_nationkey"),
+        RelationDef(None, None, "suppliers.s_nationkey", "nations.n_nationkey")),
+      orderBy = Seq("customers.c_custkey ASC", "suppliers.s_suppkey ASC"),
+    ).validate()
+    val deps = Map(
+      "customers" -> Tables.load(spark, sf, "customer"),
+      "nations" -> Tables.load(spark, sf, "nation"),
+      "suppliers" -> Tables.load(spark, sf, "supplier"))
+    val df = ViewPlanBuilder.build(spark, view, deps(_))
+    assert(df.columns.length == 3)
+    assert(df.count() > 0)
   }
 
   test("order_by parser handles direction suffixes") {

@@ -48,6 +48,34 @@ class SchemaSpec extends AnyFunSuite {
     assert(s2 == s)
   }
 
+  test("YAML round-trip preserves list/map transformation params (java collections)") {
+    val withBin =
+      """name: binned
+        |source:
+        |  type: parquet
+        |  path: d.parquet
+        |transformations:
+        |- type: bin
+        |  params:
+        |    column: v
+        |    bins:
+        |    - 0
+        |    - 10
+        |    labels:
+        |    - low
+        |- type: map_values
+        |  params:
+        |    column: s
+        |    mapping:
+        |      a: A
+        |""".stripMargin
+    val s = SemanticSchema.fromYaml(withBin)
+    val s2 = SemanticSchema.fromYaml(SemanticSchema.toYaml(s))
+    assert(s2.transformations.head.list("bins").map(_.toString.toDouble) == Seq(0.0, 10.0))
+    assert(s2.transformations.head.list("labels").map(_.toString) == Seq("low"))
+    assert(s2.transformations(1).mapping == Map("a" -> "A"))
+  }
+
   test("group_by × expression exclusivity (semantic_layer_schema.py:316-331)") {
     // a column that is neither grouped nor aggregated must be rejected
     intercept[IllegalArgumentException] {
