@@ -27,14 +27,15 @@ object SparkEntry {
     val lineitem = Tables.load(spark, dir, "lineitem")
     val orders = Tables.load(spark, dir, "orders")
     val customer = Tables.load(spark, dir, "customer")
-    val nation = Tables.load(spark, dir, "nation")
-    val region = Tables.load(spark, dir, "region")
+    // loadForJoin broadcast-hints the fixed-size dims (Tables.broadcastable)
+    val nation = Tables.loadForJoin(spark, dir, "nation")
+    val region = Tables.loadForJoin(spark, dir, "region")
     lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(customer, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(QueryDef.drevenue(col("l_extendedprice"), col("l_discount"))
         .as("revenue"),

@@ -33,6 +33,13 @@ object Tables {
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Load with a broadcast hint applied when the table is a fixed-size
+    * dimension — join sides built from this never shuffle. */
+  def loadForJoin(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    if (broadcastable(name)) org.apache.spark.sql.functions.broadcast(df) else df
+  }
+
   /** Register every table as a temp view named after the table, so
     * spark.sql(...) queries mirror the DuckDB oracle's table refs.
     */

@@ -108,6 +108,78 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: k coarse centroids learned with a few
+    * Lloyd iterations, each vector assigned to its nearest centroid.
+    * At scale the assigned corpus is written partitioned by `centroid` so
+    * a query scans only `nprobe` partitions.
+    *
+    * Centroid math runs as explode→groupBy dataflow (posexplode to
+    * (row, dim) pairs, mean per (centroid, dim), collect back) — all
+    * codegen'd aggregation, no driver-side vectors except the k
+    * centroids themselves (k is small by construction).
+    */
+  final case class IvfIndex(centroids: Array[(Int, Array[Double])])
+
+  def ivfTrain(corpus: DataFrame, vecCol: String, k: Int, iters: Int = 2,
+      seed: Long = 42L): IvfIndex = {
+    val spark = corpus.sparkSession
+    // deterministic init: hash-partition rows into k groups, mean each
+    var assigned = corpus.select(col(vecCol).as("vec"),
+      pmod(xxhash64(col(vecCol)), lit(k)).cast("int").as("centroid"))
+    var centroids = meanByCentroid(assigned)
+    for (_ <- 1 to iters) {
+      assigned = assignToNearest(corpus.select(col(vecCol).as("vec")), centroids)
+      centroids = meanByCentroid(assigned)
+    }
+    IvfIndex(centroids)
+  }
+
+  private def meanByCentroid(assigned: DataFrame): Array[(Int, Array[Double])] =
+    assigned
+      .select(col("centroid"), posexplode(col("vec")))
+      .groupBy(col("centroid"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy("centroid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
+      .sortBy(_._1)
+
+  private def assignToNearest(vecs: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val best = centroids.map { case (id, c) =>
+      struct(dot(col("vec"), array(c.map(lit): _*)).as("sim"), lit(id).as("id"))
+    }
+    vecs.withColumn("centroid", greatest(best.toSeq: _*).getField("id"))
+  }
+
+  /** Index the corpus: every row tagged with its centroid. Write this out
+    * `.partitionBy("centroid")` for partition-pruned serving. */
+  def ivfIndex(corpus: DataFrame, vecCol: String, index: IvfIndex): DataFrame =
+    assignToNearest(corpus.withColumn("vec", col(vecCol)), index.centroids)
+      .drop("vec")
+
+  /** IVF search: rank centroids against the query driver-side (k values),
+    * scan only the `nprobe` best cells, exact cosine within them.
+    */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      index: IvfIndex, query: Seq[Float], k: Int, nprobe: Int = 3,
+  ): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    val probes = index.centroids
+      .map { case (id, c) =>
+        val d = c.zip(q).map { case (a, b) => a * b }.sum
+        (id, d)
+      }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    ivfIndex(corpus, vecCol, index)
+      .where(col("centroid").isin(probes.map(Integer.valueOf): _*))
+      .select(col(idCol), round(cosine(col(vecCol), vecLit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Batch k-NN join: for EVERY query row, its top-k corpus neighbors via
     * shared LSH buckets — an equi-join on bucket, ranked per query. This
     * is the scale path for "join 1M queries against 10B vectors": shuffle

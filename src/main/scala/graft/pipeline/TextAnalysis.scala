@@ -109,6 +109,27 @@ object TextAnalysis {
     xxhash64(array_join(
       split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+"), " "))
 
+  /** The canonical corpus-cleaning pipeline a training run starts with:
+    * quality floor → language allowlist → near-dup removal (one
+    * representative per cluster). Each stage is the operator defined
+    * elsewhere in this package; composing them keeps one scan + the
+    * dedup's bucketed joins as the only shuffles.
+    */
+  def cleanCorpus(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.3, languages: Set[String] = Set.empty,
+      dedupThreshold: Double = 0.8,
+  ): org.apache.spark.sql.DataFrame = {
+    val scored = df
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("lang_pred", languageId(col(textCol)))
+    val filtered = scored
+      .where(col("quality") >= minQuality)
+      .where(if (languages.isEmpty) lit(true)
+        else col("lang_pred").isin(languages.toSeq: _*))
+    Dedup.dedupNearDuplicates(filtered, idCol, textCol, dedupThreshold)
+  }
+
   /** Append the full text-analysis column set to a frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

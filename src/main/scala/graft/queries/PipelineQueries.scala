@@ -150,6 +150,27 @@ object PipelineQueries {
       },
       None),
 
+    // IVF coarse-quantized ANN: train k centroids, probe the 3 best cells
+    QueryDef("p14_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val index = Similarity.ivfTrain(emb, "embedding", k = 8)
+        Similarity.ivfTopK(emb, "vec_id", "embedding", index, q, k = 10, nprobe = 3)
+      },
+      None),
+
+    // Composed corpus cleaning: quality floor + language allowlist +
+    // near-dup removal in one pipeline
+    QueryDef("p15_clean_corpus",
+      (s, dir) => TextAnalysis.cleanCorpus(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        minQuality = 0.2, languages = Set("en", "und"), dedupThreshold = 0.5)
+        .select("doc_id", "lang", "quality", "lang_pred")
+        .orderBy("doc_id"),
+      None),
+
     // End-to-end near-dup dedup: LSH pairs → connected components → keep
     // the min-id representative per cluster (deterministic row set)
     QueryDef("p13_neardup_dedup",

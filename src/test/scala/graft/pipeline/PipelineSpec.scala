@@ -96,6 +96,32 @@ class PipelineSpec extends SparkSpec {
     assert(ann.contains(exact.head)) // self always bucket-matches
   }
 
+  test("IVF: self found in probed cells; high recall vs exact top-5") {
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val index = Similarity.ivfTrain(emb, "embedding", k = 4)
+    assert(index.centroids.length <= 4 && index.centroids.nonEmpty)
+    assert(index.centroids.forall(_._2.length == 64))
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", index, q,
+      k = 5, nprobe = 4) // nprobe = k cells → exhaustive → exact
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+    assert(ivf.collect().map(_.getLong(0)).toSeq ==
+      exact.collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("cleanCorpus filters on quality+language and drops near-dups") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then rests a while"),
+      (2L, "the quick brown fox jumps over the lazy dog and then rests a while"),
+      (3L, "el perro y el gato en la casa de la abuela por la tarde"),
+      (4L, "x"),
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.cleanCorpus(d, "doc_id", "text",
+      minQuality = 0.2, languages = Set("en"), dedupThreshold = 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    // 2 = near-dup of 1, 3 = wrong language, 4 = too short/low quality
+    assert(kept.toSeq == Seq(1L))
+  }
+
   test("annJoin: each query gets ≤k ranked neighbors, no crossJoin") {
     val joined = Similarity.annJoin(
       emb.where(col("vec_id") < 5), emb.where(col("vec_id") >= 5),
