@@ -28,7 +28,8 @@ object PipelineQueries {
         .orderBy("lang", "source"),
       Some("""SELECT lang, source, MIN(doc_id) AS doc_id,
               ARG_MIN(n_chars, doc_id) AS n_chars
-              FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+              FROM read_parquet('{SFDIR}/documents.parquet')
+              GROUP BY lang, source ORDER BY lang, source""")),
 
     // MinHash-LSH near-dup pairs, Jaccard-verified (banded bucket join —
     // no crossJoin in the plan)
@@ -84,8 +85,8 @@ object PipelineQueries {
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 10)
       },
       Some("""SELECT vec_id,
-              ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
-              FROM embeddings ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
+              ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet('{SFDIR}/embeddings.parquet') WHERE vec_id = 0)), 6) AS cosine
+              FROM read_parquet('{SFDIR}/embeddings.parquet') ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
 
     // LSH-bucketed ANN for the same query (scale path: bucket pruning +
     // multi-probe)
@@ -124,7 +125,7 @@ object PipelineQueries {
               LENGTH(text) AS n_chars_calc,
               LEN(string_split_regex(TRIM(text), '\s+')) AS n_words,
               ROUND(CAST(LENGTH(text) AS DOUBLE) / GREATEST(LEN(string_split_regex(TRIM(text), '\s+')), 1), 4) AS mean_word_len
-              FROM documents ORDER BY doc_id""")),
+              FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""")),
 
     // Full text-analysis surface: quality score, language ID, BPE-ish
     // token count, rolling-hash fingerprint (deterministic; hash values
