@@ -191,6 +191,22 @@ object RelationalQueries {
                FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
                ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // R7 — CUBE (all grouping combinations)
+    QueryDef("r07_cube",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc, col("o_orderpriority").asc),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // R7 — GROUPING SETS (same ANSI text on both engines)
+    QueryDef("r07_grouping_sets", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(GROUPING_SETS_SQL)
+    }, Some(GROUPING_SETS_SQL)),
+
     // R7 — HAVING (post-aggregation filter)
     QueryDef("r07_having",
       (s, dir) => Tables.load(s, dir, "orders")
@@ -507,6 +523,12 @@ object RelationalQueries {
       |       CAST(SUM(n_orders) AS BIGINT) AS segment_orders
       |FROM cust_spend JOIN customer ON c_custkey = o_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private val GROUPING_SETS_SQL =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
   private val SUBQUERY_SQL =
     """SELECT c_custkey, c_acctbal FROM customer
