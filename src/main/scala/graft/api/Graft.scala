@@ -25,9 +25,13 @@ object Graft {
 
   @volatile private var state: Option[(Engine, Agent)] = None
 
+  /** `llm` is deliberately required (no FakeLlm default): a forgotten LLM
+    * would silently answer every chat with canned results that look real.
+    * Tests that want canned answers pass `new FakeLlm(...)` explicitly.
+    */
   def configure(
       spark: SparkSession,
-      llm: Llm = new FakeLlm(Seq("SELECT 1 AS answer")),
+      llm: Llm,
       datasetsRoot: String = "datasets",
       maxRetries: Int = 3,
   ): Engine = synchronized {

@@ -72,11 +72,18 @@ object SqlGate {
 
     def walk(p: LogicalPlan, visible: Set[String]): Set[String] = p match {
       case w: UnresolvedWith =>
-        val names = w.cteRelations.map(_._1.toLowerCase).toSet
-        val scope = visible ++ names
-        w.cteRelations.map(_._2).foldLeft(walk(w.child, scope)) {
-          (acc, cte) => acc ++ walk(cte, scope)
-        }
+        // CTE scope follows declaration order: each body sees only the
+        // names declared BEFORE it — never its own name, never a forward
+        // reference. Spark resolves CTEs the same way, so exempting a
+        // body's own name would let `WITH t AS (SELECT * FROM t) …`
+        // resolve the inner `t` to a real catalog table/temp view that
+        // was never whitelisted. Only the WITH child sees the full set.
+        val (bodyRefs, declared) =
+          w.cteRelations.foldLeft((Set.empty[String], Set.empty[String])) {
+            case ((refs, seen), (name, body, _)) =>
+              (refs ++ walk(body, visible ++ seen), seen + name.toLowerCase)
+          }
+        bodyRefs ++ walk(w.child, visible ++ declared)
       case r: UnresolvedRelation =>
         val parts = r.multipartIdentifier.map(_.toLowerCase)
         if (parts.length > 1) Set(parts.mkString("."))

@@ -221,6 +221,9 @@ object Dedup {
     * @return (doc, label) — label = cluster representative (min id)
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // throws on non-convergence (see loop exit below): a silently
+    // partial labeling would keep >1 representative per cluster with no
+    // signal; callers with pathologically deep chains raise maxIter.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -243,6 +246,10 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge within $maxIter iterations — " +
+          "cluster diameter exceeds maxIter; raise maxIter")
     labels
   }
 

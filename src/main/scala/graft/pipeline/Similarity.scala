@@ -24,7 +24,13 @@ object Similarity {
     require(df.schema(vecCol).dataType.isInstanceOf[ArrayType],
       s"$vecCol must be an array column")
     // head of a 1-row limit — driver-side constant, not a data collect
-    df.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+    df.select(size(col(vecCol))).limit(1).collect().headOption match {
+      case Some(r) if !r.isNullAt(0) && r.getInt(0) > 0 => r.getInt(0)
+      case Some(_) => throw new IllegalArgumentException(
+        s"cannot infer embedding dimension: first '$vecCol' is null or empty")
+      case None => throw new IllegalArgumentException(
+        s"cannot infer embedding dimension of '$vecCol' from an empty corpus")
+    }
   }
 
   def dot(a: Column, b: Column): Column =

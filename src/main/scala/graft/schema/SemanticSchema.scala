@@ -264,8 +264,15 @@ object SemanticSchema {
   /** Emit schema.yaml (used by the dataset store, `Engine.create`). */
   def toYaml(s: SemanticSchema): String = {
     val sb = new StringBuilder
+    // YAML-reserved scalars ("true", "no", "null", "~", numbers like
+    // "123"/"1.5"/".5") would round-trip through fromYaml as bool/null/
+    // number, corrupting a string field — always force-quote those.
+    val yamlReserved = "(?i)^(true|false|yes|no|on|off|null|~)$".r
+    val yamlNumeric = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
     def quote(v: String): String =
-      if (v.matches("^[a-zA-Z0-9_./ -]+$") && v.nonEmpty) v
+      if (v.matches("^[a-zA-Z0-9_./ -]+$") && v.nonEmpty &&
+        yamlReserved.findFirstIn(v.trim).isEmpty &&
+        yamlNumeric.findFirstIn(v.trim).isEmpty) v
       else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     sb ++= s"name: ${quote(s.name)}\n"
     s.description.foreach(d => sb ++= s"description: ${quote(d)}\n")

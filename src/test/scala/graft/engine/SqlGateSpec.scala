@@ -87,6 +87,29 @@ class SqlGateSpec extends SparkSpec {
     }
   }
 
+  test("CTE scope is declaration-ordered: no self-reference, no forward reference") {
+    val known = Set("orders")
+    // self-reference: the inner `t` is NOT the CTE (Spark CTEs are not
+    // recursive) — it must hit the whitelist and be rejected
+    intercept[SqlGate.MaliciousQueryError] {
+      SqlGate.checkTables(spark, "WITH t AS (SELECT * FROM t) SELECT * FROM t", known)
+    }
+    // forward reference: `b` is declared after `a`, so `a`'s body must
+    // not see it
+    intercept[SqlGate.MaliciousQueryError] {
+      SqlGate.checkTables(spark,
+        "WITH a AS (SELECT * FROM b), b AS (SELECT 1 AS x) SELECT * FROM a", known)
+    }
+    // backward reference is legitimate and passes
+    SqlGate.checkTables(spark,
+      "WITH a AS (SELECT o_orderkey FROM orders), b AS (SELECT * FROM a) SELECT * FROM b",
+      known)
+    // self-reference to a KNOWN table inside its same-named CTE also passes
+    // (resolves to the real table, which is whitelisted)
+    SqlGate.checkTables(spark,
+      "WITH orders AS (SELECT * FROM orders) SELECT * FROM orders", known)
+  }
+
   test("quoteIdentifier renders injection attempts inert in spark.sql") {
     import spark.implicits._
     Seq((1, "x")).toDF("id", "weird name").createOrReplaceTempView("qi_test")

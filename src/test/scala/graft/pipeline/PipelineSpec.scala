@@ -57,6 +57,23 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("near-dup clusters: non-convergence throws instead of returning partial labels") {
+    // a 5-node chain needs >1 round of min-label propagation; maxIter=1
+    // must fail loudly, not silently return a partial labeling
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](Dedup.nearDupClusters(chain, maxIter = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("dimOf fails with a clear message on an empty or null-vector corpus") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    val e1 = intercept[IllegalArgumentException](Similarity.dimOf(empty, "vec"))
+    assert(e1.getMessage.contains("empty corpus"))
+    val nullVec = Seq((1L, null.asInstanceOf[Seq[Float]])).toDF("id", "vec")
+    val e2 = intercept[IllegalArgumentException](Similarity.dimOf(nullVec, "vec"))
+    assert(e2.getMessage.contains("null or empty"))
+  }
+
   test("near-dup clusters: chain converges to min label; dedup keeps representatives") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     val clusters = Dedup.nearDupClusters(pairs)

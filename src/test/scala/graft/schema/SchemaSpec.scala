@@ -48,6 +48,17 @@ class SchemaSpec extends AnyFunSuite {
     assert(s2 == s)
   }
 
+  test("YAML round-trip quotes reserved scalars — 'no', 'true', '123' stay strings") {
+    val s = SemanticSchema.fromYaml(yaml).copy(description = Some("no"))
+    val s2 = SemanticSchema.fromYaml(SemanticSchema.toYaml(s))
+    assert(s2.description.contains("no"), "description 'no' must not become boolean false")
+    for (v <- Seq("true", "False", "null", "~", "123", "1.5", ".5", "1e3", "on")) {
+      val sv = SemanticSchema.fromYaml(yaml).copy(description = Some(v))
+      val rt = SemanticSchema.fromYaml(SemanticSchema.toYaml(sv))
+      assert(rt.description.contains(v), s"description '$v' must round-trip as a string")
+    }
+  }
+
   test("YAML round-trip preserves list/map transformation params (java collections)") {
     val withBin =
       """name: binned
