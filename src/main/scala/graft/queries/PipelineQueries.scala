@@ -17,6 +17,34 @@ import graft.streaming.EventStreams
   */
 object PipelineQueries {
 
+  /** DuckDB oracle for the near-dup pair queries: exact Jaccard over word
+    * k-shingle sets for ALL doc pairs above `threshold`. Mirrors
+    * Dedup.shingleRows' normalization (lowercase, strip non-alnum, split
+    * on whitespace, docs with < k tokens have no shingles). The threshold
+    * is applied to the 6-decimal-rounded value, matching the Spark side.
+    */
+  private def jaccardAllPairsSql(k: Int, threshold: String): String = {
+    val hi = k - 1 // DuckDB list slices are inclusive: toks[i : i+k-1]
+    s"""WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM read_parquet('{SFDIR}/documents.parquet')
+        |), sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(toks) - $k + 2),
+        |                                      i -> list_aggregate(toks[i:i+$hi], 'string_agg', ' '))) AS s
+        |  FROM toks WHERE len(toks) >= $k
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        |WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= $threshold
+        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: first-id-wins per duplicate group (deterministic, unlike
@@ -32,13 +60,18 @@ object PipelineQueries {
               GROUP BY lang, source ORDER BY lang, source""")),
 
     // MinHash-LSH near-dup pairs, Jaccard-verified (banded bucket join —
-    // no crossJoin in the plan)
+    // no crossJoin in the plan). Oracle: the all-pairs exact-Jaccard set —
+    // LSH is only a candidate pruner here; the Jaccard-verify step means
+    // the output must equal the exact answer whenever candidate recall is
+    // total, which it is on this corpus (near-dup pairs sit far above the
+    // threshold, where banded-LSH hit probability ≈ 1). The oracle is
+    // all-pairs only on the DuckDB side; the Spark plan stays bucketed.
     QueryDef("p02_dedup_minhash",
       (s, dir) => Dedup.minhashNearDups(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         threshold = 0.12, shingleK = 3, numHashes = 32, bands = 16)
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some(jaccardAllPairsSql(k = 3, threshold = "0.12"))),
 
     // SimHash near-dup pairs (16-bit band buckets + Hamming verify)
     QueryDef("p03_dedup_simhash",
@@ -65,7 +98,9 @@ object PipelineQueries {
           .where(col("jaccard") >= 0.2)
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      // same oracle construction as p02 (all-pairs exact Jaccard; see note
+      // there), with 2-gram shingles and the 0.2 floor
+      Some(jaccardAllPairsSql(k = 2, threshold = "0.2"))),
 
     // Embedding-cosine near-dup via sign-LSH buckets
     QueryDef("p05_embedding_neardup",
@@ -128,14 +163,43 @@ object PipelineQueries {
               FROM read_parquet('{SFDIR}/documents.parquet') ORDER BY doc_id""")),
 
     // Full text-analysis surface: quality score, language ID, BPE-ish
-    // token count, rolling-hash fingerprint (deterministic; hash values
-    // not portable to DuckDB → rows-only)
+    // token count — every column re-expressed in DuckDB SQL as the oracle.
+    // The fingerprint column (xxhash64, not portable) is carried by
+    // p15_clean_corpus's rows-only projection and ScalaTest instead.
     QueryDef("p10_text_analysis",
       (s, dir) => TextAnalysis.analyze(
         Tables.load(s, dir, "documents"), "text")
-        .select("doc_id", "n_words", "tokens_bpe", "quality", "lang_pred", "fingerprint")
+        .select("doc_id", "n_words", "tokens_bpe", "quality", "lang_pred")
         .orderBy("doc_id"),
-      None),
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |         LENGTH(text) AS n_chars,
+             |         string_split_regex(TRIM(text), '\s+') AS words
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), g AS (
+             |  SELECT doc_id,
+             |         CAST(LEN(words) AS BIGINT) AS n_words,
+             |         CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS tokens_bpe,
+             |         LEAST(CAST(LEN(words) AS DOUBLE) / 20.0, 1.0) AS len_score,
+             |         CASE WHEN CAST(LEN(regexp_extract_all(text, '[\.,;:!\?''"()\[\]{}-]')) AS DOUBLE)
+             |                   / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.2 THEN 1.0 ELSE 0.5 END AS punct_ok,
+             |         CASE WHEN CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             |                   / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.3 THEN 1.0 ELSE 0.5 END AS digit_ok,
+             |         CAST(LEN(list_distinct(words)) AS DOUBLE) / CAST(GREATEST(LEN(words), 1) AS DOUBLE) AS uniq_ratio,
+             |         list_reverse_sort([
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|was)\b')) AS DOUBLE), 'lang': 'en'},
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|un|los|se|por)\b')) AS DOUBLE), 'lang': 'es'},
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|von|mit|den|nicht|ein)\b')) AS DOUBLE), 'lang': 'de'},
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '\b(le|la|les|et|des|est|une|dans|que|pour)\b')) AS DOUBLE), 'lang': 'fr'},
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '(的|是|了|在|和|有|我|他|这|不)')) AS DOUBLE), 'lang': 'zh'}
+             |         ])[1] AS best
+             |  FROM f
+             |)
+             |SELECT doc_id, n_words, tokens_bpe,
+             |       ROUND(((len_score * punct_ok) * digit_ok) * 0.5 + uniq_ratio * 0.5, 4) AS quality,
+             |       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+             |FROM g
+             |ORDER BY doc_id""".stripMargin)),
 
     // Multimodal plumbing: synthetic binary assets → batched decode stub →
     // resize plan → frame-sample counts, all deterministic
@@ -168,7 +232,8 @@ object PipelineQueries {
       (s, dir) => TextAnalysis.cleanCorpus(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         minQuality = 0.2, languages = Set("en", "und"), dedupThreshold = 0.5)
-        .select("doc_id", "lang", "quality", "lang_pred")
+        .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+        .select("doc_id", "lang", "quality", "lang_pred", "fingerprint")
         .orderBy("doc_id"),
       None),
 
