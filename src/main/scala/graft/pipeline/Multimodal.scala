@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support: image/audio/video as opaque `binary` columns
@@ -43,6 +43,9 @@ object Multimodal {
 
   /** Synthesize an asset table from any id column — payload bytes are a
     * deterministic function of the id (stand-in for real blobs).
+    * Metadata uses a Knuth multiplicative hash (engine-portable integer
+    * arithmetic, so external oracles can reproduce it; the id is reduced
+    * mod 1e5 first to keep the product inside a signed 64-bit range).
     */
   def syntheticAssets(spark: SparkSession, df: DataFrame, idCol: String): Dataset[Asset] = {
     import spark.implicits._
@@ -50,15 +53,17 @@ object Multimodal {
       (col(idCol) % 3 + 1).cast("int"))
     val fmt = element_at(array(lit("png"), lit("wav"), lit("mp4")),
       (col(idCol) % 3 + 1).cast("int"))
+    def kmix(offset: Int): Column =
+      (pmod(col(idCol), lit(100000L)) + offset) * lit(2654435761L)
     df.select(
       col(idCol).cast("long").as("asset_id"),
       modality.as("modality"),
       // payload: sha2 of the id, repeated — opaque deterministic bytes
       to_binary(repeat(sha2(col(idCol).cast("string"), 256), 4), lit("hex")).as("data"),
       fmt.as("format"),
-      (pmod(xxhash64(col(idCol)), lit(1920)) + 32).cast("int").as("meta_width"),
-      (pmod(xxhash64(col(idCol), lit(1)), lit(1080)) + 32).cast("int").as("meta_height"),
-      (pmod(xxhash64(col(idCol), lit(2)), lit(600000))).as("meta_duration_ms"),
+      (pmod(kmix(0), lit(1920)) + 32).cast("int").as("meta_width"),
+      (pmod(kmix(1), lit(1080)) + 32).cast("int").as("meta_height"),
+      pmod(kmix(2), lit(600000L)).as("meta_duration_ms"),
     ).as[Asset]
   }
 

@@ -126,12 +126,15 @@ object Similarity {
     */
   final case class IvfIndex(centroids: Array[(Int, Array[Double])])
 
-  def ivfTrain(corpus: DataFrame, vecCol: String, k: Int, iters: Int = 2,
-      seed: Long = 42L): IvfIndex = {
-    val spark = corpus.sparkSession
-    // deterministic init: hash-partition rows into k groups, mean each
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2): IvfIndex = {
+    // deterministic init: Knuth-multiplicative-hash the id into k groups,
+    // mean each. Portable integer arithmetic (id reduced mod 1e5 keeps
+    // the product in signed-64 range) so external oracles can reproduce
+    // the whole training trajectory.
     var assigned = corpus.select(col(vecCol).as("vec"),
-      pmod(xxhash64(col(vecCol)), lit(k)).cast("int").as("centroid"))
+      pmod(pmod(col(idCol), lit(100000L)) * lit(2654435761L), lit(k.toLong))
+        .cast("int").as("centroid"))
     var centroids = meanByCentroid(assigned)
     for (_ <- 1 to iters) {
       assigned = assignToNearest(corpus.select(col(vecCol).as("vec")), centroids)

@@ -45,6 +45,59 @@ object PipelineQueries {
         |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** DuckDB connected-components dedup block shared by the p13/p15
+    * oracles: exact all-pairs Jaccard edges (k=3 shingles) at `threshold`
+    * over `docsCte` (a CTE named `corpus` with doc_id + text), then
+    * min-label components via a recursive transitive-closure CTE, keeping
+    * the min-id representative per cluster plus every unpaired doc.
+    * Mirrors Dedup.nearDupClusters/dedupNearDuplicates semantics; the
+    * Spark side stays banded-LSH + iterative label propagation — the
+    * all-pairs/recursive form exists only on the tiny oracle side.
+    */
+  private def ccDedupTail(threshold: String): String =
+    s"""toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM corpus
+        |), sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+        |                                      i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS s
+        |  FROM toks WHERE len(toks) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= $threshold
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |), reach AS (
+        |  SELECT src AS doc, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src AS doc, reach.r AS r FROM edges e JOIN reach ON e.dst = reach.doc
+        |), labels AS (
+        |  SELECT doc, MIN(r) AS label FROM reach GROUP BY doc
+        |), drops AS (
+        |  SELECT doc FROM labels WHERE doc <> label
+        |)""".stripMargin
+
+  /** DuckDB expression reproducing Similarity.lshSignature for the
+    * embeddings table's 64-dim vectors: the hyperplane constants are the
+    * SAME deterministic seed-42 planes the Spark side uses, inlined as
+    * literals (Double.toString round-trips exactly, so both engines see
+    * bit-identical plane values). `col` must be a DOUBLE[] expression.
+    * This lets oracles verify the LSH semantics themselves — bucketed
+    * candidate generation + exact scoring — not just an exact-search
+    * equivalent.
+    */
+  private def bucketSql(col: String, planes: Int, seed: Long = 42L): String =
+    Similarity.hyperplanes(64, planes, seed).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($col, ${p.mkString("[", ",", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   def defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: first-id-wins per duplicate group (deterministic, unlike
@@ -102,13 +155,25 @@ object PipelineQueries {
       // there), with 2-gram shingles and the 0.2 floor
       Some(jaccardAllPairsSql(k = 2, threshold = "0.2"))),
 
-    // Embedding-cosine near-dup via sign-LSH buckets
+    // Embedding-cosine near-dup via sign-LSH buckets. Oracle reproduces
+    // the bucketing with the same inlined seed-42 hyperplanes (see
+    // bucketSql) — same-bucket pairs, exact cosine ≥ threshold.
     QueryDef("p05_embedding_neardup",
       (s, dir) => Dedup.embeddingNearDups(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.30, planes = 4)
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some(s"""WITH b AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             |         ${bucketSql("CAST(embedding AS DOUBLE[])", 4)} AS bucket
+             |  FROM read_parquet('{SFDIR}/embeddings.parquet')
+             |), s AS (
+             |  SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
+             |         ROUND(list_cosine_similarity(a.e, b2.e), 6) AS cosine
+             |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+             |)
+             |SELECT doc_a, doc_b, cosine FROM s
+             |WHERE cosine >= 0.30 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Brute-force cosine top-k (the exact baseline; TakeOrdered plan).
     // Oracle: DuckDB list_cosine_similarity on the same query vector.
@@ -124,7 +189,9 @@ object PipelineQueries {
               FROM read_parquet('{SFDIR}/embeddings.parquet') ORDER BY cosine DESC, vec_id ASC LIMIT 10""")),
 
     // LSH-bucketed ANN for the same query (scale path: bucket pruning +
-    // multi-probe)
+    // multi-probe). Oracle reproduces the probe set — the query's bucket
+    // plus every Hamming-1 neighbor, i.e. bit_count(xor) <= 1 — with the
+    // same inlined hyperplanes, then exact cosine top-k within it.
     QueryDef("p07_ann_lsh",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -132,10 +199,18 @@ object PipelineQueries {
           .select("embedding").head().getSeq[Float](0)
         Similarity.annTopK(emb, "vec_id", "embedding", q, k = 10, planes = 6)
       },
-      None),
+      Some(s"""WITH b AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             |         ${bucketSql("CAST(embedding AS DOUBLE[])", 6)} AS bucket
+             |  FROM read_parquet('{SFDIR}/embeddings.parquet')
+             |), q AS (SELECT bucket AS qb, e AS qe FROM b WHERE vec_id = 0)
+             |SELECT b.vec_id, ROUND(list_cosine_similarity(b.e, q.qe), 6) AS cosine
+             |FROM b, q WHERE bit_count(xor(b.bucket, q.qb)) <= 1
+             |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin)),
 
     // Batch k-NN join: every query row gets its top-k neighbors via
-    // shared LSH buckets (equi-join on bucket, ranked per query)
+    // shared LSH buckets (equi-join on bucket, ranked per query). Oracle
+    // reproduces the bucket equi-join with the same inlined hyperplanes.
     QueryDef("p08_ann_join",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -144,7 +219,21 @@ object PipelineQueries {
           "vec_id", "vec_id", "embedding", k = 3, planes = 4)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(s"""WITH b AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             |         ${bucketSql("CAST(embedding AS DOUBLE[])", 4)} AS bucket
+             |  FROM read_parquet('{SFDIR}/embeddings.parquet')
+             |), s AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine
+             |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 20 AND c.vec_id >= 20
+             |), r AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+             |  FROM s
+             |)
+             |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+             |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin)),
 
     // Text statistics with a DuckDB-expressible oracle subset
     QueryDef("p09_text_stats",
@@ -202,10 +291,12 @@ object PipelineQueries {
              |ORDER BY doc_id""".stripMargin)),
 
     // Multimodal plumbing: synthetic binary assets → batched decode stub →
-    // resize plan → frame-sample counts, all deterministic
+    // resize plan, all deterministic. Oracle reproduces the portable
+    // metadata arithmetic (Knuth multiplicative hash; payload is the
+    // sha2-256 hex repeated ×4 → 128 bytes constant) and the resize math.
     QueryDef("p11_multimodal",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents").limit(200)
+        val docs = Tables.load(s, dir, "documents").where(col("doc_id") < 200)
         val assets = Multimodal.syntheticAssets(s, docs, "doc_id")
         val decoded = Multimodal.decode(s, assets, batchSize = 32).toDF()
         Multimodal.resizePlan(decoded, maxSide = 256)
@@ -213,7 +304,18 @@ object PipelineQueries {
             "target_width", "target_height")
           .orderBy("asset_id")
       },
-      None),
+      Some("""WITH m AS (
+             |  SELECT doc_id AS asset_id,
+             |         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+             |         CAST(128 AS BIGINT) AS n_bytes,
+             |         CAST(((doc_id % 100000) + 0) * 2654435761 % 1920 + 32 AS INT) AS width,
+             |         CAST(((doc_id % 100000) + 1) * 2654435761 % 1080 + 32 AS INT) AS height
+             |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id < 200
+             |)
+             |SELECT asset_id, modality, n_bytes, width, height,
+             |       CAST(CEIL(width * LEAST(1.0, 256.0 / GREATEST(width, height))) AS INT) AS target_width,
+             |       CAST(CEIL(height * LEAST(1.0, 256.0 / GREATEST(width, height))) AS INT) AS target_height
+             |FROM m ORDER BY asset_id""".stripMargin)),
 
     // IVF coarse-quantized ANN: train k centroids, probe the 3 best cells
     QueryDef("p14_ann_ivf",
@@ -221,31 +323,75 @@ object PipelineQueries {
         val emb = Tables.load(s, dir, "embeddings")
         val q = emb.where(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
-        val index = Similarity.ivfTrain(emb, "embedding", k = 8)
+        val index = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
         Similarity.ivfTopK(emb, "vec_id", "embedding", index, q, k = 10, nprobe = 3)
       },
       None),
 
     // Composed corpus cleaning: quality floor + language allowlist +
-    // near-dup removal in one pipeline
+    // near-dup removal in one pipeline. Oracle: the p10 quality/langid SQL
+    // as the filter, then the recursive-CTE connected-components dedup
+    // (see ccDedupTail). The xxhash64 fingerprint column is exercised by
+    // ScalaTest instead (not DuckDB-portable).
     QueryDef("p15_clean_corpus",
       (s, dir) => TextAnalysis.cleanCorpus(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         minQuality = 0.2, languages = Set("en", "und"), dedupThreshold = 0.5)
-        .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
-        .select("doc_id", "lang", "quality", "lang_pred", "fingerprint")
+        .select("doc_id", "lang", "quality", "lang_pred")
         .orderBy("doc_id"),
-      None),
+      Some(s"""WITH RECURSIVE f AS (
+             |  SELECT doc_id, lang, text,
+             |         LENGTH(text) AS n_chars,
+             |         string_split_regex(TRIM(text), '\\s+') AS words
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), g AS (
+             |  SELECT doc_id, lang, text,
+             |         LEAST(CAST(LEN(words) AS DOUBLE) / 20.0, 1.0) AS len_score,
+             |         CASE WHEN CAST(LEN(regexp_extract_all(text, '[\\.,;:!\\?''"()\\[\\]{}-]')) AS DOUBLE)
+             |                   / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.2 THEN 1.0 ELSE 0.5 END AS punct_ok,
+             |         CASE WHEN CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             |                   / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.3 THEN 1.0 ELSE 0.5 END AS digit_ok,
+             |         CAST(LEN(list_distinct(words)) AS DOUBLE) / CAST(GREATEST(LEN(words), 1) AS DOUBLE) AS uniq_ratio,
+             |         list_reverse_sort([
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|that|it|was)\\b')) AS DOUBLE), 'lang': 'en'},
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|en|un|los|se|por)\\b')) AS DOUBLE), 'lang': 'es'},
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|von|mit|den|nicht|ein)\\b')) AS DOUBLE), 'lang': 'de'},
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|est|une|dans|que|pour)\\b')) AS DOUBLE), 'lang': 'fr'},
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '(的|是|了|在|和|有|我|他|这|不)')) AS DOUBLE), 'lang': 'zh'}
+             |         ])[1] AS best
+             |  FROM f
+             |), scored AS (
+             |  SELECT doc_id, lang, text,
+             |         ROUND(((len_score * punct_ok) * digit_ok) * 0.5 + uniq_ratio * 0.5, 4) AS quality,
+             |         CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+             |  FROM g
+             |), corpus AS (
+             |  SELECT * FROM scored WHERE quality >= 0.2 AND lang_pred IN ('en', 'und')
+             |), ${ccDedupTail("0.5")}
+             |SELECT c.doc_id, c.lang, c.quality, c.lang_pred
+             |FROM corpus c
+             |ANTI JOIN drops ON c.doc_id = drops.doc
+             |ORDER BY doc_id""".stripMargin)),
 
     // End-to-end near-dup dedup: LSH pairs → connected components → keep
-    // the min-id representative per cluster (deterministic row set)
+    // the min-id representative per cluster. Oracle: all-pairs Jaccard
+    // edges + recursive-CTE min-label components (candidate recall is
+    // total on this corpus — see the p02 note; the verify step makes the
+    // edge set exact, so components match exactly).
     QueryDef("p13_neardup_dedup",
       (s, dir) => Dedup.dedupNearDuplicates(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         threshold = 0.12, shingleK = 3, numHashes = 32, bands = 16)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id"),
-      None),
+      Some(s"""WITH RECURSIVE corpus AS (
+             |  SELECT doc_id, lang, source, text
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), ${ccDedupTail("0.12")}
+             |SELECT c.doc_id, c.lang, c.source
+             |FROM corpus c
+             |ANTI JOIN drops ON c.doc_id = drops.doc
+             |ORDER BY doc_id""".stripMargin)),
 
     // Streaming windowed aggregation, batch-executed (same code path the
     // stream runs; oracle via date_trunc)

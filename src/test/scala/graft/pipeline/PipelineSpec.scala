@@ -115,7 +115,7 @@ class PipelineSpec extends SparkSpec {
 
   test("IVF: self found in probed cells; high recall vs exact top-5") {
     val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
-    val index = Similarity.ivfTrain(emb, "embedding", k = 4)
+    val index = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 4)
     assert(index.centroids.length <= 4 && index.centroids.nonEmpty)
     assert(index.centroids.forall(_._2.length == 64))
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", index, q,
