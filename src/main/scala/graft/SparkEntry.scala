@@ -16,7 +16,7 @@ object SparkEntry {
 
   private val allDefs: Seq[QueryDef] =
     SourceQueries.defs ++ RelationalQueries.defs ++
-      TransformQueries.defs ++ PipelineQueries.defs
+      TransformQueries.defs ++ PipelineQueries.defs ++ OperatorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The P1 spine: fact-fact joins shuffle on their keys, nation/region

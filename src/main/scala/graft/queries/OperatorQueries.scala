@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{AsofJoin, RangeJoin, Sessionize}
+
+/** Temporal/range operator queries over the `events`/`part`/`lineitem`
+  * tables: backward as-of join, bucketed range join, and gaps-and-islands
+  * sessionization. All three are operators Spark lacks as built-ins,
+  * implemented in shuffle-bounded shapes (see graft.operators scaladocs);
+  * DuckDB expresses each directly (ASOF JOIN, non-equi join, window
+  * islands), which makes the oracles exact.
+  */
+object OperatorQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Backward as-of join: every error event attributed to the user's
+    // most recent click at-or-before it. The Spark plan is the
+    // union + running-last window (one shuffle on user_id); the oracle is
+    // DuckDB's native ASOF LEFT JOIN.
+    QueryDef("p16_asof_join",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        val errors = events.where(col("event_type") === "error")
+          .select("event_id", "user_id", "ts", "value")
+        val clicks = events.where(col("event_type") === "click")
+        AsofJoin.backward(errors, clicks,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTs = "ts", rightTs = "ts",
+          rightCols = Map("event_id" -> "click_id", "value" -> "click_value"))
+          .select(col("event_id"), col("user_id"),
+            QueryDef.ntz(col("ts")).as("ts"), col("click_id"), col("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, e.ts, c.event_id AS click_id,
+             |       c.value AS click_value
+             |FROM (SELECT * FROM events WHERE event_type = 'error') e
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON e.user_id = c.user_id AND e.ts >= c.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // Bucketed range join: lineitems priced within ±50 of each part's
+    // retail price, aggregated per part. Spark explodes each [lo, hi]
+    // range onto its covering width-100 buckets and equi-joins on the
+    // bucket id — no broadcast-nested-loop; the oracle is a plain
+    // non-equi BETWEEN join (fine at oracle scale).
+    QueryDef("p17_range_join",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem").select("l_extendedprice")
+        val parts = Tables.load(s, dir, "part")
+          .select(col("p_partkey"),
+            (col("p_retailprice") - 50).as("lo"),
+            (col("p_retailprice") + 50).as("hi"))
+        RangeJoin.pointInRange(li, "l_extendedprice", parts, "lo", "hi",
+          bucketWidth = 100)
+          .groupBy("p_partkey")
+          .agg(count(lit(1)).as("n_items"),
+            QueryDef.dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("p_partkey")
+      },
+      Some(s"""SELECT p.p_partkey, COUNT(*) AS n_items,
+             |       ${QueryDef.dsumSql("l.l_extendedprice")} AS sum_price
+             |FROM part p JOIN lineitem l
+             |  ON l.l_extendedprice BETWEEN p.p_retailprice - 50 AND p.p_retailprice + 50
+             |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin)),
+
+    // Gaps-and-islands sessionization: per-user sessions with a 12-hour
+    // inactivity gap (events strictly less than the gap apart merge).
+    // session_end follows the streaming session_window convention
+    // (last event + gap). Oracle: the same lag/running-sum island SQL.
+    QueryDef("p18_sessionize",
+      (s, dir) => Sessionize.sessions(
+        Tables.load(s, dir, "events"), "user_id", "ts", gap = "12 hours",
+        aggs = Seq(QueryDef.dsum(col("value")).as("sum_value")))
+        .select(col("user_id"),
+          QueryDef.ntz(col("session_start")).as("session_start"),
+          QueryDef.ntz(col("session_end")).as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      Some(s"""WITH e AS (
+             |  SELECT user_id, ts, value,
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM events
+             |), f AS (
+             |  SELECT *, CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 12 HOUR
+             |                 THEN 1 ELSE 0 END AS nw
+             |  FROM e
+             |), g AS (
+             |  SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
+             |                          ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM f
+             |)
+             |SELECT user_id, MIN(ts) AS session_start,
+             |       MAX(ts) + INTERVAL 12 HOUR AS session_end,
+             |       COUNT(*) AS n_events,
+             |       ${QueryDef.dsumSql("value")} AS sum_value
+             |FROM g GROUP BY user_id, sess
+             |ORDER BY user_id, session_start""".stripMargin)),
+  )
+}
