@@ -51,6 +51,11 @@ object Dedup {
     * k-grams assembled with window `lead` over token position. One
     * doc-keyed shuffle; everything codegen'd. Multiplicity preserved
     * (min-hash is insensitive to it; set consumers dedup downstream).
+    *
+    * Measured alternative (rejected): building grams map-side with
+    * `arrays_zip` over offset slices + explode avoids the shuffle but ran
+    * ~40–60% SLOWER end-to-end at sf0.1 — the non-codegen struct-array
+    * zip/explode dominates what the exchange costs. Keep the window form.
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -93,21 +98,35 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+  ): DataFrame =
+    minhashCandidatesFrom(shingleRows(df, idCol, textCol, shingleK),
+      numHashes, bands)
+
+  /** Candidate pairs from a pre-computed (doc, shingle) frame — lets
+    * callers that also need the shingle sets (e.g. [[minhashNearDups]])
+    * persist that frame once instead of recomputing the scan + window.
+    */
+  private[pipeline] def minhashCandidatesFrom(
+      sh: DataFrame, numHashes: Int, bands: Int,
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sh = shingleRows(df, idCol, textCol, shingleK)
     val seedHashes = sh
       .select(col("doc"), posexplode(
         transform(sequence(lit(0), lit(numHashes - 1)),
           seed => xxhash64(col("shingle"), seed))))
       .toDF("doc", "seed", "h")
     val minHashes = seedHashes.groupBy("doc", "seed").agg(min("h").as("mh"))
+    // band fingerprint = XOR of per-(seed, minhash) hashes: commutative
+    // and overflow-free (ANSI-safe), so no collect_list/sort_array object
+    // aggregate — stays in codegen'd HashAggregate with map-side combine.
+    // Equal band vectors always XOR equal (recall unchanged; the seeds are
+    // distinct within a band, so nothing self-cancels); an XOR collision
+    // can only ADD a candidate pair, which exact verification removes.
     val banded = minHashes
       .withColumn("band", floor(col("seed") / rows).cast("int"))
       .groupBy("doc", "band")
-      .agg(xxhash64(sort_array(collect_list(struct(col("seed"), col("mh")))))
-        .as("band_hash"))
+      .agg(bit_xor(xxhash64(col("seed"), col("mh"))).as("band_hash"))
     val a = banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
     val b = banded.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
     a.join(b, Seq("band", "band_hash"))
@@ -124,8 +143,10 @@ object Dedup {
     * path (one pass; the array-lambda formulation is interpreted and
     * far slower). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    shingleRows(df, idCol, textCol, k)
-      .groupBy("doc").agg(collect_set("shingle").as("sset"))
+    shingleSetsFrom(shingleRows(df, idCol, textCol, k))
+
+  private[pipeline] def shingleSetsFrom(sh: DataFrame): DataFrame =
+    sh.groupBy("doc").agg(collect_set("shingle").as("sset"))
       .withColumnRenamed("doc", "sid")
 
   /** Full MinHash-LSH near-dup pipeline: candidates from banded LSH,
@@ -137,8 +158,13 @@ object Dedup {
       threshold: Double = 0.7, shingleK: Int = 3,
       numHashes: Int = 32, bands: Int = 8,
   ): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands)
-    val sets = shingleSets(df, idCol, textCol, shingleK)
+    // the (doc, shingle) frame feeds BOTH candidate generation and the
+    // verification sets — persist it once (spills to disk at scale)
+    // instead of re-running the scan + explode + window twice
+    val sh = shingleRows(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashCandidatesFrom(sh, numHashes, bands)
+    val sets = shingleSetsFrom(sh)
     cands
       .join(sets.withColumnRenamed("sid", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
       .join(sets.withColumnRenamed("sid", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
@@ -205,8 +231,10 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: candidate pairs failing the
+      // Hamming bound never enter the distinct's exchange
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Connected components over near-dup pairs by iterative min-label
