@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FNV-1a 64-bit string hash as a native Catalyst expression with
+  * whole-stage codegen — a PORTABLE hash (the algorithm is public and
+  * trivially re-implementable in any engine, unlike xxhash64's Spark-
+  * specific seeding), so hash-derived operators like SimHash can be
+  * verified bit-for-bit by an external oracle.
+  *
+  * Hashes the UTF-8 BYTES of the input, like every standard FNV-1a
+  * implementation; the result is the signed-long view of the unsigned
+  * 64-bit FNV value.
+  */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fnv1a64"
+
+  // AbstractDataType (and with it ExpectsInputTypes) is private[sql], so
+  // the input contract is enforced directly
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    Fnv1a64.hash(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |${ev.value} = 0xcbf29ce484222325L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  ${ev.value} = (${ev.value} ^ ($bytes[$i] & 0xffL)) * 0x100000001b3L;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+object Fnv1a64 {
+  /** Reference implementation (interpreted path + tests). */
+  def hash(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}
+
+/** Registration + Column-level entry points for graft's native
+  * expressions. `call_function` resolves through the session's function
+  * registry, so registration is per-session and idempotent.
+  */
+object GraftFunctions {
+  val FnvName = "graft_fnv1a64"
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnvName, (exprs: Seq[Expression]) => Fnv1a64(exprs.head), "built-in")
+
+  /** FNV-1a 64 of a string column. [[ensureRegistered]] must have been
+    * called on the owning session. */
+  def fnv1a64(c: Column): Column = call_function(FnvName, c)
+}

@@ -197,12 +197,16 @@ object Dedup {
     * aggregation shape (same result as [[simhash64]], which re-walks the
     * token array per bit in interpreted lambdas and is only suitable for
     * short inline use). Map-side combine keeps the shuffle at one row per
-    * doc.
+    * doc. The token hash is pluggable: xxhash64 by default, or a portable
+    * hash (graft.functions.GraftFunctions.fnv1a64) when an external
+    * oracle must reproduce the fingerprints.
     */
-  def simhashPerDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashPerDoc(df: DataFrame, idCol: String, textCol: String,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       explode(split(regexp_replace(lower(trim(col(textCol))), "[^a-z0-9\\s]", ""), "\\s+")).as("tok"))
-    val hashed = toks.select(col("doc"), xxhash64(col("tok")).as("h"))
+      .where(col("tok") =!= "") // empty/whitespace-only text yields one "" token — no vote
+    val hashed = toks.select(col("doc"), hashFn(col("tok")).as("h"))
     val bitCols = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
     val sums = hashed.groupBy("doc").agg(bitCols.head, bitCols.tail: _*)
@@ -217,8 +221,9 @@ object Dedup {
     */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      hashFn: Column => Column = xxhash64(_),
   ): DataFrame = {
-    val fp = simhashPerDoc(df, idCol, textCol)
+    val fp = simhashPerDoc(df, idCol, textCol, hashFn)
     val banded = fp.select(col("doc"), col("fp"), posexplode(
       transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL))))

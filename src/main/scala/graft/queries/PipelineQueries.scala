@@ -11,9 +11,11 @@ import graft.streaming.EventStreams
   * analysis, multimodal plumbing, and the batch shape of the streaming
   * windowed aggregation.
   *
-  * Oracles are declared where DuckDB can express the semantics; the
-  * LSH/hash-based operators are rows-only checked (xxhash64 has no DuckDB
-  * equivalent) but are deterministic and covered by ScalaTest.
+  * EVERY query here is DuckDB-oracle-checked, including the hash/LSH
+  * operators: the oracles replay the candidate generation itself —
+  * inlined seed-42 hyperplanes for sign-LSH, HUGEINT FNV-1a for SimHash,
+  * the full Lloyd trajectory for IVF — rather than an exact-search
+  * stand-in, so both the pruning and the scoring are verified.
   */
 object PipelineQueries {
 
@@ -98,6 +100,113 @@ object PipelineQueries {
       s"(CASE WHEN list_dot_product($col, ${p.mkString("[", ",", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB replay of Similarity.ivfTrain(k=8, iters=2) + ivfTopK
+    * (nprobe=3) for the p14 query — see the QueryDef comment. */
+  private val ivfOracleSql: String =
+    """WITH v AS (
+    |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+    |         CAST((vec_id % 100000) * 2654435761 % 8 AS INT) AS c0a
+    |  FROM read_parquet('{SFDIR}/embeddings.parquet')
+    |), u0 AS (
+    |  SELECT c0a AS cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS ord FROM v
+    |), c0 AS (
+    |  SELECT cid, list(m ORDER BY ord) AS c FROM (
+    |    SELECT cid, ord, AVG(val) AS m FROM u0 GROUP BY cid, ord
+    |  ) GROUP BY cid
+    |), a1 AS (
+    |  SELECT vec_id, e, cid FROM (
+    |    SELECT v.vec_id, v.e, c0.cid,
+    |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+    |                              ORDER BY list_dot_product(v.e, c0.c) DESC, c0.cid DESC) AS rn
+    |    FROM v, c0
+    |  ) WHERE rn = 1
+    |), u1 AS (
+    |  SELECT cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS ord FROM a1
+    |), c1 AS (
+    |  SELECT cid, list(m ORDER BY ord) AS c FROM (
+    |    SELECT cid, ord, AVG(val) AS m FROM u1 GROUP BY cid, ord
+    |  ) GROUP BY cid
+    |), a2 AS (
+    |  SELECT vec_id, e, cid FROM (
+    |    SELECT v.vec_id, v.e, c1.cid,
+    |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+    |                              ORDER BY list_dot_product(v.e, c1.c) DESC, c1.cid DESC) AS rn
+    |    FROM v, c1
+    |  ) WHERE rn = 1
+    |), u2 AS (
+    |  SELECT cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS ord FROM a2
+    |), c2 AS (
+    |  SELECT cid, list(m ORDER BY ord) AS c FROM (
+    |    SELECT cid, ord, AVG(val) AS m FROM u2 GROUP BY cid, ord
+    |  ) GROUP BY cid
+    |), a3 AS (
+    |  SELECT vec_id, e, cid FROM (
+    |    SELECT v.vec_id, v.e, c2.cid,
+    |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+    |                              ORDER BY list_dot_product(v.e, c2.c) DESC, c2.cid DESC) AS rn
+    |    FROM v, c2
+    |  ) WHERE rn = 1
+    |), q AS (
+    |  SELECT e AS qe FROM v WHERE vec_id = 0
+    |), probes AS (
+    |  SELECT cid FROM c2, q ORDER BY list_dot_product(c2.c, q.qe) DESC, cid ASC LIMIT 3
+    |)
+    |SELECT a3.vec_id, ROUND(list_cosine_similarity(a3.e, q.qe), 6) AS cosine
+    |FROM a3, q WHERE a3.cid IN (SELECT cid FROM probes)
+    |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** DuckDB replay of the FNV-simhash near-dup pipeline (p03): FNV-1a
+    * via list_reduce in HUGEINT arithmetic, bit votes, fingerprint,
+    * 16-bit banding, Hamming verify. Validated against an independent
+    * reference implementation. */
+  private val simhashOracleSql: String =
+    """WITH t AS (
+    |  SELECT doc_id,
+    |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+    |                            x -> x <> '')) AS tok
+    |  FROM read_parquet('{SFDIR}/documents.parquet')
+    |), h AS (
+    |  SELECT doc_id,
+    |         list_reduce(
+    |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+    |                        list_transform(regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS HUGEINT))),
+    |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+    |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+    |         ) AS uh
+    |  FROM t
+    |), sh AS (
+    |  SELECT doc_id,
+    |         CAST(CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+    |                   THEN uh - CAST('18446744073709551616' AS HUGEINT) ELSE uh END AS BIGINT) AS s
+    |  FROM h
+    |), votes AS (
+    |  SELECT doc_id, b.b AS b,
+    |         SUM(CASE WHEN ((s >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+    |  FROM sh CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+    |  GROUP BY doc_id, b.b
+    |), fp AS (
+    |  SELECT doc_id,
+    |         SUM(CASE WHEN cnt > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INT) ELSE CAST(0 AS HUGEINT) END) AS ufp
+    |  FROM votes GROUP BY doc_id
+    |), fps AS (
+    |  SELECT doc_id, ufp,
+    |         CAST(CASE WHEN ufp >= CAST('9223372036854775808' AS HUGEINT)
+    |                   THEN ufp - CAST('18446744073709551616' AS HUGEINT) ELSE ufp END AS BIGINT) AS sfp
+    |  FROM fp
+    |), banded AS (
+    |  SELECT doc_id, sfp, j.j AS band,
+    |         CAST((ufp >> CAST(16 * j.j AS INT)) % 65536 AS INT) AS band_val
+    |  FROM fps CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+    |), pairs AS (
+    |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    |         bit_count(xor(a.sfp, b.sfp)) AS hamming
+    |  FROM banded a JOIN banded b
+    |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    |)
+    |SELECT doc_a, doc_b, hamming FROM pairs
+    |WHERE hamming <= 14
+    |ORDER BY doc_a, doc_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: first-id-wins per duplicate group (deterministic, unlike
@@ -126,12 +235,20 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b"),
       Some(jaccardAllPairsSql(k = 3, threshold = "0.12"))),
 
-    // SimHash near-dup pairs (16-bit band buckets + Hamming verify)
+    // SimHash near-dup pairs (16-bit band buckets + Hamming verify),
+    // hashed with the native codegen'd FNV-1a expression
+    // (graft.functions.Fnv1a64) so the oracle can replay the ENTIRE
+    // pipeline — per-token hash (list_reduce FNV in HUGEINT arithmetic),
+    // bit votes, fingerprint assembly, banding, and the Hamming bound.
     QueryDef("p03_dedup_simhash",
-      (s, dir) => Dedup.simhashNearDups(
-        Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 14)
-        .orderBy("doc_a", "doc_b"),
-      None),
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        Dedup.simhashNearDups(
+          Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 14,
+          hashFn = graft.functions.GraftFunctions.fnv1a64)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(simhashOracleSql)),
 
     // n-gram Jaccard similarity on LSH candidates — the verification
     // surface alone, reported for all candidate pairs
@@ -317,7 +434,11 @@ object PipelineQueries {
              |       CAST(CEIL(height * LEAST(1.0, 256.0 / GREATEST(width, height))) AS INT) AS target_height
              |FROM m ORDER BY asset_id""".stripMargin)),
 
-    // IVF coarse-quantized ANN: train k centroids, probe the 3 best cells
+    // IVF coarse-quantized ANN: train k centroids, probe the 3 best cells.
+    // Oracle replays the ENTIRE training trajectory in SQL — the portable
+    // Knuth-hash init, two Lloyd iterations (mean per centroid, re-assign
+    // to argmax dot, ties to the higher centroid id), final assignment,
+    // probe selection, and in-cell exact cosine top-k.
     QueryDef("p14_ann_ivf",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -326,7 +447,7 @@ object PipelineQueries {
         val index = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
         Similarity.ivfTopK(emb, "vec_id", "embedding", index, q, k = 10, nprobe = 3)
       },
-      None),
+      Some(ivfOracleSql)),
 
     // Composed corpus cleaning: quality floor + language allowlist +
     // near-dup removal in one pipeline. Oracle: the p10 quality/langid SQL

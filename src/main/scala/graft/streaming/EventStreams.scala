@@ -77,4 +77,68 @@ object EventStreams {
     val stream = spark.readStream.schema(schema).parquet(dir)
     windowedStats(stream)
   }
+
+  /** Exactly-once-per-id dedup on an at-least-once source: state holds
+    * each seen id only until the watermark passes its event time, so
+    * state stays bounded (a bare dropDuplicates on a stream grows state
+    * forever). Batch frames take the plain exact path.
+    */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+      watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(idCol)
+    else events.dropDuplicates(idCol)
+
+  /** Native session windows (the streaming twin of
+    * graft.operators.Sessionize.sessions — identical strict-gap merge
+    * semantics, cross-checked in EventStreamsSpec): per-user sessions
+    * whose state merges incrementally under a watermark.
+    */
+  def sessionWindowStats(events: DataFrame, gap: String = "12 hours",
+      watermark: String = "10 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+  }
+
+  /** Stream-stream interval join: each error event joined to the same
+    * user's click events from the preceding `boundSeconds`. Both sides
+    * carry watermarks so the join state (buffered rows awaiting matches)
+    * is evicted once the bound + watermark passes — the required shape
+    * for an unbounded×unbounded join.
+    */
+  def errorClickJoin(events: DataFrame, boundSeconds: Long = 3600,
+      watermark: String = "10 minutes"): DataFrame = {
+    val wm = (df: DataFrame) =>
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val errors = wm(events.where(col("event_type") === "error"))
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("error_ts"))
+    val clicks = wm(events.where(col("event_type") === "click"))
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    errors.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr(s"INTERVAL $boundSeconds SECONDS"))
+      .drop("click_user")
+  }
+
+  /** Idempotent micro-batch sink: every batch lands in its own
+    * `batch_id=N` partition directory with overwrite semantics, so a
+    * replayed batch (restart, retry) rewrites the same files instead of
+    * duplicating rows — the standard foreachBatch exactly-once recipe
+    * when the target is a plain parquet directory.
+    */
+  def idempotentParquetSink(df: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+      }
+      .start()
 }

@@ -64,4 +64,74 @@ class EventStreamsSpec extends SparkSpec {
     assert(total == 100)
     assert(sessions.columns.toSeq == Seq("user_id", "n_events", "sum_value"))
   }
+
+  test("dedupStream drops watermark-window duplicates on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStreams.dedupStream(df, "event_id", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
+        (1L, Timestamp.valueOf("2024-01-01 00:00:01"), 7L), // dup id, in window
+        (2L, Timestamp.valueOf("2024-01-01 00:01:00"), 8L))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("sessionWindowStats (batch) matches Sessionize.sessions semantics") {
+    val events = Tables.load(spark, sf, "events")
+    val native = EventStreams.sessionWindowStats(events, "12 hours")
+      .select("user_id", "session_start", "session_end", "n_events")
+    val manual = graft.operators.Sessionize.sessions(events, "user_id", "ts", "12 hours")
+      .select("user_id", "session_start", "session_end", "n_events")
+    assert(native.exceptAll(manual).isEmpty && manual.exceptAll(native).isEmpty)
+  }
+
+  test("stream-stream interval join buffers and matches within the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = EventStreams.errorClickJoin(df, boundSeconds = 3600)
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (10L, Timestamp.valueOf("2024-01-01 09:30:00"), 1L, "click", 1.0),
+        (11L, Timestamp.valueOf("2024-01-01 07:00:00"), 1L, "click", 1.0), // outside bound
+        (12L, Timestamp.valueOf("2024-01-01 09:50:00"), 2L, "click", 1.0), // other user
+        (20L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "error", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select("error_id", "click_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((20L, 10L)))
+    } finally q.stop()
+  }
+
+  test("idempotentParquetSink rewrites a batch directory instead of duplicating") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/root/repo/target/graft-tmp/sink-test"
+    val fs = new java.io.File(base)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del); f.delete()
+    }
+    if (fs.exists()) del(fs)
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("id", "v")
+    val q = EventStreams.idempotentParquetSink(df, s"$base/data", s"$base/ckpt")
+    try {
+      mem.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, 3.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/data")
+      assert(out.count() == 3)
+      assert(out.columns.contains("batch_id")) // partition column from the path
+    } finally q.stop()
+  }
 }
