@@ -30,6 +30,14 @@ object TextAnalysis {
     * uppercase / digit / non-alnum ratios, mean word length, repetition.
     * Returned as individual columns so downstream filters push down.
     */
+  /** Count of characters belonging to `chars`, via translate-delete —
+    * a single linear scan, ~an order of magnitude cheaper than a
+    * character-class regexp_count and exactly equivalent for plain
+    * (non-meta) character sets.
+    */
+  private def charClassCount(text: Column, chars: String): Column =
+    length(text) - length(translate(text, chars, ""))
+
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val nChars = length(text)
     val words = split(trim(text), "\\s+")
@@ -40,13 +48,13 @@ object TextAnalysis {
       "mean_word_len" ->
         (nChars.cast("double") / greatest(nWords, lit(1)).cast("double")),
       "punct_ratio" ->
-        (regexp_count(text, lit("[\\.,;:!\\?'\"()\\[\\]{}-]")).cast("double") /
+        (charClassCount(text, ".,;:!?'\"()[]{}-").cast("double") /
           greatest(nChars, lit(1)).cast("double")),
       "digit_ratio" ->
-        (regexp_count(text, lit("[0-9]")).cast("double") /
+        (charClassCount(text, "0123456789").cast("double") /
           greatest(nChars, lit(1)).cast("double")),
       "upper_ratio" ->
-        (regexp_count(text, lit("[A-Z]")).cast("double") /
+        (charClassCount(text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ").cast("double") /
           greatest(nChars, lit(1)).cast("double")),
       "stopword_ratio" ->
         (regexp_count(lower(text), lit("\\b(the|a|an|and|or|of|to|in|is|it|that|was|for|on|with)\\b"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{AsofJoin, RangeJoin, Sessionize}
+import graft.sources.Excel
 
 /** Temporal/range operator queries over the `events`/`part`/`lineitem`
   * tables: backward as-of join, bucketed range join, and gaps-and-islands
@@ -14,6 +15,22 @@ import graft.operators.{AsofJoin, RangeJoin, Sessionize}
 object OperatorQueries {
 
   def defs: Seq[QueryDef] = Seq(
+
+    // S2 read_excel: the nation table round-tripped through a real .xlsx
+    // file (self-contained zip+XML reader/writer — no POI; see
+    // sources/Excel.scala). The oracle reads the same rows from the
+    // original parquet, so the whole write→read path must be lossless.
+    QueryDef("s02_read_excel",
+      (s, dir) => {
+        val path = "/root/repo/target/graft-tmp/s02-nation.xlsx"
+        new java.io.File(path).getParentFile.mkdirs()
+        Excel.write(Tables.load(s, dir, "nation"), path)
+        Excel.read(s, path)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
     // Backward as-of join: every error event attributed to the user's
     // most recent click at-or-before it. The Spark plan is the

@@ -1,0 +1,231 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Self-contained XLSX source/sink — no POI, no external deps: an .xlsx
+  * is a zip of small XML parts, which the JDK reads natively.
+  *
+  * Reference surface: pandas-ai's `read_excel` (reference
+  * pandasai/__init__.py:97-142) — header row → column names, numeric
+  * type inference, one sheet per call.
+  *
+  * Scale notes: spreadsheets are bounded artifacts (the format caps at
+  * ~1M rows), so this source parses driver-side and parallelizes the
+  * rows into a DataFrame — the same shape the reference takes (pandas
+  * in-memory load). Big data does not arrive as .xlsx; this exists for
+  * ingest completeness, not as a scan path.
+  *
+  * Supported cell types: shared strings (t="s"), inline strings
+  * (t="inlineStr"), formula-cached strings (t="str"), booleans (t="b"),
+  * and numbers (default). Missing cells are null; column letters beyond
+  * the header are ignored.
+  */
+object Excel {
+
+  // --- read ---------------------------------------------------------
+
+  def read(spark: SparkSession, path: String, header: Boolean = true,
+      inferSchema: Boolean = true): DataFrame = {
+    val zf = new ZipFile(path)
+    try {
+      val shared = readSharedStrings(zf)
+      val sheetPath = firstSheetPath(zf)
+      val rows = readSheet(zf, sheetPath, shared)
+      if (rows.isEmpty) return spark.emptyDataFrame
+      val width = rows.map(_.length).max
+      val padded = rows.map(r => r.padTo(width, null: Any))
+      val (names: Seq[String], dataRows: Seq[Array[Any]]) =
+        if (header)
+          (padded.head.toSeq.zipWithIndex.map { case (v, i) =>
+            Option(v).map(_.toString).filter(_.nonEmpty).getOrElse(s"_c$i")
+          }, padded.tail)
+        else (Seq.tabulate(width)(i => s"_c$i"), padded)
+      val fields = names.zipWithIndex.map { case (n, i) =>
+        val col = dataRows.map(_(i))
+        StructField(n, if (inferSchema) inferType(col) else StringType, nullable = true)
+      }
+      val schema = StructType(fields.toSeq)
+      val coerced = dataRows.map { r =>
+        Row.fromSeq(r.zip(fields).map { case (v, f) => coerce(v, f.dataType) }.toSeq)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(coerced.toSeq), schema)
+    } finally zf.close()
+  }
+
+  private def readSharedStrings(zf: ZipFile): IndexedSeq[String] = {
+    val e = zf.getEntry("xl/sharedStrings.xml")
+    if (e == null) return IndexedSeq.empty
+    val doc = parseXml(zf, e)
+    val sis = doc.getElementsByTagName("si")
+    (0 until sis.getLength).map { i =>
+      // an <si> may hold one <t> or several rich-text runs <r><t>…
+      val ts = sis.item(i).asInstanceOf[org.w3c.dom.Element].getElementsByTagName("t")
+      (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString
+    }
+  }
+
+  private def firstSheetPath(zf: ZipFile): String = {
+    // deterministic default: the workbook's first declared sheet; its
+    // r:id maps to a target in the workbook rels
+    val wb = parseXml(zf, zf.getEntry("xl/workbook.xml"))
+    val sheets = wb.getElementsByTagName("sheet")
+    require(sheets.getLength > 0, "xlsx has no sheets")
+    val rid = sheets.item(0).getAttributes.getNamedItem("r:id").getNodeValue
+    val rels = parseXml(zf, zf.getEntry("xl/_rels/workbook.xml.rels"))
+    val rs = rels.getElementsByTagName("Relationship")
+    val target = (0 until rs.getLength).map(_.toInt).collectFirst {
+      case i if rs.item(i).getAttributes.getNamedItem("Id").getNodeValue == rid =>
+        rs.item(i).getAttributes.getNamedItem("Target").getNodeValue
+    }.getOrElse(throw new IllegalArgumentException(s"no rel for sheet $rid"))
+    if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+  }
+
+  private def readSheet(zf: ZipFile, sheetPath: String,
+      shared: IndexedSeq[String]): Seq[Array[Any]] = {
+    val doc = parseXml(zf, zf.getEntry(sheetPath))
+    val rowNodes = doc.getElementsByTagName("row")
+    (0 until rowNodes.getLength).map { i =>
+      val row = rowNodes.item(i).asInstanceOf[org.w3c.dom.Element]
+      val cells = row.getElementsByTagName("c")
+      val buf = mutable.ArrayBuffer.empty[Any]
+      (0 until cells.getLength).foreach { j =>
+        val c = cells.item(j).asInstanceOf[org.w3c.dom.Element]
+        val ref = Option(c.getAttributes.getNamedItem("r")).map(_.getNodeValue)
+        val idx = ref.map(colIndex).getOrElse(buf.length)
+        while (buf.length < idx) buf += null
+        val t = Option(c.getAttributes.getNamedItem("t")).map(_.getNodeValue).getOrElse("n")
+        val value: Any = t match {
+          case "s" =>
+            val v = c.getElementsByTagName("v")
+            if (v.getLength == 0) null else shared(v.item(0).getTextContent.toInt)
+          case "inlineStr" =>
+            val ts = c.getElementsByTagName("t")
+            if (ts.getLength == 0) null
+            else (0 until ts.getLength).map(k => ts.item(k).getTextContent).mkString
+          case "str" =>
+            val v = c.getElementsByTagName("v")
+            if (v.getLength == 0) null else v.item(0).getTextContent
+          case "b" =>
+            val v = c.getElementsByTagName("v")
+            if (v.getLength == 0) null else v.item(0).getTextContent.trim == "1"
+          case _ =>
+            val v = c.getElementsByTagName("v")
+            if (v.getLength == 0) null else v.item(0).getTextContent.toDouble
+        }
+        buf += value
+      }
+      buf.toArray
+    }
+  }
+
+  /** "BC7" → 0-based column index 54. */
+  private def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    letters.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
+  }
+
+  private def parseXml(zf: ZipFile, e: ZipEntry): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    // not namespace-aware: we match on qualified tag names directly
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.newDocumentBuilder().parse(zf.getInputStream(e))
+  }
+
+  private def inferType(values: Seq[Any]): DataType = {
+    val present = values.filter(_ != null)
+    if (present.isEmpty) StringType
+    else if (present.forall(_.isInstanceOf[Boolean])) BooleanType
+    else if (present.forall(_.isInstanceOf[Double])) {
+      if (present.forall(v => { val d = v.asInstanceOf[Double]
+        d == math.rint(d) && math.abs(d) < 9.007199254740992e15 })) LongType
+      else DoubleType
+    } else StringType
+  }
+
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (d: Double, LongType) => d.toLong
+    case (x, StringType) => x match {
+      case d: Double if d == math.rint(d) && math.abs(d) < 1e15 => d.toLong.toString
+      case other => other.toString
+    }
+    case (x, _) => x
+  }
+
+  // --- write --------------------------------------------------------
+
+  /** Write a (small) DataFrame as a single-sheet .xlsx. Collects to the
+    * driver — the format itself is driver-scale; see the object docs.
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    val rows = df.collect()
+    val names = df.schema.fieldNames
+    val out = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    def entry(name: String, content: String): Unit = {
+      out.putNextEntry(new ZipEntry(name))
+      out.write(content.getBytes("UTF-8"))
+      out.closeEntry()
+    }
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+    def cellXml(ref: String, v: Any): String = v match {
+      case null => ""
+      case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case n @ (_: Double | _: Float | _: Long | _: Int | _: Short | _: Byte |
+                _: java.math.BigDecimal) =>
+        s"""<c r="$ref"><v>$n</v></c>"""
+      case other => s"""<c r="$ref" t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>"""
+    }
+    def colRef(i: Int): String = {
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    try {
+      entry("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |</Types>""".stripMargin)
+      entry("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin)
+      entry("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin)
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+      val sb = new StringBuilder
+      sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      sb.append("<row r=\"1\">")
+      names.zipWithIndex.foreach { case (n, i) => sb.append(cellXml(s"${colRef(i)}1", n)) }
+      sb.append("</row>")
+      rows.zipWithIndex.foreach { case (row, r) =>
+        sb.append(s"""<row r="${r + 2}">""")
+        (0 until row.length).foreach { i =>
+          sb.append(cellXml(s"${colRef(i)}${r + 2}", row.get(i)))
+        }
+        sb.append("</row>")
+      }
+      sb.append("</sheetData></worksheet>")
+      entry("xl/worksheets/sheet1.xml", sb.toString)
+    } finally out.close()
+  }
+}

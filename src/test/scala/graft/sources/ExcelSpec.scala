@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+import graft.{SparkSpec, Tables}
+
+class ExcelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tmp = "/root/repo/target/graft-tmp"
+
+  test("roundtrip: nation table survives write → read with inferred types") {
+    new java.io.File(tmp).mkdirs()
+    val path = s"$tmp/nation-spec.xlsx"
+    val nation = Tables.load(spark, sf, "nation")
+    Excel.write(nation, path)
+    val back = Excel.read(spark, path)
+    assert(back.schema("n_nationkey").dataType == LongType)
+    assert(back.schema("n_name").dataType == StringType)
+    assert(back.count() == nation.count())
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("n_nationkey").collect()
+        .map(_.getAs[Number]("n_nationkey").longValue()).toSeq
+    assert(keys(back) == keys(nation))
+    assert(back.where($"n_nationkey" === 0).head().getAs[String]("n_name") ==
+      nation.where($"n_nationkey" === 0).head().getAs[String]("n_name"))
+  }
+
+  test("mixed types: doubles, booleans, nulls, unicode, xml-escapes") {
+    val path = s"$tmp/mixed-spec.xlsx"
+    val df = Seq(
+      (1L, Some(1.5), Some(true), Some("plain")),
+      (2L, Some(-2.25), Some(false), Some("<tag> & \"quote\"")),
+      (3L, None: Option[Double], None: Option[Boolean], Some("ünïcödé ✓")),
+      (4L, Some(3.0), Some(true), None: Option[String]),
+    ).toDF("id", "d", "b", "s")
+    Excel.write(df, path)
+    val back = Excel.read(spark, path)
+    assert(back.schema("id").dataType == LongType)
+    assert(back.schema("d").dataType == DoubleType) // -2.25 forces double
+    assert(back.schema("b").dataType == BooleanType)
+    assert(back.schema("s").dataType == StringType)
+    val rows = back.orderBy("id").collect()
+    assert(rows(1).getAs[String]("s") == "<tag> & \"quote\"")
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    assert(rows(2).getAs[String]("s") == "ünïcödé ✓")
+    assert(rows(3).isNullAt(3))
+    assert(rows(0).getAs[Double]("d") == 1.5)
+  }
+
+  test("header=false yields positional columns; empty strings stay strings") {
+    val path = s"$tmp/noheader-spec.xlsx"
+    Seq(("x", 1L), ("y", 2L)).toDF("a", "b").tap(Excel.write(_, path))
+    val back = Excel.read(spark, path, header = false)
+    assert(back.columns.toSeq == Seq("_c0", "_c1"))
+    assert(back.count() == 3) // header row read as data
+  }
+
+  implicit class Tap[A](a: A) {
+    def tap(f: A => Unit): A = { f(a); a }
+  }
+}
