@@ -17,6 +17,8 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o) => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f)) // comma-separated name prefixes
+      case _ => sys.error(
+        "usage: graft.Verify <sfDir> <outDir> [namePrefix,namePrefix,...]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

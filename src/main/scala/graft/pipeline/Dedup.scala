@@ -38,7 +38,11 @@ object Dedup {
     * [[shingleRows]] (explode + window lead, whole-stage codegen'd).
     */
   def shingles(text: Column, k: Int): Column = {
-    val tokens = split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+")
+    // empty tokens (from leading/trailing punctuation that strips to
+    // whitespace) are dropped — mirrors the oracle-side normalization
+    val tokens = filter(
+      split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+"),
+      t => t =!= "")
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(size(tokens) - k, lit(0))),
@@ -62,6 +66,10 @@ object Dedup {
     val toks = df.select(col(idCol).as("doc"),
       posexplode(split(regexp_replace(lower(trim(col(textCol))), "[^a-z0-9\\s]", ""), "\\s+")))
       .toDF("doc", "pos", "tok")
+      // leading/trailing punctuation strips to whitespace and splits into
+      // "" tokens — drop them, matching the oracle's list_filter (pos
+      // gaps are harmless: the window below only needs relative order)
+      .where(col("tok") =!= "")
     val w = Window.partitionBy("doc").orderBy("pos")
     toks
       .select(col("doc"),
@@ -106,7 +114,7 @@ object Dedup {
     * callers that also need the shingle sets (e.g. [[minhashNearDups]])
     * persist that frame once instead of recomputing the scan + window.
     */
-  private[pipeline] def minhashCandidatesFrom(
+  def minhashCandidatesFrom(
       sh: DataFrame, numHashes: Int, bands: Int,
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
@@ -145,7 +153,7 @@ object Dedup {
   def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     shingleSetsFrom(shingleRows(df, idCol, textCol, k))
 
-  private[pipeline] def shingleSetsFrom(sh: DataFrame): DataFrame =
+  def shingleSetsFrom(sh: DataFrame): DataFrame =
     sh.groupBy("doc").agg(collect_set("shingle").as("sset"))
       .withColumnRenamed("doc", "sid")
 
@@ -153,16 +161,26 @@ object Dedup {
     * verified with exact n-gram Jaccard ≥ threshold. Joins back to the
     * docs only for candidate ids (two equi-joins on the id).
     */
+  /** @param persistShingles cache the shared (doc, shingle) frame
+    *   (MEMORY_AND_DISK) — it feeds both candidate generation and the
+    *   verification sets, so caching halves the scan+explode+window
+    *   work. The cache lives until the session ends or the block store
+    *   evicts it (Spark offers no reliable post-action unpersist hook
+    *   inside a lazily-evaluated plan); long-lived sessions composing
+    *   many dedups can pass false to trade recompute for zero cache
+    *   footprint.
+    */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleK: Int = 3,
       numHashes: Int = 32, bands: Int = 8,
+      persistShingles: Boolean = true,
   ): DataFrame = {
-    // the (doc, shingle) frame feeds BOTH candidate generation and the
-    // verification sets — persist it once (spills to disk at scale)
-    // instead of re-running the scan + explode + window twice
-    val sh = shingleRows(df, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh0 = shingleRows(df, idCol, textCol, shingleK)
+    val sh =
+      if (persistShingles)
+        sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sh0
     val cands = minhashCandidatesFrom(sh, numHashes, bands)
     val sets = shingleSetsFrom(sh)
     cands
@@ -177,7 +195,9 @@ object Dedup {
     * sign of Σ over tokens of (±1 by token-hash bit i). Expression-only.
     */
   def simhash64(text: Column): Column = {
-    val tokens = split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+")
+    val tokens = filter(
+      split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+"),
+      t => t =!= "")
     val hashes = transform(tokens, t => xxhash64(t))
     val counts = aggregate(
       hashes,

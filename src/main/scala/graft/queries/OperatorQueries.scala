@@ -22,8 +22,8 @@ object OperatorQueries {
     // original parquet, so the whole write→read path must be lossless.
     QueryDef("s02_read_excel",
       (s, dir) => {
-        val path = "/root/repo/target/graft-tmp/s02-nation.xlsx"
-        new java.io.File(path).getParentFile.mkdirs()
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft-s02-nation.xlsx").getPath
         Excel.write(Tables.load(s, dir, "nation"), path)
         Excel.read(s, path)
           .select("n_nationkey", "n_name", "n_regionkey")
@@ -57,9 +57,9 @@ object OperatorQueries {
              |  ON e.user_id = c.user_id AND e.ts >= c.ts
              |ORDER BY e.event_id""".stripMargin)),
 
-    // Bucketed range join: lineitems priced within ±50 of each part's
+    // Bucketed range join: lineitems priced within ±5 of each part's
     // retail price, aggregated per part. Spark explodes each [lo, hi]
-    // range onto its covering width-100 buckets and equi-joins on the
+    // range onto its covering width-10 buckets and equi-joins on the
     // bucket id — no broadcast-nested-loop; the oracle is a plain
     // non-equi BETWEEN join (fine at oracle scale).
     QueryDef("p17_range_join",
@@ -67,10 +67,10 @@ object OperatorQueries {
         val li = Tables.load(s, dir, "lineitem").select("l_extendedprice")
         val parts = Tables.load(s, dir, "part")
           .select(col("p_partkey"),
-            (col("p_retailprice") - 50).as("lo"),
-            (col("p_retailprice") + 50).as("hi"))
+            (col("p_retailprice") - 5).as("lo"),
+            (col("p_retailprice") + 5).as("hi"))
         RangeJoin.pointInRange(li, "l_extendedprice", parts, "lo", "hi",
-          bucketWidth = 100)
+          bucketWidth = 10)
           .groupBy("p_partkey")
           .agg(count(lit(1)).as("n_items"),
             QueryDef.dsum(col("l_extendedprice")).as("sum_price"))
@@ -79,7 +79,7 @@ object OperatorQueries {
       Some(s"""SELECT p.p_partkey, COUNT(*) AS n_items,
              |       ${QueryDef.dsumSql("l.l_extendedprice")} AS sum_price
              |FROM part p JOIN lineitem l
-             |  ON l.l_extendedprice BETWEEN p.p_retailprice - 50 AND p.p_retailprice + 50
+             |  ON l.l_extendedprice BETWEEN p.p_retailprice - 5 AND p.p_retailprice + 5
              |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin)),
 
     // Gaps-and-islands sessionization: per-user sessions with a 12-hour

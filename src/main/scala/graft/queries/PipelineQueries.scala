@@ -255,9 +255,12 @@ object PipelineQueries {
     QueryDef("p04_ngram_jaccard",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
-          shingleK = 2, numHashes = 16, bands = 8)
-        val sets = Dedup.shingleSets(docs, "doc_id", "text", 2)
+        // one shared persisted (doc, shingle) frame for both the
+        // candidate pass and the verification sets (see minhashNearDups)
+        val sh = Dedup.shingleRows(docs, "doc_id", "text", 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cands = Dedup.minhashCandidatesFrom(sh, numHashes = 16, bands = 8)
+        val sets = Dedup.shingleSetsFrom(sh)
         cands
           .join(sets.withColumnRenamed("sid", "doc_a")
             .withColumnRenamed("sset", "set_a"), "doc_a")

@@ -115,7 +115,16 @@ object Excel {
             if (v.getLength == 0) null else v.item(0).getTextContent.trim == "1"
           case _ =>
             val v = c.getElementsByTagName("v")
-            if (v.getLength == 0) null else v.item(0).getTextContent.toDouble
+            if (v.getLength == 0) null
+            else {
+              // integral literals parse as Long (a bare toDouble would
+              // silently lose precision for ids >= 2^53)
+              val s = v.item(0).getTextContent.trim
+              if (s.forall(ch => ch.isDigit || ch == '-') && s.nonEmpty &&
+                  s != "-" && (s.length < 19 || s.toLongOption.isDefined))
+                s.toLong
+              else s.toDouble
+            }
         }
         buf += value
       }
@@ -140,20 +149,16 @@ object Excel {
     val present = values.filter(_ != null)
     if (present.isEmpty) StringType
     else if (present.forall(_.isInstanceOf[Boolean])) BooleanType
-    else if (present.forall(_.isInstanceOf[Double])) {
-      if (present.forall(v => { val d = v.asInstanceOf[Double]
-        d == math.rint(d) && math.abs(d) < 9.007199254740992e15 })) LongType
-      else DoubleType
-    } else StringType
+    else if (present.forall(_.isInstanceOf[Long])) LongType
+    else if (present.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]))
+      DoubleType
+    else StringType
   }
 
   private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
-    case (d: Double, LongType) => d.toLong
-    case (x, StringType) => x match {
-      case d: Double if d == math.rint(d) && math.abs(d) < 1e15 => d.toLong.toString
-      case other => other.toString
-    }
+    case (l: Long, DoubleType) => l.toDouble
+    case (x, StringType) => x.toString
     case (x, _) => x
   }
 
@@ -161,6 +166,12 @@ object Excel {
 
   /** Write a (small) DataFrame as a single-sheet .xlsx. Collects to the
     * driver — the format itself is driver-scale; see the object docs.
+    *
+    * Roundtrip contract: numbers, booleans, and strings come back with
+    * their types; any OTHER type (timestamps, dates, arrays, …) is
+    * serialized via toString into a string cell — xlsx has no native
+    * representation for them here (real Excel dates are style-tagged
+    * serial numbers, deliberately out of scope).
     */
   def write(df: DataFrame, path: String): Unit = {
     val rows = df.collect()

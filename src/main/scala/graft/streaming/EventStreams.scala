@@ -138,7 +138,14 @@ object EventStreams {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+        writeBatch(batch.toDF(), path, batchId)
       }
       .start()
+
+  /** The per-batch write the sink performs — overwrite of the batch's own
+    * partition directory, so replaying a batch id (restart/retry)
+    * rewrites rather than duplicates. Exposed for direct testing.
+    */
+  def writeBatch(batch: DataFrame, path: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 }

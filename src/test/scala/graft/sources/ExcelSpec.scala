@@ -47,6 +47,16 @@ class ExcelSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("d") == 1.5)
   }
 
+  test("large integers roundtrip exactly (no double truncation)") {
+    val path = s"$tmp/bigint-spec.xlsx"
+    val big = 9007199254740993L // 2^53 + 1: not representable as a double
+    Seq((big, "a"), (-big, "b")).toDF("id", "s").tap(Excel.write(_, path))
+    val back = Excel.read(spark, path)
+    assert(back.schema("id").dataType == LongType)
+    assert(back.orderBy($"id".desc).collect().map(_.getLong(0)).toSeq ==
+      Seq(big, -big))
+  }
+
   test("header=false yields positional columns; empty strings stay strings") {
     val path = s"$tmp/noheader-spec.xlsx"
     Seq(("x", 1L), ("y", 2L)).toDF("a", "b").tap(Excel.write(_, path))

@@ -132,6 +132,11 @@ class EventStreamsSpec extends SparkSpec {
       val out = spark.read.parquet(s"$base/data")
       assert(out.count() == 3)
       assert(out.columns.contains("batch_id")) // partition column from the path
+      // replay batch 0 (restart/retry path): same directory is REWRITTEN,
+      // not appended — total row count is unchanged
+      EventStreams.writeBatch(
+        Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), s"$base/data", 0L)
+      assert(spark.read.parquet(s"$base/data").count() == 3)
     } finally q.stop()
   }
 }
