@@ -119,22 +119,28 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val seedHashes = sh
-      .select(col("doc"), posexplode(
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          seed => xxhash64(col("shingle"), seed))))
-      .toDF("doc", "seed", "h")
-    val minHashes = seedHashes.groupBy("doc", "seed").agg(min("h").as("mh"))
-    // band fingerprint = XOR of per-(seed, minhash) hashes: commutative
-    // and overflow-free (ANSI-safe), so no collect_list/sort_array object
-    // aggregate — stays in codegen'd HashAggregate with map-side combine.
-    // Equal band vectors always XOR equal (recall unchanged; the seeds are
-    // distinct within a band, so nothing self-cancels); an XOR collision
-    // can only ADD a candidate pair, which exact verification removes.
-    val banded = minHashes
-      .withColumn("band", floor(col("seed") / rows).cast("int"))
-      .groupBy("doc", "band")
-      .agg(bit_xor(xxhash64(col("seed"), col("mh"))).as("band_hash"))
+    // signature = ONE wide groupBy(doc) with numHashes min-aggregate
+    // columns (codegen'd, map-side combined) — no (doc × seed) explode,
+    // and when `sh` comes from shingleRows its window exchange already
+    // partitions by doc, so this aggregate adds NO new shuffle. The
+    // earlier posexplode(seed)→groupBy(doc,seed)→groupBy(doc,band)
+    // formulation materialized numHashes× the rows through two exchanges.
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
+    val sig = sh.groupBy("doc").agg(mins.head, mins.tail: _*)
+    // band fingerprint = XOR of per-(seed, minhash) hashes: commutative,
+    // overflow-free (ANSI-safe), computed row-level on the aggregated
+    // signature. Equal band vectors always XOR equal (recall unchanged;
+    // seeds are distinct within a band, so nothing self-cancels); an XOR
+    // collision can only ADD a candidate pair, which exact verification
+    // removes.
+    val bandHashes = (0 until bands).map { b =>
+      (b * rows until (b + 1) * rows)
+        .map(i => xxhash64(lit(i), col(s"mh$i")))
+        .reduce(_.bitwiseXOR(_))
+    }
+    val banded = sig.select(col("doc"),
+      posexplode(array(bandHashes: _*))).toDF("doc", "band", "band_hash")
     val a = banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
     val b = banded.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
     a.join(b, Seq("band", "band_hash"))
