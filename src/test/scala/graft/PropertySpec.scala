@@ -111,4 +111,66 @@ class PropertySpec extends SparkSpec {
       assert(j11 == 1.0)
     }
   }
+
+  test("Fnv1a64 codegen matches the reference on arbitrary unicode strings") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val strs = samples(Gen.listOf(Gen.choose(0, 0x10FFFF)
+      .suchThat(c => c < 0xD800 || c > 0xDFFF) // skip unpaired surrogates
+      .map(Character.toChars(_).mkString)).map(_.mkString), 120)
+      .distinct
+    val got = strs.toDF("s")
+      .select(graft.functions.GraftFunctions.fnv1a64(col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == strs.map(s => graft.functions.Fnv1a64.hash(s.getBytes("UTF-8"))))
+  }
+
+  test("Sessionize matches a brute-force reference on random event sets") {
+    import java.sql.Timestamp
+    val evGen = Gen.listOfN(60, for {
+      u <- Gen.oneOf("a", "b", "c")
+      off <- Gen.choose(0L, 72L * 3600)
+    } yield (u, new Timestamp(1700000000000L + off * 1000L), 1.0))
+    samples(evGen, 6).zipWithIndex.foreach { case (events, _) =>
+      val df = events.toDF("u", "t", "v")
+      val got = graft.operators.Sessionize.sessions(df, "u", "t", "2 hours")
+        .select("u", "session_start", "n_events")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+        .toSet
+      // reference: sort each key's times, split where diff >= gap
+      val gapMs = 2L * 3600 * 1000
+      val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+        val ts = evs.map(_._2.getTime).sorted
+        val sessions = ts.foldLeft(List.empty[List[Long]]) {
+          case (Nil, t) => List(List(t))
+          case (cur :: rest, t) =>
+            if (t - cur.head < gapMs) (t :: cur) :: rest
+            else List(t) :: (cur :: rest)
+        }
+        sessions.map(sess => (u, sess.last, sess.length.toLong))
+      }.toSet
+      assert(got == expected)
+    }
+  }
+
+  test("Excel roundtrip preserves random long/double/string frames") {
+    val rowGen = for {
+      id <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+      d <- Gen.choose(-1e12, 1e12)
+      s <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('<', '&', '"', 'é', ' ')))
+        .map(_.mkString)
+    } yield (id, d, s)
+    val rows = samples(Gen.listOfN(25, rowGen), 3)
+    rows.zipWithIndex.foreach { case (data, i) =>
+      val path = s"/root/repo/target/graft-tmp/prop-$i.xlsx"
+      val df = data.toDF("id", "d", "s")
+      graft.sources.Excel.write(df, path)
+      val back = graft.sources.Excel.read(spark, path)
+      val a = df.orderBy("id", "d", "s").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      val b = back.orderBy("id", "d", "s").collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          Option(r.getString(2)).getOrElse(""))).toSeq
+      assert(a.map { case (x, y, z) => (x, y, z) } == b)
+    }
+  }
 }
