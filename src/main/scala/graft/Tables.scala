@@ -28,6 +28,10 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read nanos as long and convert (integer division
       // — a double division would lose precision at the 1e18-ns scale).
+      // KNOWN TRADEOFF: the conf is session-global and stays set — it is
+      // consulted at SCAN time, so restoring it here would break the
+      // lazy plan this function returns. Later reads of other
+      // nanos-timestamp parquet in the same session will see LongType.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -42,7 +42,8 @@ object Graft {
 
   def engine: Engine = state.map(_._1).getOrElse(
     throw new IllegalStateException("call Graft.configure(spark, llm) first"))
-  private def agent: Agent = state.map(_._2).get
+  private def agent: Agent = state.map(_._2).getOrElse(
+    throw new IllegalStateException("call Graft.configure(spark, llm) first"))
 
   /** `pai.read_csv`: eager-named, lazy-planned CSV table; table name
     * derives from the file name (reference: pandasai/__init__.py:294-298). */

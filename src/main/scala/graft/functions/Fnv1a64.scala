@@ -71,7 +71,13 @@ object GraftFunctions {
 
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnvName, (exprs: Seq[Expression]) => Fnv1a64(exprs.head), "built-in")
+      FnvName,
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"$FnvName expects exactly 1 argument, got ${exprs.length}")
+        Fnv1a64(exprs.head)
+      },
+      "built-in")
 
   /** FNV-1a 64 of a string column. [[ensureRegistered]] must have been
     * called on the owning session. */

@@ -87,8 +87,10 @@ object RangeJoin {
       floor(col(hiCol) / bucketWidth).cast("long"))
     val r = ranges.withColumn("__bucket", explode(rBuckets))
     val p = points.withColumn("__bucket", pBucket)
+    // side-qualified references: a shared column name between points and
+    // ranges must not make the residual predicate ambiguous
     p.join(r, p("__bucket") === r("__bucket") &&
-        col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+        p(pointCol) >= r(loCol) && p(pointCol) <= r(hiCol))
       .drop("__bucket")
   }
 }

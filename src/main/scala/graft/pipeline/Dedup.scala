@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Canonical text→token normalization (lowercase, strip non-alnum,
+    * whitespace split) shared by EVERY hash-based text operator here and
+    * in TextAnalysis — and mirrored expression-for-expression by the
+    * DuckDB oracle SQL. Change both together; drift between the five
+    * former inline copies of this expression already caused one parity
+    * bug. Note: may contain "" tokens at the edges (leading/trailing
+    * punctuation) — consumers filter them explicitly.
+    */
+  private[pipeline] def rawTokens(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+")
+
   /** Exact dedup: keep the first (min id) ROW per duplicate group —
     * row-consistent via min_by, so non-key columns all come from that one
     * row (per-column min would stitch values from different rows).
@@ -40,9 +51,7 @@ object Dedup {
   def shingles(text: Column, k: Int): Column = {
     // empty tokens (from leading/trailing punctuation that strips to
     // whitespace) are dropped — mirrors the oracle-side normalization
-    val tokens = filter(
-      split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+"),
-      t => t =!= "")
+    val tokens = filter(rawTokens(text), t => t =!= "")
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(size(tokens) - k, lit(0))),
@@ -64,7 +73,7 @@ object Dedup {
   def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("doc"),
-      posexplode(split(regexp_replace(lower(trim(col(textCol))), "[^a-z0-9\\s]", ""), "\\s+")))
+      posexplode(rawTokens(col(textCol))))
       .toDF("doc", "pos", "tok")
       // leading/trailing punctuation strips to whitespace and splits into
       // "" tokens — drop them, matching the oracle's list_filter (pos
@@ -201,9 +210,7 @@ object Dedup {
     * sign of Σ over tokens of (±1 by token-hash bit i). Expression-only.
     */
   def simhash64(text: Column): Column = {
-    val tokens = filter(
-      split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+"),
-      t => t =!= "")
+    val tokens = filter(rawTokens(text), t => t =!= "")
     val hashes = transform(tokens, t => xxhash64(t))
     val counts = aggregate(
       hashes,
@@ -230,7 +237,7 @@ object Dedup {
   def simhashPerDoc(df: DataFrame, idCol: String, textCol: String,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
-      explode(split(regexp_replace(lower(trim(col(textCol))), "[^a-z0-9\\s]", ""), "\\s+")).as("tok"))
+      explode(rawTokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "") // empty/whitespace-only text yields one "" token — no vote
     val hashed = toks.select(col("doc"), hashFn(col("tok")).as("h"))
     val bitCols = (0 until 64).map(b =>

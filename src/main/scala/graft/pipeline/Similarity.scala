@@ -132,12 +132,12 @@ object Similarity {
     // mean each. Portable integer arithmetic (id reduced mod 1e5 keeps
     // the product in signed-64 range) so external oracles can reproduce
     // the whole training trajectory.
-    var assigned = corpus.select(col(vecCol).as("vec"),
+    var assigned = corpus.select(col(vecCol).as("__vec"),
       pmod(pmod(col(idCol), lit(100000L)) * lit(2654435761L), lit(k.toLong))
         .cast("int").as("centroid"))
     var centroids = meanByCentroid(assigned)
     for (_ <- 1 to iters) {
-      assigned = assignToNearest(corpus.select(col(vecCol).as("vec")), centroids)
+      assigned = assignToNearest(corpus.select(col(vecCol).as("__vec")), centroids)
       centroids = meanByCentroid(assigned)
     }
     IvfIndex(centroids)
@@ -145,7 +145,7 @@ object Similarity {
 
   private def meanByCentroid(assigned: DataFrame): Array[(Int, Array[Double])] =
     assigned
-      .select(col("centroid"), posexplode(col("vec")))
+      .select(col("centroid"), posexplode(col("__vec")))
       .groupBy(col("centroid"), col("pos"))
       .agg(avg(col("col").cast("double")).as("m"))
       .groupBy("centroid")
@@ -157,7 +157,7 @@ object Similarity {
 
   private def assignToNearest(vecs: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
     val best = centroids.map { case (id, c) =>
-      struct(dot(col("vec"), array(c.map(lit): _*)).as("sim"), lit(id).as("id"))
+      struct(dot(col("__vec"), array(c.map(lit): _*)).as("sim"), lit(id).as("id"))
     }
     vecs.withColumn("centroid", greatest(best.toSeq: _*).getField("id"))
   }
@@ -165,8 +165,8 @@ object Similarity {
   /** Index the corpus: every row tagged with its centroid. Write this out
     * `.partitionBy("centroid")` for partition-pruned serving. */
   def ivfIndex(corpus: DataFrame, vecCol: String, index: IvfIndex): DataFrame =
-    assignToNearest(corpus.withColumn("vec", col(vecCol)), index.centroids)
-      .drop("vec")
+    assignToNearest(corpus.withColumn("__vec", col(vecCol)), index.centroids)
+      .drop("__vec") // "__vec" is reserved internally; user columns keep their names
 
   /** IVF search: rank centroids against the query driver-side (k values),
     * scan only the `nprobe` best cells, exact cosine within them.

@@ -26,10 +26,6 @@ object TextAnalysis {
   def tokenCountEstimate(text: Column): Column =
     ceil(length(text) / lit(4.0)).cast("long")
 
-  /** Quality-scoring features: length, word stats, punctuation / stopword /
-    * uppercase / digit / non-alnum ratios, mean word length, repetition.
-    * Returned as individual columns so downstream filters push down.
-    */
   /** Count of characters belonging to `chars`, via translate-delete —
     * a single linear scan, ~an order of magnitude cheaper than a
     * character-class regexp_count and exactly equivalent for plain
@@ -38,6 +34,10 @@ object TextAnalysis {
   private def charClassCount(text: Column, chars: String): Column =
     length(text) - length(translate(text, chars, ""))
 
+  /** Quality-scoring features: length, word stats, punctuation / stopword /
+    * uppercase / digit / non-alnum ratios, mean word length, repetition.
+    * Returned as individual columns so downstream filters push down.
+    */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val nChars = length(text)
     val words = split(trim(text), "\\s+")
@@ -114,8 +114,7 @@ object TextAnalysis {
     * near-canonical dedup.
     */
   def fingerprint(text: Column): Column =
-    xxhash64(array_join(
-      split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+"), " "))
+    xxhash64(array_join(Dedup.rawTokens(text), " "))
 
   /** The canonical corpus-cleaning pipeline a training run starts with:
     * quality floor → language allowlist → near-dup removal (one

@@ -38,12 +38,19 @@ object Excel {
       if (rows.isEmpty) return spark.emptyDataFrame
       val width = rows.map(_.length).max
       val padded = rows.map(r => r.padTo(width, null: Any))
-      val (names: Seq[String], dataRows: Seq[Array[Any]]) =
+      val (rawNames: Seq[String], dataRows: Seq[Array[Any]]) =
         if (header)
           (padded.head.toSeq.zipWithIndex.map { case (v, i) =>
             Option(v).map(_.toString).filter(_.nonEmpty).getOrElse(s"_c$i")
           }, padded.tail)
         else (Seq.tabulate(width)(i => s"_c$i"), padded)
+      // duplicate headers get positional suffixes — a frame with two
+      // identical column names fails on the first select-by-name
+      val seen = mutable.Map.empty[String, Int]
+      val names = rawNames.map { n =>
+        val k = seen.getOrElse(n, 0); seen(n) = k + 1
+        if (k == 0) n else s"${n}_$k"
+      }
       val fields = names.zipWithIndex.map { case (n, i) =>
         val col = dataRows.map(_(i))
         StructField(n, if (inferSchema) inferType(col) else StringType, nullable = true)
@@ -182,7 +189,10 @@ object Excel {
       out.write(content.getBytes("UTF-8"))
       out.closeEntry()
     }
+    // XML 1.0 cannot represent control chars below 0x20 (except \t \n \r)
+    // in ANY form, so they are stripped — the one documented lossy case.
     def esc(s: String): String = s
+      .filter(c => c >= ' ' || c == '\t' || c == '\n' || c == '\r')
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
     def cellXml(ref: String, v: Any): String = v match {

@@ -23,9 +23,12 @@ object Skew {
       saltFactor: Int = 8,
   ): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    // deterministic per-row salt: hash of the whole left row modulo factor
+    // per-row salt from the row's position, not its content: identical
+    // duplicate rows of a hot key must still spread across salts (a
+    // content hash sends byte-identical rows to ONE salt — exactly the
+    // melt-one-task case this operator exists to prevent)
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLeft

@@ -47,8 +47,13 @@ object Strftime {
     'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
     'f' -> "SSSSSS", 'p' -> "a", 'j' -> "DDD",
     'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
-    'e' -> "d", 'Z' -> "zzz", 'G' -> "YYYY", 'V' -> "ww", 'u' -> "e",
+    'e' -> "d", 'Z' -> "zzz",
   )
+
+  // ISO week-based directives translate to java.time letters (Y/w/e)
+  // that Spark has BANNED since 3.0 — a mapping would always throw at
+  // action time, so reject eagerly with a clear message instead.
+  private val weekBased: Set[Char] = Set('G', 'V', 'u', 'U', 'W')
 
   /** Translate a strftime pattern to a java.time pattern. Literal runs
     * containing letters are single-quoted (java.time treats bare letters
@@ -75,6 +80,9 @@ object Strftime {
       if (c == '%' && i + 1 < fmt.length) {
         val d = fmt.charAt(i + 1)
         if (d == '%') { lit += '%'; i += 2 }
+        else if (weekBased(d)) throw new UnsupportedOperationException(
+          s"strftime %$d is week-based; Spark rejects week-based datetime " +
+            "patterns since 3.0, so this directive cannot be supported")
         else tokens.get(d) match {
           case Some(jt) => flush(); out ++= jt; i += 2
           case None     => lit += c; lit += d; i += 2

@@ -19,7 +19,11 @@ class TypesSpec extends AnyFunSuite {
 
   test("literal quoting keeps letters out of the pattern space") {
     // 'week' contains pattern letters w/e/k → must be quoted
-    assert(Strftime.toJavaTime("week %V of %Y") == "'week' ww 'of' yyyy")
+    // week-based directives are rejected eagerly: their java.time letters
+    // (Y/w/e) are banned by Spark since 3.0 and would throw at action time
+    intercept[UnsupportedOperationException] {
+      Strftime.toJavaTime("week %V of %Y")
+    }
   }
 
   test("5-type mapping is total and round-trips") {
