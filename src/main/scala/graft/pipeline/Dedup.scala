@@ -126,34 +126,69 @@ object Dedup {
   def minhashCandidatesFrom(
       sh: DataFrame, numHashes: Int, bands: Int,
   ): DataFrame = {
+    val banded = bandedSignatures(sh, numHashes, bands)
+    val a = banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Banded (doc, band, band_hash) signatures from a (doc, shingle)
+    * frame. The signature is ONE wide groupBy(doc) with numHashes
+    * min-aggregate columns (codegen'd, map-side combined) — no
+    * (doc × seed) explode, and when `sh` comes from shingleRows its
+    * window exchange already partitions by doc, so this aggregate adds
+    * NO new shuffle. (The earlier posexplode(seed)→groupBy(doc,seed)→
+    * groupBy(doc,band) formulation materialized numHashes× the rows
+    * through two exchanges.) Band fingerprint = XOR of per-(seed,
+    * minhash) hashes: commutative, overflow-free (ANSI-safe). Equal band
+    * vectors always XOR equal (recall unchanged; seeds are distinct
+    * within a band, so nothing self-cancels); an XOR collision can only
+    * ADD a candidate pair, which exact verification removes.
+    */
+  private def bandedSignatures(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    // signature = ONE wide groupBy(doc) with numHashes min-aggregate
-    // columns (codegen'd, map-side combined) — no (doc × seed) explode,
-    // and when `sh` comes from shingleRows its window exchange already
-    // partitions by doc, so this aggregate adds NO new shuffle. The
-    // earlier posexplode(seed)→groupBy(doc,seed)→groupBy(doc,band)
-    // formulation materialized numHashes× the rows through two exchanges.
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
     val sig = sh.groupBy("doc").agg(mins.head, mins.tail: _*)
-    // band fingerprint = XOR of per-(seed, minhash) hashes: commutative,
-    // overflow-free (ANSI-safe), computed row-level on the aggregated
-    // signature. Equal band vectors always XOR equal (recall unchanged;
-    // seeds are distinct within a band, so nothing self-cancels); an XOR
-    // collision can only ADD a candidate pair, which exact verification
-    // removes.
     val bandHashes = (0 until bands).map { b =>
       (b * rows until (b + 1) * rows)
         .map(i => xxhash64(lit(i), col(s"mh$i")))
         .reduce(_.bitwiseXOR(_))
     }
-    val banded = sig.select(col("doc"),
+    sig.select(col("doc"),
       posexplode(array(bandHashes: _*))).toDF("doc", "band", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
+  }
+
+  /** The banded (doc, band, band_hash) signature frame for a corpus —
+    * the persistent form of the LSH index. At 100 TB you compute this
+    * ONCE, write it out bucketed by (band, band_hash), and then check
+    * each incoming batch against it with [[incrementalCandidates]]
+    * instead of re-hashing the corpus per batch.
+    */
+  def bandIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+  ): DataFrame =
+    bandedSignatures(shingleRows(df, idCol, textCol, shingleK), numHashes, bands)
+
+  /** Candidate pairs between a NEW batch and an existing [[bandIndex]]:
+    * the batch is hashed with the same parameters and equi-joined on
+    * (band, band_hash) — corpus-side work is a bucket-pruned probe, not
+    * a recompute. Returns (doc_a = index doc, doc_b = batch doc) pairs;
+    * verify with exact Jaccard downstream as usual.
+    */
+  def incrementalCandidates(
+      index: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+  ): DataFrame = {
+    val b = bandIndex(batch, idCol, textCol, shingleK, numHashes, bands)
+    index.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
+      .join(b.select(col("band"), col("band_hash"), col("doc").as("doc_b")),
+        Seq("band", "band_hash"))
+      .where(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
 

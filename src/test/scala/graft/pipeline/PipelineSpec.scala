@@ -167,6 +167,39 @@ class PipelineSpec extends SparkSpec {
     assert(fp(0) == fp(1))
   }
 
+
+  test("incremental band index: batch probes find corpus near-dups without recompute") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark physical planning"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (11L, "nothing like anything in the corpus whatsoever at all"),
+    ).toDF("doc_id", "text")
+    val index = Dedup.bandIndex(corpus, "doc_id", "text", shingleK = 2)
+    val cands = Dedup.incrementalCandidates(index, batch, "doc_id", "text", shingleK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 10L)))
+    assert(!cands.exists(_._2 == 11L))
+    // same-parameter full candidates agree with the incremental probe
+    val full = Dedup.minhashCandidates(
+      corpus.union(batch), "doc_id", "text", shingleK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((1L, 10L)))
+  }
+
+  test("empty and degenerate corpora: no rows, all-punct docs, single doc") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(empty, "doc_id", "text").count() == 0)
+    val punct = Seq((1L, "!!! ... ???"), (2L, "abc def ghi jkl")).toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(punct, "doc_id", "text",
+      threshold = 0.1, shingleK = 2).count() == 0)
+    assert(Dedup.simhashNearDups(punct, "doc_id", "text", maxHamming = 64).count() <= 1)
+    val single = Seq((1L, "just one document here")).toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(single, "doc_id", "text").count() == 0)
+  }
+
   test("multimodal: batched decode stub preserves ids and emits fixed-width features") {
     val assets = Multimodal.syntheticAssets(spark, docs.limit(10), "doc_id")
     val decoded = Multimodal.decode(spark, assets, batchSize = 4).collect()
