@@ -87,6 +87,42 @@ object Similarity {
     corpus.withColumn("bucket", lshSignature(col(vecCol), d, planes, seed))
   }
 
+  /** Persist the LSH index as parquet PARTITIONED BY bucket — the
+    * serving layout: a probe query reads only its probe buckets'
+    * directories (partition pruning, visible as PartitionFilters in the
+    * scan), never the full corpus.
+    */
+  def writeIndexed(corpus: DataFrame, vecCol: String, path: String,
+      planes: Int = 12, seed: Long = 42L): Unit =
+    indexed(corpus, vecCol, planes, seed)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Serve an ANN query from a [[writeIndexed]] layout: the bucket
+    * predicate prunes partitions at planning time, so only
+    * `planes + 1` directories (multi-probe) of the index are scanned.
+    * Parameters must match the ones the index was written with.
+    */
+  def probeIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, planes: Int = 12, seed: Long = 42L,
+      multiProbe: Boolean = true,
+  ): DataFrame = {
+    val hp = hyperplanes(query.length, planes, seed)
+    val qSig = hp.zipWithIndex.map { case (plane, p) =>
+      val d = plane.zip(query).map { case (w, x) => w * x.toDouble }.sum
+      if (d >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+    val probes: Seq[Long] =
+      if (multiProbe) qSig +: (0 until planes).map(p => qSig ^ (1L << p))
+      else Seq(qSig)
+    spark.read.parquet(path)
+      .where(col("bucket").isin(probes: _*)) // → PartitionFilters, pruned scan
+      .select(col(idCol), round(cosine(col(vecCol), vecLit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** ANN search: scan only the query's bucket (plus Hamming-1 probe
     * buckets when `multiProbe`), exact cosine within candidates.
     */

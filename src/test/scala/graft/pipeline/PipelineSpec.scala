@@ -200,6 +200,24 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.minhashNearDups(single, "doc_id", "text").count() == 0)
   }
 
+
+  test("partition-pruned ANN serving: probeIndexed scans only probe buckets") {
+    val path = "/root/repo/target/graft-tmp/ann-index"
+    Similarity.writeIndexed(emb, "embedding", path, planes = 4)
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val served = Similarity.probeIndexed(spark, path, "vec_id", "embedding",
+      q, k = 5, planes = 4)
+    // identical parameters → identical results as the in-memory path
+    val direct = Similarity.annTopK(emb, "vec_id", "embedding", q, k = 5, planes = 4)
+    assert(served.collect().map(_.getLong(0)).toSeq ==
+      direct.collect().map(_.getLong(0)).toSeq)
+    // the scan must be partition-pruned: bucket appears as a partition
+    // filter, not a data filter over the whole index
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"expected pruned scan, got:\n${plan.take(600)}")
+  }
+
   test("multimodal: batched decode stub preserves ids and emits fixed-width features") {
     val assets = Multimodal.syntheticAssets(spark, docs.limit(10), "doc_id")
     val decoded = Multimodal.decode(spark, assets, batchSize = 4).collect()
