@@ -54,6 +54,12 @@ object Graft {
     df
   }
 
+  /** `pai.read_excel`: single-sheet xlsx → DataFrame with header + type
+    * inference (reference: pandasai/__init__.py:300-318; see
+    * graft.sources.Excel for the engine and its roundtrip contract). */
+  def readExcel(path: String, header: Boolean = true): DataFrame =
+    graft.sources.Excel.read(engine.spark, path, header)
+
   def create(path: String, df: DataFrame, description: Option[String] = None): DataFrame =
     engine.create(path, df, description)
 

@@ -22,6 +22,16 @@ class GraftSpec extends SparkSpec {
     }
   }
 
+  test("readExcel loads a sheet through the facade") {
+    Graft.configure(spark, new FakeLlm(Seq("SELECT 1 AS x")),
+      datasetsRoot = "/root/repo/target/graft-tmp/api_ds")
+    val path = "/root/repo/target/graft-tmp/api_excel.xlsx"
+    graft.sources.Excel.write(Tables.load(spark, sf, "region"), path)
+    val back = Graft.readExcel(path)
+    assert(back.count() == 5)
+    assert(back.columns.contains("r_name"))
+  }
+
   test("multi-frame chat registers every frame for the SQL surface") {
     Graft.configure(spark, new FakeLlm(Seq(
       "SELECT count(*) AS n FROM custs JOIN nats ON c_nationkey = n_nationkey")),
