@@ -517,6 +517,51 @@ object PipelineQueries {
              |ANTI JOIN drops ON c.doc_id = drops.doc
              |ORDER BY doc_id""".stripMargin)),
 
+    // Incremental near-dup detection: the corpus half is indexed ONCE
+    // (bandIndex — the layout you persist at scale), the batch half
+    // probes it, and candidates are Jaccard-verified. Oracle: exact
+    // cross-set all-pairs Jaccard (candidate recall is total on this
+    // corpus, same argument as p02 — the verify step makes the output
+    // exact whenever recall is).
+    QueryDef("p19_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = docs.where(col("doc_id") < 400)
+        val batch = docs.where(col("doc_id") >= 400)
+        val index = Dedup.bandIndex(corpus, "doc_id", "text",
+          shingleK = 3, numHashes = 32, bands = 16)
+        val cands = Dedup.incrementalCandidates(index, batch, "doc_id", "text",
+          shingleK = 3, numHashes = 32, bands = 16)
+        val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+        cands
+          .join(sets.withColumnRenamed("sid", "doc_a")
+            .withColumnRenamed("sset", "set_a"), "doc_a")
+          .join(sets.withColumnRenamed("sid", "doc_b")
+            .withColumnRenamed("sset", "set_b"), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(Dedup.jaccard(col("set_a"), col("set_b")), 6).as("jaccard"))
+          .where(col("jaccard") >= 0.12)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), sets AS (
+             |  SELECT doc_id,
+             |         list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+             |                                      i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS s
+             |  FROM toks WHERE len(toks) >= 3
+             |), j AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+             |  FROM sets a JOIN sets b ON a.doc_id < 400 AND b.doc_id >= 400
+             |)
+             |SELECT doc_a, doc_b, jaccard FROM j
+             |WHERE jaccard >= 0.12 ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Streaming windowed aggregation, batch-executed (same code path the
     // stream runs; oracle via date_trunc)
     QueryDef("p12_stream_window",
