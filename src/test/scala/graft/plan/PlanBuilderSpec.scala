@@ -93,6 +93,30 @@ class PlanBuilderSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("golden parents/children view fixture (test_view_query_builder.py:49-79)") {
+    import spark.implicits._
+    // parents(id, name), children(id FK, name), relation parents.id →
+    // children.id, view columns (parents_id, parents_name, children_name)
+    val parents = Seq((1, "alice"), (2, "bob"), (3, "carol")).toDF("id", "name")
+    val children = Seq((1, "kid_a"), (1, "kid_b"), (2, "kid_c")).toDF("id", "name")
+    val view = SemanticSchema(
+      name = "parent_children",
+      view = true,
+      columns = Seq(
+        ColumnDef("parents.id"),
+        ColumnDef("parents.name"),
+        ColumnDef("children.name"),
+      ),
+      relations = Seq(RelationDef(None, None, "parents.id", "children.id")),
+      orderBy = Seq("parents.id ASC", "children.name ASC"),
+    ).validate()
+    val df = ViewPlanBuilder.build(spark, view,
+      Map("parents" -> parents, "children" -> children)(_))
+    assert(df.columns.toSeq == Seq("parents_id", "parents_name", "children_name"))
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1, "alice", "kid_a"), (1, "alice", "kid_b"), (2, "bob", "kid_c")))
+  }
+
   test("view expression rewriting: a.b → a_b (view_query_builder.py:52-57)") {
     assert(ViewPlanBuilder.rewriteViewExpr("sum(orders.total) - fees.flat-rate")
       == "sum(orders_total) - fees_flat_rate")
