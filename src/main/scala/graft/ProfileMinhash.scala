@@ -46,7 +46,7 @@ object ProfileMinhash {
       Dedup.simhashPerDoc(docs, "doc_id", "text").count()
     }
     time("simhash neardups") {
-      Dedup.simhashNearDups(docs, "doc_id", "text", 14).count()
+      Dedup.simhashNearDups(docs, "doc_id", "text", 3).count()
     }
     spark.stop()
   }

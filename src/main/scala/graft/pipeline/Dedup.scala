@@ -283,18 +283,39 @@ object Dedup {
         .reduce((a, c) => a.bitwiseOR(c)).as("fp"))
   }
 
-  /** SimHash near-dup pairs: bucket by 16-bit bands of the fingerprint
-    * (pigeonhole: ≤3 differing bits ⇒ at least one of 4 bands identical),
-    * verify with bit_count(xor) ≤ maxHamming.
+  /** Fingerprint band layout for a Hamming radius: `maxHamming + 1`
+    * disjoint contiguous bit ranges (clamped to 64 one-bit bands), so by
+    * pigeonhole any two fingerprints differing in ≤ maxHamming bits agree
+    * on AT LEAST ONE whole band — candidate recall within the radius is
+    * total, not probabilistic. The 64 bits are spread as evenly as
+    * possible (the first `64 % bands` bands get one extra bit).
+    *
+    * @return (bitOffset, width) per band
     */
-  def simhashNearDups(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
-      hashFn: Column => Column = xxhash64(_),
-  ): DataFrame = {
-    val fp = simhashPerDoc(df, idCol, textCol, hashFn)
-    val banded = fp.select(col("doc"), col("fp"), posexplode(
-      transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL))))
+  private[pipeline] def simhashBandLayout(maxHamming: Int): Seq[(Int, Int)] = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val bands = math.min(maxHamming + 1, 64)
+    val base = 64 / bands
+    val extra = 64 % bands
+    val widths = Seq.fill(extra)(base + 1) ++ Seq.fill(bands - extra)(base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** SimHash near-dup pairs from a (doc, fp) fingerprint frame: bucket by
+    * the [[simhashBandLayout]] bands (completeness guarantee: every pair
+    * within maxHamming bits shares a band, so the banded equi-join finds
+    * ALL of them — the verify step only removes band collisions beyond
+    * the radius, never true positives). Radii ≥ 64 cannot be banded (two
+    * fingerprints may differ everywhere); callers wanting all-pairs at
+    * that radius should cross-join explicitly.
+    */
+  def simhashCandidatesFromFp(fp: DataFrame, maxHamming: Int): DataFrame = {
+    val bandVals = simhashBandLayout(maxHamming).map { case (off, w) =>
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      shiftright(col("fp"), off).bitwiseAND(mask)
+    }
+    val banded = fp.select(col("doc"), col("fp"),
+      posexplode(array(bandVals: _*)))
       .toDF("doc", "fp", "band", "band_val")
     val a = banded.select(col("band"), col("band_val"),
       col("doc").as("doc_a"), col("fp").as("fp_a"))
@@ -309,6 +330,17 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SimHash near-dup pairs over a text corpus: fingerprint per doc, then
+    * banded candidates + Hamming verify via [[simhashCandidatesFromFp]].
+    * Returns exactly the pairs with Hamming(fp_a, fp_b) ≤ maxHamming
+    * (for maxHamming ≤ 63 — see the band-layout guarantee).
+    */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      hashFn: Column => Column = xxhash64(_),
+  ): DataFrame =
+    simhashCandidatesFromFp(simhashPerDoc(df, idCol, textCol, hashFn), maxHamming)
 
   /** Connected components over near-dup pairs by iterative min-label
     * propagation (the classic large-star/small-star simplification):

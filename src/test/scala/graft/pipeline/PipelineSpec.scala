@@ -57,6 +57,33 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("simhash banding: ALL pairs within maxHamming are candidates (pigeonhole guarantee)") {
+    // seeded fingerprints: base points plus perturbations at exactly
+    // 1..maxHamming+2 flipped bits, so the corpus has true positives at
+    // every distance inside the radius AND negatives just outside it
+    val rnd = new scala.util.Random(42)
+    val maxHamming = 5
+    val fps = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var id = 0L
+    for (_ <- 0 until 20) {
+      val base = rnd.nextLong()
+      fps += ((id, base)); id += 1
+      for (flips <- 1 to maxHamming + 2) {
+        val bits = rnd.shuffle((0 until 64).toList).take(flips)
+        fps += ((id, bits.foldLeft(base)((v, b) => v ^ (1L << b)))); id += 1
+      }
+    }
+    val fpDf = fps.toSeq.toDF("doc", "fp")
+    val got = Dedup.simhashCandidatesFromFp(fpDf, maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      if java.lang.Long.bitCount(fa ^ fb) <= maxHamming
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty && want.size < fps.size * (fps.size - 1) / 2)
+    assert(got == want, "banded candidates must equal the exact all-pairs answer within the radius")
+  }
+
   test("near-dup clusters: non-convergence throws instead of returning partial labels") {
     // a 5-node chain needs >1 round of min-label propagation; maxIter=1
     // must fail loudly, not silently return a partial labeling
