@@ -17,8 +17,9 @@ object Bench {
     "r17_topk", "u2_execute_sql", "t10_normalize", "t25_validate_foreign_key",
     "p01_dedup_exact", "p02_dedup_minhash", "p03_dedup_simhash",
     "p06_ann_bruteforce", "p08_ann_join", "p09_text_stats",
-    "p10_text_analysis", "p12_stream_window", "p14_ann_ivf",
-    "p16_asof_join", "p17_range_join", "p18_sessionize")
+    "p10_text_analysis", "p12_stream_window", "p13_neardup_dedup",
+    "p14_ann_ivf", "p15_clean_corpus", "p16_asof_join",
+    "p17_range_join", "p18_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
