@@ -5,6 +5,7 @@ import graft.Tables
 import graft.engine.Engine
 import graft.plan.DatasetPlanBuilder
 import graft.schema._
+import graft.sources.Jdbc
 
 /** SURVEY §2.1 sources/sinks (S1, S3–S5, S9–S11) and the semantic-layer
   * L1 paths: compiled dataset plans and relation-joined views (R5).
@@ -52,6 +53,26 @@ object SourceQueries {
       Tables.registerAll(s, dir)
       s.sql("SELECT n_name, n_regionkey FROM nation ORDER BY n_name")
     }, Some("SELECT n_name, n_regionkey FROM nation ORDER BY n_name")),
+
+    // S6 — JDBC source end-to-end: nation seeded into an embedded Derby
+    // database (the only serverless JDBC engine in the sandbox — it ships
+    // on Spark's classpath), then loaded back through a remote-typed
+    // schema.yaml whose connection carries an explicit url + driver, i.e.
+    // the exact readSource branch a real postgres/mysql source takes
+    // (reference: extensions/connectors/sql/pandasai_sql/__init__.py:8-84).
+    QueryDef("s06_jdbc", (s, dir) => {
+      val url = Jdbc.derbyUrl("graft-s06-db")
+      Jdbc.seed(Tables.load(s, dir, "nation"), url, "nation")
+      val engine = new Engine(s, s"$tmpRoot/datasets")
+      val schema = SemanticSchema(
+        name = "nation_jdbc",
+        description = Some("nation over JDBC"),
+        source = Some(SourceDef("postgres", table = Some("nation"),
+          connection = Map("url" -> url, "driver" -> Jdbc.DerbyDriver))))
+      engine.createFromSchema("graft/nation_jdbc", schema)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
 
     // S9/S10 — dataset store + load round-trip: write data.parquet +
     // schema.yaml under datasets/org/name, reload through the loader
