@@ -54,11 +54,32 @@ object Graft {
     df
   }
 
-  /** `pai.read_excel`: single-sheet xlsx → DataFrame with header + type
-    * inference (reference: pandasai/__init__.py:300-318; see
-    * graft.sources.Excel for the engine and its roundtrip contract). */
+  /** `pai.read_excel` with the default `sheet_name=0`: first sheet →
+    * DataFrame with header + type inference (reference:
+    * pandasai/__init__.py:300-318; see graft.sources.Excel for the
+    * engine and its roundtrip contract). */
   def readExcel(path: String, header: Boolean = true): DataFrame =
     graft.sources.Excel.read(engine.spark, path, header)
+
+  /** `pai.read_excel(path, sheet_name=<int|str>)`: one named/indexed
+    * sheet. */
+  def readExcel(path: String, sheet: Int): DataFrame =
+    graft.sources.Excel.readSheet(engine.spark, path, sheet)
+
+  def readExcel(path: String, sheet: String): DataFrame =
+    graft.sources.Excel.readSheet(engine.spark, path, sheet)
+
+  /** `pai.read_excel(path, sheet_name=None)`: ALL sheets as an ordered
+    * (sheetName → frame) map; each frame is also registered under the
+    * reference's sanitized `file_sheet` table name
+    * (pandasai/__init__.py:311-318), so L2 SQL can join across sheets. */
+  def readExcelAll(path: String, header: Boolean = true): Seq[(String, DataFrame)] = {
+    val frames = graft.sources.Excel.readAll(engine.spark, path, header)
+    frames.foreach { case (sheet, df) =>
+      engine.register(s"${SqlGate.sanitizeFileName(path)}_$sheet", df)
+    }
+    frames
+  }
 
   def create(path: String, df: DataFrame, description: Option[String] = None): DataFrame =
     engine.create(path, df, description)

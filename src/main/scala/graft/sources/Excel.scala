@@ -28,12 +28,62 @@ object Excel {
 
   // --- read ---------------------------------------------------------
 
+  /** Default read = the workbook's FIRST sheet, matching the reference's
+    * `sheet_name=0` default (pandasai/__init__.py:300-310). */
   def read(spark: SparkSession, path: String, header: Boolean = true,
-      inferSchema: Boolean = true): DataFrame = {
+      inferSchema: Boolean = true): DataFrame =
+    withWorkbook(path) { zf =>
+      readSheetAt(spark, zf, sheetEntries(zf).head._2, header, inferSchema)
+    }
+
+  /** Declared sheet names, in workbook order. */
+  def sheetNames(path: String): Seq[String] =
+    withWorkbook(path)(zf => sheetEntries(zf).map(_._1))
+
+  /** One sheet by 0-based index (reference `sheet_name=<int>`). */
+  def readSheet(spark: SparkSession, path: String, sheet: Int,
+      header: Boolean = true, inferSchema: Boolean = true): DataFrame =
+    withWorkbook(path) { zf =>
+      val entries = sheetEntries(zf)
+      require(sheet >= 0 && sheet < entries.length,
+        s"sheet index $sheet out of range (workbook has ${entries.length} sheets)")
+      readSheetAt(spark, zf, entries(sheet)._2, header, inferSchema)
+    }
+
+  /** One sheet by name (reference `sheet_name=<str>`). */
+  def readSheet(spark: SparkSession, path: String, sheet: String,
+      header: Boolean, inferSchema: Boolean): DataFrame =
+    withWorkbook(path) { zf =>
+      val entries = sheetEntries(zf)
+      val target = entries.collectFirst { case (n, p) if n == sheet => p }
+        .getOrElse(throw new IllegalArgumentException(
+          s"no sheet named '$sheet' (have: ${entries.map(_._1).mkString(", ")})"))
+      readSheetAt(spark, zf, target, header, inferSchema)
+    }
+
+  def readSheet(spark: SparkSession, path: String, sheet: String): DataFrame =
+    readSheet(spark, path, sheet, header = true, inferSchema = true)
+
+  /** ALL sheets, in workbook order (reference `sheet_name=None` →
+    * dict of frames keyed by sheet name). Returned ordered so callers
+    * can rebuild the reference's dict (or register `file_sheet` views —
+    * see Graft.readExcelAll) without losing workbook order. */
+  def readAll(spark: SparkSession, path: String, header: Boolean = true,
+      inferSchema: Boolean = true): Seq[(String, DataFrame)] =
+    withWorkbook(path) { zf =>
+      sheetEntries(zf).map { case (name, p) =>
+        name -> readSheetAt(spark, zf, p, header, inferSchema)
+      }
+    }
+
+  private def withWorkbook[A](path: String)(f: ZipFile => A): A = {
     val zf = new ZipFile(path)
-    try {
+    try f(zf) finally zf.close()
+  }
+
+  private def readSheetAt(spark: SparkSession, zf: ZipFile, sheetPath: String,
+      header: Boolean, inferSchema: Boolean): DataFrame = {
       val shared = readSharedStrings(zf)
-      val sheetPath = firstSheetPath(zf)
       val rows = readSheet(zf, sheetPath, shared)
       if (rows.isEmpty) return spark.emptyDataFrame
       val width = rows.map(_.length).max
@@ -61,7 +111,6 @@ object Excel {
       }
       spark.createDataFrame(
         spark.sparkContext.parallelize(coerced.toSeq), schema)
-    } finally zf.close()
   }
 
   private def readSharedStrings(zf: ZipFile): IndexedSeq[String] = {
@@ -76,20 +125,26 @@ object Excel {
     }
   }
 
-  private def firstSheetPath(zf: ZipFile): String = {
-    // deterministic default: the workbook's first declared sheet; its
-    // r:id maps to a target in the workbook rels
+  /** (sheetName, zipEntryPath) per declared sheet, in workbook order;
+    * each sheet's r:id maps to a worksheet target in the workbook rels. */
+  private def sheetEntries(zf: ZipFile): Seq[(String, String)] = {
     val wb = parseXml(zf, zf.getEntry("xl/workbook.xml"))
     val sheets = wb.getElementsByTagName("sheet")
     require(sheets.getLength > 0, "xlsx has no sheets")
-    val rid = sheets.item(0).getAttributes.getNamedItem("r:id").getNodeValue
     val rels = parseXml(zf, zf.getEntry("xl/_rels/workbook.xml.rels"))
     val rs = rels.getElementsByTagName("Relationship")
-    val target = (0 until rs.getLength).map(_.toInt).collectFirst {
-      case i if rs.item(i).getAttributes.getNamedItem("Id").getNodeValue == rid =>
+    val relTargets = (0 until rs.getLength).map { i =>
+      rs.item(i).getAttributes.getNamedItem("Id").getNodeValue ->
         rs.item(i).getAttributes.getNamedItem("Target").getNodeValue
-    }.getOrElse(throw new IllegalArgumentException(s"no rel for sheet $rid"))
-    if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+    }.toMap
+    (0 until sheets.getLength).map { i =>
+      val attrs = sheets.item(i).getAttributes
+      val name = attrs.getNamedItem("name").getNodeValue
+      val rid = attrs.getNamedItem("r:id").getNodeValue
+      val target = relTargets.getOrElse(rid,
+        throw new IllegalArgumentException(s"no rel for sheet $rid"))
+      name -> (if (target.startsWith("/")) target.drop(1) else s"xl/$target")
+    }
   }
 
   private def readSheet(zf: ZipFile, sheetPath: String,
@@ -180,9 +235,14 @@ object Excel {
     * representation for them here (real Excel dates are style-tagged
     * serial numbers, deliberately out of scope).
     */
-  def write(df: DataFrame, path: String): Unit = {
-    val rows = df.collect()
-    val names = df.schema.fieldNames
+  def write(df: DataFrame, path: String): Unit =
+    writeSheets(Seq("Sheet1" -> df), path)
+
+  /** Multi-sheet variant: one worksheet per (name, frame), in order. */
+  def writeSheets(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    require(sheets.nonEmpty, "writeSheets needs at least one sheet")
+    require(sheets.map(_._1).distinct.length == sheets.length,
+      "sheet names must be unique")
     val out = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     def entry(name: String, content: String): Unit = {
       out.putNextEntry(new ZipEntry(name))
@@ -209,44 +269,57 @@ object Excel {
       sb.toString
     }
     try {
+      val overrides = sheets.indices.map(i =>
+        s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+        .mkString("\n")
       entry("[Content_Types].xml",
-        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
           |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
           |<Default Extension="xml" ContentType="application/xml"/>
           |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |$overrides
           |</Types>""".stripMargin)
       entry("_rels/.rels",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
           |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
           |</Relationships>""".stripMargin)
+      val sheetDecls = sheets.zipWithIndex.map { case ((name, _), i) =>
+        s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      }.mkString
       entry("xl/workbook.xml",
-        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-          |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+          |<sheets>$sheetDecls</sheets>
           |</workbook>""".stripMargin)
+      val sheetRels = sheets.indices.map(i =>
+        s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""")
+        .mkString("\n")
       entry("xl/_rels/workbook.xml.rels",
-        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |$sheetRels
           |</Relationships>""".stripMargin)
-      val sb = new StringBuilder
-      sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-      sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
-      sb.append("<row r=\"1\">")
-      names.zipWithIndex.foreach { case (n, i) => sb.append(cellXml(s"${colRef(i)}1", n)) }
-      sb.append("</row>")
-      rows.zipWithIndex.foreach { case (row, r) =>
-        sb.append(s"""<row r="${r + 2}">""")
-        (0 until row.length).foreach { i =>
-          sb.append(cellXml(s"${colRef(i)}${r + 2}", row.get(i)))
-        }
+      sheets.zipWithIndex.foreach { case ((_, df), si) =>
+        val rows = df.collect()
+        val names = df.schema.fieldNames
+        val sb = new StringBuilder
+        sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+        sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+        sb.append("<row r=\"1\">")
+        names.zipWithIndex.foreach { case (n, i) => sb.append(cellXml(s"${colRef(i)}1", n)) }
         sb.append("</row>")
+        rows.zipWithIndex.foreach { case (row, r) =>
+          sb.append(s"""<row r="${r + 2}">""")
+          (0 until row.length).foreach { i =>
+            sb.append(cellXml(s"${colRef(i)}${r + 2}", row.get(i)))
+          }
+          sb.append("</row>")
+        }
+        sb.append("</sheetData></worksheet>")
+        entry(s"xl/worksheets/sheet${si + 1}.xml", sb.toString)
       }
-      sb.append("</sheetData></worksheet>")
-      entry("xl/worksheets/sheet1.xml", sb.toString)
     } finally out.close()
   }
 }

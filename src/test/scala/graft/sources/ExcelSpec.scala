@@ -47,6 +47,29 @@ class ExcelSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("d") == 1.5)
   }
 
+  test("multi-sheet: write N sheets, read back by index, name, and all") {
+    val path = s"$tmp/multi-spec.xlsx"
+    val nation = Tables.load(spark, sf, "nation")
+    val region = Tables.load(spark, sf, "region")
+    Excel.writeSheets(Seq("nations" -> nation, "regions" -> region), path)
+
+    assert(Excel.sheetNames(path) == Seq("nations", "regions"))
+    // default read = first sheet, unchanged by the multi-sheet support
+    assert(Excel.read(spark, path).count() == nation.count())
+    assert(Excel.readSheet(spark, path, 1).count() == region.count())
+    assert(Excel.readSheet(spark, path, "regions").columns.toSeq ==
+      region.columns.toSeq)
+    val all = Excel.readAll(spark, path)
+    assert(all.map(_._1) == Seq("nations", "regions"))
+    assert(all.toMap.apply("nations").count() == nation.count())
+    val e = intercept[IllegalArgumentException](
+      Excel.readSheet(spark, path, "nope"))
+    assert(e.getMessage.contains("no sheet named"))
+    val e2 = intercept[IllegalArgumentException](
+      Excel.readSheet(spark, path, 2))
+    assert(e2.getMessage.contains("out of range"))
+  }
+
   test("large integers roundtrip exactly (no double truncation)") {
     val path = s"$tmp/bigint-spec.xlsx"
     val big = 9007199254740993L // 2^53 + 1: not representable as a double
