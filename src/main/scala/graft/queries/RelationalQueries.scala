@@ -343,7 +343,7 @@ object RelationalQueries {
     QueryDef("r13_pagination",
       (s, dir) => Paginator.paginate(
         Tables.load(s, dir, "customer"),
-        Paginator.Params(page = 2, pageSize = 15, search = Some("FURNITURE"),
+        Paginator.Params(page = 3, pageSize = 15, search = Some("FURNITURE"),
           sortBy = Some("c_custkey"), sortOrder = "asc")),
       Some("""SELECT * FROM customer
               WHERE c_name ILIKE '%FURNITURE%' OR c_mktsegment ILIKE '%FURNITURE%'

@@ -75,7 +75,7 @@ class EngineSpec extends SparkSpec {
     assert(rows.length <= 10)
     // numeric search term matches numeric columns by equality
     val byKey = Paginator.paginate(df, Paginator.Params(
-      page = 0, pageSize = 5, search = Some("7")))
+      page = 1, pageSize = 5, search = Some("7")))
     assert(byKey.count() >= 1)
   }
 
