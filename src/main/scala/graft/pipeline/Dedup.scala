@@ -351,9 +351,14 @@ object Dedup {
     * so this converges in 2–3 iterations.
     *
     * @param pairs frame with (doc_a, doc_b) edges
+    * @param onIteration observer invoked after each propagation round
+    *                    with (round, seconds) — lets scale benches record
+    *                    the per-iteration constant without re-deriving
+    *                    the loop (see PLANS.md "cluster loop at scale")
     * @return (doc, label) — label = cluster representative (min id)
     */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10,
+      onIteration: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     // throws on non-convergence (see loop exit below): a silently
     // partial labeling would keep >1 representative per cluster with no
     // signal; callers with pathologically deep chains raise maxIter.
@@ -366,6 +371,7 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val t0 = System.nanoTime()
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc", "nb"), col("dst") === col("nb"))
         .groupBy(col("src")).agg(min("label").as("nlabel"))
@@ -378,6 +384,7 @@ object Dedup {
         .where(col("label") =!= col("old")).isEmpty
       labels = next
       i += 1
+      onIteration(i, (System.nanoTime() - t0) / 1e9)
     }
     if (!converged)
       throw new IllegalStateException(
