@@ -43,6 +43,12 @@ final class Memory(val memorySize: Int = 10) {
     msgs.takeRight(memorySize).map { case (t, u) =>
       if (u) s"### QUERY\n $t" else s"### ANSWER\n $t"
     }.mkString("\n")
+  /** Everything but the latest message (memory.py:58-63) — the prompt
+    * shows the current question separately under its own heading. */
+  def getPreviousConversation: String =
+    msgs.dropRight(1).takeRight(memorySize).map { case (t, u) =>
+      if (u) s"### QUERY\n $t" else s"### ANSWER\n $t"
+    }.mkString("\n")
   def clear(): Unit = msgs.clear()
 }
 
@@ -79,25 +85,72 @@ final class Agent(
     val engine: Engine,
     val llm: Llm,
     val maxRetries: Int = 3,
+    val description: Option[String] = None,
+    val skills: Option[SkillRegistry] = None,
 ) {
   val memory = new Memory()
 
-  def buildPrompt(question: String, errorContext: Option[String]): String = {
-    val tables = engine.knownTables.toSeq.sorted.map { t =>
+  /** The `<tables>` block: every registered frame serialized
+    * (templates/generate_python_code_with_sql.tmpl lines 1-5 +
+    * shared/dataframe.tmpl). */
+  private def tablesBlock: String =
+    engine.knownTables.toSeq.sorted.map { t =>
       Serializer.serialize(t, engine.table(t))
-    }.mkString("\n\n")
-    val base =
-      s"""You are an analytics engine. The following tables are available:
-$tables
+    }.mkString("<tables>\n", "\n\n", "\n</tables>")
 
-${memory.getConversation}
+  /** Provided-functions block (shared/sql_functions.tmpl): the SQL
+    * entry point plus any registered skills, advertised so generated
+    * SQL may call them but never redefine them. */
+  private def functionsBlock: String = {
+    val skillLines = skills.map(_.describeForPrompt).filter(_.nonEmpty)
+      .fold("")(s => s"\n$s")
+    s"""The following functions have already been provided. Please use them as needed and do not redefine them.
+<function>
+executeSqlQuery(sql: String): DataFrame — runs one SELECT against the tables above
+</function>$skillLines"""
+  }
 
+  /** First-attempt prompt (generate_python_code_with_sql.tmpl with the
+    * SQL-only contract of SURVEY §3.1; system preamble per
+    * generate_system_message.tmpl — agent description first, prior
+    * conversation under a PREVIOUS CONVERSATION heading when present).
+    */
+  def buildPrompt(question: String): String = {
+    val preamble = description.fold("You are an analytics engine.")(d => d)
+    val previous =
+      if (memory.count > 1) s"\n### PREVIOUS CONVERSATION\n${memory.getPreviousConversation}\n"
+      else ""
+    s"""$preamble
+$tablesBlock
+
+$functionsBlock
+$previous
 ### QUERY
  $question
 
-Write ONE Spark SQL SELECT statement that answers the query. Do aggregation, sorting, joins and groupby through the sql query. Return only SQL."""
-    errorContext.fold(base)(e => s"$base\n\nThe previous attempt failed with:\n$e\nFix the query.")
+Write ONE Spark SQL SELECT statement that answers the query. Return only SQL.
+
+### Note: Use only relevant table for query and do aggregation, sorting, joins and groupby through sql query"""
   }
+
+  /** Error-correction prompt
+    * (correct_execute_sql_query_usage_error_prompt.tmpl): tables +
+    * functions + conversation + the failed attempt + the error. */
+  def buildCorrectionPrompt(failedSql: String, error: String): String =
+    s"""$tablesBlock
+
+$functionsBlock
+
+The user asked the following question:
+${memory.getConversation}
+
+You generated the following SQL query:
+$failedSql
+
+However, it resulted in the following error:
+$error
+
+Fix the sql query above and return the new sql query. Return only SQL."""
 
   /** Strip markdown fences the LLM may wrap around the SQL. */
   def extractSql(raw: String): String = {
@@ -110,10 +163,14 @@ Write ONE Spark SQL SELECT statement that answers the query. Do aggregation, sor
     */
   def chat(question: String): Response = {
     memory.add(question, isUser = true)
-    var err: Option[String] = None
+    var failed: Option[(String, String)] = None // (sql, error)
     var attempt = 0
     while (attempt <= maxRetries) {
-      val sql = extractSql(llm.generate(buildPrompt(question, err)))
+      val prompt = failed match {
+        case None               => buildPrompt(question)
+        case Some((sql, error)) => buildCorrectionPrompt(sql, error)
+      }
+      val sql = extractSql(llm.generate(prompt))
       try {
         val out = engine.executeSqlQuery(sql)
         val resp = Response.fromResult(out)
@@ -121,11 +178,11 @@ Write ONE Spark SQL SELECT statement that answers the query. Do aggregation, sor
         return resp
       } catch {
         case e: Exception =>
-          err = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          failed = Some((sql, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
           attempt += 1
       }
     }
-    ErrorR(s"query failed after ${maxRetries + 1} attempts: ${err.getOrElse("")}")
+    ErrorR(s"query failed after ${maxRetries + 1} attempts: ${failed.map(_._2).getOrElse("")}")
   }
 }
 

@@ -34,9 +34,10 @@ object Graft {
       llm: Llm,
       datasetsRoot: String = "datasets",
       maxRetries: Int = 3,
+      description: Option[String] = None,
   ): Engine = synchronized {
     val engine = new Engine(spark, datasetsRoot)
-    state = Some((engine, new Agent(engine, llm, maxRetries)))
+    state = Some((engine, new Agent(engine, llm, maxRetries, description)))
     engine
   }
 

@@ -41,7 +41,40 @@ class AgentSpec extends SparkSpec {
       case other      => fail(s"expected NumberR after retry, got $other")
     }
     assert(llm.prompts.size == 2)
-    assert(llm.prompts(1).contains("previous attempt failed"))
+    // correction prompt carries the failed attempt + its error
+    // (correct_execute_sql_query_usage_error_prompt.tmpl shape)
+    assert(llm.prompts(1).contains("You generated the following SQL query"))
+    assert(llm.prompts(1).contains("SELECT * FROM does_not_exist"))
+    assert(llm.prompts(1).contains("However, it resulted in the following error"))
+  }
+
+  test("prompt structure mirrors the reference templates") {
+    val llm = new FakeLlm(Seq("SELECT count(*) AS n FROM region"))
+    val reg0 = engineWithTables()
+    val skills = new SkillRegistry(reg0)
+    skills.register("double_it", "doubles a number",
+      org.apache.spark.sql.functions.udf((x: Long) => x * 2))
+    val agent = new Agent(reg0, llm, description = Some("You are a TPC-H analyst."),
+      skills = Some(skills))
+    agent.chat("how many regions?")
+    val p = llm.prompts.head
+    assert(p.startsWith("You are a TPC-H analyst."))
+    assert(p.contains("<tables>") && p.contains("</tables>"))
+    assert(p.contains("The following functions have already been provided"))
+    assert(p.contains("double_it"))
+    // first turn: no previous-conversation block (memory.count == 1)
+    assert(!p.contains("### PREVIOUS CONVERSATION"))
+    assert(p.contains("### QUERY\n how many regions?"))
+
+    agent.chat("and nations?")
+    val p2 = llm.prompts.last
+    // second turn: prior turn shows under PREVIOUS CONVERSATION, current
+    // question under QUERY only (generate_system_message.tmpl semantics)
+    assert(p2.contains("### PREVIOUS CONVERSATION"))
+    assert(p2.contains("how many regions?"))
+    assert(p2.contains("### QUERY\n and nations?"))
+    assert(!p2.replaceFirst("\\Q### QUERY\n and nations?\\E", "")
+      .contains("### QUERY\n and nations?"))
   }
 
   test("exhausted retries yield ErrorR (agent/base.py:171-216 semantics)") {
