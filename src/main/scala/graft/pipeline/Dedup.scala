@@ -192,6 +192,37 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Decontamination: drop corpus docs that share at least `minOverlap`
+    * distinct word k-shingles with a held-out blocklist (benchmark /
+    * eval sets) — the n-gram-overlap screen the large-LM training
+    * pipelines run before training (public method; e.g. the 13-gram
+    * overlap filters described in the GPT-3 and PaLM reports).
+    *
+    * Scale shape: the blocklist is benchmark-sized by definition, so its
+    * distinct shingle set is broadcast — the corpus side is one scan +
+    * the shingle window, the overlap count reuses the window's doc
+    * partitioning (no extra exchange), and contaminated ids come back as
+    * a broadcast anti-join. Nothing shuffles the corpus by shingle.
+    *
+    * @return the surviving corpus rows (original columns, unchanged)
+    */
+  def decontaminate(
+      corpus: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, blockIdCol: String, blockTextCol: String,
+      shingleK: Int = 8, minOverlap: Int = 1,
+  ): DataFrame = {
+    val blockShingles = shingleRows(blocklist, blockIdCol, blockTextCol, shingleK)
+      .select("shingle").distinct()
+    val contaminated = shingleRows(corpus, idCol, textCol, shingleK)
+      .join(broadcast(blockShingles), Seq("shingle"))
+      .groupBy("doc")
+      .agg(countDistinct("shingle").as("__overlap"))
+      .where(col("__overlap") >= minOverlap)
+      .select(col("doc"))
+    corpus.join(broadcast(contaminated),
+      corpus(idCol) === contaminated("doc"), "left_anti")
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(setA: Column, setB: Column): Column =
     size(array_intersect(setA, setB)).cast("double") /

@@ -225,6 +225,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    * cluster the embeddings with the IVF coarse quantizer, then inside
+    * each cluster drop every vector that has a smaller-id neighbor with
+    * cosine ≥ `threshold` (the greedy one-representative-per-ε-ball
+    * policy, deterministic by id order). Pairwise comparison happens
+    * ONLY within a cluster — the candidate join is an equi-join on
+    * `centroid`, never a crossJoin, so the pair count is Σ n_c² over
+    * cells rather than n². At scale, `k` is what bounds cell size:
+    * SemDeDup runs with k in the tens of thousands on web corpora; pick
+    * k ≈ corpus/10k so cells stay comparable-sized.
+    *
+    * @return the surviving rows (original columns + `centroid`)
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 8, iters: Int = 2,
+      persistAssigned: Boolean = true,
+  ): DataFrame = {
+    val index = ivfTrain(corpus, idCol, vecCol, k, iters)
+    // the assignment feeds both sides of the pair join AND the surviving
+    // output — caching it computes the k dot products once per row
+    // (same tradeoff note as minhashNearDups.persistShingles)
+    val assigned0 = ivfIndex(corpus, vecCol, index)
+    val assigned =
+      if (persistAssigned)
+        assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else assigned0
+    val a = assigned.select(col("centroid"),
+      col(idCol).as("__id_a"), col(vecCol).as("__vec_a"))
+    val b = assigned.select(col("centroid"),
+      col(idCol).as("__id_b"), col(vecCol).as("__vec_b"))
+    val drops = a.join(b, Seq("centroid"))
+      .where(col("__id_a") < col("__id_b"))
+      .where(round(cosine(col("__vec_a"), col("__vec_b")), 6) >= threshold)
+      .select(col("__id_b").as("__drop")).distinct()
+    assigned.join(drops, assigned(idCol) === drops("__drop"), "left_anti")
+  }
+
   /** Batch k-NN join: for EVERY query row, its top-k corpus neighbors via
     * shared LSH buckets — an equi-join on bucket, ranked per query. This
     * is the scale path for "join 1M queries against 10B vectors": shuffle

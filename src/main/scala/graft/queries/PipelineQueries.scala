@@ -100,9 +100,11 @@ object PipelineQueries {
       s"(CASE WHEN list_dot_product($col, ${p.mkString("[", ",", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** DuckDB replay of Similarity.ivfTrain(k=8, iters=2) + ivfTopK
-    * (nprobe=3) for the p14 query — see the QueryDef comment. */
-  private val ivfOracleSql: String =
+  /** DuckDB replay of Similarity.ivfTrain(k=8, iters=2)'s full training
+    * trajectory — Knuth-hash init, two Lloyd rounds, final assignment
+    * (`a3` = vec_id, e, cid). Shared prefix of the p14 (ANN serving) and
+    * p20 (semantic dedup) oracles. */
+  private val ivfAssignSql: String =
     """WITH v AS (
     |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
     |         CAST((vec_id % 100000) * 2654435761 % 8 AS INT) AS c0a
@@ -146,7 +148,12 @@ object PipelineQueries {
     |                              ORDER BY list_dot_product(v.e, c2.c) DESC, c2.cid DESC) AS rn
     |    FROM v, c2
     |  ) WHERE rn = 1
-    |), q AS (
+    |)""".stripMargin
+
+  /** p14 oracle: [[ivfAssignSql]] + probe selection + in-cell exact
+    * cosine top-k. */
+  private val ivfOracleSql: String = ivfAssignSql +
+    """, q AS (
     |  SELECT e AS qe FROM v WHERE vec_id = 0
     |), probes AS (
     |  SELECT cid FROM c2, q ORDER BY list_dot_product(c2.c, q.qe) DESC, cid ASC LIMIT 3
@@ -154,6 +161,20 @@ object PipelineQueries {
     |SELECT a3.vec_id, ROUND(list_cosine_similarity(a3.e, q.qe), 6) AS cosine
     |FROM a3, q WHERE a3.cid IN (SELECT cid FROM probes)
     |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** p20 oracle: [[ivfAssignSql]] + the greedy within-cell drop rule —
+    * a vector is dropped iff some smaller-id vector in the SAME cell has
+    * cosine ≥ threshold with it (Similarity.semanticDedup semantics). */
+  private def semanticDedupOracleSql(threshold: String): String =
+    ivfAssignSql +
+      s""", dups AS (
+      |  SELECT DISTINCT b.vec_id AS d
+      |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= $threshold
+      |)
+      |SELECT vec_id, CAST(cid AS INT) AS centroid FROM a3
+      |WHERE vec_id NOT IN (SELECT d FROM dups)
+      |ORDER BY vec_id""".stripMargin
 
   /** DuckDB replay of the FNV-simhash near-dup pipeline (p03): FNV-1a
     * via list_reduce in HUGEINT arithmetic, bit votes, fingerprint — then
@@ -575,5 +596,63 @@ object PipelineQueries {
               COUNT(*) AS n_events,
               ROUND(SUM(value), 4) AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // SemDeDup-style semantic dedup: IVF clustering (same trained
+    // trajectory as p14), then greedy within-cell drop of any vector
+    // with a smaller-id neighbor at cosine ≥ 0.30. Oracle replays
+    // training + assignment + the drop rule exactly.
+    QueryDef("p20_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.30, k = 8, iters = 2)
+        .select("vec_id", "centroid")
+        .orderBy("vec_id"),
+      Some(semanticDedupOracleSql("0.30"))),
+
+    // Decontamination: corpus docs sharing ≥3 distinct 8-gram shingles
+    // with the held-out blocklist (doc_id % 20 == 0 plays the benchmark)
+    // are removed. Oracle replays the shingle construction and the
+    // distinct-overlap count.
+    QueryDef("p21_decontaminate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = docs.where(pmod(col("doc_id"), lit(20)) =!= 0)
+        val block = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+        Dedup.decontaminate(corpus, "doc_id", "text", block, "doc_id", "text",
+          shingleK = 8, minOverlap = 3)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, lang, source, text
+             |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 20 <> 0
+             |), block AS (
+             |  SELECT text FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 20 = 0
+             |), btoks AS (
+             |  SELECT list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM block
+             |), bsh AS (
+             |  SELECT DISTINCT shingle FROM (
+             |    SELECT unnest(list_transform(range(1, len(toks) - 8 + 2),
+             |                                 i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
+             |    FROM btoks WHERE len(toks) >= 8
+             |  )
+             |), ctoks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM corpus
+             |), csh AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8 + 2),
+             |                                       i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
+             |  FROM ctoks WHERE len(toks) >= 8
+             |), contaminated AS (
+             |  SELECT doc_id FROM csh JOIN bsh USING (shingle)
+             |  GROUP BY doc_id HAVING COUNT(DISTINCT shingle) >= 3
+             |)
+             |SELECT c.doc_id, c.lang, c.source FROM corpus c
+             |ANTI JOIN contaminated ON c.doc_id = contaminated.doc_id
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

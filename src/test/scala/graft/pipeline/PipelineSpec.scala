@@ -116,6 +116,45 @@ class PipelineSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L)) // 2,3 dropped; isolated 4 kept
   }
 
+  test("semanticDedup drops within-cell near-identicals, keeps min id, no crossJoin") {
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.999999, k = 4)
+    // near-exact threshold: only true twins drop; survivors keep min ids
+    val survivors = out.select("vec_id").as[Long].collect().toSet
+    assert(survivors.nonEmpty && survivors.size <= emb.count())
+    val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesian"), "candidate join must stay centroid-keyed")
+    // a dropped doc must have a smaller-id surviving OR dropped neighbor
+    // with cosine ≥ threshold in the same cell — spot-check via a loose
+    // threshold where everything in a cell collapses to its min id
+    val loose = Similarity.semanticDedup(emb.limit(50), "vec_id", "embedding",
+      threshold = -1.0, k = 2)
+    val perCell = loose.groupBy("centroid").count().as[(Int, Long)].collect()
+    assert(perCell.forall(_._2 == 1), "threshold=-1 keeps exactly one doc per cell")
+  }
+
+  test("decontaminate removes docs overlapping the blocklist, leaves the rest") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "totally unrelated text with no benchmark overlap whatsoever here"),
+    ).toDF("doc_id", "text")
+    val block = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+    ).toDF("doc_id", "text")
+    val clean = Dedup.decontaminate(corpus, "doc_id", "text",
+      block, "doc_id", "text", shingleK = 8, minOverlap = 1)
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    // minOverlap above the shared count keeps everything
+    val lax = Dedup.decontaminate(corpus, "doc_id", "text",
+      block, "doc_id", "text", shingleK = 8, minOverlap = 100)
+    assert(lax.count() == 3)
+    // short docs (< k tokens) can never be contaminated
+    val short = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(short, "doc_id", "text",
+      block, "doc_id", "text", shingleK = 8).count() == 1)
+  }
+
   test("cosine similarity: orthogonal, identical, opposite") {
     val df = Seq((Seq(1f, 0f), Seq(0f, 1f)), (Seq(1f, 0f), Seq(1f, 0f)),
       (Seq(1f, 0f), Seq(-1f, 0f))).toDF("a", "b")
