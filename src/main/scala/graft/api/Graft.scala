@@ -89,7 +89,10 @@ object Graft {
 
   /** `pai.chat(query, *dfs)`: register the frames, enforce the source-
     * compatibility check (reference: agent/base.py:74-79 — mixing source
-    * families in one conversation is rejected), then run the loop. */
+    * families in one conversation is rejected), then run the loop.
+    * Starts a NEW conversation — the reference builds a fresh Agent per
+    * chat() call (pandasai/__init__.py:219-236), so prior memory is
+    * cleared; continue an existing one with [[followUp]]. */
   def chat(question: String, dfs: (String, DataFrame)*): Response = {
     require(dfs.nonEmpty || engine.knownTables.nonEmpty,
       "chat needs at least one table")
@@ -99,11 +102,18 @@ object Graft {
     require(checkCompatibleSources(declaredSources),
       "cannot mix tables from incompatible sources in one query " +
         s"(families: ${declaredSources.map(_.stype).distinct.mkString(", ")})")
+    agent.memory.clear()
     agent.chat(question)
   }
 
-  /** Follow-up on the running conversation (reference: agent.follow_up). */
-  def followUp(question: String): Response = agent.chat(question)
+  /** Follow-up on the running conversation; errors when none exists
+    * (reference: pandasai/__init__.py:239-256 raises on no conversation). */
+  def followUp(question: String): Response = {
+    if (agent.memory.count == 0)
+      throw new IllegalStateException(
+        "No existing conversation. Please use chat() to start a new conversation.")
+    agent.chat(question)
+  }
 
   /** `df.chat(...)` extension, the reference's main entry point. */
   implicit final class ChatOps(private val df: DataFrame) extends AnyVal {

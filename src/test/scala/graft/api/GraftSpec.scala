@@ -49,6 +49,26 @@ class GraftSpec extends SparkSpec {
     assert(Graft.load("org/suppliers").count() == 10)
   }
 
+  test("chat starts a fresh conversation; followUp continues or errors") {
+    val llm = new FakeLlm(Seq(
+      "SELECT count(*) AS n FROM regs",
+      "SELECT count(*) AS n2 FROM regs",
+      "SELECT count(*) AS n3 FROM regs"))
+    Graft.configure(spark, llm,
+      datasetsRoot = "/root/repo/target/graft-tmp/api_ds4")
+    // follow-up before any chat → reference raises (pandasai/__init__.py:251-255)
+    val e = intercept[IllegalStateException](Graft.followUp("and then?"))
+    assert(e.getMessage.contains("No existing conversation"))
+
+    Graft.chat("how many?", "regs" -> Tables.load(spark, sf, "region"))
+    Graft.followUp("again?") // continues: prior turn visible in the prompt
+    assert(llm.prompts(1).contains("### PREVIOUS CONVERSATION"))
+    assert(llm.prompts(1).contains("how many?"))
+    // a NEW chat clears memory — its prompt carries no previous turns
+    Graft.chat("fresh start", "regs" -> Tables.load(spark, sf, "region"))
+    assert(!llm.prompts.last.contains("### PREVIOUS CONVERSATION"))
+  }
+
   test("source compatibility families (agent/base.py:74-79)") {
     val csv = SourceDef("csv", path = Some("a.csv"))
     val parquet = SourceDef("parquet", path = Some("b.parquet"))
