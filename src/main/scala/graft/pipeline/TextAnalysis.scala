@@ -137,6 +137,95 @@ object TextAnalysis {
     Dedup.dedupNearDuplicates(filtered, idCol, textCol, dedupThreshold)
   }
 
+  /** Per-(doc, term) TF-IDF weights, top `topN` terms per doc.
+    * tf = raw term count in the doc; idf = ln((N+1)/(df+1)) with df =
+    * number of docs containing the term (the +1 smoothing keeps
+    * corpus-wide terms finite). Weight is rounded to 6 decimals BEFORE
+    * the per-doc ranking so the order is reproducible across engines
+    * (ulp-level libm differences cannot flip ranks).
+    *
+    * Scale shape: one explode + two hash aggregates. The doc count and
+    * per-term doc frequencies are map-side-combined aggregates; the df
+    * join is term-keyed (never a crossJoin), the scalar N joins as a
+    * 1-row broadcast. Ranking is a per-doc window over topN rows kept
+    * by WindowGroupLimit.
+    */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, topN: Int = 5,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol).as("doc"),
+      explode(Dedup.rawTokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    // ONE corpus explode: df (per-term doc frequency) derives from the
+    // (doc, term) aggregate — tf rows are distinct per (doc, term), so
+    // counting rows per term IS count-distinct-doc. The aggregate is
+    // persisted because it feeds two branches (AQE does not reliably
+    // reuse the identical stage) and is vocabulary-sized, far smaller
+    // than the exploded corpus.
+    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val weighted = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n)) // 1-row scalar: BroadcastNestedLoopJoin over ONE row
+      .withColumn("weight",
+        round(col("tf").cast("double") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 6))
+    val w = Window.partitionBy("doc")
+      .orderBy(col("weight").desc, col("term").asc)
+    weighted
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+      .select(col("doc"), col("term"), col("tf"), col("df"), col("weight"),
+        col("rank"))
+  }
+
+  /** BM25 relevance of every doc against a bag of query terms
+    * (Robertson–Spärck Jones, the standard k1/b parameterization).
+    * score(d, q) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·|d|/avgdl)) with
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). Docs with no query term
+    * score 0 and are omitted. Deterministic: the score is rounded to 6
+    * decimals; callers sort by (score, id) if they need a stable rank.
+    *
+    * Scale shape: the query termset is a literal IN filter pushed into
+    * the exploded stream, so tf/df aggregates touch only matching terms;
+    * doc lengths are one map-side-combined aggregate; N and avgdl ride a
+    * 1-row broadcast.
+    */
+  def bm25(
+      df: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75,
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = df.select(col(idCol).as("doc"),
+      explode(Dedup.rawTokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    // ONE corpus pass: the (doc, term, tf) aggregate; doc length, corpus
+    // stats, and query-term df all derive from it (exact — dl is an
+    // integer sum). Persisted: it feeds four branches and is
+    // vocabulary-sized, far smaller than the exploded corpus.
+    val tfAll = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docLen = tfAll.groupBy("doc").agg(sum("tf").as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val tf = tfAll.where(col("term").isin(queryTerms: _*))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .join(docLen, "doc")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf").cast("double") /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy("doc")
+      .agg(round(sum(col("contrib")), 6).as("score"),
+        count(lit(1)).as("n_matched"))
+  }
+
   /** Append the full text-analysis column set to a frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -654,5 +654,68 @@ object PipelineQueries {
              |SELECT c.doc_id, c.lang, c.source FROM corpus c
              |ANTI JOIN contaminated ON c.doc_id = contaminated.doc_id
              |ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF top terms per doc. Weight rounds to 6 decimals BEFORE the
+    // per-doc rank on BOTH sides, so ulp-level libm log differences
+    // cannot flip ranks between engines.
+    QueryDef("p22_tfidf",
+      (s, dir) => TextAnalysis.tfidfTopTerms(
+        Tables.load(s, dir, "documents"), "doc_id", "text", topN = 3)
+        .orderBy("doc", "rank"),
+      Some("""WITH terms AS (
+             |  SELECT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS term
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), tf AS (
+             |  SELECT doc, term, COUNT(*) AS tf FROM terms GROUP BY doc, term
+             |), dfreq AS (
+             |  SELECT term, COUNT(DISTINCT doc) AS df FROM terms GROUP BY term
+             |), n AS (
+             |  SELECT COUNT(*) AS n_docs FROM read_parquet('{SFDIR}/documents.parquet')
+             |), w AS (
+             |  SELECT doc, term, tf, df,
+             |         ROUND(CAST(tf AS DOUBLE) * LN(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS weight
+             |  FROM tf JOIN dfreq USING (term), n
+             |), r AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc ORDER BY weight DESC, term ASC) AS rn
+             |  FROM w
+             |)
+             |SELECT doc, term, tf, df, weight, CAST(rn AS INT) AS rank
+             |FROM r WHERE rn <= 3 ORDER BY doc, rank""".stripMargin)),
+
+    // BM25 scoring of the corpus against a fixed query bag (k1=1.2,
+    // b=0.75). Output keyed by doc only (no cross-engine score-order
+    // dependency); avgdl is exact cross-engine because doc lengths are
+    // integers (their double sum is exact below 2^53).
+    QueryDef("p23_bm25",
+      (s, dir) => TextAnalysis.bm25(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("join", "vector", "filter"))
+        .orderBy("doc"),
+      Some("""WITH terms AS (
+             |  SELECT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS term
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), dl AS (
+             |  SELECT doc, COUNT(*) AS dl FROM terms GROUP BY doc
+             |), stats AS (
+             |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+             |), q AS (
+             |  SELECT doc, term FROM terms WHERE term IN ('join', 'vector', 'filter')
+             |), tf AS (
+             |  SELECT doc, term, COUNT(*) AS tf FROM q GROUP BY doc, term
+             |), dfreq AS (
+             |  SELECT term, COUNT(DISTINCT doc) AS df FROM q GROUP BY term
+             |), contrib AS (
+             |  SELECT tf.doc,
+             |         LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             |           * CAST(tf AS DOUBLE)
+             |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+             |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc = dl.doc, stats
+             |)
+             |SELECT doc, ROUND(SUM(c), 6) AS score, COUNT(*) AS n_matched
+             |FROM contrib GROUP BY doc ORDER BY doc""".stripMargin)),
   )
 }

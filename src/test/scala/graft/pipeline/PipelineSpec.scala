@@ -155,6 +155,33 @@ class PipelineSpec extends SparkSpec {
       block, "doc_id", "text", shingleK = 8).count() == 1)
   }
 
+  test("tfidf: corpus-wide terms weigh ~0, rare terms rank first") {
+    val d = Seq(
+      (1L, "common common rare1"),
+      (2L, "common rare2 rare2"),
+      (3L, "common filler words"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(d, "doc_id", "text", topN = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(5)))
+    // 'common' appears in all docs → idf = ln(4/4) = 0 → never rank 1
+    val rank1 = out.filter(_._3 == 1).map(_._2).toSet
+    assert(rank1 == Set("rare1", "rare2", "filler") || !rank1.contains("common"))
+    assert(out.forall { case (_, t, r) => t != "common" || r > 1 })
+  }
+
+  test("bm25: docs with more query-term mass score higher; non-matching docs absent") {
+    val d = Seq(
+      (1L, "join join join vector scan scan"),
+      (2L, "join scan scan scan scan scan"),
+      (3L, "nothing relevant here at all"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(d, "doc_id", "text", Seq("join", "vector"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(3L), "doc without query terms is omitted")
+    assert(out(1L) > out(2L), "3×join + vector must beat 1×join")
+    assert(out.values.forall(_ > 0))
+  }
+
   test("cosine similarity: orthogonal, identical, opposite") {
     val df = Seq((Seq(1f, 0f), Seq(0f, 1f)), (Seq(1f, 0f), Seq(1f, 0f)),
       (Seq(1f, 0f), Seq(-1f, 0f))).toDF("a", "b")
