@@ -134,6 +134,11 @@ object TextAnalysis {
       .where(col("quality") >= minQuality)
       .where(if (languages.isEmpty) lit(true)
         else col("lang_pred").isin(languages.toSeq: _*))
+      // persisted: the dedup stage consumes this frame twice (shingle
+      // candidates + the representative anti-join), and the quality/
+      // langid regex columns are the most expensive expressions in the
+      // pipeline — caching caps them at one evaluation per row
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.dedupNearDuplicates(filtered, idCol, textCol, dedupThreshold)
   }
 
