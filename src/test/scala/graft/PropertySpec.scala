@@ -152,6 +152,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("tfidf matches a brute-force reference on random corpora") {
+    val docGen = Gen.listOfN(8,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon"))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(12, docGen), 3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.pipeline.TextAnalysis.tfidfTopTerms(df, "doc_id", "text", topN = 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4))).toSet
+      // brute force: tokenize, tf per (doc, term), df per term, weight
+      val tokenized = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+      val n = docs.size
+      val dfreq = tokenized.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.size)
+      val expected = tokenized.flatMap { case (id, toks) =>
+        toks.groupBy(identity).map { case (term, occ) =>
+          val w = BigDecimal(occ.size * math.log((n + 1.0) / (dfreq(term) + 1.0)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, term, w)
+        }.toSeq.sortBy { case (_, term, w) => (-w, term) }.take(2)
+      }.toSet
+      assert(got == expected)
+    }
+  }
+
+  test("decontaminate: the blocklist docs themselves are always removed (k-token+ docs)") {
+    val docGen = Gen.listOfN(10, Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6"))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(10, docGen), 3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // blocklist = the corpus itself: every doc (≥ k tokens) shares all
+      // its shingles with the blocklist, so everything must be removed
+      val clean = graft.pipeline.Dedup.decontaminate(
+        docs, "doc_id", "text", docs, "doc_id", "text", shingleK = 3, minOverlap = 1)
+      assert(clean.count() == 0)
+    }
+  }
+
   test("Excel roundtrip preserves random long/double/string frames") {
     val rowGen = for {
       id <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
