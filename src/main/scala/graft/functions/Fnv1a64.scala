@@ -68,8 +68,10 @@ object Fnv1a64 {
   */
 object GraftFunctions {
   val FnvName = "graft_fnv1a64"
+  val CountSubstrName = "graft_count_substr"
+  val CountWordsInName = "graft_count_words_in"
 
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnvName,
       (exprs: Seq[Expression]) => {
@@ -78,8 +80,37 @@ object GraftFunctions {
         Fnv1a64(exprs.head)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CountSubstrName,
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"$CountSubstrName expects exactly 2 arguments, got ${exprs.length}")
+        CountSubstr(exprs.head, exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CountWordsInName,
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"$CountWordsInName expects exactly 2 arguments, got ${exprs.length}")
+        CountWordsIn(exprs.head, exprs(1))
+      },
+      "built-in")
+  }
 
   /** FNV-1a 64 of a string column. [[ensureRegistered]] must have been
     * called on the owning session. */
   def fnv1a64(c: Column): Column = call_function(FnvName, c)
+
+  /** Non-overlapping substring occurrence count — see [[CountSubstr]].
+    * [[ensureRegistered]] must have been called on the owning session. */
+  def countSubstr(hay: Column, needle: Column): Column =
+    call_function(CountSubstrName, hay, needle)
+
+  /** Single-pass space-token set-membership count — see [[CountWordsIn]].
+    * [[ensureRegistered]] must have been called on the owning session. */
+  def countWordsIn(hay: Column, words: Seq[String]): Column =
+    call_function(CountWordsInName, hay,
+      org.apache.spark.sql.functions.array(
+        words.map(org.apache.spark.sql.functions.lit): _*))
 }

@@ -34,6 +34,38 @@ object TextAnalysis {
   private def charClassCount(text: Column, chars: String): Column =
     length(text) - length(translate(text, chars, ""))
 
+  /** Lowercased text with every non-word run collapsed to TWO spaces and
+    * padded ends — the shared base for [[wordOccurrences]]. Two spaces
+    * (not one) so adjacent words don't share a boundary space and
+    * per-word ` w ` occurrence scans count each occurrence exactly once.
+    * `[^a-z0-9_]` mirrors regex `\b` word characters precisely
+    * (underscore included), so counts equal `regexp_count(lower(text),
+    * "\\b(w)\\b")` for plain lowercase words — the DuckDB oracles keep
+    * the regex form and the hash compare enforces the equivalence.
+    */
+  private def boundaryPadded(lowered: Column): Column =
+    concat(lit(" "), regexp_replace(lowered, "[^a-z0-9_]+", "  "), lit(" "))
+
+  /** Total occurrences of `words` in a [[boundaryPadded]] string via the
+    * native single-pass [[graft.functions.CountWordsIn]] token scan —
+    * count-identical to `\b(w1|…|wN)\b` over the lowered text
+    * (alternatives are whole words; over the padded form every match is
+    * exactly one token equal to a needle, and distinct needles cannot
+    * claim the same token). One expression with a tiny codegen body
+    * (loop + hash probe) — measured alternatives rejected: per-word
+    * `replace`-and-measure copies the haystack per needle, and per-word
+    * scan expressions (40 inlined loops) blow past the JIT method
+    * budget inside a wide projection.
+    */
+  private def wordOccurrences(padded: Column, words: Seq[String]): Column = {
+    // the expression resolves through the session function registry;
+    // registration is idempotent and the query is being built on a
+    // thread with an active session
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.ensureRegistered)
+    graft.functions.GraftFunctions.countWordsIn(padded, words)
+  }
+
   /** Quality-scoring features: length, word stats, punctuation / stopword /
     * uppercase / digit / non-alnum ratios, mean word length, repetition.
     * Returned as individual columns so downstream filters push down.
@@ -57,7 +89,12 @@ object TextAnalysis {
         (charClassCount(text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ").cast("double") /
           greatest(nChars, lit(1)).cast("double")),
       "stopword_ratio" ->
-        (regexp_count(lower(text), lit("\\b(the|a|an|and|or|of|to|in|is|it|that|was|for|on|with)\\b"))
+        // count-identical to regexp_count of \b(the|a|an|and|or|of|to|in|
+        // is|it|that|was|for|on|with)\b — see wordOccurrences; the DuckDB
+        // oracle keeps the regex form and the hash compare enforces it
+        (wordOccurrences(boundaryPadded(lower(text)),
+          Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+            "that", "was", "for", "on", "with"))
           .cast("double") / greatest(nWords, lit(1)).cast("double")),
       "uniq_word_ratio" ->
         (size(array_distinct(words)).cast("double") /
@@ -90,15 +127,21 @@ object TextAnalysis {
   )
 
   /** Per-language hit counts; the language with the max normalized hits
-    * wins, 'und' when nothing matches. One pass, all codegen'd regexes.
+    * wins, 'und' when nothing matches. Counts are literal scans — word
+    * occurrences over the shared [[boundaryPadded]] string for the latin
+    * lists, translate-delete for the single-char zh list — each exactly
+    * equal to the `\b(…)\b` / `(…)` regexp_count the DuckDB oracles run
+    * (enforced by the p10/p15 hash compares), at ~an order of magnitude
+    * less per-row cost than the NFA alternations.
     */
   def languageId(text: Column): Column = {
     val lowered = lower(text)
+    val padded = boundaryPadded(lowered)
     val scores: Seq[(String, Column)] = stopwords.toSeq.map { case (lang, words) =>
-      val pattern =
-        if (lang == "zh") words.mkString("(", "|", ")")
-        else words.mkString("\\b(", "|", ")\\b")
-      lang -> regexp_count(lowered, lit(pattern)).cast("double")
+      val cnt =
+        if (lang == "zh") charClassCount(lowered, words.mkString)
+        else wordOccurrences(padded, words)
+      lang -> cnt.cast("double")
     }
     // argmax via a struct sort: (score, lang) max
     val packed = array(scores.map { case (lang, s) =>
