@@ -100,14 +100,15 @@ object PipelineQueries {
       s"(CASE WHEN list_dot_product($col, ${p.mkString("[", ",", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** DuckDB replay of Similarity.ivfTrain(k=8, iters=2)'s full training
+  /** DuckDB replay of Similarity.ivfTrain(k, iters=2)'s full training
     * trajectory — Knuth-hash init, two Lloyd rounds, final assignment
-    * (`a3` = vec_id, e, cid). Shared prefix of the p14 (ANN serving) and
-    * p20 (semantic dedup) oracles. */
-  private val ivfAssignSql: String =
-    """WITH v AS (
+    * (`a3` = vec_id, e, cid). Shared prefix of the p14 (ANN serving, k=8)
+    * and p20 (semantic dedup, k=16 — larger k = smaller cells = fewer
+    * within-cell pairs, the SemDeDup scale knob) oracles. */
+  private def ivfAssignSql(k: Int): String =
+    s"""WITH v AS (
     |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-    |         CAST((vec_id % 100000) * 2654435761 % 8 AS INT) AS c0a
+    |         CAST((vec_id % 100000) * 2654435761 % $k AS INT) AS c0a
     |  FROM read_parquet('{SFDIR}/embeddings.parquet')
     |), u0 AS (
     |  SELECT c0a AS cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS ord FROM v
@@ -152,7 +153,7 @@ object PipelineQueries {
 
   /** p14 oracle: [[ivfAssignSql]] + probe selection + in-cell exact
     * cosine top-k. */
-  private val ivfOracleSql: String = ivfAssignSql +
+  private val ivfOracleSql: String = ivfAssignSql(8) +
     """, q AS (
     |  SELECT e AS qe FROM v WHERE vec_id = 0
     |), probes AS (
@@ -165,8 +166,8 @@ object PipelineQueries {
   /** p20 oracle: [[ivfAssignSql]] + the greedy within-cell drop rule —
     * a vector is dropped iff some smaller-id vector in the SAME cell has
     * cosine ≥ threshold with it (Similarity.semanticDedup semantics). */
-  private def semanticDedupOracleSql(threshold: String): String =
-    ivfAssignSql +
+  private def semanticDedupOracleSql(threshold: String, k: Int): String =
+    ivfAssignSql(k) +
       s""", dups AS (
       |  SELECT DISTINCT b.vec_id AS d
       |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -597,17 +598,18 @@ object PipelineQueries {
               ROUND(SUM(value), 4) AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
-    // SemDeDup-style semantic dedup: IVF clustering (same trained
-    // trajectory as p14), then greedy within-cell drop of any vector
-    // with a smaller-id neighbor at cosine ≥ 0.30. Oracle replays
-    // training + assignment + the drop rule exactly.
+    // SemDeDup-style semantic dedup: IVF clustering (same Lloyd replay
+    // as p14, k=16 — the cell-size knob that bounds within-cell pair
+    // counts), then greedy within-cell drop of any vector with a
+    // smaller-id neighbor at cosine ≥ 0.30. Oracle replays training +
+    // assignment + the drop rule exactly.
     QueryDef("p20_semantic_dedup",
       (s, dir) => Similarity.semanticDedup(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.30, k = 8, iters = 2)
+        threshold = 0.30, k = 16, iters = 2)
         .select("vec_id", "centroid")
         .orderBy("vec_id"),
-      Some(semanticDedupOracleSql("0.30"))),
+      Some(semanticDedupOracleSql("0.30", k = 16))),
 
     // Decontamination: corpus docs sharing ≥3 distinct 8-gram shingles
     // with the held-out blocklist (doc_id % 20 == 0 plays the benchmark)
