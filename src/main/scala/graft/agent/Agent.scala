@@ -110,12 +110,25 @@ executeSqlQuery(sql: String): DataFrame — runs one SELECT against the tables a
 </function>$skillLines"""
   }
 
+  /** The expected-result-type clause
+    * (shared/output_type_template.tmpl, adapted to the SQL-only
+    * contract: the type is determined by the result's shape). */
+  private def outputTypeClause(outputType: Option[String]): String =
+    outputType.fold("") {
+      case "number"    => "\nThe result must be of type number: one row, one numeric column."
+      case "string"    => "\nThe result must be of type string: one row, one non-numeric column."
+      case "dataframe" => "\nThe result must be of type dataframe: a multi-row or multi-column table."
+      case "plot"      => "\nThe result must be of type plot: a table suitable for charting."
+      case other       => s"\nThe result must be of type $other."
+    }
+
   /** First-attempt prompt (generate_python_code_with_sql.tmpl with the
     * SQL-only contract of SURVEY §3.1; system preamble per
     * generate_system_message.tmpl — agent description first, prior
-    * conversation under a PREVIOUS CONVERSATION heading when present).
+    * conversation under a PREVIOUS CONVERSATION heading when present;
+    * expected output type per shared/output_type_template.tmpl).
     */
-  def buildPrompt(question: String): String = {
+  def buildPrompt(question: String, outputType: Option[String] = None): String = {
     val preamble = description.fold("You are an analytics engine.")(d => d)
     val previous =
       if (memory.count > 1) s"\n### PREVIOUS CONVERSATION\n${memory.getPreviousConversation}\n"
@@ -128,15 +141,20 @@ $previous
 ### QUERY
  $question
 
-Write ONE Spark SQL SELECT statement that answers the query. Return only SQL.
+Write ONE Spark SQL SELECT statement that answers the query. Return only SQL.${outputTypeClause(outputType)}
 
 ### Note: Use only relevant table for query and do aggregation, sorting, joins and groupby through sql query"""
   }
 
   /** Error-correction prompt
-    * (correct_execute_sql_query_usage_error_prompt.tmpl): tables +
-    * functions + conversation + the failed attempt + the error. */
-  def buildCorrectionPrompt(failedSql: String, error: String): String =
+    * (correct_execute_sql_query_usage_error_prompt.tmpl, and with
+    * `expectedType` the correct_output_type_error_prompt.tmpl variant):
+    * tables + functions + conversation + the failed attempt + the error. */
+  def buildCorrectionPrompt(failedSql: String, error: String,
+      expectedType: Option[String] = None): String = {
+    val fixLine = expectedType.fold(
+      "Fix the sql query above and return the new sql query. Return only SQL.")(t =>
+      s"Fix the sql query above and return the new sql query but the result type should be: $t. Return only SQL.")
     s"""$tablesBlock
 
 $functionsBlock
@@ -150,7 +168,8 @@ $failedSql
 However, it resulted in the following error:
 $error
 
-Fix the sql query above and return the new sql query. Return only SQL."""
+$fixLine"""
+  }
 
   /** Strip markdown fences the LLM may wrap around the SQL. */
   def extractSql(raw: String): String = {
@@ -159,26 +178,37 @@ Fix the sql query above and return the new sql query. Return only SQL."""
   }
 
   /** chat: prompt → LLM → gate+execute → typed response, regenerating with
-    * error context up to maxRetries (reference: agent/base.py:171-216).
+    * error context up to maxRetries (reference: agent/base.py:92-216).
+    * With `outputType` set, a result of the wrong shape triggers the
+    * type-correction retry (correct_output_type_error_prompt semantics)
+    * instead of being returned.
     */
-  def chat(question: String): Response = {
+  def chat(question: String, outputType: Option[String] = None): Response = {
     memory.add(question, isUser = true)
-    var failed: Option[(String, String)] = None // (sql, error)
+    // (sql, error, expectedType) — expectedType marks a type-mismatch retry
+    var failed: Option[(String, String, Option[String])] = None
     var attempt = 0
     while (attempt <= maxRetries) {
       val prompt = failed match {
-        case None               => buildPrompt(question)
-        case Some((sql, error)) => buildCorrectionPrompt(sql, error)
+        case None                      => buildPrompt(question, outputType)
+        case Some((sql, error, want))  => buildCorrectionPrompt(sql, error, want)
       }
       val sql = extractSql(llm.generate(prompt))
       try {
         val out = engine.executeSqlQuery(sql)
         val resp = Response.fromResult(out)
-        memory.add(sql, isUser = false)
-        return resp
+        outputType match {
+          case Some(want) if !Response.matchesType(resp, want) =>
+            failed = Some((sql,
+              s"Result type ${resp.kind} does not match the expected type", Some(want)))
+            attempt += 1
+          case _ =>
+            memory.add(sql, isUser = false)
+            return resp
+        }
       } catch {
         case e: Exception =>
-          failed = Some((sql, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          failed = Some((sql, s"${e.getClass.getSimpleName}: ${e.getMessage}", None))
           attempt += 1
       }
     }

@@ -107,12 +107,13 @@ object Graft {
   }
 
   /** Follow-up on the running conversation; errors when none exists
-    * (reference: pandasai/__init__.py:239-256 raises on no conversation). */
-  def followUp(question: String): Response = {
+    * (reference: pandasai/__init__.py:239-256 raises on no conversation;
+    * `outputType` per agent.follow_up(query, output_type)). */
+  def followUp(question: String, outputType: Option[String] = None): Response = {
     if (agent.memory.count == 0)
       throw new IllegalStateException(
         "No existing conversation. Please use chat() to start a new conversation.")
-    agent.chat(question)
+    agent.chat(question, outputType)
   }
 
   /** `df.chat(...)` extension, the reference's main entry point. */

@@ -35,6 +35,18 @@ object Response {
       s"Result must be in the format of dictionary of type and value; got type=$k value-class=${if (v == null) "null" else v.getClass.getSimpleName}")
   }
 
+  /** Does the response satisfy a requested output type (the
+    * `output_type` contract of agent.chat, agent/base.py:92-103)?
+    * A dataframe satisfies "plot" — charting consumes tabular data. */
+  def matchesType(resp: Response, kind: String): Boolean = (resp, kind) match {
+    case (_: NumberR, "number")                  => true
+    case (_: StringR, "string")                  => true
+    case (_: DataFrameR, "dataframe" | "plot")   => true
+    case (_: ChartR, "plot")                     => true
+    case (_: ErrorR, _)                          => true // errors pass through
+    case _                                       => false
+  }
+
   /** Infer a response from a query result the way the agent does for SQL
     * results: 1×1 numeric → number, 1×1 other → string, else dataframe. */
   def fromResult(df: DataFrame): Response = {

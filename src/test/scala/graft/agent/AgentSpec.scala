@@ -48,6 +48,30 @@ class AgentSpec extends SparkSpec {
     assert(llm.prompts(1).contains("However, it resulted in the following error"))
   }
 
+  test("output_type: wrong result shape triggers the type-correction retry") {
+    val llm = new FakeLlm(Seq(
+      "SELECT r_regionkey, r_name FROM region", // dataframe, not number
+      "SELECT count(*) AS n FROM region"))
+    val agent = new Agent(engineWithTables(), llm)
+    agent.chat("how many regions?", outputType = Some("number")) match {
+      case NumberR(v) => assert(v == 5.0)
+      case other      => fail(s"expected NumberR after type retry, got $other")
+    }
+    assert(llm.prompts.size == 2)
+    // first prompt declares the expected type, second is the dedicated
+    // type-correction shape (correct_output_type_error_prompt.tmpl)
+    assert(llm.prompts.head.contains("must be of type number"))
+    assert(llm.prompts(1).contains("result type should be: number"))
+    assert(llm.prompts(1).contains("does not match the expected type"))
+  }
+
+  test("output_type: matching shape returns immediately, no extra round trip") {
+    val llm = new FakeLlm(Seq("SELECT count(*) AS n FROM region"))
+    val agent = new Agent(engineWithTables(), llm)
+    assert(agent.chat("count", outputType = Some("number")) == NumberR(5.0))
+    assert(llm.prompts.size == 1)
+  }
+
   test("prompt structure mirrors the reference templates") {
     val llm = new FakeLlm(Seq("SELECT count(*) AS n FROM region"))
     val reg0 = engineWithTables()
