@@ -33,6 +33,27 @@ final class FakeLlm(outputs: Seq[String]) extends Llm {
   }
 }
 
+/** Append-only activity log (reference: pandasai/helpers/logger.py via
+  * Config.save_logs / Config.verbose — timestamped lines to a log file,
+  * echoed to stdout when verbose). Dependency-free; silently disabled
+  * when `saveLogs` is false and `verbose` is false.
+  */
+final class AgentLogger(
+    val saveLogs: Boolean = true,
+    val verbose: Boolean = false,
+    val path: String = "graft.log",
+) {
+  def log(message: String): Unit = {
+    if (!saveLogs && !verbose) return
+    val line = s"${java.time.Instant.now()} $message"
+    if (verbose) println(line)
+    if (saveLogs) {
+      val w = new java.io.FileWriter(path, true)
+      try { w.write(line); w.write("\n") } finally w.close()
+    }
+  }
+}
+
 /** Conversation memory (reference: pandasai/helpers/memory.py:39-70). */
 final class Memory(val memorySize: Int = 10) {
   private val msgs = mutable.Buffer.empty[(String, Boolean)] // (text, isUser)
@@ -87,8 +108,11 @@ final class Agent(
     val maxRetries: Int = 3,
     val description: Option[String] = None,
     val skills: Option[SkillRegistry] = None,
+    val logger: Option[AgentLogger] = None,
 ) {
   val memory = new Memory()
+
+  private def log(msg: String): Unit = logger.foreach(_.log(msg))
 
   /** The `<tables>` block: every registered frame serialized
     * (templates/generate_python_code_with_sql.tmpl lines 1-5 +
@@ -185,6 +209,7 @@ $fixLine"""
     */
   def chat(question: String, outputType: Option[String] = None): Response = {
     memory.add(question, isUser = true)
+    log(s"Question: $question")
     // (sql, error, expectedType) — expectedType marks a type-mismatch retry
     var failed: Option[(String, String, Option[String])] = None
     var attempt = 0
@@ -194,24 +219,29 @@ $fixLine"""
         case Some((sql, error, want))  => buildCorrectionPrompt(sql, error, want)
       }
       val sql = extractSql(llm.generate(prompt))
+      log(s"Generated SQL (attempt ${attempt + 1}): $sql")
       try {
         val out = engine.executeSqlQuery(sql)
         val resp = Response.fromResult(out)
         outputType match {
           case Some(want) if !Response.matchesType(resp, want) =>
+            log(s"Type mismatch: got ${resp.kind}, expected $want")
             failed = Some((sql,
               s"Result type ${resp.kind} does not match the expected type", Some(want)))
             attempt += 1
           case _ =>
             memory.add(sql, isUser = false)
+            log(s"Response: ${resp.kind}")
             return resp
         }
       } catch {
         case e: Exception =>
+          log(s"Execution failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
           failed = Some((sql, s"${e.getClass.getSimpleName}: ${e.getMessage}", None))
           attempt += 1
       }
     }
+    log(s"Giving up after ${maxRetries + 1} attempts")
     ErrorR(s"query failed after ${maxRetries + 1} attempts: ${failed.map(_._2).getOrElse("")}")
   }
 }

@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.agent.{Agent, FakeLlm, Llm}
+import graft.agent.{Agent, AgentLogger, FakeLlm, Llm}
 import graft.engine.{Engine, SqlGate}
 import graft.response.Response
 import graft.schema.SourceDef
@@ -29,15 +29,25 @@ object Graft {
     * would silently answer every chat with canned results that look real.
     * Tests that want canned answers pass `new FakeLlm(...)` explicitly.
     */
+  /** `saveLogs`/`verbose`/`maxRetries` mirror the reference's global
+    * Config (pandasai/config.py:10-16); activity goes to `logPath`
+    * (the reference's pandasai.log analogue) when saveLogs is true. */
   def configure(
       spark: SparkSession,
       llm: Llm,
       datasetsRoot: String = "datasets",
       maxRetries: Int = 3,
       description: Option[String] = None,
+      saveLogs: Boolean = false,
+      verbose: Boolean = false,
+      logPath: String = "graft.log",
   ): Engine = synchronized {
     val engine = new Engine(spark, datasetsRoot)
-    state = Some((engine, new Agent(engine, llm, maxRetries, description)))
+    val logger =
+      if (saveLogs || verbose) Some(new AgentLogger(saveLogs, verbose, logPath))
+      else None
+    state = Some((engine,
+      new Agent(engine, llm, maxRetries, description, logger = logger)))
     engine
   }
 

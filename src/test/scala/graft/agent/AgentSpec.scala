@@ -48,6 +48,19 @@ class AgentSpec extends SparkSpec {
     assert(llm.prompts(1).contains("However, it resulted in the following error"))
   }
 
+  test("logger records the chat trail when saveLogs is on (helpers/logger.py semantics)") {
+    val path = s"/root/repo/target/graft-tmp/agent-${System.nanoTime()}.log"
+    val agent = new Agent(engineWithTables(),
+      new FakeLlm(Seq("SELECT * FROM nope", "SELECT count(*) AS n FROM region")),
+      logger = Some(new AgentLogger(saveLogs = true, verbose = false, path = path)))
+    agent.chat("how many?")
+    val lines = scala.io.Source.fromFile(path).getLines().toSeq
+    assert(lines.exists(_.contains("Question: how many?")))
+    assert(lines.exists(_.contains("Generated SQL (attempt 1)")))
+    assert(lines.exists(_.contains("Execution failed")))
+    assert(lines.exists(_.contains("Response: number")))
+  }
+
   test("output_type: wrong result shape triggers the type-correction retry") {
     val llm = new FakeLlm(Seq(
       "SELECT r_regionkey, r_name FROM region", // dataframe, not number
