@@ -43,13 +43,19 @@ final class AgentLogger(
     val verbose: Boolean = false,
     val path: String = "graft.log",
 ) {
+  /** Logging must never abort the query it narrates: IO failures (missing
+    * parent dir is pre-created; read-only fs, disk full…) are swallowed,
+    * matching the reference logger's non-raising contract. */
   def log(message: String): Unit = {
     if (!saveLogs && !verbose) return
     val line = s"${java.time.Instant.now()} $message"
     if (verbose) println(line)
     if (saveLogs) {
-      val w = new java.io.FileWriter(path, true)
-      try { w.write(line); w.write("\n") } finally w.close()
+      try {
+        Option(new java.io.File(path).getParentFile).foreach(_.mkdirs())
+        val w = new java.io.FileWriter(path, true)
+        try { w.write(line); w.write("\n") } finally w.close()
+      } catch { case _: java.io.IOException => () }
     }
   }
 }
@@ -237,7 +243,9 @@ $fixLine"""
       } catch {
         case e: Exception =>
           log(s"Execution failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          failed = Some((sql, s"${e.getClass.getSimpleName}: ${e.getMessage}", None))
+          // keep the output-type constraint in the correction prompt so a
+          // fixed query doesn't burn another retry on the wrong shape
+          failed = Some((sql, s"${e.getClass.getSimpleName}: ${e.getMessage}", outputType))
           attempt += 1
       }
     }

@@ -105,7 +105,8 @@ object Paginator {
     if (root == null || !root.isObject)
       throw new IllegalArgumentException("Invalid filters format: expected a JSON object")
     def scalar(n: com.fasterxml.jackson.databind.JsonNode): Any =
-      if (n.isIntegralNumber) n.asLong()
+      if (n.isNull) null // IN (NULL) matches nothing, like the reference's SQL
+      else if (n.isIntegralNumber) n.asLong()
       else if (n.isNumber) n.asDouble()
       else if (n.isBoolean) n.asBoolean()
       else n.asText()
@@ -130,17 +131,26 @@ object Paginator {
         term.toDoubleOption.map(v => col(f.name) === lit(v))
       case BooleanType =>
         term.toBooleanOption.map(v => col(f.name) === lit(v))
-      case TimestampType | TimestampNTZType =>
-        parseDateTime(term).map(ts => col(f.name) === lit(ts))
+      case TimestampType =>
+        // parse INSIDE the plan (to_timestamp) so the literal is
+        // interpreted in spark.sql.session.timeZone — a driver-side
+        // java.sql.Timestamp would use the JVM default zone and match
+        // the wrong instant whenever the two differ
+        parseDateTime(term).map(_ =>
+          col(f.name) === to_timestamp(lit(term), "yyyy-MM-dd HH:mm:ss"))
+      case TimestampNTZType =>
+        // NTZ values are wall-clock: a LocalDateTime literal compares
+        // zone-free on both sides
+        parseDateTime(term).map(ldt => col(f.name) === lit(ldt))
       case _ => None
     }
 
   /** Strict `yyyy-MM-dd HH:mm:ss` (reference is_valid_datetime strptime
     * format, paginator.py:66-72). */
-  private def parseDateTime(term: String): Option[java.sql.Timestamp] =
+  private def parseDateTime(term: String): Option[java.time.LocalDateTime] =
     try {
       val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-      Some(java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(term, fmt)))
+      Some(java.time.LocalDateTime.parse(term, fmt))
     } catch { case _: java.time.format.DateTimeParseException => None }
 
   private def escapeLike(s: String): String =

@@ -219,8 +219,10 @@ object Dedup {
       .agg(countDistinct("shingle").as("__overlap"))
       .where(col("__overlap") >= minOverlap)
       .select(col("doc"))
-    corpus.join(broadcast(contaminated),
-      corpus(idCol) === contaminated("doc"), "left_anti")
+    // no broadcast hint on the id set: it is bounded by the CORPUS (every
+    // doc overlapping the blocklist), not by the blocklist — let the
+    // planner/AQE pick broadcast vs shuffled anti-join from its size
+    corpus.join(contaminated, corpus(idCol) === contaminated("doc"), "left_anti")
   }
 
   /** Exact Jaccard similarity between two shingle-set columns. */
@@ -315,17 +317,23 @@ object Dedup {
   }
 
   /** Fingerprint band layout for a Hamming radius: `maxHamming + 1`
-    * disjoint contiguous bit ranges (clamped to 64 one-bit bands), so by
-    * pigeonhole any two fingerprints differing in ≤ maxHamming bits agree
-    * on AT LEAST ONE whole band — candidate recall within the radius is
-    * total, not probabilistic. The 64 bits are spread as evenly as
-    * possible (the first `64 % bands` bands get one extra bit).
+    * disjoint contiguous bit ranges (radius ≤ 63), so by pigeonhole any
+    * two fingerprints differing in ≤ maxHamming bits agree on AT LEAST
+    * ONE whole band — candidate recall within the radius is total, not
+    * probabilistic. The 64 bits are spread as evenly as possible (the
+    * first `64 % bands` bands get one extra bit).
     *
     * @return (bitOffset, width) per band
     */
   private[pipeline] def simhashBandLayout(maxHamming: Int): Seq[(Int, Int)] = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val bands = math.min(maxHamming + 1, 64)
+    // radius ≥ 64 cannot be banded (two fingerprints may differ in every
+    // bit and share no band) — throw rather than silently return the
+    // banded SUBSET of the requested pairs
+    require(maxHamming <= 63,
+      s"maxHamming must be <= 63 (banding cannot guarantee recall at $maxHamming; " +
+        "use an explicit cross join for all-pairs radii)")
+    val bands = maxHamming + 1
     val base = 64 / bands
     val extra = 64 % bands
     val widths = Seq.fill(extra)(base + 1) ++ Seq.fill(bands - extra)(base)

@@ -59,10 +59,14 @@ object TextAnalysis {
     */
   private def wordOccurrences(padded: Column, words: Seq[String]): Column = {
     // the expression resolves through the session function registry;
-    // registration is idempotent and the query is being built on a
-    // thread with an active session
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.functions.GraftFunctions.ensureRegistered)
+    // registration is idempotent. Fail fast when no session is active on
+    // the building thread — otherwise the column dies later at analysis
+    // with an opaque "Undefined function" far from the cause.
+    val session = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        "TextAnalysis columns must be built on a thread with an active " +
+          "SparkSession (graft_count_words_in registers per session)"))
+    graft.functions.GraftFunctions.ensureRegistered(session)
     graft.functions.GraftFunctions.countWordsIn(padded, words)
   }
 
@@ -165,23 +169,28 @@ object TextAnalysis {
     * elsewhere in this package; composing them keeps one scan + the
     * dedup's bucketed joins as the only shuffles.
     */
+  /** @param persistFiltered cache the scored+filtered frame — the dedup
+    *   stage consumes it twice (shingle candidates + the representative
+    *   anti-join) and the quality/langid columns are the most expensive
+    *   expressions in the pipeline; caching caps them at one evaluation
+    *   per row. Same opt-out contract as minhashNearDups.persistShingles. */
   def cleanCorpus(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.3, languages: Set[String] = Set.empty,
       dedupThreshold: Double = 0.8,
+      persistFiltered: Boolean = true,
   ): org.apache.spark.sql.DataFrame = {
     val scored = df
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("lang_pred", languageId(col(textCol)))
-    val filtered = scored
+    val filtered0 = scored
       .where(col("quality") >= minQuality)
       .where(if (languages.isEmpty) lit(true)
         else col("lang_pred").isin(languages.toSeq: _*))
-      // persisted: the dedup stage consumes this frame twice (shingle
-      // candidates + the representative anti-join), and the quality/
-      // langid regex columns are the most expensive expressions in the
-      // pipeline — caching caps them at one evaluation per row
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered =
+      if (persistFiltered)
+        filtered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else filtered0
     Dedup.dedupNearDuplicates(filtered, idCol, textCol, dedupThreshold)
   }
 
@@ -198,8 +207,15 @@ object TextAnalysis {
     * 1-row broadcast. Ranking is a per-doc window over topN rows kept
     * by WindowGroupLimit.
     */
+  /** @param persistAgg cache the (doc, term, tf) aggregate — it feeds two
+    *   branches (AQE does not reliably reuse the identical stage) and is
+    *   vocabulary-sized, far smaller than the exploded corpus. Long-lived
+    *   sessions composing many calls can pass false to trade recompute
+    *   for zero cache footprint (same contract as
+    *   minhashNearDups.persistShingles). */
   def tfidfTopTerms(
       df: DataFrame, idCol: String, textCol: String, topN: Int = 5,
+      persistAgg: Boolean = true,
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = df.select(col(idCol).as("doc"),
@@ -207,12 +223,11 @@ object TextAnalysis {
       .where(col("term") =!= "")
     // ONE corpus explode: df (per-term doc frequency) derives from the
     // (doc, term) aggregate — tf rows are distinct per (doc, term), so
-    // counting rows per term IS count-distinct-doc. The aggregate is
-    // persisted because it feeds two branches (AQE does not reliably
-    // reuse the identical stage) and is vocabulary-sized, far smaller
-    // than the exploded corpus.
-    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // counting rows per term IS count-distinct-doc.
+    val tf0 = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val tf =
+      if (persistAgg) tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tf0
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val weighted = tf.join(dfreq, "term")
@@ -241,9 +256,12 @@ object TextAnalysis {
     * doc lengths are one map-side-combined aggregate; N and avgdl ride a
     * 1-row broadcast.
     */
+  /** @param persistAgg cache the (doc, term, tf) aggregate feeding four
+    *   branches — see tfidfTopTerms. */
   def bm25(
       df: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75,
+      persistAgg: Boolean = true,
   ): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val terms = df.select(col(idCol).as("doc"),
@@ -251,10 +269,11 @@ object TextAnalysis {
       .where(col("term") =!= "")
     // ONE corpus pass: the (doc, term, tf) aggregate; doc length, corpus
     // stats, and query-term df all derive from it (exact — dl is an
-    // integer sum). Persisted: it feeds four branches and is
-    // vocabulary-sized, far smaller than the exploded corpus.
-    val tfAll = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // integer sum).
+    val tfAll0 = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val tfAll =
+      if (persistAgg) tfAll0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tfAll0
     val docLen = tfAll.groupBy("doc").agg(sum("tf").as("dl"))
     val stats = docLen.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))

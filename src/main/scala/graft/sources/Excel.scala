@@ -71,8 +71,10 @@ object Excel {
   def readAll(spark: SparkSession, path: String, header: Boolean = true,
       inferSchema: Boolean = true): Seq[(String, DataFrame)] =
     withWorkbook(path) { zf =>
+      // shared strings are workbook-global: parse them once, not per sheet
+      val shared = readSharedStrings(zf)
       sheetEntries(zf).map { case (name, p) =>
-        name -> readSheetAt(spark, zf, p, header, inferSchema)
+        name -> readSheetAt(spark, zf, p, header, inferSchema, Some(shared))
       }
     }
 
@@ -82,8 +84,9 @@ object Excel {
   }
 
   private def readSheetAt(spark: SparkSession, zf: ZipFile, sheetPath: String,
-      header: Boolean, inferSchema: Boolean): DataFrame = {
-      val shared = readSharedStrings(zf)
+      header: Boolean, inferSchema: Boolean,
+      sharedPreparsed: Option[IndexedSeq[String]] = None): DataFrame = {
+      val shared = sharedPreparsed.getOrElse(readSharedStrings(zf))
       val rows = readSheet(zf, sheetPath, shared)
       if (rows.isEmpty) return spark.emptyDataFrame
       val width = rows.map(_.length).max

@@ -73,6 +73,24 @@ class PaginatorSpec extends SparkSpec {
     assert(Paginator.paginate(users, Params(search = Some("2023-01-01"))).count() == 0)
   }
 
+  test("timestamp search honors the session timezone, not the JVM default") {
+    val old = java.util.TimeZone.getDefault
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+    try {
+      // instants were created under the original default; the search term
+      // must be interpreted in spark.sql.session.timeZone — a JVM-default
+      // parse would look for an instant 5 hours away and match nothing
+      val hit = Paginator.paginate(
+        users, Params(search = Some("2023-01-01 12:00:00"), sortBy = Some("id")))
+      assert(hit.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    } finally java.util.TimeZone.setDefault(old)
+  }
+
+  test("JSON null filter values match nothing (IN (NULL) semantics)") {
+    val f = Paginator.parseFilters("""{"name": null}""")
+    assert(Paginator.paginate(users, Params(filters = f)).count() == 0)
+  }
+
   test("boolean search matches boolean columns") {
     val f = Paginator.paginate(users, Params(search = Some("false"), sortBy = Some("id")))
     assert(f.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))

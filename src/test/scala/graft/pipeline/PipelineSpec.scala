@@ -288,7 +288,10 @@ class PipelineSpec extends SparkSpec {
     val punct = Seq((1L, "!!! ... ???"), (2L, "abc def ghi jkl")).toDF("doc_id", "text")
     assert(Dedup.minhashNearDups(punct, "doc_id", "text",
       threshold = 0.1, shingleK = 2).count() == 0)
-    assert(Dedup.simhashNearDups(punct, "doc_id", "text", maxHamming = 64).count() <= 1)
+    assert(Dedup.simhashNearDups(punct, "doc_id", "text", maxHamming = 63).count() <= 1)
+    // radius 64+ cannot be banded with guaranteed recall — must throw
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDups(punct, "doc_id", "text", maxHamming = 64).count())
     val single = Seq((1L, "just one document here")).toDF("doc_id", "text")
     assert(Dedup.minhashNearDups(single, "doc_id", "text").count() == 0)
   }
