@@ -293,6 +293,50 @@ object TextAnalysis {
         count(lit(1)).as("n_matched"))
   }
 
+  /** Per-doc repetition statistics — the token-level subset of the
+    * Gopher-style repetition filters (public rules: drop docs whose most
+    * frequent word / n-gram accounts for too large a fraction of the
+    * text; the line-based variants need line-structured corpora).
+    * Returns (doc, n_words, top_word_fraction, top_bigram_fraction);
+    * docs with no bigrams report 0.
+    *
+    * Scale shape: one token explode + one bigram window (shingleRows),
+    * each feeding (doc, gram) hash aggregates that reuse the doc
+    * partitioning — map-side combined, no driver participation.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      explode(Dedup.rawTokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+    val wordStats = toks.groupBy("doc", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc")
+      .agg(sum("c").as("n_words"), max("c").as("top_word"))
+    val bigramStats = Dedup.shingleRows(df, idCol, textCol, 2)
+      .groupBy("doc", "shingle").agg(count(lit(1)).as("c"))
+      .groupBy("doc")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram"))
+    wordStats.join(bigramStats, Seq("doc"), "left")
+      .select(col("doc"), col("n_words"),
+        round(col("top_word").cast("double") / col("n_words").cast("double"), 6)
+          .as("top_word_fraction"),
+        coalesce(
+          round(col("top_bigram").cast("double") / col("n_bigrams").cast("double"), 6),
+          lit(0.0)).as("top_bigram_fraction"))
+  }
+
+  /** Repetition filter: keep docs under the configured repetition caps
+    * (the Gopher defaults are ~0.2 for the top 2-gram fraction). */
+  def filterRepetitive(
+      df: DataFrame, idCol: String, textCol: String,
+      maxTopWordFraction: Double = 0.3, maxTopBigramFraction: Double = 0.2,
+  ): DataFrame = {
+    val stats = repetitionStats(df, idCol, textCol)
+      .where(col("top_word_fraction") <= maxTopWordFraction &&
+        col("top_bigram_fraction") <= maxTopBigramFraction)
+      .select(col("doc"))
+    df.join(stats, df(idCol) === stats("doc"), "left_semi")
+  }
+
   /** Append the full text-analysis column set to a frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -719,5 +719,39 @@ object PipelineQueries {
              |)
              |SELECT doc, ROUND(SUM(c), 6) AS score, COUNT(*) AS n_matched
              |FROM contrib GROUP BY doc ORDER BY doc""".stripMargin)),
+
+    // Token-level repetition statistics (the Gopher-style repetition
+    // filter inputs): most-frequent-word and most-frequent-bigram
+    // fractions per doc. Oracle replays tokenization, the bigram window,
+    // and both max/total aggregates.
+    QueryDef("p24_repetition",
+      (s, dir) => TextAnalysis.repetitionStats(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc"),
+      Some("""WITH tl AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), wc AS (
+             |  SELECT doc_id, tok, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tl) GROUP BY doc_id, tok
+             |), ws AS (
+             |  SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_word FROM wc GROUP BY doc_id
+             |), bc AS (
+             |  SELECT doc_id, bigram, COUNT(*) AS c
+             |  FROM (SELECT doc_id,
+             |               unnest(list_transform(range(1, len(toks)),
+             |                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+             |        FROM tl WHERE len(toks) >= 2)
+             |  GROUP BY doc_id, bigram
+             |), bs AS (
+             |  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram FROM bc GROUP BY doc_id
+             |)
+             |SELECT ws.doc_id AS doc, CAST(ws.n_words AS BIGINT) AS n_words,
+             |       ROUND(CAST(top_word AS DOUBLE) / n_words, 6) AS top_word_fraction,
+             |       COALESCE(ROUND(CAST(top_bigram AS DOUBLE) / n_bigrams, 6), 0.0) AS top_bigram_fraction
+             |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+             |ORDER BY doc""".stripMargin)),
   )
 }

@@ -155,6 +155,24 @@ class PipelineSpec extends SparkSpec {
       block, "doc_id", "text", shingleK = 8).count() == 1)
   }
 
+  test("repetition stats: degenerate repeats flagged, varied text passes the filter") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam"),              // top word = 1.0
+      (2L, "a b a b a b a b"),                       // top bigram ("a b") high
+      (3L, "many different words in this sentence"), // varied
+      (4L, "solo"),                                  // single word: no bigrams
+    ).toDF("doc_id", "text")
+    val stats = TextAnalysis.repetitionStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(stats(1L)._1 == 1.0 && stats(1L)._2 == 1.0)
+    assert(stats(2L)._2 > 0.5)     // "a b" dominates the bigrams
+    assert(stats(3L)._1 < 0.2)
+    assert(stats(4L) == (1.0, 0.0)) // no bigrams → 0
+    val kept = TextAnalysis.filterRepetitive(d, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L)) // doc 4's top-word fraction 1.0 also fails the cap
+  }
+
   test("tfidf: corpus-wide terms weigh ~0, rare terms rank first") {
     val d = Seq(
       (1L, "common common rare1"),
