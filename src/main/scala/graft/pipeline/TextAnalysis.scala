@@ -293,6 +293,46 @@ object TextAnalysis {
         count(lit(1)).as("n_matched"))
   }
 
+  /** PII scrubbing patterns: deliberately simple, backreference-free
+    * regexes that mean the same thing in Java regex and RE2-style
+    * engines, so external oracles can replay the scrub verbatim.
+    * Public, standard shapes (emails, international/US phone numbers,
+    * dotted-quad IPs).
+    */
+  private[pipeline] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{7,14}[0-9]", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+  )
+
+  /** Redact emails, phone numbers, and IPs from a text column — the
+    * corpus-level counterpart of the reference's per-column anonymize
+    * transformation (reference: transformation_manager.py anonymize,
+    * emails only). Patterns apply in declaration order (emails first, so
+    * the phone pattern cannot eat into a local-part's digits). Returns
+    * the scrubbed text plus a per-kind match count so pipelines can
+    * audit what was removed.
+    *
+    * Scale shape: pure per-row codegen'd expressions, no shuffle.
+    */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pattern, replacement)) =>
+      regexp_replace(c, pattern, replacement)
+    }
+
+  /** Per-kind PII match counts for auditing ([[scrubPii]]'s patterns,
+    * counted on the same progressively-scrubbed text so the numbers
+    * agree with what scrubPii replaces). */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val (counts, _) = piiPatterns.foldLeft(
+      (Seq.empty[(String, Column)], text)) {
+      case ((acc, current), (kind, pattern, replacement)) =>
+        (acc :+ (s"n_$kind" -> regexp_count(current, lit(pattern)).cast("long")),
+          regexp_replace(current, pattern, replacement))
+    }
+    counts
+  }
+
   /** Per-doc repetition statistics — the token-level subset of the
     * Gopher-style repetition filters (public rules: drop docs whose most
     * frequent word / n-gram accounts for too large a fraction of the

@@ -753,5 +753,51 @@ object PipelineQueries {
              |       COALESCE(ROUND(CAST(top_bigram AS DOUBLE) / n_bigrams, 6), 0.0) AS top_bigram_fraction
              |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
              |ORDER BY doc""".stripMargin)),
+
+    // PII scrubbing: deterministic synthetic PII (derived from doc_id,
+    // constructed identically on both sides since the corpus has none)
+    // redacted by the shared backreference-free patterns; per-kind
+    // counts audited. Oracle replays the injection, the ordered
+    // replace chain, and the counts in RE2.
+    QueryDef("p25_pii_scrub",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val withPii = docs.select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+              .when(pmod(col("doc_id"), lit(3)) === 1,
+                concat(lit(" call 555-010-0100 or ping 10.0."),
+                  pmod(col("doc_id"), lit(256)), lit(".7")))
+              .otherwise(lit(""))).as("text"))
+        val countCols = TextAnalysis.piiCounts(col("text"))
+          .map { case (name, c) => c.as(name) }
+        withPii.select(
+          (col("doc_id") +: TextAnalysis.scrubPii(col("text")).as("scrubbed") +: countCols): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |         text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com'
+             |                      WHEN doc_id % 3 = 1 THEN ' call 555-010-0100 or ping 10.0.' || (doc_id % 256) || '.7'
+             |                      ELSE '' END AS text
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), s1 AS (
+             |  SELECT doc_id,
+             |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1,
+             |         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email
+             |  FROM base
+             |), s2 AS (
+             |  SELECT doc_id,
+             |         regexp_replace(t1, '\+?[0-9][0-9()\- ]{7,14}[0-9]', '<PHONE>', 'g') AS t2,
+             |         n_email,
+             |         len(regexp_extract_all(t1, '\+?[0-9][0-9()\- ]{7,14}[0-9]')) AS n_phone
+             |  FROM s1
+             |)
+             |SELECT doc_id,
+             |       regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed,
+             |       n_email, n_phone,
+             |       len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip
+             |FROM s2 ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -155,6 +155,24 @@ class PipelineSpec extends SparkSpec {
       block, "doc_id", "text", shingleK = 8).count() == 1)
   }
 
+  test("PII scrub redacts emails, phones, IPs and counts them") {
+    val d = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org thanks"),
+      (2L, "call +1 (555) 010-0100 or 555-010-9999 today"),
+      (3L, "server at 192.168.001.042 and 10.0.0.7"),
+      (4L, "nothing sensitive here at all"),
+    ).toDF("doc_id", "text")
+    val countCols = TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+    val out = d.select(
+      (col("doc_id") +: TextAnalysis.scrubPii(col("text")).as("s") +: countCols): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L)._1 == "reach me at <EMAIL> thanks" && out(1L)._2 == 1)
+    assert(out(2L)._1 == "call <PHONE> or <PHONE> today" && out(2L)._3 == 2)
+    assert(out(3L)._1 == "server at <IP> and <IP>" && out(3L)._4 == 2)
+    assert(out(4L) == (("nothing sensitive here at all", 0L, 0L, 0L)))
+  }
+
   test("repetition stats: degenerate repeats flagged, varied text passes the filter") {
     val d = Seq(
       (1L, "spam spam spam spam spam"),              // top word = 1.0
