@@ -225,6 +225,34 @@ object Dedup {
     corpus.join(contaminated, corpus(idCol) === contaminated("doc"), "left_anti")
   }
 
+  /** Cross-document duplicate-span fraction: per doc, the fraction of
+    * its k-token window OCCURRENCES whose window text also appears in at
+    * least one OTHER doc — the cross-corpus member of the repetition-
+    * filter family (a high value marks boilerplate/mirrored content even
+    * when no single pair passes a near-dup threshold). Returns
+    * (doc, n_spans, dup_span_fraction); docs shorter than k tokens have
+    * no spans and are omitted.
+    *
+    * Scale shape: one shingle window (doc-partitioned), one
+    * shingle-keyed exchange for the distinct-doc count, a shingle-keyed
+    * join back, and a doc-keyed final aggregate — all hash-partitioned
+    * equi-operations, no pairwise comparison anywhere.
+    */
+  def duplicateSpanFraction(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+  ): DataFrame = {
+    val spans = shingleRows(df, idCol, textCol, k)
+    val docsPerSpan = spans.select("doc", "shingle").distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("__docs"))
+    spans.join(docsPerSpan, "shingle")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("__dup"))
+      .select(col("doc"), col("n_spans"),
+        round(col("__dup").cast("double") / col("n_spans").cast("double"), 6)
+          .as("dup_span_fraction"))
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(setA: Column, setB: Column): Column =
     size(array_intersect(setA, setB)).cast("double") /

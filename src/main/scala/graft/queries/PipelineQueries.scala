@@ -799,5 +799,29 @@ object PipelineQueries {
              |       n_email, n_phone,
              |       len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip
              |FROM s2 ORDER BY doc_id""".stripMargin)),
+
+    // Cross-document duplicate-span fraction: per doc, the fraction of
+    // its 8-token windows shared with at least one other doc. Oracle
+    // replays the window construction and both aggregates.
+    QueryDef("p26_dup_spans",
+      (s, dir) => Dedup.duplicateSpanFraction(
+        Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc"),
+      Some("""WITH tl AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), spans AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8 + 2),
+             |                                       i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS span
+             |  FROM tl WHERE len(toks) >= 8
+             |), dps AS (
+             |  SELECT span, COUNT(DISTINCT doc_id) AS docs FROM spans GROUP BY span
+             |)
+             |SELECT s.doc_id AS doc, COUNT(*) AS n_spans,
+             |       ROUND(SUM(CASE WHEN d.docs > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_span_fraction
+             |FROM spans s JOIN dps d ON s.span = d.span
+             |GROUP BY s.doc_id ORDER BY doc""".stripMargin)),
   )
 }

@@ -155,6 +155,21 @@ class PipelineSpec extends SparkSpec {
       block, "doc_id", "text", shingleK = 8).count() == 1)
   }
 
+  test("duplicate-span fraction: shared windows counted, unique docs at 0, short docs omitted") {
+    val d = Seq(
+      (1L, "a b c d e f g h unique tail one"),   // shares the first 8-gram with doc 2
+      (2L, "a b c d e f g h different end two"),
+      (3L, "totally distinct words through the whole document here"),
+      (4L, "short doc"),                          // < 8 tokens: no spans
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanFraction(d, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(4L))
+    assert(out(3L)._2 == 0.0)
+    assert(out(1L)._2 > 0.0 && out(1L)._2 < 1.0) // exactly one shared window of 4
+    assert(out(1L)._1 == 4L) // 11 tokens → 4 windows of 8
+  }
+
   test("PII scrub redacts emails, phones, IPs and counts them") {
     val d = Seq(
       (1L, "reach me at jane.doe+spam@corp.example.org thanks"),
