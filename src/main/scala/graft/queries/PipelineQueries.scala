@@ -823,5 +823,39 @@ object PipelineQueries {
              |       ROUND(SUM(CASE WHEN d.docs > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_span_fraction
              |FROM spans s JOIN dps d ON s.span = d.span
              |GROUP BY s.doc_id ORDER BY doc""".stripMargin)),
+
+    // SQ8 two-stage ANN: int8-quantized cosine over the 4×-compressed
+    // index prunes to k×5 candidates, exact cosine rescoring picks the
+    // top k. Oracle replays the per-vector quantization (HALF_UP to
+    // steps of max|x|/127), both rankings, and both tie-breaks.
+    QueryDef("p27_ann_sq8",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        Similarity.sq8TopK(emb, "vec_id", "embedding", q, k = 10)
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |  FROM read_parquet('{SFDIR}/embeddings.parquet')
+             |), q AS (
+             |  SELECT e AS qe FROM v WHERE vec_id = 0
+             |), qq AS (
+             |  SELECT list_transform(qe, x ->
+             |           CAST(round(x / (GREATEST(list_max(list_transform(qe, y -> abs(y))), 1e-30) / 127.0)) AS DOUBLE)) AS qv
+             |  FROM q
+             |), quant AS (
+             |  SELECT vec_id, e,
+             |         list_transform(e, x ->
+             |           CAST(round(x / (GREATEST(list_max(list_transform(e, y -> abs(y))), 1e-30) / 127.0)) AS DOUBLE)) AS qvec
+             |  FROM v
+             |), cand AS (
+             |  SELECT quant.vec_id, quant.e,
+             |         ROUND(list_cosine_similarity(qvec, qq.qv), 6) AS qcos
+             |  FROM quant, qq
+             |  ORDER BY qcos DESC, vec_id ASC LIMIT 50
+             |)
+             |SELECT cand.vec_id, ROUND(list_cosine_similarity(cand.e, q.qe), 6) AS cosine
+             |FROM cand, q ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin)),
   )
 }

@@ -269,6 +269,22 @@ class PipelineSpec extends SparkSpec {
       exact.collect().map(_.getLong(0)).toSeq)
   }
 
+  test("SQ8 quantized ANN recalls the exact top-k with high overlap") {
+    val q = emb.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val sq8 = Similarity.sq8TopK(emb, "vec_id", "embedding", q, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    // int8 quantization at 64 dims preserves ordering almost perfectly;
+    // after exact rescoring the top-5 should overlap ≥ 4/5
+    assert((exact intersect sq8).size >= 4, s"exact=$exact sq8=$sq8")
+    // quantized vectors are genuine int8 steps
+    val qv = Similarity.quantizeSq8(emb.limit(5), "embedding")
+      .select("qvec").as[Seq[Int]].collect()
+    assert(qv.forall(_.forall(x => x >= -127 && x <= 127)))
+  }
+
   test("cleanCorpus filters on quality+language and drops near-dups") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and then rests a while"),
