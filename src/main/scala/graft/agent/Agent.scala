@@ -60,22 +60,45 @@ final class AgentLogger(
   }
 }
 
-/** Conversation memory (reference: pandasai/helpers/memory.py:39-70). */
+/** One conversation message in role form (the reference's
+  * to_json/to_openai_messages element shape, memory.py:72-98). */
+final case class ChatMessage(role: String, content: String)
+
+/** Conversation memory (reference: pandasai/helpers/memory.py:39-101). */
 final class Memory(val memorySize: Int = 10) {
   private val msgs = mutable.Buffer.empty[(String, Boolean)] // (text, isUser)
   def add(text: String, isUser: Boolean): Unit = msgs += ((text, isUser))
   def count: Int = msgs.size
   def all: Seq[(String, Boolean)] = msgs.toSeq
-  def getConversation: String =
-    msgs.takeRight(memorySize).map { case (t, u) =>
-      if (u) s"### QUERY\n $t" else s"### ANSWER\n $t"
+
+  /** Assistant answers are truncated in the rendered conversation
+    * (memory.py:30-36,46 — only non-user messages; raw forms below keep
+    * full text). */
+  private def truncate(m: String, max: Int = 100): String =
+    if (m.length > max) m.take(max) + " ..." else m
+
+  private def render(entries: Seq[(String, Boolean)]): String =
+    entries.map { case (t, u) =>
+      if (u) s"### QUERY\n $t" else s"### ANSWER\n ${truncate(t)}"
     }.mkString("\n")
+
+  def getConversation: String = render(msgs.takeRight(memorySize).toSeq)
   /** Everything but the latest message (memory.py:58-63) — the prompt
     * shows the current question separately under its own heading. */
   def getPreviousConversation: String =
-    msgs.dropRight(1).takeRight(memorySize).map { case (t, u) =>
-      if (u) s"### QUERY\n $t" else s"### ANSWER\n $t"
-    }.mkString("\n")
+    render(msgs.dropRight(1).takeRight(memorySize).toSeq)
+
+  /** Role-tagged messages, full text (memory.py:72-79 to_json). */
+  def toMessages: Seq[ChatMessage] =
+    msgs.toSeq.map { case (t, u) =>
+      ChatMessage(if (u) "user" else "assistant", t)
+    }
+
+  /** Chat-API-shaped conversation, optional system preamble first
+    * (memory.py:81-98 to_openai_messages). */
+  def toChatMessages(agentDescription: Option[String] = None): Seq[ChatMessage] =
+    agentDescription.map(ChatMessage("system", _)).toSeq ++ toMessages
+
   def clear(): Unit = msgs.clear()
 }
 

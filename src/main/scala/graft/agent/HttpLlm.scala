@@ -55,15 +55,17 @@ final class HttpLlm(
   private val endpoint: URI =
     URI.create(baseUrl.stripSuffix("/") + "/chat/completions")
 
-  private def requestBody(prompt: String): String = {
+  private def requestBody(messages: Seq[ChatMessage]): String = {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("model", model)
     root.put("temperature", temperature)
     root.put("max_tokens", maxTokens)
     val msgs = root.putArray("messages")
-    val m = msgs.addObject()
-    m.put("role", "user")
-    m.put("content", prompt)
+    messages.foreach { cm =>
+      val m = msgs.addObject()
+      m.put("role", cm.role)
+      m.put("content", cm.content)
+    }
     mapper.writeValueAsString(root)
   }
 
@@ -78,13 +80,19 @@ final class HttpLlm(
 
   private def retriable(status: Int): Boolean = status == 429 || status >= 500
 
-  override def generate(prompt: String): String = {
-    lastPrompt = Some(prompt)
+  override def generate(prompt: String): String =
+    generateChat(Seq(ChatMessage("user", prompt)))
+
+  /** Multi-message chat form — post a full conversation (the shape
+    * Memory.toChatMessages produces), not just one user turn. */
+  def generateChat(messages: Seq[ChatMessage]): String = {
+    require(messages.nonEmpty, "generateChat needs at least one message")
+    lastPrompt = messages.lastOption.map(_.content)
     val req = HttpRequest.newBuilder(endpoint)
       .timeout(requestTimeout)
       .header("Content-Type", "application/json")
       .header("Authorization", s"Bearer $key")
-      .POST(HttpRequest.BodyPublishers.ofString(requestBody(prompt), StandardCharsets.UTF_8))
+      .POST(HttpRequest.BodyPublishers.ofString(requestBody(messages), StandardCharsets.UTF_8))
       .build()
 
     var attempt = 0

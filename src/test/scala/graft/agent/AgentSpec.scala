@@ -144,6 +144,22 @@ class AgentSpec extends SparkSpec {
     assert(conv.contains("### ANSWER\n a1") && conv.contains("### QUERY\n q2"))
   }
 
+  test("memory: long answers truncate in the rendering, raw forms keep full text") {
+    val m = new Memory()
+    val longAnswer = "x" * 150
+    m.add("the question", isUser = true)
+    m.add(longAnswer, isUser = false)
+    // rendered conversation truncates ANSWERS only (memory.py:30-36,46)
+    assert(m.getConversation.contains("x" * 100 + " ..."))
+    assert(!m.getConversation.contains("x" * 101))
+    // role-tagged forms are untruncated (to_json / to_openai_messages)
+    assert(m.toMessages == Seq(
+      ChatMessage("user", "the question"), ChatMessage("assistant", longAnswer)))
+    val withSystem = m.toChatMessages(Some("You are an analyst."))
+    assert(withSystem.head == ChatMessage("system", "You are an analyst."))
+    assert(withSystem.size == 3)
+  }
+
   test("response parser validates type/value agreement (response/parser.py:32-75)") {
     assert(Response.parse("number", 3.5) == NumberR(3.5))
     assert(Response.parse("string", "hi") == StringR("hi"))

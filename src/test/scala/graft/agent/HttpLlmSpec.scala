@@ -105,6 +105,23 @@ class HttpLlmSpec extends AnyFunSuite {
     } finally stub.stop()
   }
 
+  test("generateChat posts the full multi-message conversation") {
+    val stub = new Stub(Seq(200 -> chatJson("ok")))
+    try {
+      val msgs = Seq(
+        ChatMessage("system", "You are terse."),
+        ChatMessage("user", "hi"),
+        ChatMessage("assistant", "hello"),
+        ChatMessage("user", "again"))
+      assert(llm(stub).generateChat(msgs) == "ok")
+      val req = new com.fasterxml.jackson.databind.ObjectMapper().readTree(stub.lastBody)
+      val sent = req.path("messages")
+      assert(sent.size() == 4)
+      assert(sent.path(0).path("role").asText() == "system")
+      assert(sent.path(3).path("content").asText() == "again")
+    } finally stub.stop()
+  }
+
   test("missing API key fails fast at construction") {
     val e = intercept[IllegalArgumentException] {
       new HttpLlm("http://localhost:1", "m",
