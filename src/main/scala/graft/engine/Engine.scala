@@ -71,14 +71,23 @@ final class Engine(val spark: SparkSession, val datasetsRoot: String) {
   def load(path: String): DataFrame = {
     val (org, name) = splitPath(path)
     val dir = Paths.get(datasetsRoot, org, name)
-    val yaml = Files.readString(dir.resolve("schema.yaml"))
-    val schema = SemanticSchema.fromYaml(yaml)
+    val schemaFile = dir.resolve("schema.yaml")
+    if (!Files.exists(schemaFile))
+      throw new IllegalArgumentException(
+        s"dataset not found: $path (no ${schemaFile.toString}) — create it " +
+          "with Engine.create or check the org/dataset path")
+    val schema = SemanticSchema.fromYaml(Files.readString(schemaFile))
     val df = DatasetPlanBuilder.build(spark, schema, dir.toString, resolveDependency(org))
     schemas(SqlGate.sanitizeTableNameLowercase(schema.name)) = schema
     register(schema.name, df)
     schema.destination.foreach(dest => writeDestination(df, dest))
     df
   }
+
+  // datasets currently being resolved — a view dependency chain that
+  // loops (a → b → a) must fail with the cycle spelled out, not
+  // overflow the stack
+  private val loading = mutable.LinkedHashSet.empty[String]
 
   /** Views resolve sibling datasets within the same org, falling back to
     * already-registered tables
@@ -87,7 +96,13 @@ final class Engine(val spark: SparkSession, val datasetsRoot: String) {
     val clean = SqlGate.sanitizeTableNameLowercase(dep)
     registry.getOrElse(clean, {
       val depDir = Paths.get(datasetsRoot, org, dep, "schema.yaml")
-      if (Files.exists(depDir)) load(s"$org/$dep")
+      if (Files.exists(depDir)) {
+        if (loading.contains(clean))
+          throw new IllegalArgumentException(
+            s"circular view dependency: ${(loading.toSeq :+ clean).mkString(" -> ")}")
+        loading += clean
+        try load(s"$org/$dep") finally loading -= clean
+      }
       else throw new IllegalArgumentException(s"unknown view dependency: $dep")
     })
   }

@@ -57,12 +57,17 @@ object DatasetPlanBuilder {
   private def jdbcUrl(stype: String, conn: Map[String, String]): String = {
     val host = conn.getOrElse("host", "localhost")
     val database = conn.getOrElse("database", "")
-    val proto = stype match {
-      case "postgres" | "cockroachdb" => "postgresql"
-      case other                      => other
-    }
     val port = conn.get("port").map(p => s":$p").getOrElse("")
-    s"jdbc:$proto://$host$port/$database"
+    stype match {
+      case "postgres" | "cockroachdb" =>
+        s"jdbc:postgresql://$host$port/$database"
+      // SQL Server's JDBC URL names the database as a property, not a
+      // path segment
+      case "sqlserver" =>
+        s"jdbc:sqlserver://$host$port;databaseName=$database"
+      case other =>
+        s"jdbc:$other://$host$port/$database"
+    }
   }
 
   private def resolvePath(src: SourceDef, baseDir: String): String = {

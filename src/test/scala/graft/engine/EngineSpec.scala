@@ -66,6 +66,28 @@ class EngineSpec extends SparkSpec {
     assert(v.count() == Tables.load(spark, sf, "customer").count())
   }
 
+  test("missing dataset and circular view dependencies fail with clear errors") {
+    val e = freshEngine("cycles")
+    val missing = intercept[IllegalArgumentException](e.load("org/does-not-exist"))
+    assert(missing.getMessage.contains("dataset not found"))
+
+    // two views that reference each other: a → b → a must be reported as
+    // a cycle, not overflow the stack
+    def viewYaml(name: String, dep: String) =
+      s"""name: $name
+         |view: true
+         |columns:
+         |- name: $dep.x
+         |""".stripMargin
+    for ((n, d) <- Seq(("view_a", "view_b"), ("view_b", "view_a"))) {
+      val dir = Paths.get(e.datasetsRoot, "org", n)
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("schema.yaml"), viewYaml(n, d))
+    }
+    val cyc = intercept[IllegalArgumentException](e.load("org/view_a"))
+    assert(cyc.getMessage.contains("circular view dependency"), cyc.getMessage)
+  }
+
   test("paginator: search + sort + offset/limit") {
     val df = Tables.load(spark, sf, "customer")
     val page = Paginator.paginate(df, Paginator.Params(
