@@ -293,6 +293,38 @@ object TextAnalysis {
         count(lit(1)).as("n_matched"))
   }
 
+  /** CCNet-style language-model quality proxy: per-doc mean negative
+    * log-probability of its tokens under the CORPUS unigram
+    * distribution with add-one smoothing (the "perplexity filter" the
+    * public corpus pipelines run with a KenLM model — the unigram form
+    * needs no external model and already separates gibberish/rare-token
+    * soup, which scores high, from ordinary prose, which scores low).
+    *
+    * Returns (doc, n_tokens, nll) with nll = avg over token occurrences
+    * of −ln((count(t) + 1) / (total + V)), rounded to 6.
+    *
+    * Scale shape: one token explode feeding both the (doc, term) counts
+    * and the global term counts; the per-term probabilities join back
+    * term-keyed; scalars (total, vocab) ride a 1-row broadcast.
+    */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      explode(Dedup.rawTokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termTotals = tf.groupBy("term").agg(sum("tf").as("ct"))
+    val stats = termTotals.agg(sum("ct").as("total"), count(lit(1)).as("vocab"))
+    tf.join(termTotals, "term")
+      .crossJoin(broadcast(stats)) // 1-row scalars
+      .withColumn("__contrib",
+        -col("tf").cast("double") *
+          log((col("ct") + 1).cast("double") / (col("total") + col("vocab")).cast("double")))
+      .groupBy("doc")
+      .agg(sum("tf").as("n_tokens"),
+        round(sum(col("__contrib")) / sum("tf").cast("double"), 6).as("nll"))
+  }
+
   /** PII scrubbing patterns: deliberately simple, backreference-free
     * regexes that mean the same thing in Java regex and RE2-style
     * engines, so external oracles can replay the scrub verbatim.

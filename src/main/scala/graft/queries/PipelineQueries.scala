@@ -857,5 +857,31 @@ object PipelineQueries {
              |)
              |SELECT cand.vec_id, ROUND(list_cosine_similarity(cand.e, q.qe), 6) AS cosine
              |FROM cand, q ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin)),
+
+    // Unigram-LM quality proxy (CCNet-style perplexity filter without an
+    // external model): per-doc mean −ln p(token) under the corpus
+    // distribution with add-one smoothing. Oracle replays tokenization,
+    // the global distribution, and the per-doc mean.
+    QueryDef("p28_lm_score",
+      (s, dir) => TextAnalysis.unigramNll(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS term
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), tf AS (
+             |  SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY doc, term
+             |), tot AS (
+             |  SELECT term, SUM(tf) AS ct FROM tf GROUP BY term
+             |), stats AS (
+             |  SELECT SUM(ct) AS total, COUNT(*) AS vocab FROM tot
+             |)
+             |SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             |       ROUND(SUM(-CAST(tf AS DOUBLE) * LN(CAST(ct + 1 AS DOUBLE) / CAST(total + vocab AS DOUBLE)))
+             |             / CAST(SUM(tf) AS DOUBLE), 6) AS nll
+             |FROM tf JOIN tot USING (term), stats
+             |GROUP BY doc ORDER BY doc""".stripMargin)),
   )
 }

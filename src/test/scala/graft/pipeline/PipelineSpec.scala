@@ -170,6 +170,19 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L)._1 == 4L) // 11 tokens → 4 windows of 8
   }
 
+  test("unigram NLL: rare-token soup scores higher than common prose") {
+    val common = "the data table row scan " * 10
+    val d = Seq(
+      (1L, common + "the data table row"),  // all high-frequency tokens
+      (2L, common.take(0) + "zxqv jkwpt qqrraz mvbnx lorem"), // all singletons
+      (3L, common),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2L) > out(1L) && out(2L) > out(3L),
+      s"gibberish must score highest: $out")
+  }
+
   test("PII scrub redacts emails, phones, IPs and counts them") {
     val d = Seq(
       (1L, "reach me at jane.doe+spam@corp.example.org thanks"),
