@@ -275,11 +275,11 @@ object Dedup {
   /** @param persistShingles cache the shared (doc, shingle) frame
     *   (MEMORY_AND_DISK) — it feeds both candidate generation and the
     *   verification sets, so caching halves the scan+explode+window
-    *   work. The cache lives until the session ends or the block store
-    *   evicts it (Spark offers no reliable post-action unpersist hook
-    *   inside a lazily-evaluated plan); long-lived sessions composing
-    *   many dedups can pass false to trade recompute for zero cache
-    *   footprint.
+    *   work. The cache is tracked by [[OperatorCache]]: call
+    *   `OperatorCache.releaseAll(spark)` once results are materialized
+    *   (Spark offers no reliable post-action unpersist hook inside a
+    *   lazily-evaluated plan); long-lived sessions can also pass false
+    *   to trade recompute for zero cache footprint.
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
@@ -288,10 +288,7 @@ object Dedup {
       persistShingles: Boolean = true,
   ): DataFrame = {
     val sh0 = shingleRows(df, idCol, textCol, shingleK)
-    val sh =
-      if (persistShingles)
-        sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else sh0
+    val sh = if (persistShingles) OperatorCache.persist(sh0) else sh0
     val cands = minhashCandidatesFrom(sh, numHashes, bands)
     val sets = shingleSetsFrom(sh)
     cands

@@ -233,25 +233,31 @@ object Similarity {
     * ONLY within a cluster — the candidate join is an equi-join on
     * `centroid`, never a crossJoin, so the pair count is Σ n_c² over
     * cells rather than n². At scale, `k` is what bounds cell size:
-    * SemDeDup runs with k in the tens of thousands on web corpora; pick
-    * k ≈ corpus/10k so cells stay comparable-sized.
+    * SemDeDup runs with k in the tens of thousands on web corpora.
     *
+    * `k` defaults to DERIVED from the corpus: ceil(n / 10 000) cells,
+    * floor 8 — i.e. ~10k vectors per cell, so within-cell pair work stays
+    * Σ n_c² ≈ n·10k (linear in n) instead of the n²/k² quadratic trap a
+    * fixed small k becomes at real corpus sizes. Pass `k` explicitly to
+    * override (the derivation costs one count() job).
+    *
+    * @param k number of IVF cells; ≤ 0 means derive as
+    *   [[semanticDedupCellCount]](corpus count)
     * @return the surviving rows (original columns + `centroid`)
     */
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, k: Int = 8, iters: Int = 2,
+      threshold: Double, k: Int = 0, iters: Int = 2,
       persistAssigned: Boolean = true,
   ): DataFrame = {
-    val index = ivfTrain(corpus, idCol, vecCol, k, iters)
+    val cells = if (k > 0) k else semanticDedupCellCount(corpus.count())
+    val index = ivfTrain(corpus, idCol, vecCol, cells, iters)
     // the assignment feeds both sides of the pair join AND the surviving
     // output — caching it computes the k dot products once per row
     // (same tradeoff note as minhashNearDups.persistShingles)
     val assigned0 = ivfIndex(corpus, vecCol, index)
     val assigned =
-      if (persistAssigned)
-        assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else assigned0
+      if (persistAssigned) OperatorCache.persist(assigned0) else assigned0
     val a = assigned.select(col("centroid"),
       col(idCol).as("__id_a"), col(vecCol).as("__vec_a"))
     val b = assigned.select(col("centroid"),
@@ -270,6 +276,13 @@ object Similarity {
     * quantized vectors needs no dequantization; exact rescoring happens
     * only on the short candidate list.
     */
+  /** Derived IVF cell count for [[semanticDedup]]: ~10k vectors per cell
+    * (ceil(n/10k)), floor 8 — keeps expected within-cell pair work at
+    * ~n·10k, linear in corpus size.
+    */
+  def semanticDedupCellCount(n: Long): Int =
+    math.max(8L, (n + 9999L) / 10000L).min(Int.MaxValue.toLong).toInt
+
   def quantizeSq8(corpus: DataFrame, vecCol: String): DataFrame = {
     val scale = greatest(
       array_max(transform(col(vecCol), x => abs(x.cast("double")))), lit(1e-30)) / 127.0

@@ -188,9 +188,7 @@ object TextAnalysis {
       .where(if (languages.isEmpty) lit(true)
         else col("lang_pred").isin(languages.toSeq: _*))
     val filtered =
-      if (persistFiltered)
-        filtered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else filtered0
+      if (persistFiltered) OperatorCache.persist(filtered0) else filtered0
     Dedup.dedupNearDuplicates(filtered, idCol, textCol, dedupThreshold)
   }
 
@@ -225,9 +223,7 @@ object TextAnalysis {
     // (doc, term) aggregate — tf rows are distinct per (doc, term), so
     // counting rows per term IS count-distinct-doc.
     val tf0 = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-    val tf =
-      if (persistAgg) tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else tf0
+    val tf = if (persistAgg) OperatorCache.persist(tf0) else tf0
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val weighted = tf.join(dfreq, "term")
@@ -271,9 +267,7 @@ object TextAnalysis {
     // stats, and query-term df all derive from it (exact — dl is an
     // integer sum).
     val tfAll0 = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-    val tfAll =
-      if (persistAgg) tfAll0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else tfAll0
+    val tfAll = if (persistAgg) OperatorCache.persist(tfAll0) else tfAll0
     val docLen = tfAll.groupBy("doc").agg(sum("tf").as("dl"))
     val stats = docLen.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
@@ -307,12 +301,17 @@ object TextAnalysis {
     * and the global term counts; the per-term probabilities join back
     * term-keyed; scalars (total, vocab) ride a 1-row broadcast.
     */
-  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** @param persistAgg cache the (doc, term, tf) aggregate feeding both
+    *   the global distribution and the per-doc scores — see tfidfTopTerms
+    *   (same opt-out contract; the cache is released via
+    *   [[OperatorCache.releaseAll]]). */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String,
+      persistAgg: Boolean = true): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       explode(Dedup.rawTokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
-    val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf0 = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val tf = if (persistAgg) OperatorCache.persist(tf0) else tf0
     val termTotals = tf.groupBy("term").agg(sum("tf").as("ct"))
     val stats = termTotals.agg(sum("ct").as("total"), count(lit(1)).as("vocab"))
     tf.join(termTotals, "term")

@@ -279,8 +279,8 @@ object PipelineQueries {
         val docs = Tables.load(s, dir, "documents")
         // one shared persisted (doc, shingle) frame for both the
         // candidate pass and the verification sets (see minhashNearDups)
-        val sh = Dedup.shingleRows(docs, "doc_id", "text", 2)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sh = graft.pipeline.OperatorCache.persist(
+          Dedup.shingleRows(docs, "doc_id", "text", 2))
         val cands = Dedup.minhashCandidatesFrom(sh, numHashes = 16, bands = 8)
         val sets = Dedup.shingleSetsFrom(sh)
         cands
