@@ -43,12 +43,14 @@ object Bench {
     val qs = SparkEntry.queries
     // each query runs twice and reports the MIN — one-shot timings on a
     // shared box swing ±30% (JIT, page cache, neighbors); the min of two
-    // is a far stabler estimate of steady-state plan cost. Both runs
-    // fully materialize through the noop sink; run 2 may reuse cached
-    // intermediates an operator deliberately persists (e.g. the dedup
-    // shingle frame) — that reuse is part of the operator's design and
-    // of any long-lived production session, so it is measured, not
-    // excluded.
+    // is a far stabler estimate of steady-state plan cost. Each run is
+    // fully SELF-CONTAINED: it materializes through the noop sink, then
+    // releases every frame its operator persisted internally — a cached
+    // frame's lifetime is one call, not the session. (Rounds 4–5 lesson:
+    // frames that outlived their query degraded UNRELATED queries up to
+    // 9.8× across the 35-query session, and run-2 re-persists of a plan
+    // run 1 left cached skewed the min toward a state no single call
+    // ever sees.) So each number is the cold cost one user call pays.
     val results: Seq[(String, Either[String, Double])] = headline
       .filter(qs.contains)
       .map { name =>
@@ -59,6 +61,9 @@ object Bench {
             Right((System.nanoTime() - t0) / 1e9)
           } catch {
             case e: Throwable => Left(e.getClass.getSimpleName)
+          } finally {
+            graft.pipeline.OperatorCache.releaseAll(spark)
+            spark.sharedState.cacheManager.clearCache()
           }
         }
         val r = (once(), once()) match {

@@ -38,16 +38,24 @@ object Verify {
         val prefixes = f.split(',').toSeq
         SparkEntry.queries.toSeq.filter { case (n, _) => prefixes.exists(n.startsWith) }
     }
-    val futures = selected.map { case (name, fn) =>
-      Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Batches of 8 (pool still caps live jobs at 4): operator-persisted
+    // frames are released BETWEEN batches, not per-query — a per-query
+    // releaseAll would unpersist frames a concurrently-running query is
+    // mid-scan on. Batching bounds the cache footprint at ~8 queries'
+    // worth instead of the whole 100+-query session.
+    selected.grouped(8).foreach { batch =>
+      val futures = batch.map { case (name, fn) =>
+        Future {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
         }
       }
+      Await.result(Future.sequence(futures), Duration.Inf)
+      graft.pipeline.OperatorCache.releaseAll(spark)
     }
-    Await.result(Future.sequence(futures), Duration.Inf)
     pool.shutdown()
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -33,17 +33,32 @@ object OperatorCache {
       .computeIfAbsent(df.sparkSession,
         _ => ConcurrentHashMap.newKeySet[DataFrame]())
       .add(df)
+    evictStopped()
     df
   }
 
   /** Unpersist every frame this registry tracked for `spark`. Non-blocking
     * (the block manager frees asynchronously); safe to call when nothing
-    * is tracked.
+    * is tracked. Loops until the session has no entry, so a persist()
+    * racing in from another thread is still released rather than stranded.
     */
   def releaseAll(spark: SparkSession): Unit = {
-    val frames = registry.remove(spark)
-    if (frames != null) frames.forEach(df => df.unpersist(blocking = false))
+    var frames = registry.remove(spark)
+    while (frames != null) {
+      frames.forEach(df => df.unpersist(blocking = false))
+      frames = registry.remove(spark)
+    }
+    evictStopped()
   }
+
+  /** Drop registry entries whose session has been stopped — their block
+    * stores are gone with the SparkContext, but the strong references
+    * here would otherwise pin the session object for the JVM's life.
+    */
+  private def evictStopped(): Unit =
+    registry.keySet.forEach { s =>
+      if (s.sparkContext.isStopped) registry.remove(s)
+    }
 
   /** Number of frames currently tracked for `spark` (test/diagnostic). */
   def trackedCount(spark: SparkSession): Int = {

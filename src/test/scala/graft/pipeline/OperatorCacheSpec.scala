@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Lifecycle contract for operator-internal caches: after a caller
+  * materializes its results and calls releaseAll, NOTHING persisted by an
+  * operator survives — neither in the registry nor in Spark's
+  * CacheManager. (Rounds 4–5: frames that outlived their query degraded
+  * unrelated bench queries up to 9.8×.)
+  */
+class OperatorCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("persist tracks, releaseAll empties registry AND CacheManager") {
+    spark.sharedState.cacheManager.clearCache()
+    val df = (1 to 100).toDF("n").select(col("n"), (col("n") * 2).as("m"))
+    OperatorCache.persist(df)
+    assert(df.count() == 100)
+    assert(OperatorCache.trackedCount(spark) >= 1)
+    assert(!spark.sharedState.cacheManager.isEmpty)
+
+    OperatorCache.releaseAll(spark)
+    assert(OperatorCache.trackedCount(spark) == 0)
+    // unpersist(blocking=false) drops the CacheManager entry synchronously
+    // (only block-store frees are async), so this is immediately true
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("an operator's internal persist is released by the session owner") {
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "entirely different text with no overlap at all here")
+    ).toDF("doc_id", "text")
+    // tfidfTopTerms persists its (doc, term, tf) aggregate via OperatorCache
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text")
+    assert(out.count() > 0)
+    assert(OperatorCache.trackedCount(spark) >= 1)
+
+    OperatorCache.releaseAll(spark)
+    assert(OperatorCache.trackedCount(spark) == 0)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("releaseAll is idempotent and safe with nothing tracked") {
+    OperatorCache.releaseAll(spark)
+    OperatorCache.releaseAll(spark)
+    assert(OperatorCache.trackedCount(spark) == 0)
+  }
+}
