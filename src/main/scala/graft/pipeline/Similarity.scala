@@ -191,11 +191,28 @@ object Similarity {
         r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
       .sortBy(_._1)
 
+  /** Tag each row with its max-dot-product centroid.
+    *
+    * The centroid table rides along as ONE `typedlit` Literal
+    * (`array<struct<id,vec>>` stored as Catalyst DATA, not as an
+    * expression tree), scanned per row with transform + array_max. The
+    * obvious alternatives both fail at real k: k literal `greatest()`
+    * struct columns blow up codegen past a few hundred centroids
+    * (k = n/10k means 10,000 columns on a 100M-doc corpus), and a
+    * broadcast centroid join + min_by needs a unique row id plus a
+    * full-corpus shuffle for the re-aggregation. This stays map-only —
+    * zero shuffle, O(1) plan size in k, same O(k·dim) per-row compute.
+    * Ties break to the larger id (array_max on struct(sim, id)),
+    * matching the previous greatest() semantics exactly.
+    */
   private def assignToNearest(vecs: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
-    val best = centroids.map { case (id, c) =>
-      struct(dot(col("__vec"), array(c.map(lit): _*)).as("sim"), lit(id).as("id"))
-    }
-    vecs.withColumn("centroid", greatest(best.toSeq: _*).getField("id"))
+    val cents: Column = typedlit(centroids.toSeq.map {
+      case (id, c) => (id, c.toSeq)
+    })
+    val scored = transform(cents, c =>
+      struct(dot(col("__vec"), c.getField("_2")).as("sim"),
+        c.getField("_1").as("id")))
+    vecs.withColumn("centroid", array_max(scored).getField("id"))
   }
 
   /** Index the corpus: every row tagged with its centroid. Write this out
@@ -250,12 +267,19 @@ object Similarity {
       threshold: Double, k: Int = 0, iters: Int = 2,
       persistAssigned: Boolean = true,
   ): DataFrame = {
-    val cells = if (k > 0) k else semanticDedupCellCount(corpus.count())
-    val index = ivfTrain(corpus, idCol, vecCol, cells, iters)
+    // Deriving k needs a count; ivfTrain then scans the corpus iters+1
+    // more times. Persist the input ONCE so the upstream plan (often a
+    // parquet scan + projection, but sometimes an expensive pipeline)
+    // executes once instead of iters+2 times — released with the rest of
+    // the operator's frames by the caller's OperatorCache.releaseAll.
+    val src =
+      if (k > 0 || !persistAssigned) corpus else OperatorCache.persist(corpus)
+    val cells = if (k > 0) k else semanticDedupCellCount(src.count())
+    val index = ivfTrain(src, idCol, vecCol, cells, iters)
     // the assignment feeds both sides of the pair join AND the surviving
     // output — caching it computes the k dot products once per row
     // (same tradeoff note as minhashNearDups.persistShingles)
-    val assigned0 = ivfIndex(corpus, vecCol, index)
+    val assigned0 = ivfIndex(src, vecCol, index)
     val assigned =
       if (persistAssigned) OperatorCache.persist(assigned0) else assigned0
     val a = assigned.select(col("centroid"),

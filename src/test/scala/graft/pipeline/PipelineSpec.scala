@@ -282,6 +282,19 @@ class PipelineSpec extends SparkSpec {
       exact.collect().map(_.getLong(0)).toSeq)
   }
 
+  test("IVF training with k=5000 centroids completes (plan size O(1) in k)") {
+    // the centroid table is a single typedlit Literal, not k expression
+    // columns — at k=5000 the old greatest()-over-literals formulation
+    // exceeded codegen limits; this must plan and run
+    val index = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 5000, iters = 1)
+    assert(index.centroids.nonEmpty)
+    val tagged = Similarity.ivfIndex(emb, "embedding", index)
+    assert(tagged.where(col("centroid").isNull).count() == 0)
+    val ids = index.centroids.map(_._1).toSet
+    assert(tagged.select("centroid").distinct().collect()
+      .forall(r => ids.contains(r.getInt(0))))
+  }
+
   test("SQ8 quantized ANN recalls the exact top-k with high overlap") {
     val q = emb.where(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
