@@ -14,6 +14,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * assumes single-file inputs.
   */
 object Tables {
+  // events on disk: ts is TIMESTAMP(NANOS) — declared here as LongType so
+  // the scan serves raw INT64 nanos. Hardcoded (not inferred) because
+  // schema inference itself rejects the NANOS annotation.
+  private val eventsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -26,14 +37,14 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read nanos as long and convert (integer division
-      // — a double division would lose precision at the 1e18-ns scale).
-      // KNOWN TRADEOFF: the conf is session-global and stays set — it is
-      // consulted at SCAN time, so restoring it here would break the
-      // lazy plan this function returns. Later reads of other
-      // nanos-timestamp parquet in the same session will see LongType.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      // reader rejects. Ask for ts AS LongType via an explicit read
+      // schema — the reader serves the raw INT64 nanos — then convert
+      // with integer division (a double division would lose precision at
+      // the 1e18-ns scale). Per-read and side-effect-free, unlike the
+      // session-global spark.sql.legacy.parquet.nanosAsLong conf this
+      // replaces (which changed how every LATER nanos-parquet read in
+      // the session resolved).
+      spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
