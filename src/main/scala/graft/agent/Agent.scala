@@ -138,10 +138,53 @@ final class Agent(
     val description: Option[String] = None,
     val skills: Option[SkillRegistry] = None,
     val logger: Option[AgentLogger] = None,
+    val vectorstore: Option[VectorStore] = None,
 ) {
   val memory = new Memory()
 
   private def log(msg: String): Unit = logger.foreach(_.log(msg))
+
+  /** Store corrected Q/A pairs and reference docs in the vector store so
+    * later prompts retrieve them (reference: agent/base.py:218-249,
+    * including its error messages verbatim).
+    */
+  def train(
+      queries: Option[Seq[String]] = None,
+      codes: Option[Seq[String]] = None,
+      docs: Option[Seq[String]] = None,
+  ): Unit = {
+    val store = vectorstore.getOrElse(throw new MissingVectorStoreError(
+      "No vector store provided. Please provide a vector store to train the agent."))
+    if (queries.exists(_.nonEmpty) != codes.exists(_.nonEmpty))
+      throw new IllegalArgumentException(
+        "If either queries or codes are provided, both must be provided.")
+    docs.foreach(d => store.addDocs(d))
+    (queries, codes) match {
+      case (Some(q), Some(c)) if q.nonEmpty => store.addQuestionAnswer(q, c)
+      case _ => ()
+    }
+    log("Agent successfully trained on the data")
+  }
+
+  /** Trained-context block: Q/A pairs and docs relevant to `question`,
+    * retrieved from the vector store (the reference's
+    * get_relevant_qa_documents / get_relevant_docs_documents path,
+    * vectorstore.py:157-179). Empty when nothing is stored or relevant.
+    */
+  private def trainedContextBlock(question: String): String =
+    vectorstore.fold("") { store =>
+      val qas = store.getRelevantQaDocuments(question, k = 3)
+      val ds = store.getRelevantDocsDocuments(question, k = 3)
+      val qaPart =
+        if (qas.isEmpty) ""
+        else "\nYou can utilize these examples as a reference for generating SQL:\n" +
+          qas.mkString("\n\n")
+      val docPart =
+        if (ds.isEmpty) ""
+        else "\nHere are additional documents for reference:\n" + ds.mkString("\n\n")
+      val both = qaPart + docPart
+      if (both.isEmpty) "" else both + "\n"
+    }
 
   /** The `<tables>` block: every registered frame serialized
     * (templates/generate_python_code_with_sql.tmpl lines 1-5 +
@@ -190,7 +233,7 @@ executeSqlQuery(sql: String): DataFrame — runs one SELECT against the tables a
 $tablesBlock
 
 $functionsBlock
-$previous
+${trainedContextBlock(question)}$previous
 ### QUERY
  $question
 

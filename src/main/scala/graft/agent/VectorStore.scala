@@ -1,0 +1,190 @@
+package graft.agent
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.pipeline.Similarity
+
+/** Raised by [[Agent.train]] when no vector store was provided
+  * (reference: pandasai/exceptions.py:197-201). */
+final class MissingVectorStoreError(message: String)
+    extends RuntimeException(message)
+
+/** RAG memory interface for agent training
+  * (reference: pandasai/vectorstores/vectorstore.py:9-179): two
+  * collections — trained (question, answer-code) pairs and free-form
+  * docs — with add/update/delete and relevance retrieval by question.
+  *
+  * Retrieval results come in two shapes, as in the reference: the
+  * `getRelevant*` forms return full records (document + id + metadata),
+  * the `*Documents` forms return only the text for prompt injection.
+  */
+trait VectorStore {
+
+  /** One stored record: the document text plus its id and metadata. */
+  final case class Record(id: String, document: String,
+      metadata: Map[String, String] = Map.empty)
+
+  def addQuestionAnswer(
+      queries: Seq[String], codes: Seq[String],
+      ids: Option[Seq[String]] = None,
+      metadatas: Option[Seq[Map[String, String]]] = None): Seq[String]
+
+  def addDocs(
+      docs: Seq[String],
+      ids: Option[Seq[String]] = None,
+      metadatas: Option[Seq[Map[String, String]]] = None): Seq[String]
+
+  def updateQuestionAnswer(
+      ids: Seq[String], queries: Seq[String], codes: Seq[String],
+      metadatas: Option[Seq[Map[String, String]]] = None): Seq[String] =
+    Seq.empty
+
+  def updateDocs(
+      ids: Seq[String], docs: Seq[String],
+      metadatas: Option[Seq[Map[String, String]]] = None): Seq[String] =
+    Seq.empty
+
+  def deleteQuestionAndAnswers(ids: Option[Seq[String]] = None): Option[Boolean] =
+    None
+
+  def deleteDocs(ids: Option[Seq[String]] = None): Option[Boolean] = None
+
+  def deleteCollection(collectionName: String): Option[Boolean] = None
+
+  def getRelevantQuestionAnswers(question: String, k: Int = 1): Seq[Record]
+
+  def getRelevantDocs(question: String, k: Int = 1): Seq[Record]
+
+  /** Texts only, for prompt injection (vectorstore.py:157-167). */
+  def getRelevantQaDocuments(question: String, k: Int = 1): Seq[String] =
+    getRelevantQuestionAnswers(question, k).map(_.document)
+
+  /** Texts only, for prompt injection (vectorstore.py:169-179). */
+  def getRelevantDocsDocuments(question: String, k: Int = 1): Seq[String] =
+    getRelevantDocs(question, k).map(_.document)
+
+  /** The stored textual form of a trained pair (vectorstore.py:178-179). */
+  protected def formatQa(query: String, code: String): String =
+    s"Q: $query\n A: $code"
+}
+
+/** In-memory cosine vector store: documents are embedded with a
+  * deterministic hashing-trick unigram TF vector (no model in the
+  * container), and relevance search runs through the SAME distributed
+  * path as corpus ANN — [[Similarity.bruteForceTopK]] over a DataFrame
+  * of the stored embeddings — so swapping this for a billion-row
+  * parquet-backed store changes the storage, not the search.
+  *
+  * Ids are deterministic (collection, insertion-order) unless provided;
+  * adds/updates/deletes mirror the reference semantics, including the
+  * qa/docs collection split.
+  */
+final class InMemoryVectorStore(
+    spark: SparkSession, dim: Int = 256,
+) extends VectorStore {
+  require(dim > 0, "embedding dimension must be positive")
+
+  private final case class Entry(id: String, document: String,
+      metadata: Map[String, String], vec: Array[Float])
+
+  private val qa = mutable.LinkedHashMap.empty[String, Entry]
+  private val docs = mutable.LinkedHashMap.empty[String, Entry]
+  private var seq = 0
+
+  /** Hashing-trick unigram TF embedding, L2-normalized. Deterministic
+    * (MurmurHash3 of the lowercased token), sign-split to decorrelate
+    * colliding tokens — the standard feature-hashing construction.
+    */
+  private[agent] def embed(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    text.toLowerCase.split("\\W+").filter(_.nonEmpty).foreach { tok =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(tok)
+      val idx = math.floorMod(h, dim)
+      v(idx) += (if ((h >>> 31) == 0) 1f else -1f)
+    }
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (n > 0) v.map(x => (x / n).toFloat) else v
+  }
+
+  private def nextId(prefix: String): String = { seq += 1; s"$prefix-$seq" }
+
+  private def addAll(coll: mutable.LinkedHashMap[String, Entry],
+      prefix: String, texts: Seq[String], ids: Option[Seq[String]],
+      metadatas: Option[Seq[Map[String, String]]]): Seq[String] = {
+    ids.foreach(i => require(i.length == texts.length,
+      s"ids length ${i.length} != documents length ${texts.length}"))
+    metadatas.foreach(m => require(m.length == texts.length,
+      s"metadatas length ${m.length} != documents length ${texts.length}"))
+    texts.zipWithIndex.map { case (t, i) =>
+      val id = ids.map(_(i)).getOrElse(nextId(prefix))
+      coll(id) = Entry(id, t, metadatas.map(_(i)).getOrElse(Map.empty), embed(t))
+      id
+    }
+  }
+
+  override def addQuestionAnswer(queries: Seq[String], codes: Seq[String],
+      ids: Option[Seq[String]], metadatas: Option[Seq[Map[String, String]]]): Seq[String] = {
+    require(queries.length == codes.length,
+      s"queries length ${queries.length} != codes length ${codes.length}")
+    addAll(qa, "qa", queries.zip(codes).map { case (q, c) => formatQa(q, c) },
+      ids, metadatas)
+  }
+
+  override def addDocs(documents: Seq[String], ids: Option[Seq[String]],
+      metadatas: Option[Seq[Map[String, String]]]): Seq[String] =
+    addAll(docs, "doc", documents, ids, metadatas)
+
+  override def updateQuestionAnswer(ids: Seq[String], queries: Seq[String],
+      codes: Seq[String], metadatas: Option[Seq[Map[String, String]]]): Seq[String] =
+    addQuestionAnswer(queries, codes, Some(ids), metadatas)
+
+  override def updateDocs(ids: Seq[String], documents: Seq[String],
+      metadatas: Option[Seq[Map[String, String]]]): Seq[String] =
+    addDocs(documents, Some(ids), metadatas)
+
+  override def deleteQuestionAndAnswers(ids: Option[Seq[String]]): Option[Boolean] =
+    Some(ids.fold { qa.clear(); true }(_.map(qa.remove(_).isDefined).forall(identity)))
+
+  override def deleteDocs(ids: Option[Seq[String]]): Option[Boolean] =
+    Some(ids.fold { docs.clear(); true }(_.map(docs.remove(_).isDefined).forall(identity)))
+
+  override def deleteCollection(collectionName: String): Option[Boolean] =
+    collectionName match {
+      case "qa"   => qa.clear(); Some(true)
+      case "docs" => docs.clear(); Some(true)
+      case _      => Some(false)
+    }
+
+  private def search(coll: mutable.LinkedHashMap[String, Entry],
+      question: String, k: Int): Seq[Record] = {
+    if (coll.isEmpty || k <= 0) return Seq.empty
+    val qv = embed(question)
+    if (qv.forall(_ == 0f)) return Seq.empty
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = coll.valuesIterator
+      .map(e => Row(e.id, e.vec.toSeq)).toSeq
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000)),
+      schema)
+    Similarity.bruteForceTopK(corpus, "id", "embedding", qv.toSeq, k)
+      .collect().toSeq
+      .flatMap(r => coll.get(r.getString(0)))
+      .map(e => Record(e.id, e.document, e.metadata))
+  }
+
+  override def getRelevantQuestionAnswers(question: String, k: Int): Seq[Record] =
+    search(qa, question, k)
+
+  override def getRelevantDocs(question: String, k: Int): Seq[Record] =
+    search(docs, question, k)
+
+  /** Counts, for tests/diagnostics. */
+  def qaCount: Int = qa.size
+  def docsCount: Int = docs.size
+}

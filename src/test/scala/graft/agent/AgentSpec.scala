@@ -177,4 +177,72 @@ class AgentSpec extends SparkSpec {
     assert(out.head().getLong(0) == 48)
     assert(reg.describeForPrompt.contains("double_it"))
   }
+
+  test("train without a vector store raises the reference's error (agent/base.py:233-237)") {
+    val agent = new Agent(engineWithTables(), new FakeLlm(Seq("SELECT 1")))
+    val e = intercept[MissingVectorStoreError] {
+      agent.train(queries = Some(Seq("q")), codes = Some(Seq("c")))
+    }
+    assert(e.getMessage ==
+      "No vector store provided. Please provide a vector store to train the agent.")
+  }
+
+  test("train with queries xor codes raises (agent/base.py:239-242)") {
+    val store = new InMemoryVectorStore(spark)
+    val agent = new Agent(engineWithTables(), new FakeLlm(Seq("SELECT 1")),
+      vectorstore = Some(store))
+    val e = intercept[IllegalArgumentException] {
+      agent.train(queries = Some(Seq("q only")))
+    }
+    assert(e.getMessage ==
+      "If either queries or codes are provided, both must be provided.")
+    intercept[IllegalArgumentException] {
+      agent.train(codes = Some(Seq("c only")))
+    }
+  }
+
+  test("train→chat round-trip: retrieved Q/A and docs appear in the prompt") {
+    val store = new InMemoryVectorStore(spark)
+    val llm = new FakeLlm(Seq("SELECT count(*) AS n FROM region"))
+    val agent = new Agent(engineWithTables(), llm, vectorstore = Some(store))
+    agent.train(
+      queries = Some(Seq("how many regions are there?")),
+      codes = Some(Seq("SELECT count(*) AS n FROM region")),
+      docs = Some(Seq("The region table is the TPC-H region dimension.")))
+    assert(store.qaCount == 1 && store.docsCount == 1)
+    agent.chat("how many regions?") match {
+      case NumberR(v) => assert(v == 5.0)
+      case other      => fail(s"expected NumberR, got $other")
+    }
+    val prompt = llm.lastPrompt.get
+    assert(prompt.contains("You can utilize these examples as a reference for generating SQL:"))
+    assert(prompt.contains("Q: how many regions are there?\n A: SELECT count(*) AS n FROM region"))
+    assert(prompt.contains("Here are additional documents for reference:"))
+    assert(prompt.contains("The region table is the TPC-H region dimension."))
+  }
+
+  test("vector store retrieval ranks the semantically closest pair first") {
+    val store = new InMemoryVectorStore(spark)
+    store.addQuestionAnswer(
+      Seq("total revenue by region", "count distinct customers"),
+      Seq("SELECT r_name, sum(rev) FROM ...", "SELECT count(DISTINCT c_custkey) FROM ..."))
+    val top = store.getRelevantQaDocuments("revenue per region total", k = 1)
+    assert(top.size == 1 && top.head.contains("total revenue by region"))
+    // delete semantics: by id, then clear
+    val ids = store.addDocs(Seq("docA", "docB"))
+    assert(store.deleteDocs(Some(Seq(ids.head))).contains(true))
+    assert(store.docsCount == 1)
+    assert(store.deleteQuestionAndAnswers(None).contains(true))
+    assert(store.qaCount == 0)
+  }
+
+  test("untrained agent's prompt carries no trained-context block") {
+    val store = new InMemoryVectorStore(spark)
+    val llm = new FakeLlm(Seq("SELECT count(*) AS n FROM region"))
+    val agent = new Agent(engineWithTables(), llm, vectorstore = Some(store))
+    agent.chat("how many regions?")
+    val prompt = llm.lastPrompt.get
+    assert(!prompt.contains("utilize these examples"))
+    assert(!prompt.contains("additional documents"))
+  }
 }
