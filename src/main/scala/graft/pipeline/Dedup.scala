@@ -439,14 +439,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc", "nb"), col("dst") === col("nb"))
         .groupBy(col("src")).agg(min("label").as("nlabel"))
+      // the pre-update label rides along into the checkpoint so the
+      // convergence check is a filter over already-materialized rows —
+      // not a second labels⋈next shuffle join per round
       val next = labels
         .join(neighborMin, col("doc") === col("src"), "left")
         .select(col("doc"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("__old"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc")
-        .where(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.where(col("label") =!= col("__old")).isEmpty
+      labels = next.drop("__old")
       i += 1
       onIteration(i, (System.nanoTime() - t0) / 1e9)
     }
