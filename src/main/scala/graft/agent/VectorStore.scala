@@ -83,17 +83,40 @@ trait VectorStore {
   * adds/updates/deletes mirror the reference semantics, including the
   * qa/docs collection split.
   */
-final class InMemoryVectorStore(
+class InMemoryVectorStore(
     spark: SparkSession, dim: Int = 256,
 ) extends VectorStore {
   require(dim > 0, "embedding dimension must be positive")
 
-  private final case class Entry(id: String, document: String,
+  protected final case class Entry(id: String, document: String,
       metadata: Map[String, String], vec: Array[Float])
 
-  private val qa = mutable.LinkedHashMap.empty[String, Entry]
-  private val docs = mutable.LinkedHashMap.empty[String, Entry]
+  protected val qa = mutable.LinkedHashMap.empty[String, Entry]
+  protected val docs = mutable.LinkedHashMap.empty[String, Entry]
   private var seq = 0
+
+  /** Called after every mutating operation — persistence hook for
+    * subclasses (no-op here). */
+  protected def onMutate(): Unit = ()
+
+  /** Inject a stored entry without triggering [[onMutate]] — the
+    * restore path for persistent subclasses. Also advances the id
+    * sequence past restored auto-ids so new adds cannot collide. */
+  protected def restoreEntry(collection: String, id: String,
+      document: String, metadata: Map[String, String]): Unit = {
+    val coll = if (collection == "qa") qa else docs
+    coll(id) = Entry(id, document, metadata, embed(document))
+    id match {
+      case s if s.startsWith("qa-") || s.startsWith("doc-") =>
+        s.split("-").last.toIntOption.foreach(n => seq = math.max(seq, n))
+      case _ => ()
+    }
+  }
+
+  protected def entries(collection: String): Seq[(String, String, Map[String, String])] = {
+    val coll = if (collection == "qa") qa else docs
+    coll.valuesIterator.map(e => (e.id, e.document, e.metadata)).toSeq
+  }
 
   /** Hashing-trick unigram TF embedding, L2-normalized. Deterministic
     * (MurmurHash3 of the lowercased token), sign-split to decorrelate
@@ -119,11 +142,13 @@ final class InMemoryVectorStore(
       s"ids length ${i.length} != documents length ${texts.length}"))
     metadatas.foreach(m => require(m.length == texts.length,
       s"metadatas length ${m.length} != documents length ${texts.length}"))
-    texts.zipWithIndex.map { case (t, i) =>
+    val out = texts.zipWithIndex.map { case (t, i) =>
       val id = ids.map(_(i)).getOrElse(nextId(prefix))
       coll(id) = Entry(id, t, metadatas.map(_(i)).getOrElse(Map.empty), embed(t))
       id
     }
+    onMutate()
+    out
   }
 
   override def addQuestionAnswer(queries: Seq[String], codes: Seq[String],
@@ -146,18 +171,27 @@ final class InMemoryVectorStore(
       metadatas: Option[Seq[Map[String, String]]]): Seq[String] =
     addDocs(documents, Some(ids), metadatas)
 
-  override def deleteQuestionAndAnswers(ids: Option[Seq[String]]): Option[Boolean] =
-    Some(ids.fold { qa.clear(); true }(_.map(qa.remove(_).isDefined).forall(identity)))
+  override def deleteQuestionAndAnswers(ids: Option[Seq[String]]): Option[Boolean] = {
+    val ok = ids.fold { qa.clear(); true }(_.map(qa.remove(_).isDefined).forall(identity))
+    onMutate()
+    Some(ok)
+  }
 
-  override def deleteDocs(ids: Option[Seq[String]]): Option[Boolean] =
-    Some(ids.fold { docs.clear(); true }(_.map(docs.remove(_).isDefined).forall(identity)))
+  override def deleteDocs(ids: Option[Seq[String]]): Option[Boolean] = {
+    val ok = ids.fold { docs.clear(); true }(_.map(docs.remove(_).isDefined).forall(identity))
+    onMutate()
+    Some(ok)
+  }
 
-  override def deleteCollection(collectionName: String): Option[Boolean] =
-    collectionName match {
-      case "qa"   => qa.clear(); Some(true)
-      case "docs" => docs.clear(); Some(true)
-      case _      => Some(false)
+  override def deleteCollection(collectionName: String): Option[Boolean] = {
+    val ok = collectionName match {
+      case "qa"   => qa.clear(); true
+      case "docs" => docs.clear(); true
+      case _      => false
     }
+    if (ok) onMutate()
+    Some(ok)
+  }
 
   private def search(coll: mutable.LinkedHashMap[String, Entry],
       question: String, k: Int): Seq[Record] = {
@@ -187,4 +221,49 @@ final class InMemoryVectorStore(
   /** Counts, for tests/diagnostics. */
   def qaCount: Int = qa.size
   def docsCount: Int = docs.size
+}
+
+/** Parquet-backed vector store: same semantics and search path as
+  * [[InMemoryVectorStore]], but every mutation snapshots both
+  * collections to `path/{qa,docs}.parquet` and construction restores
+  * them — training survives the session, the user-visible property of
+  * the reference's persistent stores (chromadb/qdrant et al. behind
+  * vectorstores/vectorstore.py).
+  *
+  * Scope note: the working set stays driver-side (trained Q/A memory is
+  * thousands of rows, not billions); the parquet layout (id, document,
+  * metadata, embedding) is exactly what a corpus-scale store would
+  * bruteForceTopK / LSH-probe directly off disk, so outgrowing the
+  * driver map changes the read path, not the format.
+  */
+final class ParquetVectorStore(
+    spark: SparkSession, path: String, dim: Int = 256,
+) extends InMemoryVectorStore(spark, dim) {
+
+  private val fileFor = Map(
+    "qa" -> s"$path/qa.parquet", "docs" -> s"$path/docs.parquet")
+  private var restoring = true
+
+  for (coll <- Seq("qa", "docs")) {
+    val file = fileFor(coll)
+    if (new java.io.File(file).exists()) {
+      spark.read.parquet(file)
+        .select("id", "document", "metadata")
+        .collect()
+        .foreach { r =>
+          restoreEntry(coll, r.getString(0), r.getString(1),
+            Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
+        }
+    }
+  }
+  restoring = false
+
+  override protected def onMutate(): Unit = {
+    if (restoring) return
+    import spark.implicits._
+    for (coll <- Seq("qa", "docs")) {
+      entries(coll).toDF("id", "document", "metadata")
+        .write.mode("overwrite").parquet(fileFor(coll))
+    }
+  }
 }
