@@ -72,6 +72,12 @@ object Dedup {
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tokenize+explode runs at the scan's parallelism, but fanning the
+    // input out first was MEASURED SLOWER here (repartitioning the full
+    // text costs more than the serial tokenize saves — the window's
+    // doc-keyed exchange right after already spreads the real work);
+    // contrast cleanCorpus/analyze, whose per-row scoring dwarfs a
+    // narrow-input shuffle
     val toks = df.select(col(idCol).as("doc"),
       posexplode(rawTokens(col(textCol))))
       .toDF("doc", "pos", "tok")
@@ -123,10 +129,20 @@ object Dedup {
     * callers that also need the shingle sets (e.g. [[minhashNearDups]])
     * persist that frame once instead of recomputing the scan + window.
     */
+  /** @param persistBanded cache the (doc, band, band_hash) frame before
+    *   the bucket self-join. Without it BOTH join sides recompute the
+    *   full wide min-aggregate (numHashes seeded hashes over every
+    *   shingle row) — the two subtrees differ only by output alias, which
+    *   defeats exchange reuse (one side plans as a broadcast). The frame
+    *   is n·bands narrow rows — the LSH index itself, the cheapest thing
+    *   in the pipeline to hold — so caching it halves the signature work.
+    */
   def minhashCandidatesFrom(
       sh: DataFrame, numHashes: Int, bands: Int,
+      persistBanded: Boolean = true,
   ): DataFrame = {
-    val banded = bandedSignatures(sh, numHashes, bands)
+    val banded0 = bandedSignatures(sh, numHashes, bands)
+    val banded = if (persistBanded) OperatorCache.persist(banded0) else banded0
     val a = banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
     val b = banded.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
     a.join(b, Seq("band", "band_hash"))
@@ -272,14 +288,18 @@ object Dedup {
     * verified with exact n-gram Jaccard ≥ threshold. Joins back to the
     * docs only for candidate ids (two equi-joins on the id).
     */
-  /** @param persistShingles cache the shared (doc, shingle) frame
-    *   (MEMORY_AND_DISK) — it feeds both candidate generation and the
-    *   verification sets, so caching halves the scan+explode+window
-    *   work. The cache is tracked by [[OperatorCache]]: call
-    *   `OperatorCache.releaseAll(spark)` once results are materialized
-    *   (Spark offers no reliable post-action unpersist hook inside a
-    *   lazily-evaluated plan); long-lived sessions can also pass false
-    *   to trade recompute for zero cache footprint.
+  /** @param persistShingles cache the pipeline's shared intermediates
+    *   (MEMORY_AND_DISK, tracked by [[OperatorCache]] — call
+    *   `OperatorCache.releaseAll(spark)` once results are materialized;
+    *   Spark offers no reliable post-action unpersist hook inside a
+    *   lazily-evaluated plan). Three frames, each feeding two consumers
+    *   that would otherwise recompute it (differently-aliased self-join /
+    *   verify-join sides defeat exchange reuse): the (doc, shingle) frame
+    *   (scan + explode + window ×2), the banded signature frame (the
+    *   numHashes-column min-aggregate ×2), and the verification sets (the
+    *   collect_set aggregate ×2 — the steady-state bottleneck, as
+    *   ObjectHashAggregate runs outside codegen). Long-lived sessions can
+    *   pass false to trade recompute for zero cache footprint.
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
@@ -289,8 +309,9 @@ object Dedup {
   ): DataFrame = {
     val sh0 = shingleRows(df, idCol, textCol, shingleK)
     val sh = if (persistShingles) OperatorCache.persist(sh0) else sh0
-    val cands = minhashCandidatesFrom(sh, numHashes, bands)
-    val sets = shingleSetsFrom(sh)
+    val cands = minhashCandidatesFrom(sh, numHashes, bands, persistShingles)
+    val sets0 = shingleSetsFrom(sh)
+    val sets = if (persistShingles) OperatorCache.persist(sets0) else sets0
     cands
       .join(sets.withColumnRenamed("sid", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
       .join(sets.withColumnRenamed("sid", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
@@ -329,6 +350,8 @@ object Dedup {
     */
   def simhashPerDoc(df: DataFrame, idCol: String, textCol: String,
       hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    // no input fan-out here for the same measured reason as shingleRows:
+    // the groupBy(doc) exchange right after spreads the heavy aggregation
     val toks = df.select(col(idCol).as("doc"),
       explode(rawTokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "") // empty/whitespace-only text yields one "" token — no vote
@@ -399,12 +422,22 @@ object Dedup {
     * banded candidates + Hamming verify via [[simhashCandidatesFromFp]].
     * Returns exactly the pairs with Hamming(fp_a, fp_b) ≤ maxHamming
     * (for maxHamming ≤ 63 — see the band-layout guarantee).
+    *
+    * @param persistFp cache the (doc, fp) fingerprint frame — 16 bytes a
+    *   row at ANY corpus size, but built by the 64-column vote aggregate
+    *   over every token, which the banded self-join would otherwise run
+    *   once per side. Tracked by [[OperatorCache]]; same release contract
+    *   as [[minhashNearDups]].
     */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
       hashFn: Column => Column = xxhash64(_),
-  ): DataFrame =
-    simhashCandidatesFromFp(simhashPerDoc(df, idCol, textCol, hashFn), maxHamming)
+      persistFp: Boolean = true,
+  ): DataFrame = {
+    val fp0 = simhashPerDoc(df, idCol, textCol, hashFn)
+    val fp = if (persistFp) OperatorCache.persist(fp0) else fp0
+    simhashCandidatesFromFp(fp, maxHamming)
+  }
 
   /** Connected components over near-dup pairs by iterative min-label
     * propagation (the classic large-star/small-star simplification):

@@ -180,7 +180,10 @@ object TextAnalysis {
       dedupThreshold: Double = 0.8,
       persistFiltered: Boolean = true,
   ): org.apache.spark.sql.DataFrame = {
-    val scored = df
+    // quality/langid are the most expensive per-row expressions in the
+    // pipeline — spread a narrow input across the cluster before paying
+    // them (no-op whenever the scan is already cluster-wide)
+    val scored = Parallelize.ensureWide(df)
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("lang_pred", languageId(col(textCol)))
     val filtered0 = scored
@@ -411,8 +414,10 @@ object TextAnalysis {
   /** Append the full text-analysis column set to a frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val withFeatures = qualityFeatures(t).foldLeft(df) { case (d, (name, c)) =>
-      d.withColumn(name, c)
+    // the full feature set is the heaviest per-row projection in this
+    // module — fan a narrow scan out first (no-op on wide inputs)
+    val withFeatures = qualityFeatures(t).foldLeft(Parallelize.ensureWide(df)) {
+      case (d, (name, c)) => d.withColumn(name, c)
     }
     withFeatures
       .withColumn("tokens_ws", tokenCountWs(t))

@@ -278,11 +278,13 @@ object PipelineQueries {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         // one shared persisted (doc, shingle) frame for both the
-        // candidate pass and the verification sets (see minhashNearDups)
+        // candidate pass and the verification sets, and a persisted set
+        // frame so the two verify-join sides share one collect_set
+        // aggregate (see minhashNearDups)
         val sh = graft.pipeline.OperatorCache.persist(
           Dedup.shingleRows(docs, "doc_id", "text", 2))
         val cands = Dedup.minhashCandidatesFrom(sh, numHashes = 16, bands = 8)
-        val sets = Dedup.shingleSetsFrom(sh)
+        val sets = graft.pipeline.OperatorCache.persist(Dedup.shingleSetsFrom(sh))
         cands
           .join(sets.withColumnRenamed("sid", "doc_a")
             .withColumnRenamed("sset", "set_a"), "doc_a")
