@@ -199,8 +199,20 @@ object Dedup {
   def incrementalCandidates(
       index: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+  ): DataFrame =
+    incrementalCandidatesFrom(index,
+      shingleRows(batch, idCol, textCol, shingleK), numHashes, bands)
+
+  /** [[incrementalCandidates]] from a pre-computed batch (doc, shingle)
+    * frame — lets callers that also verify (and therefore need the batch
+    * shingle sets) persist that frame once per batch instead of
+    * re-tokenizing (see [[graft.streaming.StreamingDedup]]).
+    */
+  def incrementalCandidatesFrom(
+      index: DataFrame, batchShingles: DataFrame,
+      numHashes: Int, bands: Int,
   ): DataFrame = {
-    val b = bandIndex(batch, idCol, textCol, shingleK, numHashes, bands)
+    val b = bandedSignatures(batchShingles, numHashes, bands)
     index.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
       .join(b.select(col("band"), col("band_hash"), col("doc").as("doc_b")),
         Seq("band", "band_hash"))
