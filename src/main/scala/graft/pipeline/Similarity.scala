@@ -61,6 +61,34 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the standard ANN quality metric: |approx ∩ exact| / |exact| over
+    * the returned id sets. Driver-side by design: both inputs are top-k
+    * results (k rows), not corpora; this is the evaluation harness that
+    * justifies an index's nprobe/planes settings before serving them.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, idCol: String): Double = {
+    val e = exact.select(idCol).collect().map(_.get(0)).toSet
+    if (e.isEmpty) 1.0
+    else {
+      val a = approx.select(idCol).collect().map(_.get(0)).toSet
+      e.intersect(a).size.toDouble / e.size
+    }
+  }
+
+  /** Mean recall@k of a search strategy over a query workload, against
+    * the exact [[bruteForceTopK]] answer per query.
+    */
+  def meanRecallAtK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: Seq[Seq[Float]], k: Int,
+  )(search: Seq[Float] => DataFrame): Double = {
+    require(queries.nonEmpty, "meanRecallAtK needs at least one query")
+    queries.map { q =>
+      recallAtK(bruteForceTopK(corpus, idCol, vecCol, q, k), search(q), idCol)
+    }.sum / queries.size
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
   def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -123,8 +151,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Plane count sized to the corpus: 2^planes buckets targeting
+    * `targetBucketSize` vectors per bucket, so the multi-probe candidate
+    * set stays big enough to hold the true neighbors. A fixed plane
+    * count is wrong at BOTH ends — measured on the 500-vector fixture,
+    * recall@10 falls 0.84 → 0.12 as planes grow 2 → 12 (buckets empty
+    * out), while too few planes on a 100M-vector corpus means
+    * million-row buckets and no pruning. ceil(log2(n / target)),
+    * clamped to [1, 62] (the signature is packed into one long).
+    */
+  def planesFor(n: Long, targetBucketSize: Int = 1000): Int = {
+    require(n > 0 && targetBucketSize > 0,
+      s"need positive corpus and bucket sizes, got n=$n target=$targetBucketSize")
+    val buckets = math.max(n.toDouble / targetBucketSize, 2.0)
+    math.min(62, math.ceil(math.log(buckets) / math.log(2)).toInt)
+  }
+
   /** ANN search: scan only the query's bucket (plus Hamming-1 probe
-    * buckets when `multiProbe`), exact cosine within candidates.
+    * buckets when `multiProbe`), exact cosine within candidates. Size
+    * `planes` with [[planesFor]] — recall collapses when the bucket
+    * population is far below `k` (see [[recallAtK]] and AnnRecallSpec's
+    * measured curve).
     */
   def annTopK(
       corpus: DataFrame, idCol: String, vecCol: String,

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Quality floors for the approximate ANN paths, measured against the
+  * exact brute-force answer on the real embeddings table: an index whose
+  * recall silently decays is worse than no index, so these pin the
+  * settings the serving paths advertise (multi-probe LSH, IVF nprobe,
+  * SQ8 rescoring) to measured floors. Floors are set ~0.1 under the
+  * observed values to absorb fixture drift, not to excuse regressions.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private lazy val corpus =
+    Tables.load(spark, sf, "embeddings").persist()
+
+  private lazy val queries: Seq[Seq[Float]] =
+    corpus.orderBy("vec_id").limit(5)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+
+  private val K = 10
+
+  test("exact search has recall 1.0 against itself") {
+    val q = queries.head
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, K)
+    assert(Similarity.recallAtK(exact, exact, "vec_id") == 1.0)
+  }
+
+  test("planesFor sizes the bucket count to the corpus") {
+    assert(Similarity.planesFor(500) == 1) // tiny corpus: don't prune
+    assert(Similarity.planesFor(1000000) == 10) // ~1k buckets of ~1k
+    assert(Similarity.planesFor(100000000) == 17)
+    assert(Similarity.planesFor(Long.MaxValue) == 54)
+    assert(Similarity.planesFor(Long.MaxValue, 1) == 62) // clamp: one long
+  }
+
+  test("multi-probe LSH at planesFor-sized buckets holds its recall floor") {
+    val planes = Similarity.planesFor(corpus.count())
+    val r = Similarity.meanRecallAtK(corpus, "vec_id", "embedding", queries, K)(
+      q => Similarity.annTopK(corpus, "vec_id", "embedding", q, K, planes = planes))
+    info(f"LSH multi-probe recall@$K (planes=$planes) = $r%.2f")
+    assert(r >= 0.95, f"LSH recall@$K degraded to $r%.2f")
+  }
+
+  test("multi-probe LSH recall degrades as pruning sharpens (measured curve)") {
+    // planes=4 scans ~5/16 of the fixture corpus: measured 0.54 —
+    // the floor guards the tradeoff's SHAPE, not a tuned number
+    val r = Similarity.meanRecallAtK(corpus, "vec_id", "embedding", queries, K)(
+      q => Similarity.annTopK(corpus, "vec_id", "embedding", q, K, planes = 4))
+    info(f"LSH multi-probe recall@$K (planes=4) = $r%.2f")
+    assert(r >= 0.4, f"LSH recall@$K degraded to $r%.2f")
+  }
+
+  test("IVF recall rises with nprobe and holds its floors") {
+    val index = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)
+    def recall(nprobe: Int) =
+      Similarity.meanRecallAtK(corpus, "vec_id", "embedding", queries, K)(
+        q => Similarity.ivfTopK(corpus, "vec_id", "embedding", index, q, K, nprobe = nprobe))
+    val r4 = recall(4) // measured 0.72
+    val r6 = recall(6) // measured 0.96
+    info(f"IVF recall@$K nprobe=4: $r4%.2f, nprobe=6: $r6%.2f")
+    assert(r4 >= 0.6, f"IVF nprobe=4 recall@$K degraded to $r4%.2f")
+    assert(r6 >= 0.85, f"IVF nprobe=6 recall@$K degraded to $r6%.2f")
+    assert(r6 >= r4, "recall must not fall as nprobe grows")
+  }
+
+  test("SQ8 two-stage rescoring is near-exact") {
+    val quantized = Similarity.quantizeSq8(corpus, "embedding").persist()
+    quantized.count()
+    val r = Similarity.meanRecallAtK(corpus, "vec_id", "embedding", queries, K)(
+      q => Similarity.sq8TopK(quantized, "vec_id", "embedding", q, K))
+    quantized.unpersist()
+    info(f"SQ8 rescored recall@$K = $r%.2f")
+    assert(r >= 0.9, f"SQ8 recall@$K degraded to $r%.2f")
+  }
+}
