@@ -64,6 +64,12 @@ object Bench {
           } finally {
             graft.pipeline.OperatorCache.releaseAll(spark)
             spark.sharedState.cacheManager.clearCache()
+            // settle the heap OUTSIDE the timed section: without it one
+            // query's garbage is collected during the NEXT query's run,
+            // taxing whichever one happens to allocate first — the same
+            // cross-query interference the cache lifecycle fix removed,
+            // one level down
+            System.gc()
           }
         }
         val r = (once(), once()) match {

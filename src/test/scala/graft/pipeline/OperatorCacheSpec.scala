@@ -49,4 +49,27 @@ class OperatorCacheSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
     assert(OperatorCache.trackedCount(spark) == 0)
   }
+
+  test("minhashNearDups shares its three intermediates through the cache") {
+    spark.sharedState.cacheManager.clearCache()
+    OperatorCache.releaseAll(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "entirely different text with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3)
+    assert(out.count() >= 1)
+    // the contract behind the r6 perf fix: shingle frame + banded
+    // signatures + verification sets are each persisted ONCE, so the
+    // self-join/verify sides share one aggregate per frame instead of
+    // recomputing per side. A drop to fewer tracked frames means a
+    // consumer went back to recomputing; more means a new frame was
+    // added without updating the release story.
+    assert(OperatorCache.trackedCount(spark) == 3,
+      s"expected exactly (shingles, banded, sets) tracked, " +
+        s"got ${OperatorCache.trackedCount(spark)}")
+    OperatorCache.releaseAll(spark)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
