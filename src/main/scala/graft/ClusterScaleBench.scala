@@ -46,8 +46,12 @@ object ClusterScaleBench {
 
     val iters = scala.collection.mutable.Buffer.empty[(Int, Double)]
     val tCluster0 = System.nanoTime()
+    // driverMaxEdges = 0: this bench PROVES the distributed loop's
+    // per-iteration constant, so the small-edge driver cutover is
+    // disabled regardless of replica count
     val labels = Dedup.nearDupClusters(pairs, maxIter = 10,
-      onIteration = (round, sec) => iters += ((round, sec)))
+      onIteration = (round, sec) => iters += ((round, sec)),
+      driverMaxEdges = 0L)
     val nClusters = labels.select("label").distinct().count()
     val clusterSec = (System.nanoTime() - tCluster0) / 1e9
 

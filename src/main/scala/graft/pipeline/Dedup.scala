@@ -459,21 +459,40 @@ object Dedup {
     * growth per round. Diameter of near-dup clusters is tiny in practice,
     * so this converges in 2–3 iterations.
     *
+    * Scale adaptivity: near-dup EDGE sets are usually minuscule next to
+    * the corpus (dup pairs, not docs), and running 2–3 distributed
+    * join+aggregate rounds over a few thousand edges pays whole-pipeline
+    * fixed costs for no parallelism win. When the (directed) edge list
+    * fits `driverMaxEdges` and the id type is orderable driver-side, the
+    * components are solved with one collect + union–find — same labels,
+    * no iteration bound — exactly the small-side cutover a broadcast
+    * join makes. The distributed loop remains the path for edge sets
+    * that could not sit on the driver (pass `driverMaxEdges = 0` to
+    * force it, as the scale benches do).
+    *
     * @param pairs frame with (doc_a, doc_b) edges
     * @param onIteration observer invoked after each propagation round
     *                    with (round, seconds) — lets scale benches record
     *                    the per-iteration constant without re-deriving
-    *                    the loop (see PLANS.md "cluster loop at scale")
+    *                    the loop (see PLANS.md "cluster loop at scale");
+    *                    not invoked on the driver-side path
+    * @param driverMaxEdges largest undirected edge count solved driver-side
     * @return (doc, label) — label = cluster representative (min id)
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10,
-      onIteration: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
+      onIteration: (Int, Double) => Unit = (_, _) => (),
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     // throws on non-convergence (see loop exit below): a silently
     // partial labeling would keep >1 representative per cluster with no
     // signal; callers with pathologically deep chains raise maxIter.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
+    val idOrd =
+      if (driverMaxEdges > 0) driverOrdering(edges.schema("src").dataType)
+      else None
+    if (idOrd.isDefined && edges.count() <= 2 * driverMaxEdges)
+      return driverClusters(edges, idOrd.get)
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .localCheckpoint()
@@ -503,6 +522,70 @@ object Dedup {
         s"nearDupClusters did not converge within $maxIter iterations — " +
           "cluster diameter exceeds maxIter; raise maxIter")
     labels
+  }
+
+  /** Driver-side orderings for the id types a dedup key realistically
+    * has; an exotic type falls back to the distributed loop (whose
+    * `least`/`min` take Catalyst's ordering).
+    */
+  private def driverOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType    => Some(Ordering.by(_.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by(_.asInstanceOf[Int]))
+      case ShortType   => Some(Ordering.by(_.asInstanceOf[Short]))
+      case StringType  => Some(Ordering.by(_.asInstanceOf[String]))
+      case _           => None
+    }
+  }
+
+  /** Exact connected components over a collected edge list: union–find
+    * with path halving, then label = min id per component — identical
+    * labels to the propagation loop, without its per-round distributed
+    * fixed costs. Only reached when the edge list passed the caller's
+    * driver-size bound.
+    */
+  private def driverClusters(edges: DataFrame, ord: Ordering[Any]): DataFrame = {
+    val spark = edges.sparkSession
+    val collected = edges.collect()
+    val index = scala.collection.mutable.HashMap.empty[Any, Int]
+    collected.foreach { r =>
+      index.getOrElseUpdate(r.get(0), index.size)
+      index.getOrElseUpdate(r.get(1), index.size)
+    }
+    val parent = Array.tabulate(index.size)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    collected.foreach { r =>
+      val (ra, rb) = (find(index(r.get(0))), find(index(r.get(1))))
+      if (ra != rb) parent(ra) = rb
+    }
+    val nodes = new Array[Any](index.size)
+    index.foreach { case (v, i) => nodes(i) = v }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Int, Any]
+    nodes.zipWithIndex.foreach { case (v, i) =>
+      val r = find(i)
+      minOfRoot.updateWith(r) {
+        case Some(m) => Some(ord.min(m, v))
+        case None    => Some(v)
+      }
+    }
+    val dt = edges.schema("src").dataType
+    val out = nodes.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(v, minOfRoot(find(i)))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc", dt, nullable = false),
+        org.apache.spark.sql.types.StructField("label", dt, nullable = false))))
   }
 
   /** Near-dup dedup end-to-end: MinHash-LSH pairs → clusters → keep one

@@ -88,7 +88,10 @@ class PipelineSpec extends SparkSpec {
     // a 5-node chain needs >1 round of min-label propagation; maxIter=1
     // must fail loudly, not silently return a partial labeling
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
-    val e = intercept[IllegalStateException](Dedup.nearDupClusters(chain, maxIter = 1))
+    // driverMaxEdges = 0 forces the distributed loop (the driver-side
+    // union-find has no iteration bound to trip)
+    val e = intercept[IllegalStateException](
+      Dedup.nearDupClusters(chain, maxIter = 1, driverMaxEdges = 0L))
     assert(e.getMessage.contains("did not converge"))
   }
 
@@ -106,6 +109,17 @@ class PipelineSpec extends SparkSpec {
     val clusters = Dedup.nearDupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    // the driver-side union-find and the distributed loop must give the
+    // SAME labeling on the same edges (strings exercise the non-numeric
+    // ordering too)
+    val mixed = Seq(("b", "c"), ("a", "b"), ("x", "y"), ("y", "a")).toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.nearDupClusters(mixed)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaLoop = Dedup.nearDupClusters(mixed, driverMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "a", "y" -> "a"))
 
     val docs = Seq(
       (1L, "aa bb cc dd ee ff gg hh"), (2L, "aa bb cc dd ee ff gg hh"),
