@@ -121,6 +121,27 @@ class PipelineSpec extends SparkSpec {
     assert(viaDriver == viaLoop)
     assert(viaDriver == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "a", "y" -> "a"))
 
+    // property sweep: random graphs, both paths, identical labelings.
+    // 20 seeded graphs of ≤16 nodes cover chains, stars, cycles, and
+    // disconnected unions far beyond the handwritten cases.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      val n = 2 + rnd.nextInt(15)
+      val nEdges = 1 + rnd.nextInt(2 * n)
+      val es = Seq.fill(nEdges) {
+        val a = rnd.nextInt(n).toLong
+        (a, (a + 1 + rnd.nextInt(n - 1)) % n.toLong)
+      }.filter(e => e._1 != e._2)
+      if (es.nonEmpty) {
+        val df = es.toDF("doc_a", "doc_b")
+        val d = Dedup.nearDupClusters(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val l = Dedup.nearDupClusters(df, maxIter = 32, driverMaxEdges = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(d == l, s"trial $trial (n=$n, edges=$es): driver $d vs loop $l")
+      }
+    }
+
     val docs = Seq(
       (1L, "aa bb cc dd ee ff gg hh"), (2L, "aa bb cc dd ee ff gg hh"),
       (3L, "aa bb cc dd ee ff gg hh"), (4L, "totally different text about something else"),
