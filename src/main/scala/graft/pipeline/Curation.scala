@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Corpus-curation operators for training-data pipelines: reproducible
+  * subsampling (whole-corpus and per-stratum mixing weights) and greedy
+  * sequence packing into fixed token budgets — the steps between "clean
+  * corpus" and "training batches".
+  *
+  * All pseudo-randomness is the engine-portable Knuth multiplicative mix
+  * over the id (the same pattern ivfTrain's init and syntheticAssets
+  * use): pure integer arithmetic, so an external engine replays the
+  * exact row selection — a sampling decision a training run cannot
+  * reproduce later is a provenance bug, not randomness. Production
+  * callers wanting a stronger mix pass their own gate column (e.g.
+  * xxhash64); every operator takes the gate as a parameter.
+  */
+object Curation {
+
+  /** Portable pseudo-random gate: uniform-ish value in [0, 1e6) derived
+    * from the id by Knuth multiplicative mixing. The id is reduced mod
+    * 1e5 first so the product stays in signed-64 range on any engine.
+    * NOTE: ids congruent mod 1e5 share a gate value — fine for corpus
+    * sampling (ids are dense), wrong for adversarial inputs; pass a real
+    * hash gate then.
+    */
+  def idGate(id: Column, salt: Int = 0): Column =
+    pmod((pmod(id.cast("long"), lit(100000L)) + lit(salt.toLong)) * lit(2654435761L),
+      lit(1000000L))
+
+  /** Keep a reproducible `fraction` of rows: the same ids survive every
+    * run, every engine, every cluster size — one scan, no shuffle, no
+    * state. This is how a 100 TB corpus is subsampled (a `sample()` with
+    * a seed is NOT reproducible across partitionings; a hash gate is).
+    */
+  def deterministicSample(
+      df: DataFrame, idCol: String, fraction: Double,
+      salt: Int = 0, gate: Column = null,
+  ): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    val g = if (gate != null) gate else idGate(col(idCol), salt)
+    df.where(g < lit(math.round(fraction * 1e6)))
+  }
+
+  /** Per-stratum sampling rates — the "mixing weights" step that
+    * up/down-weights sources or languages when composing a training mix.
+    * Strata absent from `fractions` use `defaultFraction`. Same gate
+    * mechanics as [[deterministicSample]]; still one scan, no shuffle.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: Int = 0, gate: Column = null,
+  ): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1, s"fractions must be in [0,1]: $f"))
+    val g = if (gate != null) gate else idGate(col(idCol), salt)
+    val threshold = fractions.foldLeft(lit(math.round(defaultFraction * 1e6))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(math.round(f * 1e6))).otherwise(acc)
+    }
+    df.where(g < threshold)
+  }
+
+  /** Greedy sequence packing: assign each doc to a (shard, pack) so that
+    * packs hold ~`budgetTokens` tokens — how pretraining examples are
+    * composed from variable-length documents without padding waste.
+    *
+    * Scale shape: docs are sharded by the portable id mix (`shards`
+    * independent packing groups — whole-corpus optimal packing is
+    * NP-hard bin packing and pointless at scale; shard-local greedy fill
+    * is what training pipelines run, one shard per writer task). Within
+    * a shard, docs order deterministically (tokens desc, id) and fill by
+    * running token count: pack = floor(exclusive_prefix / budget). One
+    * window over the shard-keyed exchange — no global sort, no driver
+    * state, no iteration.
+    *
+    * Packing guarantee: every pack's token total < budgetTokens + its
+    * largest doc (the floor rule lets the straddling doc overflow the
+    * boundary rather than opening a gap). Docs longer than the budget
+    * land in packs of their own. Exact never-exceed packing needs
+    * running state that neither a window nor an external replay can
+    * express — bounded overflow is the honest distributed contract.
+    *
+    * @return input columns + (shard, pack, n_tokens)
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokenCol: String,
+      budgetTokens: Long, shards: Int = 64, salt: Int = 1,
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(shards > 0, s"shards must be positive: $shards")
+    val sharded = df
+      .withColumn("shard", pmod(idGate(col(idCol), salt), lit(shards.toLong)).cast("int"))
+      .withColumn("n_tokens", col(tokenCol).cast("long"))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("n_tokens").desc, col(idCol).asc)
+    sharded
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack",
+        floor((col("__cum") - col("n_tokens")).cast("double") / budgetTokens.toDouble)
+          .cast("long"))
+      .drop("__cum")
+  }
+}

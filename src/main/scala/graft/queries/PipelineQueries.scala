@@ -885,5 +885,52 @@ object PipelineQueries {
              |             / CAST(SUM(tf) AS DOUBLE), 6) AS nll
              |FROM tf JOIN tot USING (term), stats
              |GROUP BY doc ORDER BY doc""".stripMargin)),
+
+    // Reproducible stratified subsampling (training-mix weights): the
+    // per-stratum keep decision is the portable Knuth-mix gate on the id
+    // (engine-replayable integer arithmetic — sampling a training corpus
+    // must be provenance-reproducible, which a seeded sample() across
+    // unknown partitionings is not). en kept at 50%, everything else 20%.
+    QueryDef("p30_sample_stratified",
+      (s, dir) => Curation.stratifiedSample(
+        Tables.load(s, dir, "documents").select("doc_id", "lang", "source"),
+        "doc_id", "lang", Map("en" -> 0.5), defaultFraction = 0.2)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source
+             |FROM read_parquet('{SFDIR}/documents.parquet')
+             |WHERE ((doc_id % 100000) * 2654435761) % 1000000
+             |      < CASE WHEN lang = 'en' THEN 500000 ELSE 200000 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Greedy sequence packing into fixed token budgets: shard by the
+    // portable id mix (independent packing groups — one per writer task
+    // at scale), order (tokens desc, id) within the shard, fill packs by
+    // running token count. One shard-keyed window, no global sort; packs
+    // overflow the budget by at most one doc (floor rule — exact
+    // never-exceed packing needs running state no window or external
+    // replay can express).
+    QueryDef("p29_pack_sequences",
+      (s, dir) => Curation.packSequences(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_toks")),
+        "doc_id", "n_toks", budgetTokens = 256L, shards = 8)
+        .select(col("doc_id"), col("shard"), col("pack"), col("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CAST((((doc_id % 100000) + 1) * 2654435761) % 1000000 % 8 AS INT) AS shard,
+             |         CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), c AS (
+             |  SELECT doc_id, shard, n_tokens,
+             |         SUM(n_tokens) OVER (PARTITION BY shard
+             |                             ORDER BY n_tokens DESC, doc_id
+             |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM t
+             |)
+             |SELECT doc_id, shard,
+             |       CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 256.0) AS BIGINT) AS pack,
+             |       n_tokens
+             |FROM c ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contracts for the curation operators: sampling must be reproducible
+  * and rate-accurate, packing must honor its bounded-overflow guarantee
+  * and lose no documents.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 2000L).map(i =>
+    (i, if (i % 4 == 0) "en" else "de", 10 + (i % 90))).toDF("id", "lang", "toks")
+
+  test("deterministicSample: same ids every run, rate within tolerance") {
+    val a = Curation.deterministicSample(docs, "id", 0.3).select("id").as[Long].collect().toSet
+    val b = Curation.deterministicSample(docs, "id", 0.3).select("id").as[Long].collect().toSet
+    assert(a == b, "selection must be identical across runs")
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"rate off: ${a.size}/2000")
+    // a larger fraction strictly extends the smaller one (gate monotone)
+    val c = Curation.deterministicSample(docs, "id", 0.6).select("id").as[Long].collect().toSet
+    assert(a.subsetOf(c), "fractions must nest: the 30% sample is inside the 60% one")
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val kept = Curation.stratifiedSample(docs, "id", "lang",
+      Map("en" -> 0.8), defaultFraction = 0.1)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500 en docs at 80%, 1500 de docs at 10%
+    assert(math.abs(byLang("en") / 500.0 - 0.8) < 0.1, s"en rate: ${byLang("en")}/500")
+    assert(math.abs(byLang("de") / 1500.0 - 0.1) < 0.05, s"de rate: ${byLang("de")}/1500")
+  }
+
+  test("packSequences: every doc packed once, bounded overflow, fill efficiency") {
+    val budget = 256L
+    val packed = Curation.packSequences(docs, "id", "toks", budget, shards = 4)
+    assert(packed.count() == 2000, "no doc may be lost or duplicated")
+
+    val packs = packed.groupBy("shard", "pack")
+      .agg(sum("n_tokens").as("total"), max("n_tokens").as("biggest"),
+        count("*").as("n"))
+      .collect()
+    packs.foreach { r =>
+      val (total, biggest) = (r.getAs[Long]("total"), r.getAs[Long]("biggest"))
+      assert(total < budget + biggest,
+        s"pack ${r.get(0)}/${r.get(1)} overflows beyond its largest doc: $total")
+    }
+    // fill efficiency: a non-final pack's prefix range is budget wide,
+    // and only the previous pack's straddling doc can eat into it — so
+    // its total exceeds budget minus the shard's largest doc
+    val lastPacks = packs.map(r => (r.getAs[Int]("shard"), r.getAs[Long]("pack")))
+      .groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).max }
+    val shardMax = packed.groupBy("shard").agg(max("n_tokens").as("m"))
+      .collect().map(r => r.getAs[Int]("shard") -> r.getAs[Long]("m")).toMap
+    packs.foreach { r =>
+      val (shard, pack) = (r.getAs[Int]("shard"), r.getAs[Long]("pack"))
+      if (pack != lastPacks(shard))
+        assert(r.getAs[Long]("total") > budget - shardMax(shard),
+          s"non-final pack $shard/$pack underfilled: ${r.getAs[Long]("total")}")
+    }
+  }
+
+  test("packSequences: a doc longer than the budget gets a pack of its own") {
+    val mixed = Seq((1L, 1000L), (2L, 10L), (3L, 10L)).toDF("id", "toks")
+    val packed = Curation.packSequences(mixed, "id", "toks", budgetTokens = 256L,
+      shards = 1)
+    val giant = packed.where(col("id") === 1L).select("pack").as[Long].head()
+    val sharers = packed.where(col("pack") === giant).count()
+    assert(sharers == 1, "an over-budget doc must not share its pack")
+  }
+}
