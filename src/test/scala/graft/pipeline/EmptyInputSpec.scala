@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Degenerate-input contracts: every pipeline operator must return an
+  * empty (or correctly trivial) result on an empty corpus — not throw
+  * from some intermediate aggregate. Upstream filters routinely produce
+  * empty frames (a too-strict quality floor, an off-hours stream
+  * window); an operator that crashes on them takes the whole job down.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptyVecs =
+    Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+
+  test("dedup family returns empty on an empty corpus") {
+    assert(Dedup.exact(emptyDocs, Seq("text"), "doc_id").count() == 0)
+    assert(Dedup.minhashNearDups(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashNearDups(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.dedupNearDuplicates(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.nearDupClusters(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .count() == 0)
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("text analysis returns empty on an empty corpus") {
+    assert(TextAnalysis.analyze(emptyDocs, "text").count() == 0)
+    assert(TextAnalysis.cleanCorpus(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.tfidfTopTerms(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.unigramNll(emptyDocs, "doc_id", "text").count() == 0)
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("curation returns empty on an empty corpus") {
+    assert(Curation.deterministicSample(emptyDocs, "doc_id", 0.5).count() == 0)
+    assert(Curation.packSequences(
+      Seq.empty[(Long, Long)].toDF("id", "toks"), "id", "toks", 256L).count() == 0)
+  }
+
+  test("semantic dedup returns empty on an empty embedding corpus") {
+    // zero rows -> zero centroids -> the typedlit centroid table is an
+    // empty array; the assignment must yield zero rows, not null-centroid
+    // rows or an ivfTrain crash
+    assert(Similarity.semanticDedup(emptyVecs, "vec_id", "embedding",
+      threshold = 0.9).count() == 0)
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("decontaminate with an empty blocklist keeps everything") {
+    val docs = Seq((1L, "keep this document please")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(docs, "doc_id", "text",
+      emptyDocs, "doc_id", "text", shingleK = 2).count() == 1)
+    OperatorCache.releaseAll(spark)
+  }
+}
