@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Curation
+
+/** Scale proof for sequence packing (PLANS.md): replicate the sf0.1
+  * documents corpus ×N with remapped ids, pack into 256-token budgets
+  * across 32 shards, and report wall time + fill efficiency. The plan is
+  * one shard-keyed exchange + one window per shard — cost should scale
+  * ~linearly in rows with the shard constant amortizing, and fill
+  * efficiency (mean pack total / budget) should hold as the corpus
+  * grows.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run.sh \
+  *   graft.PackScaleBench [replicas]
+  */
+object PackScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-pack-scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    val scaled = docs
+      .withColumn("copy", explode(sequence(lit(0), lit(replicas - 1))))
+      .select((col("doc_id") + col("copy") * maxId).as("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_toks"))
+    val nDocs = scaled.count() // materialized before timing the pack
+
+    val budget = 256L
+    val t0 = System.nanoTime()
+    val packed = Curation.packSequences(scaled, "doc_id", "n_toks", budget, shards = 32)
+    val stats = packed.groupBy("shard", "pack")
+      .agg(sum("n_tokens").as("total"))
+      .agg(count("*").as("n_packs"), avg("total").as("mean_fill"),
+        max("total").as("max_fill"))
+      .head()
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    println(s"""{"docs":$nDocs,"replicas":$replicas,""" +
+      s""""pack_sec":${f"$sec%.2f"},"packs":${stats.getLong(0)},""" +
+      s""""mean_fill":${f"${stats.getDouble(1) / budget}%.3f"},""" +
+      s""""max_fill":${f"${stats.getLong(2).toDouble / budget}%.3f"}}""")
+    spark.stop()
+  }
+}
