@@ -57,6 +57,51 @@ object ProfileLangid {
       struct(graft.pipeline.TextAnalysis.qualityFeatures(t).map(_._2) :+
         graft.pipeline.TextAnalysis.languageId(t): _*)
     }
+    time("quality-only") { t => graft.pipeline.TextAnalysis.qualityScore(t) }
+    time("langid-only") { t => graft.pipeline.TextAnalysis.languageId(t) }
+    time("quality+langid") { t =>
+      struct(graft.pipeline.TextAnalysis.qualityScore(t),
+        graft.pipeline.TextAnalysis.languageId(t))
+    }
+    // the p15 scored-frame shape: quality + langid as separate columns,
+    // then the filter on both
+    def timeDf(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-24s min=${times.min}%.2f")
+    }
+    timeDf("p15-scored-filter") {
+      docs.withColumn("quality", graft.pipeline.TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", graft.pipeline.TextAnalysis.languageId(col("text")))
+        .where(col("quality") >= 0.2 && col("lang_pred").isin("en", "und"))
+    }
+    timeDf("p15-scored-barrier") {
+      docs.withColumn("quality", graft.pipeline.TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", graft.pipeline.TextAnalysis.languageId(col("text")))
+        .withColumn("__once", monotonically_increasing_id())
+        .where(col("quality") >= 0.2 && col("__once") >= 0 &&
+          col("lang_pred").isin("en", "und"))
+        .drop("__once")
+    }
+    for ((name, df) <- Seq(
+      "pushed" -> docs
+        .withColumn("quality", graft.pipeline.TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", graft.pipeline.TextAnalysis.languageId(col("text")))
+        .where(col("quality") >= 0.2 && col("lang_pred").isin("en", "und")),
+      "barrier" -> docs
+        .withColumn("quality", graft.pipeline.TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", graft.pipeline.TextAnalysis.languageId(col("text")))
+        .withColumn("__once", monotonically_increasing_id())
+        .where(col("quality") >= 0.2 && col("__once") >= 0 &&
+          col("lang_pred").isin("en", "und"))
+        .drop("__once"))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      println(s"$name plan: ${plan.length} chars, " +
+        s"graft_count_words_in x${"graft_count_words_in".r.findAllIn(plan).size}")
+    }
     spark.stop()
   }
 }

@@ -142,7 +142,10 @@ object Dedup {
       persistBanded: Boolean = true,
   ): DataFrame = {
     val banded0 = bandedSignatures(sh, numHashes, bands)
-    val banded = if (persistBanded) OperatorCache.persist(banded0) else banded0
+    // materialize, not just persist: one join side may plan as a
+    // broadcast, whose exchange job races the other side on populating
+    // the cache (see OperatorCache.materialize)
+    val banded = if (persistBanded) OperatorCache.materialize(banded0) else banded0
     val a = banded.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
     val b = banded.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
     a.join(b, Seq("band", "band_hash"))
@@ -319,11 +322,16 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8,
       persistShingles: Boolean = true,
   ): DataFrame = {
+    // materialized in dependency order (sh → banded → sets), so every
+    // consumer — including the verify join's broadcast branches, which
+    // run as concurrent independent jobs — reads the cache instead of
+    // racing to recompute the aggregates (see OperatorCache.materialize;
+    // the race cost up to 6 duplicate collect_set jobs per call here)
     val sh0 = shingleRows(df, idCol, textCol, shingleK)
-    val sh = if (persistShingles) OperatorCache.persist(sh0) else sh0
+    val sh = if (persistShingles) OperatorCache.materialize(sh0) else sh0
     val cands = minhashCandidatesFrom(sh, numHashes, bands, persistShingles)
     val sets0 = shingleSetsFrom(sh)
-    val sets = if (persistShingles) OperatorCache.persist(sets0) else sets0
+    val sets = if (persistShingles) OperatorCache.materialize(sets0) else sets0
     cands
       .join(sets.withColumnRenamed("sid", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
       .join(sets.withColumnRenamed("sid", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
@@ -447,7 +455,9 @@ object Dedup {
       persistFp: Boolean = true,
   ): DataFrame = {
     val fp0 = simhashPerDoc(df, idCol, textCol, hashFn)
-    val fp = if (persistFp) OperatorCache.persist(fp0) else fp0
+    // materialize: the banded self-join's sides may broadcast, and their
+    // exchange jobs would race the 64-column vote aggregate otherwise
+    val fp = if (persistFp) OperatorCache.materialize(fp0) else fp0
     simhashCandidatesFromFp(fp, maxHamming)
   }
 
@@ -485,8 +495,13 @@ object Dedup {
     // throws on non-convergence (see loop exit below): a silently
     // partial labeling would keep >1 representative per cluster with no
     // signal; callers with pathologically deep chains raise maxIter.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // checkpoint the pairs ONCE before mirroring: the union's two arms
+    // are differently-aliased copies of the pair plan, which defeats
+    // exchange reuse — without the barrier the (potentially expensive)
+    // pair derivation runs twice inside the edges job
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     val idOrd =
       if (driverMaxEdges > 0) driverOrdering(edges.schema("src").dataType)

@@ -37,6 +37,25 @@ object OperatorCache {
     df
   }
 
+  /** [[persist]] + eager materialization (one count() populating every
+    * cache partition) — the barrier form for frames whose consumers
+    * include BROADCAST exchange branches. Broadcast exchanges execute as
+    * independent jobs on separate threads; when several of them consume
+    * the same lazily-persisted frame before any has populated its cache,
+    * each job recomputes the frame's full plan from scratch (block-level
+    * dedup only helps after a winner commits a partition). Measured on
+    * p13_neardup_dedup: the shingle-set aggregate ran up to 6× per call
+    * as concurrent ~1.3s duplicate jobs, swinging the cold cost 2.7–9.9s
+    * run to run. The count() pass costs the frame's one honest
+    * computation and makes every downstream branch a cache read.
+    */
+  def materialize(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    persist(df, level)
+    df.count()
+    df
+  }
+
   /** Unpersist every frame this registry tracked for `spark`. Non-blocking
     * (the block manager frees asynchronously); safe to call when nothing
     * is tracked. Loops until the session has no entry, so a persist()

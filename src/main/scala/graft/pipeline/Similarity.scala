@@ -337,8 +337,11 @@ object Similarity {
     // output — caching it computes the k dot products once per row
     // (same tradeoff note as minhashNearDups.persistShingles)
     val assigned0 = ivfIndex(src, vecCol, index)
+    // materialize, not just persist: a broadcast-planned side of the pair
+    // join below would race the other consumers on computing the k dot
+    // products per row (see OperatorCache.materialize)
     val assigned =
-      if (persistAssigned) OperatorCache.persist(assigned0) else assigned0
+      if (persistAssigned) OperatorCache.materialize(assigned0) else assigned0
     val a = assigned.select(col("centroid"),
       col(idCol).as("__id_a"), col(vecCol).as("__vec_a"))
     val b = assigned.select(col("centroid"),

@@ -147,12 +147,18 @@ object TextAnalysis {
         else wordOccurrences(padded, words)
       lang -> cnt.cast("double")
     }
-    // argmax via a struct sort: (score, lang) max
+    // argmax via a struct sort: (score, lang) max. The no-match guard is
+    // a 0.5-score 'und' SENTINEL element rather than a when(best.score >
+    // 0) test: real hits are integer counts ≥ 1, so the sentinel wins
+    // exactly when nothing matched — and the whole argmax stays ONE
+    // array_max + ONE field read. (getField inlines its child per read,
+    // so the guard form evaluated the five language scans twice per row;
+    // in a Filter, where codegen does no subexpression elimination, that
+    // doubling is paid in full.)
     val packed = array(scores.map { case (lang, s) =>
       struct(s.as("score"), lit(lang).as("lang"))
-    }: _*)
-    val best = array_max(packed)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    } :+ struct(lit(0.5).as("score"), lit("und").as("lang")): _*)
+    array_max(packed).getField("lang")
   }
 
   /** 64-bit rolling-hash document fingerprint over normalized tokens:
@@ -186,12 +192,28 @@ object TextAnalysis {
     val scored = Parallelize.ensureWide(df)
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("lang_pred", languageId(col(textCol)))
+      // pushdown barrier: without it the filter below is pushed under
+      // the projection with the quality/langid TREES substituted into
+      // the predicate — Filter codegen does no subexpression
+      // elimination, so every row paid the scoring twice (measured 2.41s
+      // vs 0.64s for the one-Project shape at sf0.1). A nondeterministic
+      // project entry referenced by the filter blocks the push (public
+      // Catalyst contract: predicates never cross a nondeterministic
+      // projection), keeping the scores evaluated ONCE in the Project —
+      // and unlike caching the scored corpus, dropped rows still die in
+      // the same stage, nothing extra is persisted at scale.
+      .withColumn("__once", monotonically_increasing_id())
     val filtered0 = scored
-      .where(col("quality") >= minQuality)
+      .where(col("quality") >= minQuality && col("__once") >= 0)
       .where(if (languages.isEmpty) lit(true)
         else col("lang_pred").isin(languages.toSeq: _*))
+      .drop("__once")
+    // materialize, not just persist: the dedup stage's broadcast-join
+    // branches run as concurrent jobs and would otherwise race to
+    // recompute the scoring expressions — the most expensive per-row
+    // work in the pipeline (see OperatorCache.materialize)
     val filtered =
-      if (persistFiltered) OperatorCache.persist(filtered0) else filtered0
+      if (persistFiltered) OperatorCache.materialize(filtered0) else filtered0
     Dedup.dedupNearDuplicates(filtered, idCol, textCol, dedupThreshold)
   }
 
@@ -226,7 +248,9 @@ object TextAnalysis {
     // (doc, term) aggregate — tf rows are distinct per (doc, term), so
     // counting rows per term IS count-distinct-doc.
     val tf0 = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-    val tf = if (persistAgg) OperatorCache.persist(tf0) else tf0
+    // materialize: the 1-row scalar broadcast below is its own job and
+    // would race the main job on computing this aggregate
+    val tf = if (persistAgg) OperatorCache.materialize(tf0) else tf0
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val weighted = tf.join(dfreq, "term")
@@ -270,7 +294,8 @@ object TextAnalysis {
     // stats, and query-term df all derive from it (exact — dl is an
     // integer sum).
     val tfAll0 = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-    val tfAll = if (persistAgg) OperatorCache.persist(tfAll0) else tfAll0
+    // materialize: the stats broadcast job races this aggregate otherwise
+    val tfAll = if (persistAgg) OperatorCache.materialize(tfAll0) else tfAll0
     val docLen = tfAll.groupBy("doc").agg(sum("tf").as("dl"))
     val stats = docLen.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
@@ -314,7 +339,8 @@ object TextAnalysis {
       explode(Dedup.rawTokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
     val tf0 = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-    val tf = if (persistAgg) OperatorCache.persist(tf0) else tf0
+    // materialize: the stats broadcast job races this aggregate otherwise
+    val tf = if (persistAgg) OperatorCache.materialize(tf0) else tf0
     val termTotals = tf.groupBy("term").agg(sum("tf").as("ct"))
     val stats = termTotals.agg(sum("ct").as("total"), count(lit(1)).as("vocab"))
     tf.join(termTotals, "term")

@@ -281,10 +281,10 @@ object PipelineQueries {
         // candidate pass and the verification sets, and a persisted set
         // frame so the two verify-join sides share one collect_set
         // aggregate (see minhashNearDups)
-        val sh = graft.pipeline.OperatorCache.persist(
+        val sh = graft.pipeline.OperatorCache.materialize(
           Dedup.shingleRows(docs, "doc_id", "text", 2))
         val cands = Dedup.minhashCandidatesFrom(sh, numHashes = 16, bands = 8)
-        val sets = graft.pipeline.OperatorCache.persist(Dedup.shingleSetsFrom(sh))
+        val sets = graft.pipeline.OperatorCache.materialize(Dedup.shingleSetsFrom(sh))
         cands
           .join(sets.withColumnRenamed("sid", "doc_a")
             .withColumnRenamed("sset", "set_a"), "doc_a")
