@@ -322,13 +322,19 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8,
       persistShingles: Boolean = true,
   ): DataFrame = {
-    // materialized in dependency order (sh → banded → sets), so every
-    // consumer — including the verify join's broadcast branches, which
-    // run as concurrent independent jobs — reads the cache instead of
-    // racing to recompute the aggregates (see OperatorCache.materialize;
-    // the race cost up to 6 duplicate collect_set jobs per call here)
+    // SELECTIVE materialization (r8, attributed with ProfileJobs): only
+    // the frames whose consumers include broadcast-exchange branches get
+    // the eager-count barrier — `banded` (the bucket self-join's sides)
+    // and `sets` (the verify join's sides). `sh` stays a LAZY persist:
+    // its first consumer is the banded barrier's own count job, which
+    // populates sh's cache as a side effect of one serial pass, and by
+    // the time `sets` aggregates, the cache is committed — no concurrent
+    // consumer ever exists, so no race (see OperatorCache.materialize;
+    // the race cost up to 6 duplicate collect_set jobs per call here).
+    // An unconditional sh barrier was measured as a full extra pass over
+    // the scan+window stage per call (r7's p02 regression, 2.1→4.1s).
     val sh0 = shingleRows(df, idCol, textCol, shingleK)
-    val sh = if (persistShingles) OperatorCache.materialize(sh0) else sh0
+    val sh = if (persistShingles) OperatorCache.persist(sh0) else sh0
     val cands = minhashCandidatesFrom(sh, numHashes, bands, persistShingles)
     val sets0 = shingleSetsFrom(sh)
     val sets = if (persistShingles) OperatorCache.materialize(sets0) else sets0
@@ -507,7 +513,13 @@ object Dedup {
       if (driverMaxEdges > 0) driverOrdering(edges.schema("src").dataType)
       else None
     if (idOrd.isDefined && edges.count() <= 2 * driverMaxEdges)
-      return driverClusters(edges, idOrd.get)
+      driverClusters(edges, idOrd.get) match {
+        case Some(labeled) => return labeled
+        // null ids: no driver ordering can mirror Catalyst's null
+        // semantics exactly — fall through to the distributed loop,
+        // whose least/min define the contract
+        case None          => ()
+      }
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .localCheckpoint()
@@ -541,7 +553,12 @@ object Dedup {
 
   /** Driver-side orderings for the id types a dedup key realistically
     * has; an exotic type falls back to the distributed loop (whose
-    * `least`/`min` take Catalyst's ordering).
+    * `least`/`min` take Catalyst's ordering). The cutover contract is
+    * LABEL IDENTITY with that loop, so every ordering here must agree
+    * with Catalyst's: strings compare as unsigned UTF-8 BYTES
+    * (UTF8String's binary order), NOT as Java UTF-16 code units — the
+    * two disagree for non-BMP ids (e.g. U+1F600 sorts above U+FB00 in
+    * UTF-8 bytes but below it through its UTF-16 surrogates).
     */
   private def driverOrdering(
       dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
@@ -550,8 +567,23 @@ object Dedup {
       case LongType    => Some(Ordering.by(_.asInstanceOf[Long]))
       case IntegerType => Some(Ordering.by(_.asInstanceOf[Int]))
       case ShortType   => Some(Ordering.by(_.asInstanceOf[Short]))
-      case StringType  => Some(Ordering.by(_.asInstanceOf[String]))
+      case StringType  => Some(utf8BinaryOrdering)
       case _           => None
+    }
+  }
+
+  private val utf8BinaryOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(x: Any, y: Any): Int = {
+      val a = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
     }
   }
 
@@ -559,11 +591,13 @@ object Dedup {
     * with path halving, then label = min id per component — identical
     * labels to the propagation loop, without its per-round distributed
     * fixed costs. Only reached when the edge list passed the caller's
-    * driver-size bound.
+    * driver-size bound. Returns None when any id is null (the caller
+    * falls back to the distributed loop, which owns null semantics).
     */
-  private def driverClusters(edges: DataFrame, ord: Ordering[Any]): DataFrame = {
+  private def driverClusters(edges: DataFrame, ord: Ordering[Any]): Option[DataFrame] = {
     val spark = edges.sparkSession
     val collected = edges.collect()
+    if (collected.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     val index = scala.collection.mutable.HashMap.empty[Any, Int]
     collected.foreach { r =>
       index.getOrElseUpdate(r.get(0), index.size)
@@ -596,11 +630,11 @@ object Dedup {
     val out = nodes.zipWithIndex.map { case (v, i) =>
       org.apache.spark.sql.Row(v, minOfRoot(find(i)))
     }
-    spark.createDataFrame(
+    Some(spark.createDataFrame(
       java.util.Arrays.asList(out: _*),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc", dt, nullable = false),
-        org.apache.spark.sql.types.StructField("label", dt, nullable = false))))
+        org.apache.spark.sql.types.StructField("label", dt, nullable = false)))))
   }
 
   /** Near-dup dedup end-to-end: MinHash-LSH pairs → clusters → keep one

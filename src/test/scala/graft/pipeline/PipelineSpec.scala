@@ -95,6 +95,36 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("near-dup clusters: non-BMP string ids label identically across the driver cutover") {
+    // U+1F600 (😀, UTF-8 F0 9F 98 80) vs U+FB00 (ﬀ, UTF-8 EF AC 80):
+    // UTF-8 bytes order 😀 ABOVE ﬀ, but Java's UTF-16 compareTo puts the
+    // surrogate pair (D83D DE00) BELOW FB00 — a UTF-16 driver ordering
+    // would pick a different representative than Catalyst's binary min.
+    // the cluster is exactly {😀, ﬀ} (plus a disjoint ASCII pair so the
+    // ordering is exercised on mixed data) — any ASCII id in the same
+    // cluster would be the min under BOTH orderings and hide the bug
+    val nonBmp = Seq(("😀", "ﬀ"), ("aa", "bb")).toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.nearDupClusters(nonBmp)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaLoop = Dedup.nearDupClusters(nonBmp, driverMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaDriver == viaLoop,
+      s"cutover labels must be identical: driver $viaDriver vs loop $viaLoop")
+    // the 😀/ﬀ representative is the UTF-8-binary min ﬀ (EF AC 80 < F0 9F
+    // 98 80); a UTF-16 ordering would have picked 😀 (D83D DE00 < FB00)
+    assert(viaDriver("😀") == "ﬀ" && viaDriver("ﬀ") == "ﬀ")
+  }
+
+  test("near-dup clusters: null ids fall back to the distributed loop, not an NPE") {
+    val withNull = Seq((null.asInstanceOf[String], "b"), ("b", "c")).toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.nearDupClusters(withNull)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaLoop = Dedup.nearDupClusters(withNull, driverMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaDriver == viaLoop,
+      s"null-id labels must match the distributed contract: $viaDriver vs $viaLoop")
+  }
+
   test("dimOf fails with a clear message on an empty or null-vector corpus") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
     val e1 = intercept[IllegalArgumentException](Similarity.dimOf(empty, "vec"))
