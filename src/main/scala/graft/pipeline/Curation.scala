@@ -84,17 +84,37 @@ object Curation {
     * running state that neither a window nor an external replay can
     * express — bounded overflow is the honest distributed contract.
     *
+    * Token contract: `tokenCol` must be a NON-NEGATIVE count on every
+    * row. A null or negative value raises (wrapped in the Spark job
+    * failure) instead of silently shrinking the running sum — a -1 from
+    * `size(split(NULL))` upstream would otherwise corrupt the cumulative
+    * fill and void the bounded-overflow guarantee for its whole shard.
+    *
+    * @param gate shard-assignment gate (any integral column; `pmod` into
+    *   `shards` buckets). Defaults to [[idGate]], which is only uniform
+    *   when ids are dense — SPARSE 64-bit ids (e.g. xxhash64-derived)
+    *   collide mod 1e5 and collapse onto few shards; pass
+    *   `xxhash64(col(id))` then, as with the sampling operators.
     * @return input columns + (shard, pack, n_tokens)
     */
   def packSequences(
       df: DataFrame, idCol: String, tokenCol: String,
       budgetTokens: Long, shards: Int = 64, salt: Int = 1,
+      gate: Column = null,
   ): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
     require(shards > 0, s"shards must be positive: $shards")
+    val g = if (gate != null) gate else idGate(col(idCol), salt)
+    val nTok = col(tokenCol).cast("long")
     val sharded = df
-      .withColumn("shard", pmod(idGate(col(idCol), salt), lit(shards.toLong)).cast("int"))
-      .withColumn("n_tokens", col(tokenCol).cast("long"))
+      .withColumn("shard", pmod(g, lit(shards.toLong)).cast("int"))
+      .withColumn("n_tokens",
+        when(nTok.isNull.or(nTok < 0),
+          raise_error(concat(
+            lit(s"packSequences: token column '$tokenCol' must be a non-negative count, got "),
+            coalesce(nTok.cast("string"), lit("NULL")),
+            lit(" for id "), col(idCol).cast("string"))))
+          .otherwise(nTok))
     val w = Window.partitionBy("shard")
       .orderBy(col("n_tokens").desc, col(idCol).asc)
     sharded

@@ -912,7 +912,13 @@ object PipelineQueries {
     QueryDef("p29_pack_sequences",
       (s, dir) => Curation.packSequences(
         Tables.load(s, dir, "documents")
-          .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_toks")),
+          // null text counts as NULL, matching the oracle's
+          // LEN(string_split_regex(TRIM(text))) — NOT the -1 that a bare
+          // size(split(NULL)) yields; packSequences raises on NULL rather
+          // than silently corrupting the shard's running fill
+          .select(col("doc_id"),
+            when(col("text").isNotNull,
+              size(split(trim(col("text")), "\\s+"))).as("n_toks")),
         "doc_id", "n_toks", budgetTokens = 256L, shards = 8)
         .select(col("doc_id"), col("shard"), col("pack"), col("n_tokens"))
         .orderBy("doc_id"),

@@ -71,4 +71,48 @@ class CurationSpec extends SparkSpec {
     val sharers = packed.where(col("pack") === giant).count()
     assert(sharers == 1, "an over-budget doc must not share its pack")
   }
+
+  test("packSequences: null or negative token counts raise instead of corrupting the fill") {
+    val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(20L)))
+      .toDF("id", "toks")
+    val e1 = intercept[Exception](
+      Curation.packSequences(withNull, "id", "toks", budgetTokens = 64L, shards = 1)
+        .collect())
+    assert(e1.getMessage.contains("non-negative"), s"got: ${e1.getMessage}")
+
+    val withNeg = Seq((1L, 10L), (2L, -1L)).toDF("id", "toks")
+    val e2 = intercept[Exception](
+      Curation.packSequences(withNeg, "id", "toks", budgetTokens = 64L, shards = 1)
+        .collect())
+    assert(e2.getMessage.contains("non-negative"), s"got: ${e2.getMessage}")
+  }
+
+  test("packSequences: a custom gate balances sparse 64-bit ids across shards") {
+    // ids that all collide mod 1e5 — the worst case for the default
+    // dense-id gate (xxhash64-derived ids hit this in miniature): every
+    // doc lands on ONE shard
+    val sparse = (1L to 512L).map(i => (i * 100000L, 10L + i % 90))
+      .toDF("id", "toks")
+    val defaulted = Curation.packSequences(sparse, "id", "toks",
+      budgetTokens = 256L, shards = 16)
+    assert(defaulted.select("shard").distinct().count() == 1,
+      "collide-mod-1e5 ids must expose the default gate's collapse")
+
+    // the documented escape hatch: shard by a real hash of the id
+    val gated = Curation.packSequences(sparse, "id", "toks",
+      budgetTokens = 256L, shards = 16, gate = xxhash64(col("id")))
+    val counts = gated.groupBy("shard").count()
+      .collect().map(r => r.getAs[Long]("count"))
+    assert(counts.length == 16, s"expected all 16 shards used, got ${counts.length}")
+    // 512 docs over 16 shards = 32 expected; loose bound catches collapse
+    assert(counts.max <= 3 * 32, s"worst shard too heavy: ${counts.max}")
+    // packing invariants hold under the custom gate too
+    assert(gated.count() == 512, "no doc may be lost or duplicated")
+    gated.groupBy("shard", "pack")
+      .agg(sum("n_tokens").as("total"), max("n_tokens").as("biggest"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("total") < 256L + r.getAs[Long]("biggest"),
+          s"pack ${r.get(0)}/${r.get(1)} overflows: ${r.getAs[Long]("total")}")
+      }
+  }
 }
