@@ -72,6 +72,11 @@ object GraftFunctions {
   val CountWordsInName = "graft_count_words_in"
 
   def ensureRegistered(spark: SparkSession): Unit = {
+    // truly idempotent: skip when already present — createOrReplace on
+    // every operator call spammed one WARN per function per query
+    // ("replaced a previously registered function") across a session
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(FnvName))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnvName,
       (exprs: Seq[Expression]) => {
