@@ -35,6 +35,10 @@ object PackScaleBench {
       .withColumn("copy", explode(sequence(lit(0), lit(replicas - 1))))
       .select((col("doc_id") + col("copy") * maxId).as("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("n_toks"))
+      // persist, not just count: an unpersisted frame would be REBUILT
+      // (scan + explode + tokenize) inside the timed section, folding
+      // corpus-construction cost into the pack measurement
+      .persist()
     val nDocs = scaled.count() // materialized before timing the pack
 
     val budget = 256L

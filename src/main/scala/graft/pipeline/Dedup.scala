@@ -315,6 +315,13 @@ object Dedup {
     *   collect_set aggregate ×2 — the steady-state bottleneck, as
     *   ObjectHashAggregate runs outside codegen). Long-lived sessions can
     *   pass false to trade recompute for zero cache footprint.
+    *   EAGERNESS: with the flag on, the broadcast-consumed frames are
+    *   materialized at operator-CONSTRUCTION time (one count() job each —
+    *   see [[OperatorCache.materialize]]): building the returned frame
+    *   runs Spark jobs even if the result is never consumed, and input
+    *   failures surface at construction rather than first action. Pass
+    *   false for a fully lazy plan. The same applies to every operator
+    *   here whose persist* doc references this contract.
     */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
@@ -501,13 +508,16 @@ object Dedup {
     // throws on non-convergence (see loop exit below): a silently
     // partial labeling would keep >1 representative per cluster with no
     // signal; callers with pathologically deep chains raise maxIter.
-    // checkpoint the pairs ONCE before mirroring: the union's two arms
-    // are differently-aliased copies of the pair plan, which defeats
-    // exchange reuse — without the barrier the (potentially expensive)
-    // pair derivation runs twice inside the edges job
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // mirror each pair MAP-SIDE with one explode instead of a union of
+    // two aliased copies of the pair plan: the aliased arms defeat
+    // exchange reuse (the derivation would run twice inside the edges
+    // job), and the r7 fix — an intermediate localCheckpoint before the
+    // union — left untracked MEMORY_AND_DISK blocks behind per call (a
+    // second full copy of the pair data, freed only by ContextCleaner GC)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     val idOrd =
       if (driverMaxEdges > 0) driverOrdering(edges.schema("src").dataType)

@@ -174,8 +174,15 @@ object Multimodal {
       val fmt = ais.getFormat
       if (fmt.getSampleSizeInBits != 16) None
       else {
-        val durationMs = (ais.getFrameLength * 1000.0 / fmt.getFrameRate).toLong
         val bytes = ais.readAllBytes()
+        // getFrameLength is NOT_SPECIFIED (-1) for streamed/headerless
+        // payloads — derive the frame count from the decoded bytes then,
+        // instead of reporting a negative duration
+        val frames =
+          if (ais.getFrameLength >= 0) ais.getFrameLength
+          else if (fmt.getFrameSize > 0) bytes.length.toLong / fmt.getFrameSize
+          else 0L
+        val durationMs = (frames * 1000.0 / fmt.getFrameRate).toLong
         val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
           else java.nio.ByteOrder.LITTLE_ENDIAN
         val samples = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()

@@ -39,12 +39,19 @@ private[graft] object Parallelize {
     */
   def ensureWide(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
-    val shuffled = df.queryExecution.optimizedPlan.exists {
-      case _: Aggregate | _: Join | _: Window | _: Sort | _: Distinct |
-          _: RepartitionOperation | _: GlobalLimit | _: Intersect | _: Except => true
-      case _ => false
+    // WHITELIST of known-narrow operators, not a blocklist of shufflers:
+    // the earlier inverted form enumerated shuffle-inducers and silently
+    // missed MapGroups/CoGroup/FlatMapGroupsWithState (and any operator a
+    // future Spark adds) — probing those under AQE executes their whole
+    // upstream exchange. A plan with ANY unrecognized node is returned
+    // untouched; the probe only ever runs on scan/project/filter shapes.
+    val narrowOnly = !df.queryExecution.optimizedPlan.exists {
+      case _: LeafNode | _: Project | _: Filter | _: Generate | _: Union |
+          _: Sample | _: LocalLimit | _: TypedFilter | _: SubqueryAlias |
+          _: SerializeFromObject | _: DeserializeToObject => false
+      case _ => true
     }
-    if (shuffled) df
+    if (!narrowOnly) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < target)

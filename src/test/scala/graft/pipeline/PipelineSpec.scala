@@ -125,6 +125,56 @@ class PipelineSpec extends SparkSpec {
       s"null-id labels must match the distributed contract: $viaDriver vs $viaLoop")
   }
 
+  test("languageId: the 0.5 'und' sentinel wins on no-stopword, empty, and null text") {
+    // pins the sentinel contract: real scores are integer hit COUNTS
+    // (≥ 1 when anything matches), so the 0.5 sentinel wins exactly when
+    // nothing matched — a future fractional score would break this and
+    // must fail here, not silently lose to (or beat) the sentinel
+    val rows = Seq(
+      (1L, "zzz qqq xxyyzz glorp"), // words in no stopword list
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "the cat and the hat is on the mat"), // control: en
+    ).toDF("id", "text")
+    val got = rows.select(col("id"), TextAnalysis.languageId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "und", s"no-stopword text must be 'und', got ${got(1L)}")
+    assert(got(2L) == "und", s"empty text must be 'und', got ${got(2L)}")
+    assert(got(3L) == "und", s"null text must be 'und', got ${got(3L)}")
+    assert(got(4L) == "en")
+  }
+
+  test("cleanCorpus scoring shape: optimized plan evaluates each language scan exactly once") {
+    // pins the __once pushdown-barrier behavior: if an optimizer change
+    // ever pushes the quality/langid filter through the scoring
+    // projection again, the predicate gets the scoring TREES substituted
+    // in and every row pays each scan twice (Filter codegen does no
+    // subexpression elimination) — this fails loudly instead
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold a
+    // projection over a LocalRelation into rows and leave no plan to test
+    val docs = spark.range(2).select(col("id").as("doc_id"),
+      when(col("id") === 0, "the cat and the hat")
+        .otherwise("el gato y la casa").as("text"))
+    val scored = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
+      .withColumn("__once", monotonically_increasing_id())
+    val filtered = scored
+      .where(col("quality") >= 0.3 && col("__once") >= 0)
+      .where(col("lang_pred").isin("en", "es"))
+      .drop("__once")
+    var scans = 0
+    filtered.queryExecution.optimizedPlan.foreach(node =>
+      node.expressions.foreach(_.foreach {
+        case _: graft.functions.CountWordsIn => scans += 1
+        case _ => ()
+      }))
+    // one graft_count_words_in per latin stopword list (en/es/de/fr; zh
+    // uses translate-delete) — substitution would double this
+    assert(scans == 4,
+      s"expected exactly 4 language scans in the optimized plan, got $scans")
+  }
+
   test("dimOf fails with a clear message on an empty or null-vector corpus") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
     val e1 = intercept[IllegalArgumentException](Similarity.dimOf(empty, "vec"))
