@@ -3,7 +3,7 @@ package graft.agent
 import scala.collection.mutable
 import org.apache.spark.sql.DataFrame
 import graft.engine.Engine
-import graft.response.{ErrorR, Response}
+import graft.response.{DataFrameR, ErrorR, Response}
 
 /** The conversational shell around the engine: prompt assembly from
   * serialized schemas+heads, an LLM trait (+ FakeLLM for tests), and the
@@ -139,6 +139,10 @@ final class Agent(
     val skills: Option[SkillRegistry] = None,
     val logger: Option[AgentLogger] = None,
     val vectorstore: Option[VectorStore] = None,
+    /** Where `plot` responses write their PNG (the reference writes its
+      * matplotlib charts under exports/charts —
+      * code_cleaning.py:138-169). */
+    val chartDir: java.io.File = new java.io.File("exports/charts"),
 ) {
   val memory = new Memory()
 
@@ -294,7 +298,23 @@ $fixLine"""
       log(s"Generated SQL (attempt ${attempt + 1}): $sql")
       try {
         val out = engine.executeSqlQuery(sql)
-        val resp = Response.fromResult(out)
+        val resp0 = Response.fromResult(out)
+        // a plot request renders the tabular result to a real PNG, so the
+        // response value carries an image path like the reference's chart
+        // response (core/response/chart.py); a result with no numeric
+        // column stays a dataframe and trips the type-correction retry
+        val resp = (outputType, resp0) match {
+          case (Some("plot"), DataFrameR(df)) =>
+            val png = new java.io.File(chartDir,
+              s"chart_${System.nanoTime()}.png")
+            try graft.response.Charts.autoChart(df, Some(question), Some(png))
+              .getOrElse(resp0)
+            catch {
+              case e: graft.response.Charts.ChartSpecError =>
+                log(s"Chart rendering failed: ${e.msg}"); resp0
+            }
+          case _ => resp0
+        }
         outputType match {
           case Some(want) if !Response.matchesType(resp, want) =>
             log(s"Type mismatch: got ${resp.kind}, expected $want")

@@ -10,9 +10,12 @@ sealed trait Response { def kind: String }
 final case class StringR(value: String) extends Response { val kind = "string" }
 final case class NumberR(value: Double) extends Response { val kind = "number" }
 final case class DataFrameR(value: DataFrame) extends Response { val kind = "dataframe" }
-/** Charting degrades to data + a declarative spec (no PNG rendering in the
-  * engine; SURVEY.md §7.4 item 4). */
-final case class ChartR(data: DataFrame, spec: String) extends Response { val kind = "plot" }
+/** Chart response: aggregated data + a declarative vega-lite spec, and —
+  * when rendered — the path of a real PNG, matching the reference's chart
+  * response whose value is the image path
+  * (pandasai/core/response/chart.py). */
+final case class ChartR(data: DataFrame, spec: String,
+    path: Option[String] = None) extends Response { val kind = "plot" }
 final case class ErrorR(message: String, cause: Option[Throwable] = None)
     extends Response { val kind = "error" }
 

@@ -31,6 +31,21 @@ class AgentSpec extends SparkSpec {
     }
   }
 
+  test("chat with output_type plot returns a rendered PNG path (reference chart response)") {
+    val agent = new Agent(engineWithTables(),
+      new FakeLlm(Seq("SELECT r_name, count(*) AS n FROM region GROUP BY r_name ORDER BY r_name")),
+      chartDir = new java.io.File("target/graft-tmp/charts"))
+    agent.chat("plot regions by count", outputType = Some("plot")) match {
+      case ChartR(data, spec, Some(path)) =>
+        assert(spec.contains("\"mark\": \"bar\""))
+        assert(path.endsWith(".png"))
+        val img = javax.imageio.ImageIO.read(new java.io.File(path))
+        assert(img != null && img.getWidth == 800 && img.getHeight == 500)
+        assert(data.count() == 5)
+      case other => fail(s"expected a rendered ChartR, got $other")
+    }
+  }
+
   test("retry loop: bad SQL then good SQL succeeds, error context fed back") {
     val llm = new FakeLlm(Seq(
       "SELECT * FROM does_not_exist",
