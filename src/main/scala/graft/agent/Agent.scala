@@ -131,6 +131,37 @@ $rows
   }
 }
 
+/** Observability mirror of the reference's AgentState
+  * (pandasai/agent/state.py:1-127): the last prompt/SQL the loop
+  * produced and executed, a per-chat prompt id (logged on assignment,
+  * state.py:90-96), the requested output type, and the intermediate-
+  * values scratch map (add/add_many/get/reset, state.py:98-112). The
+  * engine's tables/memory/vectorstore live on the [[Agent]] itself —
+  * this class carries only the per-run observables.
+  */
+final class AgentState(logger: Option[AgentLogger] = None) {
+  private val intermediate = mutable.LinkedHashMap.empty[String, Any]
+  @volatile var lastSqlGenerated: Option[String] = None
+  @volatile var lastSqlExecuted: Option[String] = None
+  @volatile var lastPromptId: Option[java.util.UUID] = None
+  @volatile var lastPromptUsed: Option[String] = None
+  @volatile var outputType: Option[String] = None
+
+  /** New id per chat turn, logged like the reference's assign_prompt_id. */
+  def assignPromptId(): java.util.UUID = {
+    val id = java.util.UUID.randomUUID()
+    lastPromptId = Some(id)
+    logger.foreach(_.log(s"Prompt ID: $id"))
+    id
+  }
+
+  def add(key: String, value: Any): Unit = intermediate(key) = value
+  def addMany(values: Map[String, Any]): Unit = intermediate ++= values
+  def get(key: String, default: Any = ""): Any =
+    intermediate.getOrElse(key, default)
+  def resetIntermediateValues(): Unit = intermediate.clear()
+}
+
 final class Agent(
     val engine: Engine,
     val llm: Llm,
@@ -145,6 +176,8 @@ final class Agent(
     val chartDir: java.io.File = new java.io.File("exports/charts"),
 ) {
   val memory = new Memory()
+  /** Per-run observables (reference agent/state.py). */
+  val state = new AgentState(logger)
 
   private def log(msg: String): Unit = logger.foreach(_.log(msg))
 
@@ -285,6 +318,8 @@ $fixLine"""
     */
   def chat(question: String, outputType: Option[String] = None): Response = {
     memory.add(question, isUser = true)
+    state.assignPromptId()
+    state.outputType = outputType
     log(s"Question: $question")
     // (sql, error, expectedType) — expectedType marks a type-mismatch retry
     var failed: Option[(String, String, Option[String])] = None
@@ -294,10 +329,13 @@ $fixLine"""
         case None                      => buildPrompt(question, outputType)
         case Some((sql, error, want))  => buildCorrectionPrompt(sql, error, want)
       }
+      state.lastPromptUsed = Some(prompt)
       val sql = extractSql(llm.generate(prompt))
+      state.lastSqlGenerated = Some(sql)
       log(s"Generated SQL (attempt ${attempt + 1}): $sql")
       try {
         val out = engine.executeSqlQuery(sql)
+        state.lastSqlExecuted = Some(sql)
         val resp0 = Response.fromResult(out)
         // a plot request renders the tabular result to a real PNG, so the
         // response value carries an image path like the reference's chart

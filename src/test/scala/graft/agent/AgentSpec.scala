@@ -55,6 +55,18 @@ class AgentSpec extends SparkSpec {
       case NumberR(v) => assert(v == 25.0)
       case other      => fail(s"expected NumberR after retry, got $other")
     }
+    // AgentState observability (reference agent/state.py): the failed
+    // attempt stays visible as generated-but-not-executed
+    assert(agent.state.lastPromptId.isDefined)
+    assert(agent.state.lastSqlGenerated.contains("SELECT count(*) AS n FROM nation"))
+    assert(agent.state.lastSqlExecuted.contains("SELECT count(*) AS n FROM nation"))
+    assert(agent.state.lastPromptUsed.exists(_.contains("does_not_exist")))
+    agent.state.add("route", "sql")
+    agent.state.addMany(Map("rows" -> 25, "cached" -> false))
+    assert(agent.state.get("route") == "sql" && agent.state.get("rows") == 25)
+    assert(agent.state.get("missing") == "")
+    agent.state.resetIntermediateValues()
+    assert(agent.state.get("route") == "")
     assert(llm.prompts.size == 2)
     // correction prompt carries the failed attempt + its error
     // (correct_execute_sql_query_usage_error_prompt.tmpl shape)
