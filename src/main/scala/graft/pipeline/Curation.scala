@@ -97,6 +97,51 @@ object Curation {
     *   `xxhash64(col(id))` then, as with the sampling operators.
     * @return input columns + (shard, pack, n_tokens)
     */
+  /** Sliding-window document chunking: split each doc into overlapping
+    * token windows — the step that turns cleaned documents into
+    * retrieval-index entries or fixed-context training examples. Chunk
+    * starts are 0, stride, 2·stride, … while they fall inside the doc;
+    * the last chunk is allowed to be short (every token is covered;
+    * stride ≤ chunkTokens gives overlap chunkTokens − stride).
+    *
+    * Scale shape: MAP-ONLY — tokens are split once per row and the
+    * window slices are assembled per start offset with
+    * `transform`+`slice` over that array, then exploded; no shuffle, no
+    * state, embarrassingly parallel in rows. (The per-element lambda is
+    * interpreted, but each element's work is one bounded slice+join over
+    * an already-computed attribute — ~chunk/stride× the doc's token
+    * count in total, a constant factor, unlike the per-element
+    * re-tokenization trap the corpus hash paths avoid with explode
+    * shapes.) Docs with no tokens yield no chunks.
+    *
+    * @return (idCol, chunk_idx, chunk_text, n_tokens) — chunk_idx is the
+    *         0-based window index (start = chunk_idx · stride)
+    */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int = 0,
+  ): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    val stride = if (strideTokens <= 0) chunkTokens else strideTokens
+    require(stride <= chunkTokens,
+      s"strideTokens ($stride) must not exceed chunkTokens ($chunkTokens) — gaps would drop tokens")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    df.select(col(idCol), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("__toks")) - 1) / lit(stride)).cast("int")),
+          i => struct(
+            array_join(slice(col("__toks"), i * stride + 1, lit(chunkTokens)), " ")
+              .as("chunk_text"),
+            least(lit(chunkTokens), size(col("__toks")) - i * stride)
+              .as("n_tokens")))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col.chunk_text").as("chunk_text"),
+        col("col.n_tokens").cast("long").as("n_tokens"))
+  }
+
   def packSequences(
       df: DataFrame, idCol: String, tokenCol: String,
       budgetTokens: Long, shards: Int = 64, salt: Int = 1,

@@ -299,6 +299,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Semantic decontamination: drop corpus rows whose embedding has
+    * cosine ≥ `threshold` to ANY blocklist vector — the embedding-space
+    * member of the decontamination family ([[Dedup.decontaminate]] is
+    * the n-gram member; eval-set leakage survives paraphrase, which the
+    * n-gram screen misses and an embedding screen catches).
+    *
+    * Scale shape: the blocklist is benchmark/eval-sized by definition,
+    * so it is collected once and inlined as ONE `typedlit` literal (the
+    * assignToNearest pattern — O(1) plan size, no broadcast exchange to
+    * race), making the screen a single MAP-ONLY filter over the corpus:
+    * zero shuffles, no join, nothing persisted. Cost is B·dim multiplies
+    * per corpus row — the same work a broadcast nested-loop join would
+    * do, without its exchange. An empty blocklist screens nothing.
+    *
+    * @return surviving corpus rows (original columns, unchanged)
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame, vecCol: String,
+      blocklist: DataFrame, blockVecCol: String,
+      threshold: Double,
+  ): DataFrame = {
+    val bl: Seq[Seq[Double]] = blocklist.select(col(blockVecCol)).collect()
+      .map(r => r.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    if (bl.isEmpty) return corpus
+    val lits = typedlit(bl)
+    val v = col(vecCol)
+    // max cosine over the blocklist; rounded to 6 decimals BEFORE the
+    // compare (round is monotone, so round(max) = max(round)) — the same
+    // boundary an external oracle replays, keeping ulp-level libm
+    // differences from flipping a threshold-straddling row
+    val maxCos = array_max(transform(lits, b => cosine(v, b)))
+    corpus.where(round(maxCos, 6) < threshold)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     * cluster the embeddings with the IVF coarse quantizer, then inside
     * each cluster drop every vector that has a smaller-id neighbor with

@@ -938,5 +938,57 @@ object PipelineQueries {
              |       CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 256.0) AS BIGINT) AS pack,
              |       n_tokens
              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Semantic decontamination: drop corpus vectors with cosine ≥ 0.35
+    // to ANY held-out blocklist vector (eval-set leakage survives
+    // paraphrase; the n-gram screen p21 misses it, the embedding screen
+    // catches it). The blocklist (every 50th id) is inlined as one
+    // typedlit literal — the screen is a MAP-ONLY filter, zero shuffles.
+    // Oracle: NOT EXISTS over the all-pairs cosine, both sides comparing
+    // the 6-decimal-rounded value.
+    QueryDef("p31_semantic_decontaminate",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.semanticDecontaminate(
+          emb.where(col("vec_id") % 50 =!= 0), "embedding",
+          emb.where(col("vec_id") % 50 === 0), "embedding",
+          threshold = 0.35)
+          .select("vec_id", "label").orderBy("vec_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS e
+             |  FROM read_parquet('{SFDIR}/embeddings.parquet') WHERE vec_id % 50 = 0
+             |), c AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+             |  FROM read_parquet('{SFDIR}/embeddings.parquet') WHERE vec_id % 50 <> 0
+             |)
+             |SELECT vec_id, label FROM c
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM b
+             |  WHERE ROUND(list_cosine_similarity(c.e, b.e), 6) >= 0.35)
+             |ORDER BY vec_id""".stripMargin)),
+
+    // Sliding-window chunking: 16-token windows at stride 8 (50%
+    // overlap) — retrieval-index entries / fixed-context examples from
+    // cleaned docs. Map-only (tokens split once, windows sliced from the
+    // array), no shuffle; the oracle replays the same starts with
+    // range(0, len, 8) and inclusive list slices.
+    QueryDef("p32_chunk_documents",
+      (s, dir) => Curation.chunkDocuments(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 16, strideTokens = 8)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(TRIM(text), '\s+'), x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), c AS (
+             |  SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS start
+             |  FROM t WHERE len(toks) > 0
+             |)
+             |SELECT doc_id, CAST(start / 8 AS INT) AS chunk_idx,
+             |       array_to_string(toks[start + 1 : least(start + 16, len(toks))], ' ') AS chunk_text,
+             |       CAST(least(16, len(toks) - start) AS BIGINT) AS n_tokens
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
   )
 }

@@ -72,6 +72,36 @@ class CurationSpec extends SparkSpec {
     assert(sharers == 1, "an over-budget doc must not share its pack")
   }
 
+  test("chunkDocuments: sliding windows cover every token with the declared overlap") {
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val doc = Seq((7L, text)).toDF("doc_id", "text")
+
+    // stride == chunk (no overlap): concatenating chunks rebuilds the doc
+    val flat = Curation.chunkDocuments(doc, "doc_id", "text", 16)
+      .orderBy("chunk_idx").collect()
+    assert(flat.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2))
+    assert(flat.map(_.getAs[Long]("n_tokens")).toSeq == Seq(16L, 16L, 8L))
+    assert(flat.map(_.getAs[String]("chunk_text")).mkString(" ") == text)
+
+    // stride 8 (50% overlap): starts at 0,8,…,32; window i shares its
+    // first 8 tokens with window i-1's last 8
+    val over = Curation.chunkDocuments(doc, "doc_id", "text", 16, 8)
+      .orderBy("chunk_idx").collect()
+    assert(over.length == 5)
+    val texts = over.map(_.getAs[String]("chunk_text"))
+    for (i <- 1 until texts.length) {
+      val prev = texts(i - 1).split(" ")
+      val cur = texts(i).split(" ")
+      assert(prev.drop(8).sameElements(cur.take(prev.length - 8)),
+        s"window $i does not overlap window ${i - 1} by stride")
+    }
+    // last chunk is the short tail, not a silent drop
+    assert(over.last.getAs[Long]("n_tokens") == 8L)
+
+    intercept[IllegalArgumentException](
+      Curation.chunkDocuments(doc, "doc_id", "text", 8, 9))
+  }
+
   test("packSequences: null or negative token counts raise instead of corrupting the fill") {
     val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(20L)))
       .toDF("id", "toks")

@@ -40,6 +40,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(Curation.deterministicSample(emptyDocs, "doc_id", 0.5).count() == 0)
     assert(Curation.packSequences(
       Seq.empty[(Long, Long)].toDF("id", "toks"), "id", "toks", 256L).count() == 0)
+    assert(Curation.chunkDocuments(emptyDocs, "doc_id", "text", 16).count() == 0)
+    // token-less docs yield no chunks rather than a single empty chunk
+    val blank = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Curation.chunkDocuments(blank, "doc_id", "text", 16).count() == 0)
+  }
+
+  test("semantic decontamination with an empty blocklist keeps everything") {
+    val vecs = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.semanticDecontaminate(vecs, "embedding",
+      emptyVecs, "embedding", 0.9).count() == 1)
+    // and an empty corpus survives a non-empty blocklist
+    assert(Similarity.semanticDecontaminate(emptyVecs, "embedding",
+      vecs, "embedding", 0.9).count() == 0)
   }
 
   test("semantic dedup returns empty on an empty embedding corpus") {

@@ -175,6 +175,22 @@ class PipelineSpec extends SparkSpec {
       s"expected exactly 4 language scans in the optimized plan, got $scans")
   }
 
+  test("semanticDecontaminate drops embedding-space neighbors of the blocklist") {
+    // block (1,0,0); corpus: an exact copy, a near copy (cos≈0.995), an
+    // orthogonal vector, and an opposite one — only the first two leak
+    val block = Seq((100L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0.99f, 0.1f, 0f)),
+      (3L, Seq(0f, 1f, 0f)),
+      (4L, Seq(-1f, 0f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDecontaminate(
+      corpus, "embedding", block, "embedding", threshold = 0.8)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L), s"kept ${kept.toSeq}")
+  }
+
   test("dimOf fails with a clear message on an empty or null-vector corpus") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
     val e1 = intercept[IllegalArgumentException](Similarity.dimOf(empty, "vec"))
