@@ -70,6 +70,7 @@ object GraftFunctions {
   val FnvName = "graft_fnv1a64"
   val CountSubstrName = "graft_count_substr"
   val CountWordsInName = "graft_count_words_in"
+  val MaxDotName = "graft_max_dot"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     // truly idempotent: skip when already present — createOrReplace on
@@ -101,6 +102,23 @@ object GraftFunctions {
         CountWordsIn(exprs.head, exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MaxDotName,
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"$MaxDotName expects exactly 2 arguments, got ${exprs.length}")
+        // the matrix arg must be a compile-time constant (a typedlit):
+        // it is folded into the expression ONCE here, not evaluated per row
+        val litE = exprs(1)
+        if (!litE.foldable) throw new IllegalArgumentException(
+          s"$MaxDotName's second argument (the matrix) must be foldable")
+        val ad = litE.eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val matrix = Array.tabulate(ad.numElements())(i =>
+          ad.getArray(i).toDoubleArray())
+        MaxDotStatic(exprs.head, matrix)
+      },
+      "built-in")
   }
 
   /** FNV-1a 64 of a string column. [[ensureRegistered]] must have been
@@ -118,4 +136,11 @@ object GraftFunctions {
     call_function(CountWordsInName, hay,
       org.apache.spark.sql.functions.array(
         words.map(org.apache.spark.sql.functions.lit): _*))
+
+  /** Max dot product of a vector column against a fixed matrix — see
+    * [[MaxDotStatic]]. [[ensureRegistered]] must have been called on the
+    * owning session. */
+  def maxDot(vec: Column, matrix: Seq[Seq[Double]]): Column =
+    call_function(MaxDotName, vec,
+      org.apache.spark.sql.functions.typedlit(matrix))
 }

@@ -353,6 +353,62 @@ object TextAnalysis {
         round(sum(col("__contrib")) / sum("tf").cast("double"), 6).as("nll"))
   }
 
+  /** Per-doc BIGRAM LM negative log-likelihood — one step up the
+    * KenLM-style perplexity-filter ladder from [[unigramNll]]: word-salad
+    * whose unigrams are all common (and so slips past the unigram score)
+    * still has improbable word ADJACENCY and scores high here.
+    *
+    * Model, self-trained on the corpus with add-one smoothing over the
+    * bigram event space: nll = avg over a doc's bigram occurrences of
+    * −ln((c(w1,w2) + 1) / (c(w1·) + V)), where c(w1,w2) is the corpus
+    * bigram count, c(w1·) = Σ_w2 c(w1,w2) the left-context count, and
+    * V = |distinct tokens in any bigram position| — every term derives
+    * from the bigram frame, so single-token docs affect nothing (they
+    * have no bigrams and are omitted from the output, like < k-token
+    * docs in the shingle operators).
+    *
+    * Returns (doc, n_bigrams, nll) rounded to 6 decimals.
+    *
+    * Scale shape: one token explode + the doc-keyed window (the
+    * shingleRows shape at k=2), a bigram-keyed aggregate that every
+    * downstream count re-aggregates from cache, two equi-joins back on
+    * (w1, w2) and (w1), and 1-row scalar broadcast — no crossJoin beyond
+    * the 1-row stats, no driver state.
+    */
+  /** @param persistAgg cache the (doc, w1, w2, tf) aggregate feeding the
+    *   model counts and the per-doc scores — same contract and eagerness
+    *   as [[unigramNll]]'s persistAgg. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      persistAgg: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(Dedup.rawTokens(col(textCol))))
+      .toDF("doc", "pos", "tok")
+      .where(col("tok") =!= "")
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val bg0 = toks
+      .select(col("doc"), col("tok").as("w1"), lead(col("tok"), 1).over(w).as("w2"))
+      .where(col("w2").isNotNull)
+      .groupBy("doc", "w1", "w2").agg(count(lit(1)).as("tf"))
+    // materialize: the scalar-stats broadcast job races this aggregate
+    // otherwise (same race unigramNll's tf barrier closes)
+    val bg = if (persistAgg) OperatorCache.materialize(bg0) else bg0
+    val pairTotals = bg.groupBy("w1", "w2").agg(sum("tf").as("cb"))
+    val leftTotals = pairTotals.groupBy("w1").agg(sum("cb").as("cl"))
+    val stats = pairTotals
+      .select(explode(array(col("w1"), col("w2"))).as("t"))
+      .agg(countDistinct("t").as("vocab"))
+    bg.join(pairTotals, Seq("w1", "w2"))
+      .join(leftTotals, Seq("w1"))
+      .crossJoin(broadcast(stats)) // 1-row scalar
+      .withColumn("__contrib",
+        -col("tf").cast("double") *
+          log((col("cb") + 1).cast("double") / (col("cl") + col("vocab")).cast("double")))
+      .groupBy("doc")
+      .agg(sum("tf").as("n_bigrams"),
+        round(sum(col("__contrib")) / sum("tf").cast("double"), 6).as("nll"))
+  }
+
   /** PII scrubbing patterns: deliberately simple, backreference-free
     * regexes that mean the same thing in Java regex and RE2-style
     * engines, so external oracles can replay the scrub verbatim.

@@ -990,5 +990,40 @@ object PipelineQueries {
              |       array_to_string(toks[start + 1 : least(start + 16, len(toks))], ' ') AS chunk_text,
              |       CAST(least(16, len(toks) - start) AS BIGINT) AS n_tokens
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Bigram LM NLL (perplexity-filter ladder, one step above p28's
+    // unigram): self-trained add-one-smoothed bigram model; word salad
+    // with common unigrams but improbable adjacency scores high. The
+    // oracle replays the token window via zipped unnests of the two
+    // offset slices and the same smoothing arithmetic.
+    QueryDef("p33_bigram_lm",
+      (s, dir) => TextAnalysis.bigramNll(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), bgrows AS (
+             |  SELECT doc_id,
+             |         unnest(toks[1:len(toks)-1]) AS w1,
+             |         unnest(toks[2:len(toks)]) AS w2
+             |  FROM t WHERE len(toks) >= 2
+             |), bg AS (
+             |  SELECT doc_id, w1, w2, count(*) AS tf FROM bgrows GROUP BY doc_id, w1, w2
+             |), pt AS (
+             |  SELECT w1, w2, sum(tf) AS cb FROM bg GROUP BY w1, w2
+             |), lt AS (
+             |  SELECT w1, sum(cb) AS cl FROM pt GROUP BY w1
+             |), v AS (
+             |  SELECT count(DISTINCT tok) AS vocab
+             |  FROM (SELECT w1 AS tok FROM pt UNION ALL SELECT w2 FROM pt)
+             |)
+             |SELECT doc_id AS doc, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             |       ROUND(SUM(-CAST(tf AS DOUBLE) * LN(CAST(cb + 1 AS DOUBLE) / CAST(cl + vocab AS DOUBLE)))
+             |             / CAST(SUM(tf) AS DOUBLE), 6) AS nll
+             |FROM bg JOIN pt USING (w1, w2) JOIN lt USING (w1), v
+             |GROUP BY doc_id ORDER BY doc""".stripMargin)),
   )
 }

@@ -33,6 +33,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.cleanCorpus(emptyDocs, "doc_id", "text").count() == 0)
     assert(TextAnalysis.tfidfTopTerms(emptyDocs, "doc_id", "text").count() == 0)
     assert(TextAnalysis.unigramNll(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.bigramNll(emptyDocs, "doc_id", "text").count() == 0)
     OperatorCache.releaseAll(spark)
   }
 

@@ -314,6 +314,24 @@ class PipelineSpec extends SparkSpec {
       s"gibberish must score highest: $out")
   }
 
+  test("bigram NLL: shuffled adjacency scores higher than corpus-typical word order") {
+    // same unigram distribution, different adjacency: the salad doc is
+    // invisible to a unigram score but improbable bigram-by-bigram
+    val docs = (1L to 8L).map(i => (i, "the cat sat on the mat")) :+
+      (9L, "mat the on sat cat the")
+    val scored = TextAnalysis.bigramNll(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored.size == 9)
+    assert(scored(9L) > scored(1L),
+      s"salad ${scored(9L)} must outscore prose ${scored(1L)}")
+    // a doc with a single token has no bigrams and is omitted
+    val single = TextAnalysis.bigramNll(
+      Seq((1L, "hello"), (2L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc").as[Long].collect()
+    assert(single.toSeq == Seq(2L))
+    OperatorCache.releaseAll(spark)
+  }
+
   test("PII scrub redacts emails, phones, IPs and counts them") {
     val d = Seq(
       (1L, "reach me at jane.doe+spam@corp.example.org thanks"),
