@@ -341,7 +341,12 @@ object TextAnalysis {
     val tf0 = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     // materialize: the stats broadcast job races this aggregate otherwise
     val tf = if (persistAgg) OperatorCache.materialize(tf0) else tf0
-    val termTotals = tf.groupBy("term").agg(sum("tf").as("ct"))
+    // termTotals feeds both the scalar stats and the score join, which
+    // run as concurrent broadcast jobs — barrier it too (vocabulary-sized)
+    // or each re-aggregates it from the tf cache
+    val termTotals0 = tf.groupBy("term").agg(sum("tf").as("ct"))
+    val termTotals =
+      if (persistAgg) OperatorCache.materialize(termTotals0) else termTotals0
     val stats = termTotals.agg(sum("ct").as("total"), count(lit(1)).as("vocab"))
     tf.join(termTotals, "term")
       .crossJoin(broadcast(stats)) // 1-row scalars
@@ -393,7 +398,18 @@ object TextAnalysis {
     // materialize: the scalar-stats broadcast job races this aggregate
     // otherwise (same race unigramNll's tf barrier closes)
     val bg = if (persistAgg) OperatorCache.materialize(bg0) else bg0
-    val pairTotals = bg.groupBy("w1", "w2").agg(sum("tf").as("cb"))
+    // pairTotals has THREE consumers (leftTotals, the vocab stats, and
+    // the score join), at least two of which run as concurrent broadcast
+    // jobs — without its own barrier each re-aggregated pairTotals from
+    // the bg cache (measured 3× ~0.8s duplicate jobs at sf0.1). Unlike
+    // the r7 p02 mistake this adds NO extra data pass (the aggregate
+    // runs from cache either way; the count over the vocabulary-bounded
+    // result is negligible) — at bench scale the duplicates overlapped
+    // on idle cores so wall-clock is unchanged, but on a busy cluster
+    // the duplicate CPU is real cost.
+    val pairTotals0 = bg.groupBy("w1", "w2").agg(sum("tf").as("cb"))
+    val pairTotals =
+      if (persistAgg) OperatorCache.materialize(pairTotals0) else pairTotals0
     val leftTotals = pairTotals.groupBy("w1").agg(sum("cb").as("cl"))
     val stats = pairTotals
       .select(explode(array(col("w1"), col("w2"))).as("t"))
