@@ -296,7 +296,12 @@ object TextAnalysis {
     val tfAll0 = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     // materialize: the stats broadcast job races this aggregate otherwise
     val tfAll = if (persistAgg) OperatorCache.materialize(tfAll0) else tfAll0
-    val docLen = tfAll.groupBy("doc").agg(sum("tf").as("dl"))
+    // docLen feeds the scalar stats (a broadcast job) AND the score join
+    // — barrier it like the LM scorers' totals frames, or each consumer
+    // re-aggregates it from the tfAll cache. No extra data pass: the
+    // aggregate runs from cache either way, and it is one row per doc.
+    val docLen0 = tfAll.groupBy("doc").agg(sum("tf").as("dl"))
+    val docLen = if (persistAgg) OperatorCache.materialize(docLen0) else docLen0
     val stats = docLen.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
     val tf = tfAll.where(col("term").isin(queryTerms: _*))
