@@ -272,6 +272,11 @@ object Dedup {
   def duplicateSpanFraction(
       df: DataFrame, idCol: String, textCol: String, k: Int = 8,
   ): DataFrame = {
+    // deliberately NOT persisted: unlike the self-join operators, both
+    // consumers of `spans` shuffle it on the SAME key from identical
+    // subtrees, so ReuseExchange already shares the scan+window — a
+    // barrier here was A/B-measured SLOWER (2.15→2.30s at sf0.1, the
+    // added count pass buys nothing)
     val spans = shingleRows(df, idCol, textCol, k)
     val docsPerSpan = spans.select("doc", "shingle").distinct()
       .groupBy("shingle").agg(count(lit(1)).as("__docs"))
