@@ -72,4 +72,33 @@ class OperatorCacheSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("LM scorers track exactly their aggregate + totals frames") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox naps under the shady tree"),
+    ).toDF("doc_id", "text")
+
+    // unigram: (doc,term,tf) + termTotals
+    spark.sharedState.cacheManager.clearCache()
+    OperatorCache.releaseAll(spark)
+    assert(TextAnalysis.unigramNll(docs, "doc_id", "text").count() == 2)
+    assert(OperatorCache.trackedCount(spark) == 2,
+      s"unigram: expected (tf, termTotals), got ${OperatorCache.trackedCount(spark)}")
+
+    // bigram: (doc,w1,w2,tf) + pairTotals
+    OperatorCache.releaseAll(spark)
+    assert(TextAnalysis.bigramNll(docs, "doc_id", "text").count() == 2)
+    assert(OperatorCache.trackedCount(spark) == 2,
+      s"bigram: expected (bg, pairTotals), got ${OperatorCache.trackedCount(spark)}")
+
+    // bm25: (doc,term,tf) + docLen
+    OperatorCache.releaseAll(spark)
+    assert(TextAnalysis.bm25(docs, "doc_id", "text", Seq("fox")).count() == 2)
+    assert(OperatorCache.trackedCount(spark) == 2,
+      s"bm25: expected (tfAll, docLen), got ${OperatorCache.trackedCount(spark)}")
+
+    OperatorCache.releaseAll(spark)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
