@@ -115,6 +115,32 @@ class PipelineSpec extends SparkSpec {
     assert(viaDriver("😀") == "ﬀ" && viaDriver("ﬀ") == "ﬀ")
   }
 
+  test("near-dup clusters: random unicode ids (incl. surrogates) label identically across the cutover") {
+    // property sweep over ids drawn from ASCII, Latin-1, CJK, and
+    // supplementary planes — every graph must label identically through
+    // the driver union-find and the distributed loop
+    val alphabet = Seq("a", "z", "é", "ß", "中", "文", "ﬀ", "😀", "🚀", "𝕏")
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 6) {
+      val n = 3 + rnd.nextInt(6)
+      val ids = Seq.fill(n)(Seq.fill(1 + rnd.nextInt(3))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString).distinct
+      if (ids.length >= 2) {
+        val es = Seq.fill(ids.length)(
+          (ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length))))
+          .filter(e => e._1 != e._2)
+        if (es.nonEmpty) {
+          val df = es.toDF("doc_a", "doc_b")
+          val d = Dedup.nearDupClusters(df)
+            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+          val l = Dedup.nearDupClusters(df, maxIter = 32, driverMaxEdges = 0L)
+            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+          assert(d == l, s"trial $trial (edges=$es): driver $d vs loop $l")
+        }
+      }
+    }
+  }
+
   test("near-dup clusters: null ids fall back to the distributed loop, not an NPE") {
     val withNull = Seq((null.asInstanceOf[String], "b"), ("b", "c")).toDF("doc_a", "doc_b")
     val viaDriver = Dedup.nearDupClusters(withNull)
