@@ -353,14 +353,19 @@ object TextAnalysis {
     val termTotals =
       if (persistAgg) OperatorCache.materialize(termTotals0) else termTotals0
     val stats = termTotals.agg(sum("ct").as("total"), count(lit(1)).as("vocab"))
-    tf.join(termTotals, "term")
+    // model first (term → smoothed log-prob) over the vocabulary-sized
+    // frame — the log runs per TERM, not per (doc, term) row, and the
+    // 1-row scalar joins the small side (same restructure as bigramNll)
+    val model = termTotals
       .crossJoin(broadcast(stats)) // 1-row scalars
-      .withColumn("__contrib",
-        -col("tf").cast("double") *
-          log((col("ct") + 1).cast("double") / (col("total") + col("vocab")).cast("double")))
+      .select(col("term"),
+        log((col("ct") + 1).cast("double") /
+          (col("total") + col("vocab")).cast("double")).as("__lp"))
+    tf.join(model, "term")
       .groupBy("doc")
       .agg(sum("tf").as("n_tokens"),
-        round(sum(col("__contrib")) / sum("tf").cast("double"), 6).as("nll"))
+        round(sum(-col("tf").cast("double") * col("__lp")) / sum("tf").cast("double"), 6)
+          .as("nll"))
   }
 
   /** Per-doc BIGRAM LM negative log-likelihood — one step up the
@@ -419,15 +424,23 @@ object TextAnalysis {
     val stats = pairTotals
       .select(explode(array(col("w1"), col("w2"))).as("t"))
       .agg(countDistinct("t").as("vocab"))
-    bg.join(pairTotals, Seq("w1", "w2"))
-      .join(leftTotals, Seq("w1"))
+    // assemble the MODEL first — (w1, w2) → smoothed log-prob — over the
+    // vocabulary-sized frames, so the doc-grained bg frame joins ONCE
+    // instead of twice (each bg join is a full exchange of the big
+    // frame; the model join is vocab⋈vocab). When the model fits a
+    // broadcast (AQE decides), bg then keeps its doc partitioning end to
+    // end and the final groupBy(doc) needs no exchange at all.
+    val model = pairTotals
+      .join(leftTotals, "w1")
       .crossJoin(broadcast(stats)) // 1-row scalar
-      .withColumn("__contrib",
-        -col("tf").cast("double") *
-          log((col("cb") + 1).cast("double") / (col("cl") + col("vocab")).cast("double")))
+      .select(col("w1"), col("w2"),
+        log((col("cb") + 1).cast("double") /
+          (col("cl") + col("vocab")).cast("double")).as("__lp"))
+    bg.join(model, Seq("w1", "w2"))
       .groupBy("doc")
       .agg(sum("tf").as("n_bigrams"),
-        round(sum(col("__contrib")) / sum("tf").cast("double"), 6).as("nll"))
+        round(sum(-col("tf").cast("double") * col("__lp")) / sum("tf").cast("double"), 6)
+          .as("nll"))
   }
 
   /** PII scrubbing patterns: deliberately simple, backreference-free
