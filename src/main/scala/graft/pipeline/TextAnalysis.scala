@@ -253,11 +253,17 @@ object TextAnalysis {
     val tf = if (persistAgg) OperatorCache.materialize(tf0) else tf0
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
-    val weighted = tf.join(dfreq, "term")
+    // idf per TERM over the vocabulary-sized frame (1-row scalar joins
+    // the small side), then ONE join of the corpus-grained tf — same
+    // model-first restructure as the LM scorers
+    val model = dfreq
       .crossJoin(broadcast(n)) // 1-row scalar: BroadcastNestedLoopJoin over ONE row
+      .select(col("term"), col("df"),
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double"))
+          .as("__idf"))
+    val weighted = tf.join(model, "term")
       .withColumn("weight",
-        round(col("tf").cast("double") *
-          log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 6))
+        round(col("tf").cast("double") * col("__idf"), 6))
     val w = Window.partitionBy("doc")
       .orderBy(col("weight").desc, col("term").asc)
     weighted
