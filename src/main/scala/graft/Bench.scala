@@ -23,7 +23,8 @@ object Bench {
     "p21_decontaminate", "p22_tfidf", "p23_bm25", "p24_repetition",
     "p25_pii_scrub", "p26_dup_spans", "p27_ann_sq8", "p28_lm_score",
     "p29_pack_sequences", "p30_sample_stratified",
-    "p31_semantic_decontaminate", "p32_chunk_documents", "p33_bigram_lm")
+    "p31_semantic_decontaminate", "p32_chunk_documents", "p33_bigram_lm",
+    "p34_remove_shared_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

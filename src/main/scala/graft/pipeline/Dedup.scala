@@ -289,6 +289,79 @@ object Dedup {
           .as("dup_span_fraction"))
   }
 
+  /** Cross-document duplicate-SPAN REMOVAL: delete every token that sits
+    * inside a k-token window whose text also occurs in at least one
+    * OTHER doc — the surgical counterpart of [[duplicateSpanFraction]]
+    * (which only measures) and the span-level member of the dedup
+    * family: boilerplate and mirrored passages are cut out of otherwise
+    * distinct documents instead of dropping whole docs. The public
+    * method of the C4/RefinedWeb-style pipelines' "remove duplicated
+    * spans" step.
+    *
+    * Operates on the canonical normalized token stream ([[rawTokens]] —
+    * the same tokens every hash operator here uses); `text_clean` is the
+    * space-joined remainder in original order. Docs with no tokens are
+    * omitted (the shingle-operator contract); docs fully covered by
+    * shared spans come back with an empty `text_clean`, not dropped —
+    * the caller decides their fate.
+    *
+    * Scale shape: dense-positioned tokens (one doc-keyed window), k-gram
+    * windows via `lead` over the SAME partitioning (no new exchange), a
+    * span-keyed distinct+count for the shared set, a span-keyed join
+    * back, a bounded per-window position explode (×k), and one doc-keyed
+    * reassembly aggregate. Everything is a hash equi-operation — no
+    * pairwise comparison, no driver state.
+    *
+    * @param persistToks cache the dense-positioned token frame — it
+    *   feeds the window derivation, the anti-join probe, and the per-doc
+    *   totals (consumers that include broadcast-planned branches); same
+    *   contract and eagerness as [[minhashNearDups.persistShingles]].
+    * @return (doc, text_clean, n_tokens_kept, n_tokens_dropped)
+    */
+  def removeSharedSpans(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+      persistToks: Boolean = true,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    val raw = df.select(col(idCol).as("doc"),
+      posexplode(rawTokens(col(textCol))))
+      .toDF("doc", "rawpos", "tok")
+      .where(col("tok") =!= "")
+    val byRaw = Window.partitionBy("doc").orderBy("rawpos")
+    // dense 0-based positions so covered ranges are pure arithmetic
+    // (rawpos has gaps where "" tokens were dropped)
+    val toks0 = raw.select(col("doc"),
+      (row_number().over(byRaw) - 1).as("pos"), col("tok"))
+    val toks = if (persistToks) OperatorCache.materialize(toks0) else toks0
+    val byPos = Window.partitionBy("doc").orderBy("pos")
+    val win = toks.select(col("doc"), col("pos"),
+      concat_ws(" ", col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(byPos)): _*)
+        .as("span"),
+      (if (k > 1) lead(col("tok"), k - 1).over(byPos).isNotNull else lit(true))
+        .as("complete"))
+      .where(col("complete"))
+    val sharedSpans = win.select("doc", "span").distinct()
+      .groupBy("span").agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") > 1).select("span")
+    val covered = win.join(sharedSpans, "span")
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc", "pos"), "left_anti")
+    val totals = toks.groupBy("doc").agg(count(lit(1)).as("__total"))
+    val rebuilt = kept.groupBy("doc")
+      .agg(count(lit(1)).as("__kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ").as("__text"))
+    totals.join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("__text"), lit("")).as("text_clean"),
+        coalesce(col("__kept"), lit(0L)).as("n_tokens_kept"),
+        (col("__total") - coalesce(col("__kept"), lit(0L))).as("n_tokens_dropped"))
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(setA: Column, setB: Column): Column =
     size(array_intersect(setA, setB)).cast("double") /

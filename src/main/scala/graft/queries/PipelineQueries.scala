@@ -1025,5 +1025,52 @@ object PipelineQueries {
              |             / CAST(SUM(tf) AS DOUBLE), 6) AS nll
              |FROM bg JOIN pt USING (w1, w2) JOIN lt USING (w1), v
              |GROUP BY doc_id ORDER BY doc""".stripMargin)),
+
+    // Duplicate-span REMOVAL (C4/RefinedWeb-style): cut every token
+    // inside an 8-token window whose text occurs in >1 doc; docs keep
+    // their distinct remainder. The oracle replays the dense-positioned
+    // tokens, the window spans, the shared-span set, the covered-range
+    // explode, and the ordered reassembly.
+    QueryDef("p34_remove_shared_spans",
+      (s, dir) => Dedup.removeSharedSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), tok AS (
+             |  SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos
+             |  FROM t WHERE len(toks) > 0
+             |), win AS (
+             |  SELECT doc_id,
+             |         unnest(range(0, len(toks) - 8 + 1)) AS pos,
+             |         unnest(list_transform(range(1, len(toks) - 8 + 2),
+             |                               i -> array_to_string(toks[i:i+7], ' '))) AS span
+             |  FROM t WHERE len(toks) >= 8
+             |), shared AS (
+             |  SELECT span FROM (
+             |    SELECT span, count(DISTINCT doc_id) AS c FROM win GROUP BY span
+             |  ) WHERE c > 1
+             |), cov AS (
+             |  SELECT DISTINCT doc_id, cpos AS pos FROM (
+             |    SELECT doc_id, unnest(range(pos, pos + 8)) AS cpos
+             |    FROM win JOIN shared USING (span))
+             |), kept AS (
+             |  SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM cov WHERE cov.doc_id = tok.doc_id AND cov.pos = tok.pos)
+             |)
+             |SELECT d.doc_id AS doc,
+             |       COALESCE(r.txt, '') AS text_clean,
+             |       CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_tokens_kept,
+             |       CAST(d.total - COALESCE(r.nk, 0) AS BIGINT) AS n_tokens_dropped
+             |FROM (SELECT doc_id, len(toks) AS total FROM t WHERE len(toks) > 0) d
+             |LEFT JOIN (
+             |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt, count(*) AS nk
+             |  FROM kept GROUP BY doc_id
+             |) r USING (doc_id)
+             |ORDER BY doc""".stripMargin)),
   )
 }

@@ -25,6 +25,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.dedupNearDuplicates(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.nearDupClusters(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
       .count() == 0)
+    assert(Dedup.removeSharedSpans(emptyDocs, "doc_id", "text").count() == 0)
     OperatorCache.releaseAll(spark)
   }
 

@@ -358,6 +358,33 @@ class PipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("removeSharedSpans cuts cross-doc windows, keeps distinct remainders in order") {
+    // docs 1 and 2 share an 8-token run; doc 3 is fully distinct; doc 4
+    // is a verbatim copy of doc 1's shared run (fully covered)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"intro one two $shared outro"),
+      (2L, s"$shared completely different tail here"),
+      (3L, "totally unrelated text with nothing shared at all"),
+      (4L, shared),
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // doc 1: the shared 8 tokens die; surrounding tokens survive in order
+    assert(out(1L)._1 == "intro one two outro", s"got ${out(1L)}")
+    assert(out(1L)._2 == 4 && out(1L)._3 == 8)
+    // doc 2: remainder preserved
+    assert(out(2L)._1 == "completely different tail here")
+    // doc 3: untouched (normalized stream)
+    assert(out(3L)._1 == "totally unrelated text with nothing shared at all")
+    assert(out(3L)._3 == 0)
+    // doc 4: fully covered -> empty, present, all tokens dropped
+    assert(out(4L)._1 == "" && out(4L)._2 == 0 && out(4L)._3 == 8)
+    OperatorCache.releaseAll(spark)
+  }
+
   test("PII scrub redacts emails, phones, IPs and counts them") {
     val d = Seq(
       (1L, "reach me at jane.doe+spam@corp.example.org thanks"),
