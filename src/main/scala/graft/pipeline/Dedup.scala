@@ -341,6 +341,12 @@ object Dedup {
       (if (k > 1) lead(col("tok"), k - 1).over(byPos).isNotNull else lit(true))
         .as("complete"))
       .where(col("complete"))
+    // win is deliberately NOT persisted even though its two consumers
+    // shuffle on different keys: the recompute is one lead-window over
+    // the already-cached toks, and caching the corpus-scale k-token
+    // span strings costs more than it saves (A/B: barrier 3.7–3.9s vs
+    // 3.6–4.2s without at sf0.1 — a wash on wall, a k× string cache
+    // footprint on memory)
     val sharedSpans = win.select("doc", "span").distinct()
       .groupBy("span").agg(count(lit(1)).as("__docs"))
       .where(col("__docs") > 1).select("span")
