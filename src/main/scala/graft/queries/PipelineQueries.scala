@@ -1072,5 +1072,23 @@ object PipelineQueries {
              |  FROM kept GROUP BY doc_id
              |) r USING (doc_id)
              |ORDER BY doc""".stripMargin)),
+
+    // Blocklist-term screen (NSFW/compliance filter): whole-word hit
+    // count via the single-pass graft_count_words_in scan, docs with
+    // more than 2 hits dropped. Oracle keeps the \b-alternation regex
+    // form (the hash compare enforces count-identity, as for p10/p15).
+    QueryDef("p35_screen_blocklist",
+      (s, dir) => TextAnalysis.screenBlockedTerms(
+        Tables.load(s, dir, "documents").select("doc_id", "lang", "text"),
+        "text", Seq("customer", "vector", "stream"), maxHits = 2)
+        .select("doc_id", "lang", "n_blocked")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_blocked FROM (
+             |  SELECT doc_id, lang,
+             |         CAST(LEN(regexp_extract_all(lower(text), '\b(customer|vector|stream)\b')) AS BIGINT) AS n_blocked
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |)
+             |WHERE n_blocked <= 2
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -385,6 +385,22 @@ class PipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("screenBlockedTerms: whole-word case-insensitive hits, threshold inclusive") {
+    val docs = Seq(
+      (1L, "perfectly clean text here"),
+      (2L, "one BadWord appears"),
+      (3L, "badword badword twice and badwords is a different word"),
+      (4L, "substring notabadword does not count"),
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.screenBlockedTerms(docs, "text", Seq("badword"), maxHits = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_blocked")).toMap
+    // doc 3 has 2 whole-word hits (dropped); 'badwords'/'notabadword'
+    // never match; case-insensitive catches doc 2
+    assert(kept == Map(1L -> 0L, 2L -> 1L, 4L -> 0L), s"got $kept")
+    intercept[IllegalArgumentException](
+      TextAnalysis.screenBlockedTerms(docs, "text", Seq.empty))
+  }
+
   test("PII scrub redacts emails, phones, IPs and counts them") {
     val d = Seq(
       (1L, "reach me at jane.doe+spam@corp.example.org thanks"),
