@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, OperatorCache}
+
+/** Scale proof for duplicate-span removal (PLANS.md): replicate the
+  * sf0.1 documents corpus ×N with remapped ids and remove shared
+  * 8-token spans. Replication makes EVERY complete window shared
+  * (each doc's text occurs N times), so this measures the operator in
+  * its most expensive regime — maximal shared-span set, maximal
+  * covered-range explode, maximal cut — while rows grow ×N.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run.sh \
+  *   graft.SpanScaleBench [replicas]
+  */
+object SpanScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-span-scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    val scaled = docs
+      .withColumn("copy", explode(sequence(lit(0), lit(replicas - 1))))
+      .select((col("doc_id") + col("copy") * maxId).as("doc_id"), col("text"))
+      .persist()
+    val nDocs = scaled.count()
+
+    val t0 = System.nanoTime()
+    val stats = Dedup.removeSharedSpans(scaled, "doc_id", "text", k = 8)
+      .agg(count(lit(1)).as("docs_out"),
+        sum("n_tokens_kept").as("kept"), sum("n_tokens_dropped").as("dropped"))
+      .head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    OperatorCache.releaseAll(spark)
+
+    println(s"""{"docs":$nDocs,"replicas":$replicas,""" +
+      s""""span_sec":${f"$sec%.2f"},"docs_out":${stats.getLong(0)},""" +
+      s""""kept":${stats.getLong(1)},"dropped":${stats.getLong(2)}}""")
+    spark.stop()
+  }
+}
