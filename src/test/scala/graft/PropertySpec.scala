@@ -112,6 +112,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: coverage and reassembly hold on random corpora and window params") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val nDocs = 1 + rnd.nextInt(5)
+      val docs = (1L to nDocs).map { i =>
+        val n = rnd.nextInt(40) // 0..39 tokens
+        (i, (1 to n).map(j => s"t${rnd.nextInt(9)}").mkString(" "))
+      }
+      val chunk = 1 + rnd.nextInt(12)
+      val stride = 1 + rnd.nextInt(chunk)
+      val out = graft.pipeline.Curation.chunkDocuments(
+        docs.toDF("doc_id", "text"), "doc_id", "text", chunk, stride)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getAs[Int]("chunk_idx"))).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) assert(!out.contains(id), s"trial $trial: token-less doc $id must be omitted")
+        else {
+          val rows = out(id)
+          // expected starts: 0, stride, ... while < n
+          val starts = 0 until toks.length by stride
+          assert(rows.length == starts.length,
+            s"trial $trial doc $id (n=${toks.length}, c=$chunk, s=$stride): ${rows.length} chunks, want ${starts.length}")
+          rows.zip(starts).foreach { case (r, st) =>
+            val want = toks.slice(st, st + chunk)
+            assert(r.getAs[String]("chunk_text") == want.mkString(" "),
+              s"trial $trial doc $id chunk at $st mismatch")
+            assert(r.getAs[Long]("n_tokens") == want.length)
+          }
+          // every token index covered by at least one chunk
+          val covered = starts.flatMap(st => st until math.min(st + chunk, toks.length)).toSet
+          assert(covered == toks.indices.toSet, s"trial $trial doc $id: coverage gap")
+        }
+      }
+    }
+  }
+
   test("Fnv1a64 codegen matches the reference on arbitrary unicode strings") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val strs = samples(Gen.listOf(Gen.choose(0, 0x10FFFF)
