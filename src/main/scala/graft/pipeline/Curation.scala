@@ -97,6 +97,52 @@ object Curation {
     *   `xxhash64(col(id))` then, as with the sampling operators.
     * @return input columns + (shard, pack, n_tokens)
     */
+  /** Token-budget sampling per stratum: take documents from each stratum
+    * in the deterministic gate order until the stratum's TOKEN budget is
+    * reached — how a training mixture is composed when the recipe says
+    * "20 B tokens of web, 2 B of code", not "x% of rows" (row-fraction
+    * sampling over-represents sources with long documents).
+    *
+    * Order within a stratum is (gate, id) — the same engine-replayable
+    * [[idGate]] mix the row samplers use — so the selection is
+    * reproducible everywhere. A doc is kept while the EXCLUSIVE running
+    * token sum is under budget, so the straddling doc overflows the
+    * boundary rather than leaving a gap (the [[packSequences]]
+    * bounded-overflow rule; budget 0 takes nothing). Token counts must
+    * be non-negative — null/negative raises, like packSequences.
+    *
+    * Scale shape: one stratum-keyed window — strata are independent and
+    * there are few of them relative to rows; a heavily skewed stratum is
+    * one sorted partition, the price every per-stratum running total
+    * pays. No driver state, no iteration.
+    *
+    * @return surviving rows (original columns, unchanged)
+    */
+  def sampleByTokenBudget(
+      df: DataFrame, idCol: String, tokenCol: String, strataCol: String,
+      budgets: Map[String, Long], defaultBudget: Long = 0L,
+      salt: Int = 2, gate: Column = null,
+  ): DataFrame = {
+    (budgets.values.toSeq :+ defaultBudget).foreach(b =>
+      require(b >= 0, s"budgets must be >= 0: $b"))
+    val g = if (gate != null) gate else idGate(col(idCol), salt)
+    val nTok = col(tokenCol).cast("long")
+    val checked = when(nTok.isNull.or(nTok < 0),
+      raise_error(concat(
+        lit(s"sampleByTokenBudget: token column '$tokenCol' must be a non-negative count, got "),
+        coalesce(nTok.cast("string"), lit("NULL")),
+        lit(" for id "), col(idCol).cast("string"))))
+      .otherwise(nTok)
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (stratum, b)) =>
+        when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(strataCol).orderBy(g.asc, col(idCol).asc)
+    df.withColumn("__cum", sum(checked).over(w) - checked)
+      .where(col("__cum") < budget)
+      .drop("__cum")
+  }
+
   /** Sliding-window document chunking: split each doc into overlapping
     * token windows — the step that turns cleaned documents into
     * retrieval-index entries or fixed-context training examples. Chunk

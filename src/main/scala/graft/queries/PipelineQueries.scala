@@ -1090,5 +1090,33 @@ object PipelineQueries {
              |)
              |WHERE n_blocked <= 2
              |ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget mixture sampling: per-lang TOKEN budgets (en 20k,
+    // default 5k) filled in the portable gate order; the straddling doc
+    // overflows the boundary (exclusive prefix < budget). The oracle
+    // replays the gate arithmetic and the per-stratum running sum.
+    QueryDef("p36_sample_token_budget",
+      (s, dir) => Curation.sampleByTokenBudget(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(trim(col("text")), "\\s+")).as("n_toks")),
+        "doc_id", "n_toks", "lang",
+        budgets = Map("en" -> 20000L), defaultBudget = 5000L)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_toks,
+             |         ((doc_id % 100000 + 2) * 2654435761) % 1000000 AS gate
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), c AS (
+             |  SELECT doc_id, lang, n_toks,
+             |         SUM(n_toks) OVER (PARTITION BY lang ORDER BY gate, doc_id
+             |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           - n_toks AS cum
+             |  FROM t
+             |)
+             |SELECT doc_id, lang, n_toks FROM c
+             |WHERE cum < CASE WHEN lang = 'en' THEN 20000 ELSE 5000 END
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

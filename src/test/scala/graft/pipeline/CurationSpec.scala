@@ -102,6 +102,36 @@ class CurationSpec extends SparkSpec {
       Curation.chunkDocuments(doc, "doc_id", "text", 8, 9))
   }
 
+  test("sampleByTokenBudget: fills per-stratum token budgets deterministically, bounded overflow") {
+    // 2000 docs over en/de with 10..99 tokens each (from the shared fixture)
+    val kept = Curation.sampleByTokenBudget(docs, "id", "toks", "lang",
+      budgets = Map("en" -> 2000L), defaultBudget = 500L)
+    val byLang = kept.groupBy("lang")
+      .agg(sum(col("toks")).as("total"), max("toks").as("biggest"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // budget filled: total within [budget, budget + biggest) per stratum
+    val (enTotal, enBig) = byLang("en")
+    assert(enTotal >= 2000L && enTotal < 2000L + enBig, s"en total $enTotal")
+    val (deTotal, deBig) = byLang("de")
+    assert(deTotal >= 500L && deTotal < 500L + deBig, s"de total $deTotal")
+    // deterministic: identical selection across runs
+    val a = kept.select("id").as[Long].collect().sorted.toSeq
+    val b = Curation.sampleByTokenBudget(docs, "id", "toks", "lang",
+      budgets = Map("en" -> 2000L), defaultBudget = 500L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // zero budget takes nothing
+    assert(Curation.sampleByTokenBudget(docs, "id", "toks", "lang",
+      budgets = Map.empty, defaultBudget = 0L).count() == 0)
+    // null token counts raise (same contract as packSequences)
+    val withNull = Seq((1L, "en", Some(10L)), (2L, "en", None))
+      .toDF("id", "lang", "toks")
+    val e = intercept[Exception](
+      Curation.sampleByTokenBudget(withNull, "id", "toks", "lang",
+        Map("en" -> 100L)).collect())
+    assert(e.getMessage.contains("non-negative"))
+  }
+
   test("packSequences: null or negative token counts raise instead of corrupting the fill") {
     val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(20L)))
       .toDF("id", "toks")
