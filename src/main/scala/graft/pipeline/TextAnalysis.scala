@@ -449,6 +449,65 @@ object TextAnalysis {
           .as("nll"))
   }
 
+  /** Frequency-ranked word vocabulary over the canonical normalized
+    * token stream: (term, id, count) with id = 1-based rank by
+    * (count desc, term asc), capped at `maxSize`. Id 0 is reserved for
+    * OOV by [[encodeTokens]].
+    *
+    * Scale shape: one token explode + one map-side-combined count
+    * aggregate, then `orderBy.limit(maxSize)` — Catalyst plans that as
+    * TakeOrderedAndProject (each partition keeps maxSize rows, the
+    * driver merges), NOT a global sort; the ranking window then runs
+    * over the PARAMETER-bounded result (maxSize rows, one partition by
+    * construction — bounded by the argument, not the corpus).
+    */
+  def buildVocab(df: DataFrame, textCol: String, maxSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxSize > 0, s"maxSize must be positive: $maxSize")
+    val counts = df.select(explode(Dedup.rawTokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col("term").asc)
+      .limit(maxSize)
+    counts.withColumn("id",
+      row_number().over(Window.orderBy(col("count").desc, col("term").asc))
+        .cast("int"))
+  }
+
+  /** Encode each doc's token stream against a [[buildVocab]] frame:
+    * (doc, ids, n_tokens, n_oov) with ids = the in-order vocabulary ids
+    * (0 for out-of-vocabulary tokens) — the word-level tokenize-to-ids
+    * step before packing/batching. Docs with no tokens are omitted (the
+    * shingle-operator contract).
+    *
+    * Scale shape: positioned token explode (one doc-keyed window for
+    * dense order), a term-keyed join against the maxSize-bounded vocab
+    * (broadcast-sized by construction), and one per-doc ordered
+    * reassembly aggregate.
+    */
+  def encodeTokens(
+      df: DataFrame, idCol: String, textCol: String, vocab: DataFrame,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = df.select(col(idCol).as("doc"),
+      posexplode(Dedup.rawTokens(col(textCol))))
+      .toDF("doc", "rawpos", "term")
+      .where(col("term") =!= "")
+    val byRaw = Window.partitionBy("doc").orderBy("rawpos")
+    val toks = raw.select(col("doc"),
+      (row_number().over(byRaw) - 1).as("pos"), col("term"))
+    toks
+      .join(broadcast(vocab.select(col("term"), col("id"))), Seq("term"), "left")
+      .select(col("doc"), col("pos"),
+        coalesce(col("id"), lit(0)).cast("int").as("tid"))
+      .groupBy("doc")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+          s => s.getField("tid")).as("ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** Blocklist-term screen — the NSFW/profanity/compliance filter step of
     * a corpus pipeline: count whole-word occurrences of `blocked` terms
     * per doc (case-insensitive) and keep docs with at most `maxHits`.

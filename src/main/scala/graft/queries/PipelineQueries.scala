@@ -1118,5 +1118,44 @@ object PipelineQueries {
              |SELECT doc_id, lang, n_toks FROM c
              |WHERE cum < CASE WHEN lang = 'en' THEN 20000 ELSE 5000 END
              |ORDER BY doc_id""".stripMargin)),
+
+    // Word-vocabulary encoding (tokenize-to-ids): top-24 frequency-
+    // ranked vocab (the fixture vocabulary is 31 terms, so ~7 fall OOV), per-doc in-order ids with 0 = OOV. The ids array is
+    // stringified for the compare so both engines hash the same scalar;
+    // the oracle replays the rank (count desc, term asc) and the ordered
+    // per-doc id list.
+    QueryDef("p37_encode_tokens",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val vocab = TextAnalysis.buildVocab(docs, "text", maxSize = 24)
+        TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+          .select(col("doc").as("doc_id"),
+            array_join(transform(col("ids"), i => i.cast("string")), " ").as("ids"),
+            col("n_tokens"), col("n_oov"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, tok, pos FROM (
+             |    SELECT doc_id,
+             |           unnest(toks) AS tok,
+             |           unnest(range(0, len(toks))) AS pos
+             |    FROM (
+             |      SELECT doc_id,
+             |             list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                         x -> x <> '') AS toks
+             |      FROM read_parquet('{SFDIR}/documents.parquet'))
+             |  )
+             |), v AS (
+             |  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS INT) AS id
+             |  FROM (SELECT tok AS term, count(*) AS cnt FROM tok GROUP BY tok)
+             |  ORDER BY cnt DESC, term ASC LIMIT 24
+             |)
+             |SELECT doc_id,
+             |       string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ' ' ORDER BY pos) AS ids,
+             |       count(*) AS n_tokens,
+             |       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+             |FROM tok LEFT JOIN v ON tok.tok = v.term
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

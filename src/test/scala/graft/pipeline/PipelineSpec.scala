@@ -401,6 +401,27 @@ class PipelineSpec extends SparkSpec {
       TextAnalysis.screenBlockedTerms(docs, "text", Seq.empty))
   }
 
+  test("vocab build + token encoding: rank order, OOV as 0, in-order ids") {
+    val docs = Seq(
+      (1L, "cat dog cat bird"),
+      (2L, "dog dog rare"),
+      (3L, ""),
+    ).toDF("doc_id", "text")
+    // counts: dog 3, cat 2, bird 1, rare 1 → rank dog=1, cat=2, bird=3
+    val vocab = TextAnalysis.buildVocab(docs, "text", maxSize = 3)
+    val v = vocab.collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(v == Map("dog" -> 1, "cat" -> 2, "bird" -> 3), s"got $v")
+
+    val enc = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getLong(2), r.getLong(3)))).toMap
+    assert(enc(1L) == ((Seq(2, 1, 2, 3), 4L, 0L)), s"got ${enc(1L)}")
+    // 'rare' is rank 4, cut by maxSize → OOV id 0
+    assert(enc(2L) == ((Seq(1, 1, 0), 3L, 1L)), s"got ${enc(2L)}")
+    // token-less doc omitted
+    assert(!enc.contains(3L))
+  }
+
   test("PII scrub redacts emails, phones, IPs and counts them") {
     val d = Seq(
       (1L, "reach me at jane.doe+spam@corp.example.org thanks"),
