@@ -299,6 +299,94 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization codebooks: the vector splits into `m`
+    * contiguous subspaces and each learns a `k`-entry codebook by
+    * reusing [[ivfTrain]]'s Lloyd loop on the sliced corpus (max-dot
+    * assignment, deterministic portable init — so an external oracle
+    * replays every subspace's full training trajectory). Encoded
+    * vectors store m small ints (m bytes of information per vector at
+    * k ≤ 256 — a dim·4/m compression), and queries score against codes
+    * with the asymmetric dot decomposition
+    * dot(q, v) ≈ Σ_s dot(q_s, codebook_s[code_s]) (ADC with
+    * inner-product quantizers — the public ScaNN/Faiss-IP method).
+    */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 2): Seq[IvfIndex] = {
+    val dim = dimOf(corpus, vecCol)
+    require(m > 0 && dim % m == 0, s"m ($m) must divide the dimension ($dim)")
+    val sub = dim / m
+    // sequential per-subspace training: m small Lloyd loops; the sliced
+    // projection is narrow (ivfTrain's input is deliberately never
+    // repartitioned — its mean aggregation is summation-order-sensitive)
+    (0 until m).map { s =>
+      ivfTrain(corpus.select(col(idCol),
+        slice(col(vecCol), s * sub + 1, sub).as("__sub")),
+        idCol, "__sub", k, iters)
+    }
+  }
+
+  /** Tag each row with its m PQ codes: per subspace, the max-dot
+    * codebook entry (ties to the larger id — the [[ivfTrain]]
+    * assignment rule). Map-only; each subspace's codebook rides as one
+    * typedlit literal. */
+  def pqEncode(corpus: DataFrame, vecCol: String,
+      books: Seq[IvfIndex]): DataFrame = {
+    require(books.nonEmpty, "pqEncode needs at least one codebook")
+    val dim = dimOf(corpus, vecCol)
+    val m = books.length
+    require(dim % m == 0, s"codebook count ($m) must divide the dimension ($dim)")
+    val sub = dim / m
+    val codeCols = books.zipWithIndex.map { case (b, s) =>
+      val cents: Column = typedlit(b.centroids.toSeq.map {
+        case (id, c) => (id, c.toSeq)
+      })
+      val sl = slice(col(vecCol), s * sub + 1, sub)
+      array_max(transform(cents, c =>
+        struct(dot(sl, c.getField("_2")).as("sim"),
+          c.getField("_1").as("id")))).getField("id")
+    }
+    corpus.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** PQ ANN: rank by the ADC score (per-subspace query⋅code lookup
+    * tables computed once on the driver — m·k dots total), then exact
+    * cosine rescoring of the top k·rescoreFactor, the [[sq8TopK]]
+    * two-stage shape. The ADC score is rounded to 6 decimals BEFORE the
+    * candidate cut (ties to id asc) so an external replay selects the
+    * identical candidate set.
+    */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Seq[IvfIndex], query: Seq[Float], k: Int,
+      rescoreFactor: Int = 5): DataFrame = {
+    val dim = dimOf(corpus, vecCol)
+    val m = books.length
+    val sub = dim / m
+    // dense per-subspace tables indexed by code id (absent ids — empty
+    // Lloyd cells — keep slot 0.0; no code ever references them)
+    val tables: Seq[Seq[Double]] = books.zipWithIndex.map { case (b, s) =>
+      val qs = query.slice(s * sub, (s + 1) * sub).map(_.toDouble)
+      val size = b.centroids.map(_._1).max + 1
+      val t = Array.fill(size)(0.0)
+      b.centroids.foreach { case (id, c) =>
+        t(id) = qs.zip(c).map { case (a, x) => a * x }.sum
+      }
+      t.toSeq
+    }
+    val tablesLit: Column = typedlit(tables)
+    val adc = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (code, s) => element_at(element_at(tablesLit, s + 1), code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val candidates = pqEncode(corpus, vecCol, books)
+      .select(col(idCol), col(vecCol), round(adc, 6).as("adc"))
+      .orderBy(col("adc").desc, col(idCol).asc)
+      .limit(k * rescoreFactor)
+    candidates
+      .select(col(idCol), round(cosine(col(vecCol), vecLit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Semantic decontamination: drop corpus rows whose embedding has
     * cosine ≥ `threshold` to ANY blocklist vector — the embedding-space
     * member of the decontamination family ([[Dedup.decontaminate]] is

@@ -163,6 +163,82 @@ object PipelineQueries {
     |FROM a3, q WHERE a3.cid IN (SELECT cid FROM probes)
     |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** One subspace's full Lloyd replay for the PQ oracle: identical
+    * trajectory to [[ivfAssignSql]] but over the `[lo:hi]` slice, CTEs
+    * suffixed `_s`. Appends to a base `v(vec_id, e)` CTE. */
+  private def pqAssignSql(s: Int, lo: Int, hi: Int, k: Int): String = {
+    def n(b: String) = s"${b}_$s"
+    s""", ${n("v")} AS (
+    |  SELECT vec_id, e[$lo:$hi] AS e,
+    |         CAST((vec_id % 100000) * 2654435761 % $k AS INT) AS c0a
+    |  FROM v
+    |), ${n("u0")} AS (
+    |  SELECT c0a AS cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS ord FROM ${n("v")}
+    |), ${n("c0")} AS (
+    |  SELECT cid, list(m ORDER BY ord) AS c FROM (
+    |    SELECT cid, ord, AVG(val) AS m FROM ${n("u0")} GROUP BY cid, ord
+    |  ) GROUP BY cid
+    |), ${n("a1")} AS (
+    |  SELECT vec_id, e, cid FROM (
+    |    SELECT vv.vec_id, vv.e, cc.cid,
+    |           ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+    |                              ORDER BY list_dot_product(vv.e, cc.c) DESC, cc.cid DESC) AS rn
+    |    FROM ${n("v")} vv, ${n("c0")} cc
+    |  ) WHERE rn = 1
+    |), ${n("u1")} AS (
+    |  SELECT cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS ord FROM ${n("a1")}
+    |), ${n("c1")} AS (
+    |  SELECT cid, list(m ORDER BY ord) AS c FROM (
+    |    SELECT cid, ord, AVG(val) AS m FROM ${n("u1")} GROUP BY cid, ord
+    |  ) GROUP BY cid
+    |), ${n("a2")} AS (
+    |  SELECT vec_id, e, cid FROM (
+    |    SELECT vv.vec_id, vv.e, cc.cid,
+    |           ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+    |                              ORDER BY list_dot_product(vv.e, cc.c) DESC, cc.cid DESC) AS rn
+    |    FROM ${n("v")} vv, ${n("c1")} cc
+    |  ) WHERE rn = 1
+    |), ${n("u2")} AS (
+    |  SELECT cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS ord FROM ${n("a2")}
+    |), ${n("c2")} AS (
+    |  SELECT cid, list(m ORDER BY ord) AS c FROM (
+    |    SELECT cid, ord, AVG(val) AS m FROM ${n("u2")} GROUP BY cid, ord
+    |  ) GROUP BY cid
+    |), ${n("a3")} AS (
+    |  SELECT vec_id, cid FROM (
+    |    SELECT vv.vec_id, cc.cid,
+    |           ROW_NUMBER() OVER (PARTITION BY vv.vec_id
+    |                              ORDER BY list_dot_product(vv.e, cc.c) DESC, cc.cid DESC) AS rn
+    |    FROM ${n("v")} vv, ${n("c2")} cc
+    |  ) WHERE rn = 1
+    |)""".stripMargin
+  }
+
+  /** p38 oracle: two subspace Lloyd replays + ADC candidate cut + exact
+    * rescoring — Similarity.trainPq/pqTopK semantics (m=2, k=4, 64-dim). */
+  private val pqOracleSql: String =
+    """WITH v AS (
+    |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+    |  FROM read_parquet('{SFDIR}/embeddings.parquet')
+    |)""".stripMargin +
+      pqAssignSql(0, 1, 32, 4) + pqAssignSql(1, 33, 64, 4) +
+      """, q38 AS (
+    |  SELECT e AS qe, e[1:32] AS q0, e[33:64] AS q1 FROM v WHERE vec_id = 0
+    |), d0 AS (
+    |  SELECT a.vec_id, list_dot_product(c.c, q38.q0) AS d
+    |  FROM a3_0 a JOIN c2_0 c USING (cid), q38
+    |), d1 AS (
+    |  SELECT a.vec_id, list_dot_product(c.c, q38.q1) AS d
+    |  FROM a3_1 a JOIN c2_1 c USING (cid), q38
+    |), adc AS (
+    |  SELECT vec_id, ROUND(d0.d + d1.d, 6) AS adc FROM d0 JOIN d1 USING (vec_id)
+    |), cand AS (
+    |  SELECT vec_id FROM adc ORDER BY adc DESC, vec_id ASC LIMIT 50
+    |)
+    |SELECT v.vec_id, ROUND(list_cosine_similarity(v.e, q38.qe), 6) AS cosine
+    |FROM v JOIN cand USING (vec_id), q38
+    |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
   /** p20 oracle: [[ivfAssignSql]] + the greedy within-cell drop rule —
     * a vector is dropped iff some smaller-id vector in the SAME cell has
     * cosine ≥ threshold with it (Similarity.semanticDedup semantics). */
@@ -1157,5 +1233,20 @@ object PipelineQueries {
              |FROM tok LEFT JOIN v ON tok.tok = v.term
              |GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
+
+    // Product-quantized ANN (m=2 subspaces × k=4 codes, ADC candidate
+    // cut, exact rescoring). The oracle replays BOTH subspaces' full
+    // Lloyd trajectories, the per-code query tables, the rounded ADC
+    // ranking, and the rescore — so codebook training, encoding, and
+    // both ranking stages are all verified.
+    QueryDef("p38_ann_pq",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 2, k = 4)
+        Similarity.pqTopK(emb, "vec_id", "embedding", books, q, k = 10)
+      },
+      Some(pqOracleSql)),
   )
 }

@@ -54,6 +54,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.4, f"LSH recall@$K degraded to $r%.2f")
   }
 
+  test("PQ ADC + exact rescoring holds a recall floor; params validated") {
+    val books = Similarity.trainPq(corpus, "vec_id", "embedding", m = 8, k = 16)
+    assert(books.length == 8)
+    val r = Similarity.meanRecallAtK(corpus, "vec_id", "embedding", queries, K)(
+      q => Similarity.pqTopK(corpus, "vec_id", "embedding", books, q, K,
+        rescoreFactor = 10))
+    info(f"PQ recall@$K (m=8, k=16, rescore 10x) = $r%.2f")
+    // the floor guards the two-stage shape at these settings (8×16
+    // codebooks, 10× exact rescore = a 5% candidate scan); observed
+    // 0.72, floor ~0.1 under like the other ANN floors
+    assert(r >= 0.6, f"PQ recall@$K degraded to $r%.2f")
+    // m must divide the dimension
+    intercept[IllegalArgumentException](
+      Similarity.trainPq(corpus, "vec_id", "embedding", m = 7, k = 4))
+  }
+
   test("IVF recall rises with nprobe and holds its floors") {
     val index = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)
     def recall(nprobe: Int) =
