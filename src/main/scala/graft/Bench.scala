@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
@@ -7,6 +10,16 @@ import org.apache.spark.sql.SparkSession
   * noop sink (a bare count() would let Catalyst prune every projection
   * and under-measure expression-heavy queries); failures carry an "err"
   * marker instead of silently folding into the total.
+  *
+  * SELF-ATTRIBUTION: a listener counts jobs/stages per timed run and the
+  * JSON carries them under "attribution" (the "queries" map stays plain
+  * seconds for the driver's comparison). A slow run whose job/stage
+  * counts match the fast run's did the SAME work slower (box load, GC,
+  * neighbors); a slow run with MORE jobs recomputed something — e.g. the
+  * r6/r7 broadcast-cache race whose signature was duplicate collect_set
+  * jobs. r8's p13 dispute (driver 6.46s vs builder/judge ~1.9s) was
+  * undecidable precisely because the bench recorded a number with no
+  * evidence of what ran; now every run carries its own.
   */
 object Bench {
   // Headline set: one per operator family, the plans worth defending at
@@ -24,7 +37,46 @@ object Bench {
     "p25_pii_scrub", "p26_dup_spans", "p27_ann_sq8", "p28_lm_score",
     "p29_pack_sequences", "p30_sample_stratified",
     "p31_semantic_decontaminate", "p32_chunk_documents", "p33_bigram_lm",
-    "p34_remove_shared_spans")
+    "p34_remove_shared_spans", "p35_screen_blocklist",
+    "p36_sample_token_budget", "p37_encode_tokens", "p38_ann_pq")
+
+  /** Jobs started/ended + stages completed, maintained by [[counting]].
+    * Listener delivery is asynchronous; [[settle]] waits for the bus to
+    * drain (started == ended, stable for 200 ms) so per-run deltas are
+    * exact rather than off by whatever the bus still holds.
+    */
+  private final class Counts {
+    val jobsStarted = new AtomicInteger(0)
+    val jobsEnded = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    def settle(): (Int, Int) = {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var last = (-1, -1, -1)
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline) {
+        val now = (jobsStarted.get(), jobsEnded.get(), stages.get())
+        if (now != last) { last = now; stableSince = System.nanoTime() }
+        else if (now._1 == now._2 &&
+            System.nanoTime() - stableSince > 200L * 1000 * 1000)
+          return (now._2, now._3)
+        Thread.sleep(20)
+      }
+      (jobsEnded.get(), stages.get())
+    }
+  }
+
+  private def counting(spark: SparkSession): Counts = {
+    val c = new Counts
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        c.jobsStarted.incrementAndGet()
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        c.jobsEnded.incrementAndGet()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        c.stages.incrementAndGet()
+    })
+    c
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,6 +112,7 @@ object Bench {
       System.gc()
     }
 
+    val counts = counting(spark)
     val qs = SparkEntry.queries
     // each query runs twice and reports the MIN — one-shot timings on a
     // shared box swing ±30% (JIT, page cache, neighbors); the min of two
@@ -71,14 +124,18 @@ object Bench {
     // 9.8× across the 35-query session, and run-2 re-persists of a plan
     // run 1 left cached skewed the min toward a state no single call
     // ever sees.) So each number is the cold cost one user call pays.
-    val results: Seq[(String, Either[String, Double])] = headline
+    final case class Run(sec: Double, jobs: Int, stages: Int)
+    val results: Seq[(String, Either[String, Seq[Run]])] = headline
       .filter(qs.contains)
       .map { name =>
-        def once(): Either[String, Double] = {
+        def once(): Either[String, Run] = {
+          val (j0, s0) = counts.settle()
           val t0 = System.nanoTime()
           try {
             qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Right((System.nanoTime() - t0) / 1e9)
+            val sec = (System.nanoTime() - t0) / 1e9
+            val (j1, s1) = counts.settle()
+            Right(Run(sec, j1 - j0, s1 - s0))
           } catch {
             case e: Throwable => Left(e.getClass.getSimpleName)
           } finally {
@@ -93,22 +150,40 @@ object Bench {
           }
         }
         val r = (once(), once()) match {
-          case (Right(a), Right(b)) => Right(math.min(a, b))
-          case (Right(a), Left(_))  => Right(a)
-          case (Left(_), Right(b))  => Right(b)
+          case (Right(a), Right(b)) => Right(Seq(a, b))
+          case (Right(a), Left(_))  => Right(Seq(a))
+          case (Left(_), Right(b))  => Right(Seq(b))
           case (Left(e), _)         => Left(e)
+        }
+        // divergent runs get flagged at the point of measurement: same
+        // job count ⇒ same plan executed, the slowness is environmental;
+        // a job-count delta ⇒ something recomputed and the counts say
+        // which run to profile
+        r.foreach { runs =>
+          if (runs.size == 2 && runs.map(_.sec).max > 1.5 * runs.map(_.sec).min)
+            System.err.println(
+              f"[bench] $name diverged: run1 ${runs(0).sec}%.2fs/${runs(0).jobs} jobs, " +
+                f"run2 ${runs(1).sec}%.2fs/${runs(1).jobs} jobs — " +
+                (if (runs(0).jobs == runs(1).jobs) "same jobs, environmental"
+                 else "JOB COUNT DIFFERS, recomputation"))
         }
         name -> r
       }
 
     val qJson = results.map {
-      case (k, Right(sec)) => s""""$k":${math.round(sec * 1000) / 1000.0}"""
-      case (k, Left(err))  => s""""$k":"err:$err""""
+      case (k, Right(runs)) =>
+        s""""$k":${math.round(runs.map(_.sec).min * 1000) / 1000.0}"""
+      case (k, Left(err))   => s""""$k":"err:$err""""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(s)) => s }.sum
+    val attrJson = results.collect { case (k, Right(runs)) =>
+      val rs = runs.map(r =>
+        s"""{"sec":${math.round(r.sec * 1000) / 1000.0},"jobs":${r.jobs},"stages":${r.stages}}""")
+      s""""$k":[${rs.mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(runs)) => runs.map(_.sec).min }.sum
     val nErr = results.count(_._2.isLeft)
     println(
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qJson,"errors":$nErr,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qJson,"errors":$nErr,"attribution":$attrJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
