@@ -595,54 +595,76 @@ object Dedup {
     // mirror each pair MAP-SIDE with one explode instead of a union of
     // two aliased copies of the pair plan: the aliased arms defeat
     // exchange reuse (the derivation would run twice inside the edges
-    // job), and the r7 fix — an intermediate localCheckpoint before the
-    // union — left untracked MEMORY_AND_DISK blocks behind per call (a
-    // second full copy of the pair data, freed only by ContextCleaner GC)
+    // job). CHECKPOINT LIFECYCLE (r9, closes ADVICE r8 #2): every
+    // localCheckpoint here is either freed the moment it is dead —
+    // `edges` on return (both paths), each round's superseded label
+    // frame when its successor commits — or, for the FINAL label frame
+    // the result is built on, tracked via OperatorCache so the caller's
+    // releaseAll frees it with everything else. Before this, all three
+    // were orphaned MEMORY_AND_DISK blocks per call, freed only when
+    // ContextCleaner happened to GC the RDD objects — a storage leak in
+    // any long-lived session calling dedup repeatedly.
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
-    val idOrd =
-      if (driverMaxEdges > 0) driverOrdering(edges.schema("src").dataType)
-      else None
-    if (idOrd.isDefined && edges.count() <= 2 * driverMaxEdges)
-      driverClusters(edges, idOrd.get) match {
-        case Some(labeled) => return labeled
-        // null ids: no driver ordering can mirror Catalyst's null
-        // semantics exactly — fall through to the distributed loop,
-        // whose least/min define the contract
-        case None          => ()
-      }
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("label", col("doc"))
-      .localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val t0 = System.nanoTime()
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc", "nb"), col("dst") === col("nb"))
-        .groupBy(col("src")).agg(min("label").as("nlabel"))
-      // the pre-update label rides along into the checkpoint so the
-      // convergence check is a filter over already-materialized rows —
-      // not a second labels⋈next shuffle join per round
-      val next = labels
-        .join(neighborMin, col("doc") === col("src"), "left")
-        .select(col("doc"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          col("label").as("__old"))
+    try {
+      val idOrd =
+        if (driverMaxEdges > 0) driverOrdering(edges.schema("src").dataType)
+        else None
+      if (idOrd.isDefined && edges.count() <= 2 * driverMaxEdges)
+        driverClusters(edges, idOrd.get) match {
+          case Some(labeled) => return labeled
+          // null ids: no driver ordering can mirror Catalyst's null
+          // semantics exactly — fall through to the distributed loop,
+          // whose least/min define the contract
+          case None          => ()
+        }
+      // ckpt = the live checkpoint FRAME (released when superseded);
+      // labels = the view of it the loop joins on
+      var ckpt = edges.select(col("src").as("doc")).distinct()
+        .withColumn("label", col("doc"))
         .localCheckpoint()
-      converged = next.where(col("label") =!= col("__old")).isEmpty
-      labels = next.drop("__old")
-      i += 1
-      onIteration(i, (System.nanoTime() - t0) / 1e9)
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"nearDupClusters did not converge within $maxIter iterations — " +
-          "cluster diameter exceeds maxIter; raise maxIter")
-    labels
+      var labels = ckpt
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val t0 = System.nanoTime()
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("doc", "nb"), col("dst") === col("nb"))
+          .groupBy(col("src")).agg(min("label").as("nlabel"))
+        // the pre-update label rides along into the checkpoint so the
+        // convergence check is a filter over already-materialized rows —
+        // not a second labels⋈next shuffle join per round
+        val next = labels
+          .join(neighborMin, col("doc") === col("src"), "left")
+          .select(col("doc"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+            col("label").as("__old"))
+          .localCheckpoint()
+        converged = next.where(col("label") =!= col("__old")).isEmpty
+        // localCheckpoint is EAGER: `next` is fully materialized, so the
+        // previous round's blocks are dead — free them now, not at GC
+        OperatorCache.releaseCheckpoint(ckpt)
+        ckpt = next
+        labels = next.drop("__old")
+        i += 1
+        onIteration(i, (System.nanoTime() - t0) / 1e9)
+      }
+      if (!converged) {
+        OperatorCache.releaseCheckpoint(ckpt)
+        throw new IllegalStateException(
+          s"nearDupClusters did not converge within $maxIter iterations — " +
+            "cluster diameter exceeds maxIter; raise maxIter")
+      }
+      // the returned frame READS this checkpoint — it stays until the
+      // caller materializes and calls releaseAll (after which the result
+      // is spent: checkpoint truncation means release deletes the data,
+      // it does not fall back to recompute)
+      OperatorCache.trackCheckpoint(ckpt)
+      labels
+    } finally OperatorCache.releaseCheckpoint(edges)
   }
 
   /** Driver-side orderings for the id types a dedup key realistically

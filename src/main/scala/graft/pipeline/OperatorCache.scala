@@ -2,6 +2,7 @@ package graft.pipeline
 
 import java.util.concurrent.ConcurrentHashMap
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -22,6 +23,12 @@ import org.apache.spark.storage.StorageLevel
 object OperatorCache {
   private val registry =
     new ConcurrentHashMap[SparkSession, java.util.Set[DataFrame]]()
+  // localCheckpoint blocks live OUTSIDE the DataFrame cache manager (the
+  // checkpointed RDD itself holds the storage), so they need their own
+  // ledger — before this existed, every nearDupClusters call stranded
+  // MEMORY_AND_DISK blocks that only ContextCleaner GC could free
+  private val rddRegistry =
+    new ConcurrentHashMap[SparkSession, java.util.Set[RDD[_]]]()
 
   /** Persist `df` (MEMORY_AND_DISK by default) and track it for later
     * release. Returns `df` for chaining.
@@ -56,16 +63,62 @@ object OperatorCache {
     df
   }
 
-  /** Unpersist every frame this registry tracked for `spark`. Non-blocking
-    * (the block manager frees asynchronously); safe to call when nothing
-    * is tracked. Loops until the session has no entry, so a persist()
-    * racing in from another thread is still released rather than stranded.
+  /** The materialized RDD behind a `localCheckpoint()`-ed frame, if the
+    * frame IS a bare checkpoint (its plan is the single LogicalRDD leaf
+    * the checkpoint produced — a projection/filter over one returns
+    * None; track the checkpoint frame itself, not a derivation).
+    */
+  private def checkpointRddOf(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _                                             => None
+    }
+
+  /** Track a checkpointed frame's backing RDD so [[releaseAll]] frees its
+    * storage blocks with everything else. IMPORTANT contract difference
+    * from [[persist]]: a checkpoint's lineage is TRUNCATED — after
+    * release the frame (and anything derived from it) is unusable, not
+    * merely uncached. Operators only track checkpoints whose lifetime is
+    * the caller's call, same as every other frame here.
+    */
+  def trackCheckpoint(df: DataFrame): DataFrame = {
+    checkpointRddOf(df).foreach { rdd =>
+      rddRegistry
+        .computeIfAbsent(df.sparkSession,
+          _ => ConcurrentHashMap.newKeySet[RDD[_]]())
+        .add(rdd)
+    }
+    evictStopped()
+    df
+  }
+
+  /** Immediately free a DEAD checkpoint's storage blocks (one no plan
+    * will read again — e.g. a superseded iteration's label frame). No-op
+    * for non-checkpoint frames.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    checkpointRddOf(df).foreach { rdd =>
+      val tracked = rddRegistry.get(df.sparkSession)
+      if (tracked != null) tracked.remove(rdd)
+      rdd.unpersist(blocking = false)
+    }
+
+  /** Unpersist every frame and checkpoint RDD this registry tracked for
+    * `spark`. Non-blocking (the block manager frees asynchronously); safe
+    * to call when nothing is tracked. Loops until the session has no
+    * entry, so a persist() racing in from another thread is still
+    * released rather than stranded.
     */
   def releaseAll(spark: SparkSession): Unit = {
     var frames = registry.remove(spark)
     while (frames != null) {
       frames.forEach(df => df.unpersist(blocking = false))
       frames = registry.remove(spark)
+    }
+    var rdds = rddRegistry.remove(spark)
+    while (rdds != null) {
+      rdds.forEach(_.unpersist(blocking = false))
+      rdds = rddRegistry.remove(spark)
     }
     evictStopped()
   }
@@ -74,14 +127,24 @@ object OperatorCache {
     * stores are gone with the SparkContext, but the strong references
     * here would otherwise pin the session object for the JVM's life.
     */
-  private def evictStopped(): Unit =
+  private def evictStopped(): Unit = {
     registry.keySet.forEach { s =>
       if (s.sparkContext.isStopped) registry.remove(s)
     }
+    rddRegistry.keySet.forEach { s =>
+      if (s.sparkContext.isStopped) rddRegistry.remove(s)
+    }
+  }
 
   /** Number of frames currently tracked for `spark` (test/diagnostic). */
   def trackedCount(spark: SparkSession): Int = {
     val s = registry.get(spark)
+    if (s == null) 0 else s.size()
+  }
+
+  /** Number of checkpoint RDDs currently tracked (test/diagnostic). */
+  def trackedRddCount(spark: SparkSession): Int = {
+    val s = rddRegistry.get(spark)
     if (s == null) 0 else s.size()
   }
 }
