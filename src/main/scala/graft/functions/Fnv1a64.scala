@@ -72,53 +72,52 @@ object GraftFunctions {
   val CountWordsInName = "graft_count_words_in"
   val MaxDotName = "graft_max_dot"
 
+  // idempotent PER FUNCTION: each name gets its own exists-check, so a
+  // registry that predates a later-added function still picks the new
+  // one up. (A single guard keyed on the first name silently skipped
+  // every function added after it — a session registered before the
+  // addition failed later with an opaque 'Undefined function'.) The
+  // exists-check, not createOrReplace-always, is what keeps a session
+  // from logging one "replaced a previously registered function" WARN
+  // per function per query.
+  private def registerIfAbsent(spark: SparkSession, name: String)(
+      builder: Seq[Expression] => Expression): Unit = {
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+  }
+
+  private def requireArity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name expects exactly $n argument${if (n == 1) "" else "s"}, got ${exprs.length}")
+
   def ensureRegistered(spark: SparkSession): Unit = {
-    // truly idempotent: skip when already present — createOrReplace on
-    // every operator call spammed one WARN per function per query
-    // ("replaced a previously registered function") across a session
-    if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(FnvName))) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnvName,
-      (exprs: Seq[Expression]) => {
-        if (exprs.length != 1) throw new IllegalArgumentException(
-          s"$FnvName expects exactly 1 argument, got ${exprs.length}")
-        Fnv1a64(exprs.head)
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      CountSubstrName,
-      (exprs: Seq[Expression]) => {
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          s"$CountSubstrName expects exactly 2 arguments, got ${exprs.length}")
-        CountSubstr(exprs.head, exprs(1))
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      CountWordsInName,
-      (exprs: Seq[Expression]) => {
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          s"$CountWordsInName expects exactly 2 arguments, got ${exprs.length}")
-        CountWordsIn(exprs.head, exprs(1))
-      },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      MaxDotName,
-      (exprs: Seq[Expression]) => {
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          s"$MaxDotName expects exactly 2 arguments, got ${exprs.length}")
-        // the matrix arg must be a compile-time constant (a typedlit):
-        // it is folded into the expression ONCE here, not evaluated per row
-        val litE = exprs(1)
-        if (!litE.foldable) throw new IllegalArgumentException(
-          s"$MaxDotName's second argument (the matrix) must be foldable")
-        val ad = litE.eval(null)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        val matrix = Array.tabulate(ad.numElements())(i =>
-          ad.getArray(i).toDoubleArray())
-        MaxDotStatic(exprs.head, matrix)
-      },
-      "built-in")
+    registerIfAbsent(spark, FnvName) { exprs =>
+      requireArity(FnvName, exprs, 1)
+      Fnv1a64(exprs.head)
+    }
+    registerIfAbsent(spark, CountSubstrName) { exprs =>
+      requireArity(CountSubstrName, exprs, 2)
+      CountSubstr(exprs.head, exprs(1))
+    }
+    registerIfAbsent(spark, CountWordsInName) { exprs =>
+      requireArity(CountWordsInName, exprs, 2)
+      CountWordsIn(exprs.head, exprs(1))
+    }
+    registerIfAbsent(spark, MaxDotName) { exprs =>
+      requireArity(MaxDotName, exprs, 2)
+      // the matrix arg must be a compile-time constant (a typedlit):
+      // it is folded into the expression ONCE here, not evaluated per row
+      val litE = exprs(1)
+      if (!litE.foldable) throw new IllegalArgumentException(
+        s"$MaxDotName's second argument (the matrix) must be foldable")
+      val ad = litE.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val matrix = Array.tabulate(ad.numElements())(i =>
+        ad.getArray(i).toDoubleArray())
+      MaxDotStatic(exprs.head, matrix)
+    }
   }
 
   /** FNV-1a 64 of a string column. [[ensureRegistered]] must have been

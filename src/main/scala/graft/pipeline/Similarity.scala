@@ -412,10 +412,15 @@ object Similarity {
     // re-evaluated per blocklist entry) pays ONLY the dot product:
     // max cos = max dot(v, b̂) / |v|, with |v| evaluated once per row —
     // measured 2.5s → 0.9s at sf0.1 vs the naive per-element cosine.
-    // Zero-norm blocklist vectors contaminate nothing (cosine undefined)
-    // and are dropped rather than poisoning the max with NaN.
-    val bl: Seq[Seq[Double]] = blocklist.select(col(blockVecCol)).collect()
-      .map(r => r.getSeq[Float](0).map(_.toDouble))
+    // Zero-norm/null blocklist vectors contaminate nothing (cosine
+    // undefined) and are dropped rather than poisoning the max with NaN.
+    // The cast unifies array<float> and array<double> blocklist columns
+    // on the driver read — the corpus side already accepts both element
+    // types (MaxDotStatic.nullSafeEval); without it a double blocklist
+    // threw ClassCastException.
+    val bl: Seq[Seq[Double]] = blocklist
+      .select(col(blockVecCol).cast("array<double>")).collect()
+      .flatMap(r => Option(r.getSeq[Double](0)))
       .map(b => (b, math.sqrt(b.map(x => x * x).sum)))
       .collect { case (b, n) if n > 0 => b.map(_ / n).toSeq }.toSeq
     if (bl.isEmpty) return corpus
@@ -430,7 +435,13 @@ object Similarity {
     // replays, keeping ulp-level libm differences from flipping a
     // threshold-straddling row
     val maxDot = graft.functions.GraftFunctions.maxDot(v, bl)
-    corpus.where(round(maxDot / norm(v), 6) < threshold)
+    val nrm = norm(v)
+    // null / zero-norm corpus embeddings CANNOT be contaminated (no
+    // direction to match) — keep them explicitly, as the doc promises
+    // 'surviving corpus rows, unchanged'; without the guard the
+    // predicate nulls out (null propagation) or goes NaN (0/0) and
+    // silently dropped them
+    corpus.where(v.isNull || nrm === 0.0 || round(maxDot / nrm, 6) < threshold)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):

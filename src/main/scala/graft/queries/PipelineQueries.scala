@@ -1175,7 +1175,13 @@ object PipelineQueries {
       (s, dir) => Curation.sampleByTokenBudget(
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            size(split(trim(col("text")), "\\s+")).as("n_toks")),
+            // NULL text → NULL tokens, as in p29: a bare size() yields -1
+            // for NULL and the operator's non-negative-token contract
+            // would raise with a misleading 'got -1' (benign on this
+            // fixture, which has no NULL text — but the pattern is the
+            // template users copy)
+            when(col("text").isNotNull,
+              size(split(trim(col("text")), "\\s+"))).as("n_toks")),
         "doc_id", "n_toks", "lang",
         budgets = Map("en" -> 20000L), defaultBudget = 5000L)
         .orderBy("doc_id"),

@@ -88,8 +88,7 @@ object ChartRenderer {
       // gridlines + y tick labels at ~5 nice steps
       g.setFont(LabelFont)
       val step = niceStep(yHi - yLo)
-      var tick = math.ceil(yLo / step) * step
-      while (tick <= yHi + 1e-9) {
+      ticks(yLo, yHi, step).foreach { tick =>
         val py = yPix(tick)
         g.setColor(Grid)
         g.drawLine(plotX, py, plotX + plotW, py)
@@ -97,7 +96,6 @@ object ChartRenderer {
         val label = tickLabel(tick)
         val fm = g.getFontMetrics
         g.drawString(label, plotX - 8 - fm.stringWidth(label), py + 4)
-        tick += step
       }
 
       g.setColor(Series)
@@ -178,6 +176,22 @@ object ChartRenderer {
     case other => fail(s"x value is not numeric or temporal: $other")
   }
 
+  /** Tick positions from the first multiple of `step` ≥ `lo` through
+    * `hi`, computed by INTEGER index (`base + i * step`), never by
+    * `tick += step`: at large magnitudes with a tiny spread (y ≈ 1e16,
+    * range 2) step falls below one ulp of tick, the increment is a
+    * no-op, and the accumulating loop never terminates — it hung the
+    * driver in the agent's plot path. The count is bounded by
+    * construction (niceStep ⇒ ~4–6 ticks) with a hard cap as a backstop;
+    * the epsilon is step-relative, not absolute, so it still admits the
+    * endpoint at any magnitude.
+    */
+  private def ticks(lo: Double, hi: Double, step: Double): Seq[Double] = {
+    val base = math.ceil(lo / step) * step
+    val n = math.floor((hi - base) / step + 1e-9).toInt + 1
+    (0 until math.min(math.max(n, 0), 1000)).map(i => base + i * step)
+  }
+
   /** 1/2/5-scaled step giving ~4–6 ticks over `range`. */
   private def niceStep(range: Double): Double = {
     val raw = range / 5.0
@@ -209,11 +223,9 @@ object ChartRenderer {
     val fm = g.getFontMetrics
     val span = if (xHi == xLo) 1.0 else xHi - xLo
     val step = niceStep(span)
-    var t = math.ceil(xLo / step) * step
-    while (t <= xHi + 1e-9) {
+    ticks(xLo, xHi, step).foreach { t =>
       val label = tickLabel(t)
       g.drawString(label, xPix(t) - fm.stringWidth(label) / 2, baseY + 16)
-      t += step
     }
   }
 }

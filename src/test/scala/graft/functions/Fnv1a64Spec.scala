@@ -35,4 +35,24 @@ class Fnv1a64Spec extends SparkSpec {
       Seq(1L).toDF("n").select(GraftFunctions.fnv1a64(col("n"))).collect()
     }
   }
+
+  test("ensureRegistered repairs a registry that has only SOME of the functions") {
+    // the upgrade scenario: a session registered before a function was
+    // added to the library has the old names but not the new one. A
+    // single guard keyed on the first name skipped the whole block and
+    // the new function failed later with an opaque 'Undefined function';
+    // each name must be checked-and-registered individually.
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val registry = spark.sessionState.functionRegistry
+    GraftFunctions.ensureRegistered(spark)
+    val all = Seq(GraftFunctions.FnvName, GraftFunctions.CountSubstrName,
+      GraftFunctions.CountWordsInName, GraftFunctions.MaxDotName)
+    all.foreach(n => assert(registry.functionExists(FunctionIdentifier(n)), n))
+    // simulate the stale registry: the FIRST name present, a later one gone
+    registry.dropFunction(FunctionIdentifier(GraftFunctions.MaxDotName))
+    assert(!registry.functionExists(FunctionIdentifier(GraftFunctions.MaxDotName)))
+    GraftFunctions.ensureRegistered(spark)
+    all.foreach(n => assert(registry.functionExists(FunctionIdentifier(n)),
+      s"$n missing after re-registration over a partial registry"))
+  }
 }

@@ -217,6 +217,31 @@ class PipelineSpec extends SparkSpec {
     assert(kept.toSeq == Seq(3L, 4L), s"kept ${kept.toSeq}")
   }
 
+  test("semanticDecontaminate: double blocklists work; null/zero-norm corpus rows survive") {
+    // a double-typed blocklist must behave exactly like the float one
+    // (the corpus side always accepted both; the driver-side collect
+    // threw ClassCastException on array<double> until r9)
+    val blockD = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f)),       // contaminated
+      (2L, Seq(0f, 1f, 0f)),       // orthogonal — survives
+      (3L, null.asInstanceOf[Seq[Float]]), // no direction — cannot be contaminated
+      (4L, Seq(0f, 0f, 0f)),       // zero norm — cannot be contaminated
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDecontaminate(
+      corpus, "embedding", blockD, "embedding", threshold = 0.8)
+      .select("vec_id").as[Long].collect().sorted
+    // the doc's promise is 'surviving corpus rows, unchanged': rows the
+    // screen cannot possibly match must not be silently dropped
+    assert(kept.toSeq == Seq(2L, 3L, 4L), s"kept ${kept.toSeq}")
+    // null entries INSIDE the blocklist screen nothing (and don't throw)
+    val blockNull = Seq((100L, null.asInstanceOf[Seq[Double]]))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.semanticDecontaminate(
+      corpus, "embedding", blockNull, "embedding", threshold = 0.8)
+      .count() == 4)
+  }
+
   test("dimOf fails with a clear message on an empty or null-vector corpus") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
     val e1 = intercept[IllegalArgumentException](Similarity.dimOf(empty, "vec"))
@@ -644,6 +669,75 @@ class PipelineSpec extends SparkSpec {
     val plan = served.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [bucket"),
       s"expected pruned scan, got:\n${plan.take(600)}")
+  }
+
+  test("p13 materializes with a pinned job set: the collect_set aggregate runs exactly once") {
+    // The r6/r7 broadcast-cache race's signature was DUPLICATE work: the
+    // shingle-set collect_set aggregate re-ran as up to 6 concurrent
+    // broadcast-side jobs when consumers hit an uncommitted cache,
+    // swinging p13's cold cost 2.7–9.9s. Two guards, both of which that
+    // failure mode trips: (a) exactly ONE count-action execution carries
+    // the collect_set aggregate (the verify-set barrier — a second one
+    // IS a recompute); (b) the total job count of a full materialization
+    // is pinned at 20 (measured identical at sf0.001/local[4] and
+    // sf0.1/local[32] — the count is a property of the plan, not the
+    // data; race duplicates and plan regressions both move it).
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    spark.sharedState.cacheManager.clearCache()
+    OperatorCache.releaseAll(spark)
+    val started = new AtomicInteger(0)
+    val ended = new AtomicInteger(0)
+    val collectSetCounts = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        started.incrementAndGet(); ()
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        ended.incrementAndGet(); ()
+      }
+    }
+    val execListener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "count" &&
+            qe.optimizedPlan.toString.contains("collect_set")) {
+          collectSetCounts.incrementAndGet(); ()
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.listenerManager.register(execListener)
+    try {
+      graft.SparkEntry.queries("p13_neardup_dedup")(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+      // listener delivery is async: wait until starts == ends and stable
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var stable = 0
+      while (stable < 10 && System.nanoTime() < deadline) {
+        val before = (started.get(), ended.get(), collectSetCounts.get())
+        Thread.sleep(20)
+        if (before == ((started.get(), ended.get(), collectSetCounts.get())) &&
+            before._1 == before._2)
+          stable += 1
+        else stable = 0
+      }
+      assert(collectSetCounts.get() == 1,
+        s"the verify-set collect_set barrier must run exactly once, " +
+          s"ran ${collectSetCounts.get()} times — >1 is the broadcast-cache race")
+      assert(started.get() == 20,
+        s"p13's pinned job set is 20, submitted ${started.get()} — " +
+          "more means something recomputed (or the plan changed; re-pin only " +
+          "after attributing the delta)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.listenerManager.unregister(execListener)
+      OperatorCache.releaseAll(spark)
+      spark.sharedState.cacheManager.clearCache()
+    }
   }
 
   test("multimodal: batched decode stub preserves ids and emits fixed-width features") {

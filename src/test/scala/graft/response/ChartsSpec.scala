@@ -50,6 +50,25 @@ class ChartsSpec extends SparkSpec {
     assert(Charts.toChart(agg, "bar", "c_mktsegment", "n").path.isEmpty)
   }
 
+  test("renderPng terminates on huge-magnitude y with a tiny spread") {
+    import spark.implicits._
+    // y ≈ 1e16 with range 2: the tick step falls below one ulp of the
+    // tick value, so an accumulating `tick += step` loop never advances
+    // — this input hung the driver until ticks went integer-indexed.
+    // Same shape on the x axis for the numeric-x label loop.
+    val dir = new java.io.File("target/graft-tmp/charts")
+    val bigY = Seq(("a", 1.0e16), ("b", 1.0e16 + 1), ("c", 1.0e16 + 2))
+      .toDF("k", "v")
+    val f1 = ChartRenderer.renderPng(bigY, "line", "k", "v", None,
+      new java.io.File(dir, "bigy.png"))
+    assert(javax.imageio.ImageIO.read(f1) != null)
+    val bigX = Seq((1.0e16, 1.0), (1.0e16 + 1, 2.0), (1.0e16 + 2, 3.0))
+      .toDF("x", "y")
+    val f2 = ChartRenderer.renderPng(bigX, "point", "x", "y", None,
+      new java.io.File(dir, "bigx.png"))
+    assert(javax.imageio.ImageIO.read(f2) != null)
+  }
+
   test("autoChart picks nominal x + numeric y and a bar mark for a groupby result") {
     val c = Charts.autoChart(agg, Some("segments"),
       renderTo = Some(new java.io.File("target/graft-tmp/charts/auto.png")))
