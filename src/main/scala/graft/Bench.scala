@@ -38,7 +38,8 @@ object Bench {
     "p29_pack_sequences", "p30_sample_stratified",
     "p31_semantic_decontaminate", "p32_chunk_documents", "p33_bigram_lm",
     "p34_remove_shared_spans", "p35_screen_blocklist",
-    "p36_sample_token_budget", "p37_encode_tokens", "p38_ann_pq")
+    "p36_sample_token_budget", "p37_encode_tokens", "p38_ann_pq",
+    "p39_ann_ivfpq")
 
   /** Jobs started/ended + stages completed, maintained by [[counting]].
     * Listener delivery is asynchronous; [[settle]] waits for the bus to

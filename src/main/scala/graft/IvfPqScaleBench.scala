@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+
+/** Scale proof for the IVF-PQ serving layout (PLANS.md): replicate the
+  * sf embeddings ×N with remapped ids, write each as a
+  * [[Similarity.writeIvfPq]] centroid-partitioned stored-code index,
+  * and measure [[Similarity.probeIvfPq]] latency at each scale. The
+  * claim under test: a probe reads only the nprobe pruned partitions
+  * and scores STORED m-int codes (no re-encoding), so probe cost grows
+  * with the probed cells' population (~nprobe/k of the corpus), not
+  * with index build size — and each probed row costs m table lookups,
+  * not dim multiplies; full vectors are touched only for the
+  * k·rescoreFactor rescore rows. Every probe plan is asserted to carry
+  * PartitionFilters on `centroid`.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run.sh \
+  *   graft.IvfPqScaleBench [replica-list, default "1,10,20"]
+  */
+object IvfPqScaleBench {
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicaList = args.headOption.getOrElse("1,10,20").split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-ivfpq-scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val maxId = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    // model artifacts trained ONCE on the base corpus (replication would
+    // not change the distribution, only the counts) — at real scale the
+    // coarse/PQ models are trained on a sample for the same reason
+    val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
+    val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 8, k = 16)
+
+    val results = replicaList.map { replicas =>
+      val scaled =
+        if (replicas == 1) emb
+        else emb
+          .withColumn("copy", explode(sequence(lit(0), lit(replicas - 1))))
+          .select((col("vec_id") + col("copy") * maxId).as("vec_id"), col("embedding"))
+      val nVecs = scaled.count()
+      val path = s"target/graft-tmp/ivfpq-scale/index_x$replicas"
+
+      val (_, buildSec) = timed {
+        Similarity.writeIvfPq(scaled, "embedding", path, coarse, books)
+      }
+      // min-of-two probes (the second is page-cache warm, like serving)
+      def probe(): Double = timed {
+        Similarity.probeIvfPq(spark, path, "vec_id", "embedding",
+          coarse, books, query, k = 10, nprobe = 3).collect()
+      }._2
+      val probeSec = math.min(probe(), probe())
+      val plan = Similarity.probeIvfPq(spark, path, "vec_id", "embedding",
+        coarse, books, query, k = 10, nprobe = 3)
+        .queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters: [centroid"),
+        s"probe plan must prune centroid partitions:\n${plan.take(400)}")
+      (replicas, nVecs, buildSec, probeSec)
+    }
+
+    results.foreach { case (r, n, b, p) =>
+      println(s"""{"replicas":$r,"vectors":$n,""" +
+        s""""build_sec":${f"$b%.2f"},"probe_sec":${f"$p%.2f"}}""")
+    }
+    spark.stop()
+  }
+}

@@ -13,12 +13,17 @@ import graft.pipeline.{Dedup, OperatorCache}
   * covered-range explode, maximal cut — while rows grow ×N.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run.sh \
-  *   graft.SpanScaleBench [replicas]
+  *   graft.SpanScaleBench [replicas] [--persist-win]
+  *
+  * `--persist-win` re-runs the operator's window-frame A/B (see the
+  * removeSharedSpans persistWin doc) at this scale.
   */
 object SpanScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    val persistWin = args.contains("--persist-win")
+    val replicas = args.filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -37,14 +42,15 @@ object SpanScaleBench {
     val nDocs = scaled.count()
 
     val t0 = System.nanoTime()
-    val stats = Dedup.removeSharedSpans(scaled, "doc_id", "text", k = 8)
+    val stats = Dedup.removeSharedSpans(scaled, "doc_id", "text", k = 8,
+      persistWin = persistWin)
       .agg(count(lit(1)).as("docs_out"),
         sum("n_tokens_kept").as("kept"), sum("n_tokens_dropped").as("dropped"))
       .head()
     val sec = (System.nanoTime() - t0) / 1e9
     OperatorCache.releaseAll(spark)
 
-    println(s"""{"docs":$nDocs,"replicas":$replicas,""" +
+    println(s"""{"docs":$nDocs,"replicas":$replicas,"persist_win":$persistWin,""" +
       s""""span_sec":${f"$sec%.2f"},"docs_out":${stats.getLong(0)},""" +
       s""""kept":${stats.getLong(1)},"dropped":${stats.getLong(2)}}""")
     spark.stop()

@@ -316,11 +316,23 @@ object Dedup {
     *   feeds the window derivation, the anti-join probe, and the per-doc
     *   totals (consumers that include broadcast-planned branches); same
     *   contract and eagerness as [[minhashNearDups.persistShingles]].
+    * @param persistWin cache the k-token span-window frame. Default
+    *   FALSE by measurement at both bench and replicated scale: the
+    *   recompute its two consumers pay is one lead-window over the
+    *   already-cached toks, while the cache holds corpus-scale k-token
+    *   STRINGS. A/B at sf0.1: 3.7–3.9s (barrier) vs 3.6–4.2s (lazy);
+    *   re-run at ×20 replication (100k docs, worst-case all-shared
+    *   regime), 3 interleaved samples each: lazy 22.8–38.2s, barrier
+    *   25.8–40.2s — a wash inside box noise at BOTH scales, so the
+    *   default stays the side with zero cache footprint. The knob
+    *   exists so the A/B is re-runnable as data shapes change
+    *   (SpanScaleBench --persist-win).
     * @return (doc, text_clean, n_tokens_kept, n_tokens_dropped)
     */
   def removeSharedSpans(
       df: DataFrame, idCol: String, textCol: String, k: Int = 8,
       persistToks: Boolean = true,
+      persistWin: Boolean = false,
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1: $k")
@@ -335,18 +347,16 @@ object Dedup {
       (row_number().over(byRaw) - 1).as("pos"), col("tok"))
     val toks = if (persistToks) OperatorCache.materialize(toks0) else toks0
     val byPos = Window.partitionBy("doc").orderBy("pos")
-    val win = toks.select(col("doc"), col("pos"),
+    val win0 = toks.select(col("doc"), col("pos"),
       concat_ws(" ", col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(byPos)): _*)
         .as("span"),
       (if (k > 1) lead(col("tok"), k - 1).over(byPos).isNotNull else lit(true))
         .as("complete"))
       .where(col("complete"))
-    // win is deliberately NOT persisted even though its two consumers
-    // shuffle on different keys: the recompute is one lead-window over
-    // the already-cached toks, and caching the corpus-scale k-token
-    // span strings costs more than it saves (A/B: barrier 3.7–3.9s vs
-    // 3.6–4.2s without at sf0.1 — a wash on wall, a k× string cache
-    // footprint on memory)
+    // win defaults to NOT persisted even though its two consumers
+    // shuffle on different keys — see the persistWin param doc for the
+    // measured A/B (wash at sf0.1, barrier loses at ×20 replication)
+    val win = if (persistWin) OperatorCache.materialize(win0) else win0
     val sharedSpans = win.select("doc", "span").distinct()
       .groupBy("span").agg(count(lit(1)).as("__docs"))
       .where(col("__docs") > 1).select("span")

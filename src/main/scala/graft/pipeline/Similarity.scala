@@ -357,12 +357,20 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
       books: Seq[IvfIndex], query: Seq[Float], k: Int,
-      rescoreFactor: Int = 5): DataFrame = {
-    val dim = dimOf(corpus, vecCol)
+      rescoreFactor: Int = 5): DataFrame =
+    pqAdcRescore(pqEncode(corpus, vecCol, books), idCol, vecCol,
+      books, query, k, rescoreFactor)
+
+  /** The ADC score expression over a `codes` column: per-subspace
+    * query⋅codebook-entry lookup tables computed once on the driver
+    * (m·k dots — bounded by the model, not the corpus) and inlined as
+    * one typedlit; the per-row work is m table lookups + adds. Dense
+    * per-subspace tables indexed by code id (absent ids — empty Lloyd
+    * cells — keep slot 0.0; no code ever references them).
+    */
+  private def adcScore(books: Seq[IvfIndex], query: Seq[Float],
+      sub: Int): Column = {
     val m = books.length
-    val sub = dim / m
-    // dense per-subspace tables indexed by code id (absent ids — empty
-    // Lloyd cells — keep slot 0.0; no code ever references them)
     val tables: Seq[Seq[Double]] = books.zipWithIndex.map { case (b, s) =>
       val qs = query.slice(s * sub, (s + 1) * sub).map(_.toDouble)
       val size = b.centroids.map(_._1).max + 1
@@ -373,18 +381,86 @@ object Similarity {
       t.toSeq
     }
     val tablesLit: Column = typedlit(tables)
-    val adc = aggregate(
+    aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (code, s) => element_at(element_at(tablesLit, s + 1), code + 1)),
       lit(0.0), (acc, x) => acc + x)
-    val candidates = pqEncode(corpus, vecCol, books)
-      .select(col(idCol), col(vecCol), round(adc, 6).as("adc"))
+  }
+
+  /** ADC candidate cut + exact rescore over an already-encoded source
+    * (must carry `codes`) — the two-stage tail shared by [[pqTopK]]
+    * (full-corpus scan) and [[ivfPqTopK]]/[[probeIvfPq]] (only the
+    * probed cells). */
+  private def pqAdcRescore(encoded: DataFrame, idCol: String,
+      vecCol: String, books: Seq[IvfIndex], query: Seq[Float], k: Int,
+      rescoreFactor: Int): DataFrame = {
+    val sub = query.length / books.length
+    val candidates = encoded
+      .select(col(idCol), col(vecCol),
+        round(adcScore(books, query, sub), 6).as("adc"))
       .orderBy(col("adc").desc, col(idCol).asc)
       .limit(k * rescoreFactor)
     candidates
       .select(col(idCol), round(cosine(col(vecCol), vecLit(query)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** IVF-PQ composition — the standard two-level ANN layout (public
+    * Faiss `IndexIVFPQ` semantics, inner-product flavor): the coarse IVF
+    * quantizer prunes the corpus to `nprobe` cells, then PQ-ADC ranks
+    * ONLY within the probed cells, then exact cosine rescores the top
+    * k·rescoreFactor. Compared to [[pqTopK]] (full-corpus ADC), the scan
+    * is cut to ~nprobe/k_coarse of the corpus; compared to [[ivfTopK]]
+    * (exact scoring in-cell), the in-cell work drops from dim multiplies
+    * to m table lookups per row. Probe selection ranks the k coarse
+    * centroids against the query on the DRIVER (k values — bounded by
+    * the model), identically to [[ivfTopK]].
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: IvfIndex, books: Seq[IvfIndex], query: Seq[Float], k: Int,
+      nprobe: Int = 3, rescoreFactor: Int = 5): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    val probes = coarse.centroids
+      .map { case (id, c) => (id, c.zip(q).map { case (a, b) => a * b }.sum) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    val cells = ivfIndex(corpus, vecCol, coarse)
+      .where(col("centroid").isin(probes.map(Integer.valueOf): _*))
+    pqAdcRescore(pqEncode(cells, vecCol, books), idCol, vecCol,
+      books, query, k, rescoreFactor)
+  }
+
+  /** Serving layout for [[ivfPqTopK]]: the corpus is coarse-assigned,
+    * PQ-encoded ONCE at build time, and written `partitionBy(centroid)`
+    * — codes are stored in the index, so probes pay no re-encoding. At
+    * 100 TB this is the layout that matters: a probe reads `nprobe`
+    * partition directories (planning-time pruning, visible as
+    * PartitionFilters), scores m-byte codes, and touches full vectors
+    * only for the k·rescoreFactor rescore rows.
+    */
+  def writeIvfPq(corpus: DataFrame, vecCol: String, path: String,
+      coarse: IvfIndex, books: Seq[IvfIndex]): Unit =
+    pqEncode(ivfIndex(corpus, vecCol, coarse), vecCol, books)
+      .write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+  /** Probe a [[writeIvfPq]] layout: rank coarse centroids driver-side,
+    * scan only the `nprobe` pruned partitions, ADC over the STORED
+    * codes, exact rescore. `coarse`/`books` must be the artifacts the
+    * index was written with (the model travels with the index at scale).
+    */
+  def probeIvfPq(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String,
+      coarse: IvfIndex, books: Seq[IvfIndex], query: Seq[Float], k: Int,
+      nprobe: Int = 3, rescoreFactor: Int = 5): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    val probes = coarse.centroids
+      .map { case (id, c) => (id, c.zip(q).map { case (a, b) => a * b }.sum) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    val cells = spark.read.parquet(path)
+      .where(col("centroid").isin(probes.map(Integer.valueOf): _*))
+    pqAdcRescore(cells, idCol, vecCol, books, query, k, rescoreFactor)
   }
 
   /** Semantic decontamination: drop corpus rows whose embedding has
@@ -462,6 +538,13 @@ object Similarity {
     *
     * @param k number of IVF cells; ≤ 0 means derive as
     *   [[semanticDedupCellCount]](corpus count)
+    * @param persistAssigned cache the input corpus (Lloyd training scans
+    *   it iters+1 times) and the per-cell assignment frame — same
+    *   opt-out and construction-time eagerness contract as
+    *   minhashNearDups.persistShingles: with the flag on, building the
+    *   operator runs the training scans and barrier count() jobs before
+    *   any action on the returned frame; released via
+    *   [[OperatorCache.releaseAll]].
     * @return the surviving rows (original columns + `centroid`)
     */
   def semanticDedup(

@@ -239,6 +239,37 @@ object PipelineQueries {
     |FROM v JOIN cand USING (vec_id), q38
     |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** p39 oracle: the COMPOSED two-level replay — coarse IVF trajectory
+    * ([[ivfAssignSql]], k=8) for cell membership + probe selection, both
+    * subspace Lloyd replays ([[pqAssignSql]], m=2, k=4) for the codes,
+    * then ADC restricted to the probed cells and exact rescoring —
+    * Similarity.ivfPqTopK semantics end to end, including every
+    * tie-break (cid ASC on probes, vec_id ASC on the candidate cut). */
+  private val ivfPqOracleSql: String = ivfAssignSql(8) +
+    pqAssignSql(0, 1, 32, 4) + pqAssignSql(1, 33, 64, 4) +
+    """, q39 AS (
+    |  SELECT e AS qe, e[1:32] AS q0, e[33:64] AS q1 FROM v WHERE vec_id = 0
+    |), probes39 AS (
+    |  SELECT cid FROM c2, q39
+    |  ORDER BY list_dot_product(c2.c, q39.qe) DESC, cid ASC LIMIT 3
+    |), incell AS (
+    |  SELECT vec_id FROM a3 WHERE cid IN (SELECT cid FROM probes39)
+    |), d0 AS (
+    |  SELECT a.vec_id, list_dot_product(c.c, q39.q0) AS d
+    |  FROM a3_0 a JOIN c2_0 c USING (cid), q39
+    |), d1 AS (
+    |  SELECT a.vec_id, list_dot_product(c.c, q39.q1) AS d
+    |  FROM a3_1 a JOIN c2_1 c USING (cid), q39
+    |), adc39 AS (
+    |  SELECT i.vec_id, ROUND(d0.d + d1.d, 6) AS adc
+    |  FROM incell i JOIN d0 USING (vec_id) JOIN d1 USING (vec_id)
+    |), cand39 AS (
+    |  SELECT vec_id FROM adc39 ORDER BY adc DESC, vec_id ASC LIMIT 50
+    |)
+    |SELECT v.vec_id, ROUND(list_cosine_similarity(v.e, q39.qe), 6) AS cosine
+    |FROM v JOIN cand39 USING (vec_id), q39
+    |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
   /** p20 oracle: [[ivfAssignSql]] + the greedy within-cell drop rule —
     * a vector is dropped iff some smaller-id vector in the SAME cell has
     * cosine ≥ threshold with it (Similarity.semanticDedup semantics). */
@@ -1254,5 +1285,20 @@ object PipelineQueries {
         Similarity.pqTopK(emb, "vec_id", "embedding", books, q, k = 10)
       },
       Some(pqOracleSql)),
+
+    // IVF-PQ composed ANN: coarse quantizer (k=8) prunes to nprobe=3
+    // cells, ADC (m=2, k=4 codebooks) ranks only within them, exact
+    // cosine rescores the top 50. The oracle replays BOTH trainings and
+    // the composed probe → ADC → rescore pipeline.
+    QueryDef("p39_ann_ivfpq",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
+        val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 2, k = 4)
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding", coarse, books, q, k = 10)
+      },
+      Some(ivfPqOracleSql)),
   )
 }

@@ -70,6 +70,34 @@ class AnnRecallSpec extends SparkSpec {
       Similarity.trainPq(corpus, "vec_id", "embedding", m = 7, k = 4))
   }
 
+  test("IVF-PQ composition holds a recall floor and matches its serving layout") {
+    val coarse = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)
+    val books = Similarity.trainPq(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val r = Similarity.meanRecallAtK(corpus, "vec_id", "embedding", queries, K)(
+      q => Similarity.ivfPqTopK(corpus, "vec_id", "embedding", coarse, books,
+        q, K, nprobe = 6, rescoreFactor = 10))
+    info(f"IVF-PQ recall@$K (nprobe=6, m=8, k=16, rescore 10x) = $r%.2f")
+    // the composition can lose to BOTH sources of approximation (cell
+    // pruning + code quantization); floor set under the observed value
+    // like the single-level floors
+    assert(r >= 0.55, f"IVF-PQ recall@$K degraded to $r%.2f")
+
+    // serving layout: codes stored, partitions pruned, results identical
+    val path = "target/graft-tmp/ivfpq-index"
+    Similarity.writeIvfPq(corpus, "embedding", path, coarse, books)
+    val q = queries.head
+    val served = Similarity.probeIvfPq(spark, path, "vec_id", "embedding",
+      coarse, books, q, K, nprobe = 6, rescoreFactor = 10)
+    val direct = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      coarse, books, q, K, nprobe = 6, rescoreFactor = 10)
+    assert(served.collect().map(_.getLong(0)).toSeq ==
+      direct.collect().map(_.getLong(0)).toSeq,
+      "stored-code probe must reproduce the in-memory composition")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid"),
+      s"expected centroid-pruned scan, got:\n${plan.take(600)}")
+  }
+
   test("IVF recall rises with nprobe and holds its floors") {
     val index = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)
     def recall(nprobe: Int) =
