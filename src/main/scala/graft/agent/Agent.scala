@@ -103,11 +103,22 @@ final class Memory(val memorySize: Int = 10) {
 }
 
 object Serializer {
+  /** Hard ceiling on head rows a prompt serialization may collect —
+    * the driver-side bound that keeps Agent.chat's context assembly
+    * O(tables · MaxHeadRows · maxCell) bytes regardless of corpus size
+    * (see README "Driver-side bounds"). */
+  val MaxHeadRows = 100
+
   /** Serialize a frame for the prompt: an xml-ish table tag with schema +
     * truncated head rows as CSV
     * (reference: pandasai/helpers/dataframe_serializer.py:12-59).
+    * Collects at most `headN ≤ [[MaxHeadRows]]` rows of at most
+    * `maxCell` rendered chars per cell — the ONLY corpus data that ever
+    * reaches the prompt.
     */
   def serialize(name: String, df: DataFrame, headN: Int = 5, maxCell: Int = 100): String = {
+    require(headN <= MaxHeadRows,
+      s"headN ($headN) exceeds the prompt serialization cap $MaxHeadRows")
     val cols = df.schema.fields
       .map(f => s"""<column name="${f.name}" type="${f.dataType.simpleString}"/>""")
       .mkString("\n  ")

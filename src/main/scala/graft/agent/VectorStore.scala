@@ -22,6 +22,12 @@ final class MissingVectorStoreError(message: String)
   * `getRelevant*` forms return full records (document + id + metadata),
   * the `*Documents` forms return only the text for prompt injection.
   */
+object VectorStore {
+  /** Hard ceiling on retrieval k — the collect in the search path is
+    * exactly k rows (README "Driver-side bounds"). */
+  val MaxK = 1000
+}
+
 trait VectorStore {
 
   /** One stored record: the document text plus its id and metadata. */
@@ -195,6 +201,11 @@ class InMemoryVectorStore(
 
   private def search(coll: mutable.LinkedHashMap[String, Entry],
       question: String, k: Int): Seq[Record] = {
+    // driver-side bound (README "Driver-side bounds"): the collect at
+    // the end is exactly k rows; cap k so a miscomputed caller value
+    // cannot turn retrieval into a bulk export
+    require(k <= VectorStore.MaxK,
+      s"retrieval k ($k) exceeds the vector-store cap ${VectorStore.MaxK}")
     if (coll.isEmpty || k <= 0) return Seq.empty
     val qv = embed(question)
     if (qv.forall(_ == 0f)) return Seq.empty

@@ -179,7 +179,8 @@ object TextAnalysis {
     *   stage consumes it twice (shingle candidates + the representative
     *   anti-join) and the quality/langid columns are the most expensive
     *   expressions in the pipeline; caching caps them at one evaluation
-    *   per row. Same opt-out contract as minhashNearDups.persistShingles. */
+    *   per row. Same opt-out and construction-time eagerness contract
+    *   as minhashNearDups.persistShingles. */
   def cleanCorpus(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.3, languages: Set[String] = Set.empty,
@@ -235,7 +236,12 @@ object TextAnalysis {
     *   vocabulary-sized, far smaller than the exploded corpus. Long-lived
     *   sessions composing many calls can pass false to trade recompute
     *   for zero cache footprint (same contract as
-    *   minhashNearDups.persistShingles). */
+    *   minhashNearDups.persistShingles). EAGERNESS: with the flag on,
+    *   the aggregate is materialized at operator-CONSTRUCTION time (one
+    *   count() job) — building the returned frame runs Spark jobs even
+    *   if the result is never consumed, and input failures surface at
+    *   construction, not first action; pass false for a fully lazy
+    *   plan. */
   def tfidfTopTerms(
       df: DataFrame, idCol: String, textCol: String, topN: Int = 5,
       persistAgg: Boolean = true,
@@ -286,7 +292,9 @@ object TextAnalysis {
     * 1-row broadcast.
     */
   /** @param persistAgg cache the (doc, term, tf) aggregate feeding four
-    *   branches — see tfidfTopTerms. */
+    *   branches — see tfidfTopTerms (same opt-out AND construction-time
+    *   eagerness contract: two count() jobs run when the operator is
+    *   built). */
   def bm25(
       df: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75,
@@ -342,8 +350,9 @@ object TextAnalysis {
     */
   /** @param persistAgg cache the (doc, term, tf) aggregate feeding both
     *   the global distribution and the per-doc scores — see tfidfTopTerms
-    *   (same opt-out contract; the cache is released via
-    *   [[OperatorCache.releaseAll]]). */
+    *   (same opt-out and construction-time eagerness contract: two
+    *   count() jobs run when the operator is built; the cache is
+    *   released via [[OperatorCache.releaseAll]]). */
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
       persistAgg: Boolean = true): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
@@ -397,8 +406,10 @@ object TextAnalysis {
     * the 1-row stats, no driver state.
     */
   /** @param persistAgg cache the (doc, w1, w2, tf) aggregate feeding the
-    *   model counts and the per-doc scores — same contract and eagerness
-    *   as [[unigramNll]]'s persistAgg. */
+    *   model counts and the per-doc scores — same opt-out and
+    *   construction-time eagerness contract as [[unigramNll]]'s
+    *   persistAgg (two count() jobs at build: the bigram aggregate and
+    *   pairTotals barriers). */
   def bigramNll(df: DataFrame, idCol: String, textCol: String,
       persistAgg: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window

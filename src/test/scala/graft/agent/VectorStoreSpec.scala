@@ -59,4 +59,23 @@ class VectorStoreSpec extends SparkSpec {
     assert(llm.lastPrompt.exists(_.contains(
       "You can utilize these examples as a reference for generating SQL")))
   }
+
+  test("driver-side bounds: retrieval k and prompt head rows are capped") {
+    // README "Driver-side bounds": the served-engine story is auditable
+    // because every driver-bound path raises rather than bulk-collecting
+    val store = new InMemoryVectorStore(spark)
+    store.addQuestionAnswer(Seq("q"), Seq("SELECT 1"))
+    store.getRelevantQuestionAnswers("q", k = VectorStore.MaxK) // cap value legal
+    val e1 = intercept[IllegalArgumentException](
+      store.getRelevantQuestionAnswers("q", k = VectorStore.MaxK + 1))
+    assert(e1.getMessage.contains("cap"))
+    import graft.Tables
+    val e2 = intercept[IllegalArgumentException](
+      Serializer.serialize("region", Tables.load(spark, sf, "region"),
+        headN = Serializer.MaxHeadRows + 1))
+    assert(e2.getMessage.contains("cap"))
+    // at the cap both succeed
+    assert(Serializer.serialize("region", Tables.load(spark, sf, "region"),
+      headN = Serializer.MaxHeadRows).contains("<head>"))
+  }
 }
