@@ -161,6 +161,91 @@ object TextAnalysis {
     array_max(packed).getField("lang")
   }
 
+  /** Gopher-style rule-based quality screen (Rae et al. 2021, public,
+    * appendix A1.1 — the doc-level rules; line-level rules need a
+    * line-structured corpus): each rule is a boolean column plus the
+    * feature it tested, and `pass` is their conjunction, so downstream
+    * filters can use the composite OR audit individual rules, and a
+    * `where(pass)` pushes the whole conjunction into the scan.
+    *
+    * Features, all single-scan expressions (no explode, no lambdas —
+    * the per-word tests are formulated as regexp/translate counts so
+    * the operator stays map-only inside whole-stage codegen):
+    * - `n_words`: whitespace word count
+    * - `mean_word_len`: non-space chars / words
+    * - `symbol_ratio`: (# chars + "..." occurrences) / words
+    * - `alpha_frac`: fraction of words containing a letter (one
+    *   non-overlapping regexp count — a token with ≥1 letter matches
+    *   exactly once)
+    * - `stopword_hits`: occurrences of the Gopher stopword list (the,
+    *   be, to, of, and, that, have, with), whole-word single-pass scan
+    *
+    * @return (doc, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    *         stopword_hits, pass); ratios rounded to 6 decimals BEFORE
+    *         the threshold compare so an external replay makes the
+    *         identical keep/drop decision on boundary rows
+    */
+  def gopherQualityRules(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwordHits: Long = 2,
+  ): DataFrame = {
+    val text = col(textCol)
+    val nWords = size(split(trim(text), "\\s+")).cast("long")
+    val nw = greatest(nWords, lit(1L)).cast("double")
+    val meanLen =
+      round(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / nw, 6)
+    val symbols = charClassCount(text, "#") +
+      (length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)
+    val symbolRatio = round(symbols.cast("double") / nw, 6)
+    val alphaFrac =
+      round(regexp_count(text, lit("\\S*[A-Za-z]\\S*")).cast("double") / nw, 6)
+    val stopHits = wordOccurrences(boundaryPadded(lower(text)),
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")).cast("long")
+    df.select(col(idCol).as("doc"),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+        stopHits.as("stopword_hits"))
+      .withColumn("pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stopword_hits") >= minStopwordHits)
+  }
+
+  /** Corpus statistics card — the dataset-report aggregate every
+    * pipeline run publishes: per-stratum doc counts, token totals, and
+    * token-length quantiles. One map-only token count + ONE hash
+    * aggregate on the stratum key; nothing touches the driver but the
+    * (tiny) per-stratum result.
+    *
+    * @param exact true → exact `percentile` (sorts each group's values;
+    *   right for reports and oracle parity). false → `percentile_approx`
+    *   (t-digest sketch, map-side combined) — the 100 TB path, where an
+    *   exact per-group sort of billions of doc lengths buys nothing a
+    *   report needs.
+    */
+  def corpusStats(
+      df: DataFrame, textCol: String, stratumCol: String,
+      exact: Boolean = true,
+  ): DataFrame = {
+    val toks = df.select(col(stratumCol).as("stratum"),
+      when(col(textCol).isNotNull, tokenCountWs(col(textCol)))
+        .otherwise(lit(0)).cast("long").as("n_toks"))
+    def pct(p: Double) =
+      if (exact) expr(s"percentile(n_toks, $p)")
+      else expr(s"percentile_approx(n_toks, $p, 10000)").cast("double")
+    toks.groupBy("stratum").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_toks").as("n_tokens"),
+      round(avg("n_toks"), 6).as("mean_tokens"),
+      pct(0.5).as("p50_tokens"),
+      pct(0.9).as("p90_tokens"))
+  }
+
   /** 64-bit rolling-hash document fingerprint over normalized tokens:
     * whitespace/case/punct-insensitive, order-sensitive. xxhash64 of the
     * canonicalized token stream — a stable content fingerprint for exact

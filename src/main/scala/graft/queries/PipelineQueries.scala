@@ -1292,7 +1292,13 @@ object PipelineQueries {
     // the composed probe → ADC → rescore pipeline.
     QueryDef("p39_ann_ivfpq",
       (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
+        // the composed call trains THREE Lloyd loops (coarse + 2 PQ
+        // subspaces), each scanning the corpus iters+1 times — persist
+        // the input once (the semanticDedup lesson: caching changes no
+        // value, only how many times the scan plan executes; the
+        // trajectory-sensitive thing is PARTITIONING, which persist
+        // preserves)
+        val emb = OperatorCache.persist(Tables.load(s, dir, "embeddings"))
         val q = emb.where(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
         val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
@@ -1300,5 +1306,59 @@ object PipelineQueries {
         Similarity.ivfPqTopK(emb, "vec_id", "embedding", coarse, books, q, k = 10)
       },
       Some(ivfPqOracleSql)),
+
+    // Gopher-style rule screen: every rule feature + the composite pass
+    // flag; the oracle replays each feature (whole-word stopword scan in
+    // its regex form, the single-match-per-alpha-word regexp count) and
+    // the rounded-before-compare thresholds.
+    QueryDef("p40_quality_rules",
+      (s, dir) => TextAnalysis.gopherQualityRules(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", minWords = 40, minStopwordHits = 2)
+        .orderBy("doc"),
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |         CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_words,
+             |         len(regexp_replace(TRIM(text), '\s+', '', 'g')) AS n_wchars,
+             |         (len(text) - len(replace(text, '#', '')))
+             |           + (len(text) - len(replace(text, '...', ''))) / 3 AS symbols,
+             |         CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS alpha_words,
+             |         CAST(len(regexp_extract_all(lower(text), '\b(the|be|to|of|and|that|have|with)\b')) AS BIGINT) AS stopword_hits
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), g AS (
+             |  SELECT doc_id AS doc, n_words,
+             |         ROUND(CAST(n_wchars AS DOUBLE) / GREATEST(n_words, 1), 6) AS mean_word_len,
+             |         ROUND(CAST(symbols AS DOUBLE) / GREATEST(n_words, 1), 6) AS symbol_ratio,
+             |         ROUND(CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1), 6) AS alpha_frac,
+             |         stopword_hits
+             |  FROM f
+             |)
+             |SELECT doc, n_words, mean_word_len, symbol_ratio, alpha_frac, stopword_hits,
+             |       (n_words BETWEEN 40 AND 100000
+             |        AND mean_word_len BETWEEN 3.0 AND 10.0
+             |        AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+             |        AND stopword_hits >= 2) AS pass
+             |FROM g ORDER BY doc""".stripMargin)),
+
+    // Corpus statistics card: per-lang doc/token totals + exact token
+    // quantiles (the operator's `exact=false` path swaps in the t-digest
+    // sketch for 100 TB; the oracle pins the exact path).
+    QueryDef("p41_corpus_stats",
+      (s, dir) => TextAnalysis.corpusStats(
+        Tables.load(s, dir, "documents").select("lang", "text"),
+        "text", "lang")
+        .orderBy("stratum"),
+      Some("""WITH t AS (
+             |  SELECT lang AS stratum,
+             |         CASE WHEN text IS NOT NULL
+             |              THEN CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+             |              ELSE 0 END AS n_toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |)
+             |SELECT stratum, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+             |       ROUND(AVG(n_toks), 6) AS mean_tokens,
+             |       quantile_cont(n_toks, 0.5) AS p50_tokens,
+             |       quantile_cont(n_toks, 0.9) AS p90_tokens
+             |FROM t GROUP BY stratum ORDER BY stratum""".stripMargin)),
   )
 }

@@ -170,6 +170,46 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == "en")
   }
 
+  test("gopherQualityRules: each rule trips on its own pathological input") {
+    val rows = Seq(
+      (1L, Seq.fill(50)("word").mkString(" ")),             // passes all
+      (2L, "too short by far"),                             // n_words
+      (3L, Seq.fill(50)("ab").mkString(" ")),               // mean_word_len < 3
+      (4L, Seq.fill(50)("supercalifragilistic").mkString(" ")), // mean len > 10
+      (5L, (Seq.fill(50)("word") ++ Seq.fill(10)("#")).mkString(" ")), // symbols
+      (6L, Seq.fill(50)("12345").mkString(" ")),            // alpha_frac = 0
+    ).toDF("doc_id", "text")
+    // stopword floor 0 so only the rule under test varies; doc 1 needs
+    // no stopwords to pass
+    val got = TextAnalysis.gopherQualityRules(rows, "doc_id", "text",
+      minWords = 20, minStopwordHits = 0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false), s"got $got")
+    // the stopword rule itself
+    val stop = TextAnalysis.gopherQualityRules(rows.where(col("doc_id") === 1),
+      "doc_id", "text", minWords = 20, minStopwordHits = 2)
+      .head()
+    assert(!stop.getBoolean(6), "50x'word' has no Gopher stopwords")
+    assert(stop.getLong(5) == 0L)
+  }
+
+  test("corpusStats: exact and sketch paths agree on the fixture strata") {
+    val exact = TextAnalysis.corpusStats(docs, "text", "lang")
+      .orderBy("stratum").collect()
+    assert(exact.map(_.getLong(1)).sum == docs.count(), "doc counts partition the corpus")
+    val approx = TextAnalysis.corpusStats(docs, "text", "lang", exact = false)
+      .orderBy("stratum").collect()
+    // the sketch path must agree on the exact aggregates and be close on
+    // quantiles (t-digest with 10k accuracy is exact at fixture scale)
+    assert(approx.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      exact.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e.getDouble(4) - a.getDouble(4)) <= 1.0,
+        s"p50 drifted: ${e.getDouble(4)} vs ${a.getDouble(4)}")
+    }
+  }
+
   test("cleanCorpus scoring shape: optimized plan evaluates each language scan exactly once") {
     // pins the __once pushdown-barrier behavior: if an optimizer change
     // ever pushes the quality/langid filter through the scoring
