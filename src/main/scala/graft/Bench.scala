@@ -39,7 +39,8 @@ object Bench {
     "p31_semantic_decontaminate", "p32_chunk_documents", "p33_bigram_lm",
     "p34_remove_shared_spans", "p35_screen_blocklist",
     "p36_sample_token_budget", "p37_encode_tokens", "p38_ann_pq",
-    "p39_ann_ivfpq", "p40_quality_rules", "p41_corpus_stats")
+    "p39_ann_ivfpq", "p40_quality_rules", "p41_corpus_stats",
+    "p42_ann_ivfpq_residual", "p43_split_corpus")
 
   /** Jobs started/ended + stages completed, maintained by [[counting]].
     * Listener delivery is asynchronous; [[settle]] waits for the bus to

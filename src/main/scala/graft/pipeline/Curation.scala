@@ -64,6 +64,41 @@ object Curation {
     df.where(g < threshold)
   }
 
+  /** Reproducible, disjoint train/val/test split: the gate value in
+    * [0, 1e6) falls into consecutive intervals sized by the (normalized)
+    * weights, so the same id lands in the same split on every run,
+    * engine, partitioning, and cluster size — the provenance property a
+    * `randomSplit(seed)` does NOT have (its assignment depends on the
+    * physical partitioning). One scan, map-only, no shuffle; the splits
+    * PARTITION the corpus (every row gets exactly one label). The last
+    * split absorbs interval rounding. Weights need not sum to 1.
+    *
+    * @return df + a `split` column with the assigned label
+    */
+  def splitCorpus(
+      df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      salt: Int = 0, gate: Column = null,
+  ): DataFrame = {
+    require(splits.nonEmpty, "splitCorpus needs at least one split")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be distinct: ${splits.map(_._1)}")
+    splits.foreach { case (n, w) =>
+      require(w > 0, s"split weights must be positive: $n=$w") }
+    val g = if (gate != null) gate else idGate(col(idCol), salt)
+    val total = splits.map(_._2).sum
+    // cumulative upper bounds in gate units; intervals are [prev, cum)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c / total * 1e6))
+    val label =
+      if (splits.size == 1) lit(splits.head._1)
+      else splits.init.zip(cum.init).tail
+        .foldLeft(when(g < lit(cum.head), lit(splits.head._1))) {
+          case (acc, ((name, _), th)) => acc.when(g < lit(th), lit(name))
+        }
+        .otherwise(lit(splits.last._1))
+    df.withColumn("split", label)
+  }
+
   /** Greedy sequence packing: assign each doc to a (shard, pack) so that
     * packs hold ~`budgetTokens` tokens — how pretraining examples are
     * composed from variable-length documents without padding waste.

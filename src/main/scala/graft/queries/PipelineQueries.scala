@@ -165,13 +165,16 @@ object PipelineQueries {
 
   /** One subspace's full Lloyd replay for the PQ oracle: identical
     * trajectory to [[ivfAssignSql]] but over the `[lo:hi]` slice, CTEs
-    * suffixed `_s`. Appends to a base `v(vec_id, e)` CTE. */
-  private def pqAssignSql(s: Int, lo: Int, hi: Int, k: Int): String = {
+    * suffixed `_s`. Appends to a base CTE `src(vec_id, srcCol)` —
+    * `v(e)` for raw-vector PQ (p38/p39), `res(r)` for residual PQ
+    * (p42). */
+  private def pqAssignSql(s: Int, lo: Int, hi: Int, k: Int,
+      src: String = "v", srcCol: String = "e"): String = {
     def n(b: String) = s"${b}_$s"
     s""", ${n("v")} AS (
-    |  SELECT vec_id, e[$lo:$hi] AS e,
+    |  SELECT vec_id, $srcCol[$lo:$hi] AS e,
     |         CAST((vec_id % 100000) * 2654435761 % $k AS INT) AS c0a
-    |  FROM v
+    |  FROM $src
     |), ${n("u0")} AS (
     |  SELECT c0a AS cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS ord FROM ${n("v")}
     |), ${n("c0")} AS (
@@ -268,6 +271,46 @@ object PipelineQueries {
     |)
     |SELECT v.vec_id, ROUND(list_cosine_similarity(v.e, q39.qe), 6) AS cosine
     |FROM v JOIN cand39 USING (vec_id), q39
+    |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** p42 oracle: residual IVF-PQ — coarse replay, the residual frame
+    * r = e − c(cid), BOTH subspace Lloyd replays over the residual
+    * slices, then the inner-product ADC decomposition
+    * dot(q,v) ≈ dot(q,c_cell) + Σ_s dot(q_s, book_s[code]) restricted
+    * to the probed cells, and exact rescoring. */
+  private val ivfPqResidualOracleSql: String = ivfAssignSql(8) +
+    """, res AS (
+    |  SELECT a3.vec_id,
+    |         list_transform(range(1, len(a3.e) + 1), i -> a3.e[i] - c2.c[i]) AS r
+    |  FROM a3 JOIN c2 USING (cid)
+    |)""".stripMargin +
+    pqAssignSql(0, 1, 32, 4, src = "res", srcCol = "r") +
+    pqAssignSql(1, 33, 64, 4, src = "res", srcCol = "r") +
+    """, q42 AS (
+    |  SELECT e AS qe, e[1:32] AS q0, e[33:64] AS q1 FROM v WHERE vec_id = 0
+    |), probes42 AS (
+    |  SELECT cid FROM c2, q42
+    |  ORDER BY list_dot_product(c2.c, q42.qe) DESC, cid ASC LIMIT 3
+    |), incell42 AS (
+    |  SELECT vec_id, cid FROM a3 WHERE cid IN (SELECT cid FROM probes42)
+    |), cc42 AS (
+    |  SELECT ic.vec_id, list_dot_product(c2.c, q42.qe) AS cd
+    |  FROM incell42 ic JOIN c2 USING (cid), q42
+    |), d0 AS (
+    |  SELECT a.vec_id, list_dot_product(c.c, q42.q0) AS d
+    |  FROM a3_0 a JOIN c2_0 c USING (cid), q42
+    |), d1 AS (
+    |  SELECT a.vec_id, list_dot_product(c.c, q42.q1) AS d
+    |  FROM a3_1 a JOIN c2_1 c USING (cid), q42
+    |), adc42 AS (
+    |  SELECT i.vec_id, ROUND(cc.cd + d0.d + d1.d, 6) AS adc
+    |  FROM incell42 i JOIN cc42 cc USING (vec_id)
+    |       JOIN d0 USING (vec_id) JOIN d1 USING (vec_id)
+    |), cand42 AS (
+    |  SELECT vec_id FROM adc42 ORDER BY adc DESC, vec_id ASC LIMIT 50
+    |)
+    |SELECT v.vec_id, ROUND(list_cosine_similarity(v.e, q42.qe), 6) AS cosine
+    |FROM v JOIN cand42 USING (vec_id), q42
     |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
 
   /** p20 oracle: [[ivfAssignSql]] + the greedy within-cell drop rule —
@@ -1306,6 +1349,41 @@ object PipelineQueries {
         Similarity.ivfPqTopK(emb, "vec_id", "embedding", coarse, books, q, k = 10)
       },
       Some(ivfPqOracleSql)),
+
+    // Residual IVF-PQ: PQ codebooks trained on coarse-assignment
+    // residuals (the true Faiss IndexIVFPQ), inner-product ADC =
+    // per-cell constant + the same m table lookups, probed cells only.
+    QueryDef("p42_ann_ivfpq_residual",
+      (s, dir) => {
+        val emb = OperatorCache.persist(Tables.load(s, dir, "embeddings"))
+        val q = emb.where(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
+        val books = Similarity.trainPqResidual(
+          emb, "vec_id", "embedding", coarse, m = 2, k = 4)
+        Similarity.ivfPqResidualTopK(
+          emb, "vec_id", "embedding", coarse, books, q, k = 10)
+      },
+      Some(ivfPqResidualOracleSql)),
+
+    // Reproducible train/val/test split: consecutive gate intervals
+    // sized by normalized weights; the oracle replays the gate
+    // arithmetic and the interval thresholds.
+    QueryDef("p43_split_corpus",
+      (s, dir) => Curation.splitCorpus(
+        Tables.load(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         ((doc_id % 100000) * 2654435761) % 1000000 AS gate
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |)
+             |SELECT doc_id, lang,
+             |       CASE WHEN gate < 800000 THEN 'train'
+             |            WHEN gate < 900000 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM t ORDER BY doc_id""".stripMargin)),
 
     // Gopher-style rule screen: every rule feature + the composite pass
     // flag; the oracle replays each feature (whole-word stopword scan in

@@ -98,6 +98,45 @@ class AnnRecallSpec extends SparkSpec {
       s"expected centroid-pruned scan, got:\n${plan.take(600)}")
   }
 
+  test("residual IVF-PQ holds its floor and does not lose to raw-vector IVF-PQ") {
+    val coarse = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)
+    val raw = Similarity.trainPq(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val res = Similarity.trainPqResidual(corpus, "vec_id", "embedding",
+      coarse, m = 8, k = 16)
+    def recall(f: Seq[Float] => org.apache.spark.sql.DataFrame) =
+      Similarity.meanRecallAtK(corpus, "vec_id", "embedding", queries, K)(f)
+    val rRaw = recall(q => Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      coarse, raw, q, K, nprobe = 6, rescoreFactor = 10))
+    val rRes = recall(q => Similarity.ivfPqResidualTopK(corpus, "vec_id",
+      "embedding", coarse, res, q, K, nprobe = 6, rescoreFactor = 10))
+    info(f"IVF-PQ recall@$K raw=$rRaw%.2f residual=$rRes%.2f")
+    // observed 0.92 (vs raw 0.72 — the residual win is real and large
+    // even at fixture scale); floor ~0.1 under, house style
+    assert(rRes >= 0.8, f"residual IVF-PQ recall@$K degraded to $rRes%.2f")
+    // the residual codebooks spend their resolution on within-cell
+    // structure — at identical code size they must not do WORSE than
+    // quantizing raw vectors (the reason IndexIVFPQ encodes residuals);
+    // allow one borderline rank flip of noise at fixture scale
+    assert(rRes >= rRaw - 0.05,
+      f"residual codebooks lost to raw: $rRes%.2f vs $rRaw%.2f")
+
+    // residual serving layout: stored residual codes, pruned partitions,
+    // identical results to the in-memory composition
+    val path = "target/graft-tmp/ivfpq-res-index"
+    Similarity.writeIvfPqResidual(corpus, "embedding", path, coarse, res)
+    val q = queries.head
+    val served = Similarity.probeIvfPqResidual(spark, path, "vec_id",
+      "embedding", coarse, res, q, K, nprobe = 6, rescoreFactor = 10)
+    val direct = Similarity.ivfPqResidualTopK(corpus, "vec_id", "embedding",
+      coarse, res, q, K, nprobe = 6, rescoreFactor = 10)
+    assert(served.collect().map(_.getLong(0)).toSeq ==
+      direct.collect().map(_.getLong(0)).toSeq,
+      "stored-residual-code probe must reproduce the in-memory path")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid"),
+      s"expected centroid-pruned scan, got:\n${plan.take(600)}")
+  }
+
   test("IVF recall rises with nprobe and holds its floors") {
     val index = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)
     def recall(nprobe: Int) =

@@ -175,4 +175,30 @@ class CurationSpec extends SparkSpec {
           s"pack ${r.get(0)}/${r.get(1)} overflows: ${r.getAs[Long]("total")}")
       }
   }
+  test("splitCorpus: disjoint, exhaustive, weight-shaped, partitioning-invariant") {
+    val df = (1L to 2000L).toDF("id")
+    val out = Curation.splitCorpus(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exhaustive partition: every row labeled, labels only from the spec
+    assert(counts.values.sum == 2000 && counts.keySet == Set("train", "val", "test"),
+      s"got $counts")
+    // weight-shaped (the gate is uniform-ish, not exact): loose bands
+    assert(counts("train") > 1400 && counts("train") < 1900, s"train=${counts("train")}")
+    assert(counts("val") > 50 && counts("test") > 50, s"got $counts")
+    // the provenance property: identical assignment under ANY physical
+    // partitioning (randomSplit's seed does NOT have this)
+    val repart = Curation.splitCorpus(df.repartition(7), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      repart.orderBy("id").collect().map(_.getString(1)).toSeq)
+    // degenerate + invalid specs
+    assert(Curation.splitCorpus(df, "id", Seq("all" -> 1.0))
+      .select("split").distinct().head().getString(0) == "all")
+    intercept[IllegalArgumentException](
+      Curation.splitCorpus(df, "id", Seq("a" -> 0.5, "a" -> 0.5)))
+    intercept[IllegalArgumentException](
+      Curation.splitCorpus(df, "id", Seq("a" -> -1.0)))
+  }
 }
