@@ -256,6 +256,53 @@ object Dedup {
     corpus.join(contaminated, corpus(idCol) === contaminated("doc"), "left_anti")
   }
 
+  /** FUZZY decontamination: drop corpus docs whose n-gram Jaccard
+    * similarity to ANY blocklist doc reaches `threshold` — the
+    * NEAR-duplicate member of the decontamination family.
+    * [[decontaminate]] catches exact n-gram overlap (≥ minOverlap
+    * shared shingles); this catches paraphrase-lite contamination
+    * (reordered/partially-edited eval documents) that still shares
+    * enough shingle MASS, the standard fuzzy-decon step of public
+    * pretraining pipelines.
+    *
+    * Scale shape: the corpus side pays one shingle pass (materialized —
+    * its banded-signature and shingle-set aggregates run as concurrent
+    * independent stages, the cache-race class OperatorCache.materialize
+    * exists for), and every blocklist-derived frame (banded signatures,
+    * verification sets) is broadcast — bounded by the blocklist, which
+    * is eval-sized by definition. Candidates come from the banded
+    * equi-join (corpus bands ⋈ blocklist bands — never a crossJoin);
+    * verification is exact Jaccard on the candidate pairs only. Banding
+    * recall at `threshold` follows the [[minhashNearDups]] parameters.
+    */
+  def fuzzyDecontaminate(
+      corpus: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, blockIdCol: String, blockTextCol: String,
+      threshold: Double = 0.7, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+  ): DataFrame = {
+    val shC = OperatorCache.materialize(
+      shingleRows(corpus, idCol, textCol, shingleK))
+    val shB = shingleRows(blocklist, blockIdCol, blockTextCol, shingleK)
+    val candidates = bandedSignatures(shC, numHashes, bands)
+      .withColumnRenamed("doc", "__cdoc")
+      .join(broadcast(bandedSignatures(shB, numHashes, bands)
+        .withColumnRenamed("doc", "__bdoc")), Seq("band", "band_hash"))
+      .select("__cdoc", "__bdoc").distinct()
+    val contaminated = candidates
+      .join(shingleSetsFrom(shC)
+        .withColumnRenamed("sid", "__cdoc").withColumnRenamed("sset", "__cset"),
+        "__cdoc")
+      .join(broadcast(shingleSetsFrom(shB)
+        .withColumnRenamed("sid", "__bdoc").withColumnRenamed("sset", "__bset")),
+        "__bdoc")
+      .where(round(jaccard(col("__cset"), col("__bset")), 6) >= threshold)
+      .select(col("__cdoc")).distinct()
+    // no broadcast hint on the contaminated id set: bounded by the
+    // CORPUS (every doc near a blocklist entry) — AQE decides
+    corpus.join(contaminated, corpus(idCol) === col("__cdoc"), "left_anti")
+  }
+
   /** Cross-document duplicate-span fraction: per doc, the fraction of
     * its k-token window OCCURRENCES whose window text also appears in at
     * least one OTHER doc — the cross-corpus member of the repetition-
@@ -336,27 +383,14 @@ object Dedup {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1: $k")
-    val raw = df.select(col(idCol).as("doc"),
-      posexplode(rawTokens(col(textCol))))
-      .toDF("doc", "rawpos", "tok")
-      .where(col("tok") =!= "")
-    val byRaw = Window.partitionBy("doc").orderBy("rawpos")
-    // dense 0-based positions so covered ranges are pure arithmetic
-    // (rawpos has gaps where "" tokens were dropped)
-    val toks0 = raw.select(col("doc"),
-      (row_number().over(byRaw) - 1).as("pos"), col("tok"))
-    val toks = if (persistToks) OperatorCache.materialize(toks0) else toks0
-    val byPos = Window.partitionBy("doc").orderBy("pos")
-    val win0 = toks.select(col("doc"), col("pos"),
-      concat_ws(" ", col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(byPos)): _*)
-        .as("span"),
-      (if (k > 1) lead(col("tok"), k - 1).over(byPos).isNotNull else lit(true))
-        .as("complete"))
-      .where(col("complete"))
+    val toks = if (persistToks)
+      OperatorCache.materialize(densePositionedTokens(df, idCol, textCol))
+    else densePositionedTokens(df, idCol, textCol)
     // win defaults to NOT persisted even though its two consumers
     // shuffle on different keys — see the persistWin param doc for the
     // measured A/B (wash at sf0.1, barrier loses at ×20 replication)
-    val win = if (persistWin) OperatorCache.materialize(win0) else win0
+    val win = if (persistWin) OperatorCache.materialize(spanWindows(toks, k))
+    else spanWindows(toks, k)
     val sharedSpans = win.select("doc", "span").distinct()
       .groupBy("span").agg(count(lit(1)).as("__docs"))
       .where(col("__docs") > 1).select("span")
@@ -364,6 +398,41 @@ object Dedup {
       .select(col("doc"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
       .distinct()
+    rebuildUncovered(toks, covered)
+  }
+
+  /** (doc, pos, tok) with DENSE 0-based positions (rawTokens drops ""
+    * tokens, so posexplode's raw positions have gaps) — covered ranges
+    * stay pure arithmetic. One doc-keyed window. */
+  private def densePositionedTokens(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byRaw = Window.partitionBy("doc").orderBy("rawpos")
+    df.select(col(idCol).as("doc"), posexplode(rawTokens(col(textCol))))
+      .toDF("doc", "rawpos", "tok")
+      .where(col("tok") =!= "")
+      .select(col("doc"), (row_number().over(byRaw) - 1).as("pos"), col("tok"))
+  }
+
+  /** COMPLETE k-token windows (doc, pos, span) over a dense-positioned
+    * token frame — the lead window runs on the SAME doc partitioning
+    * the position window established, no new exchange. */
+  private def spanWindows(toks: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy("doc").orderBy("pos")
+    toks.select(col("doc"), col("pos"),
+      concat_ws(" ", col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(byPos)): _*)
+        .as("span"),
+      (if (k > 1) lead(col("tok"), k - 1).over(byPos).isNotNull else lit(true))
+        .as("complete"))
+      .where(col("complete"))
+  }
+
+  /** Anti-join the covered (doc, pos) set out of the token frame and
+    * reassemble each doc's remainder in order — the shared tail of the
+    * span-surgery operators. Docs fully covered come back with an empty
+    * `text_clean`, not dropped. */
+  private def rebuildUncovered(toks: DataFrame, covered: DataFrame): DataFrame = {
     val kept = toks.join(covered, Seq("doc", "pos"), "left_anti")
     val totals = toks.groupBy("doc").agg(count(lit(1)).as("__total"))
     val rebuilt = kept.groupBy("doc")
@@ -376,6 +445,45 @@ object Dedup {
         coalesce(col("__text"), lit("")).as("text_clean"),
         coalesce(col("__kept"), lit(0L)).as("n_tokens_kept"),
         (col("__total") - coalesce(col("__kept"), lit(0L))).as("n_tokens_dropped"))
+  }
+
+  /** WITHIN-document repeated-span removal (keep-first): every token
+    * sitting inside a k-token window whose text already occurred at an
+    * EARLIER window start in the SAME doc is cut — the self-repetition
+    * counterpart of [[removeSharedSpans]] (which cuts cross-document
+    * duplication) and the acting counterpart of the repetition STATS
+    * (which only measure). Boilerplate loops, copy-pasted paragraphs,
+    * and degenerate generation artifacts are cut while the first
+    * occurrence survives.
+    *
+    * Scale shape: identical to [[removeSharedSpans]] minus the global
+    * shared-span exchange — the keep-first rule is a (doc, span) min
+    * aggregate and a join back on the SAME (doc, span) key from
+    * identical subtrees, which ReuseExchange shares (the p26 lesson: a
+    * barrier there would be strictly slower), then the bounded ×k
+    * explode and the doc-keyed reassembly. Everything doc-local except
+    * nothing: no cross-doc state at all, so this scales embarrassingly.
+    *
+    * @param persistToks same contract and eagerness as
+    *   [[removeSharedSpans]]'s persistToks.
+    * @return (doc, text_clean, n_tokens_kept, n_tokens_dropped)
+    */
+  def removeRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 8,
+      persistToks: Boolean = true,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = if (persistToks)
+      OperatorCache.materialize(densePositionedTokens(df, idCol, textCol))
+    else densePositionedTokens(df, idCol, textCol)
+    val win = spanWindows(toks, k)
+    val firstPos = win.groupBy("doc", "span").agg(min("pos").as("__first"))
+    val covered = win.join(firstPos, Seq("doc", "span"))
+      .where(col("pos") > col("__first"))
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    rebuildUncovered(toks, covered)
   }
 
   /** Exact Jaccard similarity between two shingle-set columns. */

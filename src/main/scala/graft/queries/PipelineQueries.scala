@@ -1223,6 +1223,51 @@ object PipelineQueries {
              |) r USING (doc_id)
              |ORDER BY doc""".stripMargin)),
 
+    // Within-doc repeated-span removal (keep-first): 3-token windows
+    // repeating an earlier start in the SAME doc are cut; the oracle
+    // replays dense positions, per-(doc,span) first starts, covered
+    // ranges, and the ordered reassembly.
+    QueryDef("p45_remove_repeated_spans",
+      (s, dir) => Dedup.removeRepeatedSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), tok AS (
+             |  SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos
+             |  FROM t WHERE len(toks) > 0
+             |), win AS (
+             |  SELECT doc_id,
+             |         unnest(range(0, len(toks) - 3 + 1)) AS pos,
+             |         unnest(list_transform(range(1, len(toks) - 3 + 2),
+             |                               i -> array_to_string(toks[i:i+2], ' '))) AS span
+             |  FROM t WHERE len(toks) >= 3
+             |), firstpos AS (
+             |  SELECT doc_id, span, MIN(pos) AS fp FROM win GROUP BY doc_id, span
+             |), cov AS (
+             |  SELECT DISTINCT doc_id, cpos AS pos FROM (
+             |    SELECT w.doc_id, unnest(range(w.pos, w.pos + 3)) AS cpos
+             |    FROM win w JOIN firstpos f
+             |      ON w.doc_id = f.doc_id AND w.span = f.span AND w.pos > f.fp)
+             |), kept AS (
+             |  SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM cov WHERE cov.doc_id = tok.doc_id AND cov.pos = tok.pos)
+             |)
+             |SELECT d.doc_id AS doc,
+             |       COALESCE(r.txt, '') AS text_clean,
+             |       CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_tokens_kept,
+             |       CAST(d.total - COALESCE(r.nk, 0) AS BIGINT) AS n_tokens_dropped
+             |FROM (SELECT doc_id, len(toks) AS total FROM t WHERE len(toks) > 0) d
+             |LEFT JOIN (
+             |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt, count(*) AS nk
+             |  FROM kept GROUP BY doc_id
+             |) r USING (doc_id)
+             |ORDER BY doc""".stripMargin)),
+
     // Blocklist-term screen (NSFW/compliance filter): whole-word hit
     // count via the single-pass graft_count_words_in scan, docs with
     // more than 2 hits dropped. Oracle keeps the \b-alternation regex
@@ -1365,6 +1410,56 @@ object PipelineQueries {
           emb, "vec_id", "embedding", coarse, books, q, k = 10)
       },
       Some(ivfPqResidualOracleSql)),
+
+    // Fuzzy decontamination: banded-LSH candidates corpus×blocklist,
+    // exact-Jaccard verification ≥ 0.7, survivors kept. The oracle is
+    // the all-pairs Jaccard ground truth (blocklist side is tiny), so
+    // the hash compare also proves banding recall on the fixture's
+    // contaminated pairs, as for p02/p04.
+    QueryDef("p44_fuzzy_decontaminate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.fuzzyDecontaminate(
+          docs.where(col("doc_id") % 50 =!= 0).select("doc_id", "lang", "text"),
+          "doc_id", "text",
+          docs.where(col("doc_id") % 50 === 0).select("doc_id", "text"),
+          "doc_id", "text", threshold = 0.7)
+          .select("doc_id", "lang").orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, lang, text
+             |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 50 <> 0
+             |), block AS (
+             |  SELECT doc_id, text
+             |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 50 = 0
+             |), ct AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM corpus
+             |), cs AS (
+             |  SELECT doc_id,
+             |         list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+             |                                      i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS s
+             |  FROM ct WHERE len(toks) >= 3
+             |), bt AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM block
+             |), bs AS (
+             |  SELECT doc_id,
+             |         list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+             |                                      i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS s
+             |  FROM bt WHERE len(toks) >= 3
+             |), contaminated AS (
+             |  SELECT DISTINCT c.doc_id FROM cs c, bs b
+             |  WHERE ROUND(CAST(len(list_intersect(c.s, b.s)) AS DOUBLE)
+             |              / (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))), 6) >= 0.7
+             |)
+             |SELECT doc_id, lang FROM corpus
+             |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+             |ORDER BY doc_id""".stripMargin)),
 
     // Reproducible train/val/test split: consecutive gate intervals
     // sized by normalized weights; the oracle replays the gate

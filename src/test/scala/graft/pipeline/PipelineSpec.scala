@@ -170,6 +170,48 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == "en")
   }
 
+  test("removeRepeatedSpans: keep-first within a doc; cross-doc repeats untouched") {
+    val d = Seq(
+      // "a b c" repeats at pos 3 → positions 3..5 cut, first stays
+      (1L, "a b c a b c x y z"),
+      // the same text in ANOTHER doc is untouched (within-doc operator)
+      (2L, "a b c d e f g h i"),
+      // no window repeats → unchanged
+      (3L, "p q r s t u v w"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(d, "doc_id", "text", k = 3)
+      .orderBy("doc").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(
+      (1L, "a b c x y z"),
+      (2L, "a b c d e f g h i"),
+      (3L, "p q r s t u v w")))
+    assert(out.map(_.getLong(3)).toSeq == Seq(3L, 0L, 0L), "dropped counts")
+    // degenerate total repetition ("a a a a a a", k=3): repeats at pos
+    // 1..3 cover positions 1..5, so exactly the first token survives
+    val loop = Seq((9L, "a a a a a a")).toDF("doc_id", "text")
+    val r = Dedup.removeRepeatedSpans(loop, "doc_id", "text", k = 3).head()
+    assert(r.getString(1) == "a", s"got '${r.getString(1)}'")
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("fuzzyDecontaminate: near-dups of blocklist docs drop, the rest survive, no crossJoin") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near-dup of block 100
+      (3L, "completely different content about spark query engines at scale"),
+    ).toDF("doc_id", "text")
+    val block = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.fuzzyDecontaminate(corpus, "doc_id", "text",
+      block, "doc_id", "text", threshold = 0.5)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), "must not be an all-pairs plan")
+    // doc 1 is an exact copy, doc 2 a near-dup — both leak; doc 3 survives
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    OperatorCache.releaseAll(spark)
+  }
+
   test("gopherQualityRules: each rule trips on its own pathological input") {
     val rows = Seq(
       (1L, Seq.fill(50)("word").mkString(" ")),             // passes all
