@@ -49,6 +49,8 @@ object IvfPqScaleBench {
     // coarse/PQ models are trained on a sample for the same reason
     val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
     val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 8, k = 16)
+    val resBooks = Similarity.trainPqResidual(emb, "vec_id", "embedding",
+      coarse, m = 8, k = 16)
 
     val results = replicaList.map { replicas =>
       val scaled =
@@ -73,12 +75,26 @@ object IvfPqScaleBench {
         .queryExecution.executedPlan.toString
       require(plan.contains("PartitionFilters: [centroid"),
         s"probe plan must prune centroid partitions:\n${plan.take(400)}")
-      (replicas, nVecs, buildSec, probeSec)
+
+      // residual layout: same pruning, stored residual codes, one extra
+      // driver constant per probed cell — probe cost must track the raw
+      // layout's
+      val resPath = s"target/graft-tmp/ivfpq-scale/res_index_x$replicas"
+      val (_, resBuildSec) = timed {
+        Similarity.writeIvfPqResidual(scaled, "embedding", resPath, coarse, resBooks)
+      }
+      def probeRes(): Double = timed {
+        Similarity.probeIvfPqResidual(spark, resPath, "vec_id", "embedding",
+          coarse, resBooks, query, k = 10, nprobe = 3).collect()
+      }._2
+      val resProbeSec = math.min(probeRes(), probeRes())
+      (replicas, nVecs, buildSec, probeSec, resBuildSec, resProbeSec)
     }
 
-    results.foreach { case (r, n, b, p) =>
+    results.foreach { case (r, n, b, p, rb, rp) =>
       println(s"""{"replicas":$r,"vectors":$n,""" +
-        s""""build_sec":${f"$b%.2f"},"probe_sec":${f"$p%.2f"}}""")
+        s""""build_sec":${f"$b%.2f"},"probe_sec":${f"$p%.2f"},""" +
+        s""""res_build_sec":${f"$rb%.2f"},"res_probe_sec":${f"$rp%.2f"}}""")
     }
     spark.stop()
   }

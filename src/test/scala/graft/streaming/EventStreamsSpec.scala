@@ -139,4 +139,38 @@ class EventStreamsSpec extends SparkSpec {
       assert(spark.read.parquet(s"$base/data").count() == 3)
     } finally q.stop()
   }
+
+  test("curation gates are stream-compatible: split/sample assign identically on a stream") {
+    // splitCorpus and deterministicSample are MAP-ONLY gate expressions
+    // with no state, so the same operator runs unchanged under
+    // Structured Streaming — and the reproducibility property means a
+    // doc gets the SAME split whether it arrives in a batch backfill or
+    // through the stream (the provenance story for incremental corpus
+    // ingestion)
+    import graft.pipeline.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val streamed = Curation.splitCorpus(
+      mem.toDF().toDF("id"), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(streamed.isStreaming)
+    val q = streamed.writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(1L to 500L: _*)
+      q.processAllAvailable()
+      val viaStream = spark.table("split_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val viaBatch = Curation.splitCorpus(
+        (1L to 500L).toDF("id"), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(viaStream == viaBatch,
+        "stream and batch must assign identical splits")
+      // the sampling gate too: the filter commutes with streaming
+      val sampled = Curation.deterministicSample(
+        mem.toDF().toDF("id"), "id", fraction = 0.25)
+      assert(sampled.isStreaming)
+    } finally q.stop()
+  }
 }
