@@ -192,8 +192,13 @@ object TextAnalysis {
       maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
       minStopwordHits: Long = 2,
   ): DataFrame = {
-    val text = col(textCol)
-    val nWords = size(split(trim(text), "\\s+")).cast("long")
+    // null/blank text is the 0-WORD doc (fails the word floor, never a
+    // NULL pass flag): a bare size(split(...)) yields NULL for null
+    // text and 1 for "", and null-propagation would make every rule —
+    // and the composite — NULL instead of false
+    val text = coalesce(col(textCol), lit(""))
+    val nWords = when(trim(text) === "", lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
     val nw = greatest(nWords, lit(1L)).cast("double")
     val meanLen =
       round(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / nw, 6)
@@ -244,6 +249,48 @@ object TextAnalysis {
       round(avg("n_toks"), 6).as("mean_tokens"),
       pct(0.5).as("p50_tokens"),
       pct(0.9).as("p90_tokens"))
+  }
+
+  /** Unigram-distribution divergence between two corpora — the
+    * dataset-drift card a pipeline publishes when a source changes
+    * (crawl refresh, new snapshot, filtered vs unfiltered): per-term
+    * probabilities with add-one smoothing over the UNION vocabulary,
+    * then KL(P‖Q), KL(Q‖P), and the symmetric Jensen–Shannon
+    * divergence (natural log; JS ≤ ln 2).
+    *
+    * Scale shape: one token-explode + count aggregate per corpus
+    * (map-side combined, vocabulary-grained output), ONE full-outer
+    * equi-join on term, a broadcast 1-row totals frame, and a 1-row
+    * final aggregate. Nothing is doc-grained after the first
+    * aggregates; driver sees one row.
+    *
+    * @return one row: (n_terms, kl_pq, kl_qp, js), divergences rounded
+    *         to 6 decimals
+    */
+  def corpusDivergence(
+      a: DataFrame, aTextCol: String,
+      b: DataFrame, bTextCol: String,
+  ): DataFrame = {
+    def termCounts(df: DataFrame, textCol: String, out: String) =
+      df.select(explode(Dedup.rawTokens(col(textCol))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as(out))
+    val joined = termCounts(a, aTextCol, "ca")
+      .join(termCounts(b, bTextCol, "cb"), Seq("term"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val totals = joined.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      count(lit(1)).as("v"))
+    val withP = joined.crossJoin(broadcast(totals)) // 1-row scalars
+      .select(
+        ((col("ca") + 1).cast("double") / (col("na") + col("v")).cast("double")).as("p"),
+        ((col("cb") + 1).cast("double") / (col("nb") + col("v")).cast("double")).as("q"))
+    val m = (col("p") + col("q")) / 2
+    withP.agg(
+      count(lit(1)).as("n_terms"),
+      round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_pq"),
+      round(sum(col("q") * log(col("q") / col("p"))), 6).as("kl_qp"),
+      round(sum(col("p") / 2 * log(col("p") / m) +
+        col("q") / 2 * log(col("q") / m)), 6).as("js"))
   }
 
   /** 64-bit rolling-hash document fingerprint over normalized tokens:

@@ -1223,6 +1223,41 @@ object PipelineQueries {
              |) r USING (doc_id)
              |ORDER BY doc""".stripMargin)),
 
+    // Corpus-divergence card: unigram KL/JS between the en stratum and
+    // the rest, add-one smoothing over the union vocabulary; the oracle
+    // replays the token counts, the smoothing, and all three sums.
+    QueryDef("p46_corpus_divergence",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        TextAnalysis.corpusDivergence(
+          docs.where(col("lang") === "en"), "text",
+          docs.where(col("lang") =!= "en"), "text")
+      },
+      Some("""WITH ta AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'), x -> x <> '')) AS term
+             |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE lang = 'en'
+             |), tb AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'), x -> x <> '')) AS term
+             |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE lang <> 'en'
+             |), ca AS (SELECT term, COUNT(*) AS ca FROM ta GROUP BY term
+             |), cb AS (SELECT term, COUNT(*) AS cb FROM tb GROUP BY term
+             |), j AS (
+             |  SELECT COALESCE(ca.term, cb.term) AS term,
+             |         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+             |  FROM ca FULL OUTER JOIN cb USING (term)
+             |), s AS (
+             |  SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS v FROM j
+             |), pq AS (
+             |  SELECT (ca + 1.0) / (na + v) AS p, (cb + 1.0) / (nb + v) AS q
+             |  FROM j, s
+             |)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+             |       ROUND(SUM(p * ln(p / q)), 6) AS kl_pq,
+             |       ROUND(SUM(q * ln(q / p)), 6) AS kl_qp,
+             |       ROUND(SUM(p / 2 * ln(p / ((p + q) / 2))
+             |                 + q / 2 * ln(q / ((p + q) / 2))), 6) AS js
+             |FROM pq""".stripMargin)),
+
     // Within-doc repeated-span removal (keep-first): 3-token windows
     // repeating an earlier start in the SAME doc are cut; the oracle
     // replays dense positions, per-(doc,span) first starts, covered

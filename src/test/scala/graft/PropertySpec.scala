@@ -248,4 +248,23 @@ class PropertySpec extends SparkSpec {
       assert(a.map { case (x, y, z) => (x, y, z) } == b)
     }
   }
+
+  test("corpusDivergence: JS is symmetric, KL arguments swap") {
+    import graft.pipeline.TextAnalysis
+    val gen = Gen.listOfN(12,
+      Gen.oneOf("red", "green", "blue", "cyan", "teal", "plum"))
+    val corpora = samples(gen, 6).map(_.mkString(" "))
+    corpora.grouped(2).collect { case Seq(x, y) => (x, y) }.foreach {
+      case (x, y) =>
+        val a = Seq((1L, x)).toDF("doc_id", "text")
+        val b = Seq((1L, y)).toDF("doc_id", "text")
+        val ab = TextAnalysis.corpusDivergence(a, "text", b, "text").head()
+        val ba = TextAnalysis.corpusDivergence(b, "text", a, "text").head()
+        // the divergence card must be order-consistent: swapping the
+        // corpora swaps the KL directions and leaves JS unchanged
+        assert(ab.getDouble(3) == ba.getDouble(3), s"JS asymmetric: $ab vs $ba")
+        assert(ab.getDouble(1) == ba.getDouble(2) &&
+          ab.getDouble(2) == ba.getDouble(1), s"KL swap broken: $ab vs $ba")
+    }
+  }
 }

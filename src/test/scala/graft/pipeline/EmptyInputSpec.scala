@@ -49,6 +49,29 @@ class EmptyInputSpec extends SparkSpec {
     assert(Curation.chunkDocuments(blank, "doc_id", "text", 16).count() == 0)
   }
 
+  test("r9 operators honor the degenerate-input contracts") {
+    // quality rules / stats: empty in, empty out; null text scores as
+    // the 0-word doc, not a crash
+    assert(TextAnalysis.gopherQualityRules(emptyDocs, "doc_id", "text").count() == 0)
+    val nullText = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val g = TextAnalysis.gopherQualityRules(nullText, "doc_id", "text").head()
+    assert(!g.getBoolean(6), "a null-text doc cannot pass the word floor")
+    assert(TextAnalysis.corpusStats(
+      Seq.empty[(String, String)].toDF("lang", "text"), "text", "lang").count() == 0)
+    // span surgery and fuzzy decon: empty corpus in, empty out
+    assert(Dedup.removeRepeatedSpans(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.fuzzyDecontaminate(emptyDocs, "doc_id", "text",
+      emptyDocs, "doc_id", "text").count() == 0)
+    // a non-empty corpus fully survives an EMPTY blocklist
+    val docs = Seq((1L, "some words here repeated words here")).toDF("doc_id", "text")
+    assert(Dedup.fuzzyDecontaminate(docs, "doc_id", "text",
+      emptyDocs, "doc_id", "text").count() == 1)
+    // split on empty: empty out (and the schema still carries `split`)
+    val s = Curation.splitCorpus(emptyDocs, "doc_id", Seq("a" -> 1.0))
+    assert(s.count() == 0 && s.columns.contains("split"))
+    OperatorCache.releaseAll(spark)
+  }
+
   test("semantic decontamination with an empty blocklist keeps everything") {
     val vecs = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
     assert(Similarity.semanticDecontaminate(vecs, "embedding",

@@ -170,6 +170,28 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == "en")
   }
 
+  test("corpusDivergence: zero on identical corpora, bounded near ln2 when disjoint") {
+    val a = Seq((1L, "alpha beta gamma alpha"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val same = TextAnalysis.corpusDivergence(a, "text", a, "text").head()
+    assert(same.getDouble(1) == 0.0 && same.getDouble(2) == 0.0 &&
+      same.getDouble(3) == 0.0, s"identical corpora must diverge by 0, got $same")
+    // token counts large enough that add-one smoothing is negligible
+    // (at ~5 tokens per corpus the smoothed mass flattens both
+    // distributions and JS drops to ~0.1 even for disjoint vocab)
+    val big = Seq((1L, Seq.fill(100)("alpha beta gamma delta").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bigB = Seq((1L, Seq.fill(100)("epsilon zeta eta theta").mkString(" ")))
+      .toDF("doc_id", "text")
+    val far = TextAnalysis.corpusDivergence(big, "text", bigB, "text").head()
+    // union vocab of 8 terms
+    assert(far.getLong(0) == 8)
+    // JS is bounded by ln 2 and approaches it for disjoint vocabularies
+    assert(far.getDouble(3) > 0.6 && far.getDouble(3) < math.log(2.0),
+      s"JS out of range: ${far.getDouble(3)}")
+    assert(far.getDouble(1) > 0 && far.getDouble(2) > 0)
+  }
+
   test("removeRepeatedSpans: keep-first within a doc; cross-doc repeats untouched") {
     val d = Seq(
       // "a b c" repeats at pos 3 → positions 3..5 cut, first stays
