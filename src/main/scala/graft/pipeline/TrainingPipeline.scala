@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The canonical corpus → training-data flow, composed from this
+  * package's operators in the published pipeline order (C4 / Gopher /
+  * RefinedWeb lineage): quality floors → rule screens →
+  * decontamination → near-dup dedup → span surgery → reproducible
+  * split. One entry point so a user gets the whole flow with one call
+  * while every stage stays individually available (and individually
+  * oracle-checked) — composition here is frame-to-frame, nothing is
+  * re-implemented.
+  *
+  * Every stage is DECLARATIVE: the composed result is one lazy plan
+  * per stage boundary, shuffles only where the member operators
+  * shuffle (their scaladocs carry the per-operator scale shapes), and
+  * the whole flow inherits the OperatorCache lifecycle — call
+  * `OperatorCache.releaseAll` after materializing the result.
+  */
+object TrainingPipeline {
+
+  /** @param minQuality   [[TextAnalysis.qualityScore]] floor (0 disables)
+    * @param languages    language allowlist; empty keeps all
+    * @param minWords     Gopher word-count floor (0 disables the rule
+    *                     screen entirely)
+    * @param blocklist    optional (frame, idCol, textCol) to fuzzy-
+    *                     decontaminate against (banded LSH + exact
+    *                     Jaccard ≥ deconThreshold)
+    * @param deconThreshold Jaccard threshold for the blocklist screen
+    * @param dedupThreshold near-dup dedup threshold (≥ 1.0 disables)
+    * @param spanK        cross-doc shared-span window (0 disables);
+    *                     also used for the within-doc repeat window
+    * @param splits       [[Curation.splitCorpus]] weights; empty
+    *                     disables the split column
+    * @return (idCol, textCol, split?) — text rewritten by the span
+    *         surgery stages when enabled
+    */
+  def curate(
+      docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.3,
+      languages: Set[String] = Set.empty,
+      minWords: Long = 40,
+      blocklist: Option[(DataFrame, String, String)] = None,
+      deconThreshold: Double = 0.7,
+      dedupThreshold: Double = 0.8,
+      spanK: Int = 8,
+      splits: Seq[(String, Double)] = Seq(
+        "train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+  ): DataFrame = {
+    // 1. quality floor + language allowlist + near-dup dedup — the
+    //    composed cleanCorpus stage (one scoring pass, banded dedup)
+    val cleaned = TextAnalysis.cleanCorpus(docs, idCol, textCol,
+      minQuality = minQuality, languages = languages,
+      dedupThreshold = dedupThreshold)
+
+    // 2. Gopher rule screen: keep docs passing every rule (semi-join on
+    //    the rule frame — the rules are map-only, the join is id-keyed)
+    val screened =
+      if (minWords <= 0) cleaned
+      else cleaned.join(
+        TextAnalysis.gopherQualityRules(cleaned, idCol, textCol,
+          minWords = minWords)
+          .where(col("pass")).select(col("doc").as("__pass_doc")),
+        cleaned(idCol) === col("__pass_doc"), "left_semi")
+
+    // 3. fuzzy decontamination against the eval blocklist
+    val decontaminated = blocklist match {
+      case Some((bl, bId, bText)) =>
+        Dedup.fuzzyDecontaminate(screened, idCol, textCol,
+          bl, bId, bText, threshold = deconThreshold)
+      case None => screened
+    }
+
+    // 4. span surgery: cut cross-doc boilerplate, then within-doc
+    //    repetition, over the surviving docs; the operators emit
+    //    (doc, text_clean, ...) — fold the rewritten text back under
+    //    the caller's column names
+    val surgered =
+      if (spanK <= 0) decontaminated
+      else {
+        val cross = Dedup.removeSharedSpans(
+          decontaminated, idCol, textCol, k = spanK)
+          .select(col("doc").as(idCol), col("text_clean").as(textCol))
+        Dedup.removeRepeatedSpans(cross, idCol, textCol, k = spanK)
+          .select(col("doc").as(idCol), col("text_clean").as(textCol))
+      }
+    val projected =
+      if (spanK <= 0) surgered.select(col(idCol), col(textCol))
+      else surgered
+
+    // 5. reproducible split
+    if (splits.isEmpty) projected
+    else Curation.splitCorpus(projected, idCol, splits)
+  }
+}

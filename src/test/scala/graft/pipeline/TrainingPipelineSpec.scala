@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end contract of the composed curation flow: each stage's
+  * effect is visible on a corpus constructed to trip exactly one stage
+  * per doc, and the composition introduces no surprises a member
+  * operator doesn't have (schema, determinism, cache lifecycle).
+  */
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    // survives everything
+    (1L, ("the quick brown fox jumps over the lazy dog and then walks " +
+      "through the quiet green field before the early morning light")),
+    // near-dup of 1 → dropped by the dedup stage (higher id loses)
+    (2L, ("the quick brown fox jumps over the lazy dog and then walks " +
+      "through the quiet green field before the early morning lights")),
+    // word-salad punct soup → dropped by the quality floor
+    (3L, "!!! ??? ... !!! ??? ... !!! ??? ... !!!"),
+    // too short → dropped by the Gopher word floor
+    (4L, "the small short text here"),
+    // near-dup of the eval blocklist → dropped by fuzzy decon
+    (5L, ("every question in the held out evaluation set appears here " +
+      "word for word with the answers attached to each of them today")),
+  ).toDF("doc_id", "text")
+
+  private def blocklist = Seq(
+    (900L, ("every question in the held out evaluation set appears here " +
+      "word for word with the answers attached to each of them now")),
+  ).toDF("doc_id", "text")
+
+  test("each stage drops exactly its target; survivors carry a split") {
+    val out = TrainingPipeline.curate(
+      corpus, "doc_id", "text",
+      minQuality = 0.3, minWords = 10,
+      blocklist = Some((blocklist, "doc_id", "text")),
+      deconThreshold = 0.5, dedupThreshold = 0.7, spanK = 8)
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L),
+      s"expected only doc 1 to survive, got ${rows.map(_.getLong(0)).toSeq}")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "split"))
+    assert(Set("train", "val", "test").contains(rows.head.getString(2)))
+    // the surviving text is the rewritten (span-surgered) stream — doc 1
+    // has no cross-doc or within-doc 8-gram repeats, so it round-trips
+    // to its normalized token stream
+    assert(rows.head.getString(1).startsWith("the quick brown fox"))
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("stage toggles: disabled stages pass their docs through") {
+    // everything off → only the quality floor at 0 + no screens: all
+    // docs survive with their original ids, no split column
+    val out = TrainingPipeline.curate(
+      corpus, "doc_id", "text",
+      minQuality = 0.0, minWords = 0, blocklist = None,
+      dedupThreshold = 1.1, spanK = 0, splits = Seq.empty)
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    assert(out.count() == 5)
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("composition is deterministic: two runs produce identical results") {
+    def run() = TrainingPipeline.curate(
+      corpus, "doc_id", "text", minWords = 10,
+      blocklist = Some((blocklist, "doc_id", "text")),
+      deconThreshold = 0.5, dedupThreshold = 0.7)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val a = run(); OperatorCache.releaseAll(spark)
+    val b = run(); OperatorCache.releaseAll(spark)
+    assert(a == b)
+  }
+}
