@@ -468,11 +468,21 @@ object Similarity {
     * Training input is deliberately NOT widened (see [[residualFrame]]).
     */
   def trainPqResidual(corpus: DataFrame, idCol: String, vecCol: String,
-      coarse: IvfIndex, m: Int, k: Int, iters: Int = 2): Seq[IvfIndex] =
-    trainPq(
+      coarse: IvfIndex, m: Int, k: Int, iters: Int = 2): Seq[IvfIndex] = {
+    // LAZY persist (not the eager barrier): each subspace's Lloyd loop
+    // scans this frame iters+1 times and every scan would otherwise
+    // re-run the coarse assignment's k·dim dot products per row — but
+    // the training collects are strictly sequential, so the first pass
+    // populates the cache with no concurrent consumer to race (the
+    // barrier form would add a pass for nothing). Caching preserves
+    // partitioning and in-partition order, so the mean trajectory the
+    // oracle replays is unchanged — the thing that must never happen to
+    // a Lloyd input is REPARTITIONING, not caching.
+    val res = OperatorCache.persist(
       residualFrame(corpus, vecCol, coarse, widen = false)
-        .select(col(idCol), col("__res")),
-      idCol, "__res", m, k, iters)
+        .select(col(idCol), col("__res")))
+    trainPq(res, idCol, "__res", m, k, iters)
+  }
 
   /** Residual IVF-PQ search. With the inner-product metric the ADC
     * decomposes as dot(q, v) ≈ dot(q, c_cell) + Σ_s dot(q_s,
