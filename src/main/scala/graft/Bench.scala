@@ -41,7 +41,8 @@ object Bench {
     "p36_sample_token_budget", "p37_encode_tokens", "p38_ann_pq",
     "p39_ann_ivfpq", "p40_quality_rules", "p41_corpus_stats",
     "p42_ann_ivfpq_residual", "p43_split_corpus", "p44_fuzzy_decontaminate",
-    "p45_remove_repeated_spans", "p46_corpus_divergence")
+    "p45_remove_repeated_spans", "p46_corpus_divergence",
+    "p47_dedup_report")
 
   /** Jobs started/ended + stages completed, maintained by [[counting]].
     * Listener delivery is asynchronous; [[settle]] waits for the bus to

@@ -886,6 +886,26 @@ object Dedup {
     df.join(dropped, col(idCol) === col("__drop"), "left_anti")
   }
 
+  /** Near-dup cluster AUDIT report: (label, cluster_size) per
+    * non-trivial cluster — the artifact a dedup run logs so the
+    * "how much did we collapse" question is answerable without
+    * re-deriving anything (dedup runs publish the histogram; the
+    * representative id IS the label). Same pipeline as
+    * [[dedupNearDuplicates]] up to the cluster labels, then one
+    * label-keyed count.
+    */
+  def dedupReport(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+  ): DataFrame =
+    nearDupClusters(
+      minhashNearDups(df, idCol, textCol, threshold, shingleK, numHashes, bands))
+      .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      // every edge-connected component has ≥ 2 members; the guard is
+      // semantic (a "cluster" of one is not a cluster), not load-bearing
+      .where(col("cluster_size") > 1)
+
   /** Embedding-cosine near-dup: LSH-bucketed candidates (sign-random-
     * projection) verified by exact cosine ≥ threshold. See Similarity for
     * the bucketing; no all-pairs.

@@ -1223,6 +1223,22 @@ object PipelineQueries {
              |) r USING (doc_id)
              |ORDER BY doc""".stripMargin)),
 
+    // Dedup audit report: (label, cluster_size) per non-trivial
+    // cluster; the oracle reuses the recursive-CTE component labels and
+    // groups them.
+    QueryDef("p47_dedup_report",
+      (s, dir) => Dedup.dedupReport(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", threshold = 0.7)
+        .orderBy("label"),
+      Some("""WITH RECURSIVE corpus AS (
+             |  SELECT doc_id, text FROM read_parquet('{SFDIR}/documents.parquet')
+             |), """.stripMargin + ccDedupTail("0.7") +
+        """
+          |SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          |FROM labels GROUP BY label HAVING COUNT(*) > 1
+          |ORDER BY label""".stripMargin)),
+
     // Corpus-divergence card: unigram KL/JS between the en stratum and
     // the rest, add-one smoothing over the union vocabulary; the oracle
     // replays the token counts, the smoothing, and all three sums.

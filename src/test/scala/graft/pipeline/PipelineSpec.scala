@@ -170,6 +170,23 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == "en")
   }
 
+  test("dedupReport: cluster histogram carries (representative, size) per real cluster") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "an entirely different document about catalyst plan optimization"),
+      (5L, "an entirely different document about catalyst plan optimization"),
+      (6L, "a singleton with no duplicate partner anywhere in this corpus"),
+    ).toDF("doc_id", "text")
+    val rep = Dedup.dedupReport(d, "doc_id", "text", threshold = 0.9)
+      .orderBy("label").collect().map(r => r.getLong(0) -> r.getLong(1))
+    // two clusters, labeled by their min id, sized 3 and 2; the
+    // singleton never appears
+    assert(rep.toSeq == Seq(1L -> 3L, 4L -> 2L), s"got ${rep.toSeq}")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("corpusDivergence: zero on identical corpora, bounded near ln2 when disjoint") {
     val a = Seq((1L, "alpha beta gamma alpha"), (2L, "beta gamma delta"))
       .toDF("doc_id", "text")
