@@ -247,8 +247,11 @@ object TextAnalysis {
       count(lit(1)).as("n_docs"),
       sum("n_toks").as("n_tokens"),
       round(avg("n_toks"), 6).as("mean_tokens"),
-      pct(0.5).as("p50_tokens"),
-      pct(0.9).as("p90_tokens"))
+      // Rounded like mean_tokens: linear interpolation x + f*(y-x) vs
+      // x*(1-f) + f*y differs in the last ulp across engines, which
+      // breaks exact hash-compare against a quantile_cont oracle.
+      round(pct(0.5), 6).as("p50_tokens"),
+      round(pct(0.9), 6).as("p90_tokens"))
   }
 
   /** Unigram-distribution divergence between two corpora — the

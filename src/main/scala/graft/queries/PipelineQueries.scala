@@ -1581,8 +1581,8 @@ object PipelineQueries {
              |)
              |SELECT stratum, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
              |       ROUND(AVG(n_toks), 6) AS mean_tokens,
-             |       quantile_cont(n_toks, 0.5) AS p50_tokens,
-             |       quantile_cont(n_toks, 0.9) AS p90_tokens
+             |       ROUND(quantile_cont(n_toks, 0.5), 6) AS p50_tokens,
+             |       ROUND(quantile_cont(n_toks, 0.9), 6) AS p90_tokens
              |FROM t GROUP BY stratum ORDER BY stratum""".stripMargin)),
   )
 }
