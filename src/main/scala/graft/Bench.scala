@@ -1,8 +1,8 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
@@ -11,15 +11,21 @@ import org.apache.spark.sql.SparkSession
   * and under-measure expression-heavy queries); failures carry an "err"
   * marker instead of silently folding into the total.
   *
-  * SELF-ATTRIBUTION: a listener counts jobs/stages per timed run and the
-  * JSON carries them under "attribution" (the "queries" map stays plain
-  * seconds for the driver's comparison). A slow run whose job/stage
-  * counts match the fast run's did the SAME work slower (box load, GC,
-  * neighbors); a slow run with MORE jobs recomputed something — e.g. the
-  * r6/r7 broadcast-cache race whose signature was duplicate collect_set
-  * jobs. r8's p13 dispute (driver 6.46s vs builder/judge ~1.9s) was
-  * undecidable precisely because the bench recorded a number with no
-  * evidence of what ran; now every run carries its own.
+  * SELF-ATTRIBUTION: a listener counts jobs/stages AND sums task-level
+  * executor GC / CPU time per timed run. A slow run whose job/stage
+  * counts match the fast run's did the SAME work slower — and the GC/CPU
+  * numbers now say WHY: a GC delta that covers the wall-clock delta is a
+  * heap-pressure artifact (r9's p44 paid 49.8s cold vs 3.9s warm on
+  * identical 13 jobs with nothing in the record to show it); a CPU delta
+  * without GC is neighbors/frequency. A job-count delta still means
+  * recomputation (the r6/r7 broadcast-cache race signature).
+  *
+  * OUTPUT CONTRACT (r9 lesson): the driver protocol keeps only the LAST
+  * 2,000 chars of output. r9 embedded the attribution blob in the single
+  * result line and the totals were truncated away — the official record
+  * for p01–p27 survived nowhere. Now the attribution JSON goes to its
+  * own EARLIER line plus a file (bench/attribution.json), and the
+  * compact totals line — the driver's comparison record — prints LAST.
   */
 object Bench {
   // Headline set: one per operator family, the plans worth defending at
@@ -42,30 +48,35 @@ object Bench {
     "p39_ann_ivfpq", "p40_quality_rules", "p41_corpus_stats",
     "p42_ann_ivfpq_residual", "p43_split_corpus", "p44_fuzzy_decontaminate",
     "p45_remove_repeated_spans", "p46_corpus_divergence",
-    "p47_dedup_report")
+    "p47_dedup_report", "p48_bpe_encode", "p49_curate_e2e",
+    "p50_remove_shared_substrings")
 
-  /** Jobs started/ended + stages completed, maintained by [[counting]].
-    * Listener delivery is asynchronous; [[settle]] waits for the bus to
-    * drain (started == ended, stable for 200 ms) so per-run deltas are
-    * exact rather than off by whatever the bus still holds.
+  /** Jobs started/ended + stages completed + task GC/CPU sums, maintained
+    * by [[counting]]. Listener delivery is asynchronous; [[settle]] waits
+    * for the bus to drain (started == ended, all counters stable for
+    * 200 ms) so per-run deltas are exact rather than off by whatever the
+    * bus still holds.
     */
   private final class Counts {
     val jobsStarted = new AtomicInteger(0)
     val jobsEnded = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
-    def settle(): (Int, Int) = {
+    val gcMs = new AtomicLong(0L)
+    val cpuNs = new AtomicLong(0L)
+    def settle(): (Int, Int, Long, Long) = {
       val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-      var last = (-1, -1, -1)
+      var last = (-1, -1, -1, -1L, -1L)
       var stableSince = System.nanoTime()
       while (System.nanoTime() < deadline) {
-        val now = (jobsStarted.get(), jobsEnded.get(), stages.get())
+        val now = (jobsStarted.get(), jobsEnded.get(), stages.get(),
+          gcMs.get(), cpuNs.get())
         if (now != last) { last = now; stableSince = System.nanoTime() }
         else if (now._1 == now._2 &&
             System.nanoTime() - stableSince > 200L * 1000 * 1000)
-          return (now._2, now._3)
+          return (now._2, now._3, now._4, now._5)
         Thread.sleep(20)
       }
-      (jobsEnded.get(), stages.get())
+      (jobsEnded.get(), stages.get(), gcMs.get(), cpuNs.get())
     }
   }
 
@@ -78,6 +89,14 @@ object Bench {
         c.jobsEnded.incrementAndGet()
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         c.stages.incrementAndGet()
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        // metrics are null for tasks that died before launching
+        val m = te.taskMetrics
+        if (m != null) {
+          c.gcMs.addAndGet(m.jvmGCTime)
+          c.cpuNs.addAndGet(m.executorCpuTime)
+        }
+      }
     })
     c
   }
@@ -128,18 +147,18 @@ object Bench {
     // 9.8× across the 35-query session, and run-2 re-persists of a plan
     // run 1 left cached skewed the min toward a state no single call
     // ever sees.) So each number is the cold cost one user call pays.
-    final case class Run(sec: Double, jobs: Int, stages: Int)
+    final case class Run(sec: Double, jobs: Int, stages: Int, gcMs: Long, cpuMs: Long)
     val results: Seq[(String, Either[String, Seq[Run]])] = headline
       .filter(qs.contains)
       .map { name =>
         def once(): Either[String, Run] = {
-          val (j0, s0) = counts.settle()
+          val (j0, s0, g0, c0) = counts.settle()
           val t0 = System.nanoTime()
           try {
             qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
             val sec = (System.nanoTime() - t0) / 1e9
-            val (j1, s1) = counts.settle()
-            Right(Run(sec, j1 - j0, s1 - s0))
+            val (j1, s1, g1, c1) = counts.settle()
+            Right(Run(sec, j1 - j0, s1 - s0, g1 - g0, (c1 - c0) / 1000000L))
           } catch {
             case e: Throwable => Left(e.getClass.getSimpleName)
           } finally {
@@ -159,17 +178,26 @@ object Bench {
           case (Left(_), Right(b))  => Right(Seq(b))
           case (Left(e), _)         => Left(e)
         }
-        // divergent runs get flagged at the point of measurement: same
-        // job count ⇒ same plan executed, the slowness is environmental;
-        // a job-count delta ⇒ something recomputed and the counts say
-        // which run to profile
+        // divergent runs get flagged at the point of measurement: a
+        // job-count delta means something recomputed; same jobs means
+        // the same plan ran slower, and the task metrics say why —
+        // when the slow run's extra GC covers most of the wall delta
+        // it's heap pressure, otherwise box load / frequency / neighbors
         r.foreach { runs =>
-          if (runs.size == 2 && runs.map(_.sec).max > 1.5 * runs.map(_.sec).min)
+          if (runs.size == 2 && runs.map(_.sec).max > 1.5 * runs.map(_.sec).min) {
+            val Seq(r1, r2) = runs
+            val (fast, slow) = if (r1.sec <= r2.sec) (r1, r2) else (r2, r1)
+            val cause =
+              if (r1.jobs != r2.jobs) "JOB COUNT DIFFERS, recomputation"
+              else if ((slow.gcMs - fast.gcMs).toDouble >
+                  0.5 * (slow.sec - fast.sec) * 1000)
+                f"same jobs, environmental (GC ${slow.gcMs}ms vs ${fast.gcMs}ms)"
+              else
+                f"same jobs, environmental (cpu ${slow.cpuMs}ms vs ${fast.cpuMs}ms)"
             System.err.println(
-              f"[bench] $name diverged: run1 ${runs(0).sec}%.2fs/${runs(0).jobs} jobs, " +
-                f"run2 ${runs(1).sec}%.2fs/${runs(1).jobs} jobs — " +
-                (if (runs(0).jobs == runs(1).jobs) "same jobs, environmental"
-                 else "JOB COUNT DIFFERS, recomputation"))
+              f"[bench] $name diverged: run1 ${r1.sec}%.2fs/${r1.jobs} jobs, " +
+                f"run2 ${r2.sec}%.2fs/${r2.jobs} jobs — " + cause)
+          }
         }
         name -> r
       }
@@ -181,13 +209,24 @@ object Bench {
     }.mkString("{", ",", "}")
     val attrJson = results.collect { case (k, Right(runs)) =>
       val rs = runs.map(r =>
-        s"""{"sec":${math.round(r.sec * 1000) / 1000.0},"jobs":${r.jobs},"stages":${r.stages}}""")
+        s"""{"sec":${math.round(r.sec * 1000) / 1000.0},"jobs":${r.jobs},"stages":${r.stages},"gcMs":${r.gcMs},"cpuMs":${r.cpuMs}}""")
       s""""$k":[${rs.mkString(",")}]"""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(runs)) => runs.map(_.sec).min }.sum
     val nErr = results.count(_._2.isLeft)
+    // attribution: own line (NOT in the totals line) + best-effort file,
+    // so the per-query evidence survives even when the driver keeps only
+    // the output tail
+    val attrLine = s"""{"metric":"attribution","runs":$attrJson,"sf":"$sfDir"}"""
+    println(attrLine)
+    try {
+      val dir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("attribution.json"), attrLine)
+    } catch { case _: Throwable => () }
+    // the compact totals line is the official record — print it LAST
     println(
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qJson,"errors":$nErr,"attribution":$attrJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qJson,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

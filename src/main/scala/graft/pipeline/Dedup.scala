@@ -265,22 +265,71 @@ object Dedup {
     * enough shingle MASS, the standard fuzzy-decon step of public
     * pretraining pipelines.
     *
-    * Scale shape: the corpus side pays one shingle pass (materialized —
-    * its banded-signature and shingle-set aggregates run as concurrent
-    * independent stages, the cache-race class OperatorCache.materialize
-    * exists for), and every blocklist-derived frame (banded signatures,
-    * verification sets) is broadcast — bounded by the blocklist, which
-    * is eval-sized by definition. Candidates come from the banded
-    * equi-join (corpus bands ⋈ blocklist bands — never a crossJoin);
-    * verification is exact Jaccard on the candidate pairs only. Banding
-    * recall at `threshold` follows the [[minhashNearDups]] parameters.
+    * RECALL CONTRACT: decontamination is safety-relevant — a missed
+    * contaminated doc silently poisons evals, unlike near-dup dedup
+    * where a missed pair only costs compression. So when the blocklist
+    * is small enough (`exactMaxBlocklistDocs`, counted at construction —
+    * one cheap job over the eval-sized frame), the screen runs an EXACT
+    * inverted-index path with TOTAL recall: corpus shingles equi-join
+    * the broadcast blocklist shingle postings, shared-shingle counts per
+    * (corpus doc, blocklist doc) pair, then exact Jaccard from the set
+    * sizes — any pair with Jaccard > 0 shares ≥ 1 shingle, so every
+    * qualifying pair is found by construction. No crossJoin: the join is
+    * shingle-keyed, and pair fan-out is bounded by the blocklist's
+    * postings.
+    *
+    * Above the bound, the banded-LSH path runs (corpus bands ⋈ broadcast
+    * blocklist bands — never a crossJoin; exact Jaccard only on
+    * candidates) and the expected banding recall at `threshold`,
+    * 1 − (1 − t^r)^b with r = numHashes/bands, is logged so the false-
+    * negative rate is explicit rather than implicit (~89% at the 0.7
+    * default — raise numHashes to tighten it).
+    *
+    * Scale shape (both paths): the corpus pays one shingle pass; every
+    * blocklist-derived frame is broadcast — bounded by the blocklist,
+    * which is eval-sized by definition. EAGERNESS: the path choice
+    * counts the blocklist at operator-construction time.
     */
   def fuzzyDecontaminate(
       corpus: DataFrame, idCol: String, textCol: String,
       blocklist: DataFrame, blockIdCol: String, blockTextCol: String,
       threshold: Double = 0.7, shingleK: Int = 3,
       numHashes: Int = 32, bands: Int = 8,
+      exactMaxBlocklistDocs: Long = 100000L,
   ): DataFrame = {
+    if (blocklist.count() <= exactMaxBlocklistDocs) {
+      // EXACT path — total recall. Distinct (doc, shingle) postings on
+      // both sides; the corpus postings feed two consumers (per-doc set
+      // sizes + the probe join, one side of which plans as a broadcast
+      // exchange job) → materialize, the cache-race class
+      // OperatorCache.materialize exists for.
+      val postC = OperatorCache.materialize(
+        shingleRows(corpus, idCol, textCol, shingleK)
+          .select(col("doc").as("__cdoc"), col("shingle")).distinct())
+      val sizeC = postC.groupBy("__cdoc").agg(count(lit(1)).as("__csz"))
+      val postB = shingleRows(blocklist, blockIdCol, blockTextCol, shingleK)
+        .select(col("doc").as("__bdoc"), col("shingle")).distinct()
+      val sizeB = postB.groupBy("__bdoc").agg(count(lit(1)).as("__bsz"))
+      val shared = postC.join(broadcast(postB), Seq("shingle"))
+        .groupBy("__cdoc", "__bdoc").agg(count(lit(1)).as("__shared"))
+      val contaminated = shared
+        .join(sizeC, "__cdoc")
+        .join(broadcast(sizeB), "__bdoc")
+        .where(round(col("__shared").cast("double") /
+          (col("__csz") + col("__bsz") - col("__shared")).cast("double"), 6)
+          >= threshold)
+        .select(col("__cdoc")).distinct()
+      // no broadcast hint on the contaminated id set: bounded by the
+      // CORPUS (every doc near a blocklist entry) — AQE decides
+      return corpus.join(contaminated, corpus(idCol) === col("__cdoc"), "left_anti")
+    }
+    val r = numHashes / bands
+    val recall = 1.0 - math.pow(1.0 - math.pow(threshold, r), bands)
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      f"fuzzyDecontaminate: blocklist exceeds exactMaxBlocklistDocs=$exactMaxBlocklistDocs; " +
+        f"banded-LSH path (numHashes=$numHashes, bands=$bands) has expected " +
+        f"recall $recall%.4f for pairs at threshold=$threshold — raise numHashes " +
+        "to tighten, or raise exactMaxBlocklistDocs for total recall")
     val shC = OperatorCache.materialize(
       shingleRows(corpus, idCol, textCol, shingleK))
     val shB = shingleRows(blocklist, blockIdCol, blockTextCol, shingleK)

@@ -24,9 +24,19 @@ object TrainingPipeline {
     * @param languages    language allowlist; empty keeps all
     * @param minWords     Gopher word-count floor (0 disables the rule
     *                     screen entirely)
+    * @param minStopwordHits floor for the Gopher ENGLISH stopword rule
+    *                     (hits of the/be/to/of/and/that/have/with). −1 =
+    *                     auto: 2 when the language allowlist is
+    *                     English-only (the Gopher default), 0 — rule
+    *                     disabled — otherwise, because on a multilingual
+    *                     corpus the English-word test would silently
+    *                     drop most non-English docs at the rule stage
+    *                     (the rest of the screen is language-neutral)
     * @param blocklist    optional (frame, idCol, textCol) to fuzzy-
-    *                     decontaminate against (banded LSH + exact
-    *                     Jaccard ≥ deconThreshold)
+    *                     decontaminate against (exact inverted-index
+    *                     Jaccard for eval-sized blocklists, banded LSH +
+    *                     exact Jaccard above the size bound —
+    *                     ≥ deconThreshold either way)
     * @param deconThreshold Jaccard threshold for the blocklist screen
     * @param dedupThreshold near-dup dedup threshold (≥ 1.0 disables)
     * @param spanK        cross-doc shared-span window (0 disables);
@@ -41,6 +51,7 @@ object TrainingPipeline {
       minQuality: Double = 0.3,
       languages: Set[String] = Set.empty,
       minWords: Long = 40,
+      minStopwordHits: Long = -1L,
       blocklist: Option[(DataFrame, String, String)] = None,
       deconThreshold: Double = 0.7,
       dedupThreshold: Double = 0.8,
@@ -55,12 +66,18 @@ object TrainingPipeline {
       dedupThreshold = dedupThreshold)
 
     // 2. Gopher rule screen: keep docs passing every rule (semi-join on
-    //    the rule frame — the rules are map-only, the join is id-keyed)
+    //    the rule frame — the rules are map-only, the join is id-keyed).
+    //    The stopword rule is English-specific, so it only arms itself
+    //    when the allowlist guarantees an English corpus (see param doc).
+    val stopHits =
+      if (minStopwordHits >= 0) minStopwordHits
+      else if (languages.nonEmpty && languages.subsetOf(Set("en"))) 2L
+      else 0L
     val screened =
       if (minWords <= 0) cleaned
       else cleaned.join(
         TextAnalysis.gopherQualityRules(cleaned, idCol, textCol,
-          minWords = minWords)
+          minWords = minWords, minStopwordHits = stopHits)
           .where(col("pass")).select(col("doc").as("__pass_doc")),
         cleaned(idCol) === col("__pass_doc"), "left_semi")
 
