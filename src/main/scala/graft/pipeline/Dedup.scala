@@ -535,6 +535,72 @@ object Dedup {
     rebuildUncovered(toks, covered)
   }
 
+  /** ANY-LENGTH exact shared-substring removal (the ExactSubstr family,
+    * Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    * Better" — public method): delete every token inside a MAXIMAL
+    * cross-document shared token run of length ≥ `minLen`, for any run
+    * length — unlike [[removeSharedSpans]]'s contract, which is stated
+    * in fixed k-windows.
+    *
+    * EQUIVALENCE (why this is the k = minLen covered set and not a new
+    * dataflow — e.g. a suffix-array build): a shared run of length
+    * M ≥ L has every one of its M − L + 1 L-token sub-windows shared
+    * too (a substring of a shared string is shared with the same doc),
+    * and each of the run's tokens lies inside at least one such window
+    * — the token at run offset j is covered by windows starting in
+    * [max(0, j − L + 1), min(j, M − L)], nonempty for all 0 ≤ j < M
+    * when M ≥ L. Conversely every shared L-window IS a shared run of
+    * length ≥ L. So {tokens in shared runs of length ≥ L} = the union
+    * of shared L-window positions — exactly the covered set the
+    * fixed-k operator deletes, with the covered-position `distinct`
+    * merging overlapping windows into maximal runs for free.
+    *
+    * The output carries `n_runs_removed` — the number of MAXIMAL
+    * removed runs per doc (a covered position opens a run iff its
+    * predecessor position is not covered) — so the run-level semantics
+    * are independently checkable: the oracle derives the same number
+    * via gaps-and-islands over its own covered set, and every removed
+    * run is ≥ minLen tokens by the equivalence above.
+    *
+    * Scale shape: [[removeSharedSpans]]'s (all hash equi-operations,
+    * bounded ×minLen explode) plus one doc-keyed lag window over the
+    * covered set. The covered set gains a second consumer (the run
+    * counter next to the reassembly anti-join, shuffling on different
+    * keys), so it is materialized under `persistToks` — narrow
+    * (doc, pos) pairs, bounded by the corpus token count.
+    *
+    * @return (doc, text_clean, n_tokens_kept, n_tokens_dropped,
+    *         n_runs_removed)
+    */
+  def removeSharedSubstrings(
+      df: DataFrame, idCol: String, textCol: String, minLen: Int = 8,
+      persistToks: Boolean = true,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen >= 1, s"minLen must be >= 1: $minLen")
+    val toks = if (persistToks)
+      OperatorCache.materialize(densePositionedTokens(df, idCol, textCol))
+    else densePositionedTokens(df, idCol, textCol)
+    val win = spanWindows(toks, minLen)
+    val sharedSpans = win.select("doc", "span").distinct()
+      .groupBy("span").agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") > 1).select("span")
+    val covered0 = win.join(sharedSpans, "span")
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + (minLen - 1))).as("pos"))
+      .distinct()
+    val covered = if (persistToks) OperatorCache.materialize(covered0) else covered0
+    val byPos = Window.partitionBy("doc").orderBy("pos")
+    val runs = covered
+      .withColumn("__prev", lag(col("pos"), 1).over(byPos))
+      .groupBy("doc")
+      .agg(sum(when(col("__prev").isNull || col("pos") - col("__prev") =!= 1, 1L)
+        .otherwise(0L)).as("n_runs_removed"))
+    rebuildUncovered(toks, covered)
+      .join(runs, Seq("doc"), "left")
+      .na.fill(0L, Seq("n_runs_removed"))
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(setA: Column, setB: Column): Column =
     size(array_intersect(setA, setB)).cast("double") /

@@ -1512,6 +1512,63 @@ object PipelineQueries {
              |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Any-length exact-substring removal (ExactSubstr): tokens inside
+    // maximal cross-doc shared runs of length >= 5 are cut. The oracle
+    // derives the removal from the OTHER side of the window/run
+    // equivalence: covered positions -> gaps-and-islands maximal runs,
+    // counted per doc — the run count cross-checks the Spark side's
+    // lag-window derivation, not just the surviving text.
+    QueryDef("p50_remove_shared_substrings",
+      (s, dir) => Dedup.removeSharedSubstrings(
+        Tables.load(s, dir, "documents"), "doc_id", "text", minLen = 5)
+        .orderBy("doc"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), tok AS (
+             |  SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos
+             |  FROM t WHERE len(toks) > 0
+             |), win AS (
+             |  SELECT doc_id,
+             |         unnest(range(0, len(toks) - 5 + 1)) AS pos,
+             |         unnest(list_transform(range(1, len(toks) - 5 + 2),
+             |                               i -> array_to_string(toks[i:i+4], ' '))) AS span
+             |  FROM t WHERE len(toks) >= 5
+             |), shared AS (
+             |  SELECT span FROM (
+             |    SELECT span, count(DISTINCT doc_id) AS c FROM win GROUP BY span
+             |  ) WHERE c > 1
+             |), cov AS (
+             |  SELECT DISTINCT doc_id, cpos AS pos FROM (
+             |    SELECT doc_id, unnest(range(pos, pos + 5)) AS cpos
+             |    FROM win JOIN shared USING (span))
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |  FROM cov
+             |), runs AS (
+             |  SELECT doc_id, CAST(COUNT(DISTINCT grp) AS BIGINT) AS nr
+             |  FROM isl GROUP BY doc_id
+             |), kept AS (
+             |  SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM cov WHERE cov.doc_id = tok.doc_id AND cov.pos = tok.pos)
+             |)
+             |SELECT d.doc_id AS doc,
+             |       COALESCE(r.txt, '') AS text_clean,
+             |       CAST(COALESCE(r.nk, 0) AS BIGINT) AS n_tokens_kept,
+             |       CAST(d.total - COALESCE(r.nk, 0) AS BIGINT) AS n_tokens_dropped,
+             |       CAST(COALESCE(runs.nr, 0) AS BIGINT) AS n_runs_removed
+             |FROM (SELECT doc_id, len(toks) AS total FROM t WHERE len(toks) > 0) d
+             |LEFT JOIN (
+             |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt, count(*) AS nk
+             |  FROM kept GROUP BY doc_id
+             |) r USING (doc_id)
+             |LEFT JOIN runs ON runs.doc_id = d.doc_id
+             |ORDER BY doc""".stripMargin)),
+
     // Reproducible train/val/test split: consecutive gate intervals
     // sized by normalized weights; the oracle replays the gate
     // arithmetic and the interval thresholds.

@@ -251,6 +251,30 @@ class PipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("removeSharedSubstrings: maximal runs >= minLen cut, shorter shared runs survive") {
+    val docs = Seq(
+      // docs 1/2 share a 7-token prefix (> minLen, ONE maximal run even
+      // though it spans three overlapping 5-windows) and a 3-token tail
+      // (< minLen — must survive)
+      (1L, "alpha beta gamma delta epsilon zeta eta unique1 red blue green"),
+      (2L, "alpha beta gamma delta epsilon zeta eta unique2 red blue green"),
+      // docs 4/5 share TWO disjoint 5-token runs around a unique middle
+      (4L, "one two three four five mid4 six seven eight nine ten"),
+      (5L, "one two three four five mid5 six seven eight nine ten"),
+      (6L, "totally different words live here now okay"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSharedSubstrings(docs, "doc_id", "text", minLen = 5)
+      .orderBy("doc").collect()
+    val byDoc = out.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byDoc(1L) == (("unique1 red blue green", 4L, 7L, 1L)), s"got ${byDoc(1L)}")
+    assert(byDoc(2L) == (("unique2 red blue green", 4L, 7L, 1L)))
+    assert(byDoc(4L) == (("mid4", 1L, 10L, 2L)), s"got ${byDoc(4L)}")
+    assert(byDoc(5L) == (("mid5", 1L, 10L, 2L)))
+    assert(byDoc(6L)._4 == 0L && byDoc(6L)._3 == 0L, "untouched doc: no runs removed")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("gopherQualityRules: each rule trips on its own pathological input") {
     val rows = Seq(
       (1L, Seq.fill(50)("word").mkString(" ")),             // passes all
