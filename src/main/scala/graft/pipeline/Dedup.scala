@@ -453,7 +453,7 @@ object Dedup {
   /** (doc, pos, tok) with DENSE 0-based positions (rawTokens drops ""
     * tokens, so posexplode's raw positions have gaps) — covered ranges
     * stay pure arithmetic. One doc-keyed window. */
-  private def densePositionedTokens(
+  private[pipeline] def densePositionedTokens(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byRaw = Window.partitionBy("doc").orderBy("rawpos")

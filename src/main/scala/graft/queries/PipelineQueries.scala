@@ -375,6 +375,66 @@ object PipelineQueries {
     |WHERE bit_count(xor(a.sfp, b.sfp)) <= 3
     |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** p48 parameters: 40 merges is a nontrivial trajectory (the oracle
+    * unrolls one CTE block per merge), maxWords comfortably above the
+    * sf0.01/sf0.1 vocabularies so the dictionary truncation is
+    * exercised as a no-op on both sides.
+    */
+  private val bpeMerges = 40
+  private val bpeMaxWords = 20000
+
+  /** DuckDB oracle CTE chain replaying the FULL BPE merge trajectory:
+    * st0 = the (count desc, word asc)-truncated word dictionary with
+    * space-joined character symbols, then per merge i an unrolled
+    * (pr_i: weighted adjacent-pair counts → b_i: the (count desc, pair
+    * asc) winner → st_i: fold-apply) block. The apply is a list_reduce
+    * string fold — append WITHOUT a separator when the accumulator's
+    * last piece is the merge's left symbol — which equals the greedy
+    * left-to-right scan because a fused piece `a||b` can only equal the
+    * left symbol `a` if `b` were empty, and symbols are never empty
+    * (see Bpe.applyMerge).
+    *
+    * Every chain CTE is MATERIALIZED: DuckDB inlines CTEs by default,
+    * and with two consumers per level (pr_i and st_i both read
+    * st_{i-1}) the inlined tree doubles per merge — 2^numMerges scans
+    * of the parquet file ("Too many open files" long before any
+    * result). Materialization makes the replay linear in numMerges.
+    */
+  private def bpeCtes(numMerges: Int, maxWords: Int): String = {
+    val base =
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+         |                     x -> x <> '') AS toks
+         |  FROM read_parquet('{SFDIR}/documents.parquet')
+         |), tok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos
+         |  FROM t WHERE len(toks) > 0
+         |), st0 AS MATERIALIZED (
+         |  SELECT word, cnt, array_to_string(string_split(word, ''), ' ') AS s
+         |  FROM (SELECT tok AS word, COUNT(*) AS cnt FROM tok GROUP BY tok
+         |        ORDER BY cnt DESC, word ASC LIMIT $maxWords)
+         |)""".stripMargin
+    val steps = (1 to numMerges).map { i =>
+      val p = i - 1
+      s""", pr$i AS (
+         |  SELECT pp.a AS a, pp.b AS b, SUM(cnt) AS c FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(string_split(s, ' '))),
+         |      j -> {'a': string_split(s, ' ')[j], 'b': string_split(s, ' ')[j + 1]})) AS pp
+         |    FROM st$p) GROUP BY pp.a, pp.b
+         |), b$i AS (
+         |  SELECT a, b FROM pr$i ORDER BY c DESC, a ASC, b ASC LIMIT 1
+         |), st$i AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |         list_reduce(string_split(s, ' '),
+         |           (acc, x) -> CASE WHEN (acc = b$i.a OR ends_with(acc, ' ' || b$i.a)) AND x = b$i.b
+         |                            THEN acc || x ELSE acc || ' ' || x END) AS s
+         |  FROM st$p, b$i
+         |)""".stripMargin
+    }.mkString
+    base + steps
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: first-id-wins per duplicate group (deterministic, unlike
@@ -1511,6 +1571,45 @@ object PipelineQueries {
              |SELECT doc_id, lang FROM corpus
              |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
              |ORDER BY doc_id""".stripMargin)),
+
+    // Distributed BPE train: the oracle replays the ENTIRE merge
+    // trajectory — unrolled (pairs -> best -> fold-apply) blocks, one
+    // per merge, with the string-fold application proven equivalent to
+    // the greedy scan (a fused piece can never be the left of another
+    // fuse in the same pass) — and checks the ordered merge list.
+    QueryDef("p48_bpe_merges",
+      (s, dir) => {
+        val model = Bpe.train(
+          Tables.load(s, dir, "documents"), "text",
+          numMerges = bpeMerges, maxWords = bpeMaxWords)
+        Bpe.modelFrame(s, model).orderBy("rank")
+      },
+      Some(bpeCtes(bpeMerges, bpeMaxWords) +
+        s"""
+           |SELECT rank, a, b FROM (
+           |${(1 to bpeMerges).map(i =>
+              s"  SELECT $i AS rank, a, b FROM b$i").mkString("\n  UNION ALL\n")}
+           |) ORDER BY rank""".stripMargin)),
+
+    // BPE encode: the corpus re-tokenized against the trained merges;
+    // the oracle applies its own replayed trajectory's final dictionary
+    // state to every token and reassembles per doc.
+    QueryDef("p48_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val model = Bpe.train(docs, "text",
+          numMerges = bpeMerges, maxWords = bpeMaxWords)
+        Bpe.encode(docs, "doc_id", "text", model).orderBy("doc")
+      },
+      Some(bpeCtes(bpeMerges, bpeMaxWords) +
+        s"""
+           |SELECT tk.doc_id AS doc,
+           |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |       CAST(SUM(len(string_split(d.s, ' '))) AS BIGINT) AS n_pieces,
+           |       string_agg(d.s, ' ' ORDER BY tk.pos) AS pieces
+           |FROM tok tk JOIN st$bpeMerges d ON tk.tok = d.word
+           |GROUP BY tk.doc_id
+           |ORDER BY doc""".stripMargin)),
 
     // Any-length exact-substring removal (ExactSubstr): tokens inside
     // maximal cross-doc shared runs of length >= 5 are cut. The oracle

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** BPE contracts: the merge trajectory is the textbook one on a
+  * hand-checkable corpus, application is greedy left-to-right
+  * non-overlapping, encoding is lossless (pieces concatenate back to
+  * the word), and the whole train+encode is deterministic.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMerge is greedy left-to-right, non-overlapping") {
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Array("a", "a", "a", "a"), "a", "a").toSeq == Seq("aa", "aa"))
+    assert(Bpe.applyMerge(Array("a", "b", "b"), "a", "b").toSeq == Seq("ab", "b"))
+    assert(Bpe.applyMerge(Array("b", "a", "b"), "a", "b").toSeq == Seq("b", "ab"))
+    assert(Bpe.applyMerge(Array("x"), "a", "b").toSeq == Seq("x"))
+  }
+
+  test("train learns the hand-computed trajectory on a tiny corpus") {
+    // word counts: low ×3, lower ×2, lowest ×1.
+    // pair counts round 1: (l,o)=6, (o,w)=6, (w,e)=3, (e,r)=2, (e,s)=1,
+    // (s,t)=1 — tie (l,o) vs (o,w) at 6 breaks to (l,o) (pair asc).
+    // round 2: (lo,w)=6 wins; round 3: (low,e)=3 wins.
+    val docs = Seq(
+      (1L, "low low low lower lower lowest")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 3)
+    assert(model.merges == Seq(("l", "o"), ("lo", "w"), ("low", "e")),
+      s"got ${model.merges}")
+    assert(Bpe.encodeWord("lowest", model).toSeq == Seq("lowe", "s", "t"))
+    assert(Bpe.encodeWord("low", model).toSeq == Seq("low"))
+    // unseen word: merges apply where they can, chars elsewhere
+    assert(Bpe.encodeWord("slow", model).toSeq == Seq("s", "low"))
+  }
+
+  test("train stops when no adjacent pair is left") {
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    // 2 merges fuse both words to single symbols; further merges have
+    // no within-word pairs to count (merges never cross words)
+    val model = Bpe.train(docs, "text", numMerges = 10)
+    assert(model.merges.size == 2, s"got ${model.merges}")
+  }
+
+  test("encode roundtrip: pieces concatenate back to the token stream") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 30)
+    assert(model.merges.size == 30)
+    val out = Bpe.encode(docs, "doc_id", "text", model)
+    import org.apache.spark.sql.functions._
+    // lossless: stripping the piece separators must reproduce the
+    // canonical normalized token stream, doc by doc
+    val joined = out.select(col("doc"),
+        regexp_replace(col("pieces"), " ", "").as("rebuilt"))
+      .join(docs.select(col("doc_id").as("doc"),
+        array_join(filter(
+          split(regexp_replace(lower(trim(col("text"))), "[^a-z0-9\\s]", ""), "\\s+"),
+          t => t =!= ""), "").as("expected")), "doc")
+    assert(joined.where(col("rebuilt") =!= col("expected")).count() == 0)
+    // compression: merges make strictly fewer pieces than characters
+    val agg = out.agg(sum("n_pieces"), sum(length(regexp_replace(col("pieces"), " ", "")))).head()
+    assert(agg.getLong(0) < agg.getLong(1), "subword pieces must compress below chars")
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("train + encode is deterministic across runs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val m1 = Bpe.train(docs, "text", numMerges = 15)
+    val m2 = Bpe.train(docs, "text", numMerges = 15)
+    assert(m1 == m2, "identical corpora must learn identical merge lists")
+    val e1 = Bpe.encode(docs, "doc_id", "text", m1).orderBy("doc").collect()
+    val e2 = Bpe.encode(docs, "doc_id", "text", m2).orderBy("doc").collect()
+    assert(e1.sameElements(e2))
+    OperatorCache.releaseAll(spark)
+  }
+}
