@@ -1611,6 +1611,158 @@ object PipelineQueries {
            |GROUP BY tk.doc_id
            |ORDER BY doc""".stripMargin)),
 
+    // Composed curation end-to-end: quality floor -> near-dup dedup ->
+    // Gopher screen (language-neutral rules; the stopword rule is
+    // auto-disabled with an empty allowlist) -> exact fuzzy decon ->
+    // cross-doc span surgery -> within-doc span surgery -> reproducible
+    // split. The oracle chains the p15/p40/p44/p34/p45/p43 fragments in
+    // the same stage order — the composition (which stage sees which
+    // survivors, whose REWRITTEN text feeds the next stage) is exactly
+    // what the individual oracles cannot check.
+    QueryDef("p49_curate_e2e",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        TrainingPipeline.curate(
+          docs.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          minQuality = 0.3, minWords = 20,
+          blocklist = Some((docs.where(col("doc_id") % 50 === 0), "doc_id", "text")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE raw AS (
+             |  SELECT doc_id, text FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 50 <> 0
+             |), bl AS (
+             |  SELECT doc_id, text FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 50 = 0
+             |), f AS (
+             |  SELECT doc_id, text,
+             |         LENGTH(text) AS n_chars,
+             |         string_split_regex(TRIM(text), '\\s+') AS words
+             |  FROM raw
+             |), g AS (
+             |  SELECT doc_id, text,
+             |         LEAST(CAST(LEN(words) AS DOUBLE) / 20.0, 1.0) AS len_score,
+             |         CASE WHEN CAST(LEN(regexp_extract_all(text, '[\\.,;:!\\?''"()\\[\\]{}-]')) AS DOUBLE)
+             |                   / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.2 THEN 1.0 ELSE 0.5 END AS punct_ok,
+             |         CASE WHEN CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             |                   / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.3 THEN 1.0 ELSE 0.5 END AS digit_ok,
+             |         CAST(LEN(list_distinct(words)) AS DOUBLE) / CAST(GREATEST(LEN(words), 1) AS DOUBLE) AS uniq_ratio
+             |  FROM f
+             |), corpus AS (
+             |  SELECT doc_id, text FROM g
+             |  WHERE ROUND(((len_score * punct_ok) * digit_ok) * 0.5 + uniq_ratio * 0.5, 4) >= 0.3
+             |), ${ccDedupTail("0.8")}
+             |, cleaned AS (
+             |  SELECT c.doc_id, c.text FROM corpus c ANTI JOIN drops ON c.doc_id = drops.doc
+             |), gf AS (
+             |  SELECT doc_id, text,
+             |         CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_words,
+             |         len(regexp_replace(TRIM(text), '\\s+', '', 'g')) AS n_wchars,
+             |         (len(text) - len(replace(text, '#', '')))
+             |           + (len(text) - len(replace(text, '...', ''))) / 3 AS symbols,
+             |         CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS BIGINT) AS alpha_words
+             |  FROM cleaned
+             |), screened AS (
+             |  SELECT doc_id, text FROM gf
+             |  WHERE n_words BETWEEN 20 AND 100000
+             |    AND ROUND(CAST(n_wchars AS DOUBLE) / GREATEST(n_words, 1), 6) BETWEEN 3.0 AND 10.0
+             |    AND ROUND(CAST(symbols AS DOUBLE) / GREATEST(n_words, 1), 6) <= 0.1
+             |    AND ROUND(CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1), 6) >= 0.8
+             |), st AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM screened
+             |), ss AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+             |                                              i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS s
+             |  FROM st WHERE len(toks) >= 3
+             |), blt AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM bl
+             |), bls AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+             |                                              i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS s
+             |  FROM blt WHERE len(toks) >= 3
+             |), contaminated AS (
+             |  SELECT DISTINCT c.doc_id FROM ss c, bls b
+             |  WHERE ROUND(CAST(len(list_intersect(c.s, b.s)) AS DOUBLE)
+             |              / (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))), 6) >= 0.7
+             |), decon AS (
+             |  SELECT doc_id, text FROM screened
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+             |), dt AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM decon
+             |), dtok AS (
+             |  SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos
+             |  FROM dt WHERE len(toks) > 0
+             |), dwin AS (
+             |  SELECT doc_id,
+             |         unnest(range(0, len(toks) - 8 + 1)) AS pos,
+             |         unnest(list_transform(range(1, len(toks) - 8 + 2),
+             |                               i -> array_to_string(toks[i:i+7], ' '))) AS span
+             |  FROM dt WHERE len(toks) >= 8
+             |), dshared AS (
+             |  SELECT span FROM (
+             |    SELECT span, count(DISTINCT doc_id) AS c FROM dwin GROUP BY span
+             |  ) WHERE c > 1
+             |), dcov AS (
+             |  SELECT DISTINCT doc_id, cpos AS pos FROM (
+             |    SELECT doc_id, unnest(range(pos, pos + 8)) AS cpos
+             |    FROM dwin JOIN dshared USING (span))
+             |), dkept AS (
+             |  SELECT dtok.doc_id, dtok.pos, dtok.tok FROM dtok
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM dcov WHERE dcov.doc_id = dtok.doc_id AND dcov.pos = dtok.pos)
+             |), crossdone AS (
+             |  SELECT d.doc_id, COALESCE(r.txt, '') AS text
+             |  FROM (SELECT doc_id FROM dt WHERE len(toks) > 0) d
+             |  LEFT JOIN (
+             |    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+             |    FROM dkept GROUP BY doc_id
+             |  ) r USING (doc_id)
+             |), rt AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM crossdone
+             |), rtok AS (
+             |  SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos
+             |  FROM rt WHERE len(toks) > 0
+             |), rwin AS (
+             |  SELECT doc_id,
+             |         unnest(range(0, len(toks) - 8 + 1)) AS pos,
+             |         unnest(list_transform(range(1, len(toks) - 8 + 2),
+             |                               i -> array_to_string(toks[i:i+7], ' '))) AS span
+             |  FROM rt WHERE len(toks) >= 8
+             |), rfirst AS (
+             |  SELECT doc_id, span, MIN(pos) AS fp FROM rwin GROUP BY doc_id, span
+             |), rcov AS (
+             |  SELECT DISTINCT doc_id, cpos AS pos FROM (
+             |    SELECT w.doc_id, unnest(range(w.pos, w.pos + 8)) AS cpos
+             |    FROM rwin w JOIN rfirst fr
+             |      ON w.doc_id = fr.doc_id AND w.span = fr.span AND w.pos > fr.fp)
+             |), rkept AS (
+             |  SELECT rtok.doc_id, rtok.pos, rtok.tok FROM rtok
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM rcov WHERE rcov.doc_id = rtok.doc_id AND rcov.pos = rtok.pos)
+             |), withindone AS (
+             |  SELECT d.doc_id, COALESCE(r.txt, '') AS text
+             |  FROM (SELECT doc_id FROM rt WHERE len(toks) > 0) d
+             |  LEFT JOIN (
+             |    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+             |    FROM rkept GROUP BY doc_id
+             |  ) r USING (doc_id)
+             |)
+             |SELECT doc_id, text,
+             |       CASE WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 980000 THEN 'train'
+             |            WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 990000 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM withindone ORDER BY doc_id""".stripMargin)),
+
     // Any-length exact-substring removal (ExactSubstr): tokens inside
     // maximal cross-doc shared runs of length >= 5 are cut. The oracle
     // derives the removal from the OTHER side of the window/run

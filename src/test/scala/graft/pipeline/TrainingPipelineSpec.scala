@@ -63,6 +63,52 @@ class TrainingPipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("p49 curate materializes with a pinned job set") {
+    // The composed pipeline is exactly where the r5–r8 cache-lifecycle
+    // bugs lived (quality scores feeding dedup's banded joins, span
+    // surgery over dedup survivors): a broadcast-cache race or a plan
+    // regression shows up as EXTRA jobs before it shows up as seconds.
+    // 51 measured identical at sf0.001/local[4], sf0.001/local[32] and
+    // sf0.01/local[8] — the count is a property of the composed plan,
+    // not the data; re-pin only after attributing the delta.
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+    spark.sharedState.cacheManager.clearCache()
+    OperatorCache.releaseAll(spark)
+    val started = new AtomicInteger(0)
+    val ended = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        started.incrementAndGet(); ()
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        ended.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.SparkEntry.queries("p49_curate_e2e")(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var stable = 0
+      while (stable < 10 && System.nanoTime() < deadline) {
+        val before = (started.get(), ended.get())
+        Thread.sleep(20)
+        if (before == ((started.get(), ended.get())) && before._1 == before._2)
+          stable += 1
+        else stable = 0
+      }
+      assert(started.get() == 51,
+        s"p49's pinned job set is 51, submitted ${started.get()} — " +
+          "more means something recomputed (or the plan changed; re-pin only " +
+          "after attributing the delta)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      OperatorCache.releaseAll(spark)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("composition is deterministic: two runs produce identical results") {
     def run() = TrainingPipeline.curate(
       corpus, "doc_id", "text", minWords = 10,
