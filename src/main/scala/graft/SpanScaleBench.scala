@@ -13,10 +13,13 @@ import graft.pipeline.{Dedup, OperatorCache}
   * covered-range explode, maximal cut — while rows grow ×N.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run.sh \
-  *   graft.SpanScaleBench [replicas] [--persist-win]
+  *   graft.SpanScaleBench [replicas] [--persist-win] [--substrings]
   *
   * `--persist-win` re-runs the operator's window-frame A/B (see the
-  * removeSharedSpans persistWin doc) at this scale.
+  * removeSharedSpans persistWin doc) at this scale. `--substrings`
+  * runs removeSharedSubstrings (minLen = 8) instead — same covered
+  * set plus the maximal-run lag window and the materialized covered
+  * frame, in the same worst-case all-shared regime.
   */
 object SpanScaleBench {
   def main(args: Array[String]): Unit = {
@@ -41,9 +44,15 @@ object SpanScaleBench {
       .persist()
     val nDocs = scaled.count()
 
+    val substrings = args.contains("--substrings")
     val t0 = System.nanoTime()
-    val stats = Dedup.removeSharedSpans(scaled, "doc_id", "text", k = 8,
-      persistWin = persistWin)
+    val frame =
+      if (substrings)
+        Dedup.removeSharedSubstrings(scaled, "doc_id", "text", minLen = 8)
+      else
+        Dedup.removeSharedSpans(scaled, "doc_id", "text", k = 8,
+          persistWin = persistWin)
+    val stats = frame
       .agg(count(lit(1)).as("docs_out"),
         sum("n_tokens_kept").as("kept"), sum("n_tokens_dropped").as("dropped"))
       .head()
@@ -51,6 +60,7 @@ object SpanScaleBench {
     OperatorCache.releaseAll(spark)
 
     println(s"""{"docs":$nDocs,"replicas":$replicas,"persist_win":$persistWin,""" +
+      s""""mode":"${if (substrings) "substrings" else "spans"}",""" +
       s""""span_sec":${f"$sec%.2f"},"docs_out":${stats.getLong(0)},""" +
       s""""kept":${stats.getLong(1)},"dropped":${stats.getLong(2)}}""")
     spark.stop()

@@ -315,6 +315,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("corpusStats: sketch quantiles track the exact path within ±1 token at bench scale") {
+    // the 100 TB path is percentile_approx; this pins its accuracy
+    // against the oracle-checked exact path at the BENCH corpus
+    // (sf0.1), not just the unit fixture — a t-digest accuracy
+    // regression (or an accidental parameter change) shows up here
+    // before it silently degrades a published dataset report
+    val big = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("lang", "text")
+    val exact = TextAnalysis.corpusStats(big, "text", "lang")
+      .orderBy("stratum").collect()
+    val approx = TextAnalysis.corpusStats(big, "text", "lang", exact = false)
+      .orderBy("stratum").collect()
+    assert(exact.length == approx.length && exact.nonEmpty)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) == a.getString(0))
+      assert(math.abs(e.getDouble(4) - a.getDouble(4)) <= 1.0,
+        s"stratum ${e.getString(0)} p50: exact ${e.getDouble(4)} vs sketch ${a.getDouble(4)}")
+      assert(math.abs(e.getDouble(5) - a.getDouble(5)) <= 1.0,
+        s"stratum ${e.getString(0)} p90: exact ${e.getDouble(5)} vs sketch ${a.getDouble(5)}")
+    }
+  }
+
   test("cleanCorpus scoring shape: optimized plan evaluates each language scan exactly once") {
     // pins the __once pushdown-barrier behavior: if an optimizer change
     // ever pushes the quality/langid filter through the scoring
