@@ -601,6 +601,66 @@ object Dedup {
       .na.fill(0L, Seq("n_runs_removed"))
   }
 
+  /** CCNet-style duplicated-line (boilerplate) removal: a line whose
+    * exact text is at least `minChars` characters and appears in at
+    * least `minDocs` DISTINCT documents is corpus boilerplate (nav
+    * headers, cookie banners, license footers) and is removed from
+    * every document; all other lines keep their original text and
+    * order. Matching is exact — no normalization — so reassembly is
+    * lossless; callers wanting case-insensitive matching normalize
+    * `textCol` upstream. Complements the token-span family
+    * ([[removeSharedSpans]]/[[removeSharedSubstrings]]): those cut any
+    * shared token run, this cuts only whole structural units, which is
+    * what web-corpus pipelines run first (CCNet, Wenzek et al. 2019,
+    * §3.1 — the reference repo is orchestration-only and has no corpus
+    * text dedup; beyond-reference surface).
+    *
+    * Scale shape: one explode to (doc, pos, line); one hash-aggregate
+    * shuffle keyed on the line text (count-distinct-docs is the
+    * two-phase partial_count(distinct) plan) filtered to the
+    * boilerplate set — tiny relative to the corpus, so AQE turns the
+    * join back into a broadcast; one doc-keyed aggregate reassembles.
+    * Never all-pairs, no windows. The shuffle key is the line text
+    * itself (as in [[exact]]): pre-hashing lines (CCNet stores hashes)
+    * would subject removal to 64-bit collisions at 10^12-line scale —
+    * deleting WRONG lines — while Spark already hash-partitions the
+    * string key internally and only the count survives the aggregate.
+    *
+    * Null-text rows are absent from the output (posexplode of a null
+    * array emits no rows), mirroring the span family's len>0 contract.
+    *
+    * @return (doc, text_clean, n_lines, n_lines_removed) — one row per
+    *         non-null input row; a fully-boilerplate doc keeps an empty
+    *         text_clean
+    */
+  def removeDuplicateLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, minChars: Int = 10, lineSep: String = "\n",
+  ): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    require(minChars >= 1, s"minChars must be >= 1: $minChars")
+    require(lineSep.nonEmpty, "lineSep must be non-empty")
+    val lines = df.select(col(idCol).as("doc"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(lineSep)))
+        .as(Seq("pos", "line")))
+    val boilerplate = lines
+      .where(length(col("line")) >= minChars)
+      .groupBy("line").agg(countDistinct(col("doc")).as("__docs"))
+      .where(col("__docs") >= minDocs)
+      .select(col("line"), lit(true).as("__dup"))
+    lines.join(boilerplate, Seq("line"), "left")
+      .groupBy("doc")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__dup").isNull,
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          lineSep).as("text_clean"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_lines_removed"))
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(setA: Column, setB: Column): Column =
     size(array_intersect(setA, setB)).cast("double") /

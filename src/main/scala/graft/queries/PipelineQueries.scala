@@ -1820,6 +1820,63 @@ object PipelineQueries {
              |LEFT JOIN runs ON runs.doc_id = d.doc_id
              |ORDER BY doc""".stripMargin)),
 
+    // CCNet-style duplicated-LINE (boilerplate) removal. The corpus
+    // documents are single-line, so the query first builds a multi-line
+    // frame VISIBLY ON BOTH SIDES: 12-token body lines plus a per-source
+    // subscription header (~25 docs each) and a corpus-wide rights
+    // footer (all docs) — then the operator must strip exactly the
+    // injected boilerplate (and any body line that genuinely repeats
+    // across >= 3 docs, e.g. in exact-duplicate clusters; the oracle
+    // replays the same count). Reassembly is exact text in original
+    // order, checked by the hash compare.
+    QueryDef("p51_remove_dup_lines",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+        val body = array_join(
+          transform(
+            sequence(lit(0), floor((size(toks) - 1) / lit(12)).cast("int")),
+            i => array_join(slice(toks, i * 12 + 1, lit(12)), " ")),
+          "\n")
+        val lined = docs.select(col("doc_id"),
+          concat_ws("\n",
+            concat(lit("subscribe to the "), col("source"),
+              lit(" newsletter for updates")),
+            body,
+            lit("all rights reserved worldwide by the publisher"))
+            .as("text"))
+        Dedup.removeDuplicateLines(lined, "doc_id", "text",
+          minDocs = 3, minChars = 10)
+          .orderBy("doc")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(TRIM(text), '\s+'), x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), lined AS (
+             |  SELECT doc_id,
+             |         'subscribe to the ' || source || ' newsletter for updates' || chr(10) ||
+             |         array_to_string(list_transform(range(0, len(toks), 12),
+             |             st -> array_to_string(toks[st + 1 : least(st + 12, len(toks))], ' ')), chr(10)) ||
+             |         chr(10) || 'all rights reserved worldwide by the publisher' AS text
+             |  FROM t
+             |), lines AS (
+             |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+             |         unnest(range(0, len(string_split(text, chr(10))))) AS pos
+             |  FROM lined
+             |), boiler AS (
+             |  SELECT line FROM lines WHERE len(line) >= 10
+             |  GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+             |), j AS (
+             |  SELECT l.doc_id, l.pos, l.line, (b.line IS NOT NULL) AS dup
+             |  FROM lines l LEFT JOIN boiler b ON l.line = b.line
+             |)
+             |SELECT doc_id AS doc,
+             |       COALESCE(string_agg(CASE WHEN NOT dup THEN line END, chr(10) ORDER BY pos), '') AS text_clean,
+             |       CAST(count(*) AS BIGINT) AS n_lines,
+             |       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+             |FROM j GROUP BY doc_id ORDER BY doc""".stripMargin)),
+
     // Reproducible train/val/test split: consecutive gate intervals
     // sized by normalized weights; the oracle replays the gate
     // arithmetic and the interval thresholds.

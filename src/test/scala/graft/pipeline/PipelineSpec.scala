@@ -275,6 +275,40 @@ class PipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("removeDuplicateLines: boilerplate lines cut exactly, order kept, short dups spared") {
+    val footer = "all rights reserved by us"
+    val docs = Seq(
+      (1L, s"unique one content here\n$footer\nmore unique one text"),
+      (2L, s"$footer\nunique two content here\nshort dup"), // dup line first
+      (3L, s"unique three content here\nshort dup\n$footer"),
+      (4L, "short dup\nonly doc four text here"), // "short dup" in 3 docs but < minChars
+      (5L, footer), // fully boilerplate → empty text_clean
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateLines(docs, "doc_id", "text",
+      minDocs = 3, minChars = 10).orderBy("doc").collect()
+    val byDoc = out.map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // footer appears in 4 docs (>= minDocs, >= minChars) → removed everywhere
+    assert(byDoc(1L) == (("unique one content here\nmore unique one text", 3L, 1L)),
+      s"got ${byDoc(1L)}")
+    assert(byDoc(2L) == (("unique two content here\nshort dup", 3L, 1L)))
+    assert(byDoc(3L) == (("unique three content here\nshort dup", 3L, 1L)))
+    // "short dup" (9 chars) misses the minChars floor → kept despite 3 docs
+    assert(byDoc(4L) == (("short dup\nonly doc four text here", 2L, 0L)))
+    assert(byDoc(5L) == (("", 1L, 1L)), "fully-boilerplate doc keeps an empty row")
+    // custom separator: same semantics over " | "-delimited units
+    val piped = Seq(
+      (1L, "keep me alpha | the shared banner unit | tail one"),
+      (2L, "the shared banner unit | keep me beta"),
+      (3L, "keep me gamma | the shared banner unit"),
+    ).toDF("doc_id", "text")
+    val pout = Dedup.removeDuplicateLines(piped, "doc_id", "text",
+      minDocs = 3, minChars = 10, lineSep = " | ").orderBy("doc").collect()
+    assert(pout.map(_.getString(1)).toSeq ==
+      Seq("keep me alpha | tail one", "keep me beta", "keep me gamma"))
+    assert(pout.map(_.getLong(3)).toSeq == Seq(1L, 1L, 1L))
+  }
+
   test("gopherQualityRules: each rule trips on its own pathological input") {
     val rows = Seq(
       (1L, Seq.fill(50)("word").mkString(" ")),             // passes all
