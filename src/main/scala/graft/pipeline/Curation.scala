@@ -223,6 +223,43 @@ object Curation {
         col("col.n_tokens").cast("long").as("n_tokens"))
   }
 
+  /** Deterministic global shuffle into training shards: every row gets a
+    * `shard` in [0, nShards) and a 0-based `pos` within the shard, both
+    * derived only from the id — the "epoch shuffle" that turns a curated
+    * corpus into randomized, reproducibly-ordered training shards. The
+    * same id lands at the same (shard, pos) on every run, engine,
+    * partitioning, and cluster size; a `df.orderBy(rand(seed))` does
+    * not have that property (ties and partitioning change the order),
+    * and is a full global sort besides.
+    *
+    * Scale shape: the shard assignment is map-only; the within-shard
+    * position is one row_number window per shard. A shard is one sorted
+    * window partition, so nShards is the scale knob: pick it so a shard
+    * is one output file of the size your trainer streams (a few GB) —
+    * shard count grows with the corpus, the per-shard sort stays
+    * bounded, and the sink's `partitionBy("shard")` writes each shard
+    * in one task with no further exchange. Same per-group-window
+    * contract (and the same sparse-id gate caveat) as [[packSequences]].
+    *
+    * Two independent gate mixes (salt, salt+1) decouple the shard
+    * choice from the within-shard order — rows of one shard share
+    * `shardGate mod nShards`, so ordering by a fresh mix (tie-broken by
+    * id) keeps the order pseudo-random rather than gate-banded.
+    *
+    * @return input columns + (shard: int, pos: long)
+    */
+  def shardCorpus(
+      df: DataFrame, idCol: String, nShards: Int, salt: Int = 3,
+      gate: Column = null, orderGate: Column = null,
+  ): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val g = if (gate != null) gate else idGate(col(idCol), salt)
+    val og = if (orderGate != null) orderGate else idGate(col(idCol), salt + 1)
+    val w = Window.partitionBy("shard").orderBy(og.asc, col(idCol).asc)
+    df.withColumn("shard", pmod(g, lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+  }
+
   def packSequences(
       df: DataFrame, idCol: String, tokenCol: String,
       budgetTokens: Long, shards: Int = 64, salt: Int = 1,

@@ -1877,6 +1877,26 @@ object PipelineQueries {
              |       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
              |FROM j GROUP BY doc_id ORDER BY doc""".stripMargin)),
 
+    // Deterministic epoch shuffle into training shards: shard from one
+    // gate mix, within-shard order from an independent mix. The oracle
+    // replays both mixes and the per-shard ROW_NUMBER — the hash compare
+    // pins the exact (shard, pos) of every row, i.e. the full training
+    // order, not just the assignment counts.
+    QueryDef("p52_shard_corpus",
+      (s, dir) => Curation.shardCorpus(
+        Tables.load(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", nShards = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         ((doc_id % 100000 + 3) * 2654435761) % 1000000 AS g,
+             |         ((doc_id % 100000 + 4) * 2654435761) % 1000000 AS og
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |)
+             |SELECT doc_id, lang, CAST(g % 8 AS INT) AS shard,
+             |       CAST(ROW_NUMBER() OVER (PARTITION BY g % 8 ORDER BY og, doc_id) - 1 AS BIGINT) AS pos
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     // Reproducible train/val/test split: consecutive gate intervals
     // sized by normalized weights; the oracle replays the gate
     // arithmetic and the interval thresholds.

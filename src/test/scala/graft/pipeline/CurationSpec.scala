@@ -201,4 +201,33 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.splitCorpus(df, "id", Seq("a" -> -1.0)))
   }
+
+  test("shardCorpus: dense per-shard positions, partitioning-invariant, order decoupled") {
+    val df = (1L to 1000L).toDF("id")
+    val out = Curation.shardCorpus(df, "id", nShards = 8).cache()
+    // every row assigned; positions within a shard are dense 0..count-1
+    assert(out.count() == 1000)
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(perShard.length == 8, "all 8 shards populated on dense ids")
+    perShard.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == r.getLong(1) - 1,
+        s"shard ${r.getInt(0)} positions not dense: $r")
+    }
+    // provenance: identical (shard, pos) under any physical partitioning
+    val repart = Curation.shardCorpus(df.repartition(7), "id", nShards = 8)
+    assert(out.orderBy("id").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq ==
+      repart.orderBy("id").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq)
+    // the within-shard order is NOT id order (it is a shuffle): some
+    // shard must hold a pair where id order and pos order disagree
+    val inversions = out.as[(Long, Int, Long)].collect()
+      .groupBy(_._2).values.map { rows =>
+        val byPos = rows.sortBy(_._3).map(_._1)
+        byPos.zip(byPos.sorted).count { case (a, b) => a != b }
+      }.sum
+    assert(inversions > 0, "epoch shuffle left every shard in id order")
+    out.unpersist()
+    intercept[IllegalArgumentException](Curation.shardCorpus(df, "id", 0))
+  }
 }
