@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** fastText-style linear text classifier over hashed unigram features,
+  * trained with full-batch logistic-regression gradient descent — the
+  * model-based quality/domain filter every web-corpus pipeline runs
+  * (CCNet trains fastText on "looks like Wikipedia" labels and keeps
+  * what scores well; RefinedWeb/DCLM distill rule screens the same
+  * way). The reference repo has no model-based filtering at all
+  * (pandasai/ is orchestration) — beyond-reference pipeline surface.
+  * Papers: Joulin et al. 2016 (fastText); Wenzek et al. 2019 (CCNet).
+  *
+  * REPRODUCIBILITY (the whole design): the training trajectory is
+  * engine-replayable, like ivfTrain's Lloyd iterations and Bpe.train's
+  * merge sequence. Every step is fixed-point integer arithmetic at
+  * scale 1e9 — feature counts are integers, weights are scaled longs,
+  * sums are exact (order-independent) integer/decimal aggregates, and
+  * divisions are explicit floor-divisions on exactly-divisible
+  * numerators — EXCEPT the sigmoid, the one transcendental, whose
+  * output is immediately rounded to the 1e9 grid so a last-ulp exp()
+  * difference between engines dies at the epoch boundary instead of
+  * compounding. A filter whose keep/drop decisions a training run
+  * cannot replay later is a provenance bug.
+  *
+  * Model: P(y=1|doc) = sigmoid( sum_b w_b · c_b / n ) where c_b counts
+  * the doc's tokens hashing (portable FNV-1a64, [[graft.functions.Fnv1a64]])
+  * into bucket b of `numBuckets` and n is the doc's token count —
+  * fastText's mean-of-bucket-embeddings with dim 1. numBuckets MUST be
+  * a power of two: the oracle reduces the unsigned 64-bit hash mod 2^k,
+  * Spark reduces the signed view, and the two agree exactly when the
+  * modulus divides 2^64.
+  *
+  * Scale shape: the feature frame is one explode + one (doc, bucket)
+  * hash aggregate — token-grained once, then bucket-grained (far
+  * smaller than text) — cached across epochs. Each epoch is two
+  * shuffles over that frame: a doc-keyed margin aggregate with the
+  * weight vector riding as a typedlit array (map-side, zero shuffle
+  * for the model — the ivfTrain centroid pattern; at production bucket
+  * counts ~1M swap the literal for a broadcast weights join), and a
+  * bucket-keyed gradient aggregate whose D-row result is collected.
+  * Epochs are fixed training overhead, like ivfTrain/p42; scoring pays
+  * one margin pass. No all-pairs anything, no per-row model state.
+  */
+object TextClassifier {
+
+  /** Fixed-point scale: weights, sigmoid outputs, and residuals live on
+    * the 1e9 integer grid. */
+  val Scale: Long = 1000000000L
+
+  final case class Model(weights: Array[Long], numBuckets: Int) {
+    require(weights.length == numBuckets)
+  }
+
+  /** (doc, y, n, bucket, c): per-doc hashed-unigram counts plus the
+    * carried label and token total. Docs with zero tokens are absent
+    * (nothing to score — mirrored by the oracle's n > 0 gate).
+    */
+  def features(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      numBuckets: Int,
+  ): DataFrame = {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a power of two (oracle-portable modulus): $numBuckets")
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val toks = filter(Dedup.rawTokens(col(textCol)), t => t =!= "")
+    df.select(col(idCol).as("doc"), col(labelCol).cast("long").as("y"),
+        explode(toks).as("tok"))
+      .withColumn("bucket",
+        pmod(GraftFunctions.fnv1a64(col("tok")), lit(numBuckets.toLong)).cast("int"))
+      .groupBy("doc", "y", "bucket").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc")))
+  }
+
+  /** Per-doc margin M = sum_b c_b·w_b (fixed-point: counts × scaled
+    * weights) and the rounded sigmoid score s9 = round(1e9·σ(M/(n·1e9))).
+    * M ≤ n·max|w| stays far under 2^53, so the double division is exact
+    * enough that both engines compute the identical pre-round value to
+    * within an ulp — which the 1e9-grid round then absorbs.
+    */
+  private def scored(feats: DataFrame, weights: Array[Long]): DataFrame = {
+    val wLit = typedlit(weights.toSeq)
+    feats
+      .groupBy("doc", "y", "n")
+      .agg(sum(col("c") * element_at(wLit, col("bucket") + 1)).as("mm"))
+      .withColumn("s9",
+        round(lit(Scale.toDouble) /
+          (lit(1.0) + exp(-(col("mm").cast("double") /
+            (col("n").cast("double") * lit(Scale.toDouble))))))
+          .cast("long"))
+  }
+
+  /** Exact floor division for BigInt (numerators here are constructed
+    * exactly divisible, so truncation vs floor is moot — but the floor
+    * form is what the oracle SQL spells out, keep them identical). */
+  private def floorDiv(a: BigInt, d: BigInt): BigInt = {
+    val m = ((a % d) + d) % d
+    (a - m) / d
+  }
+
+  /** Train `epochs` full-batch GD steps at learning rate lrNum/lrDen
+    * from zero weights. Labels must be 0/1 in `labelCol`. The epoch
+    * update, identically on both engines:
+    *   r   = s9 − y·1e9                      (residual, fixed-point)
+    *   f   = floordiv(r, n)                  (per-doc factor; |r| ≤ 1e9)
+    *   g_b = Σ_docs f·c_b                    (exact decimal sum)
+    *   w'  = w − floordiv(lrNum·g_b, lrDen·N)
+    * where N = number of scored docs. All exact integer arithmetic —
+    * the sigmoid rounding inside s9 is the only float step.
+    */
+  def train(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      numBuckets: Int = 256, epochs: Int = 3, lrNum: Long = 1, lrDen: Long = 2,
+      persistFeatures: Boolean = true,
+  ): Model = {
+    require(epochs >= 1, s"epochs must be >= 1: $epochs")
+    require(lrNum > 0 && lrDen > 0, s"learning rate must be positive: $lrNum/$lrDen")
+    val feats0 = features(df, idCol, textCol, labelCol, numBuckets)
+    val feats = if (persistFeatures) OperatorCache.materialize(feats0) else feats0
+    val n = feats.select("doc").distinct().count()
+    require(n > 0, "train: no documents with tokens")
+    var w = Array.fill(numBuckets)(0L)
+    for (_ <- 1 to epochs) {
+      val grads = scored(feats, w)
+        .withColumn("f", ((col("s9") - col("y") * Scale) -
+          pmod(col("s9") - col("y") * Scale, col("n"))) / col("n"))
+        .select(col("doc"), col("f").cast("long").as("f"))
+        .join(feats, "doc")
+        .groupBy("bucket")
+        .agg(sum((col("f") * col("c")).cast("decimal(38,0)")).as("g"))
+        .collect()
+        .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
+        .toMap
+      w = w.indices.map { b =>
+        val g = grads.getOrElse(b, BigInt(0))
+        (BigInt(w(b)) - floorDiv(g * lrNum, BigInt(lrDen) * n)).toLong
+      }.toArray
+    }
+    Model(w, numBuckets)
+  }
+
+  /** Score every tokenful doc: (doc, n_tokens, score9, pred) — score9
+    * on the 1e9 grid, pred = 1 iff the margin is strictly positive
+    * (σ > 0.5), an integer-exact decision. */
+  def score(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      model: Model,
+  ): DataFrame =
+    scored(features(df, idCol, textCol, labelCol, model.numBuckets), model.weights)
+      .select(col("doc"), col("n").as("n_tokens"), col("s9").as("score9"),
+        when(col("mm") > 0, 1).otherwise(0).as("pred"), col("y"))
+
+  /** The trained weight vector as a frame: (bucket, w). */
+  def modelFrame(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.weights.zipWithIndex.map { case (w, b) => (b, w) }
+      .toSeq.toDF("bucket", "w")
+  }
+}

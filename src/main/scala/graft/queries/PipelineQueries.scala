@@ -435,6 +435,80 @@ object PipelineQueries {
     base + steps
   }
 
+  private val tcEpochs = 3
+  private val tcBuckets = 256
+
+  /** DuckDB oracle CTE chain replaying TextClassifier.train's FULL
+    * fixed-point gradient-descent trajectory (scale 1e9, lr 1/2, labels
+    * y = [lang='en']): f = per-doc hashed-unigram counts with the same
+    * HUGEINT FNV-1a as the simhash oracle (bucket = hash mod 2^k, which
+    * matches Spark's signed pmod exactly because 2^k divides 2^64),
+    * then per epoch an unrolled (m_i: margin sum → s_i: rounded sigmoid
+    * → fd_i: floor-div residual factor → g_i: exact gradient sum → w_i:
+    * floor-div update) block. All integer arithmetic except the sigmoid,
+    * which both sides round to the 1e9 grid before it can compound —
+    * the ivfTrain/BPE trajectory-replay pattern. Floor divisions are
+    * spelled pmod-style ((x % d) + d) % d so C-style `%` sign semantics
+    * cancel out; both numerators are exactly divisible by construction.
+    * Weight CTEs are MATERIALIZED: m_i and w_i both read w_{i-1}, so
+    * the default inlining would double the tree per epoch (see bpeCtes).
+    */
+  private def classifierCtes(epochs: Int, buckets: Int): String = {
+    val base =
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
+         |                     x -> x <> '') AS tk
+         |  FROM read_parquet('{SFDIR}/documents.parquet')
+         |), lab AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |         CAST(len(tk) AS BIGINT) AS n
+         |  FROM t WHERE len(tk) > 0
+         |), tok AS (
+         |  SELECT doc_id, unnest(tk) AS tok FROM t
+         |), hb AS (
+         |  SELECT doc_id,
+         |         CAST(list_reduce(
+         |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+         |                        list_transform(regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS HUGEINT))),
+         |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+         |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+         |         ) % $buckets AS INT) AS bucket
+         |  FROM tok
+         |), f AS MATERIALIZED (
+         |  SELECT doc_id, bucket, CAST(count(*) AS HUGEINT) AS c
+         |  FROM hb GROUP BY doc_id, bucket
+         |), nn AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS nd FROM lab
+         |), w0 AS MATERIALIZED (
+         |  SELECT CAST(unnest(range(0, $buckets)) AS INT) AS b, CAST(0 AS HUGEINT) AS w
+         |)""".stripMargin
+    val steps = (1 to epochs).map { i =>
+      val p = i - 1
+      s""", m$i AS (
+         |  SELECT f.doc_id, SUM(f.c * w.w) AS mm
+         |  FROM f JOIN w$p w ON f.bucket = w.b GROUP BY f.doc_id
+         |), s$i AS (
+         |  SELECT l.doc_id, l.y, l.n,
+         |         CAST(round(1000000000.0 / (1.0 + exp(-(CAST(m.mm AS DOUBLE) / (CAST(l.n AS DOUBLE) * 1000000000.0))))) AS HUGEINT) AS s9
+         |  FROM m$i m JOIN lab l USING (doc_id)
+         |), fd$i AS (
+         |  SELECT doc_id, (r - ((r % n) + n) % n) // n AS fd FROM (
+         |    SELECT doc_id, s9 - CAST(y AS HUGEINT) * 1000000000 AS r,
+         |           CAST(n AS HUGEINT) AS n FROM s$i)
+         |), g$i AS (
+         |  SELECT f.bucket, SUM(fd.fd * f.c) AS g
+         |  FROM f JOIN fd$i fd USING (doc_id) GROUP BY f.bucket
+         |), w$i AS MATERIALIZED (
+         |  SELECT b, w - (gg - ((gg % d) + d) % d) // d AS w FROM (
+         |    SELECT w.b, w.w, COALESCE(g.g, CAST(0 AS HUGEINT)) AS gg,
+         |           2 * nn.nd AS d
+         |    FROM w$p w LEFT JOIN g$i g ON g.bucket = w.b CROSS JOIN nn)
+         |)""".stripMargin
+    }.mkString
+    base + steps
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: first-id-wins per duplicate group (deterministic, unlike
@@ -1896,6 +1970,49 @@ object PipelineQueries {
              |SELECT doc_id, lang, CAST(g % 8 AS INT) AS shard,
              |       CAST(ROW_NUMBER() OVER (PARTITION BY g % 8 ORDER BY og, doc_id) - 1 AS BIGINT) AS pos
              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // fastText-style linear classifier, trained in-engine (CCNet's
+    // model-based quality filter). The oracle replays the ENTIRE
+    // fixed-point GD trajectory — FNV bucket hashing, margins, rounded
+    // sigmoids, floor-div gradient updates — so the hash compare pins
+    // every epoch, not just the final weights' shape.
+    QueryDef("p53_classifier_model",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("y", (col("lang") === "en").cast("int"))
+        val model = TextClassifier.train(docs, "doc_id", "text", "y",
+          numBuckets = tcBuckets, epochs = tcEpochs)
+        TextClassifier.modelFrame(s, model).orderBy("bucket")
+      },
+      Some(classifierCtes(tcEpochs, tcBuckets) +
+        s"""
+           |SELECT b AS bucket, CAST(w AS BIGINT) AS w
+           |FROM w$tcEpochs ORDER BY bucket""".stripMargin)),
+
+    // Per-doc scores from the trained model: rounded-sigmoid score9 on
+    // the 1e9 grid plus the integer-exact margin-sign prediction. The
+    // oracle runs one more margin/sigmoid block against its replayed
+    // final weights.
+    QueryDef("p53_classifier_scores",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("y", (col("lang") === "en").cast("int"))
+        val model = TextClassifier.train(docs, "doc_id", "text", "y",
+          numBuckets = tcBuckets, epochs = tcEpochs)
+        TextClassifier.score(docs, "doc_id", "text", "y", model)
+          .orderBy("doc")
+      },
+      Some(classifierCtes(tcEpochs, tcBuckets) +
+        s"""
+           |, mf AS (
+           |  SELECT f.doc_id, SUM(f.c * w.w) AS mm
+           |  FROM f JOIN w$tcEpochs w ON f.bucket = w.b GROUP BY f.doc_id
+           |)
+           |SELECT l.doc_id AS doc, l.n AS n_tokens,
+           |       CAST(round(1000000000.0 / (1.0 + exp(-(CAST(m.mm AS DOUBLE) / (CAST(l.n AS DOUBLE) * 1000000000.0))))) AS BIGINT) AS score9,
+           |       CASE WHEN m.mm > 0 THEN 1 ELSE 0 END AS pred,
+           |       CAST(l.y AS BIGINT) AS y
+           |FROM mf m JOIN lab l USING (doc_id) ORDER BY doc""".stripMargin)),
 
     // Reproducible train/val/test split: consecutive gate intervals
     // sized by normalized weights; the oracle replays the gate

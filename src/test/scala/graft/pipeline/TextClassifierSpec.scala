@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // linearly separable two-topic fixture: fruit docs (y=1) vs infra docs
+  // (y=0) with disjoint vocabularies
+  private def fixture = Seq(
+    (1L, "apple pear plum apple", 1),
+    (2L, "pear apple cherry plum pear", 1),
+    (3L, "plum cherry apple pear cherry", 1),
+    (4L, "cherry plum pear apple", 1),
+    (5L, "router switch cable router", 0),
+    (6L, "switch router socket cable socket", 0),
+    (7L, "cable socket router switch switch", 0),
+    (8L, "socket cable switch router", 0),
+  ).toDF("doc_id", "text", "y")
+
+  test("train separates disjoint-vocabulary classes; scores move off 0.5 the right way") {
+    val model = TextClassifier.train(fixture, "doc_id", "text", "y",
+      numBuckets = 64, epochs = 3)
+    val out = TextClassifier.score(fixture, "doc_id", "text", "y", model)
+      .orderBy("doc").collect()
+    out.foreach { r =>
+      val (doc, s9, pred, y) = (r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(4))
+      assert(pred == y, s"doc $doc predicted $pred, label $y (score9=$s9)")
+      if (y == 1) assert(s9 > TextClassifier.Scale / 2, s"doc $doc: $s9")
+      else assert(s9 < TextClassifier.Scale / 2, s"doc $doc: $s9")
+    }
+    // more epochs → scores strictly more confident on this fixture
+    val model5 = TextClassifier.train(fixture, "doc_id", "text", "y",
+      numBuckets = 64, epochs = 5)
+    val conf3 = out.map(r => math.abs(r.getLong(2) - TextClassifier.Scale / 2)).sum
+    val conf5 = TextClassifier.score(fixture, "doc_id", "text", "y", model5)
+      .collect().map(r => math.abs(r.getLong(2) - TextClassifier.Scale / 2)).sum
+    assert(conf5 > conf3, s"epochs 5 ($conf5) not more confident than 3 ($conf3)")
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("training trajectory is partitioning-invariant (the provenance property)") {
+    val a = TextClassifier.train(fixture, "doc_id", "text", "y",
+      numBuckets = 64, epochs = 3)
+    val b = TextClassifier.train(fixture.repartition(7), "doc_id", "text", "y",
+      numBuckets = 64, epochs = 3)
+    assert(a.weights.toSeq == b.weights.toSeq,
+      "weights differ across physical partitionings")
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("zero-token docs are absent; non-power-of-two buckets rejected") {
+    val withEmpty = fixture.union(Seq((9L, "   ", 1)).toDF("doc_id", "text", "y"))
+    val model = TextClassifier.train(withEmpty, "doc_id", "text", "y",
+      numBuckets = 64, epochs = 1)
+    val scoredIds = TextClassifier.score(withEmpty, "doc_id", "text", "y", model)
+      .select("doc").as[Long].collect().toSet
+    assert(scoredIds == (1L to 8L).toSet, s"got $scoredIds")
+    intercept[IllegalArgumentException](
+      TextClassifier.train(fixture, "doc_id", "text", "y", numBuckets = 100))
+    OperatorCache.releaseAll(spark)
+  }
+}
