@@ -260,6 +260,83 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
   }
 
+  /** Per-stratum corpus manifest: the provenance card a 100 TB pipeline
+    * writes next to every published corpus snapshot so a consumer can
+    * verify what they received without re-reading it — doc and token
+    * counts, the id range, and an order-independent content checksum
+    * (XOR of the portable FNV-1a64 text hashes; XOR so the value is
+    * independent of partitioning and arrival order, and any single
+    * changed/missing doc flips it. Caveat, documented here on purpose:
+    * a PAIR of identical docs cancels in XOR — the doc count catches
+    * that). One scan, one partial-aggregate shuffle to |strata| rows.
+    *
+    * @return (strataCol, n_docs, n_tokens, min_id, max_id, checksum)
+    */
+  def corpusManifest(
+      df: DataFrame, idCol: String, textCol: String, strataCol: String,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("n_tokens"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        expr(s"bit_xor(graft_fnv1a64($textCol))").as("checksum"))
+  }
+
+  /** Temperature-based mixture resampling (the XLM-R / multilingual-LM
+    * recipe): stratum s with token share f_s is re-targeted to
+    * p_s ∝ f_s^τ — τ < 1 flattens the mixture, up-weighting small
+    * strata — and every doc gets an integer `n_repeats` whose
+    * expectation matches the stratum's repetition rate
+    * r_s = p_s · T / T_s: floor(r_s) guaranteed repeats plus one more
+    * when the doc's portable gate falls under the fractional part.
+    * Deterministic everywhere: r_s is rounded to 6 decimals (the repo's
+    * cross-engine float convention) before the floor/fraction split,
+    * and the per-doc bump is the same [[idGate]] mix the samplers use —
+    * so the exact repeat multiset is engine-replayable, unlike any
+    * rand()-based resampler. Downsampling falls out free: r_s < 1 gives
+    * n_repeats ∈ {0, 1} with probability r_s.
+    *
+    * Scale shape: one stratum-grained aggregate (tiny), two scalar
+    * reductions of it that ride back as broadcast 1-row frames (the
+    * repo's scalar crossJoin(broadcast) idiom), one broadcast join of
+    * the |strata|-row rate table onto the corpus, then map-only
+    * arithmetic. No corpus-keyed shuffle at all.
+    *
+    * @return input columns + (n_repeats: long); materialize physical
+    *         copies downstream with `posexplode(sequence(1, n_repeats))`
+    *         when the trainer wants rows rather than weights
+    */
+  def temperatureResample(
+      df: DataFrame, idCol: String, tokenCol: String, strataCol: String,
+      temperature: Double, salt: Int = 5, gate: Column = null,
+  ): DataFrame = {
+    require(temperature > 0 && temperature <= 1,
+      s"temperature must be in (0, 1]: $temperature")
+    val g = if (gate != null) gate else idGate(col(idCol), salt)
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__ts"))
+    val grand = totals.agg(sum(col("__ts")).as("__t"))
+    val powed = totals.crossJoin(broadcast(grand))
+      .withColumn("__fst",
+        pow(col("__ts").cast("double") / col("__t").cast("double"),
+          lit(temperature)))
+    val z = powed.agg(sum(col("__fst")).as("__z"))
+    val rates = powed.crossJoin(broadcast(z))
+      .withColumn("__r",
+        round(col("__fst") / col("__z") * col("__t").cast("double") /
+          col("__ts").cast("double"), 6))
+      .select(col(strataCol), col("__r"))
+    df.join(broadcast(rates), strataCol)
+      .withColumn("n_repeats",
+        floor(col("__r")).cast("long") +
+          when(g < round((col("__r") - floor(col("__r"))) * 1e6).cast("long"), 1L)
+            .otherwise(0L))
+      .drop("__r")
+  }
+
   def packSequences(
       df: DataFrame, idCol: String, tokenCol: String,
       budgetTokens: Long, shards: Int = 64, salt: Int = 1,

@@ -2014,6 +2014,73 @@ object PipelineQueries {
            |       CAST(l.y AS BIGINT) AS y
            |FROM mf m JOIN lab l USING (doc_id) ORDER BY doc""".stripMargin)),
 
+    // Per-stratum provenance manifest with an order-independent XOR
+    // content checksum over the portable FNV-1a64 text hashes — the
+    // oracle recomputes every per-doc hash in HUGEINT and must land on
+    // the identical 64-bit fold, so the check covers hash, signed
+    // conversion, and aggregation.
+    QueryDef("p54_corpus_manifest",
+      (s, dir) => Curation.corpusManifest(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("source"),
+      Some("""WITH h AS (
+             |  SELECT source, doc_id,
+             |         CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_toks,
+             |         list_reduce(
+             |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                        list_transform(regexp_extract_all(text, '.'), c -> CAST(ord(c) AS HUGEINT))),
+             |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS uh
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), sgn AS (
+             |  SELECT source, doc_id, n_toks,
+             |         CAST(CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+             |                   THEN uh - CAST('18446744073709551616' AS HUGEINT) ELSE uh END AS BIGINT) AS h
+             |  FROM h
+             |)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+             |       bit_xor(h) AS checksum
+             |FROM sgn GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Temperature mixture resampling (tau = 0.5 flattens the source
+    // mix): the oracle replays the share/pow/normalize arithmetic with
+    // the 6-decimal rate rounding and the same gate mix, so the hash
+    // compare pins every doc's integer repeat count, i.e. the exact
+    // resampled corpus composition.
+    QueryDef("p55_temperature_resample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+        Curation.temperatureResample(docs, "doc_id", "n_toks", "source",
+          temperature = 0.5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), tot AS (
+             |  SELECT source, CAST(SUM(n_toks) AS BIGINT) AS ts FROM d GROUP BY source
+             |), gr AS (
+             |  SELECT CAST(SUM(ts) AS BIGINT) AS t FROM tot
+             |), pw AS (
+             |  SELECT source, ts, t, pow(CAST(ts AS DOUBLE) / CAST(t AS DOUBLE), 0.5) AS fst
+             |  FROM tot CROSS JOIN gr
+             |), rates AS (
+             |  SELECT source,
+             |         ROUND(fst / (SELECT SUM(fst) FROM pw) * CAST(t AS DOUBLE) / CAST(ts AS DOUBLE), 6) AS r
+             |  FROM pw
+             |)
+             |SELECT d.doc_id, d.source, d.n_toks,
+             |       CAST(floor(r) AS BIGINT) +
+             |       CASE WHEN ((d.doc_id % 100000 + 5) * 2654435761) % 1000000
+             |                 < CAST(round((r - floor(r)) * 1e6) AS BIGINT)
+             |            THEN 1 ELSE 0 END AS n_repeats
+             |FROM d JOIN rates USING (source) ORDER BY d.doc_id""".stripMargin)),
+
     // Reproducible train/val/test split: consecutive gate intervals
     // sized by normalized weights; the oracle replays the gate
     // arithmetic and the interval thresholds.

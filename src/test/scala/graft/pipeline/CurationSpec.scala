@@ -230,4 +230,57 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
     intercept[IllegalArgumentException](Curation.shardCorpus(df, "id", 0))
   }
+
+  test("corpusManifest: counts and id range exact; checksum flips on any changed doc") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "a"), (2L, "delta epsilon", "a"),
+      (3L, "zeta eta theta iota", "b"),
+    ).toDF("doc_id", "text", "source")
+    val m = Curation.corpusManifest(docs, "doc_id", "text", "source")
+      .orderBy("source").collect()
+    assert(m.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq == Seq(("a", 2L, 5L, 1L, 2L), ("b", 1L, 4L, 3L, 3L)))
+    // one-token edit in one doc flips that stratum's checksum, not the other's
+    val edited = Seq(
+      (1L, "alpha beta gammaX", "a"), (2L, "delta epsilon", "a"),
+      (3L, "zeta eta theta iota", "b"),
+    ).toDF("doc_id", "text", "source")
+    val m2 = Curation.corpusManifest(edited, "doc_id", "text", "source")
+      .orderBy("source").collect()
+    assert(m(0).getLong(5) != m2(0).getLong(5), "stratum a checksum unchanged after edit")
+    assert(m(1).getLong(5) == m2(1).getLong(5), "stratum b checksum changed spuriously")
+    // the documented XOR caveat: an identical PAIR cancels — n_docs catches it
+    val pair = Seq((1L, "same text", "a"), (2L, "same text", "a"))
+      .toDF("doc_id", "text", "source")
+    val mp = Curation.corpusManifest(pair, "doc_id", "text", "source").head()
+    assert(mp.getLong(5) == 0L && mp.getLong(1) == 2L)
+  }
+
+  test("temperatureResample: tau=1 is identity, tau<1 flattens, expectation holds") {
+    val df = (1L to 3000L).toDF("id")
+      .withColumn("stratum", when(col("id") <= 2700, "big").otherwise("small"))
+      .withColumn("n_toks", lit(10L))
+    // tau = 1: every stratum rate is exactly 1.0 → one repeat each
+    val ident = Curation.temperatureResample(df, "id", "n_toks", "stratum", 1.0)
+    assert(ident.select("n_repeats").distinct().as[Long].collect().toSeq == Seq(1L))
+    // tau = 0.5 on a 90/10 token split: small stratum up-weighted, big down
+    val out = Curation.temperatureResample(df, "id", "n_toks", "stratum", 0.5).cache()
+    val mean = out.groupBy("stratum").agg(avg(col("n_repeats")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mean("small") > 1.5 && mean("big") < 1.0,
+      s"flattening failed: $mean")
+    // expectation: realized repeats within 5% of the analytic rate
+    // r_s = p_s*T/T_s with p_s ∝ f_s^0.5: p=(0.75,0.25) → r_big=0.75/0.9
+    // = 0.8333, r_small=0.25/0.1 = 2.5
+    assert(math.abs(mean("big") - 0.8333) < 0.04, s"big: ${mean("big")}")
+    assert(math.abs(mean("small") - 2.5) < 0.13, s"small: ${mean("small")}")
+    // partitioning-invariant repeat assignment
+    val repart = Curation.temperatureResample(
+      df.repartition(7), "id", "n_toks", "stratum", 0.5)
+    assert(out.orderBy("id").select("n_repeats").as[Long].collect().toSeq ==
+      repart.orderBy("id").select("n_repeats").as[Long].collect().toSeq)
+    out.unpersist()
+    intercept[IllegalArgumentException](
+      Curation.temperatureResample(df, "id", "n_toks", "stratum", 0.0))
+  }
 }
