@@ -45,24 +45,53 @@ object SpanScaleBench {
     val nDocs = scaled.count()
 
     val substrings = args.contains("--substrings")
+    val lines = args.contains("--lines")
+    val classifier = args.contains("--classifier")
     val t0 = System.nanoTime()
-    val frame =
-      if (substrings)
-        Dedup.removeSharedSubstrings(scaled, "doc_id", "text", minLen = 8)
-      else
-        Dedup.removeSharedSpans(scaled, "doc_id", "text", k = 8,
-          persistWin = persistWin)
-    val stats = frame
-      .agg(count(lit(1)).as("docs_out"),
-        sum("n_tokens_kept").as("kept"), sum("n_tokens_dropped").as("dropped"))
-      .head()
+    val (mode, stats) =
+      if (lines) {
+        // worst case for p51: after ×N replication every 12-token body
+        // line occurs in N docs, so with minDocs=3 and N≥3 EVERY line is
+        // boilerplate and the rebuild runs in its maximal-cut regime
+        val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+        val lined = scaled.select(col("doc_id"),
+          array_join(transform(
+            sequence(lit(0), floor((size(toks) - 1) / lit(12)).cast("int")),
+            i => array_join(slice(toks, i * 12 + 1, lit(12)), " ")), "\n")
+            .as("text"))
+        val s = Dedup.removeDuplicateLines(lined, "doc_id", "text",
+          minDocs = 3, minChars = 10)
+          .agg(count(lit(1)), sum("n_lines"), sum("n_lines_removed")).head()
+        ("lines", (s.getLong(0), s.getLong(1), s.getLong(2)))
+      } else if (classifier) {
+        // 3-epoch train + score at ×N: measures the per-epoch
+        // (margin agg + gradient agg) shuffles growing with the corpus
+        val labeled = scaled.withColumn("y", pmod(col("doc_id"), lit(2L)).cast("int"))
+        val model = pipeline.TextClassifier.train(labeled, "doc_id", "text", "y",
+          numBuckets = 256, epochs = 3)
+        val s = pipeline.TextClassifier.score(labeled, "doc_id", "text", "y", model)
+          .agg(count(lit(1)), sum("pred"), sum("score9")).head()
+        ("classifier", (s.getLong(0), s.getLong(1), s.getLong(2)))
+      } else {
+        val frame =
+          if (substrings)
+            Dedup.removeSharedSubstrings(scaled, "doc_id", "text", minLen = 8)
+          else
+            Dedup.removeSharedSpans(scaled, "doc_id", "text", k = 8,
+              persistWin = persistWin)
+        val s = frame
+          .agg(count(lit(1)).as("docs_out"),
+            sum("n_tokens_kept").as("kept"), sum("n_tokens_dropped").as("dropped"))
+          .head()
+        (if (substrings) "substrings" else "spans",
+          (s.getLong(0), s.getLong(1), s.getLong(2)))
+      }
     val sec = (System.nanoTime() - t0) / 1e9
     OperatorCache.releaseAll(spark)
 
     println(s"""{"docs":$nDocs,"replicas":$replicas,"persist_win":$persistWin,""" +
-      s""""mode":"${if (substrings) "substrings" else "spans"}",""" +
-      s""""span_sec":${f"$sec%.2f"},"docs_out":${stats.getLong(0)},""" +
-      s""""kept":${stats.getLong(1)},"dropped":${stats.getLong(2)}}""")
+      s""""mode":"$mode","span_sec":${f"$sec%.2f"},"docs_out":${stats._1},""" +
+      s""""kept":${stats._2},"dropped":${stats._3}}""")
     spark.stop()
   }
 }
