@@ -153,6 +153,22 @@ object TextClassifier {
       .select(col("doc"), col("n").as("n_tokens"), col("s9").as("score9"),
         when(col("mm") > 0, 1).otherwise(0).as("pred"), col("y"))
 
+  /** Model-based corpus screen: keep rows whose score9 meets the floor
+    * (labels are not needed to score — a constant rides through the
+    * feature frame). Original columns preserved via an id-keyed
+    * semi-join; zero-token docs are dropped (they have no score, and a
+    * quality screen that passes empty docs is a bug, not a default).
+    */
+  def screen(
+      df: DataFrame, idCol: String, textCol: String, model: Model,
+      minScore9: Long,
+  ): DataFrame = {
+    val keep = score(df.withColumn("__y", lit(0L)), idCol, textCol, "__y", model)
+      .where(col("score9") >= minScore9)
+      .select(col("doc").as("__keep_doc"))
+    df.join(keep, df(idCol) === col("__keep_doc"), "left_semi")
+  }
+
   /** The trained weight vector as a frame: (bucket, w). */
   def modelFrame(spark: SparkSession, model: Model): DataFrame = {
     import spark.implicits._

@@ -2081,6 +2081,38 @@ object PipelineQueries {
              |            THEN 1 ELSE 0 END AS n_repeats
              |FROM d JOIN rates USING (source) ORDER BY d.doc_id""".stripMargin)),
 
+    // Model-based corpus screen (the CCNet/FineWeb recipe: train a fast
+    // linear classifier on a quality proxy, keep what scores well): docs
+    // whose rounded-sigmoid score lands strictly above the 0.5 grid
+    // point survive, with their ORIGINAL columns (id-keyed semi-join).
+    // The oracle replays the full training trajectory and re-derives the
+    // keep set, so the hash compare pins the exact keep/drop frontier —
+    // the thing a training-data provenance audit has to be able to
+    // reproduce.
+    QueryDef("p56_classifier_screen",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val model = TextClassifier.train(
+          docs.withColumn("y", (col("lang") === "en").cast("int")),
+          "doc_id", "text", "y", numBuckets = tcBuckets, epochs = tcEpochs)
+        TextClassifier.screen(docs, "doc_id", "text", model,
+          minScore9 = 500000001L)
+          .select("doc_id", "lang", "source").orderBy("doc_id")
+      },
+      Some(classifierCtes(tcEpochs, tcBuckets) +
+        s"""
+           |, mf AS (
+           |  SELECT f.doc_id, SUM(f.c * w.w) AS mm
+           |  FROM f JOIN w$tcEpochs w ON f.bucket = w.b GROUP BY f.doc_id
+           |), keep AS (
+           |  SELECT m.doc_id
+           |  FROM mf m JOIN lab l USING (doc_id)
+           |  WHERE CAST(round(1000000000.0 / (1.0 + exp(-(CAST(m.mm AS DOUBLE) / (CAST(l.n AS DOUBLE) * 1000000000.0))))) AS HUGEINT) >= 500000001
+           |)
+           |SELECT d.doc_id, d.lang, d.source
+           |FROM read_parquet('{SFDIR}/documents.parquet') d
+           |JOIN keep USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
     // Reproducible train/val/test split: consecutive gate intervals
     // sized by normalized weights; the oracle replays the gate
     // arithmetic and the interval thresholds.

@@ -50,6 +50,25 @@ class TextClassifierSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("screen keeps scorers above the floor with original columns; empty docs always drop") {
+    val model = TextClassifier.train(fixture, "doc_id", "text", "y",
+      numBuckets = 64, epochs = 3)
+    val corpus = fixture.union(Seq((9L, "   ", 1)).toDF("doc_id", "text", "y"))
+      .withColumn("extra", col("doc_id") * 10)
+    val kept = TextClassifier.screen(corpus, "doc_id", "text", model,
+      minScore9 = TextClassifier.Scale / 2 + 1)
+    // the screen is a pure row filter: the frame keeps its shape
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 4L), s"got $ids")
+    // a zero floor keeps every scoreable doc but still drops the empty
+    // one — a quality screen that passes empty docs would be a bug
+    val all = TextClassifier.screen(corpus, "doc_id", "text", model, 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == (1L to 8L).toSet, s"got $all")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("zero-token docs are absent; non-power-of-two buckets rejected") {
     val withEmpty = fixture.union(Seq((9L, "   ", 1)).toDF("doc_id", "text", "y"))
     val model = TextClassifier.train(withEmpty, "doc_id", "text", "y",
