@@ -2180,7 +2180,12 @@ object PipelineQueries {
              |              ELSE 0 END AS n_toks
              |  FROM read_parquet('{SFDIR}/documents.parquet')
              |)
-             |SELECT stratum, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+             |SELECT stratum, COUNT(*) AS n_docs,
+             |       -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas
+             |       -- renders as float64 ("3549.000000") while Spark's
+             |       -- long renders "3549" — the driver's CSV hash is
+             |       -- dtype-sensitive even when values are equal.
+             |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
              |       ROUND(AVG(n_toks), 6) AS mean_tokens,
              |       ROUND(quantile_cont(n_toks, 0.5), 6) AS p50_tokens,
              |       ROUND(quantile_cont(n_toks, 0.9), 6) AS p90_tokens
