@@ -54,9 +54,11 @@ object SpanScaleBench {
         // line occurs in N docs, so with minDocs=3 and N≥3 EVERY line is
         // boilerplate and the rebuild runs in its maximal-cut regime
         val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+        // clamped like p51: sequence(0,-1) on an empty doc is [0,-1]
         val lined = scaled.select(col("doc_id"),
           array_join(transform(
-            sequence(lit(0), floor((size(toks) - 1) / lit(12)).cast("int")),
+            sequence(lit(0),
+              greatest(floor((size(toks) - 1) / lit(12)).cast("int"), lit(0))),
             i => array_join(slice(toks, i * 12 + 1, lit(12)), " ")), "\n")
             .as("text"))
         val s = Dedup.removeDuplicateLines(lined, "doc_id", "text",
@@ -89,9 +91,17 @@ object SpanScaleBench {
     val sec = (System.nanoTime() - t0) / 1e9
     OperatorCache.releaseAll(spark)
 
+    // key names track what each mode actually aggregates — the span
+    // triple's (kept, dropped) labels were wrong for --lines (n_lines,
+    // n_lines_removed) and --classifier (sum_pred, sum_score9)
+    val (k2, k3) = mode match {
+      case "lines"      => ("n_lines", "n_lines_removed")
+      case "classifier" => ("sum_pred", "sum_score9")
+      case _            => ("kept", "dropped")
+    }
     println(s"""{"docs":$nDocs,"replicas":$replicas,"persist_win":$persistWin,""" +
       s""""mode":"$mode","span_sec":${f"$sec%.2f"},"docs_out":${stats._1},""" +
-      s""""kept":${stats._2},"dropped":${stats._3}}""")
+      s""""$k2":${stats._2},"$k3":${stats._3}}""")
     spark.stop()
   }
 }

@@ -14,9 +14,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * assumes single-file inputs.
   */
 object Tables {
-  // events on disk: ts is TIMESTAMP(NANOS) — declared here as LongType so
-  // the scan serves raw INT64 nanos. Hardcoded (not inferred) because
-  // schema inference itself rejects the NANOS annotation.
+  // Fallback read schema for events when the footer carries a TIMESTAMP
+  // annotation Spark's inference rejects (e.g. NANOS): declare ts as
+  // LongType so the scan serves the raw INT64, then convert explicitly.
   private val eventsSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
@@ -35,18 +35,45 @@ object Tables {
   val broadcastable: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Ask for ts AS LongType via an explicit read
-      // schema — the reader serves the raw INT64 nanos — then convert
-      // with integer division (a double division would lose precision at
-      // the 1e18-ns scale). Per-read and side-effect-free, unlike the
-      // session-global spark.sql.legacy.parquet.nanosAsLong conf this
-      // replaces (which changed how every LATER nanos-parquet read in
-      // the session resolved).
-      spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") loadEvents(spark, s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  // events.ts has shipped with different physical types across testdata
+  // generations (TIMESTAMP(NANOS) annotated INT64, then timestamp[us]),
+  // so the read probes the footer instead of assuming. Memoized per path
+  // — one footer read per table per JVM, not per query.
+  private val eventsTsKind =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val kind = eventsTsKind.computeIfAbsent(path, { p =>
+      scala.util.Try(spark.read.parquet(p).schema("ts").dataType) match {
+        case scala.util.Success(TimestampType)    => "ts"
+        case scala.util.Success(TimestampNTZType) => "ntz"
+        // LongType (unannotated INT64) or inference failure (NANOS
+        // annotation is rejected by the vectorized reader): raw nanos.
+        case _                                    => "nanos"
+      }
+    })
+    kind match {
+      case "ts" => spark.read.parquet(path)
+      case "ntz" =>
+        // Downstream operators (and the r10-green oracle compares) were
+        // written against session-zoned TimestampType; under the UTC
+        // session this cast is value-identity on the naive micros.
+        spark.read.parquet(path).withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        // Ask for ts AS LongType via an explicit read schema — the
+        // reader serves the raw INT64 nanos — then convert with integer
+        // division (a double division would lose precision at the
+        // 1e18-ns scale). Per-read and side-effect-free, unlike the
+        // session-global spark.sql.legacy.parquet.nanosAsLong conf.
+        spark.read.schema(eventsSchema).parquet(path)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
+  }
 
   /** Load with a broadcast hint applied when the table is a fixed-size
     * dimension — join sides built from this never shuffle. */

@@ -344,7 +344,7 @@ object PipelineQueries {
     |  SELECT doc_id,
     |         list_reduce(
     |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
-    |                        list_transform(regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS HUGEINT))),
+    |                        list_transform(regexp_extract_all(hex(encode(tok)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
     |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
     |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
     |         ) AS uh
@@ -470,7 +470,7 @@ object PipelineQueries {
          |  SELECT doc_id,
          |         CAST(list_reduce(
          |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
-         |                        list_transform(regexp_extract_all(tok, '.'), c -> CAST(ord(c) AS HUGEINT))),
+         |                        list_transform(regexp_extract_all(hex(encode(tok)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
          |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
          |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
          |         ) % $buckets AS INT) AS bucket
@@ -1907,9 +1907,15 @@ object PipelineQueries {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+        // upper bound clamped: an empty doc would otherwise hit
+        // sequence(0,-1) = [0,-1] (descending default step) and emit a
+        // spurious second empty line the oracle's range(0,0,12) lacks;
+        // clamping to [0] yields one empty chunk whose join is "" —
+        // byte-identical to the oracle's empty-list fold.
         val body = array_join(
           transform(
-            sequence(lit(0), floor((size(toks) - 1) / lit(12)).cast("int")),
+            sequence(lit(0),
+              greatest(floor((size(toks) - 1) / lit(12)).cast("int"), lit(0))),
             i => array_join(slice(toks, i * 12 + 1, lit(12)), " ")),
           "\n")
         val lined = docs.select(col("doc_id"),
@@ -2028,7 +2034,7 @@ object PipelineQueries {
              |         CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_toks,
              |         list_reduce(
              |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
-             |                        list_transform(regexp_extract_all(text, '.'), c -> CAST(ord(c) AS HUGEINT))),
+             |                        list_transform(regexp_extract_all(hex(encode(text)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
              |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
              |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS uh
              |  FROM read_parquet('{SFDIR}/documents.parquet')
@@ -2083,20 +2089,33 @@ object PipelineQueries {
 
     // Model-based corpus screen (the CCNet/FineWeb recipe: train a fast
     // linear classifier on a quality proxy, keep what scores well): docs
-    // whose rounded-sigmoid score lands strictly above the 0.5 grid
-    // point survive, with their ORIGINAL columns (id-keyed semi-join).
-    // The oracle replays the full training trajectory and re-derives the
-    // keep set, so the hash compare pins the exact keep/drop frontier —
-    // the thing a training-data provenance audit has to be able to
-    // reproduce.
+    // at or above the corpus's lower-median score9 survive, with their
+    // ORIGINAL columns (id-keyed semi-join). The floor is data-derived —
+    // the exact rank-(n+1)/2 order statistic — because a fixed absolute
+    // threshold went vacuous when the testdata was regenerated (every
+    // score fell on one side, leaving a 0-row keep set the hash compare
+    // pinned nothing with); the median keeps the frontier non-empty AND
+    // non-total under any corpus drift. orderBy+limit compiles to
+    // TakeOrderedAndProject (distributed top-k, no global sort); at real
+    // scale the floor would come from approxQuantile on a sample —
+    // exact here so the DuckDB oracle lands on the identical Long. The
+    // oracle replays the full training trajectory and re-derives both
+    // the floor and the keep set, so the hash compare pins the exact
+    // keep/drop frontier — the thing a training-data provenance audit
+    // has to be able to reproduce.
     QueryDef("p56_classifier_screen",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val model = TextClassifier.train(
           docs.withColumn("y", (col("lang") === "en").cast("int")),
           "doc_id", "text", "y", numBuckets = tcBuckets, epochs = tcEpochs)
-        TextClassifier.screen(docs, "doc_id", "text", model,
-          minScore9 = 500000001L)
+        val scores = TextClassifier.score(
+          docs.withColumn("__y", lit(0)), "doc_id", "text", "__y", model)
+        val n = scores.count()
+        val k = ((n + 1) / 2).toInt
+        val thr = scores.select("score9").orderBy("score9").limit(k)
+          .agg(max("score9")).head.getLong(0)
+        TextClassifier.screen(docs, "doc_id", "text", model, minScore9 = thr)
           .select("doc_id", "lang", "source").orderBy("doc_id")
       },
       Some(classifierCtes(tcEpochs, tcBuckets) +
@@ -2104,10 +2123,18 @@ object PipelineQueries {
            |, mf AS (
            |  SELECT f.doc_id, SUM(f.c * w.w) AS mm
            |  FROM f JOIN w$tcEpochs w ON f.bucket = w.b GROUP BY f.doc_id
-           |), keep AS (
-           |  SELECT m.doc_id
+           |), sc AS (
+           |  SELECT m.doc_id,
+           |         CAST(round(1000000000.0 / (1.0 + exp(-(CAST(m.mm AS DOUBLE) / (CAST(l.n AS DOUBLE) * 1000000000.0))))) AS HUGEINT) AS s9
            |  FROM mf m JOIN lab l USING (doc_id)
-           |  WHERE CAST(round(1000000000.0 / (1.0 + exp(-(CAST(m.mm AS DOUBLE) / (CAST(l.n AS DOUBLE) * 1000000000.0))))) AS HUGEINT) >= 500000001
+           |), ranked AS (
+           |  SELECT s9, row_number() OVER (ORDER BY s9) AS rk,
+           |         count(*) OVER () AS n
+           |  FROM sc
+           |), thr AS (
+           |  SELECT s9 AS t FROM ranked WHERE rk = (n + 1) // 2
+           |), keep AS (
+           |  SELECT doc_id FROM sc CROSS JOIN thr WHERE sc.s9 >= thr.t
            |)
            |SELECT d.doc_id, d.lang, d.source
            |FROM read_parquet('{SFDIR}/documents.parquet') d
