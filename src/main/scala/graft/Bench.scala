@@ -111,6 +111,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Tungsten execution memory (sort/agg/join buffers) off-heap: the
+      // bench box has ~128 GiB but the launching JVM's -Xmx is outside
+      // this main's control, and at sf0.1 the 32-thread run measurably
+      // GC-thrashes a small heap (r11: p02 23.0s GC on a 24.0s wall;
+      // even an unloaded 8g-heap run pays ~40s cumulative GC across the
+      // suite). Off-heap execution pages are invisible to the collector,
+      // so shuffle/agg pressure stops taxing every other thread's
+      // allocations. Native memory, bounded explicitly below.
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "24g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
