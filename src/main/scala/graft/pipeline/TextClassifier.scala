@@ -158,12 +158,20 @@ object TextClassifier {
     * feature frame). Original columns preserved via an id-keyed
     * semi-join; zero-token docs are dropped (they have no score, and a
     * quality screen that passes empty docs is a bug, not a default).
+    *
+    * @param precomputed an existing [[score]] frame over the SAME df and
+    *                    model, when the caller already scored the corpus
+    *                    (e.g. to derive a data-dependent floor) — skips a
+    *                    second full tokenize+hash+margin pass
     */
   def screen(
       df: DataFrame, idCol: String, textCol: String, model: Model,
       minScore9: Long,
+      precomputed: Option[DataFrame] = None,
   ): DataFrame = {
-    val keep = score(df.withColumn("__y", lit(0L)), idCol, textCol, "__y", model)
+    val scores = precomputed.getOrElse(
+      score(df.withColumn("__y", lit(0L)), idCol, textCol, "__y", model))
+    val keep = scores
       .where(col("score9") >= minScore9)
       .select(col("doc").as("__keep_doc"))
     df.join(keep, df(idCol) === col("__keep_doc"), "left_semi")

@@ -2109,13 +2109,14 @@ object PipelineQueries {
         val model = TextClassifier.train(
           docs.withColumn("y", (col("lang") === "en").cast("int")),
           "doc_id", "text", "y", numBuckets = tcBuckets, epochs = tcEpochs)
-        val scores = TextClassifier.score(
-          docs.withColumn("__y", lit(0)), "doc_id", "text", "__y", model)
+        val scores = OperatorCache.materialize(TextClassifier.score(
+          docs.withColumn("__y", lit(0)), "doc_id", "text", "__y", model))
         val n = scores.count()
         val k = ((n + 1) / 2).toInt
         val thr = scores.select("score9").orderBy("score9").limit(k)
           .agg(max("score9")).head.getLong(0)
-        TextClassifier.screen(docs, "doc_id", "text", model, minScore9 = thr)
+        TextClassifier.screen(docs, "doc_id", "text", model, minScore9 = thr,
+          precomputed = Some(scores))
           .select("doc_id", "lang", "source").orderBy("doc_id")
       },
       Some(classifierCtes(tcEpochs, tcBuckets) +
