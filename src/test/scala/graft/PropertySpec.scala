@@ -190,6 +190,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("AsofJoin.backward matches a brute-force reference on random event sets") {
+    import java.sql.Timestamp
+    // duplicate timestamps on the LEFT are fine (each left row matches
+    // independently); the right side is built unique per (key, ts) — the
+    // operator's documented contract
+    val evGen = for {
+      left <- Gen.listOfN(25, for {
+        u <- Gen.oneOf(1L, 2L, 3L)
+        off <- Gen.choose(0L, 1000L)
+        v <- Gen.choose(0, 99)
+      } yield (u, off, v.toDouble))
+      right <- Gen.listOfN(25, for {
+        u <- Gen.oneOf(1L, 2L, 3L, 4L)
+        off <- Gen.choose(0L, 1000L)
+        v <- Gen.choose(100, 199)
+      } yield (u, off, v.toDouble))
+    } yield (left, right.distinctBy(r => (r._1, r._2)))
+    samples(evGen, 6).foreach { case (left, right) =>
+      val base = 1700000000000L
+      val l = left.zipWithIndex
+        .map { case ((u, off, v), i) => (i.toLong, u, new Timestamp(base + off * 1000L), v) }
+      val ldf = l.toDF("event_id", "user_id", "ts", "value")
+      val rdf = right
+        .map { case (u, off, v) => (u * 10000 + off, u, new Timestamp(base + off * 1000L), v) }
+        .toDF("event_id", "user_id", "ts", "value")
+      val got = graft.operators.AsofJoin.backward(
+        ldf.select("event_id", "user_id", "ts", "value"), rdf,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTs = "ts", rightTs = "ts",
+        rightCols = Map("value" -> "rv"))
+        .select("event_id", "rv")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      // reference: per left row, the right row with max ts <= left ts
+      // (inclusive), same key; None when no such row
+      val expected = l.map { case (id, u, ts, _) =>
+        val cands = right.filter(r => r._1 == u && base + r._2 * 1000L <= ts.getTime)
+        id -> cands.sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
   test("tfidf matches a brute-force reference on random corpora") {
     val docGen = Gen.listOfN(8,
       Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon"))
