@@ -260,6 +260,26 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
   }
 
+  /** Sharded JSONL export — the standard training-data handoff format:
+    * one JSON object per line, one `shard=k/` directory per shard
+    * (Hive-style partitioning, so a downstream loader reads a single
+    * shard's directory directly and the cluster writes every shard in
+    * parallel with no exchange beyond what the caller's sharding
+    * already did — partitionBy routes rows within each task's output).
+    * Returns the read-back frame so callers can pin losslessness:
+    * JSON string escaping round-trips text exactly (newlines, quotes,
+    * unicode — one caveat: Spark's JSON reader can surface an empty
+    * string as null, spec-pinned), and long scalars read back
+    * bit-identically. The shard column moves into the directory name on
+    * write and is re-derived from the path on read — standard Hive
+    * layout.
+    */
+  def exportJsonlShards(df: DataFrame, path: String,
+      shardCol: String = "shard"): DataFrame = {
+    df.write.mode("overwrite").partitionBy(shardCol).json(path)
+    df.sparkSession.read.json(path)
+  }
+
   /** Per-stratum corpus manifest: the provenance card a 100 TB pipeline
     * writes next to every published corpus snapshot so a consumer can
     * verify what they received without re-reading it — doc and token

@@ -1977,6 +1977,35 @@ object PipelineQueries {
              |       CAST(ROW_NUMBER() OVER (PARTITION BY g % 8 ORDER BY og, doc_id) - 1 AS BIGINT) AS pos
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // Sharded JSONL export (the training-data handoff format): shard
+    // assignment from p52's gate mix, Hive-partitioned one-dir-per-shard
+    // write, then READ BACK — the returned frame is what a downstream
+    // loader would see, so the oracle (which recomputes the expected
+    // rows from the original parquet) pins the full write→read round
+    // trip: JSON text escaping, scalar fidelity, and the shard value's
+    // survival through the directory name.
+    QueryDef("p57_export_jsonl",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "text")
+        val sharded = Curation.shardCorpus(docs, "doc_id", nShards = 8)
+        val out = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft-p57-jsonl").getPath
+        Curation.exportJsonlShards(sharded, out)
+          .select(col("doc_id"), col("lang"), col("text"),
+            col("shard").cast("int").as("shard"), col("pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, text,
+             |         ((doc_id % 100000 + 3) * 2654435761) % 1000000 AS g,
+             |         ((doc_id % 100000 + 4) * 2654435761) % 1000000 AS og
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |)
+             |SELECT doc_id, lang, text, CAST(g % 8 AS INT) AS shard,
+             |       CAST(ROW_NUMBER() OVER (PARTITION BY g % 8 ORDER BY og, doc_id) - 1 AS BIGINT) AS pos
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     // fastText-style linear classifier, trained in-engine (CCNet's
     // model-based quality filter). The oracle replays the ENTIRE
     // fixed-point GD trajectory — FNV bucket hashing, margins, rounded

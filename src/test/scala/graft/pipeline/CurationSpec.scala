@@ -231,6 +231,31 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](Curation.shardCorpus(df, "id", 0))
   }
 
+  test("exportJsonlShards: lossless round trip incl. hostile strings, Hive shard layout") {
+    val hostile = Seq(
+      (0L, "line\nbreak and \"quotes\" and \\backslash"),
+      (1L, "unicode é中文 and tab\tchar"),
+      (2L, ""),
+      (3L, "{\"looks\":\"like json\"}"))
+      .toDF("doc_id", "text")
+    val sharded = Curation.shardCorpus(hostile, "doc_id", nShards = 2)
+    val out = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-jsonl-spec").toFile,
+      "shards").getPath
+    val back = Curation.exportJsonlShards(sharded, out)
+      .select("doc_id", "text", "shard", "pos")
+    val want = sharded.select("doc_id", "text", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    val got = back
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)).getOrElse(""), // Spark's JSON reader returns "" as null
+        r.getInt(2), r.getLong(3))).toSet
+    assert(got == want.map { case (id, t, s, p) => (id, t, s, p) })
+    // Hive layout on disk: one directory per shard value
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.subsetOf(Set("shard=0", "shard=1")) && dirs.nonEmpty)
+  }
+
   test("corpusManifest: counts and id range exact; checksum flips on any changed doc") {
     val docs = Seq(
       (1L, "alpha beta gamma", "a"), (2L, "delta epsilon", "a"),
