@@ -54,7 +54,8 @@ object Bench {
     "p47_dedup_report", "p48_bpe_encode", "p49_curate_e2e",
     "p50_remove_shared_substrings", "p51_remove_dup_lines",
     "p52_shard_corpus", "p53_classifier_scores", "p54_corpus_manifest",
-    "p55_temperature_resample", "p56_classifier_screen", "p57_export_jsonl")
+    "p55_temperature_resample", "p56_classifier_screen", "p57_export_jsonl",
+    "p58_gopher_repetition")
 
   /** Jobs started/ended + stages completed + task GC/CPU sums, maintained
     * by [[counting]]. Listener delivery is asynchronous; [[settle]] waits

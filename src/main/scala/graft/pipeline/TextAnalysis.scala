@@ -747,6 +747,117 @@ object TextAnalysis {
           lit(0.0)).as("top_bigram_fraction"))
   }
 
+  /** The FULL Gopher repetition battery (Rae et al. 2021, Table A1),
+    * extending [[repetitionStats]]' token-level subset: for each
+    * n ∈ topNs the fraction of (token-normalized) characters inside the
+    * most frequent n-gram (occurrences × gram length — overlapping
+    * occurrences double-count, as in the published implementations, so
+    * the value can exceed 1), and for each n ∈ dupNs the fraction of
+    * characters COVERED by n-grams occurring more than once, counted
+    * once per character (per-n covered-range union via the same
+    * sort + running-max-end merge the span operators use).
+    *
+    * Character positions are over the canonical token-normalized text
+    * (tokens joined by single spaces — same [[Dedup.rawTokens]]
+    * normalization every text operator here shares), which makes every
+    * fraction an exact integer ratio both engines compute identically.
+    * Top-gram ties break by covered chars then lexicographically
+    * (ASCII-only grams, so both engines' string orders agree).
+    * Token-less docs are absent (nothing to measure — the features
+    * convention). Docs shorter than n report 0 for that n.
+    *
+    * Scale shape: ONE doc-keyed exchange — the positioned-token frame is
+    * materialized once (persist: the per-n gram branches would otherwise
+    * re-sort it per window) and every window/aggregate downstream reuses
+    * its partitioning; gram aggregates are map-side combined; nothing
+    * reaches the driver.
+    *
+    * @return (doc, n_chars_norm, top_{n}_gram_frac…, dup_{n}_gram_frac…)
+    */
+  def gopherRepetitionStats(
+      df: DataFrame, idCol: String, textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10),
+      persist: Boolean = true,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topNs.nonEmpty && dupNs.nonEmpty, "need at least one n per family")
+    val maxN = (topNs ++ dupNs).max
+    val wDoc = Window.partitionBy("doc").orderBy("pos")
+
+    val toks0 = df.select(col(idCol).as("doc"),
+        posexplode(Dedup.rawTokens(col(textCol))))
+      .toDF("doc", "pos", "tok")
+      .where(col("tok") =!= "")
+      .withColumn("tlen", length(col("tok")).cast("long"))
+      // char offset of this token in the space-joined normalized text
+      .withColumn("cs", coalesce(sum(col("tlen") + 1)
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // one windowed frame carries every lead the largest n needs; the
+    // per-n branches below select from it without re-sorting
+    val leaded0 = (1 until maxN).foldLeft(toks0) { case (d, j) =>
+      d.withColumn(s"tok_$j", lead(col("tok"), j).over(wDoc))
+    }
+    val leaded =
+      if (persist) OperatorCache.materialize(leaded0) else leaded0
+
+    val totals = leaded.groupBy("doc")
+      .agg((sum(col("tlen")) + count(lit(1)) - 1L).as("total"))
+
+    def gramsOf(n: Int): DataFrame = {
+      val parts = col("tok") +: (1 until n).map(j => col(s"tok_$j"))
+      leaded
+        .where(if (n > 1) col(s"tok_${n - 1}").isNotNull else lit(true))
+        .select(col("doc"), lit(n).as("n"),
+          concat_ws(" ", parts: _*).as("gram"), col("cs").as("gstart"))
+        .withColumn("glen", length(col("gram")).cast("long"))
+        .withColumn("gend", col("gstart") + col("glen"))
+    }
+
+    // top-n: chars of the single most frequent n-gram
+    val topFracs = topNs.map(gramsOf).reduce(_ unionByName _)
+      .groupBy("doc", "n", "gram", "glen").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc", "n")
+          .orderBy(col("c").desc, (col("c") * col("glen")).desc, col("gram").asc)))
+      .where(col("rk") === 1)
+      .select(col("doc"), col("n"), (col("c") * col("glen")).as("chars"))
+
+    // dup-n: union length of spans of grams occurring >= 2 times
+    val dupOcc = dupNs.map(gramsOf).reduce(_ unionByName _)
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy("doc", "n", "gram")))
+      .where(col("cnt") >= 2)
+    val wSpan = Window.partitionBy("doc", "n").orderBy("gstart", "gend")
+    val dupFracs = dupOcc
+      .withColumn("pm", max(col("gend"))
+        .over(wSpan.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nw",
+        when(col("pm").isNull || col("gstart") > col("pm"), 1).otherwise(0))
+      .withColumn("island", sum(col("nw"))
+        .over(wSpan.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc", "n", "island")
+      .agg((max(col("gend")) - min(col("gstart"))).as("span"))
+      .groupBy("doc", "n").agg(sum(col("span")).as("chars"))
+
+    def pivoted(fracs: DataFrame, ns: Seq[Int], prefix: String): DataFrame =
+      fracs.groupBy("doc").pivot("n", ns.map(Integer.valueOf(_)))
+        .agg(first(col("chars")))
+        .select(col("doc") +: ns.map(n =>
+          col(n.toString).as(s"__${prefix}_$n")): _*)
+
+    val joined = totals
+      .join(pivoted(topFracs, topNs, "top"), Seq("doc"), "left")
+      .join(pivoted(dupFracs, dupNs, "dup"), Seq("doc"), "left")
+    val outCols = col("doc") +: col("total").as("n_chars_norm") +:
+      (topNs.map(n => round(coalesce(col(s"__top_$n"), lit(0L))
+          .cast("double") / col("total").cast("double"), 6)
+        .as(s"top_${n}_gram_frac")) ++
+        dupNs.map(n => round(coalesce(col(s"__dup_$n"), lit(0L))
+            .cast("double") / col("total").cast("double"), 6)
+          .as(s"dup_${n}_gram_frac")))
+    joined.select(outCols: _*)
+  }
+
   /** Repetition filter: keep docs under the configured repetition caps
     * (the Gopher defaults are ~0.2 for the top 2-gram fraction). */
   def filterRepetitive(

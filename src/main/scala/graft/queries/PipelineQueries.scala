@@ -2189,6 +2189,84 @@ object PipelineQueries {
              |            ELSE 'test' END AS split
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // Full Gopher repetition battery: top-{2,3,4}-gram char fractions +
+    // duplicated-{5..10}-gram char COVERAGE (union of spans, chars
+    // counted once). The oracle rebuilds positioned grams from the token
+    // list, replays the deterministic top-gram tie-break, and re-merges
+    // the duplicate spans with the same gaps-and-islands window — so the
+    // hash compare pins occurrence counting, span arithmetic, and the
+    // overlap-union semantics, per n.
+    QueryDef("p58_gopher_repetition",
+      (s, dir) => TextAnalysis.gopherRepetitionStats(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS tk
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), tk2 AS (
+             |  SELECT doc_id, tk FROM t WHERE len(tk) > 0
+             |), p AS (
+             |  SELECT doc_id, tok, i,
+             |         COALESCE(SUM(len(tok) + 1) OVER (PARTITION BY doc_id ORDER BY i
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+             |  FROM (SELECT doc_id, unnest(tk) AS tok, unnest(range(1, len(tk) + 1)) AS i FROM tk2)
+             |), tot AS (
+             |  SELECT doc_id, SUM(len(tok)) + COUNT(*) - 1 AS total FROM p GROUP BY doc_id
+             |), gg AS (
+             |  SELECT doc_id, n, gram, len(gram) AS glen, gstart, gstart + len(gram) AS gend
+             |  FROM (
+             |    SELECT p.doc_id, ns.n,
+             |           array_to_string(tk2.tk[p.i : p.i + ns.n - 1], ' ') AS gram,
+             |           p.cs AS gstart
+             |    FROM p JOIN tk2 USING (doc_id)
+             |    CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+             |    WHERE p.i + ns.n - 1 <= len(tk2.tk)
+             |  )
+             |), topc AS (
+             |  SELECT doc_id, n, c * glen AS chars FROM (
+             |    SELECT doc_id, n, gram, glen, COUNT(*) AS c,
+             |           ROW_NUMBER() OVER (PARTITION BY doc_id, n
+             |             ORDER BY COUNT(*) DESC, COUNT(*) * glen DESC, gram ASC) AS rk
+             |    FROM gg GROUP BY doc_id, n, gram, glen
+             |  ) WHERE rk = 1 AND n IN (2, 3, 4)
+             |), d AS (
+             |  SELECT doc_id, n, gstart, gend FROM (
+             |    SELECT doc_id, n, gstart, gend,
+             |           COUNT(*) OVER (PARTITION BY doc_id, n, gram) AS cnt
+             |    FROM gg WHERE n >= 5
+             |  ) WHERE cnt >= 2
+             |), isl AS (
+             |  SELECT doc_id, n, gstart, gend,
+             |         SUM(nw) OVER (PARTITION BY doc_id, n ORDER BY gstart, gend
+             |                       ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM (
+             |    SELECT *, CASE WHEN pm IS NULL OR gstart > pm THEN 1 ELSE 0 END AS nw FROM (
+             |      SELECT doc_id, n, gstart, gend,
+             |             MAX(gend) OVER (PARTITION BY doc_id, n ORDER BY gstart, gend
+             |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |      FROM d))
+             |), dupc AS (
+             |  SELECT doc_id, n, SUM(span) AS chars FROM (
+             |    SELECT doc_id, n, island, MAX(gend) - MIN(gstart) AS span
+             |    FROM isl GROUP BY doc_id, n, island
+             |  ) GROUP BY doc_id, n
+             |)
+             |SELECT tot.doc_id AS doc, CAST(tot.total AS BIGINT) AS n_chars_norm,
+             |       ROUND(CAST(COALESCE(MAX(CASE WHEN tc.n = 2 THEN tc.chars END), 0) AS DOUBLE) / tot.total, 6) AS top_2_gram_frac,
+             |       ROUND(CAST(COALESCE(MAX(CASE WHEN tc.n = 3 THEN tc.chars END), 0) AS DOUBLE) / tot.total, 6) AS top_3_gram_frac,
+             |       ROUND(CAST(COALESCE(MAX(CASE WHEN tc.n = 4 THEN tc.chars END), 0) AS DOUBLE) / tot.total, 6) AS top_4_gram_frac,
+             |       ROUND(CAST(COALESCE(MAX(CASE WHEN dc.n = 5 THEN dc.chars END), 0) AS DOUBLE) / tot.total, 6) AS dup_5_gram_frac,
+             |       ROUND(CAST(COALESCE(MAX(CASE WHEN dc.n = 6 THEN dc.chars END), 0) AS DOUBLE) / tot.total, 6) AS dup_6_gram_frac,
+             |       ROUND(CAST(COALESCE(MAX(CASE WHEN dc.n = 7 THEN dc.chars END), 0) AS DOUBLE) / tot.total, 6) AS dup_7_gram_frac,
+             |       ROUND(CAST(COALESCE(MAX(CASE WHEN dc.n = 8 THEN dc.chars END), 0) AS DOUBLE) / tot.total, 6) AS dup_8_gram_frac,
+             |       ROUND(CAST(COALESCE(MAX(CASE WHEN dc.n = 9 THEN dc.chars END), 0) AS DOUBLE) / tot.total, 6) AS dup_9_gram_frac,
+             |       ROUND(CAST(COALESCE(MAX(CASE WHEN dc.n = 10 THEN dc.chars END), 0) AS DOUBLE) / tot.total, 6) AS dup_10_gram_frac
+             |FROM tot LEFT JOIN topc tc USING (doc_id) LEFT JOIN dupc dc USING (doc_id)
+             |GROUP BY tot.doc_id, tot.total
+             |ORDER BY doc""".stripMargin)),
+
     // Gopher-style rule screen: every rule feature + the composite pass
     // flag; the oracle replays each feature (whole-word stopword scan in
     // its regex form, the single-match-per-alpha-word regexp count) and

@@ -684,6 +684,37 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(3L)) // doc 4's top-word fraction 1.0 also fails the cap
   }
 
+  test("gopher repetition battery: hand-computed fractions, overlap union, short-doc zeros") {
+    val d = Seq(
+      // tokens [a,a,a,b], normalized "a a a b" = 7 chars.
+      // top-2: "a a"×2 (starts 0,2; overlapping occurrences DO
+      // double-count chars) → 2·3/7; top-3 tie "a a a"/"a a b" breaks
+      // lexicographically → 5/7; top-4 is the whole text → 1.0; no
+      // 5-gram exists → dup_5..10 = 0
+      (1L, "a a a b"),
+      // tokens a b c d e x a b c d e: the ONLY repeated 5-gram is
+      // "a b c d e" at chars 0 and 12 → disjoint spans 9+9=18 of 21
+      // (a fully periodic text would union to 1.0 via the rotations)
+      (2L, "a b c d e x a b c d e"),
+      // seven a's: "a a a a a" at 0,2,4 → OVERLAPPING spans union to
+      // the whole 13-char text, counted once → exactly 1.0
+      (3L, "a a a a a a a"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetitionStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 7L)
+    assert(got(1L).getDouble(2) == math.rint(2.0 * 3 / 7 * 1e6) / 1e6) // top_2
+    assert(got(1L).getDouble(3) == math.rint(5.0 / 7 * 1e6) / 1e6)     // top_3
+    assert(got(1L).getDouble(4) == 1.0)                                // top_4
+    (5 to 10).zipWithIndex.foreach { case (_, i) =>
+      assert(got(1L).getDouble(5 + i) == 0.0) }
+    assert(got(2L).getLong(1) == 21L)
+    assert(got(2L).getDouble(5) == math.rint(18.0 / 21 * 1e6) / 1e6)   // dup_5
+    assert(got(3L).getLong(1) == 13L)
+    assert(got(3L).getDouble(5) == 1.0)                                // dup_5 union
+    OperatorCache.releaseAll(spark)
+  }
+
   test("tfidf: corpus-wide terms weigh ~0, rare terms rank first") {
     val d = Seq(
       (1L, "common common rare1"),
