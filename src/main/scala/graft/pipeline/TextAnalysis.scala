@@ -858,6 +858,63 @@ object TextAnalysis {
     joined.select(outCols: _*)
   }
 
+  /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2's public
+    * heuristics), the line-structured complement of the doc-level
+    * [[gopherQualityRules]]: a line survives iff it ends in a terminal
+    * punctuation mark (after right-trim), carries at least
+    * `minLineWords` whitespace words, and contains none of
+    * `banLineTerms` (case-insensitive substring); a DOC survives iff it
+    * keeps at least `minKeptLines` lines and its full text contains
+    * none of `dropDocTerms` (the published "lorem ipsum" / curly-brace
+    * page gates). Survivors are reassembled from their kept lines in
+    * original order.
+    *
+    * Scale shape: one line explode + one doc-keyed aggregate
+    * (string_agg by position) — the same two-step every line operator
+    * here uses; the doc-level term gates are map-only predicates on the
+    * original text, evaluated in the same aggregate's projection.
+    *
+    * @return (doc, text_clean, n_lines, n_lines_kept) for surviving docs
+    */
+  def c4CleanLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 3,
+      banLineTerms: Seq[String] = Seq("javascript"),
+      dropDocTerms: Seq[String] = Seq("lorem ipsum", "{"),
+      minKeptLines: Int = 3,
+  ): DataFrame = {
+    val lines = df.select(col(idCol).as("doc"), col(textCol).as("__text"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val words = size(filter(split(trim(col("line")), "\\s+"), t => t =!= ""))
+    val banned = banLineTerms
+      .map(t => lower(col("line")).contains(t.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val keep = rtrim(col("line")).rlike("[.!?\"]$") &&
+      words >= minLineWords && !banned
+    val docDrop = dropDocTerms
+      .map(t => lower(col("__text")).contains(t.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    lines
+      .withColumn("__keep", keep)
+      .withColumn("__doc_drop", docDrop)
+      .groupBy("doc")
+      .agg(
+        // collect_list skips the null the otherwise-less `when` yields
+        // for dropped lines — same reassembly idiom as
+        // Dedup.removeDuplicateLines
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("text_clean"),
+        count(lit(1)).as("n_lines"),
+        sum(col("__keep").cast("long")).as("n_lines_kept"),
+        first(col("__doc_drop")).as("__drop"))
+      .where(!col("__drop") && col("n_lines_kept") >= minKeptLines)
+      .drop("__drop")
+  }
+
   /** Repetition filter: keep docs under the configured repetition caps
     * (the Gopher defaults are ~0.2 for the top 2-gram fraction). */
   def filterRepetitive(

@@ -1957,6 +1957,79 @@ object PipelineQueries {
              |       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
              |FROM j GROUP BY doc_id ORDER BY doc""".stripMargin)),
 
+    // C4-style line-level cleaning over a synthesized line-structured
+    // corpus that exercises EVERY rule: 12-token chunk lines where even
+    // chunks get terminal punctuation (odd ones fail that rule), every
+    // 5th-index chunk is poisoned with "javascript" (line ban), a 1-word
+    // "end." line fails the word floor, and doc_id-gated extra lines
+    // trip the doc-level lorem-ipsum / curly-brace page gates. The
+    // oracle replays construction + every predicate + reassembly, so
+    // the hash compare pins the exact kept-line set and doc survivors.
+    QueryDef("p59_c4_line_rules",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .where(length(trim(col("text"))) > 0)
+        val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+        val body = array_join(
+          transform(
+            sequence(lit(0),
+              greatest(floor((size(toks) - 1) / lit(12)).cast("int"), lit(0))),
+            i => {
+              val base = array_join(slice(toks, i * 12 + 1, lit(12)), " ")
+              val banned = when(pmod(i, lit(5)) === 1,
+                concat(lit("javascript "), base)).otherwise(base)
+              when(pmod(i, lit(2)) === 0, concat(banned, lit(".")))
+                .otherwise(banned)
+            }),
+          "\n")
+        val lined = docs.select(col("doc_id"),
+          concat_ws("\n",
+            body,
+            lit("end."),
+            when(pmod(col("doc_id"), lit(20)) === 7,
+              lit("lorem ipsum filler text here.")),
+            when(pmod(col("doc_id"), lit(20)) === 3,
+              lit("{ config block }")))
+            .as("text"))
+        TextAnalysis.c4CleanLines(lined, "doc_id", "text", minKeptLines = 2)
+          .orderBy("doc")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(TRIM(text), '\s+'), x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE len(TRIM(text)) > 0
+             |), lined AS (
+             |  SELECT doc_id,
+             |         array_to_string(list_transform(range(0, len(toks), 12),
+             |             st -> (CASE WHEN (st // 12) % 5 = 1 THEN 'javascript ' ELSE '' END)
+             |                   || array_to_string(toks[st + 1 : least(st + 12, len(toks))], ' ')
+             |                   || (CASE WHEN (st // 12) % 2 = 0 THEN '.' ELSE '' END)), chr(10))
+             |         || chr(10) || 'end.'
+             |         || (CASE WHEN doc_id % 20 = 7 THEN chr(10) || 'lorem ipsum filler text here.' ELSE '' END)
+             |         || (CASE WHEN doc_id % 20 = 3 THEN chr(10) || '{ config block }' ELSE '' END) AS text
+             |  FROM t
+             |), lines AS (
+             |  SELECT doc_id, text, unnest(string_split(text, chr(10))) AS line,
+             |         unnest(range(0, len(string_split(text, chr(10))))) AS pos
+             |  FROM lined
+             |), j AS (
+             |  SELECT doc_id, pos, line,
+             |         (regexp_matches(rtrim(line), '[.!?"]$')
+             |          AND len(list_filter(string_split_regex(trim(line), '\s+'), x -> x <> '')) >= 3
+             |          AND position('javascript' IN lower(line)) = 0) AS keep,
+             |         (position('lorem ipsum' IN lower(text)) > 0
+             |          OR position('{' IN lower(text)) > 0) AS docdrop
+             |  FROM lines
+             |)
+             |SELECT doc_id AS doc,
+             |       COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text_clean,
+             |       CAST(count(*) AS BIGINT) AS n_lines,
+             |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept
+             |FROM j GROUP BY doc_id, docdrop
+             |HAVING NOT docdrop AND SUM(CASE WHEN keep THEN 1 ELSE 0 END) >= 2
+             |ORDER BY doc""".stripMargin)),
+
     // Deterministic epoch shuffle into training shards: shard from one
     // gate mix, within-shard order from an independent mix. The oracle
     // replays both mixes and the per-shard ROW_NUMBER — the hash compare

@@ -715,6 +715,26 @@ class PipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("c4 line rules: each predicate trips independently; doc gates drop whole pages") {
+    val d = Seq(
+      // every line individually exercises one rule
+      (1L, "this line ends properly.\nno terminal punctuation here\n" +
+        "short.\nthis javascript line is banned.\nanother good line stays!"),
+      (2L, "lorem ipsum dolor sit amet.\nthis line ends properly.\n" +
+        "another good line stays!"),                  // doc gate: lorem ipsum
+      (3L, "has a { brace.\nthis line ends properly.\n" +
+        "another good line stays!"),                  // doc gate: curly brace
+      (4L, "only one keepable line here.\nand nothing else"), // below minKeptLines
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4CleanLines(d, "doc_id", "text", minKeptLines = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(1L))
+    val (clean, nLines, nKept) = got(1L)
+    assert(clean == "this line ends properly.\nanother good line stays!")
+    assert(nLines == 5L && nKept == 2L)
+  }
+
   test("tfidf: corpus-wide terms weigh ~0, rare terms rank first") {
     val d = Seq(
       (1L, "common common rare1"),
