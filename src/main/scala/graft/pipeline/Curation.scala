@@ -260,6 +260,64 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every corpus
+    * doc by the log-likelihood ratio of its hashed-unigram bag under a
+    * TARGET-domain unigram model vs the CORPUS model, keep the top k.
+    * The published method resamples with Gumbel noise; this engine keeps
+    * the deterministic top-k (the same replayability stance as
+    * [[splitCorpus]] — a selection a pipeline cannot reproduce later is
+    * a provenance bug).
+    *
+    * Fixed-point like [[TextClassifier]]: per-bucket log-ratios
+    * ln(tcnt+1) − ln(Σt+B) − ln(scnt+1) + ln(Σs+B) are rounded to the
+    * 1e9 grid ONCE (a last-ulp ln() difference between engines dies at
+    * the grid, it never compounds), so every per-doc score
+    * Σ_b c_b·lw_b is exact integer arithmetic — order-independent,
+    * partitioning-independent, oracle-replayable.
+    *
+    * Scale shape: two feature passes (explode + (doc,bucket) aggregate,
+    * the [[TextClassifier.features]] frame), two B-row bucket aggregates
+    * collected to the driver (B = numBuckets, parameter-bounded — the
+    * model IS those B longs), the scoring pass is map-side with the
+    * weight array riding as a typedlit, and the top-k is
+    * TakeOrderedAndProject (never a global sort).
+    *
+    * @return corpus rows of the k selected docs + weight9 (their scaled
+    *         log-ratio score)
+    */
+  def dsirSelect(
+      corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetIdCol: String, targetTextCol: String,
+      k: Int, numBuckets: Int = 256,
+  ): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val cf = OperatorCache.materialize(TextClassifier.features(
+      corpus.withColumn("__y", lit(0L)), idCol, textCol, "__y", numBuckets))
+    val tf = TextClassifier.features(
+      target.withColumn("__y", lit(0L)), targetIdCol, targetTextCol, "__y",
+      numBuckets)
+    def bucketCounts(f: DataFrame): Map[Int, Long] =
+      f.groupBy("bucket").agg(sum(col("c")).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sCnt = bucketCounts(cf)
+    val tCnt = bucketCounts(tf)
+    // add-one smoothing: denominators are Σ(cnt+1) = Σcnt + B
+    val sTot = (sCnt.values.sum + numBuckets).toDouble
+    val tTot = (tCnt.values.sum + numBuckets).toDouble
+    val lw: Seq[Long] = (0 until numBuckets).map { b =>
+      math.round(1000000000.0 *
+        (math.log((tCnt.getOrElse(b, 0L) + 1L).toDouble) - math.log(tTot) -
+          math.log((sCnt.getOrElse(b, 0L) + 1L).toDouble) + math.log(sTot)))
+    }
+    val wLit = typedlit(lw)
+    val top = cf.groupBy("doc")
+      .agg(sum(col("c") * element_at(wLit, col("bucket") + 1)).as("weight9"))
+      .orderBy(col("weight9").desc, col("doc").asc)
+      .limit(k)
+    corpus.join(top, corpus(idCol) === top("doc"), "inner").drop("doc")
+  }
+
   /** Sharded JSONL export — the standard training-data handoff format:
     * one JSON object per line, one `shard=k/` directory per shard
     * (Hive-style partitioning, so a downstream loader reads a single

@@ -1957,6 +1957,79 @@ object PipelineQueries {
              |       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
              |FROM j GROUP BY doc_id ORDER BY doc""".stripMargin)),
 
+    // DSIR importance selection: docs with doc_id % 10 == 0 play the
+    // target domain, the rest are the raw corpus; top-100 docs by the
+    // fixed-point hashed-unigram log-likelihood ratio are selected. The
+    // oracle replays feature hashing (byte-fold FNV mod 2^k), both
+    // smoothed distributions, the per-bucket 1e9-grid log-ratios, the
+    // exact integer doc scores, and the deterministic top-k frontier.
+    QueryDef("p60_dsir_select",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+        val targetD = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        Curation.dsirSelect(corpus, "doc_id", "text",
+          targetD, "doc_id", "text", k = 100, numBuckets = 256)
+          .select("doc_id", "lang", "source", "weight9")
+          .orderBy("doc_id")
+      },
+      Some("""WITH ctoks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS tk
+             |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 10 <> 0
+             |), ttoks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS tk
+             |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 10 = 0
+             |), cb AS MATERIALIZED (
+             |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+             |    SELECT doc_id,
+             |           CAST(list_reduce(
+             |             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                          list_transform(regexp_extract_all(hex(encode(tok)), '..'), ch -> CAST(CAST(('0x' || ch) AS INT) AS HUGEINT))),
+             |             (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                          * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+             |           ) % 256 AS INT) AS bucket
+             |    FROM (SELECT doc_id, unnest(tk) AS tok FROM ctoks)
+             |  ) GROUP BY doc_id, bucket
+             |), tb AS (
+             |  SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM (
+             |    SELECT CAST(list_reduce(
+             |             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                          list_transform(regexp_extract_all(hex(encode(tok)), '..'), ch -> CAST(CAST(('0x' || ch) AS INT) AS HUGEINT))),
+             |             (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                          * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+             |           ) % 256 AS INT) AS bucket
+             |    FROM (SELECT unnest(tk) AS tok FROM ttoks)
+             |  ) GROUP BY bucket
+             |), sdist AS (
+             |  SELECT bucket, SUM(c) AS n FROM cb GROUP BY bucket
+             |), tot AS (
+             |  SELECT (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM sdist) + 256 AS st,
+             |         (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM tb) + 256 AS tt
+             |), lw AS MATERIALIZED (
+             |  SELECT b.b AS bucket,
+             |         CAST(round(1000000000.0 *
+             |           (ln(CAST(COALESCE(t.n, 0) + 1 AS DOUBLE)) - ln(CAST(tot.tt AS DOUBLE))
+             |            - ln(CAST(COALESCE(s.n, 0) + 1 AS DOUBLE)) + ln(CAST(tot.st AS DOUBLE)))) AS BIGINT) AS w
+             |  FROM (SELECT CAST(unnest(range(0, 256)) AS INT) AS b) b
+             |  LEFT JOIN sdist s ON s.bucket = b.b
+             |  LEFT JOIN tb t ON t.bucket = b.b
+             |  CROSS JOIN tot
+             |), scores AS (
+             |  SELECT cb.doc_id, SUM(cb.c * lw.w) AS w9
+             |  FROM cb JOIN lw ON cb.bucket = lw.bucket GROUP BY cb.doc_id
+             |), sel AS (
+             |  SELECT doc_id, w9,
+             |         ROW_NUMBER() OVER (ORDER BY w9 DESC, doc_id ASC) AS rk
+             |  FROM scores
+             |)
+             |SELECT d.doc_id, d.lang, d.source, CAST(s.w9 AS BIGINT) AS weight9
+             |FROM sel s JOIN read_parquet('{SFDIR}/documents.parquet') d USING (doc_id)
+             |WHERE s.rk <= 100 ORDER BY d.doc_id""".stripMargin)),
+
     // C4-style line-level cleaning over a synthesized line-structured
     // corpus that exercises EVERY rule: 12-token chunk lines where even
     // chunks get terminal punctuation (odd ones fail that rule), every

@@ -256,6 +256,26 @@ class CurationSpec extends SparkSpec {
     assert(dirs.subsetOf(Set("shard=0", "shard=1")) && dirs.nonEmpty)
   }
 
+  test("dsirSelect: target-vocabulary docs outrank off-domain docs, deterministically") {
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),   // pure target vocabulary
+      (2L, "gamma delta gamma delta gamma delta"), // pure off-domain
+      (3L, "alpha beta gamma delta"),              // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    def run() = Curation.dsirSelect(corpus, "doc_id", "text",
+      target, "doc_id", "text", k = 2, numBuckets = 256)
+      .select("doc_id", "weight9")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq, "selection must be identical across runs")
+    assert(a.map(_._1).toSet == Set(1L, 3L),
+      s"expected the target-vocab docs selected, got ${a.toSeq}")
+    val w = a.toMap
+    assert(w(1L) > w(3L), "pure target-vocab doc must outscore the mixed doc")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("corpusManifest: counts and id range exact; checksum flips on any changed doc") {
     val docs = Seq(
       (1L, "alpha beta gamma", "a"), (2L, "delta epsilon", "a"),
