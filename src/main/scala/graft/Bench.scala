@@ -55,7 +55,8 @@ object Bench {
     "p50_remove_shared_substrings", "p51_remove_dup_lines",
     "p52_shard_corpus", "p53_classifier_scores", "p54_corpus_manifest",
     "p55_temperature_resample", "p56_classifier_screen", "p57_export_jsonl",
-    "p58_gopher_repetition", "p59_c4_line_rules", "p60_dsir_select")
+    "p58_gopher_repetition", "p59_c4_line_rules", "p60_dsir_select",
+    "p61_perplexity_buckets")
 
   /** Jobs started/ended + stages completed + task GC/CPU sums, maintained
     * by [[counting]]. Listener delivery is asynchronous; [[settle]] waits

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -516,6 +516,42 @@ object TextAnalysis {
       .agg(sum("tf").as("n_tokens"),
         round(sum(-col("tf").cast("double") * col("__lp")) / sum("tf").cast("double"), 6)
           .as("nll"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019 §4.3): rank
+    * the corpus by LM score and split into head / middle / tail thirds —
+    * CCNet trains on Wikipedia and keeps the low-perplexity "head" as
+    * the highest-quality slice. Here the LM is the in-engine
+    * [[unigramNll]] (self-trained, oracle-replayable); head = the
+    * lowest-NLL ceil(n/3) docs under the total order (nll, doc) — the
+    * doc tiebreak makes the thirds exact sets, not value-threshold
+    * approximations, so the assignment is replayable regardless of ties.
+    *
+    * Scale shape: the scored frame is materialized once; the two bucket
+    * boundaries are exact order statistics fetched with
+    * orderBy+limit(k) → max(struct) — TakeOrderedAndProject, driver
+    * receives ONE row per boundary — and the bucket label is then a
+    * map-only struct comparison. No global sort, no rank window.
+    *
+    * @return (doc, n_tokens, nll, bucket) for every tokenful doc
+    */
+  def perplexityBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+  ): DataFrame = {
+    val scored = OperatorCache.materialize(unigramNll(df, idCol, textCol))
+    val n = scored.count()
+    if (n == 0L) return scored.withColumn("bucket", lit(""))
+    def kth(k: Int): Row = scored
+      .orderBy(col("nll").asc, col("doc").asc).limit(k)
+      .agg(max(struct(col("nll"), col("doc"))).as("t"))
+      .select("t.nll", "t.doc").head()
+    val t1 = kth(((n + 2) / 3).toInt)
+    val t2 = kth(((2 * n + 2) / 3).toInt)
+    val key = struct(col("nll"), col("doc"))
+    scored.withColumn("bucket",
+      when(key <= struct(lit(t1.getDouble(0)), lit(t1.get(1))), "head")
+        .when(key <= struct(lit(t2.getDouble(0)), lit(t2.get(1))), "middle")
+        .otherwise("tail"))
   }
 
   /** Per-doc BIGRAM LM negative log-likelihood — one step up the

@@ -1170,6 +1170,45 @@ object PipelineQueries {
              |FROM tf JOIN tot USING (term), stats
              |GROUP BY doc ORDER BY doc""".stripMargin)),
 
+    // CCNet-style perplexity bucketing: corpus ranked by the
+    // self-trained unigram-LM score and split into exact head/middle/
+    // tail thirds under the (nll, doc) total order. The Spark side
+    // fetches the two boundary order statistics (TakeOrderedAndProject)
+    // and labels map-only; the oracle ranks with ROW_NUMBER — the hash
+    // compare proves the two formulations pick identical sets.
+    QueryDef("p61_perplexity_buckets",
+      (s, dir) => TextAnalysis.perplexityBuckets(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS term
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), tf AS (
+             |  SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY doc, term
+             |), tot AS (
+             |  SELECT term, SUM(tf) AS ct FROM tf GROUP BY term
+             |), stats AS (
+             |  SELECT SUM(ct) AS total, COUNT(*) AS vocab FROM tot
+             |), sc AS (
+             |  SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             |         ROUND(SUM(-CAST(tf AS DOUBLE) * LN(CAST(ct + 1 AS DOUBLE) / CAST(total + vocab AS DOUBLE)))
+             |               / CAST(SUM(tf) AS DOUBLE), 6) AS nll
+             |  FROM tf JOIN tot USING (term), stats
+             |  GROUP BY doc
+             |), ranked AS (
+             |  SELECT doc, n_tokens, nll,
+             |         ROW_NUMBER() OVER (ORDER BY nll, doc) AS rk,
+             |         COUNT(*) OVER () AS n
+             |  FROM sc
+             |)
+             |SELECT doc, n_tokens, nll,
+             |       CASE WHEN rk <= (n + 2) // 3 THEN 'head'
+             |            WHEN rk <= (2 * n + 2) // 3 THEN 'middle'
+             |            ELSE 'tail' END AS bucket
+             |FROM ranked ORDER BY doc""".stripMargin)),
+
     // Reproducible stratified subsampling (training-mix weights): the
     // per-stratum keep decision is the portable Knuth-mix gate on the id
     // (engine-replayable integer arithmetic — sampling a training corpus

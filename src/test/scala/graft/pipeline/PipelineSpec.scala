@@ -715,6 +715,28 @@ class PipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("perplexity buckets: exact thirds; common-vocab docs head, rare-vocab tail") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "the cat sat on the rug"),
+      (4L, "zyx qwv jkl pqr mno abc"),
+      (5L, "uvw rst hgf dcb aaa bbb"),
+      (6L, "zzz yyy xxx www vvv uuu"),
+      (7L, "the cat and the dog sat"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityBuckets(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got.values.count(_ == "head") == 3)   // ceil(7/3)
+    assert(got.values.count(_ == "middle") == 2)
+    assert(got.values.count(_ == "tail") == 2)
+    // the shared-vocabulary docs must outrank the unique-token salad
+    assert(Set(4L, 5L, 6L).count(id => got(id) == "tail") == 2,
+      s"rare-vocab docs should fill the tail: $got")
+    assert(Set(1L, 2L, 3L, 7L).forall(id => got(id) != "tail"))
+    OperatorCache.releaseAll(spark)
+  }
+
   test("c4 line rules: each predicate trips independently; doc gates drop whole pages") {
     val d = Seq(
       // every line individually exercises one rule
