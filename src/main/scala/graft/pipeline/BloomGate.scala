@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Broadcast Bloom-filter membership gate — the incremental-ingest
+  * primitive for exact dedup at corpus scale (Bloom 1970; used as the
+  * "have we seen this document before" pre-filter in large crawl
+  * pipelines, e.g. the CCNet/RefinedWeb-style recrawl dedup stage).
+  *
+  * Shape at 100 TB: the filter over yesterday's corpus is a few MB of
+  * bits (`numBits/8` bytes, independent of corpus size), built once with
+  * one distinct-aggregate over the seen corpus, then shipped to every
+  * executor as a plan literal; the probe over today's batch is MAP-ONLY
+  * — no join, no shuffle, no state. A "maybe seen" answer routes the doc
+  * to the (expensive, shuffling) exact-verify path; a "definitely not
+  * seen" answer — the common case on fresh data — skips it. False
+  * positives are possible and deterministic (double hashing off
+  * FNV-1a64); false negatives are impossible, which is what makes the
+  * gate sound: nothing already ingested can slip past it.
+  *
+  * Everything is built from the portable FNV-1a64 hash so an external
+  * oracle can replay bit placement exactly: h1 = fnv(key),
+  * h2 = fnv(key || "#bloom") forced odd, position_i = (h1 + i*h2) mod m
+  * (Kirsch–Mitzenmacher double hashing). All arithmetic is done on the
+  * low bits (m is a power of two, and x mod 2^k depends only on inputs
+  * mod 2^k), so no long overflow is possible under ANSI mode and the
+  * oracle can use plain BIGINT math.
+  */
+object BloomGate {
+
+  /** Canonical document key: the normalized token stream re-joined with
+    * single spaces — the same lowercase/strip/split normalization every
+    * other hash-based text operator uses (Dedup.rawTokens), so "same
+    * document" means the same thing here as in the exact/MinHash stages.
+    * Empty/whitespace-only docs key to "".
+    */
+  def docKey(text: Column): Column =
+    array_join(filter(Dedup.rawTokens(text), t => t =!= ""), " ")
+
+  private def requirePow2(numBits: Int): Unit =
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 64, got $numBits")
+
+  /** The k bit positions of `key` in an m-bit filter, as long columns in
+    * [0, numBits). Double hashing: two FNV-1a64 evaluations serve any k
+    * (Kirsch & Mitzenmacher 2006 — no loss in false-positive rate vs k
+    * independent hashes). Masking both hashes to the low bits FIRST
+    * keeps every intermediate below 2^(log2 m + 2): overflow-free under
+    * ANSI, and bit-identical to (h1 + i*h2) mod 2^64 mod m.
+    */
+  def positions(key: Column, numBits: Int, k: Int): Seq[Column] = {
+    requirePow2(numBits)
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    val mask = (numBits - 1).toLong
+    val h1 = GraftFunctions.fnv1a64(key).bitwiseAND(lit(mask))
+    // forced odd => stride is coprime with the power-of-two m, so the k
+    // probes of one key never collapse onto a single bucket cycle
+    val h2 = GraftFunctions.fnv1a64(concat(key, lit("#bloom")))
+      .bitwiseAND(lit(mask)).bitwiseOR(lit(1L))
+    (0 until k).map(i => (h1 + lit(i.toLong) * h2) % lit(numBits.toLong))
+  }
+
+  /** Build the filter bitmap from the seen corpus: one explode of the k
+    * positions per doc, one distinct (map-side-combined hash aggregate),
+    * and a driver collect BOUNDED BY numBits — like the classifier
+    * weights or the DSIR bucket model, the artifact is parameter-sized,
+    * not corpus-sized. Returns the bit array as numBits/64 longs.
+    */
+  def build(df: DataFrame, textCol: String, numBits: Int, k: Int): Array[Long] = {
+    requirePow2(numBits)
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val pos = positions(docKey(col(textCol)), numBits, k)
+    val words = new Array[Long](numBits / 64)
+    df.select(explode(array(pos: _*)).as("__pos"))
+      .distinct()
+      .collect()
+      .foreach { r =>
+        val p = r.getLong(0)
+        words((p >>> 6).toInt) |= (1L << (p & 63L).toInt)
+      }
+    words
+  }
+
+  /** Probe: append `outCol` = "every one of the doc's k bits is set in
+    * `bitmap`". The bitmap rides along as ONE array literal in the plan
+    * (numBits/64 longs — broadcast to executors with the serialized
+    * plan, shared across rows), and the test is a map-only conjunction
+    * of getbit() lookups: no join, no shuffle, whole-stage codegen.
+    */
+  def probe(df: DataFrame, textCol: String, bitmap: Array[Long],
+      numBits: Int, k: Int, outCol: String = "maybe_seen"): DataFrame = {
+    requirePow2(numBits)
+    require(bitmap.length == numBits / 64,
+      s"bitmap has ${bitmap.length} words, expected ${numBits / 64}")
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val bm = typedlit(bitmap.toSeq)
+    val hit = positions(docKey(col(textCol)), numBits, k)
+      .map { p =>
+        val word = element_at(bm, (p / 64L).cast("int") + 1)
+        call_function("getbit", word, (p % 64L).cast("int")) === 1
+      }
+      .reduce(_ && _)
+    df.withColumn(outCol, hit)
+  }
+
+  /** End-to-end gate: build the filter over `seen`, probe `batch` with
+    * it. The two frames may be arbitrary (different tables, yesterday's
+    * shard vs today's); only the text column's normalization ties them.
+    */
+  def gate(seen: DataFrame, batch: DataFrame, textCol: String,
+      numBits: Int = 1 << 18, k: Int = 4,
+      outCol: String = "maybe_seen"): DataFrame =
+    probe(batch, textCol, build(seen, textCol, numBits, k), numBits, k, outCol)
+}

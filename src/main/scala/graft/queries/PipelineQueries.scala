@@ -2510,5 +2510,54 @@ object PipelineQueries {
              |       ROUND(quantile_cont(n_toks, 0.5), 6) AS p50_tokens,
              |       ROUND(quantile_cont(n_toks, 0.9), 6) AS p90_tokens
              |FROM t GROUP BY stratum ORDER BY stratum""".stripMargin)),
+
+    // Broadcast Bloom-filter ingest gate (BloomGate): filter built over
+    // the "already ingested" two-thirds of the corpus (doc_id % 3 <> 0),
+    // probed by EVERY doc map-only against the 2^18-bit bitmap riding in
+    // the plan as a literal — no join on the probe side, the 100 TB
+    // recrawl-dedup shape. Probing the members too makes the oracle
+    // two-sided: members MUST come back true (no false negatives — the
+    // soundness property), non-members false at this bit density. The
+    // oracle replays FNV double-hashing bit placement exactly in BIGINT
+    // low-bit arithmetic.
+    QueryDef("p62_bloom_gate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        BloomGate.gate(
+          docs.where(col("doc_id") % 3 =!= 0), docs, "text",
+          numBits = 1 << 18, k = 4)
+          .select("doc_id", "maybe_seen").orderBy("doc_id")
+      },
+      Some("""WITH keyed AS (
+             |  SELECT doc_id,
+             |         COALESCE(list_aggregate(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                                             x -> x <> ''), 'string_agg', ' '), '') AS key
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), hashed AS (
+             |  SELECT doc_id,
+             |         CAST(list_reduce(
+             |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                        list_transform(regexp_extract_all(hex(encode(key)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) % 262144 AS BIGINT) AS h1,
+             |         CAST(list_reduce(
+             |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                        list_transform(regexp_extract_all(hex(encode(key || '#bloom')), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) % 262144 AS BIGINT) | 1 AS h2
+             |  FROM keyed
+             |), pos AS (
+             |  SELECT doc_id, unnest([(h1 + 0 * h2) % 262144, (h1 + 1 * h2) % 262144,
+             |                         (h1 + 2 * h2) % 262144, (h1 + 3 * h2) % 262144]) AS p
+             |  FROM hashed
+             |), built AS (
+             |  SELECT DISTINCT p FROM pos WHERE doc_id % 3 <> 0
+             |), hits AS (
+             |  SELECT pos.doc_id, COUNT(built.p) AS nhit
+             |  FROM pos LEFT JOIN built ON pos.p = built.p
+             |  GROUP BY pos.doc_id
+             |)
+             |SELECT doc_id, nhit = 4 AS maybe_seen
+             |FROM hits ORDER BY doc_id""".stripMargin)),
   )
 }
