@@ -783,6 +783,56 @@ object TextAnalysis {
           lit(0.0)).as("top_bigram_fraction"))
   }
 
+  /** Character-distribution gibberish signals: per-doc Shannon entropy
+    * over the CODEPOINT histogram plus the concentration ratios the
+    * published quality stacks screen on (binary blobs and base64 dumps
+    * sit at the high-entropy end, "aaaa…" keyboard mash and template
+    * boilerplate at the low end / high top-char end — e.g. the
+    * entropy-style gates in RedPajama-v2's quality signal battery).
+    *
+    * Entropy uses the algebraically stable form
+    * H = log2(n) − Σ c·log2(c) / n over per-char counts c — both engines
+    * evaluate the identical expression tree, and c = 1 terms contribute
+    * exactly 0. Codepoint semantics: Java regex split advances by code
+    * point, so surrogate-paired emoji stay whole, matching DuckDB's
+    * `string_split(t, '')` (pinned by a non-ASCII unit test). Docs with
+    * no codepoints (null/empty text) report all-zero signals via a
+    * map-only union branch — no join reintroducing them.
+    *
+    * Scale shape: explode → map-side-combined (doc, ch) count → doc
+    * aggregate. The (doc, ch) shuffle carries pre-combined rows bounded
+    * by docs × alphabet, not raw characters; nothing reaches the driver.
+    *
+    * `suspect` flags the screen decision on the ROUNDED signals (so the
+    * oracle pins the exact keep/drop frontier): entropy below minEntropy
+    * or top-char share above maxTopFrac.
+    */
+  def entropySignals(
+      df: DataFrame, idCol: String, textCol: String,
+      minEntropy: Double = 2.5, maxTopFrac: Double = 0.25): DataFrame = {
+    val base = df.select(col(idCol).as("doc"),
+      coalesce(col(textCol), lit("")).as("t"))
+    val chars = base.where(length(col("t")) > 0)
+      .select(col("doc"), explode(split(col("t"), "")).as("ch"))
+    val n = sum("c")
+    val stats = chars.groupBy("doc", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc")
+      .agg(n.cast("long").as("n_cps"),
+        count(lit(1)).as("distinct_chars"),
+        round(max("c").cast("double") / n.cast("double"), 6)
+          .as("top_char_frac"),
+        round(
+          log(2.0, n.cast("double")) -
+            sum(col("c").cast("double") * log(2.0, col("c").cast("double"))) /
+              n.cast("double"), 6).as("char_entropy"))
+    val empties = base.where(length(col("t")) === 0)
+      .select(col("doc"), lit(0L).as("n_cps"), lit(0L).as("distinct_chars"),
+        lit(0.0).as("top_char_frac"), lit(0.0).as("char_entropy"))
+    stats.unionByName(empties)
+      .withColumn("suspect",
+        col("char_entropy") < minEntropy || col("top_char_frac") > maxTopFrac)
+  }
+
   /** The FULL Gopher repetition battery (Rae et al. 2021, Table A1),
     * extending [[repetitionStats]]' token-level subset: for each
     * n ∈ topNs the fraction of (token-normalized) characters inside the

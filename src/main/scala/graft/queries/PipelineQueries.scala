@@ -2559,5 +2559,39 @@ object PipelineQueries {
              |)
              |SELECT doc_id, nhit = 4 AS maybe_seen
              |FROM hits ORDER BY doc_id""".stripMargin)),
+
+    // Character-distribution gibberish signals (entropySignals): Shannon
+    // entropy over the codepoint histogram + top-char concentration,
+    // with the screen decision on the rounded values so the oracle pins
+    // the exact keep/drop frontier. Both engines evaluate the identical
+    // ln-ratio expression tree (H = ln(n)/ln2 − Σ c·ln(c)/ln2 / n).
+    QueryDef("p63_entropy_signals",
+      (s, dir) => TextAnalysis.entropySignals(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS doc, COALESCE(text, '') AS t
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), ch AS (
+             |  SELECT doc, unnest(string_split(t, '')) AS c
+             |  FROM base WHERE len(t) > 0
+             |), cnt AS (
+             |  SELECT doc, c, COUNT(*) AS k FROM ch GROUP BY doc, c
+             |), st AS (
+             |  SELECT doc, CAST(SUM(k) AS BIGINT) AS n_cps,
+             |         COUNT(*) AS distinct_chars,
+             |         ROUND(CAST(MAX(k) AS DOUBLE) / CAST(SUM(k) AS DOUBLE), 6) AS top_char_frac,
+             |         ROUND(LN(CAST(SUM(k) AS DOUBLE)) / LN(2)
+             |               - SUM(CAST(k AS DOUBLE) * (LN(CAST(k AS DOUBLE)) / LN(2)))
+             |                 / CAST(SUM(k) AS DOUBLE), 6) AS char_entropy
+             |  FROM cnt GROUP BY doc
+             |), allr AS (
+             |  SELECT * FROM st
+             |  UNION ALL
+             |  SELECT doc, 0, 0, 0.0, 0.0 FROM base WHERE len(t) = 0
+             |)
+             |SELECT doc, n_cps, distinct_chars, top_char_frac, char_entropy,
+             |       (char_entropy < 2.5 OR top_char_frac > 0.25) AS suspect
+             |FROM allr ORDER BY doc""".stripMargin)),
   )
 }
