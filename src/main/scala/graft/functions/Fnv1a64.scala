@@ -71,6 +71,7 @@ object GraftFunctions {
   val CountSubstrName = "graft_count_substr"
   val CountWordsInName = "graft_count_words_in"
   val MaxDotName = "graft_max_dot"
+  val KmvName = "graft_kmv_kmins"
 
   // idempotent PER FUNCTION: each name gets its own exists-check, so a
   // registry that predates a later-added function still picks the new
@@ -118,6 +119,14 @@ object GraftFunctions {
         ad.getArray(i).toDoubleArray())
       MaxDotStatic(exprs.head, matrix)
     }
+    registerIfAbsent(spark, KmvName) { exprs =>
+      requireArity(KmvName, exprs, 2)
+      val kE = exprs(1)
+      if (!kE.foldable) throw new IllegalArgumentException(
+        s"$KmvName's second argument (k) must be foldable")
+      KmvKMins(exprs.head, kE.eval(null).asInstanceOf[Number].intValue())
+        .toAggregateExpression()
+    }
   }
 
   /** FNV-1a 64 of a string column. [[ensureRegistered]] must have been
@@ -142,4 +151,10 @@ object GraftFunctions {
   def maxDot(vec: Column, matrix: Seq[Seq[Double]]): Column =
     call_function(MaxDotName, vec,
       org.apache.spark.sql.functions.typedlit(matrix))
+
+  /** KMV sketch aggregate: the k unsigned-smallest distinct values of a
+    * bigint column, sorted ascending — see [[KmvKMins]].
+    * [[ensureRegistered]] must have been called on the owning session. */
+  def kmvKMins(hashes: Column, k: Int): Column =
+    call_function(KmvName, hashes, org.apache.spark.sql.functions.lit(k))
 }

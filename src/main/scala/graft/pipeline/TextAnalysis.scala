@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, and document
   * fingerprinting. All are compositions of codegen'd built-in functions —
@@ -252,6 +254,44 @@ object TextAnalysis {
       // breaks exact hash-compare against a quantile_cont oracle.
       round(pct(0.5), 6).as("p50_tokens"),
       round(pct(0.9), 6).as("p90_tokens"))
+  }
+
+  /** Per-stratum vocabulary-cardinality audit via the KMV sketch
+    * ([[graft.functions.KmvKMins]]): distinct-token estimate from the k
+    * unsigned-smallest FNV-1a64 hashes, next to the exact distinct count
+    * for error visibility (the production path at 100 TB drops
+    * `n_exact` — the sketch aggregate shuffles at most k longs per
+    * stratum per map task instead of every distinct hash, and shard
+    * sketches merge without re-scanning; see KmvKMins for the
+    * estimator).
+    *
+    * Both the exact count and the sketch run over the HASH (not the
+    * token), so a (astronomically unlikely, but deterministic) hash
+    * collision cannot put the two columns out of step. kth_hash is the
+    * signed view of the k-th minimum — null until the sketch fills.
+    */
+  def kmvVocabAudit(
+      df: DataFrame, strataCol: String, textCol: String,
+      k: Int = 256): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val toks = df.select(col(strataCol).as("stratum"),
+      explode(Dedup.rawTokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+    val hashed = toks.select(col("stratum"),
+      GraftFunctions.fnv1a64(col("tok")).as("h"))
+    val two64 = 1.8446744073709552e19 // 2^64 as a double, exactly
+    val agg = hashed.groupBy("stratum").agg(
+      count_distinct(col("h")).as("n_exact"),
+      GraftFunctions.kmvKMins(col("h"), k).as("kmins"))
+    val kth = element_at(col("kmins"), k)
+    val kthUnsigned = kth.cast("double") +
+      when(kth < 0, lit(two64)).otherwise(lit(0.0))
+    val full = size(col("kmins")) >= k
+    agg.select(col("stratum"), col("n_exact"),
+      size(col("kmins")).cast("long").as("n_retained"),
+      when(full, kth).as("kth_hash"),
+      round(when(full, lit((k - 1).toDouble) * lit(two64) / kthUnsigned)
+        .otherwise(size(col("kmins")).cast("double")), 2).as("est_distinct"))
   }
 
   /** Unigram-distribution divergence between two corpora — the

@@ -2593,5 +2593,53 @@ object PipelineQueries {
              |SELECT doc, n_cps, distinct_chars, top_char_frac, char_entropy,
              |       (char_entropy < 2.5 OR top_char_frac > 0.25) AS suspect
              |FROM allr ORDER BY doc""".stripMargin)),
+
+    // KMV distinct-cardinality sketch (kmvVocabAudit → KmvKMins, a
+    // native TypedImperativeAggregate): per-lang vocabulary estimate
+    // from the 16 unsigned-smallest FNV hashes (k=16 so the sketch
+    // FILLS on this templated small-vocab corpus and the estimator
+    // branch is actually pinned, not just the under-fill passthrough),
+    // next to the exact
+    // count. The oracle replays the sketch with a rank filter over
+    // distinct hashes — matching the k-th order statistic (and the
+    // estimate derived from it) pins the aggregate's dedup, unsigned
+    // ordering, and partition-merge behavior.
+    QueryDef("p64_kmv_cardinality",
+      (s, dir) => TextAnalysis.kmvVocabAudit(
+        Tables.load(s, dir, "documents"), "lang", "text", k = 16)
+        .orderBy("stratum"),
+      Some("""WITH toks AS (
+             |  SELECT lang AS stratum,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS tok
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), h AS (
+             |  SELECT DISTINCT stratum,
+             |         list_reduce(
+             |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                        list_transform(regexp_extract_all(hex(encode(tok)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS uh
+             |  FROM toks
+             |), r AS (
+             |  SELECT stratum,
+             |         CAST(CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+             |                   THEN uh - CAST('18446744073709551616' AS HUGEINT) ELSE uh END AS BIGINT) AS s,
+             |         ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY uh) AS rn
+             |  FROM h
+             |), agg AS (
+             |  SELECT stratum, COUNT(*) AS n_exact FROM h GROUP BY stratum
+             |), kth AS (
+             |  SELECT stratum, s FROM r WHERE rn = 16
+             |)
+             |SELECT a.stratum, a.n_exact,
+             |       CASE WHEN a.n_exact < 16 THEN a.n_exact ELSE 16 END AS n_retained,
+             |       k.s AS kth_hash,
+             |       ROUND(CASE WHEN k.s IS NULL THEN CAST(a.n_exact AS DOUBLE)
+             |                  ELSE CAST(15 AS DOUBLE) * 1.8446744073709552e19 /
+             |                       (CAST(k.s AS DOUBLE) + CASE WHEN k.s < 0 THEN 1.8446744073709552e19 ELSE 0.0 END)
+             |             END, 2) AS est_distinct
+             |FROM agg a LEFT JOIN kth k USING (stratum)
+             |ORDER BY a.stratum""".stripMargin)),
   )
 }
