@@ -387,6 +387,58 @@ object Curation {
     *         copies downstream with `posexplode(sequence(1, n_repeats))`
     *         when the trainer wants rows rather than weights
     */
+  /** DoReMi-style domain mixture reweighting (Xie et al. 2023): upweight
+    * domains whose loss under the current (proxy) model EXCEEDS the
+    * reference loss — the domains the model finds hardest relative to
+    * baseline get more training share. This is the deterministic batch
+    * analogue: the loss model is the in-engine self-trained
+    * [[TextAnalysis.unigramNll]], the reference is the corpus-wide
+    * token-weighted mean NLL, and the multiplicative-weights update with
+    * per-domain-constant losses collapses to its closed form
+    * w_d ∝ share_d · exp(η·rounds·max(L_d − L_ref, 0)), normalized
+    * (share_d = the token share, DoReMi's initial distribution).
+    *
+    * Determinism across engines: the per-doc nll arrives ROUNDED to 6
+    * decimals, so micro-NLL = round(nll·1e6) is an exact integer and the
+    * token-weighted domain sums are EXACT BIGINT arithmetic — no
+    * float-sum association drift; doubles only appear in the final
+    * per-domain ratio/exp/normalize over a handful of rows.
+    *
+    * Scale shape: the scorer's own exchanges + one doc-keyed join to
+    * re-attach the domain + one map-side-combined domain aggregate;
+    * the totals and the normalizer ride 1-row broadcasts. The output is
+    * domain-grained — feed it straight into [[temperatureResample]] or
+    * [[stratifiedSample]] as the mixing weights.
+    */
+  def domainReweight(
+      df: DataFrame, idCol: String, textCol: String, domainCol: String,
+      eta: Double = 1.0, rounds: Int = 1): DataFrame = {
+    val scored = TextAnalysis.unigramNll(df, idCol, textCol)
+    val domains = df.select(col(idCol).as("doc"), col(domainCol).as("domain"))
+    val dom = scored.join(domains, "doc")
+      .select(col("domain"), col("n_tokens"),
+        (round(col("nll") * 1e6).cast("long") * col("n_tokens")).as("micro"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("micro").as("micro"))
+    val totals = dom.agg(sum("n_tokens").as("__T"), sum("micro").as("__M"))
+    val lD = (col("micro").cast("double") / 1e6) / col("n_tokens").cast("double")
+    val lRef = (col("__M").cast("double") / 1e6) / col("__T").cast("double")
+    val excess = greatest(lD - lRef, lit(0.0))
+    val scoredDom = dom.crossJoin(broadcast(totals)) // 1-row scalars
+      .withColumn("__numer",
+        (col("n_tokens").cast("double") / col("__T").cast("double")) *
+          exp(lit(eta * rounds) * excess))
+      .withColumn("__mean_nll", lD)
+      .withColumn("__excess", excess)
+    val normalizer = scoredDom.agg(sum("__numer").as("__D"))
+    scoredDom.crossJoin(broadcast(normalizer)) // 1-row scalar
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        round(col("__mean_nll"), 6).as("mean_nll"),
+        round(col("__excess"), 6).as("excess"),
+        round(col("__numer") / col("__D"), 6).as("weight"))
+  }
+
   def temperatureResample(
       df: DataFrame, idCol: String, tokenCol: String, strataCol: String,
       temperature: Double, salt: Int = 5, gate: Column = null,

@@ -2641,5 +2641,67 @@ object PipelineQueries {
              |             END, 2) AS est_distinct
              |FROM agg a LEFT JOIN kth k USING (stratum)
              |ORDER BY a.stratum""".stripMargin)),
+
+    // DoReMi-style domain reweighting (Curation.domainReweight): domains
+    // with excess self-trained-LM loss over the corpus-wide reference
+    // get upweighted via the closed-form multiplicative-weights update.
+    // The domain sums run on exact micro-NLL integers (the per-doc nll
+    // is already rounded to 6), so both engines aggregate identical
+    // BIGINTs; doubles only touch the final 5-row ratio/exp/normalize.
+    QueryDef("p65_domain_reweight",
+      (s, dir) => Curation.domainReweight(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("domain"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS term
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), tf AS (
+             |  SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY doc, term
+             |), tot AS (
+             |  SELECT term, SUM(tf) AS ct FROM tf GROUP BY term
+             |), stats AS (
+             |  SELECT SUM(ct) AS total, COUNT(*) AS vocab FROM tot
+             |), sc AS (
+             |  SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             |         ROUND(SUM(-CAST(tf AS DOUBLE) * LN(CAST(ct + 1 AS DOUBLE) / CAST(total + vocab AS DOUBLE)))
+             |               / CAST(SUM(tf) AS DOUBLE), 6) AS nll
+             |  FROM tf JOIN tot USING (term), stats
+             |  GROUP BY doc
+             |), src AS (
+             |  SELECT doc_id AS doc, source AS domain
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), d AS (
+             |  SELECT domain, n_tokens,
+             |         CAST(ROUND(nll * 1000000) AS BIGINT) * n_tokens AS micro
+             |  FROM sc JOIN src USING (doc)
+             |), dom AS (
+             |  SELECT domain, COUNT(*) AS n_docs,
+             |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |         CAST(SUM(micro) AS BIGINT) AS micro
+             |  FROM d GROUP BY domain
+             |), tt AS (
+             |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+             |         CAST(SUM(micro) AS BIGINT) AS m
+             |  FROM dom
+             |), x AS (
+             |  SELECT domain, n_docs, dom.n_tokens,
+             |         (CAST(dom.micro AS DOUBLE) / 1000000.0) / CAST(dom.n_tokens AS DOUBLE) AS ld,
+             |         (CAST(tt.m AS DOUBLE) / 1000000.0) / CAST(tt.t AS DOUBLE) AS lref,
+             |         CAST(dom.n_tokens AS DOUBLE) / CAST(tt.t AS DOUBLE) AS share
+             |  FROM dom, tt
+             |), y AS (
+             |  SELECT domain, n_docs, n_tokens, ld,
+             |         GREATEST(ld - lref, 0.0) AS ex,
+             |         share * EXP(1.0 * GREATEST(ld - lref, 0.0)) AS numer
+             |  FROM x
+             |), z AS (
+             |  SELECT SUM(numer) AS den FROM y
+             |)
+             |SELECT domain, n_docs, n_tokens,
+             |       ROUND(ld, 6) AS mean_nll, ROUND(ex, 6) AS excess,
+             |       ROUND(numer / den, 6) AS weight
+             |FROM y, z ORDER BY domain""".stripMargin)),
   )
 }
