@@ -671,6 +671,80 @@ object TextAnalysis {
           .as("nll"))
   }
 
+  /** Interpolated Kneser–Ney trigram scoring (Kneser & Ney 1995; the
+    * KenLM-style model behind published perplexity filters, cf. CCNet) —
+    * fixed discount D at every level, lower orders on CONTINUATION
+    * counts (how many distinct contexts a gram completes), not raw
+    * frequency — the property that keeps "francisco" from looking
+    * probable outside "san francisco":
+    *
+    *   P(w3|w1w2) = max(c(w1w2w3)−D,0)/h(w1w2) + D·N1+(w1w2•)/h(w1w2) · P(w3|w2)
+    *   P(w3|w2)   = max(N1+(•w2w3)−D,0)/N1+(•w2•) + D·N1+(w2•)/N1+(•w2•) · P(w3)
+    *   P(w3)      = N1+(•w3) / N1+(••)
+    *
+    * Every count derives from the trigram-type table (h = history mass
+    * Σ_w c(w1w2w), follower sets from trigram positions), so the model
+    * is self-consistent and an oracle can replay it from one gram
+    * aggregation. Scoring the training corpus itself means every scored
+    * trigram's context is observed — no OOV branch. Docs with < 3
+    * tokens have no trigrams and are absent (the p28/p33 convention).
+    *
+    * Scale shape (the [[bigramNll]] design): one doc-keyed window pass
+    * builds trigram rows; all model frames are gram-type-grained with
+    * map-side-combined aggregates; the model assembles type⋈type and
+    * the doc-grained frame joins it ONCE; scalars ride a 1-row
+    * broadcast. Nothing reaches the driver.
+    */
+  def kneserNeyTrigramNll(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, persistAgg: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(Dedup.rawTokens(col(textCol))))
+      .toDF("doc", "pos", "tok")
+      .where(col("tok") =!= "")
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val tg0 = toks
+      .select(col("doc"), col("tok").as("w1"),
+        lead(col("tok"), 1).over(w).as("w2"),
+        lead(col("tok"), 2).over(w).as("w3"))
+      .where(col("w3").isNotNull)
+      .groupBy("doc", "w1", "w2", "w3").agg(count(lit(1)).as("tf"))
+    val tg = if (persistAgg) OperatorCache.materialize(tg0) else tg0
+    // trigram-type counts feed four consumers (hist, cont2, the model
+    // join) — barrier them like bigramNll's pairTotals
+    val tri0 = tg.groupBy("w1", "w2", "w3").agg(sum("tf").as("c3"))
+    val tri = if (persistAgg) OperatorCache.materialize(tri0) else tri0
+    val hist = tri.groupBy("w1", "w2")
+      .agg(sum("c3").as("h"), count(lit(1)).as("n1f")) // mass + N1+(w1w2•)
+    val cont20 = tri.groupBy("w2", "w3").agg(count(lit(1)).as("n1l")) // N1+(•w2w3)
+    val cont2 = if (persistAgg) OperatorCache.materialize(cont20) else cont20
+    val mid = cont2.groupBy("w2")
+      .agg(sum("n1l").as("midTot"), count(lit(1)).as("nfol2")) // N1+(•w2•), N1+(w2•)
+    val unic = cont2.groupBy("w3").agg(count(lit(1)).as("n1c")) // N1+(•w3)
+    val stats = cont2.agg(count(lit(1)).as("bigTypes")) // N1+(••), 1 row
+    val dD = lit(discount)
+    val puni = col("n1c").cast("double") / col("bigTypes").cast("double")
+    val pbi = greatest(col("n1l").cast("double") - dD, lit(0.0)) /
+      col("midTot").cast("double") +
+      dD * col("nfol2").cast("double") / col("midTot").cast("double") * puni
+    val ptri = greatest(col("c3").cast("double") - dD, lit(0.0)) /
+      col("h").cast("double") +
+      dD * col("n1f").cast("double") / col("h").cast("double") * pbi
+    val model = tri
+      .join(hist, Seq("w1", "w2"))
+      .join(cont2, Seq("w2", "w3"))
+      .join(mid, Seq("w2"))
+      .join(unic, Seq("w3"))
+      .crossJoin(broadcast(stats)) // 1-row scalar
+      .select(col("w1"), col("w2"), col("w3"), log(ptri).as("__lp"))
+    tg.join(model, Seq("w1", "w2", "w3"))
+      .groupBy("doc")
+      .agg(sum("tf").as("n_trigrams"),
+        round(sum(-col("tf").cast("double") * col("__lp")) / sum("tf").cast("double"), 6)
+          .as("nll"))
+  }
+
   /** Frequency-ranked word vocabulary over the canonical normalized
     * token stream: (term, id, count) with id = 1-based rank by
     * (count desc, term asc), capped at `maxSize`. Id 0 is reserved for

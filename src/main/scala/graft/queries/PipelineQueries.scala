@@ -2703,5 +2703,56 @@ object PipelineQueries {
              |       ROUND(ld, 6) AS mean_nll, ROUND(ex, 6) AS excess,
              |       ROUND(numer / den, 6) AS weight
              |FROM y, z ORDER BY domain""".stripMargin)),
+
+    // Interpolated Kneser–Ney trigram scoring (kneserNeyTrigramNll,
+    // D=0.75): the KenLM-style filter model with continuation-count
+    // lower orders. The oracle replays the whole model — trigram type
+    // table, history mass, follower sets, continuation counts — and the
+    // identical arithmetic tree, so the hash pins smoothing, backoff
+    // weights, and the no-OOV scoring path.
+    QueryDef("p66_kneser_ney",
+      (s, dir) => TextAnalysis.kneserNeyTrigramNll(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), tw AS (
+             |  SELECT doc_id,
+             |         unnest(toks[1:len(toks)-2]) AS w1,
+             |         unnest(toks[2:len(toks)-1]) AS w2,
+             |         unnest(toks[3:len(toks)]) AS w3
+             |  FROM t WHERE len(toks) >= 3
+             |), tg AS (
+             |  SELECT doc_id AS doc, w1, w2, w3, COUNT(*) AS tf
+             |  FROM tw GROUP BY doc_id, w1, w2, w3
+             |), tri AS (
+             |  SELECT w1, w2, w3, SUM(tf) AS c3 FROM tg GROUP BY w1, w2, w3
+             |), hist AS (
+             |  SELECT w1, w2, SUM(c3) AS h, COUNT(*) AS n1f FROM tri GROUP BY w1, w2
+             |), cont2 AS (
+             |  SELECT w2, w3, COUNT(*) AS n1l FROM tri GROUP BY w2, w3
+             |), mid AS (
+             |  SELECT w2, SUM(n1l) AS midtot, COUNT(*) AS nfol2 FROM cont2 GROUP BY w2
+             |), unic AS (
+             |  SELECT w3, COUNT(*) AS n1c FROM cont2 GROUP BY w3
+             |), st AS (
+             |  SELECT COUNT(*) AS bigtypes FROM cont2
+             |), model AS (
+             |  SELECT tri.w1, tri.w2, tri.w3,
+             |         LN(GREATEST(CAST(c3 AS DOUBLE) - 0.75, 0.0) / CAST(h AS DOUBLE)
+             |            + 0.75 * CAST(n1f AS DOUBLE) / CAST(h AS DOUBLE) *
+             |              (GREATEST(CAST(n1l AS DOUBLE) - 0.75, 0.0) / CAST(midtot AS DOUBLE)
+             |               + 0.75 * CAST(nfol2 AS DOUBLE) / CAST(midtot AS DOUBLE) *
+             |                 (CAST(n1c AS DOUBLE) / CAST(bigtypes AS DOUBLE)))) AS lp
+             |  FROM tri JOIN hist USING (w1, w2) JOIN cont2 USING (w2, w3)
+             |       JOIN mid USING (w2) JOIN unic USING (w3), st
+             |)
+             |SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+             |       ROUND(SUM(-CAST(tf AS DOUBLE) * lp) / CAST(SUM(tf) AS DOUBLE), 6) AS nll
+             |FROM tg JOIN model USING (w1, w2, w3)
+             |GROUP BY doc ORDER BY doc""".stripMargin)),
   )
 }
