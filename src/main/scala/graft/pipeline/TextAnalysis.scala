@@ -269,10 +269,18 @@ object TextAnalysis {
     * token), so a (astronomically unlikely, but deterministic) hash
     * collision cannot put the two columns out of step. kth_hash is the
     * signed view of the k-th minimum — null until the sketch fills.
+    *
+    * `withExact = false` is the production plan: count_distinct in the
+    * same aggregate makes Spark expand to the two-phase distinct shape
+    * (partial agg keyed (stratum, h) + an exchange of EVERY distinct
+    * hash) — which re-pays exactly the cost the sketch exists to avoid.
+    * Without it the plan is partial-KMV → one k-bounded exchange →
+    * merge (KmvPlanSpec pins this); n_exact then reports the sketch
+    * estimate's integer floor is not needed — the column is null.
     */
   def kmvVocabAudit(
       df: DataFrame, strataCol: String, textCol: String,
-      k: Int = 256): DataFrame = {
+      k: Int = 256, withExact: Boolean = true): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
     val toks = df.select(col(strataCol).as("stratum"),
       explode(Dedup.rawTokens(col(textCol))).as("tok"))
@@ -280,8 +288,11 @@ object TextAnalysis {
     val hashed = toks.select(col("stratum"),
       GraftFunctions.fnv1a64(col("tok")).as("h"))
     val two64 = 1.8446744073709552e19 // 2^64 as a double, exactly
+    val exactCol =
+      if (withExact) count_distinct(col("h"))
+      else max(lit(null).cast("long")) // aggregate-shaped null placeholder
     val agg = hashed.groupBy("stratum").agg(
-      count_distinct(col("h")).as("n_exact"),
+      exactCol.as("n_exact"),
       GraftFunctions.kmvKMins(col("h"), k).as("kmins"))
     val kth = element_at(col("kmins"), k)
     val kthUnsigned = kth.cast("double") +
