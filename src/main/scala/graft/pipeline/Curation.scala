@@ -387,6 +387,45 @@ object Curation {
     *         copies downstream with `posexplode(sequence(1, n_repeats))`
     *         when the trainer wants rows rather than weights
     */
+  /** Weighted sampling WITHOUT replacement via priority sampling
+    * (Efraimidis & Spirakis 2006, algorithm A-ES): each row draws a
+    * deterministic uniform u from the portable FNV hash of its id and
+    * competes with key ln(u)/w — the k largest keys are a true
+    * w-proportional sample, and because u is hash-derived the draw is
+    * REPLAYABLE: same corpus, same salt, same sample, on any engine.
+    * (The id-mix gates above are row-fraction samplers; this is the
+    * weight-proportional one — "sample 10k docs by token mass".)
+    *
+    * Exactness: u = (low53(h) + 0.5) / 2^53 is exact double arithmetic
+    * in both engines (no rounding anywhere before the ln), and the
+    * RANKING key is the 6-rounded ln(u)/w with id tie-break, so a
+    * last-ulp ln() divergence between engines cannot reorder the
+    * selection frontier.
+    *
+    * Scale shape: map-only scoring + `orderBy.limit(k)` —
+    * TakeOrderedAndProject, each partition keeps k rows and the driver
+    * merges k·partitions, never a global sort. Weights must be
+    * positive; null/non-positive rows raise rather than silently
+    * vanishing from the sampling frame.
+    */
+  def prioritySample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = "#es"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val wRaw = col(weightCol)
+    val weight = when(wRaw.isNull || wRaw <= 0,
+      raise_error(concat(lit(s"prioritySample: non-positive weight for id="),
+        col(idCol).cast("string")))).otherwise(wRaw.cast("double"))
+    val h = graft.functions.GraftFunctions.fnv1a64(
+      concat(col(idCol).cast("string"), lit(salt)))
+    val low53 = h.bitwiseAND(lit((1L << 53) - 1L))
+    val u = (low53.cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    df.withColumn("sample_key", round(log(u) / weight, 6))
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** DoReMi-style domain mixture reweighting (Xie et al. 2023): upweight
     * domains whose loss under the current (proxy) model EXCEEDS the
     * reference loss — the domains the model finds hardest relative to

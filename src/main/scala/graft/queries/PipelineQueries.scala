@@ -2754,5 +2754,39 @@ object PipelineQueries {
              |       ROUND(SUM(-CAST(tf AS DOUBLE) * lp) / CAST(SUM(tf) AS DOUBLE), 6) AS nll
              |FROM tg JOIN model USING (w1, w2, w3)
              |GROUP BY doc ORDER BY doc""".stripMargin)),
+
+    // Deterministic weighted sampling without replacement
+    // (Curation.prioritySample, Efraimidis–Spirakis A-ES): 64 docs drawn
+    // ∝ token count, uniforms derived from the portable FNV hash so the
+    // draw replays on any engine. u = (low53 + 0.5)/2^53 is exact double
+    // arithmetic; the ranking key is the 6-rounded ln(u)/w with id
+    // tie-break, so last-ulp ln() divergence can't move the frontier.
+    QueryDef("p67_priority_sample",
+      (s, dir) => Curation.prioritySample(
+        Tables.load(s, dir, "documents")
+          .where(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", k = 64)
+        .orderBy(col("sample_key").desc, col("doc_id")),
+      Some("""WITH w AS (
+             |  SELECT doc_id, source,
+             |         CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE text IS NOT NULL
+             |), h AS (
+             |  SELECT doc_id, source, n_tokens,
+             |         CAST(list_reduce(
+             |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                        list_transform(regexp_extract_all(hex(encode(CAST(doc_id AS VARCHAR) || '#es')), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) % 9007199254740992 AS BIGINT) AS low53
+             |  FROM w
+             |)
+             |SELECT doc_id, source, n_tokens,
+             |       ROUND(LN((CAST(low53 AS DOUBLE) + 0.5) / 9007199254740992.0)
+             |             / CAST(n_tokens AS DOUBLE), 6) AS sample_key
+             |FROM h
+             |ORDER BY sample_key DESC, doc_id LIMIT 64""".stripMargin)),
   )
 }
