@@ -57,7 +57,8 @@ object Bench {
     "p55_temperature_resample", "p56_classifier_screen", "p57_export_jsonl",
     "p58_gopher_repetition", "p59_c4_line_rules", "p60_dsir_select",
     "p61_perplexity_buckets", "p62_bloom_gate", "p63_entropy_signals",
-    "p64_kmv_cardinality", "p65_domain_reweight", "p66_kneser_ney")
+    "p64_kmv_cardinality", "p65_domain_reweight", "p66_kneser_ney",
+    "p67_priority_sample")
 
   /** Jobs started/ended + stages completed + task GC/CPU sums, maintained
     * by [[counting]]. Listener delivery is asynchronous; [[settle]] waits
