@@ -93,20 +93,24 @@ object GraftFunctions {
     if (exprs.length != n) throw new IllegalArgumentException(
       s"$name expects exactly $n argument${if (n == 1) "" else "s"}, got ${exprs.length}")
 
-  def ensureRegistered(spark: SparkSession): Unit = {
-    registerIfAbsent(spark, FnvName) { exprs =>
+  /** The single builder table both registration paths share —
+    * [[ensureRegistered]] (imperative, per-session) and
+    * [[GraftExtensions]] (declarative, `spark.sql.extensions`) — so the
+    * two can never drift. */
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    FnvName -> { exprs =>
       requireArity(FnvName, exprs, 1)
       Fnv1a64(exprs.head)
-    }
-    registerIfAbsent(spark, CountSubstrName) { exprs =>
+    },
+    CountSubstrName -> { exprs =>
       requireArity(CountSubstrName, exprs, 2)
       CountSubstr(exprs.head, exprs(1))
-    }
-    registerIfAbsent(spark, CountWordsInName) { exprs =>
+    },
+    CountWordsInName -> { exprs =>
       requireArity(CountWordsInName, exprs, 2)
       CountWordsIn(exprs.head, exprs(1))
-    }
-    registerIfAbsent(spark, MaxDotName) { exprs =>
+    },
+    MaxDotName -> { exprs =>
       requireArity(MaxDotName, exprs, 2)
       // the matrix arg must be a compile-time constant (a typedlit):
       // it is folded into the expression ONCE here, not evaluated per row
@@ -118,16 +122,19 @@ object GraftFunctions {
       val matrix = Array.tabulate(ad.numElements())(i =>
         ad.getArray(i).toDoubleArray())
       MaxDotStatic(exprs.head, matrix)
-    }
-    registerIfAbsent(spark, KmvName) { exprs =>
+    },
+    KmvName -> { exprs =>
       requireArity(KmvName, exprs, 2)
       val kE = exprs(1)
       if (!kE.foldable) throw new IllegalArgumentException(
         s"$KmvName's second argument (k) must be foldable")
       KmvKMins(exprs.head, kE.eval(null).asInstanceOf[Number].intValue())
         .toAggregateExpression()
-    }
-  }
+    },
+  )
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => registerIfAbsent(spark, name)(b) }
 
   /** FNV-1a 64 of a string column. [[ensureRegistered]] must have been
     * called on the owning session. */
