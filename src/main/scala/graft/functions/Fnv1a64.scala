@@ -72,6 +72,7 @@ object GraftFunctions {
   val CountWordsInName = "graft_count_words_in"
   val MaxDotName = "graft_max_dot"
   val KmvName = "graft_kmv_kmins"
+  val DotName = "graft_dot"
 
   // idempotent PER FUNCTION: each name gets its own exists-check, so a
   // registry that predates a later-added function still picks the new
@@ -131,6 +132,10 @@ object GraftFunctions {
       KmvKMins(exprs.head, kE.eval(null).asInstanceOf[Number].intValue())
         .toAggregateExpression()
     },
+    DotName -> { exprs =>
+      requireArity(DotName, exprs, 2)
+      DotProd(exprs.head, exprs(1))
+    },
   )
 
   def ensureRegistered(spark: SparkSession): Unit =
@@ -164,4 +169,8 @@ object GraftFunctions {
     * [[ensureRegistered]] must have been called on the owning session. */
   def kmvKMins(hashes: Column, k: Int): Column =
     call_function(KmvName, hashes, org.apache.spark.sql.functions.lit(k))
+
+  /** Codegen'd vector dot product — see [[DotProd]].
+    * [[ensureRegistered]] must have been called on the owning session. */
+  def dotProd(a: Column, b: Column): Column = call_function(DotName, a, b)
 }

@@ -33,13 +33,20 @@ object Similarity {
     }
   }
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product ([[graft.functions.DotProd]]) — same value,
+    * same left-to-right double summation, as the former
+    * `aggregate(zip_with(...))` lambda formulation, but a tight
+    * primitive loop inside whole-stage codegen instead of an
+    * interpreted higher-order function allocating an intermediate
+    * array per row. The constructor goes through the session-free
+    * expression→Column bridge, so no registry call is needed. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.DotProd(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
