@@ -73,6 +73,7 @@ object GraftFunctions {
   val MaxDotName = "graft_max_dot"
   val KmvName = "graft_kmv_kmins"
   val DotName = "graft_dot"
+  val CmsName = "graft_cms"
 
   // idempotent PER FUNCTION: each name gets its own exists-check, so a
   // registry that predates a later-added function still picks the new
@@ -136,6 +137,16 @@ object GraftFunctions {
       requireArity(DotName, exprs, 2)
       DotProd(exprs.head, exprs(1))
     },
+    CmsName -> { exprs =>
+      requireArity(CmsName, exprs, 3)
+      def foldInt(e: Expression, what: String): Int = {
+        if (!e.foldable) throw new IllegalArgumentException(
+          s"$CmsName's $what argument must be foldable")
+        e.eval(null).asInstanceOf[Number].intValue()
+      }
+      CmsSketch(exprs.head, foldInt(exprs(1), "depth"), foldInt(exprs(2), "width"))
+        .toAggregateExpression()
+    },
   )
 
   def ensureRegistered(spark: SparkSession): Unit =
@@ -173,4 +184,12 @@ object GraftFunctions {
   /** Codegen'd vector dot product — see [[DotProd]].
     * [[ensureRegistered]] must have been called on the owning session. */
   def dotProd(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Count-Min Sketch aggregate over a per-row position array — see
+    * [[CmsSketch]]. [[ensureRegistered]] must have been called on the
+    * owning session. */
+  def cms(positions: Column, depth: Int, width: Int): Column =
+    call_function(CmsName, positions,
+      org.apache.spark.sql.functions.lit(depth),
+      org.apache.spark.sql.functions.lit(width))
 }

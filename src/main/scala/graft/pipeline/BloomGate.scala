@@ -40,9 +40,11 @@ object BloomGate {
   def docKey(text: Column): Column =
     array_join(filter(Dedup.rawTokens(text), t => t =!= ""), " ")
 
+  // >= 2 so [[positions]] also serves small-modulus consumers (the CMS
+  // width); the bitmap builders below add their own >= 64 word floor
   private def requirePow2(numBits: Int): Unit =
-    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
-      s"numBits must be a power of two >= 64, got $numBits")
+    require(numBits >= 2 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 2, got $numBits")
 
   /** The k bit positions of `key` in an m-bit filter, as long columns in
     * [0, numBits). Double hashing: two FNV-1a64 evaluations serve any k
@@ -51,14 +53,15 @@ object BloomGate {
     * keeps every intermediate below 2^(log2 m + 2): overflow-free under
     * ANSI, and bit-identical to (h1 + i*h2) mod 2^64 mod m.
     */
-  def positions(key: Column, numBits: Int, k: Int): Seq[Column] = {
+  def positions(key: Column, numBits: Int, k: Int,
+      salt: String = "#bloom"): Seq[Column] = {
     requirePow2(numBits)
     require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
     val mask = (numBits - 1).toLong
     val h1 = GraftFunctions.fnv1a64(key).bitwiseAND(lit(mask))
     // forced odd => stride is coprime with the power-of-two m, so the k
     // probes of one key never collapse onto a single bucket cycle
-    val h2 = GraftFunctions.fnv1a64(concat(key, lit("#bloom")))
+    val h2 = GraftFunctions.fnv1a64(concat(key, lit(salt)))
       .bitwiseAND(lit(mask)).bitwiseOR(lit(1L))
     (0 until k).map(i => (h1 + lit(i.toLong) * h2) % lit(numBits.toLong))
   }
@@ -71,6 +74,7 @@ object BloomGate {
     */
   def build(df: DataFrame, textCol: String, numBits: Int, k: Int): Array[Long] = {
     requirePow2(numBits)
+    require(numBits >= 64, s"bitmap needs numBits >= 64, got $numBits")
     GraftFunctions.ensureRegistered(df.sparkSession)
     val pos = positions(docKey(col(textCol)), numBits, k)
     val words = new Array[Long](numBits / 64)
@@ -93,6 +97,7 @@ object BloomGate {
   def probe(df: DataFrame, textCol: String, bitmap: Array[Long],
       numBits: Int, k: Int, outCol: String = "maybe_seen"): DataFrame = {
     requirePow2(numBits)
+    require(numBits >= 64, s"bitmap needs numBits >= 64, got $numBits")
     require(bitmap.length == numBits / 64,
       s"bitmap has ${bitmap.length} words, expected ${numBits / 64}")
     GraftFunctions.ensureRegistered(df.sparkSession)

@@ -305,6 +305,39 @@ object TextAnalysis {
         .otherwise(size(col("kmins")).cast("double")), 2).as("est_distinct"))
   }
 
+  /** Token-frequency audit through a Count-Min Sketch
+    * ([[graft.functions.CmsSketch]]): one pass builds the depth×width
+    * counter table (map-side update, elementwise-add merge, state size
+    * independent of corpus), then every distinct term's point-query
+    * estimate (min across sketch rows) sits next to its exact count so
+    * the CMS overestimate is visible. Position hashing is the shared
+    * [[BloomGate.positions]] double-hash scheme under a "#cms" salt.
+    *
+    * The sketch is the production artifact at 100 TB — frequency drift
+    * monitoring with a fixed-size, mergeable state (shards/days union
+    * by adding tables); the exact side here is the audit column, same
+    * convention as [[kmvVocabAudit]]. The driver collect is the sketch
+    * itself: depth·width longs, parameter-bounded.
+    */
+  def cmsTokenFrequencies(
+      df: DataFrame, textCol: String,
+      depth: Int = 3, width: Int = 32): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val toks = df.select(explode(Dedup.rawTokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+    def pos(i: Int) = BloomGate.positions(col("tok"), width, depth, "#cms")(i)
+    val posArr = array(BloomGate.positions(col("tok"), width, depth, "#cms"): _*)
+    val sketch = toks.select(posArr.as("__pos"))
+      .agg(GraftFunctions.cms(col("__pos"), depth, width).as("s"))
+      .head().getSeq[Long](0)
+    val sketchLit = typedlit(sketch)
+    val est = (0 until depth)
+      .map(i => element_at(sketchLit, (lit(i * width) + pos(i)).cast("int") + 1))
+      .reduce(least(_, _))
+    toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .select(col("tok").as("term"), col("n_exact"), est.as("n_est"))
+  }
+
   /** Unigram-distribution divergence between two corpora — the
     * dataset-drift card a pipeline publishes when a source changes
     * (crawl refresh, new snapshot, filtered vs unfiltered): per-term

@@ -2788,5 +2788,49 @@ object PipelineQueries {
              |             / CAST(n_tokens AS DOUBLE), 6) AS sample_key
              |FROM h
              |ORDER BY sample_key DESC, doc_id LIMIT 64""".stripMargin)),
+
+    // Count-Min Sketch token-frequency audit (cmsTokenFrequencies →
+    // CmsSketch, a native TypedImperativeAggregate): depth=3, width=32
+    // — small enough that the 31-term corpus vocabulary collides, so
+    // the CMS OVERESTIMATE is live and the oracle pins the exact
+    // collision pattern (cell sums + min-across-rows), not a vacuous
+    // est==exact identity. All integer arithmetic — no float anywhere.
+    QueryDef("p68_cms_frequencies",
+      (s, dir) => TextAnalysis.cmsTokenFrequencies(
+        Tables.load(s, dir, "documents"), "text", depth = 3, width = 32)
+        .orderBy("term"),
+      Some("""WITH tt AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS tok
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), hd AS (
+             |  SELECT DISTINCT tok,
+             |         CAST(list_reduce(
+             |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                        list_transform(regexp_extract_all(hex(encode(tok)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) % 32 AS BIGINT) AS h1,
+             |         CAST(list_reduce(
+             |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                        list_transform(regexp_extract_all(hex(encode(tok || '#cms')), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) % 32 AS BIGINT) | 1 AS h2
+             |  FROM tt
+             |), posmap AS (
+             |  SELECT tok, i.i AS i, (h1 + i.i * h2) % 32 AS p
+             |  FROM hd CROSS JOIN (SELECT unnest(range(0, 3)) AS i) i
+             |), cnt AS (
+             |  SELECT tok, COUNT(*) AS n_exact FROM tt GROUP BY tok
+             |), cells AS (
+             |  SELECT i, p, CAST(SUM(n_exact) AS BIGINT) AS c
+             |  FROM posmap JOIN cnt USING (tok) GROUP BY i, p
+             |), est AS (
+             |  SELECT pm.tok, MIN(cells.c) AS n_est
+             |  FROM posmap pm JOIN cells ON pm.i = cells.i AND pm.p = cells.p
+             |  GROUP BY pm.tok
+             |)
+             |SELECT cnt.tok AS term, cnt.n_exact, est.n_est
+             |FROM cnt JOIN est ON cnt.tok = est.tok
+             |ORDER BY term""".stripMargin)),
   )
 }
