@@ -1100,4 +1100,43 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** Cross-source overlap matrix — the dedup-PLANNING card: for every
+    * pair of sources sharing at least one k-shingle type, the shared
+    * type count and both directed containments |Sa∩Sb|/|Sa|, /|Sb|
+    * (Dodge et al. 2021-style corpus overlap analysis; run BEFORE a
+    * cross-source dedup to see which pairs are worth the join, and
+    * after a crawl refresh to spot a source republishing another).
+    *
+    * Scale shape: the (source, shingle-type) frame is ONE distinct
+    * aggregate (map-side combined), materialized once for its three
+    * consumers; the pair join is gram-keyed equi — per-shingle fan-out
+    * is bounded by the number of sources carrying that shingle, never
+    * a crossJoin — and the result is source-pair-grained. Zero-overlap
+    * pairs are absent by construction (inner join semantics).
+    */
+  def sourceOverlapMatrix(
+      df: DataFrame, idCol: String, textCol: String, srcCol: String,
+      k: Int = 8, persistTypes: Boolean = true): DataFrame = {
+    val docSrc = df.select(col(idCol).as("doc"), col(srcCol).as("src"))
+    val types0 = shingleRows(df, idCol, textCol, k)
+      .join(docSrc, "doc")
+      .select("src", "shingle").distinct()
+    // three consumers (per-source counts + both pair-join sides) — the
+    // usual barrier so concurrent jobs don't recompute the aggregate
+    val types = if (persistTypes) OperatorCache.materialize(types0) else types0
+    val per = types.groupBy("src").agg(count(lit(1)).as("n"))
+    val pairs = types.select(col("shingle"), col("src").as("src_a"))
+      .join(types.select(col("shingle"), col("src").as("src_b")), "shingle")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(per.select(col("src").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(per.select(col("src").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double") / col("n_a").cast("double"), 6)
+          .as("containment_a"),
+        round(col("shared").cast("double") / col("n_b").cast("double"), 6)
+          .as("containment_b"))
+  }
 }

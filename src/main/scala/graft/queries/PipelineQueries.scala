@@ -2832,5 +2832,37 @@ object PipelineQueries {
              |SELECT cnt.tok AS term, cnt.n_exact, est.n_est
              |FROM cnt JOIN est ON cnt.tok = est.tok
              |ORDER BY term""".stripMargin)),
+
+    // Cross-source shingle-overlap matrix (Dedup.sourceOverlapMatrix):
+    // shared 8-shingle types + both directed containments per source
+    // pair — the dedup-planning card. k=3 here: at sf0.01 the corpus is
+    // templated enough that 3-shingles actually cross sources, so the
+    // matrix is dense and the containment arithmetic is live.
+    QueryDef("p69_source_overlap",
+      (s, dir) => Dedup.sourceOverlapMatrix(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source", k = 3)
+        .orderBy("src_a", "src_b"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), s AS (
+             |  SELECT DISTINCT source AS src,
+             |         unnest(list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+             |                                             i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')))) AS shingle
+             |  FROM t WHERE len(toks) >= 3
+             |), per AS (
+             |  SELECT src, COUNT(*) AS n FROM s GROUP BY src
+             |), pairs AS (
+             |  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS shared
+             |  FROM s a JOIN s b ON a.shingle = b.shingle AND a.src < b.src
+             |  GROUP BY a.src, b.src
+             |)
+             |SELECT src_a, src_b, shared, pa.n AS n_a, pb.n AS n_b,
+             |       ROUND(CAST(shared AS DOUBLE) / CAST(pa.n AS DOUBLE), 6) AS containment_a,
+             |       ROUND(CAST(shared AS DOUBLE) / CAST(pb.n AS DOUBLE), 6) AS containment_b
+             |FROM pairs JOIN per pa ON src_a = pa.src JOIN per pb ON src_b = pb.src
+             |ORDER BY src_a, src_b""".stripMargin)),
   )
 }
