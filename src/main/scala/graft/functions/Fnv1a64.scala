@@ -74,6 +74,7 @@ object GraftFunctions {
   val KmvName = "graft_kmv_kmins"
   val DotName = "graft_dot"
   val CmsName = "graft_cms"
+  val BloomBitsName = "graft_bloom_bits"
 
   // idempotent PER FUNCTION: each name gets its own exists-check, so a
   // registry that predates a later-added function still picks the new
@@ -147,6 +148,14 @@ object GraftFunctions {
       CmsSketch(exprs.head, foldInt(exprs(1), "depth"), foldInt(exprs(2), "width"))
         .toAggregateExpression()
     },
+    BloomBitsName -> { exprs =>
+      requireArity(BloomBitsName, exprs, 2)
+      val bitsE = exprs(1)
+      if (!bitsE.foldable) throw new IllegalArgumentException(
+        s"$BloomBitsName's second argument (numBits) must be foldable")
+      BloomBits(exprs.head, bitsE.eval(null).asInstanceOf[Number].intValue())
+        .toAggregateExpression()
+    },
   )
 
   def ensureRegistered(spark: SparkSession): Unit =
@@ -192,4 +201,11 @@ object GraftFunctions {
     call_function(CmsName, positions,
       org.apache.spark.sql.functions.lit(depth),
       org.apache.spark.sql.functions.lit(width))
+
+  /** Bitmap-OR aggregate over a per-row position array — see
+    * [[BloomBits]]. [[ensureRegistered]] must have been called on the
+    * owning session. */
+  def bloomBits(positions: Column, numBits: Int): Column =
+    call_function(BloomBitsName, positions,
+      org.apache.spark.sql.functions.lit(numBits))
 }

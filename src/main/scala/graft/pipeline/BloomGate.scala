@@ -66,26 +66,24 @@ object BloomGate {
     (0 until k).map(i => (h1 + lit(i.toLong) * h2) % lit(numBits.toLong))
   }
 
-  /** Build the filter bitmap from the seen corpus: one explode of the k
-    * positions per doc, one distinct (map-side-combined hash aggregate),
-    * and a driver collect BOUNDED BY numBits — like the classifier
-    * weights or the DSIR bucket model, the artifact is parameter-sized,
-    * not corpus-sized. Returns the bit array as numBits/64 longs.
+  /** Build the filter bitmap from the seen corpus in ONE aggregate: the
+    * [[graft.functions.BloomBits]] bitmap-OR aggregate sets bits
+    * map-side and merges numBits/64-long word arrays, so the driver
+    * receives exactly the finished numBits/8-byte artifact — truly
+    * parameter-bounded, like the classifier weights or the DSIR bucket
+    * model. (The first cut exploded positions through distinct+collect;
+    * at ×50 corpus scale the SketchScaleBench showed that collect
+    * growing with the position count — millions of Row objects — which
+    * this aggregate eliminates.)
     */
   def build(df: DataFrame, textCol: String, numBits: Int, k: Int): Array[Long] = {
     requirePow2(numBits)
     require(numBits >= 64, s"bitmap needs numBits >= 64, got $numBits")
     GraftFunctions.ensureRegistered(df.sparkSession)
-    val pos = positions(docKey(col(textCol)), numBits, k)
-    val words = new Array[Long](numBits / 64)
-    df.select(explode(array(pos: _*)).as("__pos"))
-      .distinct()
-      .collect()
-      .foreach { r =>
-        val p = r.getLong(0)
-        words((p >>> 6).toInt) |= (1L << (p & 63L).toInt)
-      }
-    words
+    val posArr = array(positions(docKey(col(textCol)), numBits, k): _*)
+    df.select(posArr.as("__pos"))
+      .agg(GraftFunctions.bloomBits(col("__pos"), numBits).as("__bits"))
+      .head().getSeq[Long](0).toArray
   }
 
   /** Probe: append `outCol` = "every one of the doc's k bits is set in

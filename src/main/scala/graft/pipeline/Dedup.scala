@@ -28,6 +28,12 @@ object Dedup {
   private[pipeline] def rawTokens(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+")
 
+  /** Public view of the canonical token stream ([[rawTokens]] with the
+    * edge "" tokens dropped) for callers OUTSIDE the pipeline package
+    * (benchmark mains, downstream users) — one normalization, one name.
+    */
+  def tokensOf(text: Column): Column = filter(rawTokens(text), t => t =!= "")
+
   /** Exact dedup: keep the first (min id) ROW per duplicate group —
     * row-consistent via min_by, so non-key columns all come from that one
     * row (per-column min would stitch values from different rows).
