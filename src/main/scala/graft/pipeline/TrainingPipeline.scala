@@ -43,6 +43,15 @@ object TrainingPipeline {
     *                     also used for the within-doc repeat window
     * @param splits       [[Curation.splitCorpus]] weights; empty
     *                     disables the split column
+    * @param seenFilter   optional (bitmap, numBits, k) from
+    *                     [[BloomGate.build]] over an already-ingested
+    *                     corpus: docs the filter flags are dropped
+    *                     BEFORE any scoring — a map-only pre-gate, the
+    *                     cheapest stage, so it runs first (recrawl
+    *                     ingest shape). None disables.
+    * @param minEntropy / maxTopCharFrac gibberish screen thresholds
+    *                     ([[TextAnalysis.entropySignals]] `suspect`
+    *                     rule); minEntropy ≤ 0 disables the stage
     * @return (idCol, textCol, split?) — text rewritten by the span
     *         surgery stages when enabled
     */
@@ -58,10 +67,36 @@ object TrainingPipeline {
       spanK: Int = 8,
       splits: Seq[(String, Double)] = Seq(
         "train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      seenFilter: Option[(Array[Long], Int, Int)] = None,
+      minEntropy: Double = 0.0,
+      maxTopCharFrac: Double = 0.25,
   ): DataFrame = {
+    // 0a. Bloom ingest pre-gate: drop docs already ingested yesterday —
+    //     map-only (no join/shuffle), so it runs before anything that
+    //     costs an exchange. Sound: no false negatives, so nothing
+    //     previously ingested survives; deterministic false positives
+    //     only ever drop extra docs, never corrupt the stream.
+    val gated = seenFilter match {
+      case Some((bitmap, numBits, k)) =>
+        BloomGate.probe(docs, textCol, bitmap, numBits, k, "__seen")
+          .where(!col("__seen")).drop("__seen")
+      case None => docs
+    }
+
+    // 0b. gibberish screen: entropy/top-char `suspect` rule, id-keyed
+    //     semi-join on the signals frame (the signals aggregate is the
+    //     only exchange)
+    val legible =
+      if (minEntropy <= 0) gated
+      else gated.join(
+        TextAnalysis.entropySignals(gated, idCol, textCol,
+          minEntropy = minEntropy, maxTopFrac = maxTopCharFrac)
+          .where(!col("suspect")).select(col("doc").as("__legible_doc")),
+        gated(idCol) === col("__legible_doc"), "left_semi")
+
     // 1. quality floor + language allowlist + near-dup dedup — the
     //    composed cleanCorpus stage (one scoring pass, banded dedup)
-    val cleaned = TextAnalysis.cleanCorpus(docs, idCol, textCol,
+    val cleaned = TextAnalysis.cleanCorpus(legible, idCol, textCol,
       minQuality = minQuality, languages = languages,
       dedupThreshold = dedupThreshold)
 

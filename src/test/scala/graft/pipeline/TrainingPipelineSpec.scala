@@ -63,6 +63,36 @@ class TrainingPipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("Bloom pre-gate drops already-ingested docs before any scoring") {
+    // yesterday's corpus contains doc 1's exact text (normalized) —
+    // the gate must remove it while every other doc flows through to
+    // the downstream stages unchanged
+    val yesterday = corpus.where(col("doc_id") === 1L)
+    val bitmap = BloomGate.build(yesterday, "text", 1 << 12, 4)
+    val out = TrainingPipeline.curate(
+      corpus, "doc_id", "text",
+      minQuality = 0.0, minWords = 0, blocklist = None,
+      dedupThreshold = 1.1, spanK = 0, splits = Seq.empty,
+      seenFilter = Some((bitmap, 1 << 12, 4)))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L, 5L))
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("entropy screen drops gibberish when armed, passes it when off") {
+    val withMash = corpus.union(
+      Seq((6L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")).toDF("doc_id", "text"))
+    def ids(minEntropy: Double) = TrainingPipeline.curate(
+      withMash, "doc_id", "text",
+      minQuality = 0.0, minWords = 0, blocklist = None,
+      dedupThreshold = 1.1, spanK = 0, splits = Seq.empty,
+      minEntropy = minEntropy)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(!ids(2.5).contains(6L), "keyboard mash must fall to the screen")
+    assert(ids(0.0).contains(6L), "disabled screen must pass it")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("p49 curate materializes with a pinned job set") {
     // The composed pipeline is exactly where the r5–r8 cache-lifecycle
     // bugs lived (quality scores feeding dedup's banded joins, span
