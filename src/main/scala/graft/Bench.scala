@@ -58,7 +58,8 @@ object Bench {
     "p58_gopher_repetition", "p59_c4_line_rules", "p60_dsir_select",
     "p61_perplexity_buckets", "p62_bloom_gate", "p63_entropy_signals",
     "p64_kmv_cardinality", "p65_domain_reweight", "p66_kneser_ney",
-    "p67_priority_sample", "p68_cms_frequencies", "p69_source_overlap")
+    "p67_priority_sample", "p68_cms_frequencies", "p69_source_overlap",
+    "p70_mixture_compose")
 
   /** Jobs started/ended + stages completed + task GC/CPU sums, maintained
     * by [[counting]]. Listener delivery is asynchronous; [[settle]] waits

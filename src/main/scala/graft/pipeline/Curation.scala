@@ -387,6 +387,62 @@ object Curation {
     *         copies downstream with `posexplode(sequence(1, n_repeats))`
     *         when the trainer wants rows rather than weights
     */
+  /** Compose a training mixture end to end: [[domainReweight]]'s
+    * DoReMi-style weights → integer per-domain doc targets → the actual
+    * per-domain selection, one call from corpus to mixture.
+    *
+    * Apportionment is the CUMULATIVE-QUOTA method on the exact integer
+    * micro-weights (target_d = ⌊B·cum_d/T⌋ − ⌊B·cum_{d−1}/T⌋ over
+    * domains in name order): targets telescope to exactly `budgetDocs`,
+    * non-negative, and pure BIGINT arithmetic — the floor division is
+    * done as (x − x mod T)/T so both engines compute the identical
+    * integer (a double `floor(x/T)` can land one off at exact-quotient
+    * boundaries). Selection within a domain is the deterministic
+    * (idGate, id) order every sampler here uses.
+    *
+    * Targets are DEMAND: a domain holding fewer docs than its target
+    * yields everything it has and the output falls short of the budget
+    * by that much — visible in the result count, never silently filled
+    * from other domains (upsampling a starved domain is
+    * [[temperatureResample]]'s job, a deliberate decision, not a side
+    * effect). Exactness holds whenever every domain covers its target.
+    *
+    * Scale shape: the reweight machinery's exchanges + a window over
+    * the PARAMETER-bounded domain frame (cumsum over #domains rows —
+    * single partition by construction, like buildVocab's rank) + one
+    * broadcast join of targets + one domain-keyed selection window.
+    * A heavily skewed domain is one sorted partition — the standing
+    * per-stratum running-total price ([[sampleByTokenBudget]]).
+    */
+  def composeMixture(
+      df: DataFrame, idCol: String, textCol: String, domainCol: String,
+      budgetDocs: Long, eta: Double = 1.0, rounds: Int = 1): DataFrame = {
+    require(budgetDocs >= 0, s"budgetDocs must be >= 0: $budgetDocs")
+    val w = domainReweight(df, idCol, textCol, domainCol, eta, rounds)
+      .select(col("domain"),
+        round(col("weight") * 1e6).cast("long").as("__micro"))
+    val winAll = Window.orderBy("domain")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = w
+      .withColumn("__cum", sum("__micro").over(winAll))
+      .withColumn("__tot", sum("__micro").over(
+        Window.orderBy("domain").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    def floorDiv(x: Column, t: Column): Column =
+      ((x - pmod(x, t)) / t).cast("long")
+    val targets = cum.select(col("domain"),
+      (floorDiv(lit(budgetDocs) * col("__cum"), col("__tot")) -
+        floorDiv(lit(budgetDocs) * (col("__cum") - col("__micro")), col("__tot")))
+        .as("__target"))
+    val keyed = df.select(col(idCol).as("doc"), col(domainCol).as("domain"),
+      idGate(col(idCol)).as("__gate"))
+    val sel = Window.partitionBy("domain").orderBy(col("__gate"), col("doc"))
+    keyed.join(broadcast(targets), "domain")
+      .withColumn("__rk", row_number().over(sel))
+      .where(col("__rk") <= col("__target"))
+      .select(col("doc"), col("domain"))
+  }
+
   /** Weighted sampling WITHOUT replacement via priority sampling
     * (Efraimidis & Spirakis 2006, algorithm A-ES): each row draws a
     * deterministic uniform u from the portable FNV hash of its id and

@@ -2864,5 +2864,86 @@ object PipelineQueries {
              |       ROUND(CAST(shared AS DOUBLE) / CAST(pb.n AS DOUBLE), 6) AS containment_b
              |FROM pairs JOIN per pa ON src_a = pa.src JOIN per pb ON src_b = pb.src
              |ORDER BY src_a, src_b""".stripMargin)),
+
+    // End-to-end mixture composition (Curation.composeMixture): DoReMi
+    // weights → cumulative-quota integer apportionment (telescopes to
+    // exactly the 200-doc budget, pure BIGINT floor division) → the
+    // per-domain (idGate, id)-ordered selection. The oracle replays the
+    // entire chain, so the hash pins weights, apportionment boundaries,
+    // and the selection frontier in one compare.
+    QueryDef("p70_mixture_compose",
+      (s, dir) => Curation.composeMixture(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+        budgetDocs = 200L)
+        .orderBy("doc"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS term
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), tf AS (
+             |  SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY doc, term
+             |), tot AS (
+             |  SELECT term, SUM(tf) AS ct FROM tf GROUP BY term
+             |), stats AS (
+             |  SELECT SUM(ct) AS total, COUNT(*) AS vocab FROM tot
+             |), sc AS (
+             |  SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             |         ROUND(SUM(-CAST(tf AS DOUBLE) * LN(CAST(ct + 1 AS DOUBLE) / CAST(total + vocab AS DOUBLE)))
+             |               / CAST(SUM(tf) AS DOUBLE), 6) AS nll
+             |  FROM tf JOIN tot USING (term), stats
+             |  GROUP BY doc
+             |), src AS (
+             |  SELECT doc_id AS doc, source AS domain
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), d AS (
+             |  SELECT domain, n_tokens,
+             |         CAST(ROUND(nll * 1000000) AS BIGINT) * n_tokens AS micro
+             |  FROM sc JOIN src USING (doc)
+             |), dom AS (
+             |  SELECT domain, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |         CAST(SUM(micro) AS BIGINT) AS micro
+             |  FROM d GROUP BY domain
+             |), tt AS (
+             |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+             |         CAST(SUM(micro) AS BIGINT) AS m
+             |  FROM dom
+             |), x AS (
+             |  SELECT domain,
+             |         (CAST(dom.micro AS DOUBLE) / 1000000.0) / CAST(dom.n_tokens AS DOUBLE) AS ld,
+             |         (CAST(tt.m AS DOUBLE) / 1000000.0) / CAST(tt.t AS DOUBLE) AS lref,
+             |         CAST(dom.n_tokens AS DOUBLE) / CAST(tt.t AS DOUBLE) AS share
+             |  FROM dom, tt
+             |), y AS (
+             |  SELECT domain,
+             |         share * EXP(1.0 * GREATEST(ld - lref, 0.0)) AS numer
+             |  FROM x
+             |), z AS (
+             |  SELECT SUM(numer) AS den FROM y
+             |), w6 AS (
+             |  SELECT domain,
+             |         CAST(ROUND(ROUND(numer / den, 6) * 1000000) AS BIGINT) AS micro
+             |  FROM y, z
+             |), cumw AS (
+             |  SELECT domain, micro,
+             |         SUM(micro) OVER (ORDER BY domain
+             |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |         SUM(micro) OVER () AS tot
+             |  FROM w6
+             |), tgt AS (
+             |  SELECT domain,
+             |         (200 * cum) // tot - (200 * (cum - micro)) // tot AS target
+             |  FROM cumw
+             |), keyed AS (
+             |  SELECT doc_id AS doc, source AS domain,
+             |         ((doc_id % 100000) * 2654435761) % 1000000 AS gate
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), ranked AS (
+             |  SELECT doc, domain,
+             |         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY gate, doc) AS rk
+             |  FROM keyed
+             |)
+             |SELECT doc, domain FROM ranked JOIN tgt USING (domain)
+             |WHERE rk <= target ORDER BY doc""".stripMargin)),
   )
 }
