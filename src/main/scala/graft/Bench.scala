@@ -59,7 +59,9 @@ object Bench {
     "p61_perplexity_buckets", "p62_bloom_gate", "p63_entropy_signals",
     "p64_kmv_cardinality", "p65_domain_reweight", "p66_kneser_ney",
     "p67_priority_sample", "p68_cms_frequencies", "p69_source_overlap",
-    "p70_mixture_compose")
+    "p70_mixture_compose", "p71_filter_attribution", "p72_canonical_selection",
+    "p73_curriculum_order", "p74_corpus_diff", "p75_token_pmi",
+    "p76_winnow_fingerprint")
 
   /** Jobs started/ended + stages completed + task GC/CPU sums, maintained
     * by [[counting]]. Listener delivery is asynchronous; [[settle]] waits

@@ -589,4 +589,72 @@ object Curation {
           .cast("long"))
       .drop("__cum")
   }
+
+  /** Domain-interleaved length curriculum (Bengio et al. 2009 framing;
+    * length as the standard model-free difficulty proxy): docs are
+    * ranked easy→hard WITHIN each domain, and the global training order
+    * round-robins one doc per domain per cycle — so early training sees
+    * short docs from every domain instead of whichever domain happens
+    * to be shortest, and the mixture stays balanced at every prefix of
+    * the curriculum.
+    *
+    * `order_idx = rank_in_domain · n_domains + domain_idx` is computed
+    * per-row from a per-domain rank — there is NO global sort anywhere:
+    * the only exchanges are the domain-keyed rank window (range-
+    * partitioned within the domain; the standard Spark windowed-rank
+    * plan) and two domain-grained broadcasts (the distinct-domain index
+    * frame and the 1-row domain count). The trainer materializes the
+    * order by range-partitioning on order_idx at write time — a
+    * property of the SINK, deliberately not baked in here.
+    *
+    * @return (doc, domain, difficulty, order_idx) — order_idx unique
+    *         and ordered (gaps appear once smaller domains exhaust;
+    *         consumers order by it, they don't index by it), difficulty
+    *         the whitespace token count
+    */
+  def curriculumOrder(
+      df: DataFrame, idCol: String, textCol: String, domainCol: String,
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("doc"), col(domainCol).as("domain"),
+      TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("difficulty"))
+    // domain-grained frames: the single-partition rank window is over
+    // #domains rows (the same 1-row/dim-grained broadcast posture every
+    // operator here uses for parameter-sized state)
+    val domains = base.select("domain").distinct()
+      .withColumn("didx",
+        (row_number().over(Window.orderBy("domain")) - 1).cast("long"))
+    val nDomains = domains.agg(count(lit(1)).as("__ndom"))
+    val byDomain = Window.partitionBy("domain")
+      .orderBy(col("difficulty").asc, col("doc").asc)
+    base.join(broadcast(domains), "domain")
+      .withColumn("rk", (row_number().over(byDomain) - 1).cast("long"))
+      .crossJoin(broadcast(nDomains))
+      .select(col("doc"), col("domain"), col("difficulty"),
+        (col("rk") * col("__ndom") + col("didx")).as("order_idx"))
+  }
+
+  /** Corpus snapshot diff: per-doc added / removed / changed / unchanged
+    * status between two snapshots, by id and content hash — the
+    * ingest-audit card every recrawl publishes (what changed since the
+    * last crawl, before any expensive reprocessing runs on unchanged
+    * docs). Contents compare by FNV-1a64 over UTF-8 bytes, so the diff
+    * ships one 8-byte hash per doc per side, never the texts; the join
+    * is a single id-keyed full outer (both sides hash-partition on the
+    * SAME key — one co-partitioned shuffle each, no broadcast needed at
+    * any scale).
+    *
+    * @return (doc, old_hash, new_hash, status)
+    */
+  def corpusDiff(
+      oldDf: DataFrame, newDf: DataFrame, idCol: String, textCol: String,
+  ): DataFrame = {
+    def hashed(d: DataFrame, out: String) = d.select(col(idCol).as("doc"),
+      graft.functions.GraftFunctions.fnv1a64(col(textCol)).as(out))
+    hashed(oldDf, "old_hash").join(hashed(newDf, "new_hash"), Seq("doc"), "full_outer")
+      .select(col("doc"), col("old_hash"), col("new_hash"),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

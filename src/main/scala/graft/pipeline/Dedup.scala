@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard verification.
   *
@@ -1086,6 +1088,112 @@ object Dedup {
       // every edge-connected component has ≥ 2 members; the guard is
       // semantic (a "cluster" of one is not a cluster), not load-bearing
       .where(col("cluster_size") > 1)
+
+  /** Canonical-document selection: every near-dup cluster keeps its
+    * BEST member by quality score instead of the arbitrary min-id
+    * representative [[dedupNearDuplicates]] uses — the retention policy
+    * real curation runs want (dedup should keep the cleanest copy, not
+    * the one that happened to crawl first). Same LSH pairs → connected
+    * components pipeline up to the labels; the selection itself is ONE
+    * label-keyed aggregate whose argmax is a map-side-combinable
+    * `max(struct(score, -doc))` — no per-cluster sort, no window, and
+    * the exchange carries one partial row per (partition, cluster).
+    *
+    * @return (cluster, n_members, kept_doc, kept_score) — cluster is
+    *         the component's min-id label (stable across retention
+    *         policies, so runs with different scoring stay joinable),
+    *         kept_doc the max-score member (ties → min id)
+    */
+  def canonicalByQuality(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+  ): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold, shingleK, numHashes, bands)
+    val labels = nearDupClusters(pairs)
+    val scored = df.select(col(idCol).as("doc"),
+      TextAnalysis.qualityScore(col(textCol)).as("score"))
+    scored.join(labels, Seq("doc"), "left")
+      // unpaired docs are their own singleton cluster
+      .withColumn("cluster", coalesce(col("label"), col("doc")))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score").as("s"), (-col("doc")).as("nd"))).as("__w"))
+      .select(col("cluster"), col("n_members"),
+        (col("__w.nd") * lit(-1L)).as("kept_doc"),
+        col("__w.s").as("kept_score"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS local fingerprinting scheme): hash every k-token
+    * gram, then in each sliding window of `w` consecutive gram
+    * positions select the RIGHTMOST MINIMAL hash; the distinct selected
+    * hashes are the document's fingerprint set. Guarantees every shared
+    * run of ≥ w+k-1 tokens yields at least one shared fingerprint,
+    * while storing ~2/(w+1) of the grams — the storage/recall dial for
+    * fingerprinting a 100 TB corpus.
+    *
+    * The argmin-with-rightmost-tie-break is ONE `min` over a
+    * (currentRow, w-1 following) row frame of a packed BIGINT key
+    * `h31·2³² + (2³²−1−pos)`: 31-bit gram hash in the high bits (order
+    * by hash first), bit-complemented position in the low bits (ties →
+    * larger pos). Pure integer arithmetic, so an external replay picks
+    * the identical positions. Both windows (gram build, winnow min) run
+    * on the same doc-keyed exchange.
+    *
+    * Docs with fewer than w gram positions winnow their single
+    * truncated window (frame clips at the partition edge), so any doc
+    * with ≥ k tokens gets ≥ 1 fingerprint.
+    *
+    * @return (doc, fp) — distinct 31-bit fingerprints per doc
+    */
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // complete k-token grams on the doc-keyed exchange (spanWindows'
+    // space-joined spans — tokens are whitespace-free by construction,
+    // so the join is collision-free), then the 31-bit gram hash packed
+    // with the bit-complemented position into one orderable BIGINT
+    val grams = spanWindows(densePositionedTokens(df, idCol, textCol), k)
+      .select(col("doc"), col("pos"),
+        (GraftFunctions.fnv1a64(col("span")).bitwiseAND(lit(0x7fffffffL))
+          * lit(4294967296L) + (lit(4294967295L) - col("pos"))).as("key"))
+    val byPos = Window.partitionBy("doc").orderBy("pos")
+    val winFrame = byPos.rowsBetween(Window.currentRow, w - 1)
+    grams
+      .select(col("doc"), col("pos"),
+        min(col("key")).over(winFrame).as("wmin"),
+        count(lit(1)).over(Window.partitionBy("doc")).as("n_g"))
+      // one winnow window per start position that has a full frame —
+      // plus the clipped window at 0 when the doc has < w grams
+      .where(col("pos") <= greatest(col("n_g") - w, lit(0)))
+      // keys are non-negative, so the unpack is an exact shift — a
+      // double `/` would round at the 2^53 mantissa edge
+      .select(col("doc"), shiftright(col("wmin"), 32).as("fp"))
+      .distinct()
+  }
+
+  /** Cross-document overlap pairs from winnowed fingerprints: docs
+    * sharing ≥ `minShared` distinct fingerprints, with the shared
+    * count — the near-dup candidate report at fingerprint (not
+    * shingle) storage cost. Fingerprint-keyed equi-join, bounded by
+    * docs-per-fingerprint like every banded join here; never all-pairs.
+    */
+  def winnowOverlapPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, minShared: Long = 2,
+  ): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val a = fps.select(col("fp"), col("doc").as("doc_a"))
+    val b = fps.select(col("fp"), col("doc").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 
   /** Embedding-cosine near-dup: LSH-bucketed candidates (sign-random-
     * projection) verified by exact cosine ≥ threshold. See Similarity for

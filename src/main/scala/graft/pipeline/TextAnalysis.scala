@@ -223,6 +223,109 @@ object TextAnalysis {
           col("stopword_hits") >= minStopwordHits)
   }
 
+  /** Per-rule drop attribution for the [[gopherQualityRules]] screen —
+    * the audit card a filtering run publishes alongside the cleaned
+    * corpus (the Dolma/RefinedWeb reports do exactly this): for every
+    * rule, how many docs it failed, how many it ALONE failed (unique
+    * attribution — the docs that would survive if just this rule were
+    * dropped), and the corpus-wide fail fraction, next to the total
+    * drop count under the full conjunction.
+    *
+    * Shape: the per-doc rule flags are map-only expressions on top of
+    * the single-scan Gopher features, and the whole report is ONE
+    * map-side-combined global aggregate (2 + 2·rules sums) whose
+    * one-row result is exploded into the per-rule rows — at 100 TB the
+    * exchange carries 32 partial-sum rows, and nothing per-doc ever
+    * leaves the map side.
+    *
+    * @return (rule, n_failed, n_unique, fail_frac, n_docs, n_dropped),
+    *         one row per rule, fail_frac rounded to 6
+    */
+  def filterAttribution(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwordHits: Long = 2,
+  ): DataFrame = {
+    val g = gopherQualityRules(df, idCol, textCol, minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, minAlphaFrac,
+      minStopwordHits)
+    // fail flag per rule = negation of that rule's pass clause, on the
+    // SAME rounded features the composite tested
+    val flagDefs: Seq[(String, Column)] = Seq(
+      "alpha_frac" -> (col("alpha_frac") < minAlphaFrac),
+      "mean_word_len" -> !col("mean_word_len").between(minMeanWordLen, maxMeanWordLen),
+      "stopword_hits" -> (col("stopword_hits") < minStopwordHits),
+      "symbol_ratio" -> (col("symbol_ratio") > maxSymbolRatio),
+      "words_range" -> !col("n_words").between(minWords, maxWords),
+    )
+    val flagged = g.select(flagDefs.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("__nf", flagDefs.map { case (n, _) => col(n).cast("int") }.reduce(_ + _))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("__docs"),
+        sum((col("__nf") > 0).cast("long")).as("__dropped")) ++
+        flagDefs.flatMap { case (n, _) =>
+          Seq(sum(col(n).cast("long")).as(s"__s_$n"),
+            sum((col(n) && col("__nf") === 1).cast("long")).as(s"__u_$n"))
+        }
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    val ruleRows = flagDefs.map { case (n, _) =>
+      struct(lit(n).as("rule"), col(s"__s_$n").as("n_failed"),
+        col(s"__u_$n").as("n_unique"))
+    }
+    one.select(col("__docs"), col("__dropped"),
+        explode(array(ruleRows: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_failed").as("n_failed"),
+        col("r.n_unique").as("n_unique"),
+        round(col("r.n_failed").cast("double") / col("__docs").cast("double"), 6)
+          .as("fail_frac"),
+        col("__docs").as("n_docs"), col("__dropped").as("n_dropped"))
+  }
+
+  /** Pairwise token co-occurrence association mining with PMI scoring
+    * (Church & Hanks 1990) under a minimum document-frequency support —
+    * the vocabulary-association card used for collocation discovery and
+    * tokenizer-merge sanity checks. Apriori-pruned (Agrawal & Srikant
+    * 1994): a pair can only reach `minSupport` docs if BOTH members do,
+    * so the per-doc self-join runs on tokens surviving the broadcast
+    * document-frequency filter — the candidate explosion is bounded by
+    * (frequent tokens per doc)², never (vocab)².
+    *
+    * PMI = ln(n_ab·N / (df_a·df_b)) on exact BIGINT counts — both
+    * engines evaluate the identical double expression, rounded to 6.
+    *
+    * Shape: one distinct-(doc,token) explode, one token-keyed doc-freq
+    * aggregate (broadcast back — frequent-token lists are vocabulary-
+    * sized, not corpus-sized), one doc-keyed self-join, one pair-keyed
+    * count, and a 1-row corpus-size broadcast for the PMI finish.
+    */
+  def cooccurrencePmi(
+      df: DataFrame, idCol: String, textCol: String,
+      minSupport: Long,
+  ): DataFrame = {
+    val dt = df.select(col(idCol).as("doc"),
+        explode(array_distinct(Dedup.tokensOf(col(textCol)))).as("tok"))
+    val docFreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val frequent = docFreq.where(col("df") >= minSupport)
+    val pruned = dt.join(broadcast(frequent), "tok")
+    val a = pruned.select(col("doc"), col("tok").as("tok_a"), col("df").as("df_a"))
+    val b = pruned.select(col("doc"), col("tok").as("tok_b"), col("df").as("df_b"))
+    // df_a/df_b ride in the grouping key (functionally dependent on the
+    // token) so the PMI finish needs no extra join back to docFreq
+    val pairs = a.join(b, Seq("doc"))
+      .where(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b", "df_a", "df_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    val nDocs = df.agg(count(lit(1)).as("__n_docs"))
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        col("df_a"), col("df_b"),
+        round(log(col("n_ab").cast("double") * col("__n_docs").cast("double") /
+          (col("df_a").cast("double") * col("df_b").cast("double"))), 6).as("pmi"))
+  }
+
   /** Corpus statistics card — the dataset-report aggregate every
     * pipeline run publishes: per-stratum doc counts, token totals, and
     * token-length quantiles. One map-only token count + ONE hash

@@ -2945,5 +2945,274 @@ object PipelineQueries {
              |)
              |SELECT doc, domain FROM ranked JOIN tgt USING (domain)
              |WHERE rk <= target ORDER BY doc""".stripMargin)),
+
+    // Per-rule drop attribution for the Gopher screen (Dolma-style
+    // filter audit): per rule, docs failed, docs failed by THIS RULE
+    // ALONE, and the corpus fail fraction, next to the total drop
+    // count. One map-side-combined global aggregate; the oracle
+    // replays the p40 feature tree, the per-rule flags, and the
+    // unique-attribution arithmetic.
+    QueryDef("p71_filter_attribution",
+      (s, dir) => TextAnalysis.filterAttribution(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", minWords = 40, minStopwordHits = 2)
+        .orderBy("rule"),
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |         CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_words,
+             |         len(regexp_replace(TRIM(text), '\s+', '', 'g')) AS n_wchars,
+             |         (len(text) - len(replace(text, '#', '')))
+             |           + (len(text) - len(replace(text, '...', ''))) / 3 AS symbols,
+             |         CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS alpha_words,
+             |         CAST(len(regexp_extract_all(lower(text), '\b(the|be|to|of|and|that|have|with)\b')) AS BIGINT) AS stopword_hits
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), g AS (
+             |  SELECT doc_id AS doc, n_words,
+             |         ROUND(CAST(n_wchars AS DOUBLE) / GREATEST(n_words, 1), 6) AS mean_word_len,
+             |         ROUND(CAST(symbols AS DOUBLE) / GREATEST(n_words, 1), 6) AS symbol_ratio,
+             |         ROUND(CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1), 6) AS alpha_frac,
+             |         stopword_hits
+             |  FROM f
+             |), fl AS (
+             |  SELECT doc,
+             |         (alpha_frac < 0.8) AS f_alpha_frac,
+             |         NOT (mean_word_len BETWEEN 3.0 AND 10.0) AS f_mean_word_len,
+             |         (stopword_hits < 2) AS f_stopword_hits,
+             |         (symbol_ratio > 0.1) AS f_symbol_ratio,
+             |         NOT (n_words BETWEEN 40 AND 100000) AS f_words_range
+             |  FROM g
+             |), c AS (
+             |  SELECT *,
+             |         CAST(f_alpha_frac AS INT) + CAST(f_mean_word_len AS INT)
+             |           + CAST(f_stopword_hits AS INT) + CAST(f_symbol_ratio AS INT)
+             |           + CAST(f_words_range AS INT) AS nf
+             |  FROM fl
+             |), tot AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(COUNT(*) FILTER (nf > 0) AS BIGINT) AS n_dropped,
+             |         CAST(COUNT(*) FILTER (f_alpha_frac) AS BIGINT) AS s_alpha,
+             |         CAST(COUNT(*) FILTER (f_alpha_frac AND nf = 1) AS BIGINT) AS u_alpha,
+             |         CAST(COUNT(*) FILTER (f_mean_word_len) AS BIGINT) AS s_mwl,
+             |         CAST(COUNT(*) FILTER (f_mean_word_len AND nf = 1) AS BIGINT) AS u_mwl,
+             |         CAST(COUNT(*) FILTER (f_stopword_hits) AS BIGINT) AS s_stop,
+             |         CAST(COUNT(*) FILTER (f_stopword_hits AND nf = 1) AS BIGINT) AS u_stop,
+             |         CAST(COUNT(*) FILTER (f_symbol_ratio) AS BIGINT) AS s_sym,
+             |         CAST(COUNT(*) FILTER (f_symbol_ratio AND nf = 1) AS BIGINT) AS u_sym,
+             |         CAST(COUNT(*) FILTER (f_words_range) AS BIGINT) AS s_words,
+             |         CAST(COUNT(*) FILTER (f_words_range AND nf = 1) AS BIGINT) AS u_words
+             |  FROM c
+             |), rules AS (
+             |  SELECT 'alpha_frac' AS rule, s_alpha AS n_failed, u_alpha AS n_unique, n_docs, n_dropped FROM tot
+             |  UNION ALL SELECT 'mean_word_len', s_mwl, u_mwl, n_docs, n_dropped FROM tot
+             |  UNION ALL SELECT 'stopword_hits', s_stop, u_stop, n_docs, n_dropped FROM tot
+             |  UNION ALL SELECT 'symbol_ratio', s_sym, u_sym, n_docs, n_dropped FROM tot
+             |  UNION ALL SELECT 'words_range', s_words, u_words, n_docs, n_dropped FROM tot
+             |)
+             |SELECT rule, n_failed, n_unique,
+             |       ROUND(CAST(n_failed AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS fail_frac,
+             |       n_docs, n_dropped
+             |FROM rules ORDER BY rule""".stripMargin)),
+
+    // Canonical-document selection: near-dup clusters (p13's LSH →
+    // connected components, same total-recall argument) keep the max-
+    // quality member instead of the min id. Oracle: quality replay (the
+    // p10 score tree) + recursive-CTE components + ROW_NUMBER argmax —
+    // the hash compare pins the exact keep frontier including quality
+    // ties broken by id.
+    QueryDef("p72_canonical_selection",
+      (s, dir) => Dedup.canonicalByQuality(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.12, shingleK = 3, numHashes = 32, bands = 16)
+        .orderBy("cluster"),
+      Some(s"""WITH RECURSIVE corpus AS (
+             |  SELECT doc_id, text
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), ${ccDedupTail("0.12")}, qf AS (
+             |  SELECT doc_id, text,
+             |         LENGTH(text) AS n_chars,
+             |         string_split_regex(TRIM(text), '\\s+') AS words
+             |  FROM corpus
+             |), q AS (
+             |  SELECT doc_id,
+             |         ROUND(((LEAST(CAST(LEN(words) AS DOUBLE) / 20.0, 1.0)
+             |           * CASE WHEN CAST(LEN(regexp_extract_all(text, '[\\.,;:!\\?''"()\\[\\]{}-]')) AS DOUBLE)
+             |                       / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.2 THEN 1.0 ELSE 0.5 END)
+             |           * CASE WHEN CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             |                       / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.3 THEN 1.0 ELSE 0.5 END) * 0.5
+             |           + (CAST(LEN(list_distinct(words)) AS DOUBLE) / CAST(GREATEST(LEN(words), 1) AS DOUBLE)) * 0.5, 4) AS quality
+             |  FROM qf
+             |), lab AS (
+             |  SELECT c.doc_id AS doc, COALESCE(l.label, c.doc_id) AS cluster
+             |  FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc
+             |), r AS (
+             |  SELECT lab.cluster, lab.doc, q.quality,
+             |         ROW_NUMBER() OVER (PARTITION BY lab.cluster
+             |                            ORDER BY q.quality DESC, lab.doc ASC) AS rn,
+             |         COUNT(*) OVER (PARTITION BY lab.cluster) AS n_members
+             |  FROM lab JOIN q ON lab.doc = q.doc_id
+             |)
+             |SELECT cluster, n_members, doc AS kept_doc, quality AS kept_score
+             |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin)),
+
+    // Domain-interleaved length curriculum: rank easy→hard within each
+    // domain, round-robin across domains. order_idx is computed
+    // per-row (rank·n_domains + domain_idx) — no global sort. Oracle
+    // replays the rank and the interleave arithmetic.
+    QueryDef("p73_curriculum_order",
+      (s, dir) => Curation.curriculumOrder(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("doc"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS doc, source AS domain,
+             |         CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS difficulty
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), d AS (
+             |  SELECT domain, CAST(ROW_NUMBER() OVER (ORDER BY domain) - 1 AS BIGINT) AS didx
+             |  FROM (SELECT DISTINCT domain FROM base)
+             |), n AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS ndom FROM d
+             |), r AS (
+             |  SELECT base.doc, base.domain, base.difficulty, d.didx,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY base.domain
+             |                                 ORDER BY base.difficulty ASC, base.doc ASC) - 1 AS BIGINT) AS rk
+             |  FROM base JOIN d USING (domain)
+             |)
+             |SELECT doc, domain, difficulty,
+             |       rk * (SELECT ndom FROM n) + didx AS order_idx
+             |FROM r ORDER BY doc""".stripMargin)),
+
+    // Corpus snapshot diff: id-keyed full outer join of FNV-1a64
+    // content hashes → added/removed/changed/unchanged per doc. The
+    // "old" snapshot drops doc_id % 17 = 3, the "new" one revises
+    // doc_id % 13 = 5 — so all four statuses occur and the oracle
+    // (byte-fold FNV replay) pins each frontier.
+    QueryDef("p74_corpus_diff",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val oldSnap = docs.where(pmod(col("doc_id"), lit(17)) =!= 3)
+        val newSnap = docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(13)) === 5,
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        Curation.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+          .orderBy("doc")
+      },
+      Some("""WITH o AS (
+             |  SELECT doc_id AS doc,
+             |         CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+             |                   THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS old_hash
+             |  FROM (
+             |    SELECT doc_id,
+             |           list_reduce(
+             |             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                          list_transform(regexp_extract_all(hex(encode(text)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |             (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                          * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS h
+             |    FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 17 <> 3
+             |  )
+             |), n AS (
+             |  SELECT doc_id AS doc,
+             |         CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+             |                   THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS new_hash
+             |  FROM (
+             |    SELECT doc_id,
+             |           list_reduce(
+             |             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                          list_transform(regexp_extract_all(hex(encode(
+             |                            CASE WHEN doc_id % 13 = 5 THEN text || ' [rev2]' ELSE text END)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |             (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                          * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS h
+             |    FROM read_parquet('{SFDIR}/documents.parquet')
+             |  )
+             |)
+             |SELECT COALESCE(o.doc, n.doc) AS doc, o.old_hash, n.new_hash,
+             |       CASE WHEN o.doc IS NULL THEN 'added'
+             |            WHEN n.doc IS NULL THEN 'removed'
+             |            WHEN o.old_hash = n.new_hash THEN 'unchanged'
+             |            ELSE 'changed' END AS status
+             |FROM o FULL JOIN n ON o.doc = n.doc ORDER BY doc""".stripMargin)),
+
+    // Pairwise token co-occurrence + PMI under Apriori support pruning
+    // (minSupport = 300 docs excludes the rare tail of this corpus's
+    // vocabulary, so the broadcast frequent-token prune is exercised,
+    // not a no-op). Oracle replays doc frequencies, the prune, the
+    // pair counts, and the ln-ratio PMI on exact BIGINTs.
+    QueryDef("p75_token_pmi",
+      (s, dir) => TextAnalysis.cooccurrencePmi(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        minSupport = 300L)
+        .orderBy("tok_a", "tok_b"),
+      Some("""WITH dt AS (
+             |  SELECT DISTINCT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS tok
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), dfreq AS (
+             |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok
+             |), freq AS (
+             |  SELECT * FROM dfreq WHERE df >= 300
+             |), pruned AS (
+             |  SELECT dt.doc, dt.tok, freq.df FROM dt JOIN freq USING (tok)
+             |), pairs AS (
+             |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+             |         CAST(COUNT(*) AS BIGINT) AS n_ab,
+             |         a.df AS df_a, b.df AS df_b
+             |  FROM pruned a JOIN pruned b ON a.doc = b.doc AND a.tok < b.tok
+             |  GROUP BY a.tok, b.tok, a.df, b.df
+             |  HAVING COUNT(*) >= 300
+             |), nd AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |)
+             |SELECT tok_a, tok_b, n_ab, df_a, df_b,
+             |       ROUND(LN(CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE)
+             |                / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))), 6) AS pmi
+             |FROM pairs, nd ORDER BY tok_a, tok_b""".stripMargin)),
+
+    // Winnowing fingerprint overlap (Schleimer et al. 2003): k=4-token
+    // grams, window w=5, rightmost-minimal selection via the packed
+    // h31·2³²+(2³²−1−pos) key, docs sharing ≥2 distinct fingerprints.
+    // Oracle replays gram construction, the FNV low-31 hash, the
+    // windowed min, the selection frontier, and the pair counts.
+    QueryDef("p76_winnow_fingerprint",
+      (s, dir) => Dedup.winnowOverlapPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 5, minShared = 2)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS doc,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), g AS (
+             |  SELECT doc,
+             |         unnest(list_transform(range(1, len(toks) - 4 + 2),
+             |                               i -> list_aggregate(toks[i:i+3], 'string_agg', ' '))) AS gram,
+             |         unnest(range(0, len(toks) - 4 + 1)) AS pos
+             |  FROM base WHERE len(toks) >= 4
+             |), h AS (
+             |  SELECT doc, pos,
+             |         CAST(list_reduce(
+             |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                        list_transform(regexp_extract_all(hex(encode(gram)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) % 2147483648 AS BIGINT) AS h31
+             |  FROM g
+             |), keyd AS (
+             |  SELECT doc, pos, h31 * 4294967296 + (4294967295 - pos) AS key FROM h
+             |), wm AS (
+             |  SELECT doc, pos,
+             |         MIN(key) OVER (PARTITION BY doc ORDER BY pos
+             |                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+             |         COUNT(*) OVER (PARTITION BY doc) AS n_g
+             |  FROM keyd
+             |), sel AS (
+             |  SELECT DISTINCT doc, wmin // 4294967296 AS fp
+             |  FROM wm WHERE pos <= GREATEST(n_g - 5, 0)
+             |)
+             |SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+             |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc < b.doc
+             |GROUP BY a.doc, b.doc
+             |HAVING COUNT(*) >= 2
+             |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }
