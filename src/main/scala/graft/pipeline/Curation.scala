@@ -648,6 +648,7 @@ object Curation {
   def corpusDiff(
       oldDf: DataFrame, newDf: DataFrame, idCol: String, textCol: String,
   ): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(oldDf.sparkSession)
     def hashed(d: DataFrame, out: String) = d.select(col(idCol).as("doc"),
       graft.functions.GraftFunctions.fnv1a64(col(textCol)).as(out))
     hashed(oldDf, "old_hash").join(hashed(newDf, "new_hash"), Seq("doc"), "full_outer")

@@ -1152,6 +1152,7 @@ object Dedup {
       k: Int = 4, w: Int = 5,
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    GraftFunctions.ensureRegistered(df.sparkSession)
     // complete k-token grams on the doc-keyed exchange (spanWindows'
     // space-joined spans — tokens are whitespace-free by construction,
     // so the join is collision-free), then the 31-bit gram hash packed

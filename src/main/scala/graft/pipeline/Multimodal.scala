@@ -227,6 +227,171 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Perceptual image hashing (pHash, DCT variant — the public technique
+  // behind image near-dup detection at crawl scale): decode → 32×32
+  // grayscale (2×2 area sums of the 64×64 decode) → 2D DCT-II → 8×8
+  // low-frequency block → median threshold → 64-bit fingerprint.
+  //
+  // The DCT runs in FIXED-POINT integer arithmetic (cos table scaled by
+  // 2^20 and rounded ONCE, in [[dctTable]]): every coefficient is an
+  // exact integer sum, so the hash is bit-identical across engines,
+  // partitionings, and replay in an external SQL oracle — float DCT
+  // would hinge on libm cos and summation order at the median boundary.
+  // Magnitudes: cell ≤ 4·255 < 2^10, row pass < 2^36, final < 2^61 —
+  // no Long overflow.
+  // ---------------------------------------------------------------------
+
+  /** Image classes in [[patternedAssets]] — a 3×3 grid of checker
+    * frequencies, each within the 8×8 low-frequency window the hash
+    * sees (periods of 16/32/64 px; an 8 px checker would alias above
+    * the block and be invisible to the hash). */
+  val phashClasses: Int = 9
+
+  /** Fixed-point DCT-II basis: dctTable(x)(u) = round(cos((2x+1)uπ/64)·2^20)
+    * for the 32-cell axis, u < 8. Public so the SQL oracle inlines the
+    * SAME integers — the table is the single source of the basis. */
+  lazy val dctTable: Array[Array[Long]] = Array.tabulate(32, 8) { (x, u) =>
+    math.round(math.cos((2 * x + 1) * u * math.Pi / 64.0) * (1L << 20))
+  }
+
+  /** 64-bit perceptual hash of a decoded 64×64 image. Integer
+    * luminance (299r+587g+114b)/1000 — exact for the grayscale PNGs
+    * [[patternedAssets]] writes (r=g=b ⇒ luminance = gray). Median is
+    * the 32nd-smallest of the 63 non-DC coefficients; the DC bit is 0.
+    * Returns None for payloads that fail to decode or are not 64×64. */
+  private[pipeline] def phash64(data: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      if (img == null || img.getWidth != 64 || img.getHeight != 64) None
+      else {
+        val cell = Array.ofDim[Long](32, 32)
+        var y = 0
+        while (y < 64) {
+          var x = 0
+          while (x < 64) {
+            val rgb = img.getRGB(x, y)
+            val lum = (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)) / 1000L
+            cell(x / 2)(y / 2) += lum
+            x += 1
+          }
+          y += 1
+        }
+        // separable DCT: rows then columns, low 8×8 block only
+        val t = Array.ofDim[Long](8, 32)
+        var u = 0
+        while (u < 8) {
+          var cy = 0
+          while (cy < 32) {
+            var s = 0L
+            var cx = 0
+            while (cx < 32) { s += cell(cx)(cy) * dctTable(cx)(u); cx += 1 }
+            t(u)(cy) = s
+            cy += 1
+          }
+          u += 1
+        }
+        val c = Array.ofDim[Long](8, 8)
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0L
+            var cy = 0
+            while (cy < 32) { s += t(u)(cy) * dctTable(cy)(v); cy += 1 }
+            c(u)(v) = s
+            v += 1
+          }
+          u += 1
+        }
+        val nonDc = (for { u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0 }
+          yield c(u)(v)).sorted
+        val m = nonDc(31)
+        var fp = 0L
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            if ((u != 0 || v != 0) && c(u)(v) > m) fp |= 1L << (8 * u + v)
+            v += 1
+          }
+          u += 1
+        }
+        Some(fp)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (doc, fp) perceptual-hash frame over an asset table — the same
+    * batched map-side `mapPartitions` shape as [[decode]]; payloads
+    * never shuffle, the 16-byte fingerprint rows do. Non-image or
+    * undecodable assets are dropped (they have no perceptual hash). */
+  def imagePhashes(spark: SparkSession, assets: Dataset[Asset],
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { a =>
+        if (a.modality != "image") Iterator.empty
+        else phash64(a.data).map(fp => (a.asset_id, fp)).iterator
+      })
+    }.toDF("doc", "fp")
+  }
+
+  /** Image near-duplicate pairs: perceptual hashes + the SAME banded
+    * Hamming join the text simhash path uses ([[Dedup.simhashCandidatesFromFp]]
+    * — total recall within the radius by the pigeonhole band layout).
+    * This is the crawl-scale image-dedup shape: decode+hash map-side,
+    * then a fingerprint-keyed equi-join, never pixel data in a shuffle
+    * and never all-pairs. */
+  def imageNearDups(spark: SparkSession, assets: Dataset[Asset],
+      maxHamming: Int = 4, batchSize: Int = 64): DataFrame =
+    Dedup.simhashCandidatesFromFp(imagePhashes(spark, assets, batchSize), maxHamming)
+
+  /** Deterministic patterned-image fixture: 64×64 grayscale PNGs whose
+    * pixels are an integer formula of (id, x, y) — id % 9 picks one of
+    * a 3×3 grid of checker frequencies plus a class texture, and a
+    * per-id 2×2 bright square supplies the within-class jitter. PNG is
+    * lossless and the formula is integer-only, so an external oracle
+    * regenerates the EXACT pixels the engine decodes: measured on this
+    * family, within-class Hamming ≤ 4, across-class ≥ 9.
+    */
+  def patternedAssets(spark: SparkSession, df: DataFrame, idCol: String): Dataset[Asset] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 64) {
+          var x = 0
+          while (x < 64) {
+            val g = patternGray(id, x, y)
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Asset(id, "image", bos.toByteArray, "png", 64, 64, 0L)
+      }
+    }
+  }
+
+  /** The (id, x, y) → gray formula behind [[patternedAssets]] — integer
+    * arithmetic only; the p77 oracle replays it verbatim in SQL. */
+  private[pipeline] def patternGray(id: Long, x: Int, y: Int): Int = {
+    val c = (id % phashClasses).toInt
+    val p = Array(8, 16, 32)(c % 3)
+    val q = Array(32, 16, 8)((c / 3) % 3)
+    val checker = ((x / p + y / q) % 2) * 120
+    val texture = ((x.toLong * y * (c + 3)) / 7 % 48).toInt
+    val jx = (id * 31 % 62).toInt
+    val jy = (id * 17 % 62).toInt
+    val jitter = if (x >= jx && x < jx + 2 && y >= jy && y < jy + 2) 16 else 0
+    math.min(255, math.max(0, 40 + checker + texture + jitter))
+  }
+
   /** Deterministic REAL-payload fixture table: actual PNG bytes (solid
     * id-derived color, id-derived small dimensions) and actual 16-bit
     * PCM WAV bytes (id-derived frequency sine) — generated with the same

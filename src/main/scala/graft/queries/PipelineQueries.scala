@@ -375,6 +375,13 @@ object PipelineQueries {
     |WHERE bit_count(xor(a.sfp, b.sfp)) <= 3
     |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The p77 oracle's fixed-point DCT basis, inlined as a DuckDB
+    * list-of-lists literal from [[Multimodal.dctTable]] — one source of
+    * truth for the basis integers on both sides. */
+  private def dctTableSql: String =
+    graft.pipeline.Multimodal.dctTable
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
   /** p48 parameters: 40 merges is a nontrivial trajectory (the oracle
     * unrolls one CTE block per merge), maxWords comfortably above the
     * sf0.01/sf0.1 vocabularies so the dictionary truncation is
@@ -3213,6 +3220,74 @@ object PipelineQueries {
              |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc < b.doc
              |GROUP BY a.doc, b.doc
              |HAVING COUNT(*) >= 2
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Perceptual-hash image near-dup: REAL PNG payloads (patternedAssets
+    // writes them, ImageIO decodes them back — PNG is lossless) hashed
+    // with the fixed-point integer DCT pHash, then the same banded
+    // Hamming join the text simhash uses. The oracle regenerates the
+    // pixels from the integer (id,x,y) formula, replays the ENTIRE
+    // hash (2×2 cell sums, both DCT passes on the inlined fixed-point
+    // basis, the 32nd-order-statistic median, the bit pack) and does
+    // all-pairs Hamming ≤ 4 — equal output proves decode fidelity plus
+    // hash semantics plus the band layout's total-recall guarantee.
+    QueryDef("p77_image_phash",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").where(col("doc_id") < 108)
+        val assets = Multimodal.patternedAssets(s, docs, "doc_id")
+        Multimodal.imageNearDups(s, assets, maxHamming = 4)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ids AS (
+             |  SELECT doc_id AS id FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE doc_id < 108
+             |), xs AS (SELECT unnest(range(0, 64)) AS x
+             |), ys AS (SELECT unnest(range(0, 64)) AS y
+             |), px AS (
+             |  SELECT id, x, y,
+             |         LEAST(255, GREATEST(0,
+             |           40
+             |           + ((x // ([8,16,32])[CAST(id % 9 AS INT) % 3 + 1]
+             |               + y // ([32,16,8])[CAST((id % 9) // 3 AS INT) % 3 + 1]) % 2) * 120
+             |           + (((x * y * ((id % 9) + 3)) // 7) % 48)
+             |           + CASE WHEN x >= (id * 31) % 62 AND x < (id * 31) % 62 + 2
+             |                   AND y >= (id * 17) % 62 AND y < (id * 17) % 62 + 2
+             |                  THEN 16 ELSE 0 END)) AS g
+             |  FROM ids, xs, ys
+             |), cell AS (
+             |  SELECT id, x // 2 AS cx, y // 2 AS cy, CAST(SUM(g) AS BIGINT) AS s
+             |  FROM px GROUP BY 1, 2, 3
+             |), kt AS (
+             |  SELECT CAST(xx.x AS INT) AS x, CAST(uu.u AS INT) AS u,
+             |         ($dctTableSql)[CAST(xx.x AS INT) + 1][CAST(uu.u AS INT) + 1] AS kv
+             |  FROM (SELECT unnest(range(0, 32)) AS x) xx,
+             |       (SELECT unnest(range(0, 8)) AS u) uu
+             |), t AS (
+             |  SELECT cell.id, kt.u, cell.cy, CAST(SUM(cell.s * kt.kv) AS BIGINT) AS tv
+             |  FROM cell JOIN kt ON kt.x = cell.cx GROUP BY 1, 2, 3
+             |), cc AS (
+             |  SELECT t.id, t.u, kt.u AS v, CAST(SUM(t.tv * kt.kv) AS BIGINT) AS cv
+             |  FROM t JOIN kt ON kt.x = t.cy GROUP BY 1, 2, 3
+             |), med AS (
+             |  SELECT id, cv AS m FROM (
+             |    SELECT id, cv, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cv) AS rn
+             |    FROM cc WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32
+             |), fph AS (
+             |  SELECT cc.id,
+             |         SUM(CASE WHEN NOT (u = 0 AND v = 0) AND cv > m
+             |                  THEN CAST(1 AS HUGEINT) << CAST(8 * u + v AS INT)
+             |                  ELSE CAST(0 AS HUGEINT) END) AS ufp
+             |  FROM cc JOIN med USING (id) GROUP BY cc.id
+             |), fps AS (
+             |  SELECT id, CAST(CASE WHEN ufp >= CAST('9223372036854775808' AS HUGEINT)
+             |                       THEN ufp - CAST('18446744073709551616' AS HUGEINT)
+             |                       ELSE ufp END AS BIGINT) AS sfp
+             |  FROM fph
+             |)
+             |SELECT a.id AS doc_a, b.id AS doc_b,
+             |       bit_count(xor(a.sfp, b.sfp)) AS hamming
+             |FROM fps a JOIN fps b ON a.id < b.id
+             |WHERE bit_count(xor(a.sfp, b.sfp)) <= 4
              |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }
