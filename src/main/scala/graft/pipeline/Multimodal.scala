@@ -392,6 +392,143 @@ object Multimodal {
     math.min(255, math.max(0, 40 + checker + texture + jitter))
   }
 
+  // ---------------------------------------------------------------------
+  // Audio spectral fingerprinting (constellation-style, the Wang 2003
+  // shape): decode PCM → frame → per-frame dominant spectral peak →
+  // match recordings by shared (frame, peak) landmarks. Like the pHash,
+  // the spectral analysis runs in FIXED-POINT integer arithmetic (2^8-
+  // scaled DFT basis, rounded once) so every power value is an exact
+  // integer and the peak argmax is engine-portable. Magnitudes:
+  // |sample| ≤ 2^13, basis ≤ 2^8, 256 terms → component ≤ 2^29,
+  // power = sc²+ss² ≤ 2^59 — no Long overflow.
+  // ---------------------------------------------------------------------
+
+  /** Frames analyzed per asset (256 samples each). */
+  val audioFrames: Int = 6
+
+  /** Fixed-point DFT basis for bins k = 1..8 over a 256-sample frame:
+    * cos/sin(2πkt/256)·2^8, rounded once. Column index = k−1. Public so
+    * the p78 oracle inlines the SAME integers. */
+  lazy val dftCosTable: Array[Array[Long]] = Array.tabulate(256, 8) { (t, ki) =>
+    math.round(math.cos(2 * math.Pi * (ki + 1) * t / 256.0) * 256)
+  }
+  lazy val dftSinTable: Array[Array[Long]] = Array.tabulate(256, 8) { (t, ki) =>
+    math.round(math.sin(2 * math.Pi * (ki + 1) * t / 256.0) * 256)
+  }
+
+  /** Tone classes in [[toneAssets]]: triangle-wave periods in samples,
+    * chosen so each class's fundamental lands nearest a distinct
+    * analysis bin (8, 5.3, 4, 2.7, 2, 1.3 cycles/frame → bins
+    * 8/5/4/3/2/1). */
+  val tonePeriods: Array[Int] = Array(32, 48, 64, 96, 128, 192)
+
+  /** The (id, t) → 16-bit sample formula behind [[toneAssets]] —
+    * integer-only triangle wave, period by id % 6, per-id phase
+    * offset; the p78 oracle replays it verbatim. */
+  private[pipeline] def toneSample(id: Long, t: Int): Short = {
+    val p = tonePeriods((id % 6).toInt)
+    val v = ((t + id * 13) % p).toInt
+    val a = 8192
+    val s = if (v < p / 2) -a + (4 * a * v) / p else 3 * a - (4 * a * v) / p
+    s.toShort
+  }
+
+  /** Deterministic real-WAV fixture: 1536 16-bit PCM samples (8 kHz,
+    * mono, little-endian) of the integer triangle formula, in a true
+    * WAVE container written by the JDK — the decode path runs on real
+    * audio bytes, the oracle on the formula (PCM is lossless). */
+  def toneAssets(spark: SparkSession, df: DataFrame, idCol: String): Dataset[Asset] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = audioFrames * 256
+        val pcm = new Array[Byte](n * 2)
+        val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var t = 0
+        while (t < n) { bb.putShort(toneSample(id, t)); t += 1 }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Asset(id, "audio", bos.toByteArray, "wav", 0, 0, n * 1000L / 8000L)
+      }
+    }
+  }
+
+  /** Per-frame dominant spectral peak of a 16-bit PCM asset: integer
+    * DFT power over bins 1..8, argmax per 256-sample frame (ties → the
+    * lowest bin). Decode + analysis are map-side; only (doc, frame,
+    * peak_bin) rows ever shuffle. Returns nothing for non-audio,
+    * undecodable, non-16-bit, or too-short payloads. */
+  private[pipeline] def framePeaks(data: Array[Byte]): Option[Seq[(Int, Int)]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16) None
+      else {
+        val bytes = ais.readAllBytes()
+        val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        val samples = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+        if (samples.remaining() < audioFrames * 256) None
+        else Some((0 until audioFrames).map { f =>
+          var bestPower = -1L
+          var bestBin = 0
+          var ki = 0
+          while (ki < 8) {
+            var sc = 0L
+            var ss = 0L
+            var tt = 0
+            while (tt < 256) {
+              val s = samples.get(f * 256 + tt).toLong
+              sc += s * dftCosTable(tt)(ki)
+              ss += s * dftSinTable(tt)(ki)
+              tt += 1
+            }
+            val power = sc * sc + ss * ss
+            if (power > bestPower) { bestPower = power; bestBin = ki + 1 }
+            ki += 1
+          }
+          (f, bestBin)
+        })
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (doc, frame, peak_bin) landmark frame over an asset table. */
+  def audioPeaks(spark: SparkSession, assets: Dataset[Asset],
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { a =>
+        if (a.modality != "audio") Iterator.empty
+        else framePeaks(a.data).iterator.flatMap(_.iterator.map {
+          case (f, b) => (a.asset_id, f, b)
+        })
+      })
+    }.toDF("doc", "frame", "peak_bin")
+  }
+
+  /** Audio match pairs: assets agreeing on the dominant peak in at
+    * least `minFrames` of the analyzed frames — the landmark-keyed
+    * equi-join shape (at production scale the key is the full
+    * (anchor, target, Δt) constellation hash, which makes the join
+    * key space enormous and the per-key groups tiny; the frame-peak
+    * key here is the same dataflow with a coarser landmark). */
+  def audioMatches(spark: SparkSession, assets: Dataset[Asset],
+      minFrames: Long = 5, batchSize: Int = 64): DataFrame = {
+    val pk = audioPeaks(spark, assets, batchSize)
+    val a = pk.select(col("frame"), col("peak_bin"), col("doc").as("doc_a"))
+    val b = pk.select(col("frame"), col("peak_bin"), col("doc").as("doc_b"))
+    a.join(b, Seq("frame", "peak_bin"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_matched"))
+      .where(col("n_matched") >= minFrames)
+  }
+
   /** Deterministic REAL-payload fixture table: actual PNG bytes (solid
     * id-derived color, id-derived small dimensions) and actual 16-bit
     * PCM WAV bytes (id-derived frequency sine) — generated with the same

@@ -382,6 +382,14 @@ object PipelineQueries {
     graft.pipeline.Multimodal.dctTable
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** p78: the fixed-point DFT basis tables as DuckDB literals. */
+  private def dftCosSql: String =
+    graft.pipeline.Multimodal.dftCosTable
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+  private def dftSinSql: String =
+    graft.pipeline.Multimodal.dftSinTable
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
   /** p48 parameters: 40 merges is a nontrivial trajectory (the oracle
     * unrolls one CTE block per merge), maxWords comfortably above the
     * sf0.01/sf0.1 vocabularies so the dictionary truncation is
@@ -3288,6 +3296,58 @@ object PipelineQueries {
              |       bit_count(xor(a.sfp, b.sfp)) AS hamming
              |FROM fps a JOIN fps b ON a.id < b.id
              |WHERE bit_count(xor(a.sfp, b.sfp)) <= 4
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Audio spectral-fingerprint matching: REAL WAV payloads (toneAssets
+    // writes true WAVE containers, the JDK sound API decodes them back —
+    // PCM is lossless) framed into 256-sample windows, per-frame
+    // dominant peak over the fixed-point integer DFT bins, pairs
+    // agreeing on ≥5 of 6 frame peaks. The oracle regenerates the
+    // samples from the integer triangle-wave formula and replays the
+    // DFT powers on the inlined basis, the argmax (ties → lowest bin),
+    // and the landmark match join.
+    QueryDef("p78_audio_fingerprint",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").where(col("doc_id") < 96)
+        val assets = Multimodal.toneAssets(s, docs, "doc_id")
+        Multimodal.audioMatches(s, assets, minFrames = 5)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ids AS (
+             |  SELECT doc_id AS id FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE doc_id < 96
+             |), par AS (
+             |  SELECT id, ([32,48,64,96,128,192])[CAST(id % 6 AS INT) + 1] AS P FROM ids
+             |), ts AS (SELECT unnest(range(0, 1536)) AS t
+             |), sm AS (
+             |  SELECT id, t // 256 AS frame, t % 256 AS tt,
+             |         CASE WHEN ((t + id * 13) % P) < P // 2
+             |              THEN -8192 + (4 * 8192 * ((t + id * 13) % P)) // P
+             |              ELSE 3 * 8192 - (4 * 8192 * ((t + id * 13) % P)) // P END AS s
+             |  FROM par, ts
+             |), ct AS (
+             |  SELECT CAST(tx.t AS INT) AS tt, CAST(kk.k AS INT) AS k,
+             |         ($dftCosSql)[CAST(tx.t AS INT) + 1][CAST(kk.k AS INT)] AS cq,
+             |         ($dftSinSql)[CAST(tx.t AS INT) + 1][CAST(kk.k AS INT)] AS sq
+             |  FROM (SELECT unnest(range(0, 256)) AS t) tx,
+             |       (SELECT unnest(range(1, 9)) AS k) kk
+             |), sp AS (
+             |  SELECT sm.id, sm.frame, ct.k,
+             |         CAST(SUM(sm.s * ct.cq) AS BIGINT) AS sc,
+             |         CAST(SUM(sm.s * ct.sq) AS BIGINT) AS ss
+             |  FROM sm JOIN ct ON ct.tt = sm.tt GROUP BY 1, 2, 3
+             |), pk AS (
+             |  SELECT id, frame, k AS peak_bin FROM (
+             |    SELECT id, frame, k,
+             |           ROW_NUMBER() OVER (PARTITION BY id, frame
+             |                              ORDER BY sc * sc + ss * ss DESC, k ASC) AS rn
+             |    FROM sp) WHERE rn = 1
+             |)
+             |SELECT a.id AS doc_a, b.id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_matched
+             |FROM pk a JOIN pk b
+             |  ON a.frame = b.frame AND a.peak_bin = b.peak_bin AND a.id < b.id
+             |GROUP BY a.id, b.id
+             |HAVING COUNT(*) >= 5
              |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }
