@@ -278,49 +278,56 @@ object Multimodal {
           }
           y += 1
         }
-        // separable DCT: rows then columns, low 8×8 block only
-        val t = Array.ofDim[Long](8, 32)
-        var u = 0
-        while (u < 8) {
-          var cy = 0
-          while (cy < 32) {
-            var s = 0L
-            var cx = 0
-            while (cx < 32) { s += cell(cx)(cy) * dctTable(cx)(u); cx += 1 }
-            t(u)(cy) = s
-            cy += 1
-          }
-          u += 1
-        }
-        val c = Array.ofDim[Long](8, 8)
-        u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            var s = 0L
-            var cy = 0
-            while (cy < 32) { s += t(u)(cy) * dctTable(cy)(v); cy += 1 }
-            c(u)(v) = s
-            v += 1
-          }
-          u += 1
-        }
-        val nonDc = (for { u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0 }
-          yield c(u)(v)).sorted
-        val m = nonDc(31)
-        var fp = 0L
-        u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            if ((u != 0 || v != 0) && c(u)(v) > m) fp |= 1L << (8 * u + v)
-            v += 1
-          }
-          u += 1
-        }
-        Some(fp)
+        Some(phashCells(cell))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The DCT/median/bit-pack core of the perceptual hash, over the
+    * 32×32 grid of 2×2 luminance cell SUMS — shared by the image path
+    * ([[phash64]]) and the per-frame video path ([[videoFrameHashes]]). */
+  private[pipeline] def phashCells(cell: Array[Array[Long]]): Long = {
+    // separable DCT: rows then columns, low 8×8 block only
+    val t = Array.ofDim[Long](8, 32)
+    var u = 0
+    while (u < 8) {
+      var cy = 0
+      while (cy < 32) {
+        var s = 0L
+        var cx = 0
+        while (cx < 32) { s += cell(cx)(cy) * dctTable(cx)(u); cx += 1 }
+        t(u)(cy) = s
+        cy += 1
+      }
+      u += 1
+    }
+    val c = Array.ofDim[Long](8, 8)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var cy = 0
+        while (cy < 32) { s += t(u)(cy) * dctTable(cy)(v); cy += 1 }
+        c(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val nonDc = (for { u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0 }
+      yield c(u)(v)).sorted
+    val m = nonDc(31)
+    var fp = 0L
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if ((u != 0 || v != 0) && c(u)(v) > m) fp |= 1L << (8 * u + v)
+        v += 1
+      }
+      u += 1
+    }
+    fp
+  }
 
   /** (doc, fp) perceptual-hash frame over an asset table — the same
     * batched map-side `mapPartitions` shape as [[decode]]; payloads
@@ -390,6 +397,132 @@ object Multimodal {
     val jy = (id * 17 % 62).toInt
     val jitter = if (x >= jx && x < jx + 2 && y >= jy && y < jy + 2) 16 else 0
     math.min(255, math.max(0, 40 + checker + texture + jitter))
+  }
+
+  // ---------------------------------------------------------------------
+  // Video near-dup via frame-sampled perceptual hashes. The JDK has no
+  // video codec, so the container here is GVID, a raw-frame format of
+  // our own ("GVID" magic, int32 frame count / width / height, then
+  // row-major 8-bit grayscale frames) — the PARSER is real byte-layout
+  // code with real validation; only the codec is a stand-in, exactly
+  // the seam a JNI/javacv decoder would replace. Each sampled frame is
+  // hashed with the SAME fixed-point DCT pHash as still images, and
+  // videos match when enough sampled frames agree within the Hamming
+  // radius — the frame-keyed banded join shape.
+  // ---------------------------------------------------------------------
+
+  /** Frames per fixture video. */
+  val videoFrames: Int = 8
+
+  /** Per-frame virtual pattern id: class = id % 6 (stable across the
+    * video — mod-9 of the virtual id is preserved because 6 ≤ 9), the
+    * 9·(id·8+f) term moves the jitter block per (video, frame). */
+  private[pipeline] def videoVirtualId(id: Long, f: Int): Long =
+    (id % 6) + 9L * (id * videoFrames + f)
+
+  /** Deterministic GVID fixture: 8 grayscale frames of the patterned-
+    * image family per video, pixels an integer formula of (id, f, x, y)
+    * — the oracle regenerates them exactly. */
+  def videoAssets(spark: SparkSession, df: DataFrame, idCol: String): Dataset[Asset] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val bb = java.nio.ByteBuffer.allocate(16 + videoFrames * 64 * 64)
+        bb.put("GVID".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        bb.putInt(videoFrames).putInt(64).putInt(64)
+        var f = 0
+        while (f < videoFrames) {
+          val vid = videoVirtualId(id, f)
+          var y = 0
+          while (y < 64) {
+            var x = 0
+            while (x < 64) { bb.put(patternGray(vid, x, y).toByte); x += 1 }
+            y += 1
+          }
+          f += 1
+        }
+        Asset(id, "video", bb.array(), "gvid", 64, 64, videoFrames * 40L)
+      }
+    }
+  }
+
+  /** Parse a GVID payload into frames of 64×64 gray values (0–255).
+    * None for wrong magic, dimensions, or truncated payloads. */
+  private[pipeline] def parseGvid(data: Array[Byte]): Option[Array[Array[Array[Int]]]] = {
+    if (data.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(data)
+    val magic = new Array[Byte](4)
+    bb.get(magic)
+    if (!java.util.Arrays.equals(magic,
+      "GVID".getBytes(java.nio.charset.StandardCharsets.US_ASCII))) return None
+    val (n, w, h) = (bb.getInt, bb.getInt, bb.getInt)
+    if (w != 64 || h != 64 || n <= 0 || n > 10000 ||
+      data.length < 16 + n.toLong * w * h) return None
+    Some(Array.tabulate(n) { f =>
+      val base = 16 + f * w * h
+      Array.tabulate(h) { y =>
+        Array.tabulate(w) { x => data(base + y * w + x) & 0xFF }
+      }
+    })
+  }
+
+  /** (doc, frame, fp) perceptual hashes of every `everyN`-th frame —
+    * the frame-sample + feature-extract step, map-side like every
+    * decode here. Grayscale frames feed [[phashCells]] directly
+    * (luminance of r=g=b is the gray value). */
+  def videoFrameHashes(spark: SparkSession, assets: Dataset[Asset],
+      everyN: Int = 2, batchSize: Int = 16): DataFrame = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { a =>
+        if (a.modality != "video") Iterator.empty
+        else parseGvid(a.data).iterator.flatMap { frames =>
+          frames.iterator.zipWithIndex.collect {
+            case (g, f) if f % everyN == 0 =>
+              val cell = Array.ofDim[Long](32, 32)
+              var y = 0
+              while (y < 64) {
+                var x = 0
+                while (x < 64) { cell(x / 2)(y / 2) += g(y)(x); x += 1 }
+                y += 1
+              }
+              (a.asset_id, f, phashCells(cell))
+          }
+        }
+      })
+    }.toDF("doc", "frame", "fp")
+  }
+
+  /** Video near-dup pairs: sampled frames joined frame-wise through the
+    * pigeonhole band layout (same total-recall guarantee as the text
+    * simhash — the key just gains the frame index), pairs matching on
+    * ≥ `minFrames` sampled frames within `maxHamming`. Pixels never
+    * shuffle; the join carries (frame, band, band_val)-keyed 24-byte
+    * rows. */
+  def videoNearDups(spark: SparkSession, assets: Dataset[Asset],
+      maxHamming: Int = 4, everyN: Int = 2, minFrames: Long = 3,
+      batchSize: Int = 16): DataFrame = {
+    val fps = videoFrameHashes(spark, assets, everyN, batchSize)
+    val bandVals = Dedup.simhashBandLayout(maxHamming).map { case (off, w) =>
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      shiftright(col("fp"), off).bitwiseAND(mask)
+    }
+    val banded = fps.select(col("doc"), col("frame"), col("fp"),
+      posexplode(array(bandVals: _*)))
+      .toDF("doc", "frame", "fp", "band", "band_val")
+    val a = banded.select(col("frame"), col("band"), col("band_val"),
+      col("doc").as("doc_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("frame"), col("band"), col("band_val"),
+      col("doc").as("doc_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("frame", "band", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("frame"), col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_frames"))
+      .where(col("n_frames") >= minFrames)
   }
 
   // ---------------------------------------------------------------------

@@ -3349,5 +3349,78 @@ object PipelineQueries {
              |GROUP BY a.id, b.id
              |HAVING COUNT(*) >= 5
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Video near-dup via frame-sampled pHash: GVID raw-frame containers
+    // (real byte-layout parser; the codec seam is honestly a stand-in —
+    // no JDK video codec exists), every 2nd frame hashed with the same
+    // fixed-point DCT pHash, videos pairing on ≥3 of 4 sampled frames
+    // within Hamming 4. Oracle regenerates each sampled frame's pixels
+    // from the (id, f, x, y) formula and replays the full per-frame
+    // hash + frame-wise all-pairs Hamming + the match-count frontier
+    // (banding recall is total, as in p03/p77).
+    QueryDef("p79_video_neardup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").where(col("doc_id") < 72)
+        val assets = Multimodal.videoAssets(s, docs, "doc_id")
+        Multimodal.videoNearDups(s, assets, maxHamming = 4, everyN = 2, minFrames = 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ids AS (
+             |  SELECT doc_id AS id FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE doc_id < 72
+             |), fr AS (SELECT unnest([0, 2, 4, 6]) AS f
+             |), vids AS (
+             |  SELECT id, f, (id % 6) + 9 * (id * 8 + f) AS vid FROM ids, fr
+             |), xs AS (SELECT unnest(range(0, 64)) AS x
+             |), ys AS (SELECT unnest(range(0, 64)) AS y
+             |), px AS (
+             |  SELECT id, f, x, y,
+             |         LEAST(255, GREATEST(0,
+             |           40
+             |           + ((x // ([8,16,32])[CAST(vid % 9 AS INT) % 3 + 1]
+             |               + y // ([32,16,8])[CAST((vid % 9) // 3 AS INT) % 3 + 1]) % 2) * 120
+             |           + (((x * y * ((vid % 9) + 3)) // 7) % 48)
+             |           + CASE WHEN x >= (vid * 31) % 62 AND x < (vid * 31) % 62 + 2
+             |                   AND y >= (vid * 17) % 62 AND y < (vid * 17) % 62 + 2
+             |                  THEN 16 ELSE 0 END)) AS g
+             |  FROM vids, xs, ys
+             |), cell AS (
+             |  SELECT id, f, x // 2 AS cx, y // 2 AS cy, CAST(SUM(g) AS BIGINT) AS s
+             |  FROM px GROUP BY 1, 2, 3, 4
+             |), kt AS (
+             |  SELECT CAST(xx.x AS INT) AS x, CAST(uu.u AS INT) AS u,
+             |         ($dctTableSql)[CAST(xx.x AS INT) + 1][CAST(uu.u AS INT) + 1] AS kv
+             |  FROM (SELECT unnest(range(0, 32)) AS x) xx,
+             |       (SELECT unnest(range(0, 8)) AS u) uu
+             |), t AS (
+             |  SELECT cell.id, cell.f, kt.u, cell.cy, CAST(SUM(cell.s * kt.kv) AS BIGINT) AS tv
+             |  FROM cell JOIN kt ON kt.x = cell.cx GROUP BY 1, 2, 3, 4
+             |), cc AS (
+             |  SELECT t.id, t.f, t.u, kt.u AS v, CAST(SUM(t.tv * kt.kv) AS BIGINT) AS cv
+             |  FROM t JOIN kt ON kt.x = t.cy GROUP BY 1, 2, 3, 4
+             |), med AS (
+             |  SELECT id, f, cv AS m FROM (
+             |    SELECT id, f, cv, ROW_NUMBER() OVER (PARTITION BY id, f ORDER BY cv) AS rn
+             |    FROM cc WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32
+             |), fph AS (
+             |  SELECT cc.id, cc.f,
+             |         SUM(CASE WHEN NOT (u = 0 AND v = 0) AND cv > m
+             |                  THEN CAST(1 AS HUGEINT) << CAST(8 * u + v AS INT)
+             |                  ELSE CAST(0 AS HUGEINT) END) AS ufp
+             |  FROM cc JOIN med USING (id, f) GROUP BY cc.id, cc.f
+             |), fps AS (
+             |  SELECT id, f, CAST(CASE WHEN ufp >= CAST('9223372036854775808' AS HUGEINT)
+             |                          THEN ufp - CAST('18446744073709551616' AS HUGEINT)
+             |                          ELSE ufp END AS BIGINT) AS sfp
+             |  FROM fph
+             |), fm AS (
+             |  SELECT a.f, a.id AS doc_a, b.id AS doc_b
+             |  FROM fps a JOIN fps b ON a.f = b.f AND a.id < b.id
+             |  WHERE bit_count(xor(a.sfp, b.sfp)) <= 4
+             |)
+             |SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_frames
+             |FROM fm GROUP BY 1, 2
+             |HAVING COUNT(*) >= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }
