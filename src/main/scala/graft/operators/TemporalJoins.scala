@@ -110,20 +110,33 @@ object Sessionize {
       aggs: Seq[Column] = Seq.empty,
   ): DataFrame = {
     val gapExpr = expr(s"INTERVAL $gap")
+    val aggCols = Seq(
+      min(col(tsCol)).as("session_start"),
+      (max(col(tsCol)) + gapExpr).as("session_end"),
+      count(lit(1)).as("n_events")) ++ aggs
+    labeled(df, keyCol, tsCol, gap)
+      .groupBy(col(keyCol), col("__session"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .drop("__session")
+  }
+
+  /** The per-event half of [[sessions]]: the input frame plus a
+    * `__session` running-count label (1-based per key, ordered by ts) —
+    * for callers that need the detail rows grouped by session (e.g.
+    * dialogue-corpus construction) rather than the aggregate card.
+    * Same single key-shuffle + two codegen window passes. */
+  def labeled(
+      df: DataFrame, keyCol: String, tsCol: String, gap: String,
+  ): DataFrame = {
+    val gapExpr = expr(s"INTERVAL $gap")
     val w = Window.partitionBy(keyCol).orderBy(tsCol)
-    val flagged = df
+    df
       .withColumn("__prev", lag(col(tsCol), 1).over(w))
       .withColumn("__new",
         when(col("__prev").isNull ||
           col(tsCol) >= col("__prev") + gapExpr, 1).otherwise(0))
       .withColumn("__session", sum(col("__new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val aggCols = Seq(
-      min(col(tsCol)).as("session_start"),
-      (max(col(tsCol)) + gapExpr).as("session_end"),
-      count(lit(1)).as("n_events")) ++ aggs
-    flagged.groupBy(col(keyCol), col("__session"))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .drop("__session")
+      .drop("__prev", "__new")
   }
 }

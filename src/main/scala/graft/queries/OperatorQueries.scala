@@ -114,5 +114,60 @@ object OperatorQueries {
              |       ${QueryDef.dsumSql("value")} AS sum_value
              |FROM g GROUP BY user_id, sess
              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Schema-on-read JSON extraction: props."k" pulled with an explicit
+    // one-field from_json schema (map-only, inside the scan's codegen
+    // stage), per-type telemetry card in one map-side-combined
+    // aggregate. Oracle uses DuckDB's native json_extract_string —
+    // matching proves the extraction semantics, not a regex stand-in.
+    QueryDef("p80_json_props",
+      (s, dir) => graft.pipeline.EventCorpus.propsStats(
+        Tables.load(s, dir, "events"), "event_type", "props", "k",
+        hiThreshold = 50L)
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |       COUNT(*) AS n_events,
+             |       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
+             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+             |       ROUND(CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+             |                           THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE), 6) AS hi_frac
+             |FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Sessionized dialogue-corpus construction: each (user, session)
+    // becomes one training document — the (ts, event_id)-ordered
+    // event-type turn sequence as text plus turn count and exact value
+    // total. Oracle: the p18 islands tail + string_agg with the same
+    // total order.
+    QueryDef("p81_dialogue_corpus",
+      (s, dir) => graft.pipeline.EventCorpus.dialogueCorpus(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+        "value", "event_id", gap = "12 hours")
+        .select(col("user").as("user_id"),
+          QueryDef.ntz(col("session_start")).as("session_start"),
+          col("n_turns"), col("turns"), col("total_value"))
+        .orderBy("user_id", "session_start"),
+      Some(s"""WITH e AS (
+             |  SELECT user_id, ts, event_id, event_type, value,
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM events
+             |), f AS (
+             |  SELECT *, CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 12 HOUR
+             |                 THEN 1 ELSE 0 END AS nw
+             |  FROM e
+             |), g AS (
+             |  SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
+             |                          ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM f
+             |)
+             |SELECT user_id, MIN(ts) AS session_start,
+             |       COUNT(*) AS n_turns,
+             |       string_agg(event_type, ' -> ' ORDER BY ts, event_id) AS turns,
+             |       ${QueryDef.dsumSql("value")} AS total_value
+             |FROM g GROUP BY user_id, sess
+             |ORDER BY user_id, session_start""".stripMargin)),
   )
 }
