@@ -46,4 +46,28 @@ class EventCorpusSpec extends SparkSpec {
     // event_id 103 < 200 → error before signup despite equal ts
     assert(out.contains((2L, 2L, "error -> signup", 9.0)), s"got ${out.toSeq}")
   }
+
+  test("JSON extraction is stream-safe: incremental aggregate over a MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val agg = mem.toDF().toDF("event_type", "props")
+      .select(col("event_type"),
+        EventCorpus.jsonLongField(col("props"), "k").as("k"))
+      .groupBy("event_type").agg(sum("k").as("sum_k"))
+    assert(agg.isStreaming)
+    val q = agg.writeStream.format("memory").queryName("props_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(("click", """{"k": 5}"""), ("click", """{"k": 7}"""),
+        ("click", "not json"))
+      q.processAllAvailable()
+      mem.addData(("click", """{"k": 8}"""))
+      q.processAllAvailable()
+      val r = spark.table("props_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r == Map("click" -> 20L), s"got $r")
+    } finally q.stop()
+  }
 }

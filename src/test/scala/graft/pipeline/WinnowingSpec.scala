@@ -63,6 +63,31 @@ class WinnowingSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"doc 2 is disjoint: $pairs")
   }
 
+  test("property: ANY shared run of w+k-1 tokens yields a shared fingerprint") {
+    // 60 random corpora: random vocab, random run placement — the
+    // winnowing guarantee must hold everywhere, not just on one fixture
+    import org.scalacheck.{Gen, rng}
+    val vocab = (0 until 40).map(i => s"v$i")
+    val gen = for {
+      runToks <- Gen.listOfN(w + k - 1, Gen.oneOf(vocab))
+      pre1 <- Gen.listOfN(7, Gen.oneOf(vocab))
+      suf1 <- Gen.listOfN(5, Gen.oneOf(vocab))
+      pre2 <- Gen.listOfN(3, Gen.oneOf(vocab))
+      suf2 <- Gen.listOfN(9, Gen.oneOf(vocab))
+    } yield ((pre1 ++ runToks ++ suf1).mkString(" "), (pre2 ++ runToks ++ suf2).mkString(" "))
+    val cases = (0 until 60).flatMap(i =>
+      gen.apply(Gen.Parameters.default, rng.Seed(i.toLong)))
+    // one Spark job for all cases: docs 2i / 2i+1 share case i's run
+    val docs = cases.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, a), (2L * i + 1, b)) }
+    val m = fps(docs)
+    cases.indices.foreach { i =>
+      assert(m(2L * i).intersect(m(2L * i + 1)).nonEmpty,
+        s"case $i: shared ${w + k - 1}-token run produced no shared fingerprint\n" +
+          s"a=${cases(i)._1}\nb=${cases(i)._2}")
+    }
+  }
+
   test("storage is sub-gram: winnowing selects far fewer than all grams") {
     val text = (0 until 200).map(i => s"tok${i % 37}").mkString(" ")
     val m = fps(Seq((1L, text)))
