@@ -326,6 +326,43 @@ object TextAnalysis {
           (col("df_a").cast("double") * col("df_b").cast("double"))), 6).as("pmi"))
   }
 
+  /** Feature-hashed text embedding (the hashing trick — Weinberger et
+    * al. 2009): each token lands in bucket `fnv(tok) mod dims` with
+    * sign from hash bit 31, weighted by its term frequency, and the
+    * doc vector is L2-normalized. No vocabulary, no model state, no
+    * driver round-trip — the featurizer a 100 TB corpus can run in one
+    * pass before ANN indexing or linear classifiers, with the
+    * dimensionality as the only knob.
+    *
+    * Output is the EXPLODED (doc, dim, val) form — rounded to 6 so the
+    * normalization's final double divide replays externally; docs with
+    * no tokens emit nothing (no vector to normalize). Shape: one
+    * explode → one (doc, bucket) map-side-combined aggregate (signed
+    * tf sums are exact integers) → a doc-keyed window for the norm —
+    * riding the SAME doc-hash exchange the aggregate created.
+    */
+  def hashEmbed(
+      df: DataFrame, idCol: String, textCol: String, dims: Int = 16,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val toks = df.select(col(idCol).as("doc"),
+      explode(Dedup.tokensOf(col(textCol))).as("tok"))
+    val h = GraftFunctions.fnv1a64(col("tok"))
+    val bucketed = toks.select(col("doc"),
+      pmod(h, lit(dims.toLong)).cast("int").as("dim"),
+      // sign from hash bit 31 — independent of the bucket bits
+      when(shiftright(h, 31).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L)).as("sgn"))
+    val sums = bucketed.groupBy("doc", "dim")
+      .agg(sum(col("sgn")).as("w"))
+      .where(col("w") =!= 0)
+    val byDoc = Window.partitionBy("doc")
+    sums
+      .withColumn("norm", sqrt(sum(col("w") * col("w")).over(byDoc).cast("double")))
+      .select(col("doc"), col("dim"),
+        round(col("w").cast("double") / col("norm"), 6).as("val"))
+  }
+
   /** Corpus statistics card — the dataset-report aggregate every
     * pipeline run publishes: per-stratum doc counts, token totals, and
     * token-length quantiles. One map-only token count + ONE hash

@@ -3422,5 +3422,44 @@ object PipelineQueries {
              |FROM fm GROUP BY 1, 2
              |HAVING COUNT(*) >= 3
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Feature-hashed text embeddings (the hashing trick): token →
+    // bucket fnv % 16 with sign from hash bit 31, tf-weighted signed
+    // sums, L2 normalize. dims = 16 is a power of two, so the unsigned
+    // oracle mod and the engine's signed pmod agree on the low bits.
+    // Exploded (doc, dim, val) output; exact-integer sums under the
+    // rounded double finish.
+    QueryDef("p82_hash_embed",
+      (s, dir) => TextAnalysis.hashEmbed(
+        Tables.load(s, dir, "documents"), "doc_id", "text", dims = 16)
+        .orderBy("doc", "dim"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS tok
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), h AS (
+             |  SELECT doc,
+             |         list_reduce(
+             |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                        list_transform(regexp_extract_all(hex(encode(tok)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS uh
+             |  FROM toks
+             |), b AS (
+             |  SELECT doc, CAST(uh % 16 AS INT) AS dim,
+             |         CASE WHEN (uh // 2147483648) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+             |  FROM h
+             |), sums AS (
+             |  SELECT doc, dim, CAST(SUM(sgn) AS BIGINT) AS w
+             |  FROM b GROUP BY doc, dim
+             |), nz AS (
+             |  SELECT * FROM sums WHERE w <> 0
+             |), nrm AS (
+             |  SELECT doc, SQRT(CAST(SUM(w * w) AS DOUBLE)) AS norm
+             |  FROM nz GROUP BY doc
+             |)
+             |SELECT nz.doc, nz.dim, ROUND(CAST(w AS DOUBLE) / norm, 6) AS val
+             |FROM nz JOIN nrm USING (doc) ORDER BY doc, dim""".stripMargin)),
   )
 }
