@@ -363,6 +363,63 @@ object TextAnalysis {
         round(col("w").cast("double") / col("norm"), 6).as("val"))
   }
 
+  /** Population-stability-index drift card between two corpus snapshots
+    * (the standard ingest-monitoring statistic): for each feature, bin
+    * both sides on the SAME fixed integer binning, Laplace-smooth the
+    * bin fractions (p = (count+1)/(total+nBins) — deterministic, no
+    * ε knob, zero-count bins well-defined), and report
+    * PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref). PSI ≥ 0, equal
+    * distributions → 0; the conventional alert thresholds (0.1 / 0.25)
+    * are the caller's policy.
+    *
+    * Shape: one map-side-combined (feature, bin) count per side — the
+    * exchange carries bins × features rows, not docs — then the finish
+    * joins the two histograms onto a generated (feature, bin) grid
+    * (features·nBins rows, broadcast) so silent zero bins still
+    * contribute their smoothed term. Everything after the two scans is
+    * dimension-grained.
+    *
+    * @param features (name, integer bin expression evaluated on that
+    *                 side's rows, bin count) — bin exprs must clamp to
+    *                 [0, nBins)
+    * @return (feature, psi, n_ref, n_cur), psi rounded to 6
+    */
+  def driftPsi(
+      ref: DataFrame, cur: DataFrame,
+      features: Seq[(String, Column, Int)],
+  ): DataFrame = {
+    def hist(df: DataFrame): DataFrame =
+      df.select(explode(array(features.map { case (n, c, _) =>
+          struct(lit(n).as("feature"), c.cast("int").as("bin"))
+        }: _*)).as("f"))
+        .select(col("f.feature").as("feature"), col("f.bin").as("bin"))
+        .groupBy("feature", "bin").agg(count(lit(1)).as("c"))
+    // the full (feature, bin) grid — zero bins must still contribute
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val grid = features.map { case (n, _, b) => (n, b) }.toDF("feature", "__nbins")
+      .select(col("feature"), col("__nbins"),
+        explode(sequence(lit(0), col("__nbins") - 1)).as("bin"))
+    val joined = broadcast(grid)
+      .join(hist(ref).withColumnRenamed("c", "cr"), Seq("feature", "bin"), "left")
+      .join(hist(cur).withColumnRenamed("c", "cc"), Seq("feature", "bin"), "left")
+      .na.fill(0L, Seq("cr", "cc"))
+    val totals = joined.groupBy("feature")
+      .agg(max(col("__nbins")).as("nb"),
+        sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+    val pr = (col("cr") + 1).cast("double") / (col("nr") + col("nb")).cast("double")
+    val pc = (col("cc") + 1).cast("double") / (col("nc") + col("nb")).cast("double")
+    joined.join(totals, "feature")
+      // per-bin terms pre-rounded to the 1e12 grid and summed as exact
+      // BIGINTs — a raw double sum would be association-order-dependent
+      // (the repo's standard micro-unit pattern)
+      .select(col("feature"), col("nr"), col("nc"),
+        round((pc - pr) * log(pc / pr) * 1e12).cast("long").as("__micro"))
+      .groupBy("feature")
+      .agg(round(sum(col("__micro")).cast("double") / 1e12, 6).as("psi"),
+        max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"))
+  }
+
   /** Corpus statistics card — the dataset-report aggregate every
     * pipeline run publishes: per-stratum doc counts, token totals, and
     * token-length quantiles. One map-only token count + ONE hash

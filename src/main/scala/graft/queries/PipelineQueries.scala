@@ -3461,5 +3461,64 @@ object PipelineQueries {
              |)
              |SELECT nz.doc, nz.dim, ROUND(CAST(w AS DOUBLE) / norm, 6) AS val
              |FROM nz JOIN nrm USING (doc) ORDER BY doc, dim""".stripMargin)),
+
+    // PSI drift card between the even/odd ingest halves: fixed integer
+    // binning, Laplace-smoothed fractions, per-bin terms on the 1e12
+    // integer grid so the sum is association-free. Oracle replays the
+    // binning, the grid (zero bins contribute their smoothed term),
+    // and the identical double expression tree.
+    QueryDef("p83_drift_psi",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val ref = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        val cur = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        TextAnalysis.driftPsi(ref, cur, Seq(
+          ("n_chars", least(lit(9), (col("n_chars") / lit(100)).cast("int")), 10),
+          ("n_words", least(lit(10),
+            (TextAnalysis.tokenCountWs(col("text")) / lit(10)).cast("int")), 11),
+        )).orderBy("feature")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, n_chars
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), b AS (
+             |  SELECT doc_id % 2 AS side, 'n_chars' AS feature,
+             |         LEAST(9, CAST(n_chars // 100 AS INT)) AS bin FROM d
+             |  UNION ALL
+             |  SELECT doc_id % 2, 'n_words',
+             |         LEAST(10, CAST(len(string_split_regex(TRIM(text), '\s+')) // 10 AS INT)) FROM d
+             |), grid AS (
+             |  SELECT 'n_chars' AS feature, 10 AS nb, unnest(range(0, 10)) AS bin
+             |  UNION ALL
+             |  SELECT 'n_words', 11, unnest(range(0, 11))
+             |), hr AS (
+             |  SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS cr
+             |  FROM b WHERE side = 0 GROUP BY 1, 2
+             |), hc AS (
+             |  SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS cc
+             |  FROM b WHERE side = 1 GROUP BY 1, 2
+             |), j AS (
+             |  SELECT g.feature, g.nb, g.bin,
+             |         COALESCE(hr.cr, 0) AS cr, COALESCE(hc.cc, 0) AS cc
+             |  FROM grid g
+             |  LEFT JOIN hr ON hr.feature = g.feature AND hr.bin = g.bin
+             |  LEFT JOIN hc ON hc.feature = g.feature AND hc.bin = g.bin
+             |), tot AS (
+             |  SELECT feature, MAX(nb) AS nb,
+             |         CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(cc) AS BIGINT) AS nc
+             |  FROM j GROUP BY feature
+             |), terms AS (
+             |  SELECT j.feature, tot.nr, tot.nc,
+             |         CAST(ROUND(
+             |           ((CAST(cc + 1 AS DOUBLE) / CAST(nc + tot.nb AS DOUBLE))
+             |            - (CAST(cr + 1 AS DOUBLE) / CAST(nr + tot.nb AS DOUBLE)))
+             |           * LN((CAST(cc + 1 AS DOUBLE) / CAST(nc + tot.nb AS DOUBLE))
+             |                / (CAST(cr + 1 AS DOUBLE) / CAST(nr + tot.nb AS DOUBLE)))
+             |           * 1e12) AS BIGINT) AS micro
+             |  FROM j JOIN tot USING (feature)
+             |)
+             |SELECT feature, ROUND(CAST(SUM(micro) AS DOUBLE) / 1e12, 6) AS psi,
+             |       MAX(nr) AS n_ref, MAX(nc) AS n_cur
+             |FROM terms GROUP BY feature ORDER BY feature""".stripMargin)),
   )
 }
