@@ -633,6 +633,51 @@ object Curation {
         (col("rk") * col("__ndom") + col("didx")).as("order_idx"))
   }
 
+  /** Contrastive training-pair mining — the dataset-construction step
+    * for embedding/reranker training from weak supervision: positives
+    * are the LSH-verified near-dup pairs (label 1, with their exact
+    * Jaccard), negatives are hash-order-adjacent pairs inside gate
+    * buckets (label 0) — the standard "sort by a random key, take
+    * neighbors" negative sampler, made REPRODUCIBLE by the idGate and
+    * scale-safe by bucketing (each rank window covers ~N/buckets rows,
+    * partition-parallel, never a global sort). Accidental positives
+    * are anti-joined out; negatives get the same exact-Jaccard
+    * verification so the pair set ships with honest similarity labels.
+    *
+    * @return (doc_a, doc_b, jaccard, label) — docs with fewer than
+    *         shingleK tokens have no shingle set and drop out of both
+    *         sides (nothing to verify against)
+    */
+  def contrastivePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.12, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 16,
+      buckets: Int = 16, salt: Int = 7,
+  ): DataFrame = {
+    val pos = Dedup.minhashNearDups(df, idCol, textCol, threshold, shingleK,
+      numHashes, bands)
+    val keyed = df.select(col(idCol).as("doc"))
+      .withColumn("g", idGate(col("doc"), salt))
+      .withColumn("bucket", pmod(col("g"), lit(buckets.toLong)))
+    val ranked = keyed.withColumn("rn",
+      row_number().over(Window.partitionBy("bucket").orderBy(col("g"), col("doc"))))
+    val x = ranked.select(col("bucket"), col("rn"), col("doc").as("da"))
+    val y = ranked.select(col("bucket"), (col("rn") - 1).as("rn"), col("doc").as("db"))
+    val adj = x.join(y, Seq("bucket", "rn"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+    val negPairs = adj.join(pos.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+    val sets = Dedup.shingleSets(df, idCol, textCol, shingleK)
+    val neg = negPairs
+      .join(sets.withColumnRenamed("sid", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
+      .join(sets.withColumnRenamed("sid", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(Dedup.jaccard(col("set_a"), col("set_b")), 6).as("jaccard"),
+        lit(0).as("label"))
+    pos.select(col("doc_a"), col("doc_b"), col("jaccard"), lit(1).as("label"))
+      .unionByName(neg)
+  }
+
   /** Corpus snapshot diff: per-doc added / removed / changed / unchanged
     * status between two snapshots, by id and content hash — the
     * ingest-audit card every recrawl publishes (what changed since the

@@ -3520,5 +3520,62 @@ object PipelineQueries {
              |SELECT feature, ROUND(CAST(SUM(micro) AS DOUBLE) / 1e12, 6) AS psi,
              |       MAX(nr) AS n_ref, MAX(nc) AS n_cur
              |FROM terms GROUP BY feature ORDER BY feature""".stripMargin)),
+
+    // Contrastive pair mining: LSH-verified near-dup positives + gate-
+    // bucket-adjacent negatives, both with exact Jaccard labels.
+    // Oracle: all-pairs Jaccard positives (total candidate recall, the
+    // p02/p13 argument), the idGate/bucket/rank negative sampler
+    // replayed with ROW_NUMBER, anti-join, and the same verification.
+    QueryDef("p84_contrastive_pairs",
+      (s, dir) => Curation.contrastivePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.12, shingleK = 3, numHashes = 32, bands = 16,
+        buckets = 16, salt = 7)
+        .orderBy("label", "doc_a", "doc_b"),
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM read_parquet('{SFDIR}/documents.parquet')
+             |), toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM corpus
+             |), sets AS (
+             |  SELECT doc_id,
+             |         list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+             |                                      i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS s
+             |  FROM toks WHERE len(toks) >= 3
+             |), pos AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+             |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+             |  WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.12
+             |), keyed AS (
+             |  SELECT doc_id AS doc,
+             |         ((doc_id % 100000 + 7) * 2654435761) % 1000000 AS g
+             |  FROM corpus
+             |), rk AS (
+             |  SELECT doc, g % 16 AS bucket,
+             |         ROW_NUMBER() OVER (PARTITION BY g % 16 ORDER BY g, doc) AS rn
+             |  FROM keyed
+             |), adj AS (
+             |  SELECT LEAST(x.doc, y.doc) AS doc_a, GREATEST(x.doc, y.doc) AS doc_b
+             |  FROM rk x JOIN rk y ON x.bucket = y.bucket AND y.rn = x.rn + 1
+             |), negp AS (
+             |  SELECT adj.doc_a, adj.doc_b FROM adj
+             |  ANTI JOIN pos ON adj.doc_a = pos.doc_a AND adj.doc_b = pos.doc_b
+             |), neg AS (
+             |  SELECT n.doc_a, n.doc_b,
+             |         ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard,
+             |         0 AS label
+             |  FROM negp n JOIN sets a ON a.doc_id = n.doc_a
+             |              JOIN sets b ON b.doc_id = n.doc_b
+             |)
+             |SELECT doc_a, doc_b, jaccard, 1 AS label FROM pos
+             |UNION ALL
+             |SELECT doc_a, doc_b, jaccard, label FROM neg
+             |ORDER BY label, doc_a, doc_b""".stripMargin)),
   )
 }
