@@ -262,12 +262,16 @@ object TextAnalysis {
     )
     val flagged = g.select(flagDefs.map { case (n, c) => c.as(n) }: _*)
       .withColumn("__nf", flagDefs.map { case (n, _) => col(n).cast("int") }.reduce(_ + _))
+    // coalesce: sum over an EMPTY corpus is NULL, but the audit card's
+    // honest value for "no docs failed" is 0 — the report shape (one
+    // row per rule, zero counts) must survive an empty input
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("__docs"),
-        sum((col("__nf") > 0).cast("long")).as("__dropped")) ++
+        coalesce(sum((col("__nf") > 0).cast("long")), lit(0L)).as("__dropped")) ++
         flagDefs.flatMap { case (n, _) =>
-          Seq(sum(col(n).cast("long")).as(s"__s_$n"),
-            sum((col(n) && col("__nf") === 1).cast("long")).as(s"__u_$n"))
+          Seq(coalesce(sum(col(n).cast("long")), lit(0L)).as(s"__s_$n"),
+            coalesce(sum((col(n) && col("__nf") === 1).cast("long")), lit(0L))
+              .as(s"__u_$n"))
         }
     val one = flagged.agg(aggs.head, aggs.tail: _*)
     val ruleRows = flagDefs.map { case (n, _) =>
@@ -278,7 +282,9 @@ object TextAnalysis {
         explode(array(ruleRows: _*)).as("r"))
       .select(col("r.rule").as("rule"), col("r.n_failed").as("n_failed"),
         col("r.n_unique").as("n_unique"),
-        round(col("r.n_failed").cast("double") / col("__docs").cast("double"), 6)
+        // ANSI division: 0 docs → null fraction, not a DIVIDE_BY_ZERO
+        round(col("r.n_failed").cast("double") /
+          when(col("__docs") === 0, lit(null)).otherwise(col("__docs")).cast("double"), 6)
           .as("fail_frac"),
         col("__docs").as("n_docs"), col("__dropped").as("n_dropped"))
   }

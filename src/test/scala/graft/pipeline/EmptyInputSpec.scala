@@ -96,4 +96,41 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs, "doc_id", "text", shingleK = 2).count() == 1)
     OperatorCache.releaseAll(spark)
   }
+
+  test("r12 audit/retention wave honors the degenerate-input contracts") {
+    // attribution on an empty corpus: one row PER RULE (the report
+    // shape survives), zero counts, null fail_frac (0/0) — not a crash
+    val attr = TextAnalysis.filterAttribution(emptyDocs, "doc_id", "text").collect()
+    assert(attr.length == 5 && attr.forall(r => r.getLong(1) == 0L && r.isNullAt(3)))
+    assert(TextAnalysis.cooccurrencePmi(emptyDocs, "doc_id", "text", 2L).count() == 0)
+    assert(Dedup.canonicalByQuality(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.winnowFingerprints(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.winnowOverlapPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Curation.curriculumOrder(emptyDocs, "doc_id", "text",
+      "text").count() == 0)
+    assert(Curation.corpusDiff(emptyDocs, emptyDocs, "doc_id", "text").count() == 0)
+    assert(Curation.contrastivePairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.hashEmbed(emptyDocs, "doc_id", "text").count() == 0)
+    // PSI of two empty sides: every bin carries the identical smoothed
+    // fraction → drift exactly 0, not NaN
+    val psi = TextAnalysis.driftPsi(emptyDocs, emptyDocs,
+      Seq(("f", lit(0), 4))).collect()
+    assert(psi.length == 1 && psi.head.getDouble(1) == 0.0)
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("r12 multimodal/event wave honors the degenerate-input contracts") {
+    val noIds = Seq.empty[Long].toDF("doc_id")
+    assert(Multimodal.imageNearDups(spark,
+      Multimodal.patternedAssets(spark, noIds, "doc_id")).count() == 0)
+    assert(Multimodal.audioMatches(spark,
+      Multimodal.toneAssets(spark, noIds, "doc_id")).count() == 0)
+    assert(Multimodal.videoNearDups(spark,
+      Multimodal.videoAssets(spark, noIds, "doc_id")).count() == 0)
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String, Double, String)]
+      .toDF("user_id", "ts", "event_type", "value", "props")
+    assert(EventCorpus.propsStats(noEvents, "event_type", "props", "k", 5L).count() == 0)
+    assert(EventCorpus.dialogueCorpus(noEvents, "user_id", "ts", "event_type",
+      "value", "user_id", gap = "1 hour").count() == 0)
+  }
 }
