@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the look-before-you-ingest card run on every new
+  * raw source: per column, null coverage, type-inference votes
+  * (integer / float / date-shaped value fractions over the STRING
+  * rendering), distinct counts, and lexicographic extrema. This is the
+  * schema-on-read companion to the semantic layer's declared types: the
+  * profile tells you what a column actually holds before you declare
+  * what it should.
+  */
+object Profiling {
+
+  private val intRe = "^-?\\d+$"
+  private val floatRe = "^-?\\d+\\.\\d+$"
+  private val dateRe = "^\\d{4}-\\d{2}-\\d{2}"
+
+  /** Per-column profile in ONE pass: the columns explode into
+    * (column, string-value) rows — a map-only generate, so the single
+    * column-keyed aggregate (map-side combined; ~#columns exchange
+    * rows for the sums) is the only shuffle besides the exact-distinct
+    * expansion.
+    *
+    * @param exact true → exact `count_distinct` (the oracle-pinned
+    *   path; its two-phase distinct expansion shuffles one row per
+    *   distinct (column, value) — fine for profiling runs). false →
+    *   `approx_count_distinct` (HLL++, map-side combined) — the 100 TB
+    *   path where exact distincts of a high-cardinality column would
+    *   dominate the job (same dial as corpusStats; see also the KMV
+    *   sketch for a mergeable artifact).
+    * @return (column, n_rows, n_null, n_int_like, n_float_like,
+    *         n_date_like, n_distinct, min_v, max_v) — *_like counts
+    *         cover non-null values only; min/max are lexicographic
+    *         over the string rendering
+    */
+  def profileColumns(
+      df: DataFrame, cols: Seq[String], exact: Boolean = true,
+  ): DataFrame = {
+    require(cols.nonEmpty, "profileColumns: need at least one column")
+    val rows = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*)).as("f"))
+      .select(col("f.column").as("column"), col("f.v").as("v"))
+    def cnt(c: Column): Column = coalesce(sum(c.cast("long")), lit(0L))
+    val distinctAgg =
+      if (exact) count_distinct(col("v")).as("n_distinct")
+      else approx_count_distinct(col("v")).as("n_distinct")
+    rows.groupBy("column").agg(
+      count(lit(1)).as("n_rows"),
+      cnt(col("v").isNull).as("n_null"),
+      cnt(col("v").rlike(intRe)).as("n_int_like"),
+      cnt(col("v").rlike(floatRe)).as("n_float_like"),
+      cnt(col("v").rlike(dateRe)).as("n_date_like"),
+      distinctAgg,
+      min(col("v")).as("min_v"),
+      max(col("v")).as("max_v"))
+  }
+}

@@ -3577,5 +3577,45 @@ object PipelineQueries {
              |UNION ALL
              |SELECT doc_a, doc_b, jaccard, label FROM neg
              |ORDER BY label, doc_a, doc_b""".stripMargin)),
+
+    // Dataset profiling card: per-column null coverage, type-inference
+    // votes over the string rendering, exact distincts, lexicographic
+    // extrema — one explode + one aggregate. The fixture shapes all
+    // four type classes (int-like key, decimal-rendered price, date,
+    // null-injected categorical); floats ride a DECIMAL(12,2) cast so
+    // both engines render identical strings.
+    QueryDef("p85_profile_columns",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders").select(
+          col("o_orderkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")).as("o_priority_dirty"))
+        Profiling.profileColumns(orders,
+          Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_priority_dirty"))
+          .orderBy("column")
+      },
+      Some("""WITH src AS (
+             |  SELECT CAST(o_orderkey AS VARCHAR) AS c_key,
+             |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS c_price,
+             |         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS c_date,
+             |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+             |              ELSE o_orderpriority END AS c_prio
+             |  FROM orders
+             |), u AS (
+             |  SELECT 'o_orderkey' AS "column", c_key AS v FROM src
+             |  UNION ALL SELECT 'o_totalprice', c_price FROM src
+             |  UNION ALL SELECT 'o_orderdate', c_date FROM src
+             |  UNION ALL SELECT 'o_priority_dirty', c_prio FROM src
+             |)
+             |SELECT "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       CAST(COUNT(*) FILTER (v IS NULL) AS BIGINT) AS n_null,
+             |       CAST(COUNT(*) FILTER (regexp_matches(v, '^-?\d+$')) AS BIGINT) AS n_int_like,
+             |       CAST(COUNT(*) FILTER (regexp_matches(v, '^-?\d+\.\d+$')) AS BIGINT) AS n_float_like,
+             |       CAST(COUNT(*) FILTER (regexp_matches(v, '^\d{4}-\d{2}-\d{2}')) AS BIGINT) AS n_date_like,
+             |       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+             |       MIN(v) AS min_v, MAX(v) AS max_v
+             |FROM u GROUP BY "column" ORDER BY "column"""".stripMargin)),
   )
 }

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** Profiling contracts: type votes count what they should, nulls are
+  * coverage (not errors), distincts exclude nulls, extrema are
+  * lexicographic, and the empty frame yields zero-count rows per
+  * column rather than a crash.
+  */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("1", "2.5", "2024-01-31", "a"),
+    ("-7", "bad", "not a date", null),
+    ("3x", "-0.25", "2023-12-01x", "a"),
+    (null, "10", null, "b"),
+  ).toDF("ints", "floats", "dates", "cats")
+
+  private lazy val prof = Profiling.profileColumns(
+    df, Seq("ints", "floats", "dates", "cats"))
+    .collect()
+    .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7), r.getString(8)))
+    .toMap
+
+  test("type votes: ints/floats/dates counted on non-null values only") {
+    assert(prof("ints") == ((4L, 1L, 2L, 0L, 0L, 3L, "-7", "3x")))
+    // "10" is int-like, not float-like; "-0.25" is float-like
+    assert(prof("floats")._3 == 1L && prof("floats")._4 == 2L)
+    // prefix match: "2023-12-01x" still date-SHAPED (leading pattern)
+    assert(prof("dates")._5 == 2L)
+  }
+
+  test("distincts exclude nulls; extrema are lexicographic") {
+    assert(prof("cats") == ((4L, 1L, 0L, 0L, 0L, 2L, "a", "b")))
+  }
+
+  test("empty frame: one zero-count row per requested column") {
+    val empty = Seq.empty[(String, String)].toDF("a", "b")
+    val rows = Profiling.profileColumns(empty, Seq("a", "b")).collect()
+    assert(rows.isEmpty, "no input rows → no groups (callers union the column list)")
+  }
+
+  test("approx mode returns the same shape with a sane estimate") {
+    val big = (0 until 1000).map(i => Tuple1(s"v${i % 137}")).toDF("c")
+    val r = Profiling.profileColumns(big, Seq("c"), exact = false).collect().head
+    assert(math.abs(r.getLong(6) - 137L) < 14, s"HLL estimate off: ${r.getLong(6)}")
+  }
+}
