@@ -115,6 +115,68 @@ object OperatorQueries {
              |FROM g GROUP BY user_id, sess
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // Ordered-step funnel: signup → click → purchase, each step's time
+    // constrained to at-or-after the previous step's first completion.
+    // Oracle replays the correlated per-step MIN chain.
+    QueryDef("p86_funnel",
+      (s, dir) => graft.operators.EventAnalytics.funnel(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+        .orderBy("step_idx"),
+      Some("""WITH s0 AS (
+             |  SELECT user_id, MIN(ts) AS t0 FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id
+             |), s1 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t1
+             |  FROM events e JOIN s0 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts >= s0.t0
+             |  GROUP BY e.user_id
+             |), s2 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t2
+             |  FROM events e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+             |  GROUP BY e.user_id
+             |), c AS (
+             |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n0,
+             |         (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+             |         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2
+             |)
+             |SELECT 0 AS step_idx, 'signup' AS step, n0 AS n_users,
+             |       CAST(NULL AS DOUBLE) AS conv_frac FROM c
+             |UNION ALL
+             |SELECT 1, 'click', n1, ROUND(CAST(n1 AS DOUBLE) / n0, 6) FROM c
+             |UNION ALL
+             |SELECT 2, 'purchase', n2, ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM c
+             |ORDER BY step_idx""".stripMargin)),
+
+    // First-seen weekly retention cohorts over an 8-week horizon.
+    // Oracle: distinct (user, week) activity + first-seen min + the
+    // same integer week-offset arithmetic.
+    QueryDef("p87_retention_cohorts",
+      (s, dir) => graft.operators.EventAnalytics.retentionCohorts(
+        Tables.load(s, dir, "events"), "user_id", "ts", periods = 8)
+        .select(QueryDef.ntz(col("cohort")).as("cohort"), col("offset"),
+          col("n_active"), col("cohort_size"), col("retention"))
+        .orderBy("cohort", "offset"),
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+             |), f AS (
+             |  SELECT user_id, MIN(week) AS cohort FROM act GROUP BY user_id
+             |), j AS (
+             |  SELECT f.cohort,
+             |         CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(a.week AS DATE)) // 7 AS INT) AS "offset"
+             |  FROM act a JOIN f USING (user_id)
+             |), g AS (
+             |  SELECT cohort, "offset", CAST(COUNT(*) AS BIGINT) AS n_active
+             |  FROM j WHERE "offset" < 8 GROUP BY 1, 2
+             |), sz AS (
+             |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1
+             |)
+             |SELECT g.cohort, g."offset", g.n_active, sz.cohort_size,
+             |       ROUND(CAST(g.n_active AS DOUBLE) / sz.cohort_size, 6) AS retention
+             |FROM g JOIN sz USING (cohort)
+             |ORDER BY cohort, "offset"""".stripMargin)),
+
     // Schema-on-read JSON extraction: props."k" pulled with an explicit
     // one-field from_json schema (map-only, inside the scan's codegen
     // stage), per-type telemetry card in one map-side-combined
