@@ -64,7 +64,8 @@ object Bench {
     "p76_winnow_fingerprint", "p77_image_phash", "p78_audio_fingerprint",
     "p79_video_neardup", "p80_json_props", "p81_dialogue_corpus",
     "p82_hash_embed", "p83_drift_psi", "p84_contrastive_pairs",
-    "p85_profile_columns", "p86_funnel", "p87_retention_cohorts")
+    "p85_profile_columns", "p86_funnel", "p87_retention_cohorts",
+    "p88_event_transitions")
 
   /** Jobs started/ended + stages completed + task GC/CPU sums, maintained
     * by [[counting]]. Listener delivery is asynchronous; [[settle]] waits

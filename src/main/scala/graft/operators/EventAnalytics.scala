@@ -53,6 +53,37 @@ object EventAnalytics {
         col("r.n_users").as("n_users"), col("r.conv_frac").as("conv_frac"))
   }
 
+  /** Per-user event-type transition matrix (the Markov view of user
+    * journeys): for each ordered (from, to) pair of consecutive events
+    * within a user's stream, the transition count and the row-
+    * normalized probability P(to | from). One user-key shuffle, one lag
+    * window (total order (ts, tie) so equal timestamps are
+    * deterministic), one pair-keyed map-side-combined count; the row
+    * normalization joins the from-grained totals — a dimension-sized
+    * frame at any scale.
+    *
+    * @return (from_type, to_type, n_transitions, prob) — prob rounded
+    *         to 6
+    */
+  def eventTransitions(
+      df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      tieCol: String,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum(col("n_transitions")).as("__tot"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        round(col("n_transitions").cast("double") / col("__tot").cast("double"), 6)
+          .as("prob"))
+  }
+
   /** First-seen retention cohorts: users grouped by the ISO week of
     * their first event, each cohort's share still active k weeks later.
     * One distinct (user, week) aggregate, one user-keyed first-seen

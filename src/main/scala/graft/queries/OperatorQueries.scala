@@ -177,6 +177,30 @@ object OperatorQueries {
              |FROM g JOIN sz USING (cohort)
              |ORDER BY cohort, "offset"""".stripMargin)),
 
+    // Per-user event-type transition matrix: lag under the total
+    // (ts, event_id) order, pair counts, row-normalized P(to | from).
+    // Oracle replays the lag chain and the normalization.
+    QueryDef("p88_event_transitions",
+      (s, dir) => graft.operators.EventAnalytics.eventTransitions(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type"),
+      Some("""WITH nx AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |                                ORDER BY ts, event_id) AS to_type
+             |  FROM events
+             |), pairs AS (
+             |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+             |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2
+             |), tot AS (
+             |  SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS t
+             |  FROM pairs GROUP BY 1
+             |)
+             |SELECT p.from_type, p.to_type, p.n_transitions,
+             |       ROUND(CAST(p.n_transitions AS DOUBLE) / t, 6) AS prob
+             |FROM pairs p JOIN tot USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
     // Schema-on-read JSON extraction: props."k" pulled with an explicit
     // one-field from_json schema (map-only, inside the scan's codegen
     // stage), per-type telemetry card in one map-side-combined

@@ -50,6 +50,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(none(1).isNullAt(3), "0/0 conversion is null, not an ANSI error")
   }
 
+  test("transitions: counts consecutive pairs per user, rows normalize") {
+    val events = Seq(
+      (1L, t(1), "a", 10L), (1L, t(2), "b", 11L), (1L, t(3), "a", 12L),
+      (2L, t(1), "a", 20L), (2L, t(2), "b", 21L),
+      // equal timestamps: order by the tie column (30 before 31)
+      (3L, t(1), "b", 30L), (3L, t(1), "a", 31L),
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.eventTransitions(events, "user_id", "ts",
+      "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // from a: a→b twice (users 1, 2); from b: b→a twice (user 1, user 3 tie)
+    assert(out == Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((2L, 1.0))), s"$out")
+  }
+
   test("retention: cohorts by first week, offsets count distinct-week activity") {
     val events = Seq(
       // cohort week of Mar 4 (Monday): users 1, 2
