@@ -69,6 +69,50 @@ object EventStreams {
       }.toDF()
   }
 
+  final case class FunnelState(times: Array[Long])
+  final case class FunnelOut(user_id: Long, steps_completed: Int)
+
+  /** Incremental ordered-step funnel via flatMapGroupsWithState: per
+    * user, the state is one epoch-ms first-completion time per step
+    * (−1 until reached), so a step begun in one micro-batch can be
+    * completed in a later one — the cross-batch version of
+    * [[graft.operators.EventAnalytics.funnel]]'s at-or-after rule.
+    * Each batch's rows are sorted by event time before folding (a
+    * micro-batch iterator has no order guarantee); late data arriving
+    * after a later step already completed cannot retroactively insert
+    * itself — the documented best-effort semantics of watermark-free
+    * funnel state. Emits the user's current completed-step count
+    * whenever it ADVANCES (update-mode friendly: no output for
+    * no-progress batches). State is |steps| longs per active user.
+    */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = events.selectExpr(
+      "user_id", "cast(ts as long) * 1000 as ts_ms", "event_type")
+      .as[(Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[FunnelState]) =>
+          val times = state.getOption.map(_.times)
+            .getOrElse(Array.fill(steps.size)(-1L))
+          val before = times.lastIndexWhere(_ >= 0) + 1
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts, et) =>
+            stepIdx.get(et).foreach { i =>
+              if (times(i) < 0 &&
+                (i == 0 || (times(i - 1) >= 0 && ts >= times(i - 1))))
+                times(i) = ts
+            }
+          }
+          state.update(FunnelState(times))
+          val after = times.lastIndexWhere(_ >= 0) + 1
+          if (after > before) Iterator(FunnelOut(userId, after)) else Iterator.empty
+      }.toDF()
+  }
+
   /** File-source stream over a directory of parquet event files →
     * windowed stats. The readStream→transform→writeStream shape.
     */
