@@ -96,6 +96,29 @@ object SourceQueries {
       s.read.parquet(out).orderBy("s_suppkey")
     }, Some("SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_acctbal > 5000 ORDER BY s_suppkey")),
 
+    // S12 (beyond-reference format matrix) — JSONL round trip: Spark's
+    // json writer emits newline-delimited JSON (the training-data
+    // interchange format p57 exports); read back under an EXPLICIT
+    // schema — schema-on-read, no inference pass over the data.
+    QueryDef("s12_read_jsonl", (s, dir) => {
+      val path = s"$tmpRoot/nation_jsonl"
+      val nation = Tables.load(s, dir, "nation")
+      nation.coalesce(1).write.mode("overwrite").json(path)
+      s.read.schema(nation.schema).json(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    // S13 — ORC round trip: the other columnar format Spark ships a
+    // native vectorized reader for; write + read back must be lossless.
+    QueryDef("s13_orc_roundtrip", (s, dir) => {
+      val path = s"$tmpRoot/supplier_orc"
+      Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path).orderBy("s_suppkey")
+    }, Some("SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey")),
+
     // L1 — compiled semantic dataset: declared columns with expressions,
     // group_by + order_by + limit, straight from a schema definition
     // (the reference's `SELECT cols FROM src GROUP BY ... ORDER BY ...
