@@ -1089,6 +1089,85 @@ object Dedup {
       // semantic (a "cluster" of one is not a cluster), not load-bearing
       .where(col("cluster_size") > 1)
 
+  /** Empirical LSH recall/precision audit — "audit the auditor": runs
+    * a PORTABLE seeded-FNV minhash (production uses xxhash64, which no
+    * external engine replays; the audit variant exists precisely so an
+    * oracle can recompute the SAME banded candidate set) next to the
+    * exact inverted-index pair set, and reports how many true
+    * near-dup pairs the banding found, missed, and over-generated.
+    * This turns the "candidate recall is total on this corpus"
+    * argument the dedup oracles rely on into a MEASURED, externally
+    * checkable number.
+    *
+    * Shape: shingle rows fan out ×numHashes for the portable
+    * signature (audit cost, not production cost), min-agg per (doc,
+    * seed), band keys from the seed-ordered minhash concatenation;
+    * exact pairs via the shingle-keyed inverted index (bounded by
+    * docs-per-shingle, the fuzzyDecontaminate path) + Jaccard verify.
+    *
+    * @return one row: (n_exact, n_candidates, n_hit, n_missed,
+    *         recall, precision) — recall/precision rounded to 6,
+    *         null when the denominator is 0
+    */
+  def lshRecallAudit(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.12, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 16,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val rowsPerBand = numHashes / bands
+    val sh = shingleRows(df, idCol, textCol, shingleK)
+    val ds = sh.distinct()
+    // portable seeded minhash: min over the doc's shingle SET of
+    // fnv1a64("<seed>#<shingle>") — signed min, like the native path
+    val mh = ds
+      .select(col("doc"), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .select(col("doc"), col("seed"),
+        GraftFunctions.fnv1a64(
+          concat(col("seed").cast("string"), lit("#"), col("shingle"))).as("h"))
+      .groupBy("doc", "seed").agg(min(col("h")).as("mh"))
+    val banded = mh
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy("doc", "band")
+      .agg(GraftFunctions.fnv1a64(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+          s => s.getField("mh").cast("string")), ",")).as("bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("doc").as("doc_a"))
+    val b = banded.select(col("band"), col("bkey"), col("doc").as("doc_b"))
+    val cand = a.join(b, Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact pairs: inverted index (docs sharing >=1 shingle) + verify
+    val ia = ds.select(col("shingle"), col("doc").as("doc_a"))
+    val ib = ds.select(col("shingle"), col("doc").as("doc_b"))
+    val sharing = ia.join(ib, Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = shingleSetsFrom(sh)
+    val exact = sharing
+      .join(sets.withColumnRenamed("sid", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
+      .join(sets.withColumnRenamed("sid", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
+      .where(round(jaccard(col("set_a"), col("set_b")), 6) >= threshold)
+      .select("doc_a", "doc_b")
+    // 1-row scalar frames crossJoined into the card — fully lazy, no
+    // driver counts (the established broadcast-scalar pattern)
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nh = exact.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    ne.crossJoin(broadcast(nc)).crossJoin(broadcast(nh))
+      .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+        (col("n_exact") - col("n_hit")).as("n_missed"),
+        round(col("n_hit").cast("double") /
+          when(col("n_exact") === 0, lit(null)).otherwise(col("n_exact")).cast("double"), 6)
+          .as("recall"),
+        round(col("n_hit").cast("double") /
+          when(col("n_candidates") === 0, lit(null)).otherwise(col("n_candidates")).cast("double"), 6)
+          .as("precision"))
+  }
+
   /** Canonical-document selection: every near-dup cluster keeps its
     * BEST member by quality score instead of the arbitrary min-id
     * representative [[dedupNearDuplicates]] uses — the retention policy
