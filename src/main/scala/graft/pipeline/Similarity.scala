@@ -306,6 +306,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF recall audit — the ANN sibling of the LSH audit: for
+    * a WORKLOAD of query vectors, exact top-k (brute force) and IVF
+    * top-k (probe the best `nprobe` cells) computed in two distributed
+    * passes, reporting per-query hit counts and recall@k. This is the
+    * evaluation an index owner runs before changing nprobe/k settings,
+    * expressed as one oracle-checkable plan instead of a driver loop
+    * over [[ivfTopK]] calls.
+    *
+    * Both sides rank on the ROUNDED cosine with id tie-breaks, so an
+    * external replay selects identical top-k sets. The query frame is
+    * broadcast (workloads are small); the corpus never shuffles — both
+    * rankings are per-query windows over broadcast-joined scans.
+    *
+    * @param queries (qid, qv) workload frame
+    * @return (qid, n_hit, recall) per query, recall = n_hit / k
+    */
+  def ivfRecallAudit(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int = 10, ivfK: Int = 8, nprobe: Int = 3,
+      iters: Int = 2,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val index = ivfTrain(corpus, idCol, vecCol, ivfK, iters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = index.centroids.toSeq.map { case (id, c) => (id, c.toSeq) }
+      .toDF("cid", "cvec")
+    // probe selection per query: same (dot desc, cid asc) rule as the
+    // driver-side ivfTopK path
+    val probes = queries.crossJoin(broadcast(centDf))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(dot(col("qv"), col("cvec")).desc, col("cid").asc)))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val indexed = ivfIndex(corpus, vecCol, index)
+    val wq = Window.partitionBy("qid")
+    val approx = indexed.join(broadcast(probes), indexed("centroid") === probes("cid"))
+      .select(col("qid"), col(idCol).as("vid"),
+        round(cosine(col(vecCol), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq.orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rn") <= k)
+      .select("qid", "vid")
+    val exact = corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col(idCol).as("vid"),
+        round(cosine(col(vecCol), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq.orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rn") <= k)
+      .select("qid", "vid")
+    val ap = approx.withColumnRenamed("vid", "avid").withColumnRenamed("qid", "aqid")
+    exact.join(ap, col("qid") === col("aqid") && col("vid") === col("avid"), "left")
+      .groupBy("qid")
+      .agg(count(col("avid")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall"))
+  }
+
   /** Product-quantization codebooks: the vector splits into `m`
     * contiguous subspaces and each learns a `k`-entry codebook by
     * reusing [[ivfTrain]]'s Lloyd loop on the sliced corpus (max-dot

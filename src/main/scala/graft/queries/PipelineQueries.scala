@@ -3695,5 +3695,48 @@ object PipelineQueries {
              |       ROUND(CAST(n_hit AS DOUBLE) / CASE WHEN n_exact = 0 THEN NULL ELSE n_exact END, 6) AS recall,
              |       ROUND(CAST(n_hit AS DOUBLE) / CASE WHEN n_candidates = 0 THEN NULL ELSE n_candidates END, 6) AS precision
              |FROM card""".stripMargin)),
+
+    // Batched IVF recall audit — the ANN sibling of p89: exact vs
+    // probed top-10 per query over a workload, both ranked on rounded
+    // cosine with id tie-breaks. Oracle replays the full IVF training
+    // trajectory (the p14 machinery) plus the per-query probe
+    // selection, both rankings, and the per-query hit counts.
+    QueryDef("p90_ivf_recall_audit",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Similarity.ivfRecallAudit(emb, "vec_id", "embedding", queries,
+          k = 10, ivfK = 8, nprobe = 3)
+          .orderBy("qid")
+      },
+      Some(ivfAssignSql(8) +
+        """, qs AS (
+          |  SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id % 50 = 0
+          |), probes AS (
+          |  SELECT qid, cid FROM (
+          |    SELECT qs.qid, c2.cid,
+          |           ROW_NUMBER() OVER (PARTITION BY qs.qid
+          |                              ORDER BY list_dot_product(c2.c, qs.qv) DESC, c2.cid ASC) AS rn
+          |    FROM qs, c2) WHERE rn <= 3
+          |), approx AS (
+          |  SELECT qid, vid FROM (
+          |    SELECT p.qid, a3.vec_id AS vid,
+          |           ROW_NUMBER() OVER (PARTITION BY p.qid
+          |                              ORDER BY ROUND(list_cosine_similarity(a3.e, qs.qv), 6) DESC, a3.vec_id ASC) AS rn
+          |    FROM probes p JOIN a3 ON a3.cid = p.cid JOIN qs ON qs.qid = p.qid
+          |  ) WHERE rn <= 10
+          |), exact AS (
+          |  SELECT qid, vid FROM (
+          |    SELECT qs.qid, v.vec_id AS vid,
+          |           ROW_NUMBER() OVER (PARTITION BY qs.qid
+          |                              ORDER BY ROUND(list_cosine_similarity(v.e, qs.qv), 6) DESC, v.vec_id ASC) AS rn
+          |    FROM v, qs
+          |  ) WHERE rn <= 10
+          |)
+          |SELECT e.qid, CAST(COUNT(a.vid) AS BIGINT) AS n_hit,
+          |       ROUND(CAST(COUNT(a.vid) AS DOUBLE) / 10, 6) AS recall
+          |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vid = e.vid
+          |GROUP BY e.qid ORDER BY e.qid""".stripMargin)),
   )
 }
