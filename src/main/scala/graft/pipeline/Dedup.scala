@@ -1104,6 +1104,11 @@ object Dedup {
     * seed), band keys from the seed-ordered minhash concatenation;
     * exact pairs via the shingle-keyed inverted index (bounded by
     * docs-per-shingle, the fuzzyDecontaminate path) + Jaccard verify.
+    * NOTE the exact side is quadratic per shingle GROUP: on corpora
+    * with stopword-heavy shingles, audit a deterministic SAMPLE (or
+    * cap document frequency before the self-join) — recall measured on
+    * a hash-gated sample estimates corpus recall; the full exact sweep
+    * is an audit tool, not a production pipeline stage.
     *
     * @return one row: (n_exact, n_candidates, n_hit, n_missed,
     *         recall, precision) — recall/precision rounded to 6,
