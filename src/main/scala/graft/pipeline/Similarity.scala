@@ -362,6 +362,63 @@ object Similarity {
         round(col("n_hit").cast("double") / k, 6).as("recall"))
   }
 
+  /** Batched PQ recall audit — completes the audit family (LSH p89,
+    * IVF p90): exact vs ADC-then-rescore top-k per query over a
+    * workload, reporting per-query hits and recall@k — the measured
+    * compression/recall trade the PQ code size buys. The batched ADC
+    * evaluates dot(query-slice, codebook[code]) per row (audit cost;
+    * the production single-query path precomputes the m·k lookup
+    * table driver-side), with the same rounded-score-then-id candidate
+    * cut as [[pqTopK]] so an external replay selects identical sets.
+    *
+    * @return (qid, n_hit, recall) per query
+    */
+  def pqRecallAudit(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, m: Int = 2, kBook: Int = 4, k: Int = 10,
+      rescoreFactor: Int = 5,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = trainPq(corpus, idCol, vecCol, m, kBook)
+    val dim = dimOf(corpus, vecCol)
+    val sub = dim / m
+    val encoded = pqEncode(corpus, vecCol, books)
+    // dense per-subspace codebook tables indexed by code id; absent ids
+    // (empty Lloyd cells) hold zero vectors no code references
+    val adc = books.zipWithIndex.map { case (b, s) =>
+      val size = b.centroids.map(_._1).max + 1
+      val dense = Array.fill(size)(Seq.fill(sub)(0.0))
+      b.centroids.foreach { case (id, c) => dense(id) = c.toSeq }
+      val bookLit: Column = typedlit(dense.toSeq)
+      dot(slice(col("qv"), s * sub + 1, sub),
+        element_at(bookLit, element_at(col("codes"), s + 1) + 1))
+    }.reduce(_ + _)
+    val wq = Window.partitionBy("qid")
+    val cands = encoded.crossJoin(broadcast(queries))
+      .select(col("qid"), col("qv"), col(idCol).as("vid"),
+        col(vecCol).as("__v"), round(adc, 6).as("adc"))
+      .withColumn("rn", row_number().over(wq.orderBy(col("adc").desc, col("vid").asc)))
+      .where(col("rn") <= k * rescoreFactor)
+    val approx = cands
+      .select(col("qid"), col("vid"),
+        round(cosine(col("__v"), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq.orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rn") <= k)
+      .select("qid", "vid")
+    val exact = corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col(idCol).as("vid"),
+        round(cosine(col(vecCol), col("qv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq.orderBy(col("cos").desc, col("vid").asc)))
+      .where(col("rn") <= k)
+      .select("qid", "vid")
+    val ap = approx.withColumnRenamed("vid", "avid").withColumnRenamed("qid", "aqid")
+    exact.join(ap, col("qid") === col("aqid") && col("vid") === col("avid"), "left")
+      .groupBy("qid")
+      .agg(count(col("avid")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / k, 6).as("recall"))
+  }
+
   /** Product-quantization codebooks: the vector splits into `m`
     * contiguous subspaces and each learns a `k`-entry codebook by
     * reusing [[ivfTrain]]'s Lloyd loop on the sliced corpus (max-dot

@@ -3738,5 +3738,73 @@ object PipelineQueries {
           |       ROUND(CAST(COUNT(a.vid) AS DOUBLE) / 10, 6) AS recall
           |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vid = e.vid
           |GROUP BY e.qid ORDER BY e.qid""".stripMargin)),
+
+    // Batched PQ recall audit — the compression/recall trade measured
+    // in the gate: exact vs ADC-then-rescore top-10 per query. Oracle
+    // replays both subspace Lloyd trajectories (the p38 machinery), the
+    // per-query ADC sums, the rounded candidate cut, the rescore, and
+    // the per-query hit counts.
+    QueryDef("p91_pq_recall_audit",
+      (s, dir) => {
+        val emb = OperatorCache.persist(Tables.load(s, dir, "embeddings"))
+        val queries = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Similarity.pqRecallAudit(emb, "vec_id", "embedding", queries,
+          m = 4, kBook = 8, k = 10, rescoreFactor = 5)
+          .orderBy("qid")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |  FROM read_parquet('{SFDIR}/embeddings.parquet')
+             |)""".stripMargin +
+        pqAssignSql(0, 1, 16, 8) + pqAssignSql(1, 17, 32, 8) +
+        pqAssignSql(2, 33, 48, 8) + pqAssignSql(3, 49, 64, 8) +
+        """, qs AS (
+          |  SELECT vec_id AS qid, e AS qv, e[1:16] AS q0, e[17:32] AS q1,
+          |         e[33:48] AS q2, e[49:64] AS q3
+          |  FROM v WHERE vec_id % 50 = 0
+          |), d0 AS (
+          |  SELECT qs.qid, a.vec_id, list_dot_product(c.c, qs.q0) AS d
+          |  FROM a3_0 a JOIN c2_0 c USING (cid), qs
+          |), d1 AS (
+          |  SELECT qs.qid, a.vec_id, list_dot_product(c.c, qs.q1) AS d
+          |  FROM a3_1 a JOIN c2_1 c USING (cid), qs
+          |), d2 AS (
+          |  SELECT qs.qid, a.vec_id, list_dot_product(c.c, qs.q2) AS d
+          |  FROM a3_2 a JOIN c2_2 c USING (cid), qs
+          |), d3 AS (
+          |  SELECT qs.qid, a.vec_id, list_dot_product(c.c, qs.q3) AS d
+          |  FROM a3_3 a JOIN c2_3 c USING (cid), qs
+          |), adc AS (
+          |  SELECT d0.qid, d0.vec_id, ROUND(d0.d + d1.d + d2.d + d3.d, 6) AS adc
+          |  FROM d0 JOIN d1 ON d0.qid = d1.qid AND d0.vec_id = d1.vec_id
+          |         JOIN d2 ON d0.qid = d2.qid AND d0.vec_id = d2.vec_id
+          |         JOIN d3 ON d0.qid = d3.qid AND d0.vec_id = d3.vec_id
+          |), cand AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |           ROW_NUMBER() OVER (PARTITION BY qid
+          |                              ORDER BY adc DESC, vec_id ASC) AS rn
+          |    FROM adc) WHERE rn <= 50
+          |), approx AS (
+          |  SELECT qid, vid FROM (
+          |    SELECT cand.qid, v.vec_id AS vid,
+          |           ROW_NUMBER() OVER (PARTITION BY cand.qid
+          |                              ORDER BY ROUND(list_cosine_similarity(v.e, qs.qv), 6) DESC, v.vec_id ASC) AS rn
+          |    FROM cand JOIN v ON v.vec_id = cand.vec_id
+          |              JOIN qs ON qs.qid = cand.qid
+          |  ) WHERE rn <= 10
+          |), exact AS (
+          |  SELECT qid, vid FROM (
+          |    SELECT qs.qid, v.vec_id AS vid,
+          |           ROW_NUMBER() OVER (PARTITION BY qs.qid
+          |                              ORDER BY ROUND(list_cosine_similarity(v.e, qs.qv), 6) DESC, v.vec_id ASC) AS rn
+          |    FROM v, qs
+          |  ) WHERE rn <= 10
+          |)
+          |SELECT e.qid, CAST(COUNT(a.vid) AS BIGINT) AS n_hit,
+          |       ROUND(CAST(COUNT(a.vid) AS DOUBLE) / 10, 6) AS recall
+          |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vid = e.vid
+          |GROUP BY e.qid ORDER BY e.qid""".stripMargin)),
   )
 }
