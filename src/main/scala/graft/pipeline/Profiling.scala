@@ -17,6 +17,33 @@ object Profiling {
   private val floatRe = "^-?\\d+\\.\\d+$"
   private val dateRe = "^\\d{4}-\\d{2}-\\d{2}"
 
+  /** Schema-evolution diff between two snapshots of a dataset — the
+    * metadata companion to [[Curation.corpusDiff]]'s content diff, and
+    * the guard an ingest runs before a schema change silently breaks
+    * downstream semantic-layer declarations. Schemas are driver
+    * metadata (no data is read); the result is a tiny local frame.
+    *
+    * @return (column, old_type, new_type, status) with status ∈
+    *         added | removed | type_changed | unchanged, ordered by
+    *         column name
+    */
+  def schemaDiff(old: DataFrame, cur: DataFrame): DataFrame = {
+    val spark = old.sparkSession
+    import spark.implicits._
+    val o = old.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val c = cur.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    (o.keySet ++ c.keySet).toSeq.sorted.map { n =>
+      val status = (o.get(n), c.get(n)) match {
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case (Some(_), Some(_))           => "type_changed"
+        case (Some(_), None)              => "removed"
+        case (None, Some(_))              => "added"
+        case (None, None)                 => throw new IllegalStateException(n)
+      }
+      (n, o.get(n).orNull, c.get(n).orNull, status)
+    }.toDF("column", "old_type", "new_type", "status")
+  }
+
   /** Per-column profile in ONE pass: the columns explode into
     * (column, string-value) rows — a map-only generate, so the single
     * column-keyed aggregate (map-side combined; ~#columns exchange

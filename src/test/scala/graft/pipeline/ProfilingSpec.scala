@@ -42,6 +42,21 @@ class ProfilingSpec extends SparkSpec {
     assert(rows.isEmpty, "no input rows → no groups (callers union the column list)")
   }
 
+  test("schemaDiff: added/removed/type-changed/unchanged columns") {
+    val old = Seq((1L, "a", 1.0)).toDF("id", "keep", "becomes_int")
+    val cur = Seq((1L, "a", 2, true)).toDF("id", "keep", "becomes_int", "fresh")
+    val m = Profiling.schemaDiff(old, cur)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    assert(m("id") == (("bigint", "bigint", "unchanged")))
+    assert(m("keep") == (("string", "string", "unchanged")))
+    assert(m("becomes_int") == (("double", "int", "type_changed")))
+    assert(m("fresh") == ((null, "boolean", "added")))
+    val back = Profiling.schemaDiff(cur, old)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(back("fresh") == "removed")
+  }
+
   test("approx mode returns the same shape with a sane estimate") {
     val big = (0 until 1000).map(i => Tuple1(s"v${i % 137}")).toDF("c")
     val r = Profiling.profileColumns(big, Seq("c"), exact = false).collect().head
