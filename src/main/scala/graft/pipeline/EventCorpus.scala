@@ -44,7 +44,8 @@ object EventCorpus {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"),
         round(sum(when(col("k") >= hiThreshold, 1L).otherwise(0L))
-          .cast("double") / count(col("k")).cast("double"), 6).as("hi_frac"))
+          .cast("double") / when(count(col("k")) === 0, lit(null))
+          .otherwise(count(col("k"))).cast("double"), 6).as("hi_frac"))
   }
 
   /** Sessionized dialogue documents: each (user, session) becomes one

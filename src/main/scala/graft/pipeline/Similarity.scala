@@ -320,7 +320,10 @@ object Similarity {
     * rankings are per-query windows over broadcast-joined scans.
     *
     * @param queries (qid, qv) workload frame
-    * @return (qid, n_hit, recall) per query, recall = n_hit / k
+    * @return (qid, n_hit, recall) per query, recall = n_hit over the
+    *         per-query exact-row count (equals k except on corpora or
+    *         probed cells smaller than k, where the exact count is the
+    *         honest denominator)
     */
   def ivfRecallAudit(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -328,6 +331,10 @@ object Similarity {
       iters: Int = 2,
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    emptyRecallCard(corpus) match {
+      case Some(card) => return card
+      case None =>
+    }
     val index = ivfTrain(corpus, idCol, vecCol, ivfK, iters)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -355,12 +362,34 @@ object Similarity {
       .where(col("rn") <= k)
       .select("qid", "vid")
     val ap = approx.withColumnRenamed("vid", "avid").withColumnRenamed("qid", "aqid")
+    recallCard(exact, ap)
+  }
+
+  /** Degenerate-input guard shared by the ANN audits: an empty corpus
+    * trains empty Lloyd codebooks (and [[dimOf]] cannot even infer a
+    * dimension), so return an empty card with the (qid, n_hit, recall)
+    * contract schema instead of an opaque training crash. The check is
+    * a limit-1 probe, negligible next to the audit's exact sweep.
+    */
+  private def emptyRecallCard(corpus: DataFrame): Option[DataFrame] =
+    if (corpus.isEmpty) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      Some(Seq.empty[(Long, Long, Double)].toDF("qid", "n_hit", "recall"))
+    } else None
+
+  /** Per-query recall card shared by the ANN audits: left-join the
+    * exact top-k against the approximate set and normalize hits by the
+    * per-query EXACT row count (not the literal k) — on a corpus or
+    * probed cell smaller than k a perfect index still reports
+    * recall 1.0, and no qid silently disappears from the card.
+    */
+  private def recallCard(exact: DataFrame, ap: DataFrame): DataFrame =
     exact.join(ap, col("qid") === col("aqid") && col("vid") === col("avid"), "left")
       .groupBy("qid")
-      .agg(count(col("avid")).as("n_hit"))
+      .agg(count(col("avid")).as("n_hit"), count(col("vid")).as("__n_exact"))
       .select(col("qid"), col("n_hit"),
-        round(col("n_hit").cast("double") / k, 6).as("recall"))
-  }
+        round(col("n_hit").cast("double") / col("__n_exact"), 6).as("recall"))
 
   /** Batched PQ recall audit — completes the audit family (LSH p89,
     * IVF p90): exact vs ADC-then-rescore top-k per query over a
@@ -379,6 +408,10 @@ object Similarity {
       rescoreFactor: Int = 5,
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    emptyRecallCard(corpus) match {
+      case Some(card) => return card
+      case None =>
+    }
     val books = trainPq(corpus, idCol, vecCol, m, kBook)
     val dim = dimOf(corpus, vecCol)
     val sub = dim / m
@@ -412,11 +445,7 @@ object Similarity {
       .where(col("rn") <= k)
       .select("qid", "vid")
     val ap = approx.withColumnRenamed("vid", "avid").withColumnRenamed("qid", "aqid")
-    exact.join(ap, col("qid") === col("aqid") && col("vid") === col("avid"), "left")
-      .groupBy("qid")
-      .agg(count(col("avid")).as("n_hit"))
-      .select(col("qid"), col("n_hit"),
-        round(col("n_hit").cast("double") / k, 6).as("recall"))
+    recallCard(exact, ap)
   }
 
   /** Product-quantization codebooks: the vector splits into `m`

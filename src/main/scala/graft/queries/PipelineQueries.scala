@@ -3735,7 +3735,7 @@ object PipelineQueries {
           |  ) WHERE rn <= 10
           |)
           |SELECT e.qid, CAST(COUNT(a.vid) AS BIGINT) AS n_hit,
-          |       ROUND(CAST(COUNT(a.vid) AS DOUBLE) / 10, 6) AS recall
+          |       ROUND(CAST(COUNT(a.vid) AS DOUBLE) / COUNT(e.vid), 6) AS recall
           |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vid = e.vid
           |GROUP BY e.qid ORDER BY e.qid""".stripMargin)),
 
@@ -3803,7 +3803,7 @@ object PipelineQueries {
           |  ) WHERE rn <= 10
           |)
           |SELECT e.qid, CAST(COUNT(a.vid) AS BIGINT) AS n_hit,
-          |       ROUND(CAST(COUNT(a.vid) AS DOUBLE) / 10, 6) AS recall
+          |       ROUND(CAST(COUNT(a.vid) AS DOUBLE) / COUNT(e.vid), 6) AS recall
           |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vid = e.vid
           |GROUP BY e.qid ORDER BY e.qid""".stripMargin)),
   )

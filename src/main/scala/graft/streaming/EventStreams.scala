@@ -77,22 +77,30 @@ object EventStreams {
     * (−1 until reached), so a step begun in one micro-batch can be
     * completed in a later one — the cross-batch version of
     * [[graft.operators.EventAnalytics.funnel]]'s at-or-after rule.
-    * Each batch's rows are sorted by event time before folding (a
-    * micro-batch iterator has no order guarantee); late data arriving
-    * after a later step already completed cannot retroactively insert
-    * itself — the documented best-effort semantics of watermark-free
-    * funnel state. Emits the user's current completed-step count
-    * whenever it ADVANCES (update-mode friendly: no output for
-    * no-progress batches). State is |steps| longs per active user.
+    * Each batch's rows are sorted by (event time, `tieCol`) before
+    * folding (a micro-batch iterator has no order guarantee, and a
+    * ts-only sort would fold equal-timestamp events in nondeterministic
+    * iterator order — `tieCol` pins the repo's total-order convention,
+    * same as the batch [[graft.operators.EventAnalytics.eventTransitions]]);
+    * late data arriving after a later step already completed cannot
+    * retroactively insert itself — the documented best-effort semantics
+    * of watermark-free funnel state. Emits the user's current
+    * completed-step count whenever it ADVANCES (update-mode friendly:
+    * no output for no-progress batches). State is |steps| longs per
+    * active user.
     */
   def funnelStream(spark: SparkSession, events: DataFrame,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], tieCol: String = "event_id"): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap
+    // tie key as string: any deterministic total order among equal-ts
+    // events suffices — it decides reproducibly which event claims a
+    // step, not the recorded time (equal by construction)
     val typed = events.selectExpr(
-      "user_id", "cast(ts as long) * 1000 as ts_ms", "event_type")
-      .as[(Long, Long, String)]
+      "user_id", "cast(ts as long) * 1000 as ts_ms", "event_type",
+      s"cast($tieCol as string) as tie")
+      .as[(Long, Long, String, String)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -100,7 +108,7 @@ object EventStreams {
           val times = state.getOption.map(_.times)
             .getOrElse(Array.fill(steps.size)(-1L))
           val before = times.lastIndexWhere(_ >= 0) + 1
-          rows.toSeq.sortBy(_._2).foreach { case (_, ts, et) =>
+          rows.toSeq.sortBy(r => (r._2, r._4)).foreach { case (_, ts, et, _) =>
             stepIdx.get(et).foreach { i =>
               if (times(i) < 0 &&
                 (i == 0 || (times(i - 1) >= 0 && ts >= times(i - 1))))

@@ -133,4 +133,18 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventCorpus.dialogueCorpus(noEvents, "user_id", "ts", "event_type",
       "value", "user_id", gap = "1 hour").count() == 0)
   }
+
+  test("ANN recall audits honor the degenerate-input contracts") {
+    // empty corpus → empty Lloyd codebooks: the audits must return an
+    // empty card with the (qid, n_hit, recall) contract schema, not
+    // crash building dense codebook tables
+    val queries = Seq((1L, Seq.fill(64)(0.1f)))
+      .toDF("qid", "qv").withColumn("qv", col("qv").cast("array<double>"))
+    val vecs = emptyVecs.withColumn("embedding", col("embedding").cast("array<double>"))
+    val pq = Similarity.pqRecallAudit(vecs, "vec_id", "embedding", queries,
+      m = 4, kBook = 8, k = 10)
+    assert(pq.columns.toSeq == Seq("qid", "n_hit", "recall") && pq.count() == 0)
+    assert(Similarity.ivfRecallAudit(vecs, "vec_id", "embedding", queries,
+      k = 10, ivfK = 4, nprobe = 2).count() == 0)
+  }
 }

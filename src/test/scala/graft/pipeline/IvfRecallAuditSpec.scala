@@ -30,6 +30,18 @@ class IvfRecallAuditSpec extends SparkSpec {
       s"nprobe = ivfK probes every cell: ${rows.map(_.getDouble(2)).toSeq}")
   }
 
+  test("a corpus smaller than k still reports perfect recall") {
+    // recall normalizes by the per-query EXACT row count, not the
+    // literal k: a 6-vector corpus with k=10 has 6 exact rows per
+    // query, and an all-cells probe finds all 6 → recall 1.0 (a /k
+    // denominator would understate it as 0.6)
+    val tiny = corpus.where(col("vec_id") < 6)
+    val r = Similarity.ivfRecallAudit(tiny, "vec_id", "embedding",
+      queries.limit(1), k = 10, ivfK = 2, nprobe = 2).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 6L && r.head.getDouble(2) == 1.0,
+      s"got ${r.toSeq}")
+  }
+
   test("fewer probes never beat more probes") {
     def mean(nprobe: Int): Double =
       Similarity.ivfRecallAudit(corpus, "vec_id", "embedding", queries,

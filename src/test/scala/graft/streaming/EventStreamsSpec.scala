@@ -59,8 +59,8 @@ class EventStreamsSpec extends SparkSpec {
 
   test("funnelStream: step state carries ACROSS micro-batches, order enforced") {
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(Long, Timestamp, String)]
-    val df = mem.toDF().toDF("user_id", "ts", "event_type")
+    val mem = MemoryStream[(Long, Timestamp, String, Long)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "event_id")
     val out = EventStreams.funnelStream(spark, df, Seq("signup", "click", "purchase"))
     assert(out.isStreaming)
     val q = out.writeStream.format("memory").queryName("funnel_stream")
@@ -68,20 +68,24 @@ class EventStreamsSpec extends SparkSpec {
     try {
       def t(h: Int) = Timestamp.valueOf(f"2024-05-01 $h%02d:00:00")
       // batch 1: user 1 signs up; user 2 clicks (no signup yet — no progress)
-      mem.addData((1L, t(1), "signup"), (2L, t(1), "click"))
+      mem.addData((1L, t(1), "signup", 10L), (2L, t(1), "click", 11L))
       q.processAllAvailable()
       // batch 2: user 1 clicks (cross-batch step 2); user 2 signs up
       // (step 1 now, but the old click must NOT count retroactively)
-      mem.addData((1L, t(2), "click"), (2L, t(2), "signup"))
+      mem.addData((1L, t(2), "click", 12L), (2L, t(2), "signup", 13L))
       q.processAllAvailable()
-      // batch 3: user 1 purchases (step 3)
-      mem.addData((1L, t(3), "purchase"))
+      // batch 3: user 1 purchases (step 3); user 3 sends signup AND
+      // click at the SAME ts — the event_id tie-break folds signup
+      // (id 14) before click (id 15), so both steps complete
+      mem.addData((1L, t(3), "purchase", 20L),
+        (3L, t(3), "signup", 14L), (3L, t(3), "click", 15L))
       q.processAllAvailable()
       val rows = spark.table("funnel_stream").collect()
         .map(r => (r.getLong(0), r.getInt(1)))
       // progress emissions only: u1 1→2→3, u2 only 1 (in batch 2)
       assert(rows.count(_._1 == 1L) == 3 && rows.filter(_._1 == 1L).map(_._2).max == 3)
       assert(rows.filter(_._1 == 2L).map(_._2).toSeq == Seq(1))
+      assert(rows.filter(_._1 == 3L).map(_._2).toSeq == Seq(2))
     } finally q.stop()
   }
 
