@@ -1105,10 +1105,25 @@ object Dedup {
     * exact pairs via the shingle-keyed inverted index (bounded by
     * docs-per-shingle, the fuzzyDecontaminate path) + Jaccard verify.
     * NOTE the exact side is quadratic per shingle GROUP: on corpora
-    * with stopword-heavy shingles, audit a deterministic SAMPLE (or
-    * cap document frequency before the self-join) — recall measured on
-    * a hash-gated sample estimates corpus recall; the full exact sweep
-    * is an audit tool, not a production pipeline stage.
+    * with stopword-heavy shingles the full sweep explodes, so the
+    * scale mitigations are PARAMETERS, not advice —
+    *
+    *  - `sampleFraction`: audit a deterministic hash-gated document
+    *    sample (the [[Curation.idGate]] pattern — reproducible across
+    *    engines and partitionings, so an oracle replays the same
+    *    subset). Both the banded and exact sides run on the sample;
+    *    recall measured on it estimates corpus recall, at ~f² of the
+    *    exact-pair cost.
+    *  - `maxDocFreq`: drop shingles shared by more than this many
+    *    sampled docs from the inverted index before the self-join —
+    *    the docs-per-shingle bound becomes explicit. A pair sharing
+    *    ONLY capped shingles is invisible to the exact side (such
+    *    pairs sit at low Jaccard when the cap is well above the
+    *    threshold's implied overlap), which trades a small, stated
+    *    bias for a hard quadratic bound.
+    *
+    * The full sweep (both None, the default) stays the oracle path at
+    * small sf; production audits at scale pass both.
     *
     * @return one row: (n_exact, n_candidates, n_hit, n_missed,
     *         recall, precision) — recall/precision rounded to 6,
@@ -1118,39 +1133,72 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.12, shingleK: Int = 3,
       numHashes: Int = 32, bands: Int = 16,
+      sampleFraction: Option[Double] = None,
+      maxDocFreq: Option[Int] = None,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    sampleFraction.foreach(f =>
+      require(f > 0 && f <= 1, s"sampleFraction must be in (0,1]: $f"))
+    maxDocFreq.foreach(c => require(c >= 2, s"maxDocFreq must be >= 2: $c"))
     GraftFunctions.ensureRegistered(df.sparkSession)
     val rowsPerBand = numHashes / bands
-    val sh = shingleRows(df, idCol, textCol, shingleK)
-    val ds = sh.distinct()
+    val audited = sampleFraction match {
+      case Some(f) => Curation.deterministicSample(df, idCol, f)
+      case None => df
+    }
+    val sh = shingleRows(audited, idCol, textCol, shingleK)
+    // the distinct (doc, shingle) frame feeds FOUR differently-aliased
+    // consumers (the wide min-aggregate, both inverted-index sides, the
+    // verification sets) — materialize it once or each recomputes the
+    // scan + explode + two windows (the audit's dominant cost, not the
+    // hashing)
+    val ds = OperatorCache.materialize(sh.distinct())
     // portable seeded minhash: min over the doc's shingle SET of
-    // fnv1a64("<seed>#<shingle>") — signed min, like the native path
-    val mh = ds
-      .select(col("doc"), col("shingle"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .select(col("doc"), col("seed"),
-        GraftFunctions.fnv1a64(
-          concat(col("seed").cast("string"), lit("#"), col("shingle"))).as("h"))
-      .groupBy("doc", "seed").agg(min(col("h")).as("mh"))
+    // fnv1a64("<seed>#<shingle>") — signed min, like the native path.
+    // ONE wide groupBy(doc) with numHashes min-aggregate columns (the
+    // bandedSignatures shape: codegen'd, map-side combined) instead of
+    // a (doc × seed) explode — the earlier explode→groupBy(doc,seed)→
+    // groupBy(doc,band) formulation pushed shingles × numHashes rows
+    // through two exchanges (256M rows at sf0.1). Band keys then derive
+    // map-side from the wide row: the same seed-ordered comma-joined
+    // minhash string → FNV the oracle replays, no second shuffle.
+    val mhCols = (0 until numHashes).map(i =>
+      min(GraftFunctions.fnv1a64(concat(lit(s"$i#"), col("shingle"))))
+        .as(s"__mh$i"))
+    val mh = ds.groupBy("doc").agg(mhCols.head, mhCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val seeds = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"__mh$i").cast("string"))
+      struct(lit(b).as("band"),
+        GraftFunctions.fnv1a64(array_join(array(seeds: _*), ",")).as("bkey"))
+    }
     val banded = mh
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy("doc", "band")
-      .agg(GraftFunctions.fnv1a64(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-          s => s.getField("mh").cast("string")), ",")).as("bkey"))
+      .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val a = banded.select(col("band"), col("bkey"), col("doc").as("doc_a"))
     val b = banded.select(col("band"), col("bkey"), col("doc").as("doc_b"))
     val cand = a.join(b, Seq("band", "bkey"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // exact pairs: inverted index (docs sharing >=1 shingle) + verify
-    val ia = ds.select(col("shingle"), col("doc").as("doc_a"))
-    val ib = ds.select(col("shingle"), col("doc").as("doc_b"))
+    // exact pairs: inverted index (docs sharing >=1 shingle) + verify;
+    // under maxDocFreq the index drops stopword-grade shingles BEFORE
+    // the self-join — a shuffle-keyed count + semi-join, so the
+    // quadratic group bound is enforced distributed, never collected
+    val dsIdx = maxDocFreq match {
+      case Some(cap) =>
+        val lowDf = ds.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap).select("shingle")
+        ds.join(lowDf, Seq("shingle"))
+      case None => ds
+    }
+    val ia = dsIdx.select(col("shingle"), col("doc").as("doc_a"))
+    val ib = dsIdx.select(col("shingle"), col("doc").as("doc_b"))
     val sharing = ia.join(ib, Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sets = shingleSetsFrom(sh)
+    // built from the cached distinct frame (collect_set dedups anyway)
+    // and materialized itself: the verify join consumes it twice
+    val sets = OperatorCache.materialize(shingleSetsFrom(ds))
     val exact = sharing
       .join(sets.withColumnRenamed("sid", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
       .join(sets.withColumnRenamed("sid", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")

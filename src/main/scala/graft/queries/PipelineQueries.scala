@@ -217,6 +217,104 @@ object PipelineQueries {
     |)""".stripMargin
   }
 
+  /** p89/p92 oracle body: the full portable-FNV banding replay.
+    * `docWhere` filters the audited documents (empty for the full
+    * sweep; the idGate predicate for the sampled variant) and `dfCap`
+    * reproduces the maxDocFreq inverted-index bound on the exact side
+    * (None = direct sets self-join — same discovered pair set as an
+    * uncapped inverted index, since discovery requires >= 1 shared
+    * shingle either way).
+    */
+  private def lshAuditSql(docWhere: String, dfCap: Option[Int]): String = {
+    val exact = dfCap match {
+      case Some(cap) =>
+        """|  SELECT s2.doc_a, s2.doc_b
+               |  FROM (
+               |    SELECT DISTINCT la.doc AS doc_a, lb.doc AS doc_b
+               |    FROM (SELECT doc, shingle FROM shr
+               |          WHERE shingle IN (SELECT shingle FROM shr
+               |                            GROUP BY 1 HAVING COUNT(*) <= __CAP__)) la
+               |    JOIN (SELECT doc, shingle FROM shr
+               |          WHERE shingle IN (SELECT shingle FROM shr
+               |                            GROUP BY 1 HAVING COUNT(*) <= __CAP__)) lb
+               |      ON la.shingle = lb.shingle AND la.doc < lb.doc
+               |  ) s2 JOIN sets a ON a.doc = s2.doc_a JOIN sets b ON b.doc = s2.doc_b
+               |  WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.12""".stripMargin.replace("__CAP__", cap.toString)
+      case None =>
+        """|  SELECT a.doc AS doc_a, b.doc AS doc_b
+               |  FROM sets a JOIN sets b ON a.doc < b.doc
+               |  WHERE len(list_intersect(a.s, b.s)) > 0
+               |    AND ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.12""".stripMargin
+    }
+    """WITH toks AS (
+             |  SELECT doc_id AS doc,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM read_parquet('{SFDIR}/documents.parquet')__DOCWHERE__
+             |), sets AS (
+             |  SELECT doc,
+             |         list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+             |                                      i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS s
+             |  FROM toks WHERE len(toks) >= 3
+             |), shr AS (
+             |  SELECT doc, unnest(s) AS shingle FROM sets
+             |), seeds AS (SELECT unnest(range(0, 32)) AS seed
+             |), mh AS (
+             |  SELECT doc, seed,
+             |         MIN(CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+             |                       THEN h - CAST('18446744073709551616' AS HUGEINT)
+             |                       ELSE h END AS BIGINT)) AS mh
+             |  FROM (
+             |    SELECT doc, seed,
+             |           list_reduce(
+             |             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                          list_transform(regexp_extract_all(hex(encode(CAST(seed AS VARCHAR) || '#' || shingle)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |             (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                          * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS h
+             |    FROM shr, seeds
+             |  ) GROUP BY doc, seed
+             |), bnd AS (
+             |  SELECT doc, CAST(seed // 2 AS INT) AS band,
+             |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bstr
+             |  FROM mh GROUP BY doc, CAST(seed // 2 AS INT)
+             |), bkey AS (
+             |  SELECT doc, band,
+             |         CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+             |                   THEN h - CAST('18446744073709551616' AS HUGEINT)
+             |                   ELSE h END AS BIGINT) AS bkey
+             |  FROM (
+             |    SELECT doc, band,
+             |           list_reduce(
+             |             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+             |                          list_transform(regexp_extract_all(hex(encode(bstr)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |             (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+             |                          * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS h
+             |    FROM bnd
+             |  )
+             |), cand AS (
+             |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+             |  FROM bkey a JOIN bkey b
+             |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+             |), ex AS (
+             __EXACT__
+             |), hit AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM ex JOIN cand USING (doc_a, doc_b)
+             |), card AS (
+             |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
+             |         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+             |         (SELECT c FROM hit) AS n_hit
+             |)
+             |SELECT n_exact, n_candidates, n_hit, n_exact - n_hit AS n_missed,
+             |       ROUND(CAST(n_hit AS DOUBLE) / CASE WHEN n_exact = 0 THEN NULL ELSE n_exact END, 6) AS recall,
+             |       ROUND(CAST(n_hit AS DOUBLE) / CASE WHEN n_candidates = 0 THEN NULL ELSE n_candidates END, 6) AS precision
+             |FROM card""".stripMargin
+      .replace("__DOCWHERE__", docWhere)
+      .replace("__EXACT__", exact.replace("\n", "\n             "))
+  }
+
   /** p38 oracle: two subspace Lloyd replays + ADC candidate cut + exact
     * rescoring — Similarity.trainPq/pqTopK semantics (m=2, k=4, 64-dim). */
   private val pqOracleSql: String =
@@ -3618,6 +3716,7 @@ object PipelineQueries {
              |       MIN(v) AS min_v, MAX(v) AS max_v
              |FROM u GROUP BY "column" ORDER BY "column"""".stripMargin)),
 
+
     // Empirical LSH recall/precision audit: a PORTABLE seeded-FNV
     // minhash (so the oracle recomputes the SAME banded candidate set
     // — the first end-to-end banding replay) next to the exact
@@ -3628,73 +3727,22 @@ object PipelineQueries {
       (s, dir) => Dedup.lshRecallAudit(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         threshold = 0.12, shingleK = 3, numHashes = 32, bands = 16),
-      Some("""WITH toks AS (
-             |  SELECT doc_id AS doc,
-             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
-             |                     x -> x <> '') AS toks
-             |  FROM read_parquet('{SFDIR}/documents.parquet')
-             |), sets AS (
-             |  SELECT doc,
-             |         list_distinct(list_transform(range(1, len(toks) - 3 + 2),
-             |                                      i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS s
-             |  FROM toks WHERE len(toks) >= 3
-             |), shr AS (
-             |  SELECT doc, unnest(s) AS shingle FROM sets
-             |), seeds AS (SELECT unnest(range(0, 32)) AS seed
-             |), mh AS (
-             |  SELECT doc, seed,
-             |         MIN(CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
-             |                       THEN h - CAST('18446744073709551616' AS HUGEINT)
-             |                       ELSE h END AS BIGINT)) AS mh
-             |  FROM (
-             |    SELECT doc, seed,
-             |           list_reduce(
-             |             list_prepend(CAST('14695981039346656037' AS HUGEINT),
-             |                          list_transform(regexp_extract_all(hex(encode(CAST(seed AS VARCHAR) || '#' || shingle)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
-             |             (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
-             |                          * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS h
-             |    FROM shr, seeds
-             |  ) GROUP BY doc, seed
-             |), bnd AS (
-             |  SELECT doc, CAST(seed // 2 AS INT) AS band,
-             |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bstr
-             |  FROM mh GROUP BY doc, CAST(seed // 2 AS INT)
-             |), bkey AS (
-             |  SELECT doc, band,
-             |         CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
-             |                   THEN h - CAST('18446744073709551616' AS HUGEINT)
-             |                   ELSE h END AS BIGINT) AS bkey
-             |  FROM (
-             |    SELECT doc, band,
-             |           list_reduce(
-             |             list_prepend(CAST('14695981039346656037' AS HUGEINT),
-             |                          list_transform(regexp_extract_all(hex(encode(bstr)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
-             |             (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
-             |                          * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS h
-             |    FROM bnd
-             |  )
-             |), cand AS (
-             |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-             |  FROM bkey a JOIN bkey b
-             |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
-             |), ex AS (
-             |  SELECT a.doc AS doc_a, b.doc AS doc_b
-             |  FROM sets a JOIN sets b ON a.doc < b.doc
-             |  WHERE len(list_intersect(a.s, b.s)) > 0
-             |    AND ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.12
-             |), hit AS (
-             |  SELECT CAST(COUNT(*) AS BIGINT) AS c
-             |  FROM ex JOIN cand USING (doc_a, doc_b)
-             |), card AS (
-             |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
-             |         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
-             |         (SELECT c FROM hit) AS n_hit
-             |)
-             |SELECT n_exact, n_candidates, n_hit, n_exact - n_hit AS n_missed,
-             |       ROUND(CAST(n_hit AS DOUBLE) / CASE WHEN n_exact = 0 THEN NULL ELSE n_exact END, 6) AS recall,
-             |       ROUND(CAST(n_hit AS DOUBLE) / CASE WHEN n_candidates = 0 THEN NULL ELSE n_candidates END, 6) AS precision
-             |FROM card""".stripMargin)),
+      Some(lshAuditSql("", None))),
+
+    // The SAME audit under its production scale knobs — a hash-gated
+    // 25% document sample (the idGate predicate, replayed verbatim by
+    // the oracle) and a df-capped inverted index. This is the entry
+    // that proves the mitigation is executable, oracle-checked, and
+    // cheap: the exact side shrinks ~f^2 and the signature fan-out ~f,
+    // while recall measured on the sample estimates corpus recall.
+    QueryDef("p92_lsh_recall_sampled",
+      (s, dir) => Dedup.lshRecallAudit(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.12, shingleK = 3, numHashes = 32, bands = 16,
+        sampleFraction = Some(0.25), maxDocFreq = Some(500)),
+      Some(lshAuditSql(
+        "\n  WHERE (doc_id % 100000 * 2654435761) % 1000000 < 250000",
+        Some(500)))),
 
     // Batched IVF recall audit — the ANN sibling of p89: exact vs
     // probed top-10 per query over a workload, both ranked on rounded

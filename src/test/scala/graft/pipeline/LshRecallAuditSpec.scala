@@ -26,6 +26,52 @@ class LshRecallAuditSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("sampled audit estimates full-sweep recall on planted pairs") {
+    // plant a near-dup pair at EVERY id so any hash-gated sample
+    // contains planted pairs: docs 2i and 2i+1 share a long core and
+    // differ by one token → Jaccard well above threshold
+    val docs = (0L until 40L).flatMap { i =>
+      val c = s"$core cluster${i} theme${i % 7}"
+      Seq((2 * i, c), (2 * i + 1, c + s" tail${i}"))
+    }.toDF("doc_id", "text")
+    val full = Dedup.lshRecallAudit(docs, "doc_id", "text", threshold = 0.5)
+      .collect().head
+    val sampled = Dedup.lshRecallAudit(docs, "doc_id", "text", threshold = 0.5,
+      sampleFraction = Some(0.5), maxDocFreq = Some(64)).collect().head
+    // full sweep finds every planted pair; the sampled sweep must agree
+    // on the ESTIMATE (recall 1.0) while auditing a strict subset
+    assert(full.getDouble(4) == 1.0, s"full recall: ${full.getDouble(4)}")
+    assert(sampled.getLong(0) > 0 && sampled.getLong(0) < full.getLong(0),
+      s"sample audits a non-trivial strict subset: ${sampled.getLong(0)} of ${full.getLong(0)}")
+    assert(sampled.getDouble(4) == 1.0,
+      s"sampled recall estimates the full-sweep number: ${sampled.getDouble(4)}")
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("maxDocFreq bounds the inverted index without losing planted pairs") {
+    // planted pairs share rare cluster shingles; the short common
+    // prefix's shingles (df = corpus size) are exactly what the cap
+    // drops — and cross-cluster pairs sharing ONLY those sit far below
+    // the threshold, so the capped index discovers the same pair set
+    val docs = (0L until 20L).flatMap { i =>
+      val c = s"common filler words here " +
+        (0 until 12).map(w => s"c${i}w${w}").mkString(" ")
+      Seq((2 * i, c), (2 * i + 1, c + s" tail${i}"))
+    }.toDF("doc_id", "text")
+    val full = Dedup.lshRecallAudit(docs, "doc_id", "text", threshold = 0.5)
+      .collect().head
+    val capped = Dedup.lshRecallAudit(docs, "doc_id", "text", threshold = 0.5,
+      maxDocFreq = Some(6)).collect().head
+    // every planted pair shares rare (df=2) shingles, so the capped
+    // index still discovers all of them; the candidate side is
+    // untouched by the cap
+    assert(capped.getLong(0) == full.getLong(0),
+      s"capped exact pairs ${capped.getLong(0)} vs full ${full.getLong(0)}")
+    assert(capped.getLong(1) == full.getLong(1), "banding side unaffected by the cap")
+    assert(capped.getDouble(4) == 1.0)
+    OperatorCache.releaseAll(spark)
+  }
+
   test("disjoint corpus: zero exact pairs, null recall (not a crash)") {
     val docs = (0L until 12L).map(i =>
       (i, s"totally distinct number$i words$i phrasing$i content$i here$i"))
