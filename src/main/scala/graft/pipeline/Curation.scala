@@ -30,6 +30,45 @@ object Curation {
     pmod((pmod(id.cast("long"), lit(100000L)) + lit(salt.toLong)) * lit(2654435761L),
       lit(1000000L))
 
+  /** Number of order-preserving sub-buckets the per-stratum windows
+    * below split their sort keys into. */
+  private val DeskewBuckets = 1024
+
+  /** Order-preserving clamp-bucketization of a sort key: monotone in
+    * `key`, bounded to [0, [[DeskewBuckets]]). `unit` is the key range
+    * one bucket covers — [[idGate]] keys (range 1e6) use ~977, token
+    * counts use 64 (fine to 65k tokens). Keys outside [0, unit×1024)
+    * clamp into the edge buckets: still CORRECT (monotone), just
+    * degenerating toward the single-window plan — a custom gate should
+    * map into the documented range for the de-skew to bite.
+    *
+    * This is what keeps per-stratum windows distributed under skew: a
+    * window partitioned by (stratum, bucket) sorts ≤ 1/1024 of a
+    * skewed stratum per task instead of the whole stratum in one, and
+    * bucket counts aggregate map-side into a parameter-sized
+    * (#strata × #occupied-buckets) offset frame that broadcasts back.
+    * Exactness: the bucket is monotone in the leading sort key, so
+    * within-bucket rank + the broadcast offset of earlier buckets IS
+    * the per-stratum rank (rows in a lower bucket have strictly
+    * smaller keys).
+    */
+  private def clampBucket(key: Column, unit: Long): Column =
+    greatest(least(floor(key.cast("double") / unit), lit(DeskewBuckets - 1)),
+      lit(0)).cast("long")
+
+  /** Broadcastable per-(stratum, bucket) frame with `aggExpr`'s bucket
+    * total (`__n`) and the EXCLUSIVE per-stratum running total over
+    * earlier buckets (`__off`). The running-total window orders
+    * parameter-sized per-stratum frames (≤ [[DeskewBuckets]] rows
+    * each), never corpus rows.
+    */
+  private def bucketOffsets(
+      df: DataFrame, strataCol: String, aggExpr: Column): DataFrame =
+    df.groupBy(col(strataCol), col("__b")).agg(aggExpr.as("__n"))
+      .withColumn("__off",
+        sum("__n").over(Window.partitionBy(strataCol).orderBy("__b")) - col("__n"))
+      .select(col(strataCol), col("__b"), col("__off"))
+
   /** Keep a reproducible `fraction` of rows: the same ids survive every
     * run, every engine, every cluster size — one scan, no shuffle, no
     * state. This is how a 100 TB corpus is subsampled (a `sample()` with
@@ -146,10 +185,14 @@ object Curation {
     * bounded-overflow rule; budget 0 takes nothing). Token counts must
     * be non-negative — null/negative raises, like packSequences.
     *
-    * Scale shape: one stratum-keyed window — strata are independent and
-    * there are few of them relative to rows; a heavily skewed stratum is
-    * one sorted partition, the price every per-stratum running total
-    * pays. No driver state, no iteration.
+    * Scale shape: the de-skewed gate-bucket running total
+    * ([[clampBucket]]) — per-(stratum, bucket) token sums aggregate
+    * map-side into a broadcastable offset frame, buckets starting at
+    * or past the budget drop before any sort, and the running-sum
+    * window partitions by (stratum, bucket), so a heavily skewed
+    * stratum sorts ≤ 1/1024 of itself per task (and under a small
+    * budget, only the buckets up to the boundary at all). No driver
+    * state, no iteration.
     *
     * @return surviving rows (original columns, unchanged)
     */
@@ -172,10 +215,22 @@ object Curation {
       case (acc, (stratum, b)) =>
         when(col(strataCol) === stratum, lit(b)).otherwise(acc)
     }
-    val w = Window.partitionBy(strataCol).orderBy(g.asc, col(idCol).asc)
-    df.withColumn("__cum", sum(checked).over(w) - checked)
+    // the bucket unit assumes the default idGate range [0, 1e6) — a
+    // custom full-range gate clamps into the edge buckets (correct,
+    // just un-de-skewed; see clampBucket)
+    val bucketed = df.withColumn("__b", clampBucket(g, 977L))
+    // per-bucket token sums also run the non-negative check over EVERY
+    // row (including ones a later filter drops) — the validation
+    // contract is corpus-wide, like the single-window original
+    val offs = bucketOffsets(bucketed, strataCol, sum(checked))
+    val w = Window.partitionBy(col(strataCol), col("__b"))
+      .orderBy(g.asc, col(idCol).asc)
+    bucketed.join(broadcast(offs), Seq(strataCol, "__b"))
+      .where(col("__off") < budget)
+      .withColumn("__cum", col("__off") + sum(checked).over(w) - checked)
       .where(col("__cum") < budget)
-      .drop("__cum")
+      // the join fronts its keys — restore the input column order
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Sliding-window document chunking: split each doc into overlapping
@@ -410,9 +465,11 @@ object Curation {
     * Scale shape: the reweight machinery's exchanges + a window over
     * the PARAMETER-bounded domain frame (cumsum over #domains rows —
     * single partition by construction, like buildVocab's rank) + one
-    * broadcast join of targets + one domain-keyed selection window.
-    * A heavily skewed domain is one sorted partition — the standing
-    * per-stratum running-total price ([[sampleByTokenBudget]]).
+    * broadcast join of targets + the de-skewed gate-bucket selection
+    * ([[clampBucket]]): bucket counts aggregate map-side, offsets
+    * broadcast back, buckets past the target drop before any sort, and
+    * the rank window partitions by (domain, bucket) — a heavily skewed
+    * domain is ≤ 1/1024 of itself per sort task, never one partition.
     */
   def composeMixture(
       df: DataFrame, idCol: String, textCol: String, domainCol: String,
@@ -434,11 +491,34 @@ object Curation {
       (floorDiv(lit(budgetDocs) * col("__cum"), col("__tot")) -
         floorDiv(lit(budgetDocs) * (col("__cum") - col("__micro")), col("__tot")))
         .as("__target"))
-    val keyed = df.select(col(idCol).as("doc"), col(domainCol).as("domain"),
+    selectTopPerDomain(
+      df.select(col(idCol), col(domainCol).as("domain")), idCol, targets)
+  }
+
+  /** [[composeMixture]]'s selection tail, de-skewed: keep each domain's
+    * first `__target` docs in (idGate, id) order. Gate-bucket counts →
+    * broadcast exclusive offsets → buckets whose offset already covers
+    * the target drop BEFORE any sort → within-bucket rank + offset is
+    * the per-domain rank. A 90%-mass domain sorts ≤ 1/1024 of itself
+    * per task (and under a small target, only the buckets up to the
+    * boundary at all) instead of one corpus-sized partition.
+    *
+    * @param df      frame with `idCol` and a `domain` column
+    * @param targets (domain, __target) frame, parameter-sized
+    * @return (doc, domain) — the selected docs
+    */
+  private[graft] def selectTopPerDomain(
+      df: DataFrame, idCol: String, targets: DataFrame): DataFrame = {
+    val keyed = df.select(col(idCol).as("doc"), col("domain"),
       idGate(col(idCol)).as("__gate"))
-    val sel = Window.partitionBy("domain").orderBy(col("__gate"), col("doc"))
+      .withColumn("__b", clampBucket(col("__gate"), 977L))
+    val offs = bucketOffsets(keyed, "domain", count(lit(1)))
+    val sel = Window.partitionBy("domain", "__b")
+      .orderBy(col("__gate"), col("doc"))
     keyed.join(broadcast(targets), "domain")
-      .withColumn("__rk", row_number().over(sel))
+      .join(broadcast(offs), Seq("domain", "__b"))
+      .where(col("__off") < col("__target"))
+      .withColumn("__rk", row_number().over(sel) + col("__off"))
       .where(col("__rk") <= col("__target"))
       .select(col("doc"), col("domain"))
   }
@@ -600,10 +680,11 @@ object Curation {
     *
     * `order_idx = rank_in_domain · n_domains + domain_idx` is computed
     * per-row from a per-domain rank — there is NO global sort anywhere:
-    * the only exchanges are the domain-keyed rank window (range-
-    * partitioned within the domain; the standard Spark windowed-rank
-    * plan) and two domain-grained broadcasts (the distinct-domain index
-    * frame and the 1-row domain count). The trainer materializes the
+    * the only exchanges are the de-skewed (domain, difficulty-bucket)
+    * rank window ([[clampBucket]] — each task sorts ≤ 1/1024 of a
+    * domain) with its map-side bucket-count aggregate, and three
+    * parameter-grained broadcasts (the distinct-domain index frame,
+    * the bucket-offset frame, the 1-row domain count). The trainer materializes the
     * order by range-partitioning on order_idx at write time — a
     * property of the SINK, deliberately not baked in here.
     *
@@ -617,6 +698,12 @@ object Curation {
   ): DataFrame = {
     val base = df.select(col(idCol).as("doc"), col(domainCol).as("domain"),
       TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("difficulty"))
+      // de-skewed rank: difficulty-bucketed (unit 64, fine to 65k
+      // tokens; longer docs clamp into the top bucket) so the rank
+      // window partitions by (domain, bucket) — a skewed domain sorts
+      // ≤ 1/1024 of itself per task, with the broadcast bucket offset
+      // restoring the exact per-domain rank
+      .withColumn("__b", clampBucket(col("difficulty"), 64L))
     // domain-grained frames: the single-partition rank window is over
     // #domains rows (the same 1-row/dim-grained broadcast posture every
     // operator here uses for parameter-sized state)
@@ -624,10 +711,13 @@ object Curation {
       .withColumn("didx",
         (row_number().over(Window.orderBy("domain")) - 1).cast("long"))
     val nDomains = domains.agg(count(lit(1)).as("__ndom"))
-    val byDomain = Window.partitionBy("domain")
+    val offs = bucketOffsets(base, "domain", count(lit(1)))
+    val byBucket = Window.partitionBy("domain", "__b")
       .orderBy(col("difficulty").asc, col("doc").asc)
     base.join(broadcast(domains), "domain")
-      .withColumn("rk", (row_number().over(byDomain) - 1).cast("long"))
+      .join(broadcast(offs), Seq("domain", "__b"))
+      .withColumn("rk",
+        (row_number().over(byBucket) - 1).cast("long") + col("__off"))
       .crossJoin(broadcast(nDomains))
       .select(col("doc"), col("domain"), col("difficulty"),
         (col("rk") * col("__ndom") + col("didx")).as("order_idx"))
