@@ -12,7 +12,7 @@ import graft.pipeline.Multimodal
   *
   * What must hold at scale, and what this measures:
   *  - decode+hash is MAP-SIDE: payload bytes (12 KB PNG / 3 KB WAV /
-  *    32 KB GVID per asset) never enter an exchange — the only shuffled
+  *    ~37 KB DIB-AVI per asset) never enter an exchange — the only shuffled
   *    rows are fingerprints (16 B) and landmarks (20 B). So wall time
   *    grows linearly in assets with a flat per-asset constant, and the
   *    match join's cost tracks the CANDIDATE count, not the corpus.

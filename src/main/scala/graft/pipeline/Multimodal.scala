@@ -8,15 +8,17 @@ import org.apache.spark.sql.functions._
   * frame-sample operators.
   *
   * Decode comes in two forms. [[realDecode]] uses the JDK's own codecs —
-  * javax.imageio for PNG/JPEG/BMP/GIF and javax.sound.sampled for
-  * WAV/PCM — so the image and audio paths are REAL end-to-end (true
-  * pixel dimensions, true PCM duration, content-derived features).
-  * Video has no JDK codec, so it (and any unparseable payload) falls
-  * back to [[fakeDecode]], a clearly-marked deterministic stand-in that
-  * [[decode]] also uses for the oracle-checked portable path (p11's
-  * DuckDB oracle replays the metadata arithmetic, which real codecs
-  * obviously cannot). Swapping the video branch for a JNI/javacv decoder
-  * changes one function.
+  * javax.imageio for PNG/JPEG/BMP/GIF, javax.sound.sampled for WAV/PCM,
+  * and the RIFF/AVI walker in [[parseAvi]] for video (uncompressed DIB
+  * frames read directly, MJPEG frames through ImageIO) — so all three
+  * modality paths are REAL end-to-end (true pixel dimensions, true PCM
+  * duration, true frame counts, content-derived features). Unparseable
+  * payloads fall back to [[fakeDecode]], a clearly-marked deterministic
+  * stand-in that [[decode]] also uses for the oracle-checked portable
+  * path (p11's DuckDB oracle replays the metadata arithmetic, which
+  * real codecs obviously cannot). Codecs beyond these (H.264, MP3, …)
+  * live behind the same one-function seam a JNI/javacv decoder would
+  * fill.
   *
   * Scale notes: decode runs as `mapPartitions` over batches so a real
   * decoder amortizes per-batch init (model load, codec context) exactly
@@ -121,10 +123,11 @@ object Multimodal {
   // ---------------------------------------------------------------------
   // Real decoders (JDK-only codecs — no external libraries):
   // images via javax.imageio (PNG/JPEG/BMP/GIF), audio via
-  // javax.sound.sampled (WAV/PCM). Video has no JDK codec and stays on
-  // the marked fake. realDecode dispatches per asset and falls back to
-  // the fake for payloads the JDK cannot parse, so a mixed (or
-  // synthetic) asset table still decodes end-to-end.
+  // javax.sound.sampled (WAV/PCM), video via the RIFF/AVI parser below
+  // (uncompressed DIB or MJPEG frames — ImageIO per frame). realDecode
+  // dispatches per asset and falls back to the marked fake for
+  // payloads none of them can parse, so a mixed (or synthetic) asset
+  // table still decodes end-to-end.
   // ---------------------------------------------------------------------
 
   /** Decode an image payload with the JDK's ImageIO: true dimensions from
@@ -209,9 +212,30 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Decode an AVI payload with [[parseAvi]]: true dimensions and
+    * frame count from the container, duration at the nominal 25 fps,
+    * and a 16-float feature = frame count, mean frame luminance, plus
+    * a 14-bin luminance histogram over all decoded frames.
+    */
+  private[pipeline] def aviDecode(a: Asset): Option[DecodedFeatures] =
+    parseAvi(a.data).map { case (w, h, frames) =>
+      var sum = 0.0
+      var n = 0L
+      val hist = new Array[Float](14)
+      frames.foreach(_.foreach(_.foreach { g =>
+        sum += g; n += 1
+        hist(math.min(g * 14 / 256, 13)) += 1f
+      }))
+      val nn = math.max(n, 1L).toFloat
+      val feature = Array(frames.length.toFloat, (sum / nn).toFloat / 255f) ++
+        hist.map(_ / nn)
+      DecodedFeatures(a.asset_id, a.modality, a.data.length.toLong,
+        w, h, frames.length * 40L, feature)
+    }
+
   /** Per-asset dispatch: real JDK decode where a codec exists, the
-    * clearly-marked fake otherwise (video, exotic formats, corrupt
-    * payloads). Same batch shape as [[decode]].
+    * clearly-marked fake otherwise (exotic formats, corrupt payloads).
+    * Same batch shape as [[decode]].
     */
   def realDecode(spark: SparkSession, assets: Dataset[Asset],
       batchSize: Int = 64): Dataset[DecodedFeatures] = {
@@ -221,6 +245,7 @@ object Multimodal {
         (a.modality match {
           case "image" => imageDecode(a)
           case "audio" => wavDecode(a)
+          case "video" => aviDecode(a)
           case _       => None
         }).getOrElse(fakeDecode(Seq(a)).head)
       })
@@ -400,19 +425,176 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
-  // Video near-dup via frame-sampled perceptual hashes. The JDK has no
-  // video codec, so the container here is GVID, a raw-frame format of
-  // our own ("GVID" magic, int32 frame count / width / height, then
-  // row-major 8-bit grayscale frames) — the PARSER is real byte-layout
-  // code with real validation; only the codec is a stand-in, exactly
-  // the seam a JNI/javacv decoder would replace. Each sampled frame is
-  // hashed with the SAME fixed-point DCT pHash as still images, and
-  // videos match when enough sampled frames agree within the Hamming
-  // radius — the frame-keyed banded join shape.
+  // Video near-dup via frame-sampled perceptual hashes, over REAL
+  // AVI/RIFF containers (the published Microsoft 'AVI ' layout:
+  // hdrl/strl headers, a movi LIST of ##dc frame chunks, an idx1
+  // index). Two standard codecs, both pure-JDK: uncompressed
+  // bottom-up BGR24 DIB (BI_RGB — lossless, so the fixture's pixel
+  // formula replays exactly in the oracle) and MJPEG ('MJPG' fourcc —
+  // each frame a real JPEG decoded with ImageIO, the common
+  // motion-JPEG interchange form). Each sampled frame is hashed with
+  // the SAME fixed-point DCT pHash as still images, and videos match
+  // when enough sampled frames agree within the Hamming radius — the
+  // frame-keyed banded join shape.
   // ---------------------------------------------------------------------
 
   /** Frames per fixture video. */
   val videoFrames: Int = 8
+
+  private def fourcc(s: String): Int = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    (b(0) & 0xFF) | ((b(1) & 0xFF) << 8) | ((b(2) & 0xFF) << 16) | ((b(3) & 0xFF) << 24)
+  }
+  private val FccMjpg = fourcc("MJPG")
+
+  /** Write grayscale frames into a real AVI container (RIFF 'AVI ':
+    * avih + strh/strf headers, movi ##dc chunks, idx1). `mjpeg` picks
+    * the codec: BI_RGB bottom-up DIB frames (lossless) or 'MJPG'
+    * (each frame ImageIO-encoded JPEG). 25 fps nominal.
+    */
+  private[pipeline] def writeAviGray(
+      frames: Seq[Array[Array[Int]]], w: Int, h: Int, mjpeg: Boolean): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val payloads: Seq[Array[Byte]] = frames.map { g =>
+      if (!mjpeg) {
+        val out = new Array[Byte](stride * h)
+        var y = 0
+        while (y < h) {
+          val row = (h - 1 - y) * stride // bottom-up, per BI_RGB
+          var x = 0
+          while (x < w) {
+            val v = g(y)(x).toByte
+            out(row + x * 3) = v; out(row + x * 3 + 1) = v; out(row + x * 3 + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        out
+      } else {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = g(y)(x)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+    }
+    val maxFrame = payloads.map(_.length).foldLeft(0)(math.max)
+    def chunkTotal(n: Int) = 8 + n + (n & 1) // header + data + even pad
+    val moviDataSize = payloads.map(p => chunkTotal(p.length)).sum
+    val hdrlSize = 4 + 8 + 56 + (8 + 4 + 8 + 56 + 8 + 40) // 'hdrl' avih LIST(strl strh strf)
+    val idx1Size = payloads.length * 16
+    val riffSize = 4 + 8 + hdrlSize + 8 + (4 + moviDataSize) + 8 + idx1Size
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = bb.putInt(fourcc(s))
+    tag("RIFF"); bb.putInt(riffSize); tag("AVI ")
+    tag("LIST"); bb.putInt(hdrlSize); tag("hdrl")
+    tag("avih"); bb.putInt(56)
+    bb.putInt(40000).putInt(0).putInt(0).putInt(0x10 /* HASINDEX */)
+    bb.putInt(payloads.length).putInt(0).putInt(1).putInt(maxFrame)
+    bb.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); bb.putInt(4 + 8 + 56 + 8 + 40); tag("strl")
+    tag("strh"); bb.putInt(56)
+    tag("vids"); bb.putInt(if (mjpeg) FccMjpg else 0)
+    bb.putInt(0).putInt(0).putInt(0).putInt(1).putInt(25) // flags, prio+lang, init, scale, rate
+    bb.putInt(0).putInt(payloads.length).putInt(maxFrame).putInt(-1).putInt(0)
+    bb.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    tag("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    bb.putInt(if (mjpeg) FccMjpg else 0).putInt(stride * h)
+    bb.putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); bb.putInt(4 + moviDataSize); tag("movi")
+    val offsets = new Array[Int](payloads.length)
+    var off = 4 // idx1 offsets point at each chunk's ckid, from 'movi'
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      offsets(i) = off
+      tag("00dc"); bb.putInt(p.length); bb.put(p)
+      if ((p.length & 1) == 1) bb.put(0.toByte)
+      off += chunkTotal(p.length)
+    }
+    tag("idx1"); bb.putInt(idx1Size)
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      tag("00dc"); bb.putInt(0x10); bb.putInt(offsets(i)); bb.putInt(p.length)
+    }
+    bb.array()
+  }
+
+  /** Parse an AVI payload into (width, height, grayscale frames) by
+    * walking the RIFF tree: BITMAPINFOHEADER from the first strf, then
+    * every ##dc/##db chunk of the movi LIST in stream order. BI_RGB
+    * DIB frames read as bottom-up padded BGR24; 'MJPG' (or any chunk
+    * opening with a JPEG SOI marker) decodes through ImageIO. Gray =
+    * the same integer luminance the still-image hash uses. None for
+    * non-RIFF payloads, truncated trees, or frames that fail to
+    * decode.
+    */
+  private[pipeline] def parseAvi(
+      data: Array[Byte]): Option[(Int, Int, Array[Array[Array[Int]]])] =
+    try {
+      if (data.length < 12) return None
+      val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(0) != fourcc("RIFF") || bb.getInt(8) != fourcc("AVI ")) return None
+      var w = 0; var h = 0; var compression = 0; var sawStrf = false
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Array[Int]]]
+      def luminance(rgb: Int): Int =
+        ((299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)) / 1000L).toInt
+      def decodeFrame(off: Int, len: Int): Boolean = {
+        val isJpeg = compression == FccMjpg ||
+          (len >= 2 && (data(off) & 0xFF) == 0xFF && (data(off + 1) & 0xFF) == 0xD8)
+        if (isJpeg) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(data, off, len))
+          if (img == null) return false
+          frames += Array.tabulate(img.getHeight, img.getWidth)((y, x) =>
+            luminance(img.getRGB(x, y)))
+        } else {
+          val stride = ((w * 3 + 3) / 4) * 4
+          if (w <= 0 || h <= 0 || len < stride * h) return false
+          frames += Array.tabulate(h, w) { (y, x) =>
+            val p = off + (h - 1 - y) * stride + x * 3
+            val (b, g, r) = (data(p) & 0xFF, data(p + 1) & 0xFF, data(p + 2) & 0xFF)
+            luminance((r << 16) | (g << 8) | b)
+          }
+        }
+        true
+      }
+      // walk chunks in [from, to); recurse into LISTs
+      def walk(from: Int, to: Int): Boolean = {
+        var p = from
+        while (p + 8 <= to) {
+          val id = bb.getInt(p)
+          val size = bb.getInt(p + 4)
+          if (size < 0 || p + 8 + size > to) return false
+          if (id == fourcc("LIST")) {
+            if (!walk(p + 12, p + 8 + size)) return false
+          } else if (id == fourcc("strf") && !sawStrf && size >= 40) {
+            w = bb.getInt(p + 12); h = bb.getInt(p + 16)
+            compression = bb.getInt(p + 24)
+            sawStrf = true
+          } else {
+            // ##dc / ##db stream-data chunk: two stream-number digits
+            val c2 = (id >>> 16) & 0xFF; val c3 = (id >>> 24) & 0xFF
+            val isData = (c2 == 'd' && (c3 == 'c' || c3 == 'b'))
+            if (isData && size > 0 && !decodeFrame(p + 8, size)) return false
+          }
+          p += 8 + size + (size & 1)
+        }
+        true
+      }
+      if (!walk(12, data.length) || frames.isEmpty) None
+      else Some((w, h, frames.toArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Per-frame virtual pattern id: class = id % 6 (stable across the
     * video — mod-9 of the virtual id is preserved because 6 ≤ 9), the
@@ -420,65 +602,45 @@ object Multimodal {
   private[pipeline] def videoVirtualId(id: Long, f: Int): Long =
     (id % 6) + 9L * (id * videoFrames + f)
 
-  /** Deterministic GVID fixture: 8 grayscale frames of the patterned-
-    * image family per video, pixels an integer formula of (id, f, x, y)
-    * — the oracle regenerates them exactly. */
-  def videoAssets(spark: SparkSession, df: DataFrame, idCol: String): Dataset[Asset] = {
+  /** Deterministic real-AVI fixture: 8 grayscale frames of the
+    * patterned-image family per video, pixels an integer formula of
+    * (id, f, x, y), written into a true RIFF/AVI container as
+    * uncompressed BI_RGB DIB frames — lossless, so the oracle
+    * regenerates the EXACT pixels the AVI parser decodes (the same
+    * contract as the PNG image fixture). `mjpeg = true` writes the
+    * same frames as 'MJPG' (real ImageIO JPEGs) for driving the lossy
+    * decode path — spec-tested, not oracle-replayed (JPEG is lossy).
+    */
+  def videoAssets(spark: SparkSession, df: DataFrame, idCol: String,
+      mjpeg: Boolean = false): Dataset[Asset] = {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val bb = java.nio.ByteBuffer.allocate(16 + videoFrames * 64 * 64)
-        bb.put("GVID".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-        bb.putInt(videoFrames).putInt(64).putInt(64)
-        var f = 0
-        while (f < videoFrames) {
+        val frames = (0 until videoFrames).map { f =>
           val vid = videoVirtualId(id, f)
-          var y = 0
-          while (y < 64) {
-            var x = 0
-            while (x < 64) { bb.put(patternGray(vid, x, y).toByte); x += 1 }
-            y += 1
-          }
-          f += 1
+          Array.tabulate(64, 64)((y, x) => patternGray(vid, x, y))
         }
-        Asset(id, "video", bb.array(), "gvid", 64, 64, videoFrames * 40L)
+        val bytes = writeAviGray(frames, 64, 64, mjpeg)
+        Asset(id, "video", bytes, "avi", 64, 64, videoFrames * 40L)
       }
     }
   }
 
-  /** Parse a GVID payload into frames of 64×64 gray values (0–255).
-    * None for wrong magic, dimensions, or truncated payloads. */
-  private[pipeline] def parseGvid(data: Array[Byte]): Option[Array[Array[Array[Int]]]] = {
-    if (data.length < 16) return None
-    val bb = java.nio.ByteBuffer.wrap(data)
-    val magic = new Array[Byte](4)
-    bb.get(magic)
-    if (!java.util.Arrays.equals(magic,
-      "GVID".getBytes(java.nio.charset.StandardCharsets.US_ASCII))) return None
-    val (n, w, h) = (bb.getInt, bb.getInt, bb.getInt)
-    if (w != 64 || h != 64 || n <= 0 || n > 10000 ||
-      data.length < 16 + n.toLong * w * h) return None
-    Some(Array.tabulate(n) { f =>
-      val base = 16 + f * w * h
-      Array.tabulate(h) { y =>
-        Array.tabulate(w) { x => data(base + y * w + x) & 0xFF }
-      }
-    })
-  }
-
   /** (doc, frame, fp) perceptual hashes of every `everyN`-th frame —
     * the frame-sample + feature-extract step, map-side like every
-    * decode here. Grayscale frames feed [[phashCells]] directly
-    * (luminance of r=g=b is the gray value). */
+    * decode here. Frames come out of [[parseAvi]] as grayscale (the
+    * luminance reduction runs inside the decode), and only 64×64
+    * frames are hashed (the pHash geometry, same as [[phash64]]). */
   def videoFrameHashes(spark: SparkSession, assets: Dataset[Asset],
       everyN: Int = 2, batchSize: Int = 16): DataFrame = {
     import spark.implicits._
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.iterator.flatMap { a =>
         if (a.modality != "video") Iterator.empty
-        else parseGvid(a.data).iterator.flatMap { frames =>
+        else parseAvi(a.data).iterator.flatMap { case (_, _, frames) =>
           frames.iterator.zipWithIndex.collect {
-            case (g, f) if f % everyN == 0 =>
+            case (g, f) if f % everyN == 0 &&
+                g.length == 64 && g(0).length == 64 =>
               val cell = Array.ofDim[Long](32, 32)
               var y = 0
               while (y < 64) {
@@ -663,11 +825,11 @@ object Multimodal {
   }
 
   /** Deterministic REAL-payload fixture table: actual PNG bytes (solid
-    * id-derived color, id-derived small dimensions) and actual 16-bit
-    * PCM WAV bytes (id-derived frequency sine) — generated with the same
-    * JDK codecs the decoders use, so the decode path is exercised on
-    * true containers end-to-end. Video keeps an opaque payload (no JDK
-    * codec to build one with).
+    * id-derived color, id-derived small dimensions), actual 16-bit
+    * PCM WAV bytes (id-derived frequency sine), and actual MJPEG AVI
+    * bytes (id-derived gradient frames) — generated with the same JDK
+    * codecs the decoders use, so every decode path is exercised on
+    * true containers end-to-end.
     */
   def realAssets(spark: SparkSession, df: DataFrame, idCol: String): Dataset[Asset] = {
     import spark.implicits._
@@ -710,8 +872,12 @@ object Multimodal {
               javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
             Asset(id, "audio", bos.toByteArray, "wav", 0, 0, ms.toLong)
           case _ =>
-            val payload = Array.tabulate[Byte](256)(i => ((id + i) % 251).toByte)
-            Asset(id, "video", payload, "mp4", 640, 360, 1000L + id % 60000)
+            val frames = (0 until 4).map { f =>
+              Array.tabulate(32, 32)((y, x) =>
+                ((x * 8 + y * 4 + f * 16 + id * 7) % 256).toInt)
+            }
+            Asset(id, "video", writeAviGray(frames, 32, 32, mjpeg = true),
+              "avi", 32, 32, 4 * 40L)
         }
       }
     }

@@ -3448,14 +3448,17 @@ object PipelineQueries {
              |HAVING COUNT(*) >= 5
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // Video near-dup via frame-sampled pHash: GVID raw-frame containers
-    // (real byte-layout parser; the codec seam is honestly a stand-in —
-    // no JDK video codec exists), every 2nd frame hashed with the same
-    // fixed-point DCT pHash, videos pairing on ≥3 of 4 sampled frames
-    // within Hamming 4. Oracle regenerates each sampled frame's pixels
-    // from the (id, f, x, y) formula and replays the full per-frame
-    // hash + frame-wise all-pairs Hamming + the match-count frontier
-    // (banding recall is total, as in p03/p77).
+    // Video near-dup via frame-sampled pHash over REAL AVI containers:
+    // RIFF hdrl/movi/idx1 layout walked by a real parser, frames stored
+    // as uncompressed BI_RGB DIB (lossless — the standard raw-video AVI
+    // form, so the oracle regenerates the EXACT decoded pixels; the
+    // MJPEG form of the same container is spec-driven, JPEG being
+    // lossy). Every 2nd frame hashed with the same fixed-point DCT
+    // pHash, videos pairing on ≥3 of 4 sampled frames within Hamming 4.
+    // Oracle regenerates each sampled frame's pixels from the
+    // (id, f, x, y) formula and replays the full per-frame hash +
+    // frame-wise all-pairs Hamming + the match-count frontier (banding
+    // recall is total, as in p03/p77).
     QueryDef("p79_video_neardup",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").where(col("doc_id") < 72)

@@ -49,11 +49,13 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("video (no JDK codec) falls back to the marked fake") {
+  test("real MJPEG AVI decode recovers container dims and frame count") {
     (2L to 29L by 3).foreach { id =>
       val d = decoded(id)
       assert(d.modality == "video")
-      assert(d.n_bytes == 256) // fake reports payload size
+      assert(d.width == 32 && d.height == 32, s"strf dims of asset $id")
+      assert(d.feature(0) == 4f, s"frame count of asset $id")
+      assert(d.duration_ms == 160L) // 4 frames at nominal 25 fps
       assert(d.feature.length == 16)
     }
   }

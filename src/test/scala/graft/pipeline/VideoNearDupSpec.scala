@@ -2,22 +2,49 @@ package graft.pipeline
 
 import graft.SparkSpec
 
-/** Video near-dup contracts: the GVID parser validates layout, frame
-  * sampling picks the right frames, and the frame-wise banded match
-  * recovers the class structure exactly.
+/** Video near-dup contracts: the RIFF/AVI parser round-trips both
+  * codecs (lossless DIB and real MJPEG), frame sampling picks the
+  * right frames, and the frame-wise banded match recovers the class
+  * structure exactly — on the lossless fixture bit-for-bit, on the
+  * MJPEG fixture through real JPEG encode/decode noise.
   */
 class VideoNearDupSpec extends SparkSpec {
   import spark.implicits._
 
-  test("GVID parser: round trip, magic/size validation") {
+  test("AVI/DIB parser: lossless round trip, header/size validation") {
     val ids = Seq(5L).toDF("doc_id")
     val asset = Multimodal.videoAssets(spark, ids, "doc_id").collect().head
-    val frames = Multimodal.parseGvid(asset.data)
-    assert(frames.isDefined && frames.get.length == Multimodal.videoFrames)
-    assert(frames.get.head(0)(0) == Multimodal.patternGray(
-      Multimodal.videoVirtualId(5L, 0), 0, 0), "pixel(0,0) of frame 0")
-    assert(Multimodal.parseGvid("JUNK".getBytes ++ asset.data.drop(4)).isEmpty)
-    assert(Multimodal.parseGvid(asset.data.take(100)).isEmpty)
+    val parsed = Multimodal.parseAvi(asset.data)
+    assert(parsed.isDefined)
+    val (w, h, frames) = parsed.get
+    assert(w == 64 && h == 64 && frames.length == Multimodal.videoFrames)
+    // DIB is lossless: every decoded pixel equals the generator formula
+    for (f <- 0 until Multimodal.videoFrames; y <- 0 until 64; x <- 0 until 64)
+      assert(frames(f)(y)(x) == Multimodal.patternGray(
+        Multimodal.videoVirtualId(5L, f), x, y),
+        s"pixel ($x,$y) of frame $f")
+    assert(Multimodal.parseAvi("JUNK".getBytes ++ asset.data.drop(4)).isEmpty,
+      "bad RIFF magic rejected")
+    assert(Multimodal.parseAvi(asset.data.take(100)).isEmpty,
+      "truncated tree rejected")
+  }
+
+  test("AVI/MJPEG parser: real JPEG frames decode with bounded loss") {
+    val ids = Seq(7L).toDF("doc_id")
+    val asset = Multimodal.videoAssets(spark, ids, "doc_id", mjpeg = true)
+      .collect().head
+    // the payload's frames are REAL JPEGs (SOI marker inside the chunks)
+    val parsed = Multimodal.parseAvi(asset.data)
+    assert(parsed.isDefined && parsed.get._3.length == Multimodal.videoFrames)
+    val frames = parsed.get._3
+    // lossy but close: mean absolute error under 8 gray levels per frame
+    for (f <- 0 until Multimodal.videoFrames) {
+      var err = 0L
+      for (y <- 0 until 64; x <- 0 until 64)
+        err += math.abs(frames(f)(y)(x) - Multimodal.patternGray(
+          Multimodal.videoVirtualId(7L, f), x, y))
+      assert(err / (64 * 64) < 8, s"frame $f MAE ${err / (64 * 64)}")
+    }
   }
 
   test("frame hashes: every 2nd frame, equal to the still-image hash of the same pixels") {
@@ -50,6 +77,18 @@ class VideoNearDupSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(pairs == expected,
       s"missing=${expected.diff(pairs).size} spurious=${pairs.diff(expected).size}")
+  }
+
+  test("near-dup join survives MJPEG encode/decode noise") {
+    val ids = (0L until 24L).toDF("doc_id")
+    val assets = Multimodal.videoAssets(spark, ids, "doc_id", mjpeg = true)
+    val pairs = Multimodal.videoNearDups(spark, assets, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 0L until 24L; b <- 0L until 24L if a < b && a % 6 == b % 6
+    } yield (a, b)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing within-class pairs: ${expected.diff(pairs).size}")
   }
 
   test("non-video assets yield no frame hashes") {
