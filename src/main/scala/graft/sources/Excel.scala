@@ -229,8 +229,10 @@ object Excel {
 
   // --- write --------------------------------------------------------
 
-  /** Write a (small) DataFrame as a single-sheet .xlsx. Collects to the
-    * driver — the format itself is driver-scale; see the object docs.
+  /** Write a DataFrame as a single-sheet .xlsx. The format itself is
+    * driver-scale (see the object docs) but the contract is BOUNDED:
+    * rows stream through `toLocalIterator` into the zip — the driver
+    * holds at most one partition of rows at a time, never the frame.
     *
     * Roundtrip contract: numbers, booleans, and strings come back with
     * their types; any OTHER type (timestamps, dates, arrays, …) is
@@ -304,24 +306,34 @@ object Excel {
           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
           |$sheetRels
           |</Relationships>""".stripMargin)
+      // rows STREAM through toLocalIterator into the zip entry — the
+      // driver holds one partition's rows at a time, never the frame
+      // (xlsx is written sequentially anyway, so streaming costs
+      // nothing; a collect() here was an unbounded driver contract)
       sheets.zipWithIndex.foreach { case ((_, df), si) =>
-        val rows = df.collect()
         val names = df.schema.fieldNames
+        out.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${si + 1}.xml"))
+        def emit(s: String): Unit = out.write(s.getBytes("UTF-8"))
+        emit("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+        emit("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
         val sb = new StringBuilder
-        sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-        sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
         sb.append("<row r=\"1\">")
         names.zipWithIndex.foreach { case (n, i) => sb.append(cellXml(s"${colRef(i)}1", n)) }
         sb.append("</row>")
-        rows.zipWithIndex.foreach { case (row, r) =>
-          sb.append(s"""<row r="${r + 2}">""")
+        emit(sb.toString)
+        var r = 0
+        df.toLocalIterator().forEachRemaining { row =>
+          val rb = new StringBuilder
+          rb.append(s"""<row r="${r + 2}">""")
           (0 until row.length).foreach { i =>
-            sb.append(cellXml(s"${colRef(i)}${r + 2}", row.get(i)))
+            rb.append(cellXml(s"${colRef(i)}${r + 2}", row.get(i)))
           }
-          sb.append("</row>")
+          rb.append("</row>")
+          emit(rb.toString)
+          r += 1
         }
-        sb.append("</sheetData></worksheet>")
-        entry(s"xl/worksheets/sheet${si + 1}.xml", sb.toString)
+        emit("</sheetData></worksheet>")
+        out.closeEntry()
       }
     } finally out.close()
   }

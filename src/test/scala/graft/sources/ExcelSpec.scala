@@ -25,6 +25,21 @@ class ExcelSpec extends SparkSpec {
       nation.where($"n_nationkey" === 0).head().getAs[String]("n_name"))
   }
 
+  test("write streams rows: a multi-partition frame round-trips in order") {
+    // the bounded-driver contract: rows reach the zip through
+    // toLocalIterator partition by partition, and the worksheet
+    // preserves the frame's row order across partition boundaries
+    val path = s"$tmp/streamed-spec.xlsx"
+    val df = spark.range(0, 1000).repartition(7)
+      .orderBy("id")
+      .selectExpr("id", "concat('name_', id) AS name")
+    Excel.write(df, path)
+    val back = Excel.read(spark, path).collect()
+    assert(back.length == 1000)
+    assert(back.map(_.getAs[Number]("id").longValue()).toSeq == (0L until 1000L))
+    assert(back(17).getAs[String]("name") == "name_17")
+  }
+
   test("mixed types: doubles, booleans, nulls, unicode, xml-escapes") {
     val path = s"$tmp/mixed-spec.xlsx"
     val df = Seq(
