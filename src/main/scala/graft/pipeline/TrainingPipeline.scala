@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   * shuffle (their scaladocs carry the per-operator scale shapes), and
   * the whole flow inherits the OperatorCache lifecycle — call
   * `OperatorCache.releaseAll` after materializing the result.
+  *
+  * Stage boundaries are deliberately NOT persisted, by measurement:
+  * `cleaned` and `screened` each feed two consumers (a rule/postings
+  * aggregate + the id-keyed join back), but the expensive subtrees
+  * inside them — the scored corpus, the banded signatures, the
+  * shingle postings — are already materialized by the member
+  * operators, so the "recomputed" second consumption is mostly cache
+  * reads plus cheap joins. A/B at sf0.1 (ProfileJobs p49, warm run):
+  * baseline 12.6s, lazy-persisted boundaries 15.4s, count-materialized
+  * boundaries 16.9s — the extra cache writes and barriers cost more
+  * than the recompute they avoid. Re-measure before re-adding if the
+  * stage mix changes.
   */
 object TrainingPipeline {
 
