@@ -1177,9 +1177,14 @@ object Dedup {
       .select(col("doc"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val a = banded.select(col("band"), col("bkey"), col("doc").as("doc_a"))
     val b = banded.select(col("band"), col("bkey"), col("doc").as("doc_b"))
-    val cand = a.join(b, Seq("band", "bkey"))
+    // pair frames materialize: the 1-row card below counts cand, exact,
+    // and their JOIN as three concurrent broadcast-exchange jobs — left
+    // lazy, the banded and exact sides each recompute twice (the
+    // cache-race class OperatorCache.materialize exists for); cached,
+    // they are narrow (doc_a, doc_b) id pairs
+    val cand = OperatorCache.materialize(a.join(b, Seq("band", "bkey"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b").distinct())
     // exact pairs: inverted index (docs sharing >=1 shingle) + verify;
     // under maxDocFreq the index drops stopword-grade shingles BEFORE
     // the self-join — a shuffle-keyed count + semi-join, so the
@@ -1199,11 +1204,11 @@ object Dedup {
     // built from the cached distinct frame (collect_set dedups anyway)
     // and materialized itself: the verify join consumes it twice
     val sets = OperatorCache.materialize(shingleSetsFrom(ds))
-    val exact = sharing
+    val exact = OperatorCache.materialize(sharing
       .join(sets.withColumnRenamed("sid", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
       .join(sets.withColumnRenamed("sid", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
       .where(round(jaccard(col("set_a"), col("set_b")), 6) >= threshold)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b"))
     // 1-row scalar frames crossJoined into the card — fully lazy, no
     // driver counts (the established broadcast-scalar pattern)
     val ne = exact.agg(count(lit(1)).as("n_exact"))
