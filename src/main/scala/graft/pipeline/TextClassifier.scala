@@ -183,4 +183,46 @@ object TextClassifier {
     model.weights.zipWithIndex.map { case (w, b) => (b, w) }
       .toSeq.toDF("bucket", "w")
   }
+
+  /** Calibration card over a [[score]] frame — the audit that makes a
+    * screen threshold MEAN something: bucket the predicted probability
+    * (score9 on the 1e9 grid) into `buckets` equal bins and report,
+    * per occupied bin, the doc count, the mean predicted probability,
+    * the EMPIRICAL positive rate, and their absolute gap (the
+    * reliability-diagram rows; sum n·gap/N externally for ECE). A
+    * screen like [[screen]] trusts that score ≥ t implies quality —
+    * this card is the measured check, produced by ONE map-side-
+    * combined aggregate over the already-scored frame.
+    *
+    * Engine-portable by construction: bins are integer arithmetic on
+    * score9, and both means divide EXACT integer sums once (the repo's
+    * decimal-accumulate convention) — no float summation order
+    * anywhere, so an external oracle lands on identical doubles.
+    *
+    * @param scored a [[score]] output with real labels in `y`
+    * @return (bin, n_docs, mean_score, pos_rate, gap), bin ascending,
+    *         only occupied bins (empty bins have no row — a reliability
+    *         diagram over zero docs is undefined, not zero)
+    */
+  def calibrationCard(scored: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    // score9 ≤ 1e9 and buckets are small, so score9·buckets < 2^53:
+    // the double division is exact at every true-integer boundary and
+    // floor() is therefore engine-stable
+    val bin = least(
+      floor(col("score9").cast("double") * buckets / lit(Scale.toDouble)),
+      lit(buckets - 1)).cast("int")
+    scored.withColumn("bin", bin).groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("score9")).as("__s"),
+        sum(col("y").cast("long")).as("__p"))
+      .select(col("bin"), col("n_docs"),
+        round(col("__s").cast("double") /
+          (col("n_docs").cast("double") * lit(Scale.toDouble)), 6).as("mean_score"),
+        round(col("__p").cast("double") / col("n_docs").cast("double"), 6).as("pos_rate"),
+        round(abs(
+          col("__s").cast("double") / (col("n_docs").cast("double") * lit(Scale.toDouble)) -
+            col("__p").cast("double") / col("n_docs").cast("double")), 6).as("gap"))
+  }
 }

@@ -3857,5 +3857,41 @@ object PipelineQueries {
           |       ROUND(CAST(COUNT(a.vid) AS DOUBLE) / COUNT(e.vid), 6) AS recall
           |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vid = e.vid
           |GROUP BY e.qid ORDER BY e.qid""".stripMargin)),
+
+    // Calibration card over the trained classifier's scores — the
+    // audit that makes the p56 screen threshold MEAN something:
+    // reliability-diagram rows (bin, n, mean predicted prob, empirical
+    // positive rate, |gap|) from ONE aggregate over the scored frame.
+    // Both means divide exact integer sums once, so the oracle (which
+    // replays the full GD trajectory, the scoring pass, and the
+    // binning) lands on identical doubles.
+    QueryDef("p93_calibration_card",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("y", (col("lang") === "en").cast("int"))
+        val model = TextClassifier.train(docs, "doc_id", "text", "y",
+          numBuckets = tcBuckets, epochs = tcEpochs)
+        TextClassifier.calibrationCard(
+          TextClassifier.score(docs, "doc_id", "text", "y", model))
+          .orderBy("bin")
+      },
+      Some(classifierCtes(tcEpochs, tcBuckets) +
+        s"""
+           |, mf AS (
+           |  SELECT f.doc_id, SUM(f.c * w.w) AS mm
+           |  FROM f JOIN w$tcEpochs w ON f.bucket = w.b GROUP BY f.doc_id
+           |), sc AS (
+           |  SELECT l.doc_id, CAST(l.y AS BIGINT) AS y,
+           |         CAST(round(1000000000.0 / (1.0 + exp(-(CAST(m.mm AS DOUBLE) / (CAST(l.n AS DOUBLE) * 1000000000.0))))) AS BIGINT) AS s9
+           |  FROM mf m JOIN lab l USING (doc_id)
+           |), binned AS (
+           |  SELECT LEAST(CAST(floor(CAST(s9 AS DOUBLE) * 10 / 1000000000.0) AS INT), 9) AS bin, s9, y FROM sc
+           |)
+           |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       ROUND(CAST(SUM(s9) AS DOUBLE) / (COUNT(*) * 1000000000.0), 6) AS mean_score,
+           |       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+           |       ROUND(ABS(CAST(SUM(s9) AS DOUBLE) / (COUNT(*) * 1000000000.0)
+           |                 - CAST(SUM(y) AS DOUBLE) / COUNT(*)), 6) AS gap
+           |FROM binned GROUP BY bin ORDER BY bin""".stripMargin)),
   )
 }

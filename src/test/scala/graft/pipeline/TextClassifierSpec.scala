@@ -69,6 +69,34 @@ class TextClassifierSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("calibrationCard: perfect and inverted scores land at gap 0 and ~1") {
+    // hand-built score frames (the card is score-frame → card, no
+    // training involved): a perfectly calibrated bin has mean
+    // probability == positive rate; an anti-calibrated one has gap ~1
+    def frame(rows: Seq[(Long, Long, Int)]) =
+      rows.map { case (d, s9, y) => (d, 10L, s9, if (s9 > 500000000L) 1 else 0, y) }
+        .toDF("doc", "n_tokens", "score9", "pred", "y")
+    // bin 9 (score 0.95): 4 docs, 3 positive — mean 0.95 vs rate 0.75
+    val card = TextClassifier.calibrationCard(frame(Seq(
+      (1L, 950000000L, 1), (2L, 950000000L, 1),
+      (3L, 950000000L, 1), (4L, 950000000L, 0))))
+      .collect()
+    assert(card.length == 1 && card.head.getInt(0) == 9)
+    assert(card.head.getLong(1) == 4 && card.head.getDouble(2) == 0.95)
+    assert(card.head.getDouble(3) == 0.75 && card.head.getDouble(4) == 0.2)
+    // anti-calibrated: high scores, all negatives → gap == mean score
+    val bad = TextClassifier.calibrationCard(frame(Seq(
+      (1L, 990000000L, 0), (2L, 990000000L, 0))))
+      .collect().head
+    assert(bad.getDouble(3) == 0.0 && bad.getDouble(4) == 0.99)
+    // boundary: score9 == 1e9 clamps into the last bin, not bin 10
+    val edge = TextClassifier.calibrationCard(frame(Seq((1L, 1000000000L, 1))))
+      .collect().head
+    assert(edge.getInt(0) == 9 && edge.getDouble(4) == 0.0)
+    // empty bins yield no rows
+    assert(TextClassifier.calibrationCard(frame(Nil)).count() == 0)
+  }
+
   test("zero-token docs are absent; non-power-of-two buckets rejected") {
     val withEmpty = fixture.union(Seq((9L, "   ", 1)).toDF("doc_id", "text", "y"))
     val model = TextClassifier.train(withEmpty, "doc_id", "text", "y",
