@@ -163,6 +163,31 @@ object TextAnalysis {
     array_max(packed).getField("lang")
   }
 
+  /** Language-ID confusion audit — measures the [[languageId]]
+    * heuristic against labeled data INSIDE the gate (the same posture
+    * as the LSH/IVF/PQ/calibration audits: every approximation the
+    * pipeline leans on gets an oracle-checked number). One map-side
+    * projection (the n-gram scans run in codegen) + one
+    * map-side-combined aggregate; `share` normalizes each row by its
+    * TRUE-label total via a window over the confusion matrix itself —
+    * a ≤ |langs|²-row frame, parameter-sized by construction.
+    *
+    * @return (lang, lang_pred, n_docs, share) — share = P(pred | true),
+    *         so the diagonal rows read as per-language recall
+    */
+  def langIdConfusion(
+      df: org.apache.spark.sql.DataFrame, textCol: String, labelCol: String,
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = Window.partitionBy("lang")
+    df.select(col(labelCol).as("lang"), languageId(col(textCol)).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        round(col("n_docs").cast("double") /
+          sum("n_docs").over(tot).cast("double"), 6))
+  }
+
   /** Gopher-style rule-based quality screen (Rae et al. 2021, public,
     * appendix A1.1 — the doc-level rules; line-level rules need a
     * line-structured corpus): each rule is a boolean column plus the

@@ -3893,5 +3893,35 @@ object PipelineQueries {
            |       ROUND(ABS(CAST(SUM(s9) AS DOUBLE) / (COUNT(*) * 1000000000.0)
            |                 - CAST(SUM(y) AS DOUBLE) / COUNT(*)), 6) AS gap
            |FROM binned GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // Language-ID confusion audit: the langId heuristic measured
+    // against the corpus's labeled lang column — per (true, predicted)
+    // doc counts with P(pred | true) shares, so the diagonal reads as
+    // per-language recall. Oracle replays the full n-gram argmax (the
+    // p10 machinery) plus the matrix aggregation and normalization.
+    QueryDef("p94_langid_confusion",
+      (s, dir) => graft.pipeline.TextAnalysis.langIdConfusion(
+        Tables.load(s, dir, "documents"), "text", "lang")
+        .orderBy("lang", "lang_pred"),
+      Some("""WITH g AS (
+             |  SELECT doc_id, lang,
+             |         list_reverse_sort([
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|was)\b')) AS DOUBLE), 'lang': 'en'},
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|un|los|se|por)\b')) AS DOUBLE), 'lang': 'es'},
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|von|mit|den|nicht|ein)\b')) AS DOUBLE), 'lang': 'de'},
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '\b(le|la|les|et|des|est|une|dans|que|pour)\b')) AS DOUBLE), 'lang': 'fr'},
+             |           {'score': CAST(LEN(regexp_extract_all(lower(text), '(的|是|了|在|和|有|我|他|这|不)')) AS DOUBLE), 'lang': 'zh'}
+             |         ])[1] AS best
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), pred AS (
+             |  SELECT lang, CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+             |  FROM g
+             |), m AS (
+             |  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |  FROM pred GROUP BY lang, lang_pred
+             |)
+             |SELECT lang, lang_pred, n_docs,
+             |       ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang), 6) AS share
+             |FROM m ORDER BY lang, lang_pred""".stripMargin)),
   )
 }

@@ -170,6 +170,26 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == "en")
   }
 
+  test("langIdConfusion: diagonal on matched labels, shares sum to 1 per true lang") {
+    val rows = Seq(
+      (1L, "en", "the cat and the hat is on the mat"),
+      (2L, "en", "it was the best of times and the worst of times"),
+      (3L, "es", "el perro y la casa de que un gato se fue por la calle"),
+      (4L, "de", "der hund und die katze ist von dem haus mit den nicht ein"),
+      (5L, "fr", "le chat et les chiens est une maison dans que pour la vie"),
+      (6L, "en", "zzz qqq glorp"), // mislabeled/unidentifiable → (en, und)
+    ).toDF("id", "lang", "text")
+    val m = TextAnalysis.langIdConfusion(rows, "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(m(("en", "en")) == (2L, 0.666667) && m(("en", "und")) == (1L, 0.333333))
+    assert(m(("es", "es"))._1 == 1L && m(("de", "de"))._1 == 1L && m(("fr", "fr"))._1 == 1L)
+    // per-true-lang shares sum to 1 (6-decimal rounding tolerance)
+    m.keys.map(_._1).toSeq.distinct.foreach { lang =>
+      val s = m.collect { case ((l, _), (_, sh)) if l == lang => sh }.sum
+      assert(math.abs(s - 1.0) < 1e-5, s"$lang shares sum to $s")
+    }
+  }
+
   test("dedupReport: cluster histogram carries (representative, size) per real cluster") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
