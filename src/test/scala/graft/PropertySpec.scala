@@ -293,6 +293,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("de-skewed selection windows match the monolithic shape on random frames") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.pipeline.Curation
+    // random (id, domain, tokens) frames with random targets/budgets:
+    // the clampBucket plan must select EXACTLY the rows the single
+    // per-domain window would — the de-skew is a plan change only
+    val rowGen = for {
+      id <- Gen.chooseNum(0L, 5000L)
+      dom <- Gen.oneOf("a", "b", "c", "skew", "skew", "skew", "skew")
+      toks <- Gen.chooseNum(1L, 300L)
+    } yield (id, dom, toks)
+    val frameGen = Gen.listOfN(120, rowGen).map(_.distinctBy(_._1))
+    samples(frameGen, 6).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("doc_id", "domain", "n_tokens")
+      val target = 3L + i * 7
+      // selection: deskewed operator vs monolithic reference
+      val targets = df.select("domain").distinct()
+        .withColumn("__target", lit(target))
+      val got = Curation.selectTopPerDomain(
+        df.select(col("doc_id"), col("domain")), "doc_id", targets)
+        .select("doc").as[Long].collect().toSet
+      val w = Window.partitionBy("domain")
+        .orderBy(Curation.idGate(col("doc_id")), col("doc_id"))
+      val want = df.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= target).select("doc_id").as[Long].collect().toSet
+      assert(got == want, s"select mismatch on sample $i")
+      // token budget: same property for the running-sum window
+      val budget = 200L + i * 150
+      val gotB = Curation.sampleByTokenBudget(df, "doc_id", "n_tokens",
+        "domain", budgets = Map.empty, defaultBudget = budget)
+        .select("doc_id").as[Long].collect().toSet
+      val wB = Window.partitionBy("domain")
+        .orderBy(Curation.idGate(col("doc_id"), 2).asc, col("doc_id").asc)
+      val wantB = df.withColumn("__cum",
+        sum("n_tokens").over(wB) - col("n_tokens"))
+        .where(col("__cum") < budget).select("doc_id").as[Long].collect().toSet
+      assert(gotB == wantB, s"budget mismatch on sample $i")
+    }
+  }
+
   test("corpusDivergence: JS is symmetric, KL arguments swap") {
     import graft.pipeline.TextAnalysis
     val gen = Gen.listOfN(12,
