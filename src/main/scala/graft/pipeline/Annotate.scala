@@ -161,6 +161,34 @@ object Annotate {
             regexp_extract(col("annotation"), "-?\\d+(?:\\.\\d+)?", 0), lit("")))
           .cast("double"))
 
+  /** Structured extraction on top of [[annotate]]: parses the model's
+    * reply as a JSON object into a typed `extracted` struct column
+    * (Spark's `from_json`, codegen — no second network pass). Replies
+    * that are not valid JSON for `schema` leave a null struct with the
+    * raw reply still in `annotation`, so extraction failures are
+    * auditable data like request failures. Models often wrap JSON in
+    * markdown fences — the parse strips a leading/trailing ``` fence
+    * line pair before from_json (the one reply dialect worth
+    * normalizing; anything else is the model's problem, visible in the
+    * audit columns).
+    *
+    * @param schema the expected object type, e.g.
+    *               `StructType.fromDDL("title string, score double")`
+    */
+  def llmExtract(
+      df: DataFrame, textCol: String, promptTemplate: String,
+      schema: org.apache.spark.sql.types.StructType,
+      config: LlmAnnotateConfig,
+  ): DataFrame = {
+    val unfenced = regexp_replace(
+      regexp_replace(col("annotation"), "(?s)^\\s*```[a-zA-Z]*\\s*", ""),
+      "(?s)\\s*```\\s*$", "")
+    annotate(df, textCol, promptTemplate, config)
+      .withColumn("extracted",
+        when(col("annotation").isNull, lit(null).cast(schema))
+          .otherwise(from_json(unfenced, schema)))
+  }
+
   /** Categorical labeling on top of [[annotate]]: keeps the reply only
     * when (case-insensitively) it contains exactly one of `labels`,
     * normalized to that label; ambiguous or off-vocabulary replies get

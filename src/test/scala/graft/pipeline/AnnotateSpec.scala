@@ -136,6 +136,27 @@ class AnnotateSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("llmExtract parses fenced JSON replies into a typed struct, audits junk") {
+    import org.apache.spark.sql.types.StructType
+    val stub = new Stub(scoreOf = p =>
+      if (p.contains("number 0"))
+        "```json\n{\"title\": \"Doc Zero\", \"score\": 0.9}\n```"
+      else if (p.contains("number 1")) "{\"title\": \"One\", \"score\": 0.1}"
+      else "sorry, I cannot help with that")
+    try {
+      val out = Annotate.llmExtract(docs(3).coalesce(1), "text",
+        "Extract: {text}", StructType.fromDDL("title string, score double"),
+        cfg(stub.url))
+        .selectExpr("doc_id", "extracted.title", "extracted.score", "annotation")
+        .collect().sortBy(_.getLong(0))
+      assert(out(0).getString(1) == "Doc Zero" && out(0).getDouble(2) == 0.9,
+        "markdown fence stripped before parse")
+      assert(out(1).getString(1) == "One" && out(1).getDouble(2) == 0.1)
+      // non-JSON reply: null struct fields, raw reply preserved
+      assert(out(2).isNullAt(1) && out(2).getString(3).contains("sorry"))
+    } finally stub.stop()
+  }
+
   test("null text annotates as empty document, not a crash") {
     val stub = new Stub()
     try {
