@@ -1172,9 +1172,12 @@ object Dedup {
       struct(lit(b).as("band"),
         GraftFunctions.fnv1a64(array_join(array(seeds: _*), ",")).as("bkey"))
     }
-    val banded = mh
+    // materialized like the production path's banded frame: both self-
+    // join sides consume it, and one side plans as a broadcast exchange
+    // job that would otherwise recompute the wide min-aggregate
+    val banded = OperatorCache.materialize(mh
       .select(col("doc"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.bkey").as("bkey")))
     val a = banded.select(col("band"), col("bkey"), col("doc").as("doc_a"))
     val b = banded.select(col("band"), col("bkey"), col("doc").as("doc_b"))
     // pair frames materialize: the 1-row card below counts cand, exact,
