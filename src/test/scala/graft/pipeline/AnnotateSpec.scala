@@ -157,6 +157,36 @@ class AnnotateSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("annotate is stream-compatible: labels micro-batches incrementally") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stub = new Stub(scoreOf = p => {
+      val k = "\\d+".r.findFirstIn(p).get
+      s"streamed score $k.25"
+    })
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "text")
+      // one mapPartitions pass has no streaming-unsupported operator —
+      // the same plan runs per micro-batch
+      val out = Annotate.llmScore(df, "text", "Rate: {text}", cfg(stub.url))
+      assert(out.isStreaming)
+      val q = out.select("doc_id", "score").writeStream
+        .format("memory").queryName("annotate_stream")
+        .outputMode("append").start()
+      try {
+        mem.addData((0L, "document number 0"), (1L, "document number 1"))
+        q.processAllAvailable()
+        mem.addData((2L, "document number 2"))
+        q.processAllAvailable()
+        val rows = spark.table("annotate_stream").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toMap
+        assert(rows == Map(0L -> 0.25, 1L -> 1.25, 2L -> 2.25), s"got $rows")
+        assert(stub.hits.get() == 3, "each row annotated exactly once")
+      } finally q.stop()
+    } finally stub.stop()
+  }
+
   test("null text annotates as empty document, not a crash") {
     val stub = new Stub()
     try {
