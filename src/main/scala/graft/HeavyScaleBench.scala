@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Curation, Dedup, OperatorCache, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, OperatorCache, TextAnalysis, TrainingPipeline}
 
 /** Scale proof for the four heaviest r12/r13 plans (PLANS.md):
   * gopher repetition stats (p58), Kneser–Ney trigram NLL (p66),
@@ -73,6 +73,17 @@ object HeavyScaleBench {
       Dedup.lshRecallAudit(scaled, "doc_id", "text",
         threshold = 0.12, shingleK = 3, numHashes = 32, bands = 16,
         sampleFraction = Some(0.25), maxDocFreq = Some(500)).count()
+    }
+    // the whole composed flow: quality floors → Gopher screen → fuzzy
+    // decontamination → near-dup dedup → span surgery → split, at ×N —
+    // the dedup stage collapses the replicas, so this is the flow's
+    // maximal-duplication regime
+    timed("p49 curate_e2e") {
+      TrainingPipeline.curate(
+        scaled.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+        minQuality = 0.3, minWords = 20,
+        blocklist = Some((scaled.where(col("doc_id") % 50 === 0), "doc_id", "text")))
+        .count()
     }
     // the production sizing: the audit sample is ABSOLUTE (audit the
     // same number of docs however big the corpus is) — fraction scales
