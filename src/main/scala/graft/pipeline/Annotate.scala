@@ -41,6 +41,13 @@ final case class LlmAnnotateConfig(
 ) extends Serializable {
   require(concurrency >= 1, s"concurrency must be >= 1: $concurrency")
   require(requestsPerSecond > 0, s"requestsPerSecond must be > 0: $requestsPerSecond")
+
+  /** Case-class toString would print the API key into logs, task
+    * descriptions, and error messages — redact it. */
+  override def toString: String =
+    s"LlmAnnotateConfig($baseUrl,$model,${apiKey.map(_ => "***")},$apiKeyEnv," +
+      s"$temperature,$maxTokens,$maxRetries,$backoffMillis,$requestTimeoutSec," +
+      s"$concurrency,$requestsPerSecond)"
 }
 
 /** Distributed batched LLM annotation — score or label a corpus column

@@ -187,6 +187,12 @@ class AnnotateSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("config toString never leaks the API key") {
+    val c = cfg("http://example.invalid/v1")
+    assert(!c.toString.contains("sk-test"), c.toString)
+    assert(c.toString.contains("***"))
+  }
+
   test("null text annotates as empty document, not a crash") {
     val stub = new Stub()
     try {
