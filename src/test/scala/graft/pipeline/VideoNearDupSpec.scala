@@ -91,6 +91,25 @@ class VideoNearDupSpec extends SparkSpec {
       s"missing within-class pairs: ${expected.diff(pairs).size}")
   }
 
+  test("parseAvi: random truncations and byte flips never throw") {
+    val ids = Seq(3L).toDF("doc_id")
+    val bases = Seq(
+      Multimodal.videoAssets(spark, ids, "doc_id").collect().head.data,
+      Multimodal.videoAssets(spark, ids, "doc_id", mjpeg = true).collect().head.data)
+    val rnd = new scala.util.Random(7)
+    (0 until 300).foreach { _ =>
+      val base = bases(rnd.nextInt(2))
+      val cut = rnd.nextInt(base.length + 1)
+      val arr = base.take(cut)
+      if (arr.nonEmpty)
+        (0 until 3).foreach(_ => arr(rnd.nextInt(arr.length)) = rnd.nextInt(256).toByte)
+      // must return cleanly — Some on survivable damage, None otherwise
+      Multimodal.parseAvi(arr)
+    }
+    // and intact bases still parse fully
+    bases.foreach(b => assert(Multimodal.parseAvi(b).exists(_._3.length == 8)))
+  }
+
   test("non-video assets yield no frame hashes") {
     val docs = (0L until 9L).toDF("doc_id")
     val images = Multimodal.patternedAssets(spark, docs, "doc_id")
