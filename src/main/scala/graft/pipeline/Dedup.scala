@@ -1188,30 +1188,55 @@ object Dedup {
     val cand = OperatorCache.materialize(a.join(b, Seq("band", "bkey"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct())
-    // exact pairs: inverted index (docs sharing >=1 shingle) + verify;
-    // under maxDocFreq the index drops stopword-grade shingles BEFORE
-    // the self-join — a shuffle-keyed count + semi-join, so the
-    // quadratic group bound is enforced distributed, never collected
-    val dsIdx = maxDocFreq match {
+    // exact pairs from the shingle-keyed inverted index. Two shapes:
+    //
+    //  - UNCAPPED (the full-sweep oracle path): |A∩B| IS the postings-
+    //    join group count — one groupBy over the same rows the old
+    //    pair-distinct shuffled, with per-doc set sizes broadcast back,
+    //    so Jaccard = shared/(|A|+|B|−shared) computes from three
+    //    integers and the per-pair array_intersect over ~10³-element
+    //    shingle arrays (the old hot loop) disappears entirely.
+    //    Identical values: ds is distinct per doc, so the group count
+    //    is exactly the intersection size.
+    //  - CAPPED (maxDocFreq): the cap bounds DISCOVERY only — a capped
+    //    group count would undercount |A∩B|, so discovered pairs
+    //    verify against their FULL shingle sets, as documented.
+    val exact = OperatorCache.materialize(maxDocFreq match {
+      case None =>
+        val sizes = ds.groupBy("doc").agg(count(lit(1)).as("__sz"))
+        val ia = ds.select(col("shingle"), col("doc").as("doc_a"))
+        val ib = ds.select(col("shingle"), col("doc").as("doc_b"))
+        ia.join(ib, Seq("shingle"))
+          .where(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__shared"))
+          .join(sizes.withColumnRenamed("doc", "doc_a")
+            .withColumnRenamed("__sz", "__sza"), "doc_a")
+          .join(sizes.withColumnRenamed("doc", "doc_b")
+            .withColumnRenamed("__sz", "__szb"), "doc_b")
+          .where(round(col("__shared").cast("double") /
+            (col("__sza") + col("__szb") - col("__shared")).cast("double"), 6)
+            >= threshold)
+          .select("doc_a", "doc_b")
       case Some(cap) =>
         val lowDf = ds.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .where(col("__df") <= cap).select("shingle")
-        ds.join(lowDf, Seq("shingle"))
-      case None => ds
-    }
-    val ia = dsIdx.select(col("shingle"), col("doc").as("doc_a"))
-    val ib = dsIdx.select(col("shingle"), col("doc").as("doc_b"))
-    val sharing = ia.join(ib, Seq("shingle"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // built from the cached distinct frame (collect_set dedups anyway)
-    // and materialized itself: the verify join consumes it twice
-    val sets = OperatorCache.materialize(shingleSetsFrom(ds))
-    val exact = OperatorCache.materialize(sharing
-      .join(sets.withColumnRenamed("sid", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
-      .join(sets.withColumnRenamed("sid", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
-      .where(round(jaccard(col("set_a"), col("set_b")), 6) >= threshold)
-      .select("doc_a", "doc_b"))
+        val dsIdx = ds.join(lowDf, Seq("shingle"))
+        val ia = dsIdx.select(col("shingle"), col("doc").as("doc_a"))
+        val ib = dsIdx.select(col("shingle"), col("doc").as("doc_b"))
+        val sharing = ia.join(ib, Seq("shingle"))
+          .where(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        // full sets from the cached distinct frame, materialized: the
+        // verify join consumes the frame twice
+        val sets = OperatorCache.materialize(shingleSetsFrom(ds))
+        sharing
+          .join(sets.withColumnRenamed("sid", "doc_a")
+            .withColumnRenamed("sset", "set_a"), "doc_a")
+          .join(sets.withColumnRenamed("sid", "doc_b")
+            .withColumnRenamed("sset", "set_b"), "doc_b")
+          .where(round(jaccard(col("set_a"), col("set_b")), 6) >= threshold)
+          .select("doc_a", "doc_b")
+    })
     // 1-row scalar frames crossJoined into the card — fully lazy, no
     // driver counts (the established broadcast-scalar pattern)
     val ne = exact.agg(count(lit(1)).as("n_exact"))
