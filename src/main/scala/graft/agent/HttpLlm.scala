@@ -55,6 +55,9 @@ final class HttpLlm(
   private val endpoint: URI =
     URI.create(baseUrl.stripSuffix("/") + "/chat/completions")
 
+  private val embedEndpoint: URI =
+    URI.create(baseUrl.stripSuffix("/") + "/embeddings")
+
   private def requestBody(messages: Seq[ChatMessage]): String = {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("model", model)
@@ -88,11 +91,59 @@ final class HttpLlm(
   def generateChat(messages: Seq[ChatMessage]): String = {
     require(messages.nonEmpty, "generateChat needs at least one message")
     lastPrompt = messages.lastOption.map(_.content)
-    val req = HttpRequest.newBuilder(endpoint)
+    parseContent(postWithRetry(endpoint, requestBody(messages)))
+  }
+
+  /** Batched embeddings (the `/embeddings` surface of the same
+    * OpenAI-compatible API family the chat client targets: request =
+    * `{model, input: [texts]}`, response = `data[i].embedding` float
+    * arrays with an `index` field). One HTTP round trip embeds the whole
+    * batch — the shape [[graft.pipeline.Annotate.llmEmbed]] drives from
+    * executors, where per-row requests would multiply endpoint load by
+    * the batch size. Results are re-ordered by the response's own
+    * `index` (the spec says order matches `input`, but indices are
+    * authoritative) and the count must match the input count — a
+    * short response is a protocol error, not a partial success.
+    */
+  def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    require(texts.nonEmpty, "embed needs at least one input")
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    val in = root.putArray("input")
+    texts.foreach(in.add)
+    val body = postWithRetry(embedEndpoint, mapper.writeValueAsString(root))
+    val data = mapper.readTree(body).path("data")
+    if (!data.isArray || data.size() != texts.size)
+      throw new RuntimeException(
+        s"malformed embeddings response: expected ${texts.size} data entries, " +
+          s"got ${if (data.isArray) data.size() else "none"} in ${body.take(200)}")
+    val out = new Array[Array[Float]](texts.size)
+    var i = 0
+    while (i < data.size()) {
+      val node = data.get(i)
+      val idx = node.path("index").asInt(i)
+      val emb = node.path("embedding")
+      if (!emb.isArray || idx < 0 || idx >= out.length || out(idx) != null)
+        throw new RuntimeException(
+          s"malformed embeddings response entry $i in ${body.take(200)}")
+      val v = new Array[Float](emb.size())
+      var j = 0
+      while (j < emb.size()) { v(j) = emb.get(j).floatValue(); j += 1 }
+      out(idx) = v
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Shared POST + retry loop: 200 returns the body; 429/5xx and
+    * connection-level IO errors retry with linear backoff; other 4xx
+    * throw immediately (permanent). */
+  private def postWithRetry(uri: URI, body: String): String = {
+    val req = HttpRequest.newBuilder(uri)
       .timeout(requestTimeout)
       .header("Content-Type", "application/json")
       .header("Authorization", s"Bearer $key")
-      .POST(HttpRequest.BodyPublishers.ofString(requestBody(messages), StandardCharsets.UTF_8))
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
       .build()
 
     var attempt = 0
@@ -101,7 +152,7 @@ final class HttpLlm(
       if (attempt > 0) Thread.sleep(backoffMillis * attempt)
       try {
         val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() == 200) return parseContent(resp.body())
+        if (resp.statusCode() == 200) return resp.body()
         val err = new RuntimeException(
           s"LLM endpoint returned HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
         if (!retriable(resp.statusCode())) throw err

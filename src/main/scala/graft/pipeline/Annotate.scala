@@ -1,10 +1,11 @@
 package graft.pipeline
 
-import java.util.concurrent.{Callable, Executors, ThreadFactory, TimeUnit}
+import java.util.concurrent.{ExecutorCompletionService, ExecutorService, Executors, ThreadFactory, TimeUnit}
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{ArrayType, FloatType, StringType, StructType}
 
 import graft.agent.{ChatMessage, HttpLlm}
 
@@ -50,15 +51,17 @@ final case class LlmAnnotateConfig(
       s"$concurrency,$requestsPerSecond)"
 }
 
-/** Distributed batched LLM annotation — score or label a corpus column
-  * by posting each document through the chat endpoint, as a DataFrame
-  * operator rather than a driver loop.
+/** Distributed batched LLM annotation — score, label, extract from, or
+  * embed a corpus column by posting each document through the endpoint,
+  * as a DataFrame operator rather than a driver loop.
   *
   * Spark-first shape: ONE `mapPartitions` pass — no shuffle, no
   * driver round-trips, parallelism = partitions × per-partition
   * `concurrency`. Each partition builds one [[HttpLlm]] (retry with
-  * linear backoff on 429/5xx is the client's), runs rows through a
-  * bounded thread pool in waves, and spaces request starts with a
+  * linear backoff on 429/5xx is the client's), keeps up to
+  * `concurrency` requests in flight through a completion-ordered
+  * window (a slow request never stalls the rest of the window — see
+  * [[Annotate.pipelined]]), and spaces request starts with a
   * token-interval rate limiter shared by the partition's workers.
   * Failures NEVER kill the job: a row whose request exhausts retries
   * (or hits a permanent 4xx) carries a null annotation and the error
@@ -76,11 +79,15 @@ object Annotate {
   /** Minimum-interval rate limiter: thread-safe, allocates each request
     * a start slot `1/rps` after the previous slot (burst-free pacing —
     * an endpoint quota cares about sustained rate; sleeping outside the
-    * lock keeps the slot handout itself non-blocking).
+    * lock keeps the slot handout itself non-blocking). `nextSlot`
+    * starts at Long.MinValue so the FIRST acquire's slot is always
+    * "now" — System.nanoTime has an arbitrary origin and may be
+    * negative, so a zero init would make the first caller sleep |now|
+    * nanoseconds on such platforms.
     */
   private final class RateLimiter(rps: Double) {
     private val intervalNanos = (1e9 / rps).toLong
-    private var nextSlot = 0L
+    private var nextSlot = Long.MinValue
     def acquire(): Unit = {
       val slot = synchronized {
         val now = System.nanoTime()
@@ -101,6 +108,57 @@ object Annotate {
     }
   }
 
+  /** Per-partition worker pool, shut down when the TASK completes —
+    * not when the iterator is drained, because a `limit`/`take`
+    * consumer abandons the iterator mid-way and an epilogue-only
+    * shutdown would leak a fixed pool (and its HttpLlm) per task on a
+    * long-lived executor. Outside a task (plain-JVM unit use) there is
+    * no TaskContext; the daemon flag is the backstop there.
+    */
+  private def taskScopedPool(n: Int): ExecutorService = {
+    val pool = Executors.newFixedThreadPool(n, daemonFactory)
+    val tc = TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => pool.shutdownNow())
+    pool
+  }
+
+  /** Completion-ordered bounded in-flight window: keeps up to `n` of
+    * `f(item)` running and emits results AS THEY COMPLETE, refilling
+    * from the source per emission. Unlike a wave barrier
+    * (`grouped(n).flatMap`), one slow request never blocks the other
+    * n−1 slots — throughput tracks the rate limit, not the slowest
+    * in-flight request. At most `n` rows are buffered, so the pass
+    * stays streaming, never partition-sized. Output order is
+    * completion order (the rows carry their own values; nothing
+    * downstream of a mapPartitions depends on intra-partition order).
+    */
+  private def pipelined[A, B](
+      source: Iterator[A], pool: ExecutorService, n: Int,
+  )(f: A => B): Iterator[B] = new Iterator[B] {
+    private val ecs = new ExecutorCompletionService[B](pool)
+    private var inFlight = 0
+    private def refill(): Unit =
+      while (inFlight < n && source.hasNext) {
+        val a = source.next() // pull BEFORE submit: the iterator is not thread-safe
+        ecs.submit(() => f(a))
+        inFlight += 1
+      }
+    override def hasNext: Boolean = inFlight > 0 || source.hasNext
+    override def next(): B = {
+      refill()
+      val r = ecs.take().get()
+      inFlight -= 1
+      r
+    }
+  }
+
+  /** The new columns must not collide with the input's — a chained
+    * annotate would otherwise silently produce a duplicate-name frame
+    * whose `col("annotation")` is ambiguous. */
+  private def requireAbsent(df: DataFrame, names: String*): Unit =
+    names.foreach(n => require(!df.columns.contains(n),
+      s"input already has a '$n' column — rename it before annotating"))
+
   /** Raw annotation: appends `annotation` (the model's text, null on
     * failure) and `annotation_error` (null on success) to every row.
     * `promptTemplate` must contain `{text}`, replaced per document.
@@ -111,6 +169,7 @@ object Annotate {
   ): DataFrame = {
     require(promptTemplate.contains("{text}"),
       "promptTemplate must contain the {text} placeholder")
+    requireAbsent(df, "annotation", "annotation_error")
     val textIdx = df.schema.fieldIndex(textCol)
     val outSchema = df.schema
       .add("annotation", StringType).add("annotation_error", StringType)
@@ -124,8 +183,8 @@ object Annotate {
           requestTimeout = java.time.Duration.ofSeconds(config.requestTimeoutSec),
           maxRetries = config.maxRetries, backoffMillis = config.backoffMillis)
         val limiter = new RateLimiter(config.requestsPerSecond)
-        val pool = Executors.newFixedThreadPool(config.concurrency, daemonFactory)
-        def call(row: Row): Callable[Row] = () => {
+        val pool = taskScopedPool(config.concurrency)
+        val annotated = pipelined(it, pool, config.concurrency) { row =>
           val text = if (row.isNullAt(textIdx)) "" else row.get(textIdx).toString
           val prompt = promptTemplate.replace("{text}", text)
           try {
@@ -136,12 +195,6 @@ object Annotate {
             case e: Exception =>
               Row.fromSeq(row.toSeq :+ null :+ s"${e.getClass.getSimpleName}: ${e.getMessage}")
           }
-        }
-        // waves of `concurrency`: bounded in-flight requests AND bounded
-        // buffered rows — the pass stays streaming, never partition-sized
-        val annotated = it.grouped(config.concurrency).flatMap { wave =>
-          val futures = wave.map(r => pool.submit(call(r)))
-          futures.map(_.get())
         }
         annotated ++ {
           pool.shutdown(); pool.awaitTermination(1, TimeUnit.SECONDS)
@@ -160,13 +213,15 @@ object Annotate {
   def llmScore(
       df: DataFrame, textCol: String, promptTemplate: String,
       config: LlmAnnotateConfig,
-  ): DataFrame =
+  ): DataFrame = {
+    requireAbsent(df, "score")
     annotate(df, textCol, promptTemplate, config)
       .withColumn("score",
         when(col("annotation").isNull, lit(null))
           .otherwise(nullif(
             regexp_extract(col("annotation"), "-?\\d+(?:\\.\\d+)?", 0), lit("")))
           .cast("double"))
+  }
 
   /** Structured extraction on top of [[annotate]]: parses the model's
     * reply as a JSON object into a typed `extracted` struct column
@@ -184,9 +239,10 @@ object Annotate {
     */
   def llmExtract(
       df: DataFrame, textCol: String, promptTemplate: String,
-      schema: org.apache.spark.sql.types.StructType,
+      schema: StructType,
       config: LlmAnnotateConfig,
   ): DataFrame = {
+    requireAbsent(df, "extracted")
     val unfenced = regexp_replace(
       regexp_replace(col("annotation"), "(?s)^\\s*```[a-zA-Z]*\\s*", ""),
       "(?s)\\s*```\\s*$", "")
@@ -197,21 +253,85 @@ object Annotate {
   }
 
   /** Categorical labeling on top of [[annotate]]: keeps the reply only
-    * when (case-insensitively) it contains exactly one of `labels`,
-    * normalized to that label; ambiguous or off-vocabulary replies get
-    * a null label with the raw reply preserved in `annotation`.
+    * when (case-insensitively) it contains exactly one of `labels` AS A
+    * WHOLE WORD, normalized to that label; ambiguous or off-vocabulary
+    * replies get a null label with the raw reply preserved in
+    * `annotation`. Word boundaries matter: without them a label like
+    * "ham" would match a reply containing "shameful" (labels are
+    * regex-quoted, so punctuation-bearing labels still match literally).
     */
   def llmLabel(
       df: DataFrame, textCol: String, promptTemplate: String,
       labels: Seq[String], config: LlmAnnotateConfig,
   ): DataFrame = {
     require(labels.nonEmpty, "labels must be non-empty")
-    val hits = labels.map(l =>
-      when(contains(lower(col("annotation")), lit(l.toLowerCase)), lit(l)))
+    requireAbsent(df, "label")
+    val hits = labels.map { l =>
+      val pat = "(?i)\\b" + java.util.regex.Pattern.quote(l) + "\\b"
+      when(col("annotation").rlike(pat), lit(l))
+    }
     val hitArr = array(hits: _*)
     annotate(df, textCol, promptTemplate, config)
       .withColumn("label",
         when(size(filter(hitArr, _.isNotNull)) === 1,
           element_at(filter(hitArr, _.isNotNull), 1)))
+  }
+
+  /** Batched distributed embeddings: appends `embedding`
+    * (`array<float>`, null on failure) and `annotation_error` to every
+    * row via the endpoint's `/embeddings` surface ([[HttpLlm.embed]]).
+    *
+    * Rows are packed `batchSize` to a REQUEST — at 100 TB the batch
+    * factor is the difference between 10B and 10B/64 HTTP round trips —
+    * and the rate limiter paces request starts (so the effective row
+    * rate is `requestsPerSecond × batchSize` per partition). Up to
+    * `concurrency` batch requests ride the same completion-ordered
+    * window as [[annotate]]; a failed batch marks ONLY its own rows
+    * (null vector + the error per row) and the pass continues. The
+    * output composes directly with the ANN/semantic-dedup stack:
+    * `Similarity.semanticDedup(llmEmbed(df,...), id, "embedding", t)`
+    * — the real-embedding workflow is spec'd end-to-end in
+    * AnnotateSpec.
+    */
+  def llmEmbed(
+      df: DataFrame, textCol: String, config: LlmAnnotateConfig,
+      batchSize: Int = 32,
+  ): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    requireAbsent(df, "embedding", "annotation_error")
+    val textIdx = df.schema.fieldIndex(textCol)
+    val outSchema = df.schema
+      .add("embedding", ArrayType(FloatType)).add("annotation_error", StringType)
+    val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val llm = new HttpLlm(config.baseUrl, config.model,
+          apiKey = config.apiKey, apiKeyEnv = config.apiKeyEnv,
+          requestTimeout = java.time.Duration.ofSeconds(config.requestTimeoutSec),
+          maxRetries = config.maxRetries, backoffMillis = config.backoffMillis)
+        val limiter = new RateLimiter(config.requestsPerSecond)
+        val pool = taskScopedPool(config.concurrency)
+        val embedded: Iterator[Seq[Row]] =
+          pipelined(it.grouped(batchSize), pool, config.concurrency) { batch =>
+            val texts = batch.map(r =>
+              if (r.isNullAt(textIdx)) "" else r.get(textIdx).toString)
+            try {
+              limiter.acquire()
+              val vecs = llm.embed(texts)
+              batch.lazyZip(vecs).map((r, v) =>
+                Row.fromSeq(r.toSeq :+ v.toSeq :+ null))
+            } catch {
+              case e: Exception =>
+                val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+                batch.map(r => Row.fromSeq(r.toSeq :+ null :+ msg))
+            }
+          }
+        embedded.flatten ++ {
+          pool.shutdown(); pool.awaitTermination(1, TimeUnit.SECONDS)
+          Iterator.empty[Row]
+        }
+      }
+    }(enc)
   }
 }

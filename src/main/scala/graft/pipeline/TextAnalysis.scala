@@ -634,6 +634,27 @@ object TextAnalysis {
       dedupThreshold: Double = 0.8,
       persistFiltered: Boolean = true,
   ): org.apache.spark.sql.DataFrame = {
+    val filtered0 = floorCorpus(df, textCol, minQuality, languages)
+    // materialize, not just persist: the dedup stage's broadcast-join
+    // branches run as concurrent jobs and would otherwise race to
+    // recompute the scoring expressions — the most expensive per-row
+    // work in the pipeline (see OperatorCache.materialize)
+    val filtered =
+      if (persistFiltered) OperatorCache.materialize(filtered0) else filtered0
+    Dedup.dedupNearDuplicates(filtered, idCol, textCol, dedupThreshold)
+  }
+
+  /** The floor stage of [[cleanCorpus]] WITHOUT the dedup tail: quality
+    * floor + language allowlist, with the scored columns (`quality`,
+    * `lang_pred`) kept. Public so the incremental-curation path
+    * ([[TrainingPipeline.curateIncremental]]) can apply the same floors
+    * to a delta batch and run dedup against prior state instead of
+    * within the frame.
+    */
+  def floorCorpus(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      minQuality: Double, languages: Set[String],
+  ): org.apache.spark.sql.DataFrame = {
     // quality/langid are the most expensive per-row expressions in the
     // pipeline — spread a narrow input across the cluster before paying
     // them (no-op whenever the scan is already cluster-wide)
@@ -651,18 +672,11 @@ object TextAnalysis {
       // and unlike caching the scored corpus, dropped rows still die in
       // the same stage, nothing extra is persisted at scale.
       .withColumn("__once", monotonically_increasing_id())
-    val filtered0 = scored
+    scored
       .where(col("quality") >= minQuality && col("__once") >= 0)
       .where(if (languages.isEmpty) lit(true)
         else col("lang_pred").isin(languages.toSeq: _*))
       .drop("__once")
-    // materialize, not just persist: the dedup stage's broadcast-join
-    // branches run as concurrent jobs and would otherwise race to
-    // recompute the scoring expressions — the most expensive per-row
-    // work in the pipeline (see OperatorCache.materialize)
-    val filtered =
-      if (persistFiltered) OperatorCache.materialize(filtered0) else filtered0
-    Dedup.dedupNearDuplicates(filtered, idCol, textCol, dedupThreshold)
   }
 
   /** Per-(doc, term) TF-IDF weights, top `topN` terms per doc.

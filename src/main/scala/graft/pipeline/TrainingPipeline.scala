@@ -95,16 +95,9 @@ object TrainingPipeline {
       case None => docs
     }
 
-    // 0b. gibberish screen: entropy/top-char `suspect` rule, id-keyed
-    //     semi-join on the signals frame (the signals aggregate is the
-    //     only exchange)
-    val legible =
-      if (minEntropy <= 0) gated
-      else gated.join(
-        TextAnalysis.entropySignals(gated, idCol, textCol,
-          minEntropy = minEntropy, maxTopFrac = maxTopCharFrac)
-          .where(!col("suspect")).select(col("doc").as("__legible_doc")),
-        gated(idCol) === col("__legible_doc"), "left_semi")
+    // 0b. gibberish screen: entropy/top-char `suspect` rule (see
+    //     entropyScreen — shared with the incremental path)
+    val legible = entropyScreen(gated, idCol, textCol, minEntropy, maxTopCharFrac)
 
     // 1. quality floor + language allowlist + near-dup dedup — the
     //    composed cleanCorpus stage (one scoring pass, banded dedup)
@@ -156,5 +149,255 @@ object TrainingPipeline {
     // 5. reproducible split
     if (splits.isEmpty) projected
     else Curation.splitCorpus(projected, idCol, splits)
+  }
+
+  /** Entropy/top-char gibberish screen shared by the batch and
+    * incremental paths: id-keyed semi-join on the signals frame (the
+    * signals aggregate is the only exchange); disabled when
+    * `minEntropy <= 0`. */
+  private def entropyScreen(df: DataFrame, idCol: String, textCol: String,
+      minEntropy: Double, maxTopCharFrac: Double): DataFrame =
+    if (minEntropy <= 0) df
+    else df.join(
+      TextAnalysis.entropySignals(df, idCol, textCol,
+        minEntropy = minEntropy, maxTopFrac = maxTopCharFrac)
+        .where(!col("suspect")).select(col("doc").as("__legible_doc")),
+      df(idCol) === col("__legible_doc"), "left_semi")
+
+  /** Persistent state of an incremental curation run — everything a
+    * recrawl batch needs to be curated WITHOUT touching the prior
+    * corpus' text at corpus scale:
+    *
+    *  - `cleaned` (doc, text): the prior corpus AFTER the entropy screen
+    *    and quality/language floors but BEFORE dedup — the dedup
+    *    reference set. It must include prior docs that dedup itself
+    *    dropped: a full run's pair graph contains them, so an
+    *    incremental batch must be able to link to them too. Only the
+    *    rows band-bucket-matched by a batch are ever read (semi-join
+    *    pruning in [[curateIncremental]]); at scale this is the corpus
+    *    table itself, stored once.
+    *  - `bandIndex` (doc, band, band_hash): [[Dedup.bandIndex]] over
+    *    `cleaned` — the LSH postings a batch probes instead of
+    *    re-hashing the corpus ([[Dedup.incrementalCandidatesFrom]]).
+    *    Write it bucketed by (band, band_hash) and the probe join
+    *    needs no corpus-side shuffle at all.
+    *  - `bloom`: optional exact-seen pre-gate over the prior RAW text
+    *    ([[BloomGate.build]]); a map-only drop of re-crawled exact
+    *    copies before any scoring. Soundness does not depend on it —
+    *    an exact copy that slips past (or the gate being None) is still
+    *    caught by the band linkage (identical text ⇒ identical shingle
+    *    sets ⇒ Jaccard 1) for any doc with ≥ `shingleK` tokens. Size
+    *    the bitmap to driver memory (numBits/8 bytes) or disable at
+    *    the 100 B-doc scale where a distributed anti-join on
+    *    [[BloomGate.docKey]] replaces it.
+    *
+    * The curation parameters ride in the state so every batch is
+    * screened EXACTLY like the corpus that built the state — parameter
+    * drift between runs would silently break the
+    * full ≡ incremental equivalence.
+    */
+  final case class CurateState(
+      cleaned: DataFrame,
+      bandIndex: DataFrame,
+      bloom: Option[(Array[Long], Int, Int)],
+      minQuality: Double,
+      languages: Set[String],
+      minWords: Long,
+      minStopwordHits: Long,
+      dedupThreshold: Double,
+      shingleK: Int,
+      numHashes: Int,
+      bands: Int,
+      minEntropy: Double,
+      maxTopCharFrac: Double,
+      splits: Seq[(String, Double)],
+  )
+
+  /** Build [[CurateState]] from the prior corpus — one floors pass, one
+    * band-index pass, one Bloom aggregate. Parameters mirror [[curate]]
+    * (span surgery and blocklists are deliberately absent: span surgery
+    * is corpus-global — run it at compaction, not per batch — and a
+    * blocklist is stateless, passed per [[curateIncremental]] call).
+    */
+  def curateState(
+      prevRaw: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.3,
+      languages: Set[String] = Set.empty,
+      minWords: Long = 40,
+      minStopwordHits: Long = -1L,
+      dedupThreshold: Double = 0.8,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minEntropy: Double = 0.0, maxTopCharFrac: Double = 0.25,
+      splits: Seq[(String, Double)] = Seq(
+        "train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      bloomNumBits: Int = 1 << 22, bloomK: Int = 4,
+  ): CurateState = {
+    val legible = entropyScreen(prevRaw, idCol, textCol, minEntropy, maxTopCharFrac)
+    val cleaned = TextAnalysis.floorCorpus(legible, textCol, minQuality, languages)
+      .select(col(idCol).as("doc"), col(textCol).as("text"))
+    val index = Dedup.bandIndex(cleaned, "doc", "text", shingleK, numHashes, bands)
+    val bloom =
+      if (bloomNumBits <= 0) None
+      else Some((BloomGate.build(prevRaw, textCol, bloomNumBits, bloomK),
+        bloomNumBits, bloomK))
+    CurateState(cleaned, index, bloom, minQuality, languages, minWords,
+      minStopwordHits, dedupThreshold, shingleK, numHashes, bands,
+      minEntropy, maxTopCharFrac, splits)
+  }
+
+  /** Incremental curation: run ONLY the delta batch through the screens,
+    * deduping against prior state instead of re-curating the corpus —
+    * the recrawl shape. Cost is proportional to the BATCH (every prior-
+    * corpus touch is a band-bucket probe + a semi-join-pruned shingle
+    * read of just the matched docs), not the corpus.
+    *
+    * Equivalence contract (proved by the p95 oracle and
+    * TrainingPipelineSpec): when batch ids are all LARGER than prior ids
+    * (the recrawl convention — new crawl, new id range) and
+    * `minWords >= shingleK`, the result EQUALS
+    * `curate(prev ∪ delta, spanK = 0)` restricted to the delta's ids.
+    * Stage-by-stage: (1) the entropy/quality/language floors are per-doc
+    * — identical on any partition of the corpus. (2) A delta doc dies in
+    * the full run's dedup iff its cluster holds a smaller id; with
+    * monotone ids that means its component (over quality-passing docs)
+    * touches ANY prior doc, or it is a non-minimal member of a purely-
+    * in-batch component — exactly what the prior-link + within-batch
+    * clustering below computes. The bloom pre-gate only drops exact
+    * copies of prior raw docs, which the full run also kills (identical
+    * text ⇒ identical floors verdict, and Jaccard-1 linkage when it
+    * passes them; docs under `shingleK` tokens have no shingles, but
+    * `minWords` kills those in both runs). (3) The Gopher screen is
+    * per-doc, applied post-dedup in both paths. With INTERLEAVED ids
+    * the set of surviving TEXTS still matches up to representative
+    * choice per cluster; and prior survivors are never revisited — a
+    * batch doc that bridges two prior clusters does not retro-drop a
+    * prior representative the way a full re-run would (documented
+    * divergence, same best-effort contract as every incremental dedup).
+    *
+    * @return the batch's surviving rows, shaped like [[curate]] output:
+    *         (idCol, textCol, split?). Union with the prior output for
+    *         the full-corpus view; call [[advanceState]] to roll state.
+    */
+  def curateIncremental(
+      state: CurateState, delta: DataFrame, idCol: String, textCol: String,
+      blocklist: Option[(DataFrame, String, String)] = None,
+      deconThreshold: Double = 0.7,
+  ): DataFrame = {
+    import state._
+    // 0a. Bloom exact-seen pre-gate (map-only, before anything shuffles)
+    val gated = bloom match {
+      case Some((bitmap, numBits, k)) =>
+        BloomGate.probe(delta, textCol, bitmap, numBits, k, "__seen")
+          .where(!col("__seen")).drop("__seen")
+      case None => delta
+    }
+    // 0b/1. gibberish screen + quality/language floors — per-doc, so
+    //       identical to the full run's verdicts on these rows
+    val legible = entropyScreen(gated, idCol, textCol, minEntropy, maxTopCharFrac)
+    val cleanedDelta = graft.pipeline.OperatorCache.materialize(
+      TextAnalysis.floorCorpus(legible, textCol, minQuality, languages)
+        .select(col(idCol), col(textCol)))
+
+    // 2. dedup: within-batch pairs (the usual banded LSH + exact
+    //    verify) ∪ prior links (band-index probe + exact verify against
+    //    ONLY the bucket-matched prior docs)
+    val sh = graft.pipeline.OperatorCache.persist(
+      Dedup.shingleRows(cleanedDelta, idCol, textCol, shingleK))
+    val sets = graft.pipeline.OperatorCache.materialize(Dedup.shingleSetsFrom(sh))
+    val pairsWithin = Dedup.minhashCandidatesFrom(sh, numHashes, bands)
+      .join(sets.withColumnRenamed("sid", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
+      .join(sets.withColumnRenamed("sid", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(Dedup.jaccard(col("set_a"), col("set_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= dedupThreshold)
+
+    val cands = Dedup.incrementalCandidatesFrom(state.bandIndex, sh, numHashes, bands)
+    // prior text is touched ONLY for bucket-matched docs: semi-join
+    // prune first, then shingle just those
+    val priorSets = Dedup.shingleSetsFrom(Dedup.shingleRows(
+      state.cleaned.join(cands.select(col("doc_a").as("__cand")).distinct(),
+        state.cleaned("doc") === col("__cand"), "left_semi"),
+      "doc", "text", shingleK))
+    val linked = cands
+      .join(priorSets.withColumnRenamed("sid", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
+      .join(sets.withColumnRenamed("sid", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
+      .where(round(Dedup.jaccard(col("set_a"), col("set_b")), 6) >= dedupThreshold)
+      .select(col("doc_b").as("__linked")).distinct()
+
+    // a within-batch component with ANY prior-linked member dies
+    // entirely (its full-run cluster holds a smaller prior id); an
+    // unlinked component keeps its min-id label; unpaired docs keep
+    // themselves unless directly linked
+    val clusters = Dedup.nearDupClusters(pairsWithin)
+    val labeled = cleanedDelta
+      .join(clusters, cleanedDelta(idCol) === clusters("doc"), "left")
+      .select(cleanedDelta(idCol), cleanedDelta(textCol),
+        coalesce(col("label"), cleanedDelta(idCol)).as("__label"))
+    val deadLabels = labeled
+      .join(linked, labeled(idCol) === linked("__linked"), "left_semi")
+      .select(col("__label").as("__dead")).distinct()
+    val deduped = labeled
+      .join(deadLabels, labeled("__label") === deadLabels("__dead"), "left_anti")
+      .where(col(idCol) === col("__label"))
+      .drop("__label")
+
+    // 3. Gopher rule screen — post-dedup, matching curate's stage order
+    val stopHits =
+      if (minStopwordHits >= 0) minStopwordHits
+      else if (languages.nonEmpty && languages.subsetOf(Set("en"))) 2L
+      else 0L
+    val screened =
+      if (minWords <= 0) deduped
+      else deduped.join(
+        TextAnalysis.gopherQualityRules(deduped, idCol, textCol,
+          minWords = minWords, minStopwordHits = stopHits)
+          .where(col("pass")).select(col("doc").as("__pass_doc")),
+        deduped(idCol) === col("__pass_doc"), "left_semi")
+
+    // 4. stateless blocklist decontamination (same as the batch path)
+    val decontaminated = blocklist match {
+      case Some((bl, bId, bText)) =>
+        Dedup.fuzzyDecontaminate(screened, idCol, textCol,
+          bl, bId, bText, threshold = deconThreshold)
+      case None => screened
+    }
+    val projected = decontaminated.select(col(idCol), col(textCol))
+
+    // 5. reproducible split — id-hash based, so batch-local = corpus-global
+    if (splits.isEmpty) projected
+    else Curation.splitCorpus(projected, idCol, splits)
+  }
+
+  /** Roll [[CurateState]] forward past a batch: the batch's post-floor
+    * docs join the dedup reference set and the band index (per-doc
+    * signatures — the union index IS the index of the union), and the
+    * Bloom bitmap ORs in the batch's raw keys. Dedup-dropped batch docs
+    * are intentionally INCLUDED in `cleaned` (future batches must be
+    * able to link to them, exactly as a full run's pair graph would).
+    * At scale these three are appends to the state tables, not
+    * rewrites.
+    */
+  def advanceState(
+      state: CurateState, delta: DataFrame, idCol: String, textCol: String,
+  ): CurateState = {
+    import state._
+    val gated = bloom match {
+      case Some((bitmap, numBits, k)) =>
+        BloomGate.probe(delta, textCol, bitmap, numBits, k, "__seen")
+          .where(!col("__seen")).drop("__seen")
+      case None => delta
+    }
+    val legible = entropyScreen(gated, idCol, textCol, minEntropy, maxTopCharFrac)
+    val cleanedDelta = TextAnalysis.floorCorpus(legible, textCol, minQuality, languages)
+      .select(col(idCol).as("doc"), col(textCol).as("text"))
+    val newBloom = bloom.map { case (bitmap, numBits, k) =>
+      val deltaBits = BloomGate.build(delta, textCol, numBits, k)
+      (bitmap.zip(deltaBits).map { case (a, b) => a | b }, numBits, k)
+    }
+    state.copy(
+      cleaned = state.cleaned.unionByName(cleanedDelta),
+      bandIndex = state.bandIndex.unionByName(
+        Dedup.bandIndex(cleanedDelta, "doc", "text", shingleK, numHashes, bands)),
+      bloom = newBloom)
   }
 }

@@ -3923,5 +3923,72 @@ object PipelineQueries {
              |SELECT lang, lang_pred, n_docs,
              |       ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang), 6) AS share
              |FROM m ORDER BY lang, lang_pred""".stripMargin)),
+
+    // Incremental (recrawl-shaped) curation: state from the low-id 70%
+    // of the corpus, batch = the high-id 30%, deduped against the state
+    // (Bloom exact-seen gate → floors → band-index prior links +
+    // within-batch clusters → Gopher screen → split) WITHOUT re-curating
+    // the prior corpus. The oracle is deliberately NOT a replay of the
+    // incremental mechanics: it runs the FULL batch pipeline over
+    // prev ∪ batch (floors → exact-Jaccard connected-components dedup →
+    // Gopher → split) and restricts to the batch's ids — so a green
+    // check PROVES curateIncremental(state, batch) ≡ curate(prev ∪ batch)
+    // on the batch, the incremental path's whole contract
+    // (TrainingPipeline.curateIncremental's scaladoc derives why the
+    // monotone-id split makes this exact, not just up-to-representative).
+    QueryDef("p95_curate_incremental",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val cut = docs.agg(max("doc_id")).head().getLong(0) * 7 / 10
+        val state = TrainingPipeline.curateState(
+          docs.where(col("doc_id") <= cut), "doc_id", "text",
+          minQuality = 0.3, minWords = 20)
+        TrainingPipeline.curateIncremental(
+          state, docs.where(col("doc_id") > cut), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE cutoff AS (
+             |  SELECT MAX(doc_id) * 7 // 10 AS cut FROM read_parquet('{SFDIR}/documents.parquet')
+             |), f AS (
+             |  SELECT doc_id, text,
+             |         LENGTH(text) AS n_chars,
+             |         string_split_regex(TRIM(text), '\\s+') AS words
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), g AS (
+             |  SELECT doc_id, text,
+             |         LEAST(CAST(LEN(words) AS DOUBLE) / 20.0, 1.0) AS len_score,
+             |         CASE WHEN CAST(LEN(regexp_extract_all(text, '[\\.,;:!\\?''"()\\[\\]{}-]')) AS DOUBLE)
+             |                   / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.2 THEN 1.0 ELSE 0.5 END AS punct_ok,
+             |         CASE WHEN CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             |                   / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.3 THEN 1.0 ELSE 0.5 END AS digit_ok,
+             |         CAST(LEN(list_distinct(words)) AS DOUBLE) / CAST(GREATEST(LEN(words), 1) AS DOUBLE) AS uniq_ratio
+             |  FROM f
+             |), corpus AS (
+             |  SELECT doc_id, text FROM g
+             |  WHERE ROUND(((len_score * punct_ok) * digit_ok) * 0.5 + uniq_ratio * 0.5, 4) >= 0.3
+             |), ${ccDedupTail("0.8")}
+             |, cleaned AS (
+             |  SELECT c.doc_id, c.text FROM corpus c ANTI JOIN drops ON c.doc_id = drops.doc
+             |), gf AS (
+             |  SELECT doc_id, text,
+             |         CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_words,
+             |         len(regexp_replace(TRIM(text), '\\s+', '', 'g')) AS n_wchars,
+             |         (len(text) - len(replace(text, '#', '')))
+             |           + (len(text) - len(replace(text, '...', ''))) / 3 AS symbols,
+             |         CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS BIGINT) AS alpha_words
+             |  FROM cleaned
+             |), screened AS (
+             |  SELECT doc_id, text FROM gf
+             |  WHERE n_words BETWEEN 20 AND 100000
+             |    AND ROUND(CAST(n_wchars AS DOUBLE) / GREATEST(n_words, 1), 6) BETWEEN 3.0 AND 10.0
+             |    AND ROUND(CAST(symbols AS DOUBLE) / GREATEST(n_words, 1), 6) <= 0.1
+             |    AND ROUND(CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1), 6) >= 0.8
+             |)
+             |SELECT doc_id, text,
+             |       CASE WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 980000 THEN 'train'
+             |            WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 990000 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM screened WHERE doc_id > (SELECT cut FROM cutoff)
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -81,8 +81,16 @@ object EventStreams {
     * folding (a micro-batch iterator has no order guarantee, and a
     * ts-only sort would fold equal-timestamp events in nondeterministic
     * iterator order — `tieCol` pins the repo's total-order convention,
-    * same as the batch [[graft.operators.EventAnalytics.eventTransitions]]);
-    * late data arriving after a later step already completed cannot
+    * same as the batch [[graft.operators.EventAnalytics.eventTransitions]]).
+    * The tie key keeps its NATIVE ordering: numeric tie columns compare
+    * as numbers (via an exact decimal cast, so long ids never fold
+    * "10" before "9" the way a string cast would), everything else as
+    * its string form — matching the batch window's `orderBy(ts, tie)`.
+    * Input contract: (user_id, ts, event_type) plus `tieCol`; a frame
+    * WITHOUT the tie column falls back to a constant tie key (ts-only
+    * order — deterministic state, but equal-ts claim order is then the
+    * fold's own), preserving the pre-tieCol API.
+    * Late data arriving after a later step already completed cannot
     * retroactively insert itself — the documented best-effort semantics
     * of watermark-free funnel state. Emits the user's current
     * completed-step count whenever it ADVANCES (update-mode friendly:
@@ -94,13 +102,22 @@ object EventStreams {
     import org.apache.spark.sql.streaming.OutputMode
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap
-    // tie key as string: any deterministic total order among equal-ts
-    // events suffices — it decides reproducibly which event claims a
-    // step, not the recorded time (equal by construction)
+    // native-order tie key, split by type: numeric columns ride the
+    // decimal field (exact for 64-bit ids, unlike a double), all other
+    // types the string field; the unused field is constant so the
+    // (ts, tieNum, tieStr) sort reduces to the column's own ordering
+    val (tieNumExpr, tieStrExpr) =
+      if (!events.columns.contains(tieCol)) ("cast(0 as decimal(38,6))", "''")
+      else events.schema(tieCol).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          (s"cast(coalesce($tieCol, 0) as decimal(38,6))", "''")
+        case _ =>
+          ("cast(0 as decimal(38,6))", s"coalesce(cast($tieCol as string), '')")
+      }
     val typed = events.selectExpr(
       "user_id", "cast(ts as long) * 1000 as ts_ms", "event_type",
-      s"cast($tieCol as string) as tie")
-      .as[(Long, Long, String, String)]
+      s"$tieNumExpr as tie_num", s"$tieStrExpr as tie_str")
+      .as[(Long, Long, String, BigDecimal, String)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -108,7 +125,7 @@ object EventStreams {
           val times = state.getOption.map(_.times)
             .getOrElse(Array.fill(steps.size)(-1L))
           val before = times.lastIndexWhere(_ >= 0) + 1
-          rows.toSeq.sortBy(r => (r._2, r._4)).foreach { case (_, ts, et, _) =>
+          rows.toSeq.sortBy(r => (r._2, r._4, r._5)).foreach { case (_, ts, et, _, _) =>
             stepIdx.get(et).foreach { i =>
               if (times(i) < 0 &&
                 (i == 0 || (times(i - 1) >= 0 && ts >= times(i - 1))))

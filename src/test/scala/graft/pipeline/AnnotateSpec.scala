@@ -21,19 +21,38 @@ class AnnotateSpec extends SparkSpec {
   /** Scripted stub: echoes a canned score derived from the request's
     * own prompt (so per-row results are checkable), after serving any
     * scripted error statuses first. Thread-safe: concurrent tasks hit
-    * it in arbitrary order.
+    * it in arbitrary order. `/embeddings` requests get one `embedOf`
+    * vector per input entry (index field included, like the real API);
+    * `delayOf(hitIndex)` scripts per-request latencies for the
+    * completion-window tests.
     */
   private class Stub(errorPrefix: Seq[Int] = Nil,
-      scoreOf: String => String = b => "0.5") {
+      scoreOf: String => String = b => "0.5",
+      embedOf: String => Seq[Float] = t => Seq(1f, 0f),
+      delayOf: Int => Long = _ => 0L) {
     val hits = new AtomicInteger(0)
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.createContext("/", (ex: HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val i = hits.getAndIncrement()
+      val d = delayOf(i)
+      if (d > 0) Thread.sleep(d)
       val (status, out) =
         if (i < errorPrefix.length) (errorPrefix(i), "scripted error")
-        else {
+        else if (ex.getRequestURI.getPath.endsWith("/embeddings")) {
+          val inputs = mapper.readTree(body).path("input")
+          val root = mapper.createObjectNode()
+          val data = root.putArray("data")
+          (0 until inputs.size()).foreach { j =>
+            val entry = data.addObject()
+            entry.put("index", j)
+            val arr = entry.putArray("embedding")
+            embedOf(inputs.get(j).asText()).foreach(v => arr.add(v.toDouble))
+          }
+          (200, mapper.writeValueAsString(root))
+        } else {
           val prompt = mapper.readTree(body)
             .path("messages").path(0).path("content").asText()
           val root = mapper.createObjectNode()
@@ -199,6 +218,144 @@ class AnnotateSpec extends SparkSpec {
       val df = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
       val out = Annotate.annotate(df, "text", "q: {text}", cfg(stub.url)).collect().head
       assert(out.getString(2) == "0.5" && out.isNullAt(3))
+    } finally stub.stop()
+  }
+
+  test("llmLabel matches labels on word boundaries, not substrings") {
+    val stub = new Stub(scoreOf = p =>
+      if (p.contains("number 0")) "that reply was shameful" // contains 'ham' as substring only
+      else if (p.contains("number 1")) "clearly ham, not spam-adjacent"
+      else "HAM!")
+    try {
+      val out = Annotate.llmLabel(docs(3).coalesce(1), "text",
+        "Classify: {text}", Seq("spam", "ham"), cfg(stub.url))
+        .select("doc_id", "label")
+        .collect().sortBy(_.getLong(0))
+      assert(out(0).isNullAt(1), "'shameful' must not hit label 'ham'")
+      // 'spam-adjacent' DOES contain the whole word 'spam' (hyphen is a
+      // boundary) → two word hits → ambiguous → null
+      assert(out(1).isNullAt(1))
+      assert(out(2).getString(1) == "ham", "case + punctuation around a word hit")
+    } finally stub.stop()
+  }
+
+  test("annotate refuses an input that already has the output columns") {
+    val df = docs(1).withColumn("annotation", lit("x"))
+    intercept[IllegalArgumentException](
+      Annotate.annotate(df, "text", "q: {text}", cfg("http://example.invalid/v1")))
+    val df2 = docs(1).withColumn("score", lit(1.0))
+    intercept[IllegalArgumentException](
+      Annotate.llmScore(df2, "text", "q: {text}", cfg("http://example.invalid/v1")))
+    val df3 = docs(1).withColumn("embedding", lit(1.0))
+    intercept[IllegalArgumentException](
+      Annotate.llmEmbed(df3, "text", cfg("http://example.invalid/v1")))
+  }
+
+  test("completion window: a slow request does not stall the other slots") {
+    // hits 0,2,4 sleep 600ms, the rest 5ms. A wave barrier of 2 would
+    // serialize the three slow hits across three waves (>= 1800ms); the
+    // completion-ordered window overlaps them across refills (~1200ms).
+    val stub = new Stub(delayOf = i => if (i % 2 == 0) 600L else 5L)
+    try {
+      val t0 = System.nanoTime()
+      val out = Annotate.annotate(docs(6).coalesce(1), "text", "q: {text}",
+        cfg(stub.url).copy(concurrency = 2))
+        .select("doc_id", "annotation").collect()
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(out.length == 6 && out.forall(_.getString(1) == "0.5"))
+      assert(elapsedMs < 1650,
+        s"throughput must track the rate limit, not the slowest request: ${elapsedMs}ms")
+    } finally stub.stop()
+  }
+
+  private def embedStub(errorPrefix: Seq[Int] = Nil) =
+    new Stub(errorPrefix = errorPrefix, embedOf = t => {
+      val k = "\\d+".r.findFirstIn(t).get.toFloat
+      Seq(k, k + 0.5f)
+    })
+
+  test("llmEmbed packs rows into batched requests and matches vectors to rows") {
+    val stub = embedStub()
+    try {
+      val out = Annotate.llmEmbed(docs(10).coalesce(1), "text",
+        cfg(stub.url), batchSize = 4)
+      assert(out.schema("embedding").dataType.simpleString == "array<float>")
+      val rows = out.select("doc_id", "embedding", "annotation_error")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.isNullAt(2)))
+      assert(rows.length == 10 && rows.forall(_._3), "no errors")
+      rows.foreach { case (id, vec, _) =>
+        assert(vec == Seq(id.toFloat, id + 0.5f), s"doc $id got $vec") }
+      assert(stub.hits.get() == 3, "10 rows at batchSize 4 = 3 requests")
+    } finally stub.stop()
+  }
+
+  test("llmEmbed audits a failed batch's rows and continues with the rest") {
+    val stub = embedStub(errorPrefix = Seq(400))
+    try {
+      val out = Annotate.llmEmbed(docs(4).coalesce(1), "text",
+        cfg(stub.url).copy(concurrency = 1), batchSize = 2)
+        .select("doc_id", "embedding", "annotation_error")
+        .collect().sortBy(_.getLong(0))
+      // batch 1 (docs 0,1) hit the permanent 400: null vectors + audit
+      assert(out(0).isNullAt(1) && out(0).getString(2).contains("400"))
+      assert(out(1).isNullAt(1) && out(1).getString(2).contains("400"))
+      // batch 2 (docs 2,3) unaffected
+      assert(out(2).getSeq[Float](1) == Seq(2f, 2.5f) && out(2).isNullAt(2))
+      assert(out(3).getSeq[Float](1) == Seq(3f, 3.5f) && out(3).isNullAt(2))
+      assert(stub.hits.get() == 2, "permanent failure: no retry")
+    } finally stub.stop()
+  }
+
+  test("llmEmbed retries a transiently failing batch through to success") {
+    val stub = embedStub(errorPrefix = Seq(500))
+    try {
+      val out = Annotate.llmEmbed(docs(4).coalesce(1), "text",
+        cfg(stub.url).copy(concurrency = 1), batchSize = 2)
+        .select("doc_id", "embedding", "annotation_error")
+        .collect().sortBy(_.getLong(0))
+      assert(out.forall(r => !r.isNullAt(1) && r.isNullAt(2)))
+      assert(stub.hits.get() == 3, "2 batches + 1 retried transient")
+    } finally stub.stop()
+  }
+
+  test("llmEmbed vectors drive semanticDedup and the IVF-PQ serving layout") {
+    // 12 docs in 3 near-duplicate direction groups (8-dim): group g of
+    // doc k = k % 3 → basis vector e_g plus a tiny per-doc perturbation,
+    // so same-group cosine ≈ 1 and cross-group ≈ 0
+    val stub = new Stub(embedOf = t => {
+      val k = "\\d+".r.findFirstIn(t).get.toInt
+      val v = Array.fill(8)(0f)
+      v(k % 3) = 1f
+      v(7) = 0.01f * (k / 3)
+      v.toSeq
+    })
+    try {
+      val embedded = Annotate.llmEmbed(docs(12).repartition(2), "text",
+        cfg(stub.url), batchSize = 5).cache()
+      assert(embedded.where(col("annotation_error").isNotNull).count() == 0)
+
+      // real-embedding semantic dedup: one representative per ε-ball,
+      // greedy by min id → docs 0, 1, 2 survive
+      val survivors = Similarity.semanticDedup(embedded, "doc_id", "embedding",
+        threshold = 0.9, k = 1, persistAssigned = false)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(survivors == Seq(0L, 1L, 2L), s"got $survivors")
+
+      // real-embedding ANN serving: train IVF + PQ on the embedded frame,
+      // write the partitioned layout, probe = brute-force ground truth
+      val coarse = Similarity.ivfTrain(embedded, "doc_id", "embedding", k = 3)
+      val books = Similarity.trainPq(embedded, "doc_id", "embedding", m = 4, k = 4)
+      val path = "target/graft-tmp/llm-embed-index"
+      Similarity.writeIvfPq(embedded, "embedding", path, coarse, books)
+      val q = Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0.005f) // group-1 direction
+      val served = Similarity.probeIvfPq(spark, path, "doc_id", "embedding",
+        coarse, books, q, k = 4, nprobe = 3, rescoreFactor = 3)
+        .collect().map(_.getLong(0)).toSet
+      val exact = Similarity.bruteForceTopK(embedded, "doc_id", "embedding", q, 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(served == exact,
+        s"served $served must match exact top-k $exact on the embedded corpus")
+      embedded.unpersist()
     } finally stub.stop()
   }
 }

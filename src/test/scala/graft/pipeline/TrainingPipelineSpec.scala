@@ -139,6 +139,101 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  // ---- incremental curation (recrawl shape) ----
+
+  test("curateIncremental ≡ curate(prev ∪ delta) on the documents table (monotone ids)") {
+    val docs = graft.Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val t = docs.agg(max("doc_id")).head().getLong(0) * 7 / 10
+    val prev = docs.where(col("doc_id") <= t)
+    val delta = docs.where(col("doc_id") > t)
+
+    val full = TrainingPipeline.curate(docs, "doc_id", "text",
+      minQuality = 0.3, minWords = 20, spanK = 0)
+      .where(col("doc_id") > t)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    OperatorCache.releaseAll(spark)
+
+    val state = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 20)
+    val incr = TrainingPipeline.curateIncremental(state, delta, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    OperatorCache.releaseAll(spark)
+
+    assert(incr == full,
+      s"incremental result must equal the full run restricted to the batch: " +
+        s"only-incr=${(incr -- full).map(_._1)}, only-full=${(full -- incr).map(_._1)}")
+    assert(incr.nonEmpty, "the equivalence must not hold vacuously")
+  }
+
+  private def sentence(tag: String) =
+    s"the $tag morning report describes how the valley weather shifted " +
+      s"over seven quiet days while local farmers watched the $tag clouds drift"
+
+  test("curateIncremental: prior links, batch clusters, exact-copy gate, floors") {
+    val prev = Seq(
+      1L -> sentence("alpha"),
+      2L -> (sentence("alpha") + " extra"), // near-dup of 1 — DROPPED by prior dedup, still linkable state
+      3L -> sentence("bravo"),
+    ).toDF("doc_id", "text")
+    val state = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 5, dedupThreshold = 0.7)
+
+    val delta = Seq(
+      10L -> (sentence("alpha") + " again"), // near-dup of prior (incl. dedup-dropped 2) → dropped
+      11L -> sentence("charlie"),            // cluster {11,12}: unlinked → min id survives
+      12L -> (sentence("charlie") + " also"),
+      13L -> sentence("bravo"),              // exact copy of prior raw → Bloom-gated
+      14L -> sentence("delta"),              // fresh → survives
+      15L -> "!!! ??? ... !!! ??? ... !!!",  // quality floor
+      16L -> "too short to pass",            // Gopher word floor
+    ).toDF("doc_id", "text")
+
+    val out = TrainingPipeline.curateIncremental(state, delta, "doc_id", "text")
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(11L, 14L), s"got $ids")
+    OperatorCache.releaseAll(spark)
+
+    // the same batch through a FULL curate over prev ∪ delta must agree
+    // on the batch's ids (monotone id split)
+    val full = TrainingPipeline.curate(prev.union(delta), "doc_id", "text",
+      minQuality = 0.3, minWords = 5, dedupThreshold = 0.7, spanK = 0)
+      .where(col("doc_id") >= 10L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(full == ids, s"full-run batch ids $full must match incremental $ids")
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("advanceState: batch 2 dedups against batch 1's docs — including its dedup-dropped ones") {
+    val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
+    val state0 = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 5, dedupThreshold = 0.7)
+
+    val batch1 = Seq(
+      10L -> sentence("echo"),
+      11L -> (sentence("echo") + " too"), // dropped by batch-1 dedup (cluster with 10)
+    ).toDF("doc_id", "text")
+    val out1 = TrainingPipeline.curateIncremental(state0, batch1, "doc_id", "text")
+    assert(out1.select("doc_id").as[Long].collect().toSeq == Seq(10L))
+    OperatorCache.releaseAll(spark)
+
+    val state1 = TrainingPipeline.advanceState(state0, batch1, "doc_id", "text")
+    val batch2 = Seq(
+      20L -> (sentence("echo") + " yet again"), // near-dup of batch-1 doc → dropped
+      21L -> (sentence("echo") + " too more"),  // near-dup of batch-1's DEDUP-DROPPED 11 → still dropped
+      22L -> sentence("foxtrot"),               // fresh → survives
+    ).toDF("doc_id", "text")
+    val out2 = TrainingPipeline.curateIncremental(state1, batch2, "doc_id", "text")
+    assert(out2.select("doc_id").as[Long].collect().toSeq == Seq(22L))
+    OperatorCache.releaseAll(spark)
+
+    // cross-check: three-way full run agrees on batch 2's ids
+    val full = TrainingPipeline.curate(prev.union(batch1).union(batch2),
+      "doc_id", "text", minQuality = 0.3, minWords = 5,
+      dedupThreshold = 0.7, spanK = 0)
+      .where(col("doc_id") >= 20L).select("doc_id").as[Long].collect().toSeq
+    assert(full == Seq(22L))
+    OperatorCache.releaseAll(spark)
+  }
+
   test("composition is deterministic: two runs produce identical results") {
     def run() = TrainingPipeline.curate(
       corpus, "doc_id", "text", minWords = 10,

@@ -89,6 +89,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: numeric ties fold in NUMERIC order (id 9 before 10), " +
+      "and a frame without the tie column falls back to a constant tie") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Long)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventStreams.funnelStream(spark, df, Seq("signup", "click"))
+    val q = out.writeStream.format("memory").queryName("funnel_numtie")
+      .outputMode("update").start()
+    try {
+      val ts = Timestamp.valueOf("2024-05-01 01:00:00")
+      // equal-ts events with ids 9 (signup) and 10 (click): numeric order
+      // folds signup first → both steps complete. A lexicographic string
+      // cast would fold "10" < "9" — click before signup → only step 1.
+      mem.addData((1L, ts, "click", 10L), (1L, ts, "signup", 9L))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_numtie").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.toSeq == Seq((1L, 2)),
+        s"native numeric tie order must fold id 9 before id 10: ${rows.toSeq}")
+    } finally q.stop()
+
+    // pre-tieCol input contract: (user_id, ts, event_type) only — the
+    // operator must not demand an event_id column that isn't there
+    val mem2 = MemoryStream[(Long, Timestamp, String)]
+    val df2 = mem2.toDF().toDF("user_id", "ts", "event_type")
+    val q2 = EventStreams.funnelStream(spark, df2, Seq("signup", "click"))
+      .writeStream.format("memory").queryName("funnel_notie")
+      .outputMode("update").start()
+    try {
+      mem2.addData((5L, Timestamp.valueOf("2024-05-01 01:00:00"), "signup"),
+        (5L, Timestamp.valueOf("2024-05-01 02:00:00"), "click"))
+      q2.processAllAvailable()
+      val rows = spark.table("funnel_notie").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(rows.toSeq == Seq((5L, 2)), s"got ${rows.toSeq}")
+    } finally q2.stop()
+  }
+
   test("sessionize aggregates per user via mapGroupsWithState") {
     val events = Tables.load(spark, sf, "events").limit(100)
     val sessions = EventStreams.sessionize(spark, events)
