@@ -1258,6 +1258,18 @@ object TextAnalysis {
     * its partitioning; gram aggregates are map-side combined; nothing
     * reaches the driver.
     *
+    * Gram identity is a 64-bit hash of the tokens' 64-bit hashes (the
+    * winnowFingerprints BIGINT idiom), NOT the concatenated gram
+    * string: each token is hashed ONCE, the nine lead columns carry
+    * longs instead of duplicated token strings, and the per-n branches
+    * combine longs — the string-allocation pressure that made GC ~45%
+    * of this battery's wall time (r13 attribution) is gone. The output
+    * is unchanged: every reported value depends only on (occurrence
+    * count, gram char length), both computed exactly from the lengths,
+    * so hash-vs-string grouping differs only under a 64-bit collision
+    * (~n²/2⁶⁴ — and the DuckDB oracle, which groups by the real
+    * strings, would catch one).
+    *
     * @return (doc, n_chars_norm, top_{n}_gram_frac…, dup_{n}_gram_frac…)
     */
   def gopherRepetitionStats(
@@ -1278,10 +1290,17 @@ object TextAnalysis {
       // char offset of this token in the space-joined normalized text
       .withColumn("cs", coalesce(sum(col("tlen") + 1)
         .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // one windowed frame carries every lead the largest n needs; the
-    // per-n branches below select from it without re-sorting
+      // token identity collapses to one long here; the token STRING
+      // never survives past this projection
+      .withColumn("th", xxhash64(col("tok")))
+      .select("doc", "pos", "tlen", "cs", "th")
+    // one windowed frame carries every (hash, length) lead the largest
+    // n needs; the per-n branches below select from it without
+    // re-sorting — all-long rows, so the persisted frame is small and
+    // the window copies 8-byte values, not string bytes
     val leaded0 = (1 until maxN).foldLeft(toks0) { case (d, j) =>
-      d.withColumn(s"tok_$j", lead(col("tok"), j).over(wDoc))
+      d.withColumn(s"th_$j", lead(col("th"), j).over(wDoc))
+        .withColumn(s"tlen_$j", lead(col("tlen"), j).over(wDoc))
     }
     val leaded =
       if (persist) OperatorCache.materialize(leaded0) else leaded0
@@ -1290,16 +1309,22 @@ object TextAnalysis {
       .agg((sum(col("tlen")) + count(lit(1)) - 1L).as("total"))
 
     def gramsOf(n: Int): DataFrame = {
-      val parts = col("tok") +: (1 until n).map(j => col(s"tok_$j"))
+      val hashes = col("th") +: (1 until n).map(j => col(s"th_$j"))
+      val lens = col("tlen") +: (1 until n).map(j => col(s"tlen_$j"))
       leaded
-        .where(if (n > 1) col(s"tok_${n - 1}").isNotNull else lit(true))
+        .where(if (n > 1) col(s"th_${n - 1}").isNotNull else lit(true))
         .select(col("doc"), lit(n).as("n"),
-          concat_ws(" ", parts: _*).as("gram"), col("cs").as("gstart"))
-        .withColumn("glen", length(col("gram")).cast("long"))
+          xxhash64(hashes: _*).as("gram"),
+          // |gram string| = token lengths + (n-1) joining spaces
+          (lens.reduce(_ + _) + lit((n - 1).toLong)).as("glen"),
+          col("cs").as("gstart"))
         .withColumn("gend", col("gstart") + col("glen"))
     }
 
-    // top-n: chars of the single most frequent n-gram
+    // top-n: chars of the single most frequent n-gram. The final
+    // `gram` tie-break only pins determinism — candidates tied on both
+    // count and count·glen report the SAME chars value, so hash order
+    // vs string order cannot change the output
     val topFracs = topNs.map(gramsOf).reduce(_ unionByName _)
       .groupBy("doc", "n", "gram", "glen").agg(count(lit(1)).as("c"))
       .withColumn("rk", row_number().over(
