@@ -368,6 +368,70 @@ object TrainingPipeline {
     else Curation.splitCorpus(projected, idCol, splits)
   }
 
+  /** Persist [[CurateState]] under `dir` as four parquet datasets
+    * (`cleaned/`, `band_index/`, `bloom/`, `params/`) — the executable
+    * form of the state layout documented in PLANS.md, so a recrawl job
+    * can pick up yesterday's state without recomputing anything. The
+    * curation parameters travel WITH the state (parameter drift between
+    * the state build and a later batch would silently break the
+    * full ≡ incremental equivalence). At cluster scale, write
+    * `band_index` as a table bucketed by (band, band_hash) instead —
+    * the probe join then needs no index-side shuffle; the plain
+    * parquet layout here still probes with one index-side exchange.
+    */
+  def writeState(state: CurateState, dir: String): Unit = {
+    import state._
+    val spark = state.cleaned.sparkSession
+    import spark.implicits._
+    cleaned.write.mode("overwrite").parquet(s"$dir/cleaned")
+    bandIndex.write.mode("overwrite").parquet(s"$dir/band_index")
+    bloom.foreach { case (bitmap, _, _) =>
+      bitmap.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
+        .toDF("pos", "word").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/bloom")
+    }
+    Seq((minQuality, languages.toSeq.sorted, minWords, minStopwordHits,
+      dedupThreshold, shingleK, numHashes, bands, minEntropy,
+      maxTopCharFrac, splits.map(_._1), splits.map(_._2),
+      bloom.map(_._2).getOrElse(0), bloom.map(_._3).getOrElse(0)))
+      .toDF("minQuality", "languages", "minWords", "minStopwordHits",
+        "dedupThreshold", "shingleK", "numHashes", "bands", "minEntropy",
+        "maxTopCharFrac", "splitNames", "splitWeights", "bloomBits", "bloomK")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Load a [[writeState]] layout. The frames come back LAZY (plain
+    * parquet scans — only the bucket-matched slices are ever read by a
+    * batch); the bitmap is driver-collected like [[BloomGate.build]]
+    * produces it. */
+  def readState(spark: org.apache.spark.sql.SparkSession, dir: String): CurateState = {
+    import spark.implicits._
+    val p = spark.read.parquet(s"$dir/params").head()
+    val bloomBits = p.getAs[Int]("bloomBits")
+    val bloom =
+      if (bloomBits <= 0) None
+      else Some((
+        spark.read.parquet(s"$dir/bloom").orderBy("pos")
+          .select("word").as[Long].collect(),
+        bloomBits, p.getAs[Int]("bloomK")))
+    CurateState(
+      cleaned = spark.read.parquet(s"$dir/cleaned"),
+      bandIndex = spark.read.parquet(s"$dir/band_index"),
+      bloom = bloom,
+      minQuality = p.getAs[Double]("minQuality"),
+      languages = p.getAs[scala.collection.Seq[String]]("languages").toSet,
+      minWords = p.getAs[Long]("minWords"),
+      minStopwordHits = p.getAs[Long]("minStopwordHits"),
+      dedupThreshold = p.getAs[Double]("dedupThreshold"),
+      shingleK = p.getAs[Int]("shingleK"),
+      numHashes = p.getAs[Int]("numHashes"),
+      bands = p.getAs[Int]("bands"),
+      minEntropy = p.getAs[Double]("minEntropy"),
+      maxTopCharFrac = p.getAs[Double]("maxTopCharFrac"),
+      splits = p.getAs[scala.collection.Seq[String]]("splitNames")
+        .zip(p.getAs[scala.collection.Seq[Double]]("splitWeights")).toSeq)
+  }
+
   /** Roll [[CurateState]] forward past a batch: the batch's post-floor
     * docs join the dedup reference set and the band index (per-doc
     * signatures — the union index IS the index of the union), and the

@@ -234,6 +234,39 @@ class TrainingPipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("CurateState round-trips through its parquet layout") {
+    val prev = Seq(
+      1L -> sentence("alpha"),
+      2L -> sentence("bravo"),
+    ).toDF("doc_id", "text")
+    val state = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, languages = Set("en", "und"), minWords = 5,
+      dedupThreshold = 0.7, splits = Seq("train" -> 0.9, "val" -> 0.1))
+    val dir = "target/graft-tmp/curate-state"
+    TrainingPipeline.writeState(state, dir)
+    val loaded = TrainingPipeline.readState(spark, dir)
+
+    // params survive exactly
+    assert(loaded.minQuality == 0.3 && loaded.languages == Set("en", "und"))
+    assert(loaded.minWords == 5L && loaded.dedupThreshold == 0.7)
+    assert(loaded.splits == Seq("train" -> 0.9, "val" -> 0.1))
+    assert(loaded.bloom.isDefined &&
+      loaded.bloom.get._1.toSeq == state.bloom.get._1.toSeq &&
+      loaded.bloom.get._2 == state.bloom.get._2)
+
+    // and the loaded state curates a batch identically to the live one
+    val delta = Seq(
+      10L -> (sentence("alpha") + " again"),
+      11L -> sentence("charlie"),
+    ).toDF("doc_id", "text")
+    def ids(s: TrainingPipeline.CurateState) =
+      TrainingPipeline.curateIncremental(s, delta, "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val live = ids(state); OperatorCache.releaseAll(spark)
+    val reloaded = ids(loaded); OperatorCache.releaseAll(spark)
+    assert(live == Seq(11L) && reloaded == live)
+  }
+
   test("composition is deterministic: two runs produce identical results") {
     def run() = TrainingPipeline.curate(
       corpus, "doc_id", "text", minWords = 10,
