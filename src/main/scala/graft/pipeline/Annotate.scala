@@ -204,6 +204,31 @@ object Annotate {
     }(enc)
   }
 
+  /** Re-drive ONLY the failed slice of a prior [[annotate]] output: rows
+    * whose `annotation_error` is set go back through the endpoint; rows
+    * that succeeded pass through UNTOUCHED (no request, no
+    * re-annotation). This is the documented recovery move for a long
+    * run — `annotateRetry(yesterdaysOutput, ...)` instead of
+    * re-annotating 10B rows because 0.1% hit a flaky hour — and it
+    * composes with itself: each application can only shrink the failed
+    * slice. The filter is a codegen predicate; only failed-slice
+    * partitions open HTTP clients.
+    */
+  def annotateRetry(
+      annotated: DataFrame, textCol: String, promptTemplate: String,
+      config: LlmAnnotateConfig,
+  ): DataFrame = {
+    Seq("annotation", "annotation_error").foreach(c =>
+      require(annotated.columns.contains(c),
+        s"annotateRetry input must be an annotate output (missing '$c')"))
+    val ok = annotated.where(col("annotation_error").isNull)
+    val retried = annotate(
+      annotated.where(col("annotation_error").isNotNull)
+        .drop("annotation", "annotation_error"),
+      textCol, promptTemplate, config)
+    ok.unionByName(retried)
+  }
+
   /** Numeric scoring on top of [[annotate]]: parses the FIRST number in
     * the model's reply into a double `score` column (null when the
     * reply has none or the request failed — the audit column tells

@@ -132,6 +132,20 @@ object Similarity {
     indexed(corpus, vecCol, planes, seed)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Append a new vector batch to a [[writeIndexed]] LSH layout: the
+    * hyperplanes are a pure function of (dim, planes, seed), so batch
+    * bucket ids are computed independently and the append lands inside
+    * the existing `bucket=` partition directories — probes see old and
+    * new rows through the same pruned scan. Unlike IVF
+    * ([[appendIvfPq]]) there is nothing trained to drift here; the
+    * layout is append-only forever (compaction is a file-size concern,
+    * not a recall concern).
+    */
+  def appendIndexed(batch: DataFrame, vecCol: String, path: String,
+      planes: Int = 12, seed: Long = 42L): Unit =
+    indexed(batch, vecCol, planes, seed)
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
   /** Serve an ANN query from a [[writeIndexed]] layout: the bucket
     * predicate prunes partitions at planning time, so only
     * `planes + 1` directories (multi-probe) of the index are scanned.
@@ -704,6 +718,27 @@ object Similarity {
     * codes, exact rescore. `coarse`/`books` must be the artifacts the
     * index was written with (the model travels with the index at scale).
     */
+  /** Incremental serving-index maintenance — the ANN sibling of
+    * [[graft.pipeline.TrainingPipeline.curateIncremental]]'s recrawl
+    * shape: assign a NEW vector batch to the EXISTING coarse centroids,
+    * PQ-encode it with the existing codebooks, and APPEND it to a
+    * [[writeIvfPq]] layout. No retrain, no rewrite: the append lands
+    * new files inside the matching `centroid=` partition directories,
+    * prior data is untouched, and every probe path picks the batch up
+    * automatically (partition pruning sees the same directory keys).
+    *
+    * The frozen-centroid caveat is the standard IVF drift story: as
+    * the corpus distribution moves away from the training sample,
+    * cell balance and recall degrade — monitor with
+    * [[ivfRecallAudit]] per release and retrain+rewrite at compaction
+    * (the audit IS the trigger; at 100 TB a rewrite is a full-corpus
+    * map-only encode job, no shuffle).
+    */
+  def appendIvfPq(batch: DataFrame, vecCol: String, path: String,
+      coarse: IvfIndex, books: Seq[IvfIndex]): Unit =
+    pqEncode(ivfIndex(batch, vecCol, coarse), vecCol, books)
+      .write.mode("append").partitionBy("centroid").parquet(path)
+
   def probeIvfPq(
       spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String,

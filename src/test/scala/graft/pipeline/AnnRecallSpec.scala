@@ -70,6 +70,49 @@ class AnnRecallSpec extends SparkSpec {
       Similarity.trainPq(corpus, "vec_id", "embedding", m = 7, k = 4))
   }
 
+  test("appendIvfPq: an appended batch serves identically to a rebuilt index") {
+    // split the corpus: base written first, batch appended with the SAME
+    // frozen centroids/codebooks — probing the appended layout must equal
+    // probing a layout built from the whole corpus in one shot
+    val base = corpus.where(col("vec_id") % 5 =!= 0)
+    val batch = corpus.where(col("vec_id") % 5 === 0)
+    val coarse = Similarity.ivfTrain(base, "vec_id", "embedding", k = 8)
+    val books = Similarity.trainPq(base, "vec_id", "embedding", m = 8, k = 16)
+
+    val appended = "target/graft-tmp/ivfpq-appended"
+    Similarity.writeIvfPq(base, "embedding", appended, coarse, books)
+    Similarity.appendIvfPq(batch, "embedding", appended, coarse, books)
+    val rebuilt = "target/graft-tmp/ivfpq-rebuilt"
+    Similarity.writeIvfPq(corpus, "embedding", rebuilt, coarse, books)
+
+    for (q <- queries.take(2)) {
+      def served(path: String) = Similarity.probeIvfPq(spark, path,
+        "vec_id", "embedding", coarse, books, q, K, nprobe = 6, rescoreFactor = 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(served(appended) == served(rebuilt),
+        "append must be indistinguishable from a rebuild at serve time")
+    }
+    // sanity: appended rows are actually reachable (a batch id can win)
+    val all = spark.read.parquet(appended)
+    assert(all.count() == corpus.count(), "no rows lost or duplicated")
+  }
+
+  test("appendIndexed: LSH layout append serves old and new rows through one pruned scan") {
+    val base = corpus.where(col("vec_id") % 5 =!= 0)
+    val batch = corpus.where(col("vec_id") % 5 === 0)
+    val path = "target/graft-tmp/lsh-appended"
+    val planes = 4
+    Similarity.writeIndexed(base, "embedding", path, planes)
+    Similarity.appendIndexed(batch, "embedding", path, planes)
+    val q = queries.head
+    val served = Similarity.probeIndexed(spark, path, "vec_id", "embedding",
+      q, K, planes).collect().map(_.getLong(0)).toSeq
+    val direct = Similarity.annTopK(corpus, "vec_id", "embedding", q, K,
+      planes).collect().map(_.getLong(0)).toSeq
+    assert(served == direct,
+      "appended layout must serve exactly what the in-memory LSH path returns")
+  }
+
   test("IVF-PQ composition holds a recall floor and matches its serving layout") {
     val coarse = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)
     val books = Similarity.trainPq(corpus, "vec_id", "embedding", m = 8, k = 16)

@@ -268,6 +268,33 @@ class AnnotateSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("annotateRetry re-drives ONLY the failed slice") {
+    // first pass: one partition, concurrency 1 → row 0 deterministically
+    // eats the scripted 400, rows 1-2 succeed
+    val stub1 = new Stub(errorPrefix = Seq(400))
+    val first =
+      try Annotate.annotate(docs(3).coalesce(1), "text", "q: {text}",
+        cfg(stub1.url).copy(concurrency = 1)).cache()
+      finally { /* keep stub1 up until materialized */ }
+    try assert(first.where(col("annotation_error").isNotNull).count() == 1)
+    finally stub1.stop()
+
+    // retry against a healthy endpoint: the two successful rows must NOT
+    // produce requests; the failed row must
+    val stub2 = new Stub(scoreOf = _ => "recovered")
+    try {
+      val out = Annotate.annotateRetry(first, "text", "q: {text}", cfg(stub2.url))
+        .select("doc_id", "annotation", "annotation_error")
+        .collect().sortBy(_.getLong(0))
+      assert(out.length == 3 && out.forall(_.isNullAt(2)))
+      assert(out(0).getString(1) == "recovered")
+      assert(out(1).getString(1) == "0.5" && out(2).getString(1) == "0.5",
+        "successful rows pass through untouched")
+      assert(stub2.hits.get() == 1, "only the failed row goes back out")
+      first.unpersist()
+    } finally stub2.stop()
+  }
+
   private def embedStub(errorPrefix: Seq[Int] = Nil) =
     new Stub(errorPrefix = errorPrefix, embedOf = t => {
       val k = "\\d+".r.findFirstIn(t).get.toFloat
