@@ -105,11 +105,51 @@ object PipelineQueries {
     * (`a3` = vec_id, e, cid). Shared prefix of the p14 (ANN serving, k=8)
     * and p20 (semantic dedup, k=16 — larger k = smaller cells = fewer
     * within-cell pairs, the SemDeDup scale knob) oracles. */
-  private def ivfAssignSql(k: Int): String =
+  /** idGate WHERE clause for an absolute-target sample of the
+    * embeddings table — min(1, target/count) replayed with the same
+    * rounding as Curation.deterministicSample. */
+  private def vecSampleGateSql(target: Int): String =
+    s"\n    |  WHERE (vec_id % 100000 * 2654435761) % 1000000 < " +
+      s"(SELECT CAST(ROUND(LEAST(1.0, $target.0 / COUNT(*)) * 1000000) AS BIGINT) " +
+      "FROM read_parquet('{SFDIR}/embeddings.parquet'))"
+
+  /** Shared oracle tail of the IVF recall audits (p90/p96): probe
+    * selection, both rankings, per-query hit counts — over whatever
+    * `v` CTE the prefix defined. */
+  private val ivfAuditTailSql: String =
+    """, qs AS (
+      |  SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id % 50 = 0
+      |), probes AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qs.qid, c2.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY qs.qid
+      |                              ORDER BY list_dot_product(c2.c, qs.qv) DESC, c2.cid ASC) AS rn
+      |    FROM qs, c2) WHERE rn <= 3
+      |), approx AS (
+      |  SELECT qid, vid FROM (
+      |    SELECT p.qid, a3.vec_id AS vid,
+      |           ROW_NUMBER() OVER (PARTITION BY p.qid
+      |                              ORDER BY ROUND(list_cosine_similarity(a3.e, qs.qv), 6) DESC, a3.vec_id ASC) AS rn
+      |    FROM probes p JOIN a3 ON a3.cid = p.cid JOIN qs ON qs.qid = p.qid
+      |  ) WHERE rn <= 10
+      |), exact AS (
+      |  SELECT qid, vid FROM (
+      |    SELECT qs.qid, v.vec_id AS vid,
+      |           ROW_NUMBER() OVER (PARTITION BY qs.qid
+      |                              ORDER BY ROUND(list_cosine_similarity(v.e, qs.qv), 6) DESC, v.vec_id ASC) AS rn
+      |    FROM v, qs
+      |  ) WHERE rn <= 10
+      |)
+      |SELECT e.qid, CAST(COUNT(a.vid) AS BIGINT) AS n_hit,
+      |       ROUND(CAST(COUNT(a.vid) AS DOUBLE) / COUNT(e.vid), 6) AS recall
+      |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vid = e.vid
+      |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
+  private def ivfAssignSql(k: Int, docWhere: String = ""): String =
     s"""WITH v AS (
     |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
     |         CAST((vec_id % 100000) * 2654435761 % $k AS INT) AS c0a
-    |  FROM read_parquet('{SFDIR}/embeddings.parquet')
+    |  FROM read_parquet('{SFDIR}/embeddings.parquet')$docWhere
     |), u0 AS (
     |  SELECT c0a AS cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS ord FROM v
     |), c0 AS (
@@ -3733,18 +3773,27 @@ object PipelineQueries {
       Some(lshAuditSql("", None))),
 
     // The SAME audit under its production scale knobs — a hash-gated
-    // 25% document sample (the idGate predicate, replayed verbatim by
-    // the oracle) and a df-capped inverted index. This is the entry
-    // that proves the mitigation is executable, oracle-checked, and
-    // cheap: the exact side shrinks ~f^2 and the signature fan-out ~f,
-    // while recall measured on the sample estimates corpus recall.
+    // document sample (the idGate predicate, replayed verbatim by the
+    // oracle) and a df-capped inverted index. The sample is sized
+    // ABSOLUTELY — min(1, 1250/corpusDocs), i.e. a fixed ~1250-doc
+    // audit whatever the corpus size — which is what keeps the
+    // quadratic exact side FLAT as the corpus grows (the r14 sf1
+    // sweep measured the old fraction sizing growing ×10 with the
+    // data, PLANS.md). At sf0.1 this lands on the same 25% gate as
+    // the original fraction form; at sf0.01 it audits the full
+    // corpus (clamp), still exercising the df cap.
     QueryDef("p92_lsh_recall_sampled",
-      (s, dir) => Dedup.lshRecallAudit(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.12, shingleK = 3, numHashes = 32, bands = 16,
-        sampleFraction = Some(0.25), maxDocFreq = Some(500)),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val f = math.min(1.0, 1250.0 / docs.count())
+        Dedup.lshRecallAudit(docs, "doc_id", "text",
+          threshold = 0.12, shingleK = 3, numHashes = 32, bands = 16,
+          sampleFraction = Some(f), maxDocFreq = Some(500))
+      },
       Some(lshAuditSql(
-        "\n  WHERE (doc_id % 100000 * 2654435761) % 1000000 < 250000",
+        "\n  WHERE (doc_id % 100000 * 2654435761) % 1000000 < " +
+          "(SELECT CAST(ROUND(LEAST(1.0, 1250.0 / COUNT(*)) * 1000000) AS BIGINT) " +
+          "FROM read_parquet('{SFDIR}/documents.parquet'))",
         Some(500)))),
 
     // Batched IVF recall audit — the ANN sibling of p89: exact vs
@@ -3761,34 +3810,26 @@ object PipelineQueries {
           k = 10, ivfK = 8, nprobe = 3)
           .orderBy("qid")
       },
-      Some(ivfAssignSql(8) +
-        """, qs AS (
-          |  SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id % 50 = 0
-          |), probes AS (
-          |  SELECT qid, cid FROM (
-          |    SELECT qs.qid, c2.cid,
-          |           ROW_NUMBER() OVER (PARTITION BY qs.qid
-          |                              ORDER BY list_dot_product(c2.c, qs.qv) DESC, c2.cid ASC) AS rn
-          |    FROM qs, c2) WHERE rn <= 3
-          |), approx AS (
-          |  SELECT qid, vid FROM (
-          |    SELECT p.qid, a3.vec_id AS vid,
-          |           ROW_NUMBER() OVER (PARTITION BY p.qid
-          |                              ORDER BY ROUND(list_cosine_similarity(a3.e, qs.qv), 6) DESC, a3.vec_id ASC) AS rn
-          |    FROM probes p JOIN a3 ON a3.cid = p.cid JOIN qs ON qs.qid = p.qid
-          |  ) WHERE rn <= 10
-          |), exact AS (
-          |  SELECT qid, vid FROM (
-          |    SELECT qs.qid, v.vec_id AS vid,
-          |           ROW_NUMBER() OVER (PARTITION BY qs.qid
-          |                              ORDER BY ROUND(list_cosine_similarity(v.e, qs.qv), 6) DESC, v.vec_id ASC) AS rn
-          |    FROM v, qs
-          |  ) WHERE rn <= 10
-          |)
-          |SELECT e.qid, CAST(COUNT(a.vid) AS BIGINT) AS n_hit,
-          |       ROUND(CAST(COUNT(a.vid) AS DOUBLE) / COUNT(e.vid), 6) AS recall
-          |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vid = e.vid
-          |GROUP BY e.qid ORDER BY e.qid""".stripMargin)),
+      Some(ivfAssignSql(8) + ivfAuditTailSql)),
+
+    // The IVF audit under its production sizing (the p92 pattern
+    // applied to the ANN side): corpus hash-gated to an ABSOLUTE
+    // ~1000-vector sample — flat exact-ranking cost at any corpus
+    // size (the r14 sf1 sweep measured the unsampled form ×20 on ×10
+    // data), with the index trained, probed, and exactly ranked on the
+    // SAME sample so the card still measures the pruning's recall.
+    QueryDef("p96_ivf_recall_sampled",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val f = math.min(1.0, 1000.0 / emb.count())
+        val sample = Curation.deterministicSample(emb, "vec_id", f)
+        val queries = sample.where(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Similarity.ivfRecallAudit(sample, "vec_id", "embedding", queries,
+          k = 10, ivfK = 8, nprobe = 3)
+          .orderBy("qid")
+      },
+      Some(ivfAssignSql(8, vecSampleGateSql(1000)) + ivfAuditTailSql)),
 
     // Batched PQ recall audit — the compression/recall trade measured
     // in the gate: exact vs ADC-then-rescore top-10 per query. Oracle
@@ -3804,13 +3845,39 @@ object PipelineQueries {
           m = 4, kBook = 8, k = 10, rescoreFactor = 5)
           .orderBy("qid")
       },
-      Some("""WITH v AS (
+      Some(pqAuditHeadSql("") + pqAuditTailSql)),
+
+    // The PQ audit under production sizing — same absolute ~1000-vector
+    // hash-gated sample as p96; codebooks trained, ADC-ranked, and
+    // exactly ranked on the sample.
+    QueryDef("p97_pq_recall_sampled",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val f = math.min(1.0, 1000.0 / emb.count())
+        val sample = OperatorCache.persist(
+          Curation.deterministicSample(emb, "vec_id", f))
+        val queries = sample.where(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Similarity.pqRecallAudit(sample, "vec_id", "embedding", queries,
+          m = 4, kBook = 8, k = 10, rescoreFactor = 5)
+          .orderBy("qid")
+      },
+      Some(pqAuditHeadSql(vecSampleGateSql(1000)) + pqAuditTailSql)),
+  ) ++ defsAfterPqAudit
+
+  /** Oracle head of the PQ recall audits: the (optionally gated) `v`
+    * CTE plus all four subspace Lloyd trajectories. */
+  private def pqAuditHeadSql(docWhere: String): String =
+    s"""WITH v AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-             |  FROM read_parquet('{SFDIR}/embeddings.parquet')
+             |  FROM read_parquet('{SFDIR}/embeddings.parquet')$docWhere
              |)""".stripMargin +
-        pqAssignSql(0, 1, 16, 8) + pqAssignSql(1, 17, 32, 8) +
-        pqAssignSql(2, 33, 48, 8) + pqAssignSql(3, 49, 64, 8) +
-        """, qs AS (
+      pqAssignSql(0, 1, 16, 8) + pqAssignSql(1, 17, 32, 8) +
+      pqAssignSql(2, 33, 48, 8) + pqAssignSql(3, 49, 64, 8)
+
+  /** Oracle tail of the PQ recall audits (p91/p97). */
+  private val pqAuditTailSql: String =
+    """, qs AS (
           |  SELECT vec_id AS qid, e AS qv, e[1:16] AS q0, e[17:32] AS q1,
           |         e[33:48] AS q2, e[49:64] AS q3
           |  FROM v WHERE vec_id % 50 = 0
@@ -3856,8 +3923,11 @@ object PipelineQueries {
           |SELECT e.qid, CAST(COUNT(a.vid) AS BIGINT) AS n_hit,
           |       ROUND(CAST(COUNT(a.vid) AS DOUBLE) / COUNT(e.vid), 6) AS recall
           |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vid = e.vid
-          |GROUP BY e.qid ORDER BY e.qid""".stripMargin)),
+          |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 
+  /** The defs list continues here — split only because the PQ-audit
+    * oracle helpers above sit between the two halves in source. */
+  private def defsAfterPqAudit: Seq[QueryDef] = Seq(
     // Calibration card over the trained classifier's scores — the
     // audit that makes the p56 screen threshold MEAN something:
     // reliability-diagram rows (bin, n, mean predicted prob, empirical
