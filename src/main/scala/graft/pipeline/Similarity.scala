@@ -871,6 +871,55 @@ object Similarity {
     assigned.join(drops, assigned(idCol) === drops("__drop"), "left_anti")
   }
 
+  /** Incremental semantic dedup — the embedding-space member of the
+    * recrawl family ([[graft.pipeline.TrainingPipeline.curateIncremental]]
+    * for MinHash text, [[appendIvfPq]] for serving): dedup a NEW vector
+    * batch against prior state without revisiting the prior corpus.
+    * State = the FROZEN coarse index (`index`, trained on the prior
+    * corpus) plus `priorAssigned` — the prior corpus's cell assignment
+    * (`ivfIndex(prev, vecCol, index)`), which must cover ALL prior
+    * vectors including ones prior dedup dropped (the pair graph needs
+    * them, exactly like curateIncremental's `cleaned`).
+    *
+    * A batch vector dies iff its cell holds ANY prior vector with
+    * cosine ≥ `threshold` (prior representative wins — with batch ids
+    * above prior ids this is exactly [[semanticDedup]]'s smaller-id
+    * rule) or a smaller-id batch vector with cosine ≥ `threshold`.
+    * Both checks are centroid equi-joins: the prior side is touched
+    * only through the batch's cells (partition-pruned when
+    * priorAssigned is stored partitioned by centroid), never
+    * re-scanned, so per-batch cost is batch-cell-local like every
+    * operator in this family. Frozen-centroid drift is the
+    * [[appendIvfPq]] story: retrain at compaction, with the p90/p96
+    * audit as the trigger.
+    */
+  def semanticDedupIncremental(
+      priorAssigned: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, index: IvfIndex, threshold: Double,
+      persistAssigned: Boolean = true,
+  ): DataFrame = {
+    val assigned0 = ivfIndex(batch, vecCol, index)
+    // the assignment feeds three consumers (both drop joins + the
+    // output anti-join) — same materialize contract as semanticDedup
+    val assigned =
+      if (persistAssigned) OperatorCache.materialize(assigned0) else assigned0
+    val b = assigned.select(col("centroid"),
+      col(idCol).as("__id_b"), col(vecCol).as("__vec_b"))
+    val priorDrops = b
+      .join(priorAssigned.select(col("centroid"), col(vecCol).as("__vec_a")),
+        Seq("centroid"))
+      .where(round(cosine(col("__vec_a"), col("__vec_b")), 6) >= threshold)
+      .select(col("__id_b").as("__drop"))
+    val a = assigned.select(col("centroid"),
+      col(idCol).as("__id_a"), col(vecCol).as("__vec_a"))
+    val batchDrops = a.join(b, Seq("centroid"))
+      .where(col("__id_a") < col("__id_b"))
+      .where(round(cosine(col("__vec_a"), col("__vec_b")), 6) >= threshold)
+      .select(col("__id_b").as("__drop"))
+    assigned.join(priorDrops.unionByName(batchDrops).distinct(),
+      assigned(idCol) === col("__drop"), "left_anti")
+  }
+
   /** Symmetric scalar quantization (SQ8): each vector compressed to
     * int8 steps of `scale = max(|x|)/127` — a 4× smaller serving index
     * (the difference between an in-memory and a spilling ANN index at

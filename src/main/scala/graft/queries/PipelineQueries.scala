@@ -145,6 +145,59 @@ object PipelineQueries {
       |FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vid = e.vid
       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 
+  /** Like [[ivfAssignSql]] but the recrawl split: Lloyd TRAINS on the
+    * low-id 70% only (`train` rows) while the final `a3` assignment
+    * covers EVERYTHING — the frozen-centroid incremental shape p98
+    * verifies. `cutoff` stays available downstream. */
+  private def ivfAssignIncrementalSql(k: Int): String =
+    s"""WITH cutoff AS (
+    |  SELECT MAX(vec_id) * 7 // 10 AS cut FROM read_parquet('{SFDIR}/embeddings.parquet')
+    |), v AS (
+    |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+    |         CAST((vec_id % 100000) * 2654435761 % $k AS INT) AS c0a,
+    |         vec_id <= (SELECT cut FROM cutoff) AS train
+    |  FROM read_parquet('{SFDIR}/embeddings.parquet')
+    |), u0 AS (
+    |  SELECT c0a AS cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS ord FROM v WHERE train
+    |), c0 AS (
+    |  SELECT cid, list(m ORDER BY ord) AS c FROM (
+    |    SELECT cid, ord, AVG(val) AS m FROM u0 GROUP BY cid, ord
+    |  ) GROUP BY cid
+    |), a1 AS (
+    |  SELECT vec_id, e, cid FROM (
+    |    SELECT v.vec_id, v.e, c0.cid,
+    |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+    |                              ORDER BY list_dot_product(v.e, c0.c) DESC, c0.cid DESC) AS rn
+    |    FROM v, c0 WHERE v.train
+    |  ) WHERE rn = 1
+    |), u1 AS (
+    |  SELECT cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS ord FROM a1
+    |), c1 AS (
+    |  SELECT cid, list(m ORDER BY ord) AS c FROM (
+    |    SELECT cid, ord, AVG(val) AS m FROM u1 GROUP BY cid, ord
+    |  ) GROUP BY cid
+    |), a2 AS (
+    |  SELECT vec_id, e, cid FROM (
+    |    SELECT v.vec_id, v.e, c1.cid,
+    |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+    |                              ORDER BY list_dot_product(v.e, c1.c) DESC, c1.cid DESC) AS rn
+    |    FROM v, c1 WHERE v.train
+    |  ) WHERE rn = 1
+    |), u2 AS (
+    |  SELECT cid, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS ord FROM a2
+    |), c2 AS (
+    |  SELECT cid, list(m ORDER BY ord) AS c FROM (
+    |    SELECT cid, ord, AVG(val) AS m FROM u2 GROUP BY cid, ord
+    |  ) GROUP BY cid
+    |), a3 AS (
+    |  SELECT vec_id, e, cid FROM (
+    |    SELECT v.vec_id, v.e, c2.cid,
+    |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+    |                              ORDER BY list_dot_product(v.e, c2.c) DESC, c2.cid DESC) AS rn
+    |    FROM v, c2
+    |  ) WHERE rn = 1
+    |)""".stripMargin
+
   private def ivfAssignSql(k: Int, docWhere: String = ""): String =
     s"""WITH v AS (
     |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
@@ -3863,6 +3916,39 @@ object PipelineQueries {
           .orderBy("qid")
       },
       Some(pqAuditHeadSql(vecSampleGateSql(1000)) + pqAuditTailSql)),
+
+    // Incremental SEMANTIC dedup — the embedding-space member of the
+    // recrawl family (p95 is the MinHash text form): index trained on
+    // the low-id 70%, the high-id 30% batch assigned to the FROZEN
+    // cells and deduped against the prior assignment + itself, prior
+    // corpus touched only through the batch's cells. Oracle replays
+    // the whole shape: Lloyd on the prior rows only, frozen-centroid
+    // assignment of everything, and the smaller-id drop rule across
+    // the prior/batch split.
+    QueryDef("p98_semantic_dedup_incremental",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cut = emb.agg(max("vec_id")).head().getLong(0) * 7 / 10
+        val prev = emb.where(col("vec_id") <= cut)
+        val batch = emb.where(col("vec_id") > cut)
+        val index = Similarity.ivfTrain(prev, "vec_id", "embedding", k = 16, iters = 2)
+        val priorAssigned = Similarity.ivfIndex(prev, "embedding", index)
+        Similarity.semanticDedupIncremental(priorAssigned, batch,
+          "vec_id", "embedding", index, threshold = 0.30)
+          .select("vec_id", "centroid")
+          .orderBy("vec_id")
+      },
+      Some(ivfAssignIncrementalSql(16) +
+        """, dups AS (
+          |  SELECT DISTINCT b.vec_id AS d
+          |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          |  WHERE b.vec_id > (SELECT cut FROM cutoff)
+          |    AND ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.30
+          |)
+          |SELECT vec_id, CAST(cid AS INT) AS centroid FROM a3
+          |WHERE vec_id > (SELECT cut FROM cutoff)
+          |  AND vec_id NOT IN (SELECT d FROM dups)
+          |ORDER BY vec_id""".stripMargin)),
   ) ++ defsAfterPqAudit
 
   /** Oracle head of the PQ recall audits: the (optionally gated) `v`

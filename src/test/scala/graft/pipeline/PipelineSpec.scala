@@ -536,6 +536,46 @@ class PipelineSpec extends SparkSpec {
     assert(perCell.forall(_._2 == 1), "threshold=-1 keeps exactly one doc per cell")
   }
 
+  test("semanticDedupIncremental: batch dedups against prior cells and itself") {
+    // 8-dim corpus in 3 tight direction groups: prior = ids 0-5
+    // (groups 0,1,2 twice each — so prior dedup would DROP 3,4,5),
+    // batch = ids 10-13 (near-dups of groups 0,1 + one fresh direction)
+    def vec(g: Int, jitter: Float): Seq[Float] = {
+      val v = Array.fill(8)(0f); v(g) = 1f; v(7) = jitter; v.toSeq
+    }
+    val prev = (0 until 6).map(i => (i.toLong, vec(i % 3, 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, vec(0, 0.01f)), // near-dup of prior group 0 → dropped
+      (11L, vec(1, 0.01f)), // near-dup of prior group 1 (incl. the
+                            // prior-dedup-DROPPED 4) → dropped
+      (12L, Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)), // fresh direction → survives
+      (13L, Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0.01f)), // in-batch dup of 12 → dropped
+    ).toDF("vec_id", "embedding")
+
+    val index = Similarity.ivfTrain(prev, "vec_id", "embedding", k = 2)
+    val priorAssigned = Similarity.ivfIndex(prev, "embedding", index)
+    val out = Similarity.semanticDedupIncremental(priorAssigned, batch,
+      "vec_id", "embedding", index, threshold = 0.9)
+    val survivors = out.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(12L), s"got $survivors")
+    val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesian"), "both drop joins must stay centroid-keyed")
+    OperatorCache.releaseAll(spark)
+
+    // cross-check against the one-shot batch operator: a full
+    // semanticDedup over prev ∪ batch (same frozen cell count)
+    // restricted to batch ids agrees — monotone ids make the prior-
+    // representative rule and the smaller-id rule coincide
+    val full = Similarity.semanticDedup(prev.union(batch), "vec_id", "embedding",
+      threshold = 0.9, k = 2)
+      .where(col("vec_id") >= 10L)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(full == survivors,
+      s"full-run batch survivors $full must match incremental $survivors")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("decontaminate removes docs overlapping the blocklist, leaves the rest") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
