@@ -49,19 +49,35 @@ object BloomGate {
   /** The k bit positions of `key` in an m-bit filter, as long columns in
     * [0, numBits). Double hashing: two FNV-1a64 evaluations serve any k
     * (Kirsch & Mitzenmacher 2006 — no loss in false-positive rate vs k
-    * independent hashes). Masking both hashes to the low bits FIRST
-    * keeps every intermediate below 2^(log2 m + 2): overflow-free under
-    * ANSI, and bit-identical to (h1 + i*h2) mod 2^64 mod m.
+    * independent hashes). Every intermediate stays below 2^36:
+    * overflow-free under ANSI, bit-identical to (h1 + i·h2) mod m.
+    *
+    * TWO hard-won details (r14, caught live by RecrawlScaleBench — an
+    * sf0.1 corpus of 4k docs produced a false drop the theory said
+    * needed 2^43 docs):
+    *  - the hash FOLDS its high word into the low word before the
+    *    power-of-two mask. FNV-1a's multiply never mixes high bits
+    *    downward, so the raw low b bits are a weak mod-2^b hash of the
+    *    byte stream with birthday collisions at ~2^(b/2) keys — real
+    *    corpora hit that constantly;
+    *  - the salt is PREPENDED. An appended salt continues the same FNV
+    *    state, and mod-2^b state congruence survives both the XOR and
+    *    the multiply — so any two keys colliding on the low bits of h1
+    *    collided on h2 too, collapsing ALL k probes at once (double
+    *    hashing degraded to one weak hash). Prefixing starts the h2
+    *    trajectory from a different state, breaking the implication.
     */
   def positions(key: Column, numBits: Int, k: Int,
       salt: String = "#bloom"): Seq[Column] = {
     requirePow2(numBits)
     require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
     val mask = (numBits - 1).toLong
-    val h1 = GraftFunctions.fnv1a64(key).bitwiseAND(lit(mask))
+    def folded(h: Column): Column =
+      shiftrightunsigned(h, 32).bitwiseXOR(h.bitwiseAND(lit(0xFFFFFFFFL)))
+    val h1 = folded(GraftFunctions.fnv1a64(key)).bitwiseAND(lit(mask))
     // forced odd => stride is coprime with the power-of-two m, so the k
     // probes of one key never collapse onto a single bucket cycle
-    val h2 = GraftFunctions.fnv1a64(concat(key, lit(salt)))
+    val h2 = folded(GraftFunctions.fnv1a64(concat(lit(salt), key)))
       .bitwiseAND(lit(mask)).bitwiseOR(lit(1L))
     (0 until k).map(i => (h1 + lit(i.toLong) * h2) % lit(numBits.toLong))
   }

@@ -2739,19 +2739,24 @@ object PipelineQueries {
              |         COALESCE(list_aggregate(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
              |                                             x -> x <> ''), 'string_agg', ' '), '') AS key
              |  FROM read_parquet('{SFDIR}/documents.parquet')
-             |), hashed AS (
+             |), rawh AS (
              |  SELECT doc_id,
-             |         CAST(list_reduce(
+             |         list_reduce(
              |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
              |                        list_transform(regexp_extract_all(hex(encode(key)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
              |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
-             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) % 262144 AS BIGINT) AS h1,
-             |         CAST(list_reduce(
+             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS r1,
+             |         list_reduce(
              |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
-             |                        list_transform(regexp_extract_all(hex(encode(key || '#bloom')), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |                        list_transform(regexp_extract_all(hex(encode('#bloom' || key)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
              |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
-             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) % 262144 AS BIGINT) | 1 AS h2
+             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS r2
              |  FROM keyed
+             |), hashed AS (
+             |  SELECT doc_id,
+             |         xor(CAST(r1 // 4294967296 AS BIGINT), CAST(r1 % 4294967296 AS BIGINT)) % 262144 AS h1,
+             |         xor(CAST(r2 // 4294967296 AS BIGINT), CAST(r2 % 4294967296 AS BIGINT)) % 262144 | 1 AS h2
+             |  FROM rawh
              |), pos AS (
              |  SELECT doc_id, unnest([(h1 + 0 * h2) % 262144, (h1 + 1 * h2) % 262144,
              |                         (h1 + 2 * h2) % 262144, (h1 + 3 * h2) % 262144]) AS p
@@ -3009,19 +3014,24 @@ object PipelineQueries {
              |  SELECT unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
              |                            x -> x <> '')) AS tok
              |  FROM read_parquet('{SFDIR}/documents.parquet')
-             |), hd AS (
+             |), hr AS (
              |  SELECT DISTINCT tok,
-             |         CAST(list_reduce(
+             |         list_reduce(
              |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
              |                        list_transform(regexp_extract_all(hex(encode(tok)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
              |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
-             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) % 32 AS BIGINT) AS h1,
-             |         CAST(list_reduce(
+             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS r1,
+             |         list_reduce(
              |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
-             |                        list_transform(regexp_extract_all(hex(encode(tok || '#cms')), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+             |                        list_transform(regexp_extract_all(hex(encode('#cms' || tok)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
              |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
-             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) % 32 AS BIGINT) | 1 AS h2
+             |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)) AS r2
              |  FROM tt
+             |), hd AS (
+             |  SELECT tok,
+             |         xor(CAST(r1 // 4294967296 AS BIGINT), CAST(r1 % 4294967296 AS BIGINT)) % 32 AS h1,
+             |         xor(CAST(r2 // 4294967296 AS BIGINT), CAST(r2 % 4294967296 AS BIGINT)) % 32 | 1 AS h2
+             |  FROM hr
              |), posmap AS (
              |  SELECT tok, i.i AS i, (h1 + i.i * h2) % 32 AS p
              |  FROM hd CROSS JOIN (SELECT unnest(range(0, 3)) AS i) i
