@@ -69,7 +69,8 @@ object Bench {
     "p91_pq_recall_audit", "p92_lsh_recall_sampled", "p93_calibration_card",
     "p94_langid_confusion", "p95_curate_incremental",
     "p96_ivf_recall_sampled", "p97_pq_recall_sampled",
-    "p98_semantic_dedup_incremental")
+    "p98_semantic_dedup_incremental", "p99_epoch_mixture",
+    "p100_curate_chained")
 
   /** Jobs started/ended + stages completed + task GC/CPU sums, maintained
     * by [[counting]]. Listener delivery is asynchronous; [[settle]] waits

@@ -12,8 +12,10 @@ import graft.pipeline.{OperatorCache, TrainingPipeline}
   *
   *   A (recompute): after each batch, re-curate prev ∪ batches(0..i)
   *     from scratch (what a pipeline without state does);
-  *   B (incremental): build CurateState once, then per batch
-  *     curateIncremental + advanceState.
+  *   B (incremental): build CurateState once and persist it as the
+  *     parquet layout, then per batch curateIncremental + appendState
+  *     (the production loop: batch-sized appends, prior state never
+  *     rewritten).
   *
   * and asserts the two paths keep the SAME batch survivors before
   * printing the timing table (a speedup over a wrong answer is not a
@@ -84,15 +86,16 @@ object RecrawlScaleBench {
       (s, sec)
     }
 
-    // Path B: state once, then batch-sized work per batch
+    // Path B: the production loop — state built and parquet-persisted
+    // once, then per batch curateIncremental + appendState (batch-sized
+    // parquet appends; the prior corpus state is never rewritten)
+    val stateDir = "target/graft-tmp/recrawl-state"
     val (state0, stateSec) = timed {
       val s = TrainingPipeline.curateState(prev, "doc_id", "text",
         minQuality = 0.3, minWords = 20)
-      // materialize the state frames so the build cost is PAID here,
-      // not hidden inside batch 1's first probe (checkpoint = what a
-      // real deployment's parquet state write does)
-      s.copy(cleaned = s.cleaned.localCheckpoint(),
-        bandIndex = s.bandIndex.localCheckpoint())
+      TrainingPipeline.writeState(s, stateDir)
+      OperatorCache.releaseAll(spark)
+      TrainingPipeline.readState(spark, stateDir)
     }
     var state = state0
     val incremental = (0 until 3).map { i =>
@@ -100,11 +103,11 @@ object RecrawlScaleBench {
       val (s, sec) = timed(survivors(
         TrainingPipeline.curateIncremental(state, batches(i), "doc_id", "text")))
       val (next, advSec) = timed {
-        val a = TrainingPipeline.advanceState(state, batches(i), "doc_id", "text")
-        a.copy(cleaned = a.cleaned.localCheckpoint(),
-          bandIndex = a.bandIndex.localCheckpoint())
+        val a = TrainingPipeline.appendState(
+          state, batches(i), "doc_id", "text", stateDir)
+        OperatorCache.releaseAll(spark)
+        a
       }
-      OperatorCache.releaseAll(spark)
       state = next
       (s, sec, advSec)
     }

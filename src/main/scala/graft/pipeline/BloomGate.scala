@@ -40,6 +40,15 @@ object BloomGate {
   def docKey(text: Column): Column =
     array_join(filter(Dedup.rawTokens(text), t => t =!= ""), " ")
 
+  /** 8-byte exact-seen identity: FNV-1a64 of [[docKey]] — what the
+    * exact-confirm path behind a Bloom "maybe" stores and joins (8
+    * bytes/doc at any corpus size; a cross-text 64-bit collision is a
+    * deterministic ~n²/2⁶⁵ event, negligible next to the gate's own
+    * normalization equivalence).
+    */
+  def docKeyHash(text: Column): Column =
+    GraftFunctions.fnv1a64(docKey(text))
+
   // >= 2 so [[positions]] also serves small-modulus consumers (the CMS
   // width); the bitmap builders below add their own >= 64 word floor
   private def requirePow2(numBits: Int): Unit =

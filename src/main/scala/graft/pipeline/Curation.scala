@@ -233,6 +233,87 @@ object Curation {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Data-constrained mixture composition WITH upsampling (Muennighoff
+    * et al. 2023 data-constrained scaling; the multi-epoch domain
+    * recipe): per domain, meet a TOKEN target that may EXCEED the
+    * available tokens — "4.2 epochs of wikipedia" — by assigning every
+    * doc `floor(target / available)` whole-corpus epochs plus one more
+    * for the docs in a deterministic fractional top-up frontier covering
+    * the remainder. The repetition is never materialized: the output is
+    * the input row + `repeat_count`, and the consumer (packSequences,
+    * an exporter) explodes it shard-local. [[sampleByTokenBudget]] is
+    * the downsampling special case (targets below available ⇒ epochs 0,
+    * the frontier alone).
+    *
+    * Contract: delivered tokens per domain = epochs·available +
+    * top-up ∈ [target, target + straddling doc) whenever the domain has
+    * any tokens (the bounded-overflow frontier rule shared with
+    * [[sampleByTokenBudget]]; the top-up keeps docs while the EXCLUSIVE
+    * (gate, id)-ordered running token sum is under the remainder). A
+    * domain absent from `targets` (or target 0) yields nothing; a
+    * zero-token domain with a positive target yields nothing — as in
+    * [[composeMixture]], targets are DEMAND and starvation stays
+    * visible. Token counts must be non-negative; null/negative raises.
+    *
+    * Scale shape: one domain-grained token-sum aggregate (map-side
+    * combined, parameter-sized, broadcast back), then the same
+    * de-skewed gate-bucket running-sum window as
+    * [[sampleByTokenBudget]] — per-(domain, bucket) partitions sort
+    * ≤ 1/[[DeskewBuckets]] of a skewed domain per task, offsets ride a
+    * broadcast; everything else is map-only. No driver state, no
+    * iteration, no repeated-text shuffle.
+    *
+    * @param targets tokens wanted per domain value; missing domains get
+    *   `defaultTarget`
+    * @param gate see [[sampleByTokenBudget]] — dense-id default, pass
+    *   `xxhash64` for sparse ids
+    * @return input columns + `repeat_count` (≥ 1; zero-repeat rows drop)
+    */
+  def epochMixture(
+      df: DataFrame, idCol: String, tokenCol: String, domainCol: String,
+      targets: Map[String, Long], defaultTarget: Long = 0L,
+      salt: Int = 6, gate: Column = null,
+  ): DataFrame = {
+    (targets.values.toSeq :+ defaultTarget).foreach(t =>
+      require(t >= 0, s"targets must be >= 0: $t"))
+    val g = if (gate != null) gate else idGate(col(idCol), salt)
+    val nTok = col(tokenCol).cast("long")
+    val checked = when(nTok.isNull.or(nTok < 0),
+      raise_error(concat(
+        lit(s"epochMixture: token column '$tokenCol' must be a non-negative count, got "),
+        coalesce(nTok.cast("string"), lit("NULL")),
+        lit(" for id "), col(idCol).cast("string"))))
+      .otherwise(nTok)
+    val target = targets.foldLeft(lit(defaultTarget)) {
+      case (acc, (domain, t)) =>
+        when(col(domainCol) === domain, lit(t)).otherwise(acc)
+    }
+    val bucketed = df.withColumn("__b", clampBucket(g, 977L))
+    val avail = bucketed.groupBy(col(domainCol))
+      .agg(sum(checked).as("__avail"))
+    val offs = bucketOffsets(bucketed, domainCol, sum(checked))
+    // integer epochs/remainder on exact integer arithmetic: the DECIMAL
+    // division runs on a numerator that is an exact multiple of the
+    // divisor, so the cast back to long is exact at any magnitude (a
+    // double division would round past 2^53)
+    val epochs = when(col("__avail") > 0,
+      ((target - pmod(target, col("__avail"))).cast("decimal(38,0)") /
+        col("__avail").cast("decimal(38,0)")).cast("long"))
+      .otherwise(lit(0L))
+    val remainder = when(col("__avail") > 0, pmod(target, col("__avail")))
+      .otherwise(lit(0L))
+    val w = Window.partitionBy(col(domainCol), col("__b"))
+      .orderBy(g.asc, col(idCol).asc)
+    val cum = col("__off") + sum(checked).over(w) - checked
+    bucketed
+      .join(broadcast(avail), domainCol)
+      .join(broadcast(offs), Seq(domainCol, "__b"))
+      .withColumn("repeat_count",
+        epochs + when(cum < remainder, lit(1L)).otherwise(lit(0L)))
+      .where(col("repeat_count") > 0)
+      .select(df.columns.map(col).toIndexedSeq :+ col("repeat_count"): _*)
+  }
+
   /** Sliding-window document chunking: split each doc into overlapping
     * token windows — the step that turns cleaned documents into
     * retrieval-index entries or fixed-context training examples. Chunk

@@ -181,15 +181,24 @@ object TrainingPipeline {
     *    re-hashing the corpus ([[Dedup.incrementalCandidatesFrom]]).
     *    Write it bucketed by (band, band_hash) and the probe join
     *    needs no corpus-side shuffle at all.
-    *  - `bloom`: optional exact-seen pre-gate over the prior RAW text
-    *    ([[BloomGate.build]]); a map-only drop of re-crawled exact
-    *    copies before any scoring. Soundness does not depend on it —
-    *    an exact copy that slips past (or the gate being None) is still
-    *    caught by the band linkage (identical text ⇒ identical shingle
-    *    sets ⇒ Jaccard 1) for any doc with ≥ `shingleK` tokens. Size
-    *    the bitmap to driver memory (numBits/8 bytes) or disable at
-    *    the 100 B-doc scale where a distributed anti-join on
-    *    [[BloomGate.docKey]] replaces it.
+    *  - `bloom` + `seenKeys`: the exact-seen pre-gate over the prior
+    *    RAW text. The bitmap ([[BloomGate.build]]) EXEMPTS the common
+    *    case — a "definitely not seen" answer skips everything — and a
+    *    "maybe seen" answer is CONFIRMED against `seenKeys`, the
+    *    8-byte-per-doc [[BloomGate.docKeyHash]] table, before the doc
+    *    is dropped. The confirm is what keeps the gate sound at scale:
+    *    a 2²²-bit bitmap over a 485k-doc corpus false-positives ~2% of
+    *    a fresh batch (measured live, RecrawlScaleBench at 500k docs —
+    *    72 good docs silently gone), and no fixed bitmap sizing makes
+    *    that 0. With the confirm, gate drops are EXACTLY the docs whose
+    *    normalized text appeared before, at any corpus size. Both
+    *    joins in the confirm broadcast the (tiny) suspect slice —
+    *    `seenKeys` itself never shuffles; bucket the table by `key` at
+    *    the 100 B-doc scale to prune the probe scan too. Soundness of
+    *    the overall pipeline never depends on the gate: an exact copy
+    *    that slips past (or the gate being None) is still caught by the
+    *    band linkage (identical text ⇒ identical shingle sets ⇒
+    *    Jaccard 1) for any doc with ≥ `shingleK` tokens.
     *
     * The curation parameters ride in the state so every batch is
     * screened EXACTLY like the corpus that built the state — parameter
@@ -200,6 +209,7 @@ object TrainingPipeline {
       cleaned: DataFrame,
       bandIndex: DataFrame,
       bloom: Option[(Array[Long], Int, Int)],
+      seenKeys: Option[DataFrame],
       minQuality: Double,
       languages: Set[String],
       minWords: Long,
@@ -240,8 +250,12 @@ object TrainingPipeline {
       if (bloomNumBits <= 0) None
       else Some((BloomGate.build(prevRaw, textCol, bloomNumBits, bloomK),
         bloomNumBits, bloomK))
-    CurateState(cleaned, index, bloom, minQuality, languages, minWords,
-      minStopwordHits, dedupThreshold, shingleK, numHashes, bands,
+    val seenKeys =
+      if (bloomNumBits <= 0) None
+      else Some(prevRaw.select(
+        BloomGate.docKeyHash(col(textCol)).as("key")).distinct())
+    CurateState(cleaned, index, bloom, seenKeys, minQuality, languages,
+      minWords, minStopwordHits, dedupThreshold, shingleK, numHashes, bands,
       minEntropy, maxTopCharFrac, splits)
   }
 
@@ -284,13 +298,9 @@ object TrainingPipeline {
       deconThreshold: Double = 0.7,
   ): DataFrame = {
     import state._
-    // 0a. Bloom exact-seen pre-gate (map-only, before anything shuffles)
-    val gated = bloom match {
-      case Some((bitmap, numBits, k)) =>
-        BloomGate.probe(delta, textCol, bitmap, numBits, k, "__seen")
-          .where(!col("__seen")).drop("__seen")
-      case None => delta
-    }
+    // 0a. exact-seen pre-gate: Bloom exemption + key-table confirm
+    //     (map-only for the definitely-fresh common case)
+    val gated = seenGate(state, delta, textCol)
     // 0b/1. gibberish screen + quality/language floors — per-doc, so
     //       identical to the full run's verdicts on these rows
     val legible = entropyScreen(gated, idCol, textCol, minEntropy, maxTopCharFrac)
@@ -390,6 +400,8 @@ object TrainingPipeline {
         .toDF("pos", "word").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/bloom")
     }
+    seenKeys.foreach(
+      _.write.mode("overwrite").parquet(s"$dir/seen_keys"))
     Seq((minQuality, languages.toSeq.sorted, minWords, minStopwordHits,
       dedupThreshold, shingleK, numHashes, bands, minEntropy,
       maxTopCharFrac, splits.map(_._1), splits.map(_._2),
@@ -418,6 +430,9 @@ object TrainingPipeline {
       cleaned = spark.read.parquet(s"$dir/cleaned"),
       bandIndex = spark.read.parquet(s"$dir/band_index"),
       bloom = bloom,
+      seenKeys =
+        if (bloomBits <= 0) None
+        else Some(spark.read.parquet(s"$dir/seen_keys")),
       minQuality = p.getAs[Double]("minQuality"),
       languages = p.getAs[scala.collection.Seq[String]]("languages").toSet,
       minWords = p.getAs[Long]("minWords"),
@@ -444,13 +459,54 @@ object TrainingPipeline {
   def advanceState(
       state: CurateState, delta: DataFrame, idCol: String, textCol: String,
   ): CurateState = {
-    import state._
-    val gated = bloom match {
-      case Some((bitmap, numBits, k)) =>
-        BloomGate.probe(delta, textCol, bitmap, numBits, k, "__seen")
-          .where(!col("__seen")).drop("__seen")
-      case None => delta
+    val (cleanedDelta, indexDelta, newBloom, deltaKeys) =
+      deltaState(state, delta, idCol, textCol)
+    state.copy(
+      cleaned = state.cleaned.unionByName(cleanedDelta),
+      bandIndex = state.bandIndex.unionByName(indexDelta),
+      bloom = newBloom,
+      seenKeys = state.seenKeys.zip(deltaKeys).map {
+        case (seen, dk) => seen.unionByName(dk)
+      })
+  }
+
+  /** The exact-seen pre-gate: docs the Bloom bitmap flags as "maybe
+    * seen" are CONFIRMED against the [[BloomGate.docKeyHash]] table
+    * before dropping — only normalized text that actually appeared in
+    * the prior raw corpus dies, so the gate stays an EXACT operator at
+    * any corpus/bitmap size ratio (the bitmap alone false-positives; see
+    * the [[CurateState]] scaladoc). Cost shape: the bitmap probe is
+    * map-only over the batch; both confirm joins broadcast the
+    * (suspect-sized) key slice, so the corpus-sized key table is only
+    * ever scanned map-side, never shuffled.
+    */
+  private def seenGate(
+      state: CurateState, delta: DataFrame, textCol: String): DataFrame =
+    (state.bloom, state.seenKeys) match {
+      case (Some((bitmap, numBits, k)), Some(seen)) =>
+        val keyed = BloomGate.probe(delta, textCol, bitmap, numBits, k, "__seen")
+          .withColumn("__key", BloomGate.docKeyHash(col(textCol)))
+        val susKeys = keyed.where(col("__seen"))
+          .select(col("__key").as("__sus_key")).distinct()
+        val hitKeys = seen
+          .join(broadcast(susKeys), seen("key") === col("__sus_key"), "left_semi")
+          .select(col("key").as("__hit_key")).distinct()
+        keyed.join(broadcast(hitKeys), col("__key") === col("__hit_key"), "left_anti")
+          .drop("__seen", "__key")
+      case _ => delta
     }
+
+  /** The batch's contribution to the rolled state — what both advance
+    * forms share: the batch's post-floor docs (the new dedup-reference
+    * rows), their band-index rows, the OR-advanced Bloom bitmap, and
+    * the batch's raw doc keys. Every frame is BATCH-sized; the prior
+    * corpus is never touched.
+    */
+  private def deltaState(
+      state: CurateState, delta: DataFrame, idCol: String, textCol: String,
+  ): (DataFrame, DataFrame, Option[(Array[Long], Int, Int)], Option[DataFrame]) = {
+    import state._
+    val gated = seenGate(state, delta, textCol)
     val legible = entropyScreen(gated, idCol, textCol, minEntropy, maxTopCharFrac)
     val cleanedDelta = TextAnalysis.floorCorpus(legible, textCol, minQuality, languages)
       .select(col(idCol).as("doc"), col(textCol).as("text"))
@@ -458,10 +514,44 @@ object TrainingPipeline {
       val deltaBits = BloomGate.build(delta, textCol, numBits, k)
       (bitmap.zip(deltaBits).map { case (a, b) => a | b }, numBits, k)
     }
+    val deltaKeys = seenKeys.map(_ =>
+      delta.select(BloomGate.docKeyHash(col(textCol)).as("key")).distinct())
+    (cleanedDelta,
+      Dedup.bandIndex(cleanedDelta, "doc", "text", shingleK, numHashes, bands),
+      newBloom, deltaKeys)
+  }
+
+  /** [[advanceState]] against a [[writeState]] parquet layout — the
+    * production recrawl loop's state advance: APPEND the batch's
+    * `cleaned` and `band_index` rows to the state tables and rewrite the
+    * (driver-sized) Bloom bitmap, instead of re-materializing
+    * corpus-sized frames each batch. Work is proportional to the BATCH;
+    * the prior corpus state is never read, let alone rewritten. Returns
+    * the advanced state with the frames re-pointed at the parquet layout
+    * (lazy scans — a following [[curateIncremental]] reads only the
+    * bucket-matched slices).
+    */
+  def appendState(
+      state: CurateState, delta: DataFrame, idCol: String, textCol: String,
+      dir: String,
+  ): CurateState = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val (cleanedDelta, indexDelta, newBloom, deltaKeys) =
+      deltaState(state, delta, idCol, textCol)
+    cleanedDelta.write.mode("append").parquet(s"$dir/cleaned")
+    indexDelta.write.mode("append").parquet(s"$dir/band_index")
+    newBloom.foreach { case (bitmap, _, _) =>
+      bitmap.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
+        .toDF("pos", "word").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/bloom")
+    }
+    deltaKeys.foreach(
+      _.write.mode("append").parquet(s"$dir/seen_keys"))
     state.copy(
-      cleaned = state.cleaned.unionByName(cleanedDelta),
-      bandIndex = state.bandIndex.unionByName(
-        Dedup.bandIndex(cleanedDelta, "doc", "text", shingleK, numHashes, bands)),
-      bloom = newBloom)
+      cleaned = spark.read.parquet(s"$dir/cleaned"),
+      bandIndex = spark.read.parquet(s"$dir/band_index"),
+      bloom = newBloom,
+      seenKeys = deltaKeys.map(_ => spark.read.parquet(s"$dir/seen_keys")))
   }
 }

@@ -4113,8 +4113,84 @@ object PipelineQueries {
           state, docs.where(col("doc_id") > cut), "doc_id", "text")
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE cutoff AS (
-             |  SELECT MAX(doc_id) * 7 // 10 AS cut FROM read_parquet('{SFDIR}/documents.parquet')
+      Some(curatePipelineSql(7))),
+
+    // Data-constrained mixture with UPSAMPLING (Muennighoff et al. 2023):
+    // at sf0.01 the en target sits ~2.5× above en's available tokens —
+    // every en doc carries 2 whole epochs and the gate-ordered top-up
+    // frontier adds a third — while the other languages run the
+    // sub-epoch downsampling frontier. The oracle replays the per-domain
+    // token sums, the integer epoch/remainder split, and the exclusive
+    // running-sum frontier under the same (gate, id) total order.
+    QueryDef("p99_epoch_mixture",
+      (s, dir) => Curation.epochMixture(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            when(col("text").isNotNull,
+              size(split(trim(col("text")), "\\s+"))).as("n_toks")),
+        "doc_id", "n_toks", "lang",
+        targets = Map("en" -> 30000L), defaultTarget = 2000L)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_toks,
+             |         ((doc_id % 100000 + 6) * 2654435761) % 1000000 AS gate
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), a AS (
+             |  SELECT lang, SUM(n_toks) AS avail FROM t GROUP BY lang
+             |), c AS (
+             |  SELECT t.doc_id, t.lang, t.n_toks, a.avail,
+             |         CASE WHEN t.lang = 'en' THEN 30000 ELSE 2000 END AS target,
+             |         SUM(t.n_toks) OVER (PARTITION BY t.lang ORDER BY t.gate, t.doc_id
+             |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           - t.n_toks AS cum
+             |  FROM t JOIN a USING (lang)
+             |), r AS (
+             |  SELECT doc_id, lang, n_toks,
+             |         (CASE WHEN avail > 0 THEN target // avail ELSE 0 END)
+             |         + (CASE WHEN avail > 0 AND cum < target % avail THEN 1 ELSE 0 END) AS repeat_count
+             |  FROM c
+             |)
+             |SELECT doc_id, lang, n_toks, repeat_count FROM r
+             |WHERE repeat_count > 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // The two-batch CHAINED recrawl shape: state built on the 70%
+    // prior, rolled past a first batch with advanceState, then a second
+    // batch curated against the ADVANCED state — the driver-checked
+    // form of the state-chaining contract (TrainingPipelineSpec pins the
+    // crafted cases; this pins the documents-table equivalence). The
+    // oracle is the same full-pipeline replay restricted to the second
+    // batch's ids: the full run has no batch boundaries at all, so a
+    // green check proves the chained incremental path converges to it.
+    QueryDef("p100_curate_chained",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val mx = docs.agg(max("doc_id")).head().getLong(0)
+        val (c1, c2) = (mx * 7 / 10, mx * 9 / 10)
+        val state0 = TrainingPipeline.curateState(
+          docs.where(col("doc_id") <= c1), "doc_id", "text",
+          minQuality = 0.3, minWords = 20)
+        val state1 = TrainingPipeline.advanceState(state0,
+          docs.where(col("doc_id") > c1 && col("doc_id") <= c2),
+          "doc_id", "text")
+        TrainingPipeline.curateIncremental(
+          state1, docs.where(col("doc_id") > c2), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(curatePipelineSql(9))),
+  )
+
+  /** The full curate(minQuality=0.3, minWords=20, spanK=0) pipeline
+    * replay — floors, connected-component dedup, Gopher screen, split —
+    * restricted to doc_id > max·cutNum/10: the shared oracle of the
+    * incremental-curation family (p95, p100). The full run knows
+    * nothing about batch boundaries, so the SAME SQL at different cuts
+    * is exactly the equivalence statement those operators make.
+    */
+  private def curatePipelineSql(cutNum: Int): String =
+    s"""WITH RECURSIVE cutoff AS (
+             |  SELECT MAX(doc_id) * $cutNum // 10 AS cut FROM read_parquet('{SFDIR}/documents.parquet')
              |), f AS (
              |  SELECT doc_id, text,
              |         LENGTH(text) AS n_chars,
@@ -4155,6 +4231,5 @@ object PipelineQueries {
              |            WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 990000 THEN 'val'
              |            ELSE 'test' END AS split
              |FROM screened WHERE doc_id > (SELECT cut FROM cutoff)
-             |ORDER BY doc_id""".stripMargin)),
-  )
+             |ORDER BY doc_id""".stripMargin
 }

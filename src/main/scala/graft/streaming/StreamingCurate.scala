@@ -68,6 +68,7 @@ object StreamingCurate {
     // the previous batch's state checkpoints — released once superseded
     var prevCleaned: DataFrame = null
     var prevIndex: DataFrame = null
+    var prevSeen: DataFrame = null
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the batch feeds two passes (curate + advance) — cache it once
@@ -79,11 +80,15 @@ object StreamingCurate {
           // one's blocks are freed
           val newCleaned = advanced.cleaned.localCheckpoint()
           val newIndex = advanced.bandIndex.localCheckpoint()
+          val newSeen = advanced.seenKeys.map(_.localCheckpoint())
           if (prevCleaned != null) OperatorCache.releaseCheckpoint(prevCleaned)
           if (prevIndex != null) OperatorCache.releaseCheckpoint(prevIndex)
+          if (prevSeen != null) OperatorCache.releaseCheckpoint(prevSeen)
           prevCleaned = newCleaned
           prevIndex = newIndex
-          state = advanced.copy(cleaned = newCleaned, bandIndex = newIndex)
+          prevSeen = newSeen.orNull
+          state = advanced.copy(cleaned = newCleaned, bandIndex = newIndex,
+            seenKeys = newSeen)
         } finally {
           // foreachBatch runs under a CLONED session — the registry key
           // for every frame the incremental screens persisted — so this

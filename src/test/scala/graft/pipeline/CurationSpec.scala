@@ -132,6 +132,58 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("non-negative"))
   }
 
+  test("epochMixture: whole epochs + fractional top-up meet targets above availability") {
+    // en avail = sum over 500 docs; ask for ~2.5 epochs of en and a
+    // sub-epoch slice of de
+    val avail = docs.groupBy("lang").agg(sum(col("toks")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enTarget = avail("en") * 5 / 2
+    val deTarget = avail("de") / 3
+    val out = Curation.epochMixture(docs, "id", "toks", "lang",
+      targets = Map("en" -> enTarget, "de" -> deTarget))
+    val rows = out.select("id", "lang", "toks", "repeat_count")
+      .as[(Long, String, Long, Long)].collect()
+
+    // en: every doc carries the 2 whole epochs; top-up docs carry 3
+    val en = rows.filter(_._2 == "en")
+    assert(en.length == 500, "whole-domain epochs keep every doc")
+    assert(en.forall(r => r._4 == 2L || r._4 == 3L))
+    // delivered tokens land in [target, target + biggest straddler)
+    val enDelivered = en.map(r => r._3 * r._4).sum
+    val enBig = en.map(_._3).max
+    assert(enDelivered >= enTarget && enDelivered < enTarget + enBig,
+      s"en delivered $enDelivered vs target $enTarget")
+
+    // de: sub-epoch target ⇒ pure frontier selection, repeat_count 1,
+    // and it matches sampleByTokenBudget's selection exactly (same
+    // gate salt ⇒ same frontier)
+    val de = rows.filter(_._2 == "de")
+    assert(de.forall(_._4 == 1L))
+    val deDelivered = de.map(r => r._3 * r._4).sum
+    val deBig = de.map(_._3).max
+    assert(deDelivered >= deTarget && deDelivered < deTarget + deBig)
+    val frontier = Curation.sampleByTokenBudget(docs.where(col("lang") === "de"),
+      "id", "toks", "lang", budgets = Map("de" -> deTarget), salt = 6)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(de.map(_._1).sorted.toSeq == frontier)
+
+    // unlisted domain (default 0) yields nothing; determinism across
+    // partitionings
+    assert(out.where(col("repeat_count") <= 0).count() == 0)
+    val repart = Curation.epochMixture(docs.repartition(13), "id", "toks",
+      "lang", targets = Map("en" -> enTarget, "de" -> deTarget))
+      .select("id", "repeat_count").as[(Long, Long)].collect().sorted.toSeq
+    assert(repart == rows.map(r => (r._1, r._4)).sorted.toSeq)
+
+    // null token counts raise (shared contract)
+    val withNull = Seq((1L, "en", Some(10L)), (2L, "en", None))
+      .toDF("id", "lang", "toks")
+    val e = intercept[Exception](
+      Curation.epochMixture(withNull, "id", "toks", "lang",
+        Map("en" -> 100L)).collect())
+    assert(e.getMessage.contains("non-negative"))
+  }
+
   test("packSequences: null or negative token counts raise instead of corrupting the fill") {
     val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(20L)))
       .toDF("id", "toks")

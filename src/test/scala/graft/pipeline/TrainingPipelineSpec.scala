@@ -234,6 +234,72 @@ class TrainingPipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("Bloom false positives must not drop fresh docs (exact-confirm gate, r14 regression)") {
+    // At 485k prior docs a 2^22-bit bitmap false-positived ~2% of a
+    // fresh batch, silently voiding the curateIncremental ≡ curate
+    // contract (caught live by RecrawlScaleBench at 500k docs). Force
+    // the worst case — an ALL-ONES bitmap flags EVERY doc "maybe seen"
+    // — and assert the seen-key confirm keeps every genuinely-fresh doc
+    // while still dropping the true exact copy.
+    val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
+    val state = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 5, dedupThreshold = 0.7,
+      bloomNumBits = 1 << 12)
+    val saturated = state.copy(bloom = state.bloom.map {
+      case (bits, n, k) => (Array.fill(bits.length)(-1L), n, k)
+    })
+    val batch = Seq(
+      10L -> sentence("echo"),               // fresh → must survive the gate
+      11L -> sentence("foxtrot"),            // fresh → must survive the gate
+      12L -> (sentence("alpha") + ""),       // exact copy of prior 1 → dropped
+    ).toDF("doc_id", "text")
+    val out = TrainingPipeline.curateIncremental(saturated, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(10L, 11L),
+      s"all-ones bitmap must not drop fresh docs (exact confirm): $out")
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("appendState ≡ advanceState: parquet appends roll the state identically") {
+    val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
+    val state0 = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 5, dedupThreshold = 0.7)
+    val dir = "target/graft-tmp/curate-state-append"
+    TrainingPipeline.writeState(state0, dir)
+    val batch1 = Seq(
+      10L -> sentence("echo"),
+      11L -> (sentence("echo") + " too"), // dedup-dropped, must still enter state
+    ).toDF("doc_id", "text")
+
+    val advanced = TrainingPipeline.advanceState(state0, batch1, "doc_id", "text")
+    val appended = TrainingPipeline.appendState(
+      TrainingPipeline.readState(spark, dir), batch1, "doc_id", "text", dir)
+
+    // the appended layout holds the same state rows as the in-memory roll
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(appended.cleaned) == rows(advanced.cleaned))
+    assert(rows(appended.bandIndex) == rows(advanced.bandIndex))
+    assert(rows(appended.seenKeys.get) == rows(advanced.seenKeys.get))
+    assert(appended.bloom.get._1.toSeq == advanced.bloom.get._1.toSeq)
+    // the rewritten bitmap file matches too
+    assert(TrainingPipeline.readState(spark, dir).bloom.get._1.toSeq ==
+      advanced.bloom.get._1.toSeq)
+
+    // and a following batch curates identically against either state
+    val batch2 = Seq(
+      21L -> (sentence("echo") + " too more"), // links to dedup-dropped 11
+      22L -> sentence("foxtrot"),              // fresh → survives
+    ).toDF("doc_id", "text")
+    def ids(s: TrainingPipeline.CurateState) = {
+      val r = TrainingPipeline.curateIncremental(s, batch2, "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      OperatorCache.releaseAll(spark)
+      r
+    }
+    assert(ids(appended) == Seq(22L) && ids(advanced) == Seq(22L))
+  }
+
   test("CurateState round-trips through its parquet layout") {
     val prev = Seq(
       1L -> sentence("alpha"),
