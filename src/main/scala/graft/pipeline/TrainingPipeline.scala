@@ -554,4 +554,40 @@ object TrainingPipeline {
       bloom = newBloom,
       seenKeys = deltaKeys.map(_ => spark.read.parquet(s"$dir/seen_keys")))
   }
+
+  /** Compact an [[appendState]]-grown layout in place: every append
+    * leaves another handful of batch-sized files per table, and
+    * re-crawled exact copies leave duplicate seen keys — after enough
+    * batches the probe scans pay more for file-open overhead than for
+    * data. Compaction rewrites each table coalesced toward
+    * `targetBytesPerFile` (size-aware: file count from the table's
+    * actual bytes) and deduplicates `seen_keys`; semantics are
+    * untouched — the spec asserts byte-identical curation before and
+    * after. Run on the cadence file-count growth dictates; at cluster
+    * scale this is also the natural point to re-bucket `band_index` by
+    * (band, band_hash) and to re-run the corpus-global span surgery
+    * that the incremental path deliberately skips.
+    */
+  def compactState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytesPerFile: Long = 128L << 20,
+  ): CurateState = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rewrite(name: String, transform: DataFrame => DataFrame): Unit = {
+      val path = new Path(s"$dir/$name")
+      if (fs.exists(path)) {
+        val bytes = fs.getContentSummary(path).getLength
+        val files = math.max(1L, (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+        transform(spark.read.parquet(path.toString)).coalesce(files)
+          .write.mode("overwrite").parquet(s"$dir/${name}__compact")
+        fs.delete(path, true)
+        fs.rename(new Path(s"$dir/${name}__compact"), path)
+      }
+    }
+    rewrite("cleaned", identity)
+    rewrite("band_index", identity)
+    rewrite("seen_keys", _.distinct())
+    readState(spark, dir)
+  }
 }

@@ -300,6 +300,51 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(ids(appended) == Seq(22L) && ids(advanced) == Seq(22L))
   }
 
+  test("compactState: fewer files, deduped seen keys, identical curation") {
+    val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
+    val state0 = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 5, dedupThreshold = 0.7)
+    val dir = "target/graft-tmp/curate-state-compact"
+    TrainingPipeline.writeState(state0, dir)
+    // two appends; batch 2 re-crawls batch 1's doc 10 exactly →
+    // duplicate seen key across appended files
+    var st = TrainingPipeline.readState(spark, dir)
+    st = TrainingPipeline.appendState(st,
+      Seq(10L -> sentence("echo")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    st = TrainingPipeline.appendState(st,
+      Seq(20L -> sentence("echo"), 21L -> sentence("golf"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+
+    def parquetFiles(sub: String) = {
+      val d = new java.io.File(s"$dir/$sub")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = parquetFiles("seen_keys")
+    val keysBefore = spark.read.parquet(s"$dir/seen_keys").count()
+    val distinctBefore = spark.read.parquet(s"$dir/seen_keys").distinct().count()
+    assert(keysBefore > distinctBefore, "fixture must carry a duplicate key")
+
+    val batch3 = Seq(22L -> (sentence("golf") + " more"), 23L -> sentence("hotel"))
+      .toDF("doc_id", "text")
+    def ids(s0: TrainingPipeline.CurateState) = {
+      val r = TrainingPipeline.curateIncremental(s0, batch3, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      OperatorCache.releaseAll(spark)
+      r
+    }
+    val before = ids(st)
+    val compacted = TrainingPipeline.compactState(spark, dir)
+    assert(parquetFiles("seen_keys") <= filesBefore)
+    assert(spark.read.parquet(s"$dir/seen_keys").count() == distinctBefore)
+    // rows preserved exactly on the non-deduped tables (doc 20 is the
+    // exact re-crawl the gate dropped before floors, so it never
+    // entered cleaned — its text is doc 10's, already linkable)
+    assert(spark.read.parquet(s"$dir/cleaned").count() == 3) // 1,10,21
+    assert(ids(compacted) == before)
+  }
+
   test("CurateState round-trips through its parquet layout") {
     val prev = Seq(
       1L -> sentence("alpha"),
