@@ -151,6 +151,84 @@ object TrainingPipeline {
     else Curation.splitCorpus(projected, idCol, splits)
   }
 
+  /** Per-stage drop attribution for [[curate]] — the ingest ops card
+    * (the stage-level sibling of [[TextAnalysis.filterAttribution]]'s
+    * per-rule card): one row per pipeline stage, in execution order,
+    * with the docs still alive after it and the docs it dropped. Since
+    * stages run sequentially, a doc counts against exactly the FIRST
+    * stage that kills it — attribution falls out of the composition,
+    * no per-doc bookkeeping needed. Disabled stages report 0 dropped.
+    *
+    * Scale shape: the same work as [[curate]] (the stage frames ARE
+    * curate's, materialized at the two expensive boundaries exactly as
+    * cleanCorpus does) plus one count-aggregate per stage — each a
+    * map-side-combined single-row aggregate over a cached frame; the
+    * final lag-window runs over #stages rows. Call
+    * `OperatorCache.releaseAll` after materializing, as with curate.
+    *
+    * @return (stage_idx, stage, docs_surviving, docs_dropped) —
+    *         monotone `docs_surviving`, `docs_dropped` vs the previous
+    *         stage; the last row is the kept count
+    */
+  def curateReport(
+      docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.3,
+      languages: Set[String] = Set.empty,
+      minWords: Long = 40,
+      minStopwordHits: Long = -1L,
+      blocklist: Option[(DataFrame, String, String)] = None,
+      deconThreshold: Double = 0.7,
+      dedupThreshold: Double = 0.8,
+      seenFilter: Option[(Array[Long], Int, Int)] = None,
+      minEntropy: Double = 0.0,
+      maxTopCharFrac: Double = 0.25,
+  ): DataFrame = {
+    val gated = seenFilter match {
+      case Some((bitmap, numBits, k)) =>
+        BloomGate.probe(docs, textCol, bitmap, numBits, k, "__seen")
+          .where(!col("__seen")).drop("__seen")
+      case None => docs
+    }
+    val legible = entropyScreen(gated, idCol, textCol, minEntropy, maxTopCharFrac)
+    val floors = graft.pipeline.OperatorCache.materialize(
+      TextAnalysis.floorCorpus(legible, textCol, minQuality, languages)
+        .select(col(idCol), col(textCol)))
+    val deduped = graft.pipeline.OperatorCache.materialize(
+      Dedup.dedupNearDuplicates(floors, idCol, textCol, dedupThreshold))
+    val stopHits =
+      if (minStopwordHits >= 0) minStopwordHits
+      else if (languages.nonEmpty && languages.subsetOf(Set("en"))) 2L
+      else 0L
+    val screened =
+      if (minWords <= 0) deduped
+      else deduped.join(
+        TextAnalysis.gopherQualityRules(deduped, idCol, textCol,
+          minWords = minWords, minStopwordHits = stopHits)
+          .where(col("pass")).select(col("doc").as("__pass_doc")),
+        deduped(idCol) === col("__pass_doc"), "left_semi")
+    val decontaminated = blocklist match {
+      case Some((bl, bId, bText)) =>
+        Dedup.fuzzyDecontaminate(screened, idCol, textCol,
+          bl, bId, bText, threshold = deconThreshold)
+      case None => screened
+    }
+    val stages: Seq[(String, DataFrame)] = Seq(
+      "ingested" -> docs, "seen_gate" -> gated, "entropy" -> legible,
+      "floors" -> floors, "dedup" -> deduped, "rules" -> screened,
+      "decontamination" -> decontaminated)
+    val counts = stages.zipWithIndex.map { case ((name, f), i) =>
+      f.agg(count(lit(1)).cast("long").as("docs_surviving"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+          col("docs_surviving"))
+    }.reduce(_.unionAll(_))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage_idx")
+    counts
+      .withColumn("docs_dropped",
+        coalesce(lag(col("docs_surviving"), 1).over(w) -
+          col("docs_surviving"), lit(0L)))
+      .orderBy("stage_idx")
+  }
+
   /** Entropy/top-char gibberish screen shared by the batch and
     * incremental paths: id-keyed semi-join on the signals frame (the
     * signals aggregate is the only exchange); disabled when

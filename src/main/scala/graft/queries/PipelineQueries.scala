@@ -4179,6 +4179,31 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(curatePipelineSql(9))),
+
+    // The composed pipeline's ops card: docs surviving / dropped per
+    // stage, each doc counted against the FIRST stage that kills it
+    // (attribution falls out of the sequential composition). The oracle
+    // counts the SAME stage frontiers the equivalence oracles select
+    // from; disabled stages (seen gate, entropy, decon here) must
+    // report exactly 0 dropped.
+    QueryDef("p101_curate_report",
+      (s, dir) => TrainingPipeline.curateReport(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", minQuality = 0.3, minWords = 20),
+      Some(s"""WITH RECURSIVE ${curateStagesSql}
+             |, s AS (
+             |  SELECT 0 AS stage_idx, 'ingested' AS stage, (SELECT count(*) FROM f) AS docs_surviving
+             |  UNION ALL SELECT 1, 'seen_gate', (SELECT count(*) FROM f)
+             |  UNION ALL SELECT 2, 'entropy', (SELECT count(*) FROM f)
+             |  UNION ALL SELECT 3, 'floors', (SELECT count(*) FROM corpus)
+             |  UNION ALL SELECT 4, 'dedup', (SELECT count(*) FROM cleaned)
+             |  UNION ALL SELECT 5, 'rules', (SELECT count(*) FROM screened)
+             |  UNION ALL SELECT 6, 'decontamination', (SELECT count(*) FROM screened)
+             |)
+             |SELECT stage_idx, stage, docs_surviving,
+             |       COALESCE(LAG(docs_surviving) OVER (ORDER BY stage_idx)
+             |                - docs_surviving, 0) AS docs_dropped
+             |FROM s ORDER BY stage_idx""".stripMargin)),
   )
 
   /** The full curate(minQuality=0.3, minWords=20, spanK=0) pipeline
@@ -4191,7 +4216,23 @@ object PipelineQueries {
   private def curatePipelineSql(cutNum: Int): String =
     s"""WITH RECURSIVE cutoff AS (
              |  SELECT MAX(doc_id) * $cutNum // 10 AS cut FROM read_parquet('{SFDIR}/documents.parquet')
-             |), f AS (
+             |), """.stripMargin + curateStagesSql + s"""
+             |SELECT doc_id, text,
+             |       CASE WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 980000 THEN 'train'
+             |            WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 990000 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM screened WHERE doc_id > (SELECT cut FROM cutoff)
+             |ORDER BY doc_id""".stripMargin
+
+  /** The stage CTEs of the curate(minQuality=0.3, minWords=20, spanK=0)
+    * replay — floors (g/corpus), connected-component dedup (cleaned),
+    * Gopher screen (screened) — shared by the incremental-equivalence
+    * oracles (via [[curatePipelineSql]]) and the stage-attribution
+    * report (p101), which counts the same frontiers instead of
+    * selecting from them.
+    */
+  private def curateStagesSql: String =
+    s"""f AS (
              |  SELECT doc_id, text,
              |         LENGTH(text) AS n_chars,
              |         string_split_regex(TRIM(text), '\\s+') AS words
@@ -4225,11 +4266,5 @@ object PipelineQueries {
              |    AND ROUND(CAST(n_wchars AS DOUBLE) / GREATEST(n_words, 1), 6) BETWEEN 3.0 AND 10.0
              |    AND ROUND(CAST(symbols AS DOUBLE) / GREATEST(n_words, 1), 6) <= 0.1
              |    AND ROUND(CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1), 6) >= 0.8
-             |)
-             |SELECT doc_id, text,
-             |       CASE WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 980000 THEN 'train'
-             |            WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 990000 THEN 'val'
-             |            ELSE 'test' END AS split
-             |FROM screened WHERE doc_id > (SELECT cut FROM cutoff)
-             |ORDER BY doc_id""".stripMargin
+             |)""".stripMargin
 }

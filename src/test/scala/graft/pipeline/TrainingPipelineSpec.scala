@@ -51,6 +51,25 @@ class TrainingPipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("curateReport attributes each doc to the first stage that kills it") {
+    val report = TrainingPipeline.curateReport(
+      corpus, "doc_id", "text",
+      minQuality = 0.3, minWords = 10,
+      blocklist = Some((blocklist, "doc_id", "text")),
+      deconThreshold = 0.5, dedupThreshold = 0.7)
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3))))
+      .toSeq
+    // the fixture kills exactly one doc per armed stage: 3 → floors,
+    // 2 → dedup, 4 → rules, 5 → decon; 1 survives. Disabled stages
+    // (seen gate, entropy) must report 0.
+    assert(report == Seq(
+      "ingested" -> ((5L, 0L)), "seen_gate" -> ((5L, 0L)),
+      "entropy" -> ((5L, 0L)), "floors" -> ((4L, 1L)),
+      "dedup" -> ((3L, 1L)), "rules" -> ((2L, 1L)),
+      "decontamination" -> ((1L, 1L))), report.toString)
+    OperatorCache.releaseAll(spark)
+  }
+
   test("stage toggles: disabled stages pass their docs through") {
     // everything off → only the quality floor at 0 + no screens: all
     // docs survive with their original ids, no split column
