@@ -201,6 +201,24 @@ object Dedup {
   ): DataFrame =
     bandedSignatures(shingleRows(df, idCol, textCol, shingleK), numHashes, bands)
 
+  /** Persist a [[bandIndex]] as a parquet table BUCKETED by the probe
+    * keys — the cluster layout the incremental dedup family assumes at
+    * corpus scale: [[incrementalCandidatesFrom]] joins on exactly
+    * (band, band_hash), so against this table the join plans with NO
+    * exchange above the index scan — only the (batch-sized) probe side
+    * shuffles into the bucket partitioning, however large the corpus
+    * index grows (BucketedProbeSpec pins the plan shape with broadcast
+    * disabled). Size `buckets` so one bucket's postings fit a task
+    * (~corpus_rows/buckets); appends with the same bucketBy spec keep
+    * the layout valid.
+    */
+  def writeBandIndexBucketed(
+      index: DataFrame, table: String, buckets: Int = 64): Unit =
+    index.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "band_hash")
+      .sortBy("band", "band_hash")
+      .saveAsTable(table)
+
   /** Candidate pairs between a NEW batch and an existing [[bandIndex]]:
     * the batch is hashed with the same parameters and equi-joined on
     * (band, band_hash) — corpus-side work is a bucket-pruned probe, not

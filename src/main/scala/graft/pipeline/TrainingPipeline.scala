@@ -306,6 +306,16 @@ object TrainingPipeline {
     * (span surgery and blocklists are deliberately absent: span surgery
     * is corpus-global — run it at compaction, not per batch — and a
     * blocklist is stateless, passed per [[curateIncremental]] call).
+    *
+    * @param bloomNumBits −1 (default) AUTO-sizes the bitmap to the next
+    *   power of two ≥ 16×|prevRaw| (one count job; ~0.24% bitmap-FP at
+    *   k=4 — a COST knob only, the seen-key confirm keeps the gate
+    *   exact at any fill), floored at 2¹² and capped at 2²⁸ (32 MB of
+    *   driver words — past that, bigger bitmaps buy little because the
+    *   confirm join already bounds the suspect slice). 0 disables the
+    *   gate; an explicit power of two is taken as-is (the r14 500k-doc
+    *   run is the cautionary tale for fixed sizes: a 2²² bitmap was
+    *   2% suspects — harmless now, but pure overhead).
     */
   def curateState(
       prevRaw: DataFrame, idCol: String, textCol: String,
@@ -318,18 +328,26 @@ object TrainingPipeline {
       minEntropy: Double = 0.0, maxTopCharFrac: Double = 0.25,
       splits: Seq[(String, Double)] = Seq(
         "train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
-      bloomNumBits: Int = 1 << 22, bloomK: Int = 4,
+      bloomNumBits: Int = -1, bloomK: Int = 4,
   ): CurateState = {
     val legible = entropyScreen(prevRaw, idCol, textCol, minEntropy, maxTopCharFrac)
     val cleaned = TextAnalysis.floorCorpus(legible, textCol, minQuality, languages)
       .select(col(idCol).as("doc"), col(textCol).as("text"))
     val index = Dedup.bandIndex(cleaned, "doc", "text", shingleK, numHashes, bands)
+    val numBits =
+      if (bloomNumBits != -1) bloomNumBits
+      else {
+        val n = prevRaw.count()
+        var b = 1 << 12
+        while (b.toLong < 16L * n && b < (1 << 28)) b <<= 1
+        b
+      }
     val bloom =
-      if (bloomNumBits <= 0) None
-      else Some((BloomGate.build(prevRaw, textCol, bloomNumBits, bloomK),
-        bloomNumBits, bloomK))
+      if (numBits <= 0) None
+      else Some((BloomGate.build(prevRaw, textCol, numBits, bloomK),
+        numBits, bloomK))
     val seenKeys =
-      if (bloomNumBits <= 0) None
+      if (numBits <= 0) None
       else Some(prevRaw.select(
         BloomGate.docKeyHash(col(textCol)).as("key")).distinct())
     CurateState(cleaned, index, bloom, seenKeys, minQuality, languages,

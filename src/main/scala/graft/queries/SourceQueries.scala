@@ -126,7 +126,7 @@ object SourceQueries {
     QueryDef("l1_semantic_dataset", (s, dir) => {
       val schema = SemanticSchema(
         name = "order_stats",
-        source = Some(SourceDef("parquet", path = Some(s"$dir/orders.parquet"))),
+        source = Some(SourceDef("parquet", path = Some("orders.parquet"))),
         columns = Seq(
           ColumnDef("o_orderstatus"),
           ColumnDef("total_spend",

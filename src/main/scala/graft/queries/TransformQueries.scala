@@ -25,7 +25,7 @@ object TransformQueries {
   ): DataFrame = {
     val schema = SemanticSchema(
       name = table,
-      source = Some(SourceDef("parquet", path = Some(s"$dir/$table.parquet"))),
+      source = Some(SourceDef("parquet", path = Some(s"$table.parquet"))),
       columns = cols,
       transformations = transforms,
       orderBy = orderBy,

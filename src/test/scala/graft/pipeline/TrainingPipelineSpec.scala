@@ -319,6 +319,30 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(ids(appended) == Seq(22L) && ids(advanced) == Seq(22L))
   }
 
+  test("bloom auto-sizing: next pow2 ≥ 16×docs, floored, disableable") {
+    val prev = Seq(1L -> sentence("alpha"), 2L -> sentence("bravo"))
+      .toDF("doc_id", "text")
+    // tiny corpus → the 2^12 floor
+    val auto = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 5)
+    assert(auto.bloom.get._2 == (1 << 12))
+    assert(auto.seenKeys.isDefined)
+    // a corpus past the floor: 16×600 = 9600 → next pow2 = 2^14
+    val mid = (0L until 600L).map(i => (i, sentence(s"doc$i")))
+      .toDF("doc_id", "text")
+    val sized = TrainingPipeline.curateState(mid, "doc_id", "text",
+      minQuality = 0.3, minWords = 5)
+    assert(sized.bloom.get._2 == (1 << 14))
+    // 0 disables both gate artifacts; explicit pow2 taken as-is
+    val off = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 5, bloomNumBits = 0)
+    assert(off.bloom.isEmpty && off.seenKeys.isEmpty)
+    val explicit = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 5, bloomNumBits = 1 << 20)
+    assert(explicit.bloom.get._2 == (1 << 20))
+    OperatorCache.releaseAll(spark)
+  }
+
   test("compactState: fewer files, deduped seen keys, identical curation") {
     val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
     val state0 = TrainingPipeline.curateState(prev, "doc_id", "text",
