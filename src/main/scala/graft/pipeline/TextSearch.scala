@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Fnv1a64, GraftFunctions}
+
+/** Partition-pruned text-search serving — the keyword sibling of the
+  * ANN serving layouts ([[Similarity.writeIndexed]]/`probeIndexed`):
+  * an inverted index persisted once, then per-query reads touch only
+  * the term buckets the query names, however large the corpus. The
+  * training-data uses are the interactive forms of operators the
+  * pipeline already runs in batch: spot-checking what a
+  * decontamination screen would match, pulling the docs behind a
+  * quality-rule hit, eyeballing a domain before sizing its mixture
+  * weight.
+  *
+  * Layout under `dir`:
+  *   - `postings/` partitioned by `tb` = fnv1a64(term) mod `buckets`:
+  *     (term, doc, tf, dl) — doc length rides each posting row so
+  *     serving needs no doc-side join at all;
+  *   - `stats/`: one row (n_docs, avgdl, buckets) — the BM25 corpus
+  *     constants plus the layout parameter, so a serving session needs
+  *     no out-of-band configuration.
+  *
+  * Scoring is EXACTLY [[TextAnalysis.bm25]] (same expression tree, same
+  * 6-decimal rounding); the spec pins served-vs-batch score equality
+  * and the pruned-scan plan shape (`PartitionFilters` on `tb`).
+  */
+object TextSearch {
+
+  /** One corpus pass: explode → (doc, term, tf) → doc lengths folded
+    * back onto the postings → partitioned write. The only shuffles are
+    * the tf aggregate and the doc-length join — both doc/term-keyed,
+    * no driver state. Size `buckets` so one bucket's postings make a
+    * healthy scan (vocabulary and corpus dependent; the default 64
+    * suits test-scale corpora, go higher at cluster scale).
+    */
+  def writeIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      buckets: Int = 64,
+  ): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val terms = df.select(col(idCol).as("doc"),
+      explode(Dedup.rawTokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val tfAll = OperatorCache.materialize(
+      terms.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+    val docLen = OperatorCache.materialize(
+      tfAll.groupBy("doc").agg(sum("tf").as("dl")))
+    tfAll.join(docLen, "doc")
+      .withColumn("tb",
+        pmod(GraftFunctions.fnv1a64(col("term")), lit(buckets.toLong)))
+      .select("tb", "term", "doc", "tf", "dl")
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
+    docLen.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+      .withColumn("buckets", lit(buckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Top-k BM25 over the [[writeIndex]] layout. The postings scan is
+    * partition-pruned to the query terms' buckets (asserted on the plan
+    * in TextSearchSpec) and filtered to the terms themselves; the
+    * per-term document frequency aggregates over just those rows; the
+    * ranking is a TakeOrderedAndProject on (score desc, doc asc) — no
+    * global sort, no corpus-wide work anywhere in the serve path.
+    *
+    * @return up to `k` rows (doc, score, n_matched), best first — score
+    *         and n_matched identical to [[TextAnalysis.bm25]]'s
+    */
+  def searchTopK(
+      spark: SparkSession, dir: String, queryTerms: Seq[String],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "searchTopK needs at least one query term")
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val nDocs = st.getAs[Long]("n_docs")
+    val avgdl = st.getAs[Double]("avgdl")
+    val buckets = st.getAs[Int]("buckets")
+    val tbs = queryTerms
+      .map(t => math.floorMod(Fnv1a64.hash(t.getBytes("UTF-8")), buckets.toLong))
+      .distinct
+    val tf = spark.read.parquet(s"$dir/postings")
+      .where(col("tb").isin(tbs: _*) && col("term").isin(queryTerms: _*))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf").cast("double") /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))
+      .groupBy("doc")
+      .agg(round(sum(col("contrib")), 6).as("score"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+  }
+}

@@ -4204,6 +4204,47 @@ object PipelineQueries {
              |       COALESCE(LAG(docs_surviving) OVER (ORDER BY stage_idx)
              |                - docs_surviving, 0) AS docs_dropped
              |FROM s ORDER BY stage_idx""".stripMargin)),
+
+    // Partition-pruned text-search serving: the index is written once
+    // (postings partitioned by term bucket + one stats row) and the
+    // query reads ONLY the named terms' buckets; scores are exactly
+    // p23's BM25 tree, so the oracle is p23's chain with the
+    // deterministic (score desc, doc asc) top-k frontier on top.
+    QueryDef("p102_text_search_topk",
+      (s, dir) => {
+        val idx = s"target/graft-tmp/textsearch_${math.abs(dir.hashCode)}"
+        TextSearch.writeIndex(Tables.load(s, dir, "documents"),
+          "doc_id", "text", idx)
+        OperatorCache.releaseAll(s)
+        TextSearch.searchTopK(s, idx,
+          Seq("join", "vector", "filter"), k = 10)
+          .orderBy(col("score").desc, col("doc").asc)
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS term
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), dl AS (
+             |  SELECT doc, COUNT(*) AS dl FROM terms GROUP BY doc
+             |), stats AS (
+             |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+             |), q AS (
+             |  SELECT doc, term FROM terms WHERE term IN ('join', 'vector', 'filter')
+             |), tf AS (
+             |  SELECT doc, term, COUNT(*) AS tf FROM q GROUP BY doc, term
+             |), dfreq AS (
+             |  SELECT term, COUNT(DISTINCT doc) AS df FROM q GROUP BY term
+             |), contrib AS (
+             |  SELECT tf.doc,
+             |         LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             |           * CAST(tf AS DOUBLE)
+             |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+             |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc = dl.doc, stats
+             |)
+             |SELECT doc, ROUND(SUM(c), 6) AS score, COUNT(*) AS n_matched
+             |FROM contrib GROUP BY doc
+             |ORDER BY score DESC, doc ASC LIMIT 10""".stripMargin)),
   )
 
   /** The full curate(minQuality=0.3, minWords=20, spanK=0) pipeline

@@ -134,6 +134,41 @@ class EmptyInputSpec extends SparkSpec {
       "value", "user_id", gap = "1 hour").count() == 0)
   }
 
+  test("r14 incremental-curation/mixture wave honors the degenerate-input contracts") {
+    // epochMixture: empty corpus → empty; a domain with only zero-token
+    // docs and a positive target yields nothing (visible starvation,
+    // not a divide-by-zero)
+    assert(Curation.epochMixture(
+      Seq.empty[(Long, String, Long)].toDF("id", "lang", "toks"),
+      "id", "toks", "lang", Map("en" -> 100L)).count() == 0)
+    val zeroTok = Seq((1L, "en", 0L), (2L, "en", 0L)).toDF("id", "lang", "toks")
+    assert(Curation.epochMixture(zeroTok, "id", "toks", "lang",
+      Map("en" -> 100L)).count() == 0)
+
+    // curateReport on an empty corpus: full stage card, all zeros
+    val report = TrainingPipeline.curateReport(emptyDocs, "doc_id", "text")
+      .collect()
+    assert(report.length == 7 &&
+      report.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+    OperatorCache.releaseAll(spark)
+
+    // an EMPTY batch through the incremental path: no survivors, state
+    // advances to an identical state (no crash in the gate/confirm
+    // joins on a zero-row suspect slice)
+    val prev = Seq((1L, "the quick brown fox walks through the field " +
+      "while seven farmers watch the morning clouds drift past"))
+      .toDF("doc_id", "text")
+    val state = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 5)
+    assert(TrainingPipeline.curateIncremental(state, emptyDocs,
+      "doc_id", "text").count() == 0)
+    val advanced = TrainingPipeline.advanceState(state, emptyDocs,
+      "doc_id", "text")
+    assert(advanced.cleaned.count() == state.cleaned.count())
+    assert(advanced.seenKeys.get.count() == state.seenKeys.get.count())
+    OperatorCache.releaseAll(spark)
+  }
+
   test("ANN recall audits honor the degenerate-input contracts") {
     // empty corpus → empty Lloyd codebooks: the audits must return an
     // empty card with the (qid, n_hit, recall) contract schema, not

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "target/graft-tmp/textsearch-spec"
+
+  private def corpus = Seq(
+    (1L, "spark joins vectors and filters over the wide corpus tables"),
+    (2L, "the filter filter filter doc repeats one query term often"),
+    (3L, "vectors vectors appear twice here with a join nearby"),
+    (4L, "nothing relevant lives in this document at all"),
+    (5L, "join vector filter all three terms appear in this one"),
+  ).toDF("doc_id", "text")
+
+  test("served top-k equals the batch BM25 frontier") {
+    TextSearch.writeIndex(corpus, "doc_id", "text", dir, buckets = 16)
+    OperatorCache.releaseAll(spark)
+    val served = TextSearch.searchTopK(spark, dir,
+      Seq("join", "vector", "filter"), k = 3)
+      .as[(Long, Double, Long)].collect().toSeq
+
+    val batch = TextAnalysis.bm25(corpus, "doc_id", "text",
+      Seq("join", "vector", "filter"))
+      .orderBy(col("score").desc, col("doc").asc).limit(3)
+      .as[(Long, Double, Long)].collect().toSeq
+    OperatorCache.releaseAll(spark)
+    assert(served == batch,
+      s"served $served must equal the batch frontier $batch")
+    assert(served.nonEmpty && served.head._1 == 5L,
+      "the all-terms doc must rank first")
+  }
+
+  test("the serve scan is partition-pruned to the query terms' buckets") {
+    TextSearch.writeIndex(corpus, "doc_id", "text", dir, buckets = 16)
+    OperatorCache.releaseAll(spark)
+    val served = TextSearch.searchTopK(spark, dir, Seq("join"), k = 5)
+    val plan = served.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("tb#") && l.contains(" = ")),
+      s"expected tb-equality partition pruning, got:\n${plan.take(600)}")
+    // a doc without the term never surfaces
+    assert(!served.as[(Long, Double, Long)].collect().map(_._1).contains(4L))
+  }
+
+  test("degenerate inputs: unknown terms serve empty; empty query raises") {
+    TextSearch.writeIndex(corpus, "doc_id", "text", dir, buckets = 16)
+    OperatorCache.releaseAll(spark)
+    assert(TextSearch.searchTopK(spark, dir, Seq("zzzmissing"), k = 5)
+      .count() == 0)
+    val e = intercept[IllegalArgumentException](
+      TextSearch.searchTopK(spark, dir, Seq.empty, k = 5))
+    assert(e.getMessage.contains("query term"))
+  }
+}
