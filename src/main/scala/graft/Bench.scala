@@ -70,7 +70,8 @@ object Bench {
     "p94_langid_confusion", "p95_curate_incremental",
     "p96_ivf_recall_sampled", "p97_pq_recall_sampled",
     "p98_semantic_dedup_incremental", "p99_epoch_mixture",
-    "p100_curate_chained", "p101_curate_report", "p102_text_search_topk")
+    "p100_curate_chained", "p101_curate_report", "p102_text_search_topk",
+    "p103_text_search_batch")
 
   /** Jobs started/ended + stages completed + task GC/CPU sums, maintained
     * by [[counting]]. Listener delivery is asynchronous; [[settle]] waits

@@ -98,4 +98,71 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc").asc)
       .limit(k)
   }
+
+  /** Batched serving: top-k per query over a whole query WORKLOAD in
+    * one pass — the shape a decontamination audit runs ("for every
+    * eval question, which training docs score highest?"), mirroring
+    * the batched ANN audits. The postings scan prunes to the UNION of
+    * the workload's term buckets; the query side (workload-sized by
+    * definition) broadcasts into the term join; per-query ranking is a
+    * qid-partitioned row_number kept to `k` rows by WindowGroupLimit —
+    * no global sort, corpus work proportional to the matched postings.
+    *
+    * Terms are matched against the index's normalization ([[Dedup
+    * .rawTokens]] applied to each query string), so free-text queries
+    * behave like the corpus side.
+    *
+    * @param queries (qidCol, queryCol: free text)
+    * @return (qid, rank, doc, score, n_matched), rank 1..k per qid —
+    *         scores identical to [[TextAnalysis.bm25]] for that
+    *         query's termset
+    */
+  def searchTopKBatch(
+      queries: DataFrame, qidCol: String, queryCol: String, dir: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val nDocs = st.getAs[Long]("n_docs")
+    val avgdl = st.getAs[Double]("avgdl")
+    val buckets = st.getAs[Int]("buckets")
+    // DISTINCT (qid, term): BM25 is a termSET score — a term repeated
+    // in a query must not double its contribution
+    val qterms = queries.select(col(qidCol).as("qid"),
+      explode(Dedup.rawTokens(col(queryCol))).as("term"))
+      .where(col("term") =!= "").distinct()
+    val tbs = qterms
+      .select(pmod(GraftFunctions.fnv1a64(col("term")), lit(buckets.toLong))
+        .as("tb")).distinct()
+      .collect().map(_.getLong(0))
+    // an all-stopword workload leaves tbs empty — isin(empty) is
+    // statically false, so everything downstream is a well-typed
+    // empty frame, no special case needed
+    val postings = spark.read.parquet(s"$dir/postings")
+      .where(col("tb").isin(tbs.toIndexedSeq: _*))
+    // per-term df is a property of the INDEX, independent of the
+    // workload — aggregate it once over the distinct matched terms
+    val matched = postings.join(
+      broadcast(qterms.select("term").distinct()), "term")
+    val dfreq = matched.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("doc").asc)
+    matched
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf").cast("double") /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))
+      .groupBy("qid", "doc")
+      .agg(round(sum(col("contrib")), 6).as("score"),
+        count(lit(1)).as("n_matched"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "doc", "score", "n_matched")
+  }
 }

@@ -4245,6 +4245,64 @@ object PipelineQueries {
              |SELECT doc, ROUND(SUM(c), 6) AS score, COUNT(*) AS n_matched
              |FROM contrib GROUP BY doc
              |ORDER BY score DESC, doc ASC LIMIT 10""".stripMargin)),
+
+    // Batched serving over the same index: a whole query workload in
+    // one pass (the decontamination-audit shape), per-query top-k via
+    // a qid-partitioned row_number on the pre-rounded score. The
+    // oracle replays the distinct (qid, term) workload as VALUES rows
+    // against the p23 BM25 chain.
+    QueryDef("p103_text_search_batch",
+      (s, dir) => {
+        val idx = s"target/graft-tmp/textsearch_${math.abs(dir.hashCode)}"
+        TextSearch.writeIndex(Tables.load(s, dir, "documents"),
+          "doc_id", "text", idx)
+        OperatorCache.releaseAll(s)
+        val workload = s.createDataFrame(Seq(
+          (1L, "join vector filter"),
+          (2L, "stream window"),
+          (3L, "quality score text"))).toDF("qid", "query")
+        TextSearch.searchTopKBatch(workload, "qid", "query", idx, k = 5)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS term
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), dl AS (
+             |  SELECT doc, COUNT(*) AS dl FROM terms GROUP BY doc
+             |), stats AS (
+             |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+             |), qt AS (
+             |  SELECT * FROM (VALUES (1, 'join'), (1, 'vector'), (1, 'filter'),
+             |                        (2, 'stream'), (2, 'window'),
+             |                        (3, 'quality'), (3, 'score'), (3, 'text')) v(qid, term)
+             |), q AS (
+             |  SELECT doc, term FROM terms
+             |  WHERE term IN (SELECT DISTINCT term FROM qt)
+             |), tf AS (
+             |  SELECT doc, term, COUNT(*) AS tf FROM q GROUP BY doc, term
+             |), dfreq AS (
+             |  SELECT term, COUNT(DISTINCT doc) AS df FROM q GROUP BY term
+             |), contrib AS (
+             |  SELECT qt.qid, tf.doc,
+             |         LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             |           * CAST(tf AS DOUBLE)
+             |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+             |  FROM qt JOIN tf ON qt.term = tf.term
+             |       JOIN dfreq ON tf.term = dfreq.term
+             |       JOIN dl ON tf.doc = dl.doc, stats
+             |), s AS (
+             |  SELECT qid, doc, ROUND(SUM(c), 6) AS score, COUNT(*) AS n_matched
+             |  FROM contrib GROUP BY qid, doc
+             |), r AS (
+             |  SELECT CAST(qid AS BIGINT) AS qid,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc ASC) AS INT) AS rank,
+             |         doc, score, n_matched
+             |  FROM s
+             |)
+             |SELECT qid, rank, doc, score, n_matched FROM r
+             |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
   )
 
   /** The full curate(minQuality=0.3, minWords=20, spanK=0) pipeline

@@ -47,6 +47,32 @@ class TextSearchSpec extends SparkSpec {
     assert(!served.as[(Long, Double, Long)].collect().map(_._1).contains(4L))
   }
 
+  test("batched serving: per-query top-k ≡ one searchTopK per query") {
+    TextSearch.writeIndex(corpus, "doc_id", "text", dir, buckets = 16)
+    OperatorCache.releaseAll(spark)
+    val workload = Seq(
+      (101L, "join vector filter"),
+      (102L, "filter"),
+      (103L, "repeats appear twice"),
+      (104L, "zzzq wwwq qqqz"),
+    ).toDF("qid", "query")
+    val batch = TextSearch.searchTopKBatch(workload, "qid", "query", dir, k = 2)
+      .as[(Long, Int, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq).toMap
+
+    for ((qid, terms) <- Seq(101L -> Seq("join", "vector", "filter"),
+        102L -> Seq("filter"), 103L -> Seq("repeats", "appear", "twice"))) {
+      val single = TextSearch.searchTopK(spark, dir, terms, k = 2)
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single,
+        s"qid $qid: batch ${batch.get(qid)} vs single $single")
+    }
+    // a query with no index hits is simply absent
+    assert(!batch.contains(104L))
+    // ranks are 1..k dense per qid
+    assert(batch.values.forall(rows => rows.indices.forall(i => i < 2)))
+  }
+
   test("degenerate inputs: unknown terms serve empty; empty query raises") {
     TextSearch.writeIndex(corpus, "doc_id", "text", dir, buckets = 16)
     OperatorCache.releaseAll(spark)
