@@ -19,7 +19,7 @@ import graft.functions.{Fnv1a64, GraftFunctions}
   *   - `postings/` partitioned by `tb` = fnv1a64(term) mod `buckets`:
   *     (term, doc, tf, dl) — doc length rides each posting row so
   *     serving needs no doc-side join at all;
-  *   - `stats/`: one row (n_docs, avgdl, buckets) — the BM25 corpus
+  *   - `stats/`: one row (n_docs, sum_dl, buckets) — the BM25 corpus
   *     constants plus the layout parameter, so a serving session needs
   *     no out-of-band configuration.
   *
@@ -54,9 +54,52 @@ object TextSearch {
         pmod(GraftFunctions.fnv1a64(col("term")), lit(buckets.toLong)))
       .select("tb", "term", "doc", "tf", "dl")
       .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
+    // sum_dl is the EXACT integer token total — avgdl derives at serve
+    // time as sum_dl/n_docs (identical to avg() while the total stays
+    // under 2^53), and incremental appends stay exact long additions
     docLen.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl").cast("double")).as("avgdl"))
+      coalesce(sum("dl"), lit(0L)).as("sum_dl"))
       .withColumn("buckets", lit(buckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Incremental maintenance: append a NEW batch of docs into the
+    * [[writeIndex]] layout — batch-sized postings appends into the
+    * partitioned table plus a CLOSED-FORM stats update (n' = n + Δn,
+    * sum_dl' = sum_dl + Σ Δdl — exact long additions, no corpus
+    * re-read, so append ≡ rebuild is bit-identical),
+    * the same append-don't-rebuild shape as `TrainingPipeline
+    * .appendState` and `Similarity.appendIvfPq`. Serving reflects the
+    * union immediately; the spec pins append ≡ one-shot rebuild score
+    * equality. Batch doc ids must be new (a re-crawled id would stack
+    * duplicate postings — gate upstream with the curate seen-gate).
+    */
+  def appendIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+  ): Unit = {
+    val spark = df.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val nDocs = st.getAs[Long]("n_docs")
+    val sumDl = st.getAs[Long]("sum_dl")
+    val buckets = st.getAs[Int]("buckets")
+    val terms = df.select(col(idCol).as("doc"),
+      explode(Dedup.rawTokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val tfAll = OperatorCache.materialize(
+      terms.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+    val docLen = OperatorCache.materialize(
+      tfAll.groupBy("doc").agg(sum("tf").as("dl")))
+    tfAll.join(docLen, "doc")
+      .withColumn("tb",
+        pmod(GraftFunctions.fnv1a64(col("term")), lit(buckets.toLong)))
+      .select("tb", "term", "doc", "tf", "dl")
+      .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
+    val d = docLen.agg(count(lit(1)).as("dn"),
+      coalesce(sum("dl"), lit(0L)).as("dsum")).head()
+    spark.createDataFrame(Seq(
+      (nDocs + d.getAs[Long]("dn"), sumDl + d.getAs[Long]("dsum"), buckets)))
+      .toDF("n_docs", "sum_dl", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -77,7 +120,7 @@ object TextSearch {
     require(queryTerms.nonEmpty, "searchTopK needs at least one query term")
     val st = spark.read.parquet(s"$dir/stats").head()
     val nDocs = st.getAs[Long]("n_docs")
-    val avgdl = st.getAs[Double]("avgdl")
+    val avgdl = st.getAs[Long]("sum_dl").toDouble / math.max(nDocs, 1L)
     val buckets = st.getAs[Int]("buckets")
     val tbs = queryTerms
       .map(t => math.floorMod(Fnv1a64.hash(t.getBytes("UTF-8")), buckets.toLong))
@@ -125,7 +168,7 @@ object TextSearch {
     GraftFunctions.ensureRegistered(spark)
     val st = spark.read.parquet(s"$dir/stats").head()
     val nDocs = st.getAs[Long]("n_docs")
-    val avgdl = st.getAs[Double]("avgdl")
+    val avgdl = st.getAs[Long]("sum_dl").toDouble / math.max(nDocs, 1L)
     val buckets = st.getAs[Int]("buckets")
     // DISTINCT (qid, term): BM25 is a termSET score — a term repeated
     // in a query must not double its contribution

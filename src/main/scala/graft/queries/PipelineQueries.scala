@@ -4212,7 +4212,7 @@ object PipelineQueries {
     // deterministic (score desc, doc asc) top-k frontier on top.
     QueryDef("p102_text_search_topk",
       (s, dir) => {
-        val idx = s"target/graft-tmp/textsearch_${math.abs(dir.hashCode)}"
+        val idx = s"target/graft-tmp/textsearch_p102_${math.abs(dir.hashCode)}"
         TextSearch.writeIndex(Tables.load(s, dir, "documents"),
           "doc_id", "text", idx)
         OperatorCache.releaseAll(s)
@@ -4253,7 +4253,9 @@ object PipelineQueries {
     // against the p23 BM25 chain.
     QueryDef("p103_text_search_batch",
       (s, dir) => {
-        val idx = s"target/graft-tmp/textsearch_${math.abs(dir.hashCode)}"
+        // own dir: Verify materializes query batches concurrently, and
+        // two writeIndex overwrites of one layout race on _temporary
+        val idx = s"target/graft-tmp/textsearch_p103_${math.abs(dir.hashCode)}"
         TextSearch.writeIndex(Tables.load(s, dir, "documents"),
           "doc_id", "text", idx)
         OperatorCache.releaseAll(s)

@@ -73,6 +73,30 @@ class TextSearchSpec extends SparkSpec {
     assert(batch.values.forall(rows => rows.indices.forall(i => i < 2)))
   }
 
+  test("appendIndex ≡ one-shot rebuild: scores bit-identical after the append") {
+    val prior = corpus.where(col("doc_id") <= 3)
+    val delta = corpus.where(col("doc_id") > 3)
+    val appendDir = s"$dir-append"
+    TextSearch.writeIndex(prior, "doc_id", "text", appendDir, buckets = 16)
+    OperatorCache.releaseAll(spark)
+    TextSearch.appendIndex(delta, "doc_id", "text", appendDir)
+    OperatorCache.releaseAll(spark)
+    val rebuiltDir = s"$dir-rebuilt"
+    TextSearch.writeIndex(corpus, "doc_id", "text", rebuiltDir, buckets = 16)
+    OperatorCache.releaseAll(spark)
+
+    def serve(d: String) = TextSearch.searchTopK(spark, d,
+      Seq("join", "vector", "filter"), k = 5)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(serve(appendDir) == serve(rebuiltDir),
+      "appended index must serve exactly like a one-shot rebuild")
+    // the stats row advanced by exact integer arithmetic
+    val st = spark.read.parquet(s"$appendDir/stats").head()
+    assert(st.getAs[Long]("n_docs") == 5L)
+    assert(st.getAs[Long]("sum_dl") ==
+      spark.read.parquet(s"$rebuiltDir/stats").head().getAs[Long]("sum_dl"))
+  }
+
   test("degenerate inputs: unknown terms serve empty; empty query raises") {
     TextSearch.writeIndex(corpus, "doc_id", "text", dir, buckets = 16)
     OperatorCache.releaseAll(spark)
