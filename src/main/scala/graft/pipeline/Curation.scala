@@ -138,6 +138,63 @@ object Curation {
     df.withColumn("split", label)
   }
 
+  /** Leakage-safe train/val/test split: like [[splitCorpus]], but the
+    * gate is computed on the doc's NEAR-DUP CLUSTER representative, so
+    * near-duplicate documents always land in the SAME split — the
+    * contamination guard an id-gated split does not have (a doc and its
+    * near-copy gate independently, so ~evalFraction of every duplicate
+    * cluster straddles train/eval, and the eval set silently measures
+    * memorization of training near-copies).
+    *
+    * Pipeline: banded MinHash-LSH candidates verified at exact n-gram
+    * Jaccard ≥ `threshold` ([[Dedup.minhashNearDups]] — never
+    * all-pairs), min-label connected components
+    * ([[Dedup.nearDupClusters]]), then one broadcast-size left join maps
+    * each doc to its representative (unpaired docs — the overwhelming
+    * majority at corpus scale — represent themselves and skip the join's
+    * build side entirely). The gate arithmetic is [[splitCorpus]]'s,
+    * applied to the representative id: members inherit the rep's
+    * interval, so the split stays reproducible, disjoint, and
+    * engine-replayable (the same integer mix, one indirection earlier).
+    *
+    * Fraction fidelity: intervals size CLUSTERS (by rep id), not docs —
+    * with duplicate clusters small relative to the corpus (the real
+    * regime), realized doc fractions converge to the weights; a corpus
+    * that is one giant cluster lands whole in one split, which is the
+    * correct degenerate behavior for a no-leakage guarantee.
+    *
+    * Scale shape: the cluster-label frame is proportional to the
+    * DUPLICATED subset, not the corpus (nearDupClusters labels only
+    * docs that appear in a verified pair), so the added cost over
+    * [[splitCorpus]] is the dedup pipeline the curation run typically
+    * executes anyway — callers holding labels from a prior dedup pass
+    * them via `clusters` and pay only the join.
+    *
+    * @param clusters optional precomputed (doc, label) frame (the
+    *   [[Dedup.nearDupClusters]] output) — pass it to reuse a dedup
+    *   run's labels instead of re-mining pairs
+    * @return df + a `split` column with the assigned label
+    */
+  def leakageSafeSplit(
+      df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)],
+      threshold: Double = 0.7, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+      salt: Int = 0, clusters: DataFrame = null,
+  ): DataFrame = {
+    val labels =
+      if (clusters != null) clusters
+      else Dedup.nearDupClusters(Dedup.minhashNearDups(
+        df, idCol, textCol, threshold, shingleK, numHashes, bands))
+    val rep = coalesce(col("__cluster_label"), col(idCol))
+    val withRep = df.join(
+        labels.select(col("doc").as("__cluster_doc"),
+          col("label").as("__cluster_label")),
+        col(idCol) === col("__cluster_doc"), "left")
+    splitCorpus(withRep, idCol, splits, salt, gate = idGate(rep, salt))
+      .drop("__cluster_doc", "__cluster_label")
+  }
+
   /** Greedy sequence packing: assign each doc to a (shard, pack) so that
     * packs hold ~`budgetTokens` tokens — how pretraining examples are
     * composed from variable-length documents without padding waste.

@@ -4305,6 +4305,36 @@ object PipelineQueries {
              |)
              |SELECT qid, rank, doc, score, n_matched FROM r
              |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Leakage-safe split: the gate runs on the near-dup CLUSTER
+    // representative, so near-duplicates never straddle train/eval.
+    // Same LSH params as p13 (candidate recall is total on this corpus,
+    // so the exact all-pairs oracle components match the banded run);
+    // oracle = ccDedupTail's labels + the p43 gate arithmetic applied
+    // to COALESCE(label, doc_id).
+    QueryDef("p104_leakage_safe_split",
+      (s, dir) => Curation.leakageSafeSplit(
+        Tables.load(s, dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id", "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        threshold = 0.12, shingleK = 3, numHashes = 32, bands = 16)
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE corpus AS (
+             |  SELECT doc_id, lang, text
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), ${ccDedupTail("0.12")}, rep AS (
+             |  SELECT c.doc_id, c.lang, COALESCE(l.label, c.doc_id) AS rep
+             |  FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc
+             |), g AS (
+             |  SELECT doc_id, lang,
+             |         ((rep % 100000) * 2654435761) % 1000000 AS gate
+             |  FROM rep
+             |)
+             |SELECT doc_id, lang,
+             |       CASE WHEN gate < 800000 THEN 'train'
+             |            WHEN gate < 900000 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM g ORDER BY doc_id""".stripMargin)),
   )
 
   /** The full curate(minQuality=0.3, minWords=20, spanK=0) pipeline

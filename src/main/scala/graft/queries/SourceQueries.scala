@@ -119,6 +119,26 @@ object SourceQueries {
       s.read.orc(path).orderBy("s_suppkey")
     }, Some("SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey")),
 
+    // S14 — WARC round trip: documents written as sharded .warc.gz
+    // (per-record gzip members — the Common Crawl layout) and read back
+    // through the ISO-28500 parser; doc ids recover from the target URI,
+    // text from the HTTP body. The warcinfo header records exercise the
+    // non-response skip path. Own dir (see the writeIndex race note).
+    QueryDef("s14_warc_roundtrip", (s, dir) => {
+      val path = s"$tmpRoot/warc_s14_${math.abs(dir.hashCode)}"
+      graft.sources.Warc.writeShards(
+        Tables.load(s, dir, "documents"), "doc_id", "text", path, shards = 4)
+      graft.sources.Warc.read(s, path)
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          decode(col("payload"), "UTF-8").as("text"),
+          col("http_status"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, text, CAST(200 AS INTEGER) AS http_status
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // L1 — compiled semantic dataset: declared columns with expressions,
     // group_by + order_by + limit, straight from a schema definition
     // (the reference's `SELECT cols FROM src GROUP BY ... ORDER BY ...

@@ -1,0 +1,279 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, IOException, InputStream, OutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500) source/sink — the web-archive container training
+  * corpora actually arrive in (Common Crawl publishes every crawl as
+  * `.warc.gz` shards). Self-contained: the record grammar is a handful
+  * of CRLF header lines plus a Content-Length-framed block, and the JDK
+  * reads the gzip framing natively — no external deps.
+  *
+  * Read path, Spark-first: `binaryFile` scan → one parse pass per shard
+  * file (`flatMap` over whole-file bytes). The FILE is the parallelism
+  * unit — exactly the archive's own contract: Common Crawl cuts crawls
+  * into ~1 GiB shards, tens of thousands per crawl, so a 100 TB read is
+  * ~100k independent tasks with no shuffle anywhere. Per-record gzip
+  * members (the standard layout, preserved by [[writeShards]]) mean a
+  * shard streams record-by-record through one `GZIPInputStream` (the
+  * JDK reader walks concatenated members) — decompressed bytes never
+  * accumulate beyond one record. The in-memory bound per task is the
+  * COMPRESSED shard (binaryFile materializes file content); keep shards
+  * at the archive-standard ~1 GiB and the bound is a constant.
+  *
+  * Robustness contract (fuzz-tested in WarcSpec): a truncated shard
+  * yields its complete records and stops; corrupt bytes between records
+  * resync to the next `WARC/` version line; a record whose
+  * Content-Length overruns the sanity cap or the remaining bytes ends
+  * the file's parse instead of OOM-ing the task. Parsing never throws —
+  * at archive scale some shards ARE damaged, and one bad file must not
+  * kill an 100k-task read (count `warc_type IS NULL` paths upstream by
+  * comparing record counts per path instead).
+  */
+object Warc {
+
+  /** One parsed record. `payload` is the HTTP message BODY for
+    * `application/http` blocks (headers stripped, status lifted into
+    * `http_status`), the raw block otherwise. */
+  final case class WarcRecord(
+      path: String,
+      record_id: String,
+      warc_type: String,
+      target_uri: String,
+      warc_date: String,
+      content_type: String,
+      http_status: Option[Int],
+      payload: Array[Byte],
+  )
+
+  /** Sanity cap on one record's Content-Length (512 MiB): a corrupt
+    * length header must fail the parse, not the executor's heap. */
+  private val MaxRecordBytes: Long = 512L * 1024 * 1024
+
+  /** Longest header line retained; anything longer is binary garbage
+    * mid-resync, not a WARC header. */
+  private val MaxLineBytes = 64 * 1024
+
+  // --- read ---------------------------------------------------------
+
+  /** Scan a file/glob/directory of `.warc` / `.warc.gz` shards into a
+    * DataFrame of records:
+    * `(path, record_id, warc_type, target_uri, warc_date, content_type,
+    * http_status, payload)`. All record types surface (`warcinfo`,
+    * `request`, `metadata`, ...) — filter `warc_type = 'response'` for
+    * page payloads; `decode(payload, 'UTF-8')` for text.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    implicit val enc: Encoder[WarcRecord] = Encoders.product[WarcRecord]
+    files.as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (p, bytes) => parseFile(p, bytes) }
+      .toDF()
+  }
+
+  /** Parse one shard's bytes (gzip auto-detected by magic number). */
+  def parseFile(path: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
+    val raw = new ByteArrayInputStream(bytes)
+    val in: InputStream =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        new GZIPInputStream(raw, 64 * 1024) // reads concatenated members
+      else raw
+    parse(path, new BufferedInputStream(in, 64 * 1024))
+  }
+
+  /** Streaming record iterator over an open stream. Never throws: IO or
+    * framing damage ends the iteration with the records parsed so far. */
+  private def parse(path: String, in: BufferedInputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = fetch()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): WarcRecord = {
+        val r = nextRec; nextRec = fetch(); r
+      }
+
+      /** Next well-formed record, resyncing past damage; null at end. */
+      private def fetch(): WarcRecord =
+        try {
+          while (true) {
+            // resync: scan lines until a WARC version line
+            var line = readLine(in)
+            while (line != null && !line.startsWith("WARC/")) line = readLine(in)
+            if (line == null) return null
+            val headers = mutable.Map.empty[String, String]
+            var h = readLine(in)
+            while (h != null && h.nonEmpty) {
+              val i = h.indexOf(':')
+              if (i > 0) headers(h.substring(0, i).trim.toLowerCase) =
+                h.substring(i + 1).trim
+              h = readLine(in)
+            }
+            if (h == null) return null // truncated inside the header block
+            headers.get("content-length").flatMap(_.toLongOption) match {
+              case Some(len) if len >= 0 && len <= MaxRecordBytes =>
+                val block = readExactly(in, len.toInt)
+                if (block == null) return null // truncated block
+                return build(path, headers, block)
+              case Some(_) => return null // insane length: damaged beyond resync
+              case None    => ()          // length-less record: resync to the next one
+            }
+          }
+          null // unreachable; keeps the compiler's definite-return happy
+        } catch {
+          case _: IOException => null // gzip CRC / framing damage mid-stream
+        }
+    }
+
+  private def build(
+      path: String, headers: mutable.Map[String, String], block: Array[Byte],
+  ): WarcRecord = {
+    val ctype = headers.getOrElse("content-type", "")
+    val (status, payload) =
+      if (ctype.toLowerCase.startsWith("application/http")) splitHttp(block)
+      else (None, block)
+    WarcRecord(
+      path = path,
+      record_id = headers.getOrElse("warc-record-id", ""),
+      warc_type = headers.getOrElse("warc-type", ""),
+      target_uri = headers.getOrElse("warc-target-uri", ""),
+      warc_date = headers.getOrElse("warc-date", ""),
+      content_type = ctype,
+      http_status = status,
+      payload = payload)
+  }
+
+  /** Split an HTTP message block into (status, body): headers end at the
+    * first CRLFCRLF; the status code is the second token of the first
+    * line. A block with no header terminator passes through whole (a
+    * damaged or bodyless message is data, not an error). */
+  private def splitHttp(block: Array[Byte]): (Option[Int], Array[Byte]) = {
+    var i = 0
+    var split = -1
+    while (split < 0 && i + 3 < block.length) {
+      if (block(i) == '\r' && block(i + 1) == '\n' &&
+        block(i + 2) == '\r' && block(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return (None, block)
+    val head = new String(block, 0, split, "UTF-8")
+    val status = head.linesIterator.nextOption().flatMap { l =>
+      val parts = l.split(" ")
+      if (parts.length >= 2 && parts(0).startsWith("HTTP/")) parts(1).toIntOption
+      else None
+    }
+    (status, java.util.Arrays.copyOfRange(block, split + 4, block.length))
+  }
+
+  /** Read one CRLF/LF-terminated line as ISO-8859-1 (header bytes are
+    * ASCII; 8859-1 is the byte-transparent decode). Returns null at EOF
+    * with nothing read; caps retained length at [[MaxLineBytes]] while
+    * still consuming to the newline so resync always makes progress. */
+  private def readLine(in: InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') {
+      if (buf.size < MaxLineBytes) buf.write(b)
+      b = in.read()
+    }
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1
+            else bytes.length
+    new String(bytes, 0, n, "ISO-8859-1")
+  }
+
+  /** Exactly n bytes, or null if the stream ends early. */
+  private def readExactly(in: InputStream, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = try in.read(out, off, n - off) catch { case _: EOFException => -1 }
+      if (r < 0) return null
+      off += r
+    }
+    out
+  }
+
+  // --- write --------------------------------------------------------
+
+  /** Write (id, text) rows as a sharded `.warc.gz` layout — the fixture
+    * and export sibling of [[read]]. Each shard file carries one
+    * `warcinfo` header record then one `response` record per row, each
+    * record its OWN gzip member (the Common Crawl layout [[read]]'s
+    * streaming bound relies on). Rows hash-partition by id into
+    * `shards` files written straight from the executors (no driver
+    * funnel); record ids, dates, and URIs are pure functions of the id,
+    * so the layout is bit-reproducible for a given input.
+    */
+  def writeShards(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      shards: Int, uriPrefix: String = "http://example.org/doc/",
+      gzip: Boolean = true,
+  ): Unit = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val driverFs = target.getFileSystem(hconf.value)
+    driverFs.delete(target, true)
+    driverFs.mkdirs(target)
+    val ext = if (gzip) "warc.gz" else "warc"
+    df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .repartition(shards, col("id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val file = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.$ext")
+        val fs = file.getFileSystem(hconf.value)
+        val out = fs.create(file, true)
+        try {
+          writeMember(out, gzip,
+            record("warcinfo", s"<urn:uuid:${uuidOf(s"shard-$pid")}>",
+              uri = null, "application/warc-fields",
+              s"software: graft-warc\r\nshard: $pid\r\n".getBytes("UTF-8")))
+          it.foreach { r =>
+            val id = r.getString(0)
+            val body = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+            val http =
+              (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
+            writeMember(out, gzip,
+              record("response", s"<urn:uuid:${uuidOf(id)}>",
+                uri = uriPrefix + id, "application/http; msgtype=response", http))
+          }
+        } finally out.close()
+      }
+  }
+
+  /** Deterministic name-based UUID (type 3) so the layout reproduces. */
+  private def uuidOf(name: String): String =
+    java.util.UUID.nameUUIDFromBytes(name.getBytes("UTF-8")).toString
+
+  private def record(
+      wtype: String, recordId: String, uri: String, ctype: String,
+      block: Array[Byte],
+  ): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $wtype\r\n")
+    sb.append(s"WARC-Record-ID: $recordId\r\n")
+    sb.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+    if (uri != null) sb.append(s"WARC-Target-URI: $uri\r\n")
+    sb.append(s"Content-Type: $ctype\r\n")
+    sb.append(s"Content-Length: ${block.length}\r\n\r\n")
+    sb.toString.getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  /** One record as its own gzip member (or raw bytes when !gzip). */
+  private def writeMember(out: OutputStream, gzip: Boolean, rec: Array[Byte]): Unit =
+    if (gzip) {
+      val gz = new GZIPOutputStream(out, 64 * 1024)
+      gz.write(rec)
+      gz.finish() // flush the member's trailer; the file stream stays open
+    } else out.write(rec)
+}

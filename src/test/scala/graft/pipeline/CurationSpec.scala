@@ -380,4 +380,42 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.temperatureResample(df, "id", "n_toks", "stratum", 0.0))
   }
+
+  test("leakageSafeSplit: near-dup clusters never straddle; unpaired docs match splitCorpus") {
+    val words = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    // every unique doc carries 3 doc-specific tokens, so cross-doc
+    // 3-gram Jaccard stays far below the 0.9 threshold; copies are exact
+    def textOf(seed: Long): String =
+      (0 until 12).map(j =>
+        if (j % 4 == 2) s"u${seed}x$j" else words(((seed + j) % 20).toInt))
+        .mkString(" ")
+    // 90 unique docs + 30 exact copies of docs 0..9 → 10 clusters of 4
+    val rows = (0L until 90L).map(i => (i, textOf(i))) ++
+      (0 until 30).map(j => (100L + j, textOf((j % 10).toLong)))
+    val df = rows.toDF("id", "text")
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.leakageSafeSplit(df, "id", "text", weights, threshold = 0.9)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(out.size == 120, "split must cover every doc exactly once")
+    // the guard: every copy lands in its original's split
+    (0 until 30).foreach { j =>
+      assert(out(100L + j) == out((j % 10).toLong),
+        s"copy ${100 + j} split ${out(100L + j)} != rep ${out((j % 10).toLong)}")
+    }
+    // unpaired docs (10..89) gate on their own id — identical to splitCorpus
+    val plain = Curation.splitCorpus(df, "id", weights)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    (10L until 90L).foreach(i =>
+      assert(out(i) == plain(i), s"unpaired doc $i diverged from splitCorpus"))
+    // precomputed-clusters path agrees with the mined path
+    val clusters = Dedup.nearDupClusters(
+      Dedup.minhashNearDups(df, "id", "text", threshold = 0.9))
+    val reused = Curation.leakageSafeSplit(df, "id", "text", weights,
+        clusters = clusters)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(reused == out, "precomputed clusters must reproduce the mined split")
+    OperatorCache.releaseAll(spark)
+  }
 }
