@@ -180,8 +180,13 @@ object Bench {
     // run 1 left cached skewed the min toward a state no single call
     // ever sees.) So each number is the cold cost one user call pays.
     final case class Run(sec: Double, jobs: Int, stages: Int, gcMs: Long, cpuMs: Long)
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the run — the
+    // iterate-on-one-query loop; unset = the full headline set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results: Seq[(String, Either[String, Seq[Run]])] = headline
       .filter(qs.contains)
+      .filter(n => only.forall(_.contains(n)))
       .map { name =>
         def once(): Either[String, Run] = {
           val (j0, s0, g0, c0) = counts.settle()
