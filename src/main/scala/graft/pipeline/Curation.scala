@@ -661,6 +661,40 @@ object Curation {
       .select(col("doc"), col("domain"))
   }
 
+  /** Cap every stratum at `cap` rows, keeping each stratum's first `cap`
+    * in deterministic (gate, id) order — the per-host contribution cap a
+    * web-corpus mix applies so one domain cannot dominate training data
+    * ("at most N pages per host"). Same de-skewed machinery as
+    * [[selectTopPerDomain]], with two scale differences: the stratum
+    * count is UNBOUNDED (hosts number in the millions at crawl scale),
+    * so the bucket-offset frame joins by (stratum, bucket) instead of
+    * broadcasting, and the cap is a constant, so no targets frame
+    * exists at all. Buckets whose exclusive offset already covers the
+    * cap drop BEFORE the rank window; a mega-host sorts ≤ 1/1024 of
+    * itself per task — and under a small cap, only its first buckets.
+    *
+    * @param gate deterministic order within a stratum (default
+    *   [[idGate]]; pass `xxhash64(col(id))` for sparse ids)
+    * @return the input columns, ≤ `cap` rows per stratum
+    */
+  def capPerStratum(
+      df: DataFrame, idCol: String, strataCol: String, cap: Long,
+      salt: Int = 0, gate: Column = null,
+  ): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val g = if (gate != null) gate else idGate(col(idCol), salt)
+    val keyed = df.withColumn("__gate", g)
+      .withColumn("__b", clampBucket(col("__gate"), 977L))
+    val offs = bucketOffsets(keyed, strataCol, count(lit(1)))
+    val sel = Window.partitionBy(col(strataCol), col("__b"))
+      .orderBy(col("__gate"), col(idCol))
+    keyed.join(offs, Seq(strataCol, "__b"))
+      .where(col("__off") < cap)
+      .withColumn("__rk", row_number().over(sel) + col("__off"))
+      .where(col("__rk") <= cap)
+      .select(df.columns.map(col).toIndexedSeq: _*) // join moved the key first
+  }
+
   /** Weighted sampling WITHOUT replacement via priority sampling
     * (Efraimidis & Spirakis 2006, algorithm A-ES): each row draws a
     * deterministic uniform u from the portable FNV hash of its id and

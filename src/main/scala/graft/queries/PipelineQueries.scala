@@ -4335,7 +4335,80 @@ object PipelineQueries {
              |            WHEN gate < 900000 THEN 'val'
              |            ELSE 'test' END AS split
              |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization: deterministic messy URLs synthesized from
+    // doc_id (mixed case, www-variants, default port, tracking params,
+    // doubled separators, fragments), normalized by the codegen regexp
+    // chain. The oracle states the EXPECTED canonical form analytically
+    // per case arm — it pins the semantics, not the regex dialect.
+    QueryDef("p105_url_normalize",
+      (s, dir) => {
+        val url = expr(syntheticUrlExpr)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            Urls.normalizeUrl(col("url")).as("url_norm"),
+            Urls.hostOf(col("url")).as("host"),
+            Urls.registrableHost(col("url")).as("site"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+             |           || 'host-' || (doc_id % 37) || '.example.org' AS host,
+             |         'host-' || (doc_id % 37) || '.example.org' AS site,
+             |         '/Pages/' || doc_id ||
+             |         CASE doc_id % 4
+             |           WHEN 0 THEN '?ref_id=' || doc_id
+             |           WHEN 1 THEN '?id=' || doc_id
+             |           WHEN 2 THEN ''
+             |           ELSE '?a=1&b=2' END AS rest
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |)
+             |SELECT doc_id, 'http://' || host || rest AS url_norm, host, site
+             |FROM u ORDER BY doc_id""".stripMargin)),
+
+    // Per-host contribution cap: at most 5 docs per registrable host in
+    // deterministic (gate, id) order — unbounded-strata variant of the
+    // de-skewed selection. The oracle replays the gate + rank directly.
+    QueryDef("p106_host_cap",
+      (s, dir) => {
+        val url = expr(syntheticUrlExpr)
+        val withSite = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("site", Urls.registrableHost(col("url")))
+          .select("doc_id", "site")
+        Curation.capPerStratum(withSite, "doc_id", "site", cap = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |         'host-' || (doc_id % 37) || '.example.org' AS site,
+             |         ((doc_id % 100000) * 2654435761) % 1000000 AS gate
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), r AS (
+             |  SELECT doc_id, site,
+             |         ROW_NUMBER() OVER (PARTITION BY site ORDER BY gate, doc_id) AS rk
+             |  FROM u
+             |)
+             |SELECT doc_id, site FROM r WHERE rk <= 5 ORDER BY doc_id""".stripMargin)),
   )
+
+  /** Messy-but-deterministic URL synthesized from doc_id — the shared
+    * input of p105/p106 (SQL so both engines could build it, though only
+    * Spark needs to: the oracles replay the EXPECTED outputs instead). */
+  private val syntheticUrlExpr: String =
+    """concat('HTTP://',
+      |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      |  'Host-', CAST(doc_id % 37 AS STRING), '.Example.org',
+      |  CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END,
+      |  '/Pages/', CAST(doc_id AS STRING),
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN concat('?utm_source=feed&ref_id=', CAST(doc_id AS STRING))
+      |    WHEN 1 THEN concat('?id=', CAST(doc_id AS STRING), '&utm_medium=email')
+      |    WHEN 2 THEN ''
+      |    ELSE '?a=1&&b=2' END,
+      |  CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)""".stripMargin
 
   /** The full curate(minQuality=0.3, minWords=20, spanK=0) pipeline
     * replay — floors, connected-component dedup, Gopher screen, split —

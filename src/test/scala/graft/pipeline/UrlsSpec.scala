@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** URL canonicalization + per-stratum cap contracts. */
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(Urls.normalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("normalizeUrl: case, ports, fragments, tracking params, separators") {
+    assert(norm(
+      "HTTP://WWW.Example.COM:80/Path/One?utm_source=x&id=5#frag",
+      "https://a.b:443/",
+      "https://a.b:8443/x",
+      "http://user:pw@Host.org/p",
+      "http://h.io",
+      "http://h.io?utm_campaign=z",
+      "http://h.io/p?a=1&&b=2&utm_medium=m",
+      "http://h.io/p?utm_a=1&utm_b=2",
+      "not a url#frag",
+    ) == Seq(
+      "http://www.example.com/Path/One?id=5", // scheme+host lowered, :80 + utm + #frag gone, path case kept
+      "https://a.b/",                          // :443 stripped
+      "https://a.b:8443/x",                    // non-default port kept
+      "http://host.org/p",                     // userinfo dropped
+      "http://h.io/",                          // empty path → /
+      "http://h.io/",                          // query emptied by tracking strip → dropped
+      "http://h.io/p?a=1&b=2",                 // && collapsed, trailing tracker stripped
+      "http://h.io/p",                         // all-tracker query gone
+      "not a url",                             // non-URL: fragment-lookalike only
+    ))
+  }
+
+  test("hostOf / registrableHost") {
+    val row = Seq("HTTPS://User@WWW.News.Example.ORG:8080/a?b#c").toDF("u")
+      .select(Urls.hostOf(col("u")), Urls.registrableHost(col("u")))
+      .as[(String, String)].head()
+    assert(row == ("www.news.example.org", "news.example.org"))
+    assert(Seq("garbage").toDF("u").select(Urls.hostOf(col("u")))
+      .as[String].head() == "")
+  }
+
+  test("capPerStratum: exact cap, deterministic order, partitioning-invariant, skew-heavy stratum") {
+    // one mega-stratum (900 rows) + two small ones
+    val df = ((1L to 900L).map(i => (i, "mega")) ++
+      (1000L to 1003L).map(i => (i, "tiny")) ++
+      Seq((2000L, "solo"))).toDF("id", "host")
+    val capped = Curation.capPerStratum(df, "id", "host", cap = 10)
+    val byHost = capped.groupBy("host").count().as[(String, Long)].collect().toMap
+    assert(byHost == Map("mega" -> 10L, "tiny" -> 4L, "solo" -> 1L),
+      s"cap must bind only above the cap: $byHost")
+    // kept ids are the first 10 in (idGate, id) order — replay directly
+    def gateOf(i: Long) = ((i % 100000L) * 2654435761L) % 1000000L
+    val expectMega = (1L to 900L).sortBy(i => (gateOf(i), i)).take(10).toSet
+    val gotMega = capped.where(col("host") === "mega")
+      .select("id").as[Long].collect().toSet
+    assert(gotMega == expectMega, "selection must follow the gate order")
+    // physical partitioning must not change the selection
+    val repart = Curation.capPerStratum(df.repartition(13), "id", "host", cap = 10)
+      .select("id").as[Long].collect().toSet
+    assert(repart == capped.select("id").as[Long].collect().toSet)
+    // schema passes through unchanged
+    assert(capped.columns.toSeq == Seq("id", "host"))
+    intercept[IllegalArgumentException](
+      Curation.capPerStratum(df, "id", "host", cap = 0))
+  }
+}
