@@ -139,6 +139,29 @@ object SourceQueries {
     }, Some("""SELECT doc_id, text, CAST(200 AS INTEGER) AS http_status
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // S15 — WebDataset round trip: documents exported as sample-per-
+    // basename ustar shards (doc.txt + doc.json per sample — the
+    // multimodal training-loader layout), read back and reassembled.
+    QueryDef("s15_webdataset_roundtrip", (s, dir) => {
+      val path = s"$tmpRoot/wds_s15_${math.abs(dir.hashCode)}"
+      graft.sources.WebDataset.writeShards(
+        Tables.load(s, dir, "documents"), "doc_id",
+        Seq("txt" -> col("text"),
+          "json" -> to_json(struct(col("lang"), col("source")))),
+        path, shards = 4)
+      val meta = org.apache.spark.sql.types.StructType
+        .fromDDL("lang string, source string")
+      graft.sources.WebDataset.read(s, path)
+        .groupBy(col("key").cast("long").as("doc_id"))
+        .agg(
+          first(when(col("ext") === "txt", decode(col("payload"), "UTF-8")),
+            ignoreNulls = true).as("text"),
+          from_json(first(when(col("ext") === "json",
+            decode(col("payload"), "UTF-8")), ignoreNulls = true), meta).as("m"))
+        .select(col("doc_id"), col("text"), col("m.lang"), col("m.source"))
+        .orderBy("doc_id")
+    }, Some("SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id")),
+
     // L1 — compiled semantic dataset: declared columns with expressions,
     // group_by + order_by + limit, straight from a schema definition
     // (the reference's `SELECT cols FROM src GROUP BY ... ORDER BY ...
