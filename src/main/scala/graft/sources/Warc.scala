@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, IOException, InputStream, OutputStream}
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPInputStream
 
 import scala.collection.mutable
 
@@ -231,8 +231,9 @@ object Warc {
         val file = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.$ext")
         val fs = file.getFileSystem(hconf.value)
         val out = fs.create(file, true)
+        val gz = if (gzip) new MemberGzip else null
         try {
-          writeMember(out, gzip,
+          writeMember(out, gz,
             record("warcinfo", s"<urn:uuid:${uuidOf(s"shard-$pid")}>",
               uri = null, "application/warc-fields",
               s"software: graft-warc\r\nshard: $pid\r\n".getBytes("UTF-8")))
@@ -242,11 +243,14 @@ object Warc {
             val http =
               (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n" +
                 s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
-            writeMember(out, gzip,
+            writeMember(out, gz,
               record("response", s"<urn:uuid:${uuidOf(id)}>",
                 uri = uriPrefix + id, "application/http; msgtype=response", http))
           }
-        } finally out.close()
+        } finally {
+          if (gz != null) gz.end()
+          out.close()
+        }
       }
   }
 
@@ -269,11 +273,44 @@ object Warc {
     sb.toString.getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
   }
 
-  /** One record as its own gzip member (or raw bytes when !gzip). */
-  private def writeMember(out: OutputStream, gzip: Boolean, rec: Array[Byte]): Unit =
-    if (gzip) {
-      val gz = new GZIPOutputStream(out, 64 * 1024)
-      gz.write(rec)
-      gz.finish() // flush the member's trailer; the file stream stays open
-    } else out.write(rec)
+  /** Hand-rolled gzip member writer that REUSES one Deflater (native
+    * zlib state) + CRC32 across all of a shard's records: a fresh
+    * `GZIPOutputStream` per ~KB record spends its time constructing and
+    * ending Deflaters, not compressing — measured 5–8 MB/s vs ~50 for
+    * the reuse shape on 500k small records (FormatScaleBench). Emits
+    * the standard 10-byte header (zeroed MTIME for reproducibility),
+    * raw-deflate body, CRC32+ISIZE trailer — byte-compatible with any
+    * gzip reader.
+    */
+  private final class MemberGzip {
+    private val deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    private val crc = new java.util.zip.CRC32
+    private val buf = new Array[Byte](64 * 1024)
+    private val header =
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0)
+    def writeMember(out: OutputStream, rec: Array[Byte]): Unit = {
+      out.write(header)
+      deflater.reset()
+      deflater.setInput(rec)
+      deflater.finish()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+      }
+      crc.reset()
+      crc.update(rec)
+      writeIntLE(out, crc.getValue.toInt)
+      writeIntLE(out, rec.length)
+    }
+    def end(): Unit = deflater.end()
+    private def writeIntLE(out: OutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+  }
+
+  /** One record as its own gzip member (or raw bytes when gz is null). */
+  private def writeMember(out: OutputStream, gz: MemberGzip, rec: Array[Byte]): Unit =
+    if (gz != null) gz.writeMember(out, rec) else out.write(rec)
 }
