@@ -72,8 +72,8 @@ object Bench {
     "p98_semantic_dedup_incremental", "p99_epoch_mixture",
     "p100_curate_chained", "p101_curate_report", "p102_text_search_topk",
     "p103_text_search_batch", "p104_leakage_safe_split",
-    "p105_url_normalize", "p106_host_cap", "s14_warc_roundtrip",
-    "s15_webdataset_roundtrip")
+    "p105_url_normalize", "p106_host_cap", "p107_split_leakage_audit",
+    "s14_warc_roundtrip", "s15_webdataset_roundtrip")
 
   /** Jobs started/ended + stages completed + task GC/CPU sums, maintained
     * by [[counting]]. Listener delivery is asynchronous; [[settle]] waits

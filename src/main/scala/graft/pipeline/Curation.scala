@@ -195,6 +195,30 @@ object Curation {
       .drop("__cluster_doc", "__cluster_label")
   }
 
+  /** Contamination audit for a train/eval split: count verified
+    * near-dup pairs whose endpoints landed in DIFFERENT splits — the
+    * number an id-gated split leaves nonzero (≈ 2·evalFraction of every
+    * duplicate cluster's cross edges) and [[leakageSafeSplit]]
+    * guarantees is zero. One row: (n_pairs, n_straddling). Two id-keyed
+    * joins + one aggregate; pairs frames are ∝ the duplicated subset,
+    * so the audit costs less than the dedup that produced them.
+    *
+    * @param pairs verified near-dup pairs (doc_a, doc_b) — e.g.
+    *   [[Dedup.minhashNearDups]] output
+    * @param split frame carrying `idCol` and `splitCol`
+    */
+  def splitLeakageAudit(
+      pairs: DataFrame, split: DataFrame, idCol: String,
+      splitCol: String = "split",
+  ): DataFrame = {
+    val a = split.select(col(idCol).as("doc_a"), col(splitCol).as("__sa"))
+    val b = split.select(col(idCol).as("doc_b"), col(splitCol).as("__sb"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)),
+          lit(0L)).as("n_straddling"))
+  }
+
   /** Greedy sequence packing: assign each doc to a (shard, pack) so that
     * packs hold ~`budgetTokens` tokens — how pretraining examples are
     * composed from variable-length documents without padding waste.

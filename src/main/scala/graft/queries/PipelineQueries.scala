@@ -4392,6 +4392,47 @@ object PipelineQueries {
              |  FROM u
              |)
              |SELECT doc_id, site FROM r WHERE rk <= 5 ORDER BY doc_id""".stripMargin)),
+
+    // Split contamination audit: the id-gated split straddles near-dup
+    // pairs (each pair's endpoints gate independently); the cluster-
+    // gated split must straddle ZERO. One pairs mining, reused for the
+    // clusters and both audits; the oracle replays pairs + labels
+    // (ccDedupTail) and both gate assignments.
+    QueryDef("p107_split_leakage_audit",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          threshold = 0.12, shingleK = 3, numHashes = 32, bands = 16)
+        val clusters = Dedup.nearDupClusters(pairs)
+        val naive = Curation.splitCorpus(docs.select("doc_id"), "doc_id", weights)
+        val safe = Curation.leakageSafeSplit(docs, "doc_id", "text", weights,
+          clusters = clusters)
+        val nAudit = Curation.splitLeakageAudit(pairs, naive, "doc_id")
+          .select(col("n_pairs"), col("n_straddling").as("naive_straddle"))
+        val sAudit = Curation.splitLeakageAudit(pairs, safe, "doc_id")
+          .select(col("n_straddling").as("safe_straddle"))
+        nAudit.crossJoin(broadcast(sAudit))
+      },
+      Some(s"""WITH RECURSIVE corpus AS (
+             |  SELECT doc_id, text FROM read_parquet('{SFDIR}/documents.parquet')
+             |), ${ccDedupTail("0.12")}, rep AS (
+             |  SELECT c.doc_id, COALESCE(l.label, c.doc_id) AS rep
+             |  FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc
+             |), sp AS (
+             |  SELECT doc_id,
+             |    CASE WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 800000 THEN 'train'
+             |         WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 900000 THEN 'val'
+             |         ELSE 'test' END AS sp_naive,
+             |    CASE WHEN ((rep % 100000) * 2654435761) % 1000000 < 800000 THEN 'train'
+             |         WHEN ((rep % 100000) * 2654435761) % 1000000 < 900000 THEN 'val'
+             |         ELSE 'test' END AS sp_safe
+             |  FROM rep
+             |)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |       CAST(COALESCE(SUM(CASE WHEN a.sp_naive <> b.sp_naive THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_straddle,
+             |       CAST(COALESCE(SUM(CASE WHEN a.sp_safe <> b.sp_safe THEN 1 ELSE 0 END), 0) AS BIGINT) AS safe_straddle
+             |FROM pairs p JOIN sp a ON p.doc_a = a.doc_id JOIN sp b ON p.doc_b = b.doc_id""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

@@ -416,6 +416,33 @@ class CurationSpec extends SparkSpec {
         clusters = clusters)
       .select("id", "split").as[(Long, String)].collect().toMap
     assert(reused == out, "precomputed clusters must reproduce the mined split")
+
+    // the leakage audit: the id-gated split straddles EXACTLY the pairs
+    // whose endpoints gate into different intervals (replayed here with
+    // the same arithmetic); the cluster-gated split straddles zero
+    val pairs = Dedup.minhashNearDups(df, "id", "text", threshold = 0.9)
+    def splitOf(i: Long): String = {
+      val g = ((i % 100000L) * 2654435761L) % 1000000L
+      if (g < 800000) "train" else if (g < 900000) "val" else "test"
+    }
+    val pairRows = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val expectStraddle = pairRows.count { case (a, b) => splitOf(a) != splitOf(b) }
+    val naive = Curation.splitCorpus(df.select("id"), "id", weights)
+    val nAudit = Curation.splitLeakageAudit(pairs, naive, "id")
+      .as[(Long, Long)].head()
+    assert(nAudit == ((pairRows.length.toLong, expectStraddle.toLong)),
+      s"naive audit $nAudit != (${pairRows.length}, $expectStraddle)")
+    assert(expectStraddle > 0, "fixture must actually exhibit leakage")
+    val safe = Curation.leakageSafeSplit(df, "id", "text", weights,
+      clusters = clusters).select("id", "split")
+    val sAudit = Curation.splitLeakageAudit(pairs, safe, "id")
+      .as[(Long, Long)].head()
+    assert(sAudit == ((pairRows.length.toLong, 0L)),
+      s"leakage-safe split must straddle zero pairs: $sAudit")
+    // empty pairs → a zeros row, not an empty frame
+    val empty = Curation.splitLeakageAudit(
+      pairs.where(lit(false)), naive, "id").as[(Long, Long)].head()
+    assert(empty == ((0L, 0L)))
     OperatorCache.releaseAll(spark)
   }
 }
