@@ -359,4 +359,26 @@ object Annotate {
       }
     }(enc)
   }
+
+  /** [[annotateRetry]]'s embeddings sibling: rows whose `annotation_error`
+    * is set go back through the endpoint in fresh batches; embedded rows
+    * pass through untouched (no request). Composes with itself — each
+    * application can only shrink the failed slice — and the failed rows
+    * re-batch together, so a run where one bad batch poisoned
+    * `batchSize` rows re-drives exactly those rows, not the corpus.
+    */
+  def llmEmbedRetry(
+      embedded: DataFrame, textCol: String, config: LlmAnnotateConfig,
+      batchSize: Int = 32,
+  ): DataFrame = {
+    Seq("embedding", "annotation_error").foreach(c =>
+      require(embedded.columns.contains(c),
+        s"llmEmbedRetry input must be an llmEmbed output (missing '$c')"))
+    val ok = embedded.where(col("annotation_error").isNull)
+    val retried = llmEmbed(
+      embedded.where(col("annotation_error").isNotNull)
+        .drop("embedding", "annotation_error"),
+      textCol, config, batchSize)
+    ok.unionByName(retried)
+  }
 }

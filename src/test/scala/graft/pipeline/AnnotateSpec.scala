@@ -345,6 +345,39 @@ class AnnotateSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("llmEmbedRetry re-drives ONLY the failed batch's rows") {
+    // one partition, concurrency 1, batchSize 2, 4 docs: the scripted
+    // permanent 400 (not retried) eats the FIRST batch; the second succeeds
+    val stub1 = embedStub(errorPrefix = Seq(400))
+    val first =
+      try Annotate.llmEmbed(docs(4).coalesce(1), "text",
+        cfg(stub1.url).copy(concurrency = 1), batchSize = 2)
+        .cache()
+      finally ()
+    try assert(first.where(col("annotation_error").isNotNull).count() == 2)
+    finally stub1.stop()
+
+    val stub2 = embedStub()
+    try {
+      val out = Annotate.llmEmbedRetry(first, "text", cfg(stub2.url),
+        batchSize = 2)
+        .select("doc_id", "embedding", "annotation_error")
+        .collect().sortBy(_.getLong(0))
+      assert(out.length == 4 && out.forall(r => !r.isNullAt(1) && r.isNullAt(2)))
+      // the failed 2 rows re-batch together: exactly ONE request goes out
+      assert(stub2.hits.get() == 1,
+        s"only the failed batch goes back out, saw ${stub2.hits.get()}")
+      // vectors encode their doc ids — recovered rows got REAL embeddings
+      out.foreach { r =>
+        val v = r.getSeq[Float](1)
+        assert(v.head == r.getLong(0).toFloat, s"wrong vector for row $r")
+      }
+      first.unpersist()
+    } finally stub2.stop()
+    intercept[IllegalArgumentException](
+      Annotate.llmEmbedRetry(docs(2), "text", cfg("http://example.invalid/v1")))
+  }
+
   test("llmEmbed vectors drive semanticDedup and the IVF-PQ serving layout") {
     // 12 docs in 3 near-duplicate direction groups (8-dim): group g of
     // doc k = k % 3 → basis vector e_g plus a tiny per-doc perturbation,
