@@ -4433,6 +4433,99 @@ object PipelineQueries {
              |       CAST(COALESCE(SUM(CASE WHEN a.sp_naive <> b.sp_naive THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_straddle,
              |       CAST(COALESCE(SUM(CASE WHEN a.sp_safe <> b.sp_safe THEN 1 ELSE 0 END), 0) AS BIGINT) AS safe_straddle
              |FROM pairs p JOIN sp a ON p.doc_a = a.doc_id JOIN sp b ON p.doc_b = b.doc_id""".stripMargin)),
+
+    // Inter-annotator agreement card: Cohen's kappa between two
+    // deterministic synthetic annotators (one perturbs labels on a
+    // doc_id lattice, one abstains on another). Kappa is the EXACT
+    // integer ratio (agree·n − Σ marg·marg)/(n² − Σ) — no intermediate
+    // double division — so both engines agree to the last rounded digit.
+    QueryDef("p108_label_agreement",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("lbl_a", col("lang"))
+          .withColumn("lbl_b",
+            when(pmod(col("doc_id"), lit(13)) === 0, lit(null))
+              .when(pmod(col("doc_id"), lit(7)) === 0, lit("xx"))
+              .otherwise(col("lang")))
+        Agreement.cohenKappa(docs, "lbl_a", "lbl_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT lang AS la,
+             |         CASE WHEN doc_id % 13 = 0 THEN NULL
+             |              WHEN doc_id % 7 = 0 THEN 'xx'
+             |              ELSE lang END AS lb
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), f AS (
+             |  SELECT la, lb FROM t WHERE la IS NOT NULL AND lb IS NOT NULL
+             |), c AS (
+             |  SELECT la, lb, COUNT(*) AS c FROM f GROUP BY la, lb
+             |), nn AS (
+             |  SELECT SUM(c) AS n,
+             |         SUM(CASE WHEN la = lb THEN c ELSE 0 END) AS agree
+             |  FROM c
+             |), rm AS (SELECT la, SUM(c) AS ra FROM c GROUP BY la
+             |), cm AS (SELECT lb, SUM(c) AS rb FROM c GROUP BY lb
+             |), s AS (
+             |  SELECT COALESCE(SUM(ra * rb), 0) AS s
+             |  FROM rm JOIN cm ON rm.la = cm.lb
+             |)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |       ROUND(CAST(agree AS DOUBLE) / n, 6) AS po,
+             |       ROUND(CAST(s AS DOUBLE) / (n * n), 6) AS pe,
+             |       CASE WHEN n * n <> s
+             |            THEN ROUND(CAST(agree * n - s AS DOUBLE) / (n * n - s), 6)
+             |       END AS kappa
+             |FROM nn, s""".stripMargin)),
+
+    // Majority vote across three synthetic annotators, with the
+    // plurality share and ties resolved to null (a resolver must not
+    // invent a winner). The lattice makes all outcomes occur: clean
+    // majorities, 1-1-1 ties (doc_id ≡ 0 mod 77), abstentions.
+    QueryDef("p109_majority_vote",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("lbl_a", col("lang"))
+          .withColumn("lbl_b",
+            when(pmod(col("doc_id"), lit(13)) === 0, lit(null))
+              .when(pmod(col("doc_id"), lit(7)) === 0, lit("xx"))
+              .otherwise(col("lang")))
+          .withColumn("lbl_c",
+            when(pmod(col("doc_id"), lit(3)) === 0, lit(null))
+              .when(pmod(col("doc_id"), lit(11)) === 0, lit("yy"))
+              .otherwise(col("lang")))
+        Agreement.majorityVote(docs, "doc_id", Seq("lbl_a", "lbl_b", "lbl_c"))
+          .select("doc_id", "label_major", "n_votes", "agreement")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang AS a,
+             |         CASE WHEN doc_id % 13 = 0 THEN NULL
+             |              WHEN doc_id % 7 = 0 THEN 'xx'
+             |              ELSE lang END AS b,
+             |         CASE WHEN doc_id % 3 = 0 THEN NULL
+             |              WHEN doc_id % 11 = 0 THEN 'yy'
+             |              ELSE lang END AS c
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), v AS (
+             |  SELECT doc_id, lbl
+             |  FROM (SELECT doc_id, unnest([a, b, c]) AS lbl FROM t)
+             |  WHERE lbl IS NOT NULL
+             |), cnt AS (
+             |  SELECT doc_id, lbl, COUNT(*) AS c FROM v GROUP BY doc_id, lbl
+             |), agg AS (
+             |  SELECT doc_id, MAX(c) AS m, SUM(c) AS nv FROM cnt GROUP BY doc_id
+             |), top AS (
+             |  SELECT cnt.doc_id, agg.m, agg.nv,
+             |         COUNT(*) AS ties, MIN(lbl) AS tp
+             |  FROM cnt JOIN agg ON cnt.doc_id = agg.doc_id AND cnt.c = agg.m
+             |  GROUP BY cnt.doc_id, agg.m, agg.nv
+             |)
+             |SELECT d.doc_id,
+             |       CASE WHEN t2.ties = 1 THEN t2.tp END AS label_major,
+             |       CAST(COALESCE(t2.nv, 0) AS BIGINT) AS n_votes,
+             |       ROUND(CAST(t2.m AS DOUBLE) / t2.nv, 6) AS agreement
+             |FROM t d LEFT JOIN top t2 ON d.doc_id = t2.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared
