@@ -78,6 +78,27 @@ object Warc {
       .toDF()
   }
 
+  /** Streaming variant of [[read]]: watch a directory for new shard
+    * files and parse each exactly once — the live-crawl ingest source.
+    * Composes with the curation gate
+    * ([[graft.streaming.StreamingCurate.curateGate]]) for the
+    * fetch→screen→dedup-at-the-door pipeline; each micro-batch is
+    * whichever shards landed since the last trigger, so the unit of
+    * progress is the same as the archive's unit of storage. Use
+    * `Trigger.AvailableNow()` for catch-up ingest of a backlog.
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    // binaryFile's fixed schema, required explicitly for streaming reads
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path string, modificationTime timestamp, length long, content binary")
+    val files = spark.readStream.format("binaryFile").schema(schema).load(dir)
+      .select(col("path"), col("content"))
+    implicit val enc: Encoder[WarcRecord] = Encoders.product[WarcRecord]
+    files.as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (p, bytes) => parseFile(p, bytes) }
+      .toDF()
+  }
+
   /** Parse one shard's bytes (gzip auto-detected by magic number). */
   def parseFile(path: String, bytes: Array[Byte]): Iterator[WarcRecord] = {
     val raw = new ByteArrayInputStream(bytes)
