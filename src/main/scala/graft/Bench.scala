@@ -73,7 +73,7 @@ object Bench {
     "p100_curate_chained", "p101_curate_report", "p102_text_search_topk",
     "p103_text_search_batch", "p104_leakage_safe_split",
     "p105_url_normalize", "p106_host_cap", "p107_split_leakage_audit",
-    "p108_label_agreement", "p109_majority_vote",
+    "p108_label_agreement", "p109_majority_vote", "p110_unicode_normalize",
     "s14_warc_roundtrip", "s15_webdataset_roundtrip")
 
   /** Jobs started/ended + stages completed + task GC/CPU sums, maintained

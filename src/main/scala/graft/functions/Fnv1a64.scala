@@ -75,6 +75,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val CmsName = "graft_cms"
   val BloomBitsName = "graft_bloom_bits"
+  val UnicodeNormalizeName = "graft_unicode_normalize"
 
   // idempotent PER FUNCTION: each name gets its own exists-check, so a
   // registry that predates a later-added function still picks the new
@@ -156,6 +157,14 @@ object GraftFunctions {
       BloomBits(exprs.head, bitsE.eval(null).asInstanceOf[Number].intValue())
         .toAggregateExpression()
     },
+    UnicodeNormalizeName -> { exprs =>
+      requireArity(UnicodeNormalizeName, exprs, 2)
+      val formE = exprs(1)
+      if (!formE.foldable) throw new IllegalArgumentException(
+        s"$UnicodeNormalizeName's second argument (the form) must be foldable")
+      UnicodeNormalize(exprs.head, UnicodeNormalize.formOf(
+        formE.eval(null).toString))
+    },
   )
 
   def ensureRegistered(spark: SparkSession): Unit =
@@ -176,6 +185,13 @@ object GraftFunctions {
     call_function(CountWordsInName, hay,
       org.apache.spark.sql.functions.array(
         words.map(org.apache.spark.sql.functions.lit): _*))
+
+  /** Unicode normalization of a string column — see [[UnicodeNormalize]].
+    * `form` ∈ {NFC, NFD, NFKC, NFKD}. [[ensureRegistered]] must have been
+    * called on the owning session. */
+  def unicodeNormalize(c: Column, form: String): Column =
+    call_function(UnicodeNormalizeName, c,
+      org.apache.spark.sql.functions.lit(form))
 
   /** Max dot product of a vector column against a fixed matrix — see
     * [[MaxDotStatic]]. [[ensureRegistered]] must have been called on the

@@ -4526,6 +4526,53 @@ object PipelineQueries {
              |       ROUND(CAST(t2.m AS DOUBLE) / t2.nv, 6) AS agreement
              |FROM t d LEFT JOIN top t2 ON d.doc_id = t2.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Unicode normalization (native codegen Expression with an
+    // allocation-free ASCII fast path): synthesized composition cases —
+    // combining marks, ligatures, fullwidth forms, circled digits —
+    // normalized to NFC (oracle: DuckDB's nfc_normalize over the same
+    // construction) and NFKC (oracle: expected forms stated literally —
+    // DuckDB has no NFKC, and the analytic statement pins semantics).
+    QueryDef("p110_unicode_normalize",
+      (s, dir) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        // ́ resolves at Scala compile time: the SQL literal holds
+        // the raw combining acute (Spark's char() truncates mod 256, so
+        // a runtime construction would be wrong)
+        val raw = expr(
+          """CASE CAST(doc_id % 5 AS INT)
+            |  WHEN 0 THEN 'café'
+            |  WHEN 1 THEN 'ﬁle ﬀort'
+            |  WHEN 2 THEN 'Ａ１ｂ'
+            |  WHEN 3 THEN '①②'
+            |  ELSE 'plain ascii text' END""".stripMargin)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.unicodeNormalize(col("raw"), "NFC")
+              .as("nfc"),
+            graft.functions.GraftFunctions.unicodeNormalize(col("raw"), "NFKC")
+              .as("nfkc"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CASE doc_id % 5
+             |           WHEN 0 THEN 'cafe' || chr(769)
+             |           WHEN 1 THEN 'ﬁle ﬀort'
+             |           WHEN 2 THEN 'Ａ１ｂ'
+             |           WHEN 3 THEN '①②'
+             |           ELSE 'plain ascii text' END AS raw
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |)
+             |SELECT doc_id, nfc_normalize(raw) AS nfc,
+             |       CASE doc_id % 5
+             |         WHEN 0 THEN 'café'
+             |         WHEN 1 THEN 'file ffort'
+             |         WHEN 2 THEN 'A1b'
+             |         WHEN 3 THEN '12'
+             |         ELSE 'plain ascii text' END AS nfkc
+             |FROM t ORDER BY doc_id""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared
