@@ -149,10 +149,16 @@ object Bpe {
     * @param persistToks cache the token frame — it feeds the dictionary
     *   distinct AND the encode join (same contract and construction-time
     *   eagerness as [[Dedup.removeSharedSpans]]'s persistToks).
+    * @param wordEnd optional end-of-word marker appended to each word's
+    *   LAST piece (the classic </w> convention). With a marker the
+    *   pieces stream is invertible — [[decodePieces]] reconstructs the
+    *   normalized token stream exactly (tokens are alnum-only, so a
+    *   punctuation-bearing marker can never collide). The default ""
+    *   keeps the marker-free layout.
     */
   def encode(
       df: DataFrame, idCol: String, textCol: String, model: BpeModel,
-      persistToks: Boolean = true,
+      persistToks: Boolean = true, wordEnd: String = "",
   ): DataFrame = {
     val toks0 = Dedup.densePositionedTokens(df, idCol, textCol)
     val toks = if (persistToks) OperatorCache.materialize(toks0) else toks0
@@ -163,7 +169,7 @@ object Bpe {
     val dict = toks.select(col("tok")).distinct()
       .withColumn("__pieces", encodeUdf(col("tok")))
       .select(col("tok"),
-        array_join(col("__pieces"), " ").as("__ps"),
+        concat(array_join(col("__pieces"), " "), lit(wordEnd)).as("__ps"),
         size(col("__pieces")).cast("long").as("__np"))
     toks.join(dict, Seq("tok"))
       .groupBy("doc")
@@ -173,5 +179,23 @@ object Bpe {
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("__ps")))),
             s => s.getField("__ps")), " ").as("pieces"))
+  }
+
+  /** Invert [[encode]]'s pieces stream when it was produced with a
+    * non-empty `wordEnd`: pieces themselves contain no spaces (words
+    * are whitespace-split and merges never cross words), so deleting
+    * the separators and turning each marker into one space is an EXACT
+    * reconstruction of the normalized token stream —
+    * `decodePieces(encode(x).pieces) = array_join(tokensOf(x), ' ')`,
+    * the lossless-tokenizer property p111 pins against the oracle.
+    * Pure codegen string expression, no model needed.
+    */
+  def decodePieces(pieces: org.apache.spark.sql.Column, wordEnd: String)
+      : org.apache.spark.sql.Column = {
+    require(wordEnd.nonEmpty,
+      "decodePieces needs the non-empty wordEnd marker encode used")
+    trim(regexp_replace(
+      regexp_replace(pieces, " ", ""),
+      java.util.regex.Pattern.quote(wordEnd), " "))
   }
 }

@@ -4573,6 +4573,29 @@ object PipelineQueries {
              |         WHEN 3 THEN '12'
              |         ELSE 'plain ascii text' END AS nfkc
              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // BPE round trip: encode with the </w> end-of-word marker, decode,
+    // and the result must be the normalized token stream EXACTLY —
+    // model-independent (whatever merges train learned, decode must
+    // invert them), which is why the oracle never mentions the model.
+    QueryDef("p111_bpe_roundtrip",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val model = Bpe.train(docs, "text",
+          numMerges = bpeMerges, maxWords = bpeMaxWords)
+        Bpe.encode(docs, "doc_id", "text", model, wordEnd = "</w>")
+          .select(col("doc"),
+            Bpe.decodePieces(col("pieces"), "</w>").as("decoded"))
+          .orderBy("doc")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS tk
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |)
+             |SELECT doc_id AS doc, array_to_string(tk, ' ') AS decoded
+             |FROM t WHERE len(tk) > 0 ORDER BY doc""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

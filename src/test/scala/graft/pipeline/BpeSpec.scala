@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** BPE contracts: the merge trajectory is the textbook one on a
@@ -73,6 +75,29 @@ class BpeSpec extends SparkSpec {
     val e1 = Bpe.encode(docs, "doc_id", "text", m1).orderBy("doc").collect()
     val e2 = Bpe.encode(docs, "doc_id", "text", m2).orderBy("doc").collect()
     assert(e1.sameElements(e2))
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("wordEnd marker makes encode invertible; default layout unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the theme thematic the"),       // repeats + shared prefixes
+      (2L, "a ab abc abcd"),                // nested words
+      (3L, "Mixed CASE, punct!! 123 mix"),  // normalization in play
+    ).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 10)
+    val decoded = Bpe.encode(docs, "doc_id", "text", m, wordEnd = "</w>")
+      .select(col("doc"), Bpe.decodePieces(col("pieces"), "</w>").as("d"))
+      .as[(Long, String)].collect().toMap
+    assert(decoded == Map(
+      1L -> "the theme thematic the",
+      2L -> "a ab abc abcd",
+      3L -> "mixed case punct 123 mix"))
+    // marker-free default is byte-identical to the pre-marker layout
+    val plain = Bpe.encode(docs, "doc_id", "text", m)
+      .select("pieces").as[String].collect()
+    assert(plain.forall(!_.contains("</w>")))
+    intercept[IllegalArgumentException](Bpe.decodePieces(col("x"), ""))
     OperatorCache.releaseAll(spark)
   }
 }
