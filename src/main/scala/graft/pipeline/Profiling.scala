@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the look-before-you-ingest card run on every new
@@ -83,5 +84,45 @@ object Profiling {
       distinctAgg,
       min(col("v")).as("min_v"),
       max(col("v")).as("max_v"))
+  }
+
+  /** Concentration card for a categorical key (host, source, domain):
+    * how unevenly rows spread across keys — the "is one host half the
+    * crawl" question a mix designer asks before capping. One row:
+    * (n_keys, n_rows, top_share, gini), 6-rounded.
+    *
+    * The Gini coefficient is computed WITHOUT ranking the keys:
+    * keys with equal counts collapse into the count-of-counts frame
+    * (count value k → #keys fₖ), whose size is bounded by √(2·n_rows)
+    * — distinct positive integers summing to n_rows can't number more
+    * — so at 10B rows it is ≤ ~140k rows. Over that frame, sorted by
+    * k, one prefix-sum window gives the mean-absolute-difference sum
+    * exactly: Σ_{pairs} |cᵢ−cⱼ| = 2·Σₖ fₖ·(k·F₍₋₎ − S₍₋₎) with
+    * F₍₋₎/S₍₋₎ the running key/mass totals of smaller counts. So the
+    * corpus-scale work is ONE map-side-combined key count; the single-
+    * partition sort touches only the √n-bounded frame. Pure integer
+    * arithmetic until the final division — replayable anywhere.
+    * gini = Σₖ fₖ·(k·F₍₋₎ − S₍₋₎) / (n_keys · n_rows).
+    */
+  def concentration(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val cc = counts.groupBy("__c").agg(count(lit(1)).as("__f"))
+    val w = Window.orderBy("__c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val dsum = cc
+      .withColumn("__fb", coalesce(sum("__f").over(w), lit(0L)))
+      .withColumn("__sb", coalesce(sum(col("__c") * col("__f")).over(w), lit(0L)))
+      .agg(coalesce(sum(col("__f") *
+        (col("__c") * col("__fb") - col("__sb"))), lit(0L)).as("__dsum"))
+    cc.agg(sum("__f").as("__nk"),
+        coalesce(sum(col("__c") * col("__f")), lit(0L)).as("__n"),
+        max("__c").as("__top"))
+      .crossJoin(broadcast(dsum)) // 1-row scalar idiom
+      .select(
+        col("__nk").as("n_keys"),
+        col("__n").as("n_rows"),
+        round(col("__top").cast("double") / col("__n"), 6).as("top_share"),
+        round(col("__dsum").cast("double") /
+          (col("__nk") * col("__n")), 6).as("gini"))
   }
 }

@@ -4596,6 +4596,37 @@ object PipelineQueries {
              |)
              |SELECT doc_id AS doc, array_to_string(tk, ' ') AS decoded
              |FROM t WHERE len(tk) > 0 ORDER BY doc""".stripMargin)),
+
+    // Host concentration card: gini + top-share of docs-per-host over
+    // the synthesized URL corpus. The gini never ranks hosts — the
+    // count-of-counts frame (√n-bounded) carries prefix sums instead;
+    // the oracle replays the same integer arithmetic.
+    QueryDef("p112_host_concentration",
+      (s, dir) => Profiling.concentration(
+        Tables.load(s, dir, "documents")
+          .select(Urls.registrableHost(expr(syntheticUrlExpr)).as("site")),
+        "site"),
+      Some("""WITH u AS (
+             |  SELECT 'host-' || (doc_id % 37) || '.example.org' AS site
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), c AS (
+             |  SELECT site, COUNT(*) AS c FROM u GROUP BY site
+             |), cc AS (
+             |  SELECT c, COUNT(*) AS f FROM c GROUP BY c
+             |), p AS (
+             |  SELECT c, f,
+             |         COALESCE(SUM(f) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fb,
+             |         COALESCE(SUM(c * f) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sb
+             |  FROM cc
+             |), d AS (
+             |  SELECT COALESCE(SUM(f * (c * fb - sb)), 0) AS dsum FROM p
+             |), t AS (
+             |  SELECT SUM(f) AS nk, SUM(c * f) AS n, MAX(c) AS top FROM cc
+             |)
+             |SELECT CAST(nk AS BIGINT) AS n_keys, CAST(n AS BIGINT) AS n_rows,
+             |       ROUND(CAST(top AS DOUBLE) / n, 6) AS top_share,
+             |       ROUND(CAST(dsum AS DOUBLE) / (nk * n), 6) AS gini
+             |FROM t, d""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

@@ -62,4 +62,26 @@ class ProfilingSpec extends SparkSpec {
     val r = Profiling.profileColumns(big, Seq("c"), exact = false).collect().head
     assert(math.abs(r.getLong(6) - 137L) < 14, s"HLL estimate off: ${r.getLong(6)}")
   }
+
+  test("concentration: gini and top-share on hand-computable distributions") {
+    def card(counts: Seq[Int]): (Long, Long, Double, Double) = {
+      val rows = counts.zipWithIndex.flatMap { case (c, k) =>
+        Seq.fill(c)(s"k$k") }
+      Profiling.concentration(rows.map(Tuple1(_)).toDF("key"), "key")
+        .as[(Long, Long, Double, Double)].head()
+    }
+    // counts {1, 3}: mean abs diff 1, mean 2 → gini 0.25
+    assert(card(Seq(1, 3)) == ((2L, 4L, 0.75, 0.25)))
+    // perfectly uniform → gini 0
+    assert(card(Seq(5, 5, 5, 5)) == ((4L, 20L, 0.25, 0.0)))
+    // one key holds everything → top_share 1, gini 0 (one key = no spread)
+    assert(card(Seq(7)) == ((1L, 7L, 1.0, 0.0)))
+    // heavy skew {1,1,1,1,16}: pairwise diff sum per ordered pairs:
+    // gini = sum f*(k*Fb - Sb) / (nk*n) = 1*(16*4-4) / (5*20) = 0.6
+    assert(card(Seq(1, 1, 1, 1, 16)) == ((5L, 20L, 0.8, 0.6)))
+    // partitioning-invariant
+    val df = (1 to 300).map(i => Tuple1(s"h${i % 7}")).toDF("key")
+    assert(Profiling.concentration(df, "key").head() ==
+      Profiling.concentration(df.repartition(11), "key").head())
+  }
 }
