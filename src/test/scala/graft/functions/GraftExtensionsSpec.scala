@@ -50,6 +50,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(n === 2L)
   }
 
+  test("unicode normalization resolves from SQL with a foldable form") {
+    val s = withExtensionSession(
+      _.sql("SELECT graft_unicode_normalize('ﬁle', 'NFKC') AS s")
+        .head().getString(0))
+    assert(s === "file")
+  }
+
   test("extensions and ensureRegistered register identical builders") {
     // the shared session uses the imperative path; values must agree
     GraftFunctions.ensureRegistered(spark)
