@@ -351,4 +351,101 @@ class PropertySpec extends SparkSpec {
           ab.getDouble(2) == ba.getDouble(1), s"KL swap broken: $ab vs $ba")
     }
   }
+
+  test("normalizeUrl: idempotent over random messy URLs") {
+    import graft.pipeline.Urls
+    val scheme = Gen.oneOf("http", "HTTP", "https", "HTTPS")
+    val host = Gen.oneOf("Host.Org", "www.X.io", "a.b.c", "UPPER.example.COM")
+    val port = Gen.oneOf("", ":80", ":443", ":8080")
+    val path = Gen.oneOf("", "/", "/P/q", "//x")
+    val query = Gen.oneOf("", "?a=1", "?utm_source=x", "?a=1&&utm_b=2&c=3", "?&x=1")
+    val frag = Gen.oneOf("", "#f", "#a#b")
+    val urlGen = for {
+      s <- scheme; h <- host; pt <- port; pa <- path; q <- query; f <- frag
+    } yield s"$s://$h$pt$pa$q$f"
+    val urls = samples(urlGen, 300)
+    val out = urls.toDF("u")
+      .select(Urls.normalizeUrl(col("u")).as("n1"))
+      .select(col("n1"), Urls.normalizeUrl(col("n1")).as("n2"))
+      .as[(String, String)].collect()
+    out.foreach { case (n1, n2) =>
+      assert(n1 == n2, s"normalizeUrl not idempotent: '$n1' → '$n2'")
+      assert(!n1.contains("#") && !n1.matches(".*[?&]utm_[a-z0-9_]*=.*"),
+        s"fragment or tracker survived: '$n1'")
+    }
+  }
+
+  test("unicodeNormalize: idempotent per form; NFC∘NFD round-trips") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    val pool = "aA1 éé\u0301ﬁＡ①ß"
+    val gen = Gen.listOfN(8, Gen.oneOf(pool.toSeq)).map(_.mkString)
+    val strs = samples(gen, 200)
+    Seq("NFC", "NFD", "NFKC", "NFKD").foreach { f =>
+      val out = strs.toDF("s")
+        .select(GraftFunctions.unicodeNormalize(col("s"), f).as("a"))
+        .select(col("a"),
+          GraftFunctions.unicodeNormalize(col("a"), f).as("b"))
+        .as[(String, String)].collect()
+      out.foreach { case (a, b) => assert(a == b, s"$f not idempotent on '$a'") }
+    }
+    // NFC(NFD(x)) == NFC(x): decomposition then composition is canonical
+    val rt = strs.toDF("s").select(
+        GraftFunctions.unicodeNormalize(
+          GraftFunctions.unicodeNormalize(col("s"), "NFD"), "NFC").as("a"),
+        GraftFunctions.unicodeNormalize(col("s"), "NFC").as("b"))
+      .as[(String, String)].collect()
+    rt.foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("bpe decode inverts encode for any trained model on random corpora") {
+    import graft.pipeline.{Bpe, Dedup, OperatorCache}
+    val word = Gen.oneOf("the", "them", "theme", "ab", "abc", "x1", "Mixed", "PUNCT")
+    val gen = Gen.listOfN(10, word).map(_.mkString(" "))
+    val texts = samples(gen, 20)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 12)
+    val got = Bpe.encode(docs, "doc_id", "text", m, wordEnd = "</w>")
+      .select(col("doc"), Bpe.decodePieces(col("pieces"), "</w>").as("d"))
+      .as[(Long, String)].collect().toMap
+    val expected = docs.select(col("doc_id"),
+        array_join(Dedup.tokensOf(col("text")), " "))
+      .as[(Long, String)].collect().toMap
+    expected.foreach { case (id, e) =>
+      if (e.nonEmpty) assert(got(id) == e, s"doc $id: '${got(id)}' != '$e'")
+    }
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("capPerStratum: never exceeds the cap, output ⊆ input, cap ≥ stratum size is identity") {
+    import graft.pipeline.Curation
+    val gen = Gen.listOfN(150, Gen.choose(0, 6))
+    samples(gen, 3).zipWithIndex.foreach { case (strata, run) =>
+      val df = strata.zipWithIndex
+        .map { case (s, i) => (i.toLong + run * 1000, s"s$s") }.toDF("id", "k")
+      val capped = Curation.capPerStratum(df, "id", "k", cap = 10)
+        .as[(Long, String)].collect()
+      val input = df.as[(Long, String)].collect().toSet
+      assert(capped.toSet.subsetOf(input))
+      capped.groupBy(_._2).foreach { case (k, rows) =>
+        assert(rows.length <= 10, s"stratum $k over cap: ${rows.length}") }
+      val identity = Curation.capPerStratum(df, "id", "k", cap = 1000)
+        .as[(Long, String)].collect().toSet
+      assert(identity == input, "cap above every stratum size must be identity")
+    }
+  }
+
+  test("concentration: gini ∈ [0, 1), uniform = 0, invariant under key renaming") {
+    import graft.pipeline.Profiling
+    val gen = Gen.listOfN(120, Gen.choose(0, 9))
+    samples(gen, 5).foreach { ks =>
+      val df = ks.zipWithIndex.map { case (k, i) => (i, s"k$k") }.toDF("i", "key")
+      val r = Profiling.concentration(df, "key").head()
+      val gini = r.getDouble(3)
+      assert(gini >= 0.0 && gini < 1.0, s"gini out of range: $gini")
+      // renaming keys (a bijection) must not change the card
+      val renamed = df.withColumn("key", concat(lit("zz_"), col("key")))
+      assert(Profiling.concentration(renamed, "key").head() == r)
+    }
+  }
 }
