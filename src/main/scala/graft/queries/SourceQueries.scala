@@ -162,6 +162,26 @@ object SourceQueries {
         .orderBy("doc_id")
     }, Some("SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id")),
 
+    // S16 — offset-indexed WARC fetch (the CDX pattern): shards written
+    // with a per-record byte-range index, then ONLY the wanted records
+    // (doc_id % 7 = 0) read back via positioned range reads — the
+    // touch-0.01%-of-the-archive access path.
+    QueryDef("s16_warc_fetch", (s, dir) => {
+      val path = s"$tmpRoot/warc_s16_${math.abs(dir.hashCode)}"
+      graft.sources.Warc.writeShardsIndexed(
+        Tables.load(s, dir, "documents"), "doc_id", "text", path, shards = 4)
+      val wanted = Tables.load(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id").cast("string").as("id"))
+      graft.sources.Warc.fetch(s, path, wanted)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          decode(col("payload"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, text FROM documents
+              |WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin)),
+
     // L1 — compiled semantic dataset: declared columns with expressions,
     // group_by + order_by + limit, straight from a schema definition
     // (the reference's `SELECT cols FROM src GROUP BY ... ORDER BY ...
