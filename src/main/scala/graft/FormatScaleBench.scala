@@ -44,6 +44,7 @@ object FormatScaleBench {
 
     val warcDir = "target/graft-tmp/format_scale_warc"
     val wdsDir = "target/graft-tmp/format_scale_wds"
+    val idxDir = "target/graft-tmp/format_scale_warc_idx"
     Seq(1, 2).foreach { round =>
       time(s"warc write round $round") {
         Warc.writeShards(docs, "doc_id", "text", warcDir, shards)
@@ -65,6 +66,43 @@ object FormatScaleBench {
           .where(col("ext") === "txt")
           .agg(count(lit(1)), sum(length(col("payload")))).head()
         require(got.getLong(0) == nDocs, s"lost members: ${got.getLong(0)}")
+      }
+    }
+
+    // the random-access story: fetching k records must cost ~k range
+    // reads + the index scan, NOT a shard scan — compare against the
+    // full read above
+    time("warc indexed write") {
+      Warc.writeShardsIndexed(docs, "doc_id", "text", idxDir, shards)
+    }
+    Seq(100, 10000).foreach { k =>
+      val wanted = docs.select(col("doc_id").cast("string").as("id"))
+        .where(pmod(col("doc_id"), lit(nDocs / k)) === 0)
+      Seq(1, 2).foreach { round =>
+        time(f"warc fetch k≈$k%-6d round $round") {
+          val n = Warc.fetch(spark, idxDir, wanted).count()
+          require(n >= k / 2, s"fetched only $n of ~$k")
+        }
+      }
+    }
+
+    // the property that matters: fetch cost is independent of ARCHIVE
+    // size — scale the archive 4×, the scan grows, the fetch doesn't
+    val big = docs.crossJoin(spark.range(4).select(col("id").as("rep")))
+      .select((col("doc_id") * 4 + col("rep")).as("doc_id"), col("text"))
+    val bigDir = "target/graft-tmp/format_scale_warc_big"
+    time("warc indexed write x4 archive") {
+      Warc.writeShardsIndexed(big, "doc_id", "text", bigDir, shards)
+    }
+    val wanted100 = big.select(col("doc_id").cast("string").as("id"))
+      .where(pmod(col("doc_id"), lit(4L * nDocs / 100)) === 0)
+    Seq(1, 2).foreach { round =>
+      time(s"warc full scan  x4 archive round $round") {
+        Warc.read(spark, bigDir + "/*.warc.gz")
+          .where(col("warc_type") === "response").count()
+      }
+      time(s"warc fetch k≈100 x4 archive round $round") {
+        require(Warc.fetch(spark, bigDir, wanted100).count() >= 50)
       }
     }
     spark.stop()
