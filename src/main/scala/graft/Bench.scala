@@ -75,7 +75,8 @@ object Bench {
     "p105_url_normalize", "p106_host_cap", "p107_split_leakage_audit",
     "p108_label_agreement", "p109_majority_vote", "p110_unicode_normalize",
     "p111_bpe_roundtrip", "p112_host_concentration",
-    "s14_warc_roundtrip", "s15_webdataset_roundtrip", "s16_warc_fetch")
+    "s14_warc_roundtrip", "s15_webdataset_roundtrip", "s16_warc_fetch",
+    "s17_wet_roundtrip")
 
   /** Jobs started/ended + stages completed + task GC/CPU sums, maintained
     * by [[counting]]. Listener delivery is asynchronous; [[settle]] waits

@@ -182,6 +182,24 @@ object SourceQueries {
     }, Some("""SELECT doc_id, text FROM documents
               |WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin)),
 
+    // S17 — WET round trip: the extracted-text layout (conversion
+    // records, plain-text blocks, no HTTP wrapper); the reader's
+    // non-http path carries the payload whole with a null status.
+    QueryDef("s17_wet_roundtrip", (s, dir) => {
+      val path = s"$tmpRoot/wet_s17_${math.abs(dir.hashCode)}"
+      graft.sources.Warc.writeWetShards(
+        Tables.load(s, dir, "documents"), "doc_id", "text", path, shards = 4)
+      graft.sources.Warc.read(s, path)
+        .where(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          decode(col("payload"), "UTF-8").as("text"),
+          col("http_status"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, text, CAST(NULL AS INTEGER) AS http_status
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // L1 — compiled semantic dataset: declared columns with expressions,
     // group_by + order_by + limit, straight from a schema definition
     // (the reference's `SELECT cols FROM src GROUP BY ... ORDER BY ...

@@ -275,6 +275,49 @@ object Warc {
       }
   }
 
+  /** WET layout ([[writeShards]]'s extracted-text sibling — the other
+    * file type the public crawls publish): `conversion` records whose
+    * block IS the plain text, no HTTP wrapper. The same [[read]] walks
+    * both layouts (a non-`application/http` block passes through whole,
+    * status null) — filter `warc_type = 'conversion'` and decode the
+    * payload directly.
+    */
+  def writeWetShards(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      shards: Int, uriPrefix: String = "http://example.org/doc/",
+  ): Unit = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val driverFs = target.getFileSystem(hconf.value)
+    driverFs.delete(target, true)
+    driverFs.mkdirs(target)
+    df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .repartition(shards, col("id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val file = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.wet.gz")
+        val fs = file.getFileSystem(hconf.value)
+        val out = fs.create(file, true)
+        val gz = new MemberGzip
+        try {
+          gz.writeMember(out,
+            record("warcinfo", s"<urn:uuid:${uuidOf(s"wet-shard-$pid")}>",
+              uri = null, "application/warc-fields",
+              s"software: graft-warc\r\nformat: WET\r\nshard: $pid\r\n"
+                .getBytes("UTF-8")))
+          it.foreach { r =>
+            val id = r.getString(0)
+            val body = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+            gz.writeMember(out,
+              record("conversion", s"<urn:uuid:${uuidOf(id)}>",
+                uri = uriPrefix + id, "text/plain", body))
+          }
+        } finally { gz.end(); out.close() }
+      }
+  }
+
   /** [[writeShards]] plus a record-offset index — the CDX pattern the
     * big public crawls ship alongside their shards: per record,
     * (id, target_uri, file, offset, length) with offset/length framing
