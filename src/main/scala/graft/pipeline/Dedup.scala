@@ -263,6 +263,64 @@ object Dedup {
     *
     * @return the surviving corpus rows (original columns, unchanged)
     */
+  /** Persist a (doc, shingle) postings index partitioned by
+    * fnv(shingle) mod `buckets` — the layout that makes decontamination
+    * an INDEX PROBE instead of a corpus scan: a new benchmark's
+    * shingles touch only their buckets' partitions, so the per-screen
+    * cost is O(blocklist shingles + matching postings), independent of
+    * corpus size. Index once per corpus snapshot, screen every new
+    * benchmark against it (and [[graft.sources.Warc.fetch]] the flagged
+    * docs from the archive — the whole flow never re-reads corpus
+    * text). A `stats` row records (shingle_k, buckets) so probes can't
+    * run with mismatched parameters.
+    */
+  def writeShingleIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleK: Int = 8, buckets: Int = 64,
+  ): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val spark = df.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    shingleRows(df, idCol, textCol, shingleK)
+      .distinct()
+      .withColumn("sb",
+        pmod(GraftFunctions.fnv1a64(col("shingle")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("sb").parquet(s"$dir/postings")
+    import spark.implicits._
+    Seq((shingleK, buckets)).toDF("shingle_k", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Probe a [[writeShingleIndex]] layout with a blocklist: corpus docs
+    * sharing ≥ `minOverlap` distinct shingles with it, as
+    * (doc, n_overlap) — [[decontaminate]]'s verdict computed WITHOUT
+    * touching the corpus (same semantics, index-probe cost). The probe
+    * prunes partitions with a ≤`buckets` literal list (the TextSearch
+    * pattern: static PartitionFilters, not DPP luck) and joins the
+    * benchmark-sized shingle frame broadcast.
+    */
+  def probeContamination(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      blocklist: DataFrame, blockIdCol: String, blockTextCol: String,
+      minOverlap: Int = 1,
+  ): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val k = st.getAs[Int]("shingle_k")
+    val buckets = st.getAs[Int]("buckets")
+    val bsh = shingleRows(blocklist, blockIdCol, blockTextCol, k)
+      .select("shingle").distinct()
+      .withColumn("sb",
+        pmod(GraftFunctions.fnv1a64(col("shingle")), lit(buckets.toLong)))
+    val sbs = bsh.select("sb").distinct().collect().map(_.getLong(0))
+    spark.read.parquet(s"$dir/postings")
+      .where(col("sb").isin(sbs.toIndexedSeq: _*))
+      .join(broadcast(bsh), Seq("sb", "shingle"))
+      .groupBy("doc")
+      .agg(countDistinct("shingle").as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+  }
+
   def decontaminate(
       corpus: DataFrame, idCol: String, textCol: String,
       blocklist: DataFrame, blockIdCol: String, blockTextCol: String,

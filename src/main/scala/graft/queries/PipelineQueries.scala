@@ -4627,6 +4627,67 @@ object PipelineQueries {
              |       ROUND(CAST(top AS DOUBLE) / n, 6) AS top_share,
              |       ROUND(CAST(dsum AS DOUBLE) / (nk * n), 6) AS gini
              |FROM t, d""".stripMargin)),
+
+    // Archive-scale targeted decontamination, end to end: the corpus is
+    // stored ONCE (offset-indexed WARC archive + persisted shingle
+    // index); a new benchmark probes the index (partition-pruned, never
+    // re-reading corpus text) and only the flagged docs are fetched
+    // from the archive by byte range. Same contamination semantics as
+    // p21 (≥3 shared 8-shingles) — the oracle replays the overlap
+    // exactly, proving probe + fetch ≡ the corpus-scan screen.
+    QueryDef("p113_archive_decontaminate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = docs.where(pmod(col("doc_id"), lit(20)) =!= 0)
+        val block = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+        val base = s"target/graft-tmp/archdecon_p113_${math.abs(dir.hashCode)}"
+        graft.sources.Warc.writeShardsIndexed(
+          corpus, "doc_id", "text", s"$base/archive", shards = 4)
+        Dedup.writeShingleIndex(
+          corpus, "doc_id", "text", s"$base/shingles", shingleK = 8)
+        val contaminated = Dedup.probeContamination(
+          s, s"$base/shingles", block, "doc_id", "text", minOverlap = 3)
+        graft.sources.Warc.fetch(s, s"$base/archive",
+            contaminated.select(col("doc").cast("string").as("id")))
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            decode(col("payload"), "UTF-8").as("text"))
+          .join(contaminated.withColumnRenamed("doc", "doc_id"), "doc_id")
+          .select("doc_id", "n_overlap", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text
+             |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 20 <> 0
+             |), block AS (
+             |  SELECT text FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 20 = 0
+             |), btoks AS (
+             |  SELECT list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM block
+             |), bsh AS (
+             |  SELECT DISTINCT shingle FROM (
+             |    SELECT unnest(list_transform(range(1, len(toks) - 8 + 2),
+             |                                 i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
+             |    FROM btoks WHERE len(toks) >= 8
+             |  )
+             |), ctoks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM corpus
+             |), csh AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8 + 2),
+             |                                       i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
+             |  FROM ctoks WHERE len(toks) >= 8
+             |), ov AS (
+             |  SELECT doc_id, COUNT(DISTINCT csh.shingle) AS n_overlap
+             |  FROM csh JOIN bsh USING (shingle)
+             |  GROUP BY doc_id HAVING COUNT(DISTINCT csh.shingle) >= 3
+             |)
+             |SELECT o.doc_id, o.n_overlap, c.text
+             |FROM ov o JOIN corpus c USING (doc_id) ORDER BY doc_id""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Shingle-postings index contracts: probe verdicts equal the
+  * corpus-scan decontaminate, the probe scan is partition-pruned, and
+  * probe parameters come from the persisted stats (no mismatch risk).
+  */
+class ShingleIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def phrase(tag: String) =
+    s"alpha beta gamma delta $tag epsilon zeta eta theta iota kappa " +
+      s"lambda mu nu xi omicron $tag pi rho sigma"
+
+  private lazy val corpus = Seq(
+    (1L, phrase("one")),                       // shares long runs with block doc
+    (2L, phrase("two")),
+    (3L, "completely different words entirely distinct content here " +
+      "nothing shared with any benchmark text at all in this document"),
+  ).toDF("doc_id", "text")
+  private lazy val block = Seq((100L, phrase("one"))).toDF("doc_id", "text")
+
+  test("probeContamination ≡ decontaminate's verdict; scan partition-pruned") {
+    val dir = s"target/graft-test/shidx_${System.nanoTime()}"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", dir,
+      shingleK = 5, buckets = 16)
+    val probed = Dedup.probeContamination(spark, dir, block, "doc_id", "text",
+      minOverlap = 3)
+    val flagged = probed.select("doc").as[Long].collect().toSet
+    // ground truth: the corpus-scan screen drops exactly the flagged docs
+    val survivors = Dedup.decontaminate(corpus, "doc_id", "text",
+        block, "doc_id", "text", shingleK = 5, minOverlap = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(1L, 2L) && survivors == Set(3L),
+      s"probe $flagged vs scan survivors $survivors")
+    // overlap counts are exact: doc 1 shares every blocklist shingle
+    val n1 = probed.where(col("doc") === 1L).select("n_overlap").as[Long].head()
+    val blockShingles = Dedup.shingleRows(block, "doc_id", "text", 5)
+      .select("shingle").distinct().count()
+    assert(n1 == blockShingles, s"doc 1 overlap $n1 != all $blockShingles")
+    // the postings scan carries static partition pruning on sb
+    val plan = probed.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("sb#") && l.contains("IN") || pf.exists(_.contains("sb#"))),
+      s"expected sb partition pruning, got:\n${plan.take(600)}")
+    // probe parameters come from stats: a second index with different k
+    // still probes correctly without the caller restating k
+    val dir2 = s"target/graft-test/shidx2_${System.nanoTime()}"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", dir2,
+      shingleK = 8, buckets = 4)
+    val probed8 = Dedup.probeContamination(spark, dir2, block, "doc_id", "text",
+      minOverlap = 3).select("doc").as[Long].collect().toSet
+    val scan8 = corpus.select("doc_id").as[Long].collect().toSet --
+      Dedup.decontaminate(corpus, "doc_id", "text", block, "doc_id", "text",
+        shingleK = 8, minOverlap = 3).select("doc_id").as[Long].collect().toSet
+    assert(probed8 == scan8, s"k=8: probe $probed8 vs scan-dropped $scan8")
+  }
+}
