@@ -105,6 +105,25 @@ object FormatScaleBench {
         require(Warc.fetch(spark, bigDir, wanted100).count() >= 50)
       }
     }
+
+    // decontamination: persisted-postings probe vs the text-scan screen
+    // on the same 500k corpus (the probe's saving = no re-tokenization)
+    val shIdx = "target/graft-tmp/format_scale_shidx"
+    val block = docs.where(pmod(col("doc_id"), lit(5000L)) === 0) // 100 docs
+    time("shingle index write (500k docs, k=8)") {
+      graft.pipeline.Dedup.writeShingleIndex(
+        docs, "doc_id", "text", shIdx, shingleK = 8, buckets = 64)
+    }
+    Seq(1, 2).foreach { round =>
+      time(s"probe decontaminate round $round") {
+        graft.pipeline.Dedup.probeContamination(
+          spark, shIdx, block, "doc_id", "text", minOverlap = 3).count()
+      }
+      time(s"scan  decontaminate round $round") {
+        graft.pipeline.Dedup.decontaminate(docs, "doc_id", "text",
+          block, "doc_id", "text", shingleK = 8, minOverlap = 3).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -265,14 +265,19 @@ object Dedup {
     */
   /** Persist a (doc, shingle) postings index partitioned by
     * fnv(shingle) mod `buckets` — the layout that makes decontamination
-    * an INDEX PROBE instead of a corpus scan: a new benchmark's
-    * shingles touch only their buckets' partitions, so the per-screen
-    * cost is O(blocklist shingles + matching postings), independent of
-    * corpus size. Index once per corpus snapshot, screen every new
-    * benchmark against it (and [[graft.sources.Warc.fetch]] the flagged
-    * docs from the archive — the whole flow never re-reads corpus
-    * text). A `stats` row records (shingle_k, buckets) so probes can't
-    * run with mismatched parameters.
+    * an INDEX PROBE instead of a corpus scan. What the probe saves,
+    * precisely: the corpus is never re-TOKENIZED (the regex + shingle
+    * window over every doc's text is the screen's dominant cost) and
+    * corpus TEXT is never re-read — the probe reads the compact
+    * postings layout, and only the partitions the blocklist's shingle
+    * hashes land in. Partition pruning bites fully for small/targeted
+    * benchmarks (few shingles → few buckets); a benchmark with more
+    * shingles than buckets reads all partitions of postings — still a
+    * column-pruned scan of (shingle, doc), not text. Index once per
+    * corpus snapshot, screen every new benchmark against it (and
+    * [[graft.sources.Warc.fetch]] the flagged docs from the archive).
+    * A `stats` row records (shingle_k, buckets) so probes can't run
+    * with mismatched parameters.
     */
   def writeShingleIndex(
       df: DataFrame, idCol: String, textCol: String, dir: String,
