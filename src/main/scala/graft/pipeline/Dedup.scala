@@ -296,6 +296,29 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Advance a [[writeShingleIndex]] layout past a NEW batch of docs —
+    * the recrawl form, like every index in this family (appendIndex,
+    * appendState, appendIvfPq): batch-sized postings append into the
+    * same partitioning, prior postings never read or rewritten. The
+    * stats row holds only (shingle_k, buckets) — nothing rolls — so
+    * append ≡ rebuild exactly (spec-pinned). Caller contract: batch doc
+    * ids must be new (re-appending a doc would double its postings).
+    */
+  def appendShingleIndex(
+      batch: DataFrame, idCol: String, textCol: String, dir: String,
+  ): Unit = {
+    val spark = batch.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val k = st.getAs[Int]("shingle_k")
+    val buckets = st.getAs[Int]("buckets")
+    shingleRows(batch, idCol, textCol, k)
+      .distinct()
+      .withColumn("sb",
+        pmod(GraftFunctions.fnv1a64(col("shingle")), lit(buckets.toLong)))
+      .write.mode("append").partitionBy("sb").parquet(s"$dir/postings")
+  }
+
   /** Probe a [[writeShingleIndex]] layout with a blocklist: corpus docs
     * sharing ≥ `minOverlap` distinct shingles with it, as
     * (doc, n_overlap) — [[decontaminate]]'s verdict computed WITHOUT

@@ -58,4 +58,23 @@ class ShingleIndexSpec extends SparkSpec {
         shingleK = 8, minOverlap = 3).select("doc_id").as[Long].collect().toSet
     assert(probed8 == scan8, s"k=8: probe $probed8 vs scan-dropped $scan8")
   }
+
+  test("appendShingleIndex: append ≡ rebuild, k/buckets come from stats") {
+    val batch = Seq((10L, phrase("one") + " appended variant")).toDF("doc_id", "text")
+    val appendDir = s"target/graft-test/shidx_app_${System.nanoTime()}"
+    val rebuildDir = s"target/graft-test/shidx_rb_${System.nanoTime()}"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", appendDir,
+      shingleK = 5, buckets = 16)
+    Dedup.appendShingleIndex(batch, "doc_id", "text", appendDir)
+    Dedup.writeShingleIndex(corpus.unionByName(batch), "doc_id", "text",
+      rebuildDir, shingleK = 5, buckets = 16)
+    def probe(dir: String) =
+      Dedup.probeContamination(spark, dir, block, "doc_id", "text",
+          minOverlap = 3)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(probe(appendDir) == probe(rebuildDir),
+      "appended index must probe identically to a rebuild")
+    // the appended doc is itself flagged (it contains phrase("one"))
+    assert(probe(appendDir).map(_._1).contains(10L))
+  }
 }
