@@ -75,7 +75,7 @@ object Bench {
     "p105_url_normalize", "p106_host_cap", "p107_split_leakage_audit",
     "p108_label_agreement", "p109_majority_vote", "p110_unicode_normalize",
     "p111_bpe_roundtrip", "p112_host_concentration",
-    "p113_archive_decontaminate",
+    "p113_archive_decontaminate", "p114_hybrid_search",
     "s14_warc_roundtrip", "s15_webdataset_roundtrip", "s16_warc_fetch",
     "s17_wet_roundtrip")
 

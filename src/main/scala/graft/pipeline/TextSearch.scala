@@ -208,4 +208,47 @@ object TextSearch {
       .where(col("rank") <= k)
       .select("qid", "rank", "doc", "score", "n_matched")
   }
+
+  /** Hybrid retrieval: BM25 candidate generation through the index,
+    * embedding-cosine rerank on the candidates — the standard
+    * keyword-recall + semantic-precision two-stage (RAG retrieval,
+    * near-dup triage). `workload` carries (qid, query text, query
+    * vector); candidates come from [[searchTopKBatch]] at `candidates`
+    * per query (the recall knob), each joined to its document vector
+    * and reranked by `alpha·bm25 + (1−alpha)·cosine`, both sides
+    * 6-rounded before mixing so the blend is engine-replayable.
+    *
+    * Scale shape: everything [[searchTopKBatch]] already is (pruned
+    * scan, workload broadcast), plus one id equi-join against the
+    * vector table (qid×candidates rows — workload-bounded, never
+    * corpus-scale) and a qid-partitioned rank kept to `k` by
+    * WindowGroupLimit. Candidate docs missing a vector drop (inner
+    * join): retrieval over a corpus slice without embeddings is a
+    * caller decision, not a silent zero-cosine.
+    */
+  def searchHybridBatch(
+      workload: DataFrame, qidCol: String, queryCol: String, qvecCol: String,
+      dir: String, vectors: DataFrame, vecIdCol: String, vecCol: String,
+      k: Int = 10, candidates: Int = 50, alpha: Double = 0.5,
+  ): DataFrame = {
+    require(k >= 1 && candidates >= k,
+      s"need candidates >= k >= 1, got k=$k candidates=$candidates")
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1]: $alpha")
+    val cand = searchTopKBatch(
+      workload.select(col(qidCol), col(queryCol)), qidCol, queryCol, dir,
+      k = candidates)
+    val qv = workload.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
+    val dv = vectors.select(col(vecIdCol).as("doc"), col(vecCol).as("__dv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("hybrid").desc, col("doc").asc)
+    cand.join(dv, "doc")
+      .join(broadcast(qv), "qid")
+      .withColumn("hybrid",
+        round(lit(alpha) * col("score") +
+          lit(1.0 - alpha) *
+            round(graft.pipeline.Similarity.cosine(col("__dv"), col("__qv")), 6), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "doc", "hybrid", "score")
+  }
 }

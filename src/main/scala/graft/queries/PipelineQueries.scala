@@ -4645,8 +4645,9 @@ object PipelineQueries {
           corpus, "doc_id", "text", s"$base/archive", shards = 4)
         Dedup.writeShingleIndex(
           corpus, "doc_id", "text", s"$base/shingles", shingleK = 8)
-        val contaminated = Dedup.probeContamination(
-          s, s"$base/shingles", block, "doc_id", "text", minOverlap = 3)
+        // two consumers (fetch's wanted ids + the output join) — one probe
+        val contaminated = OperatorCache.materialize(Dedup.probeContamination(
+          s, s"$base/shingles", block, "doc_id", "text", minOverlap = 3))
         graft.sources.Warc.fetch(s, s"$base/archive",
             contaminated.select(col("doc").cast("string").as("id")))
           .select(
@@ -4688,6 +4689,85 @@ object PipelineQueries {
              |)
              |SELECT o.doc_id, o.n_overlap, c.text
              |FROM ov o JOIN corpus c USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // Hybrid retrieval: BM25 candidates (k=20 through the index)
+    // reranked by embedding cosine, blended 50/50 with both sides
+    // 6-rounded. Query vectors are real embedding rows (vec_id = 7·qid);
+    // the oracle replays the whole p103 BM25 chain, the candidate cut,
+    // and the blend.
+    QueryDef("p114_hybrid_search",
+      (s, dir) => {
+        val idx = s"target/graft-tmp/textsearch_p114_${math.abs(dir.hashCode)}"
+        TextSearch.writeIndex(Tables.load(s, dir, "documents"),
+          "doc_id", "text", idx)
+        OperatorCache.releaseAll(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val workload = s.createDataFrame(Seq(
+            (1L, "join vector filter", 7L),
+            (2L, "stream window", 14L),
+            (3L, "quality score text", 21L))).toDF("qid", "query", "vid")
+          .join(emb.select(col("vec_id").as("vid"),
+            col("embedding").as("qvec")), "vid")
+        TextSearch.searchHybridBatch(workload, "qid", "query", "qvec", idx,
+          emb, "vec_id", "embedding", k = 5, candidates = 20)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS term
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), dl AS (
+             |  SELECT doc, COUNT(*) AS dl FROM terms GROUP BY doc
+             |), stats AS (
+             |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+             |), qt AS (
+             |  SELECT * FROM (VALUES (1, 'join'), (1, 'vector'), (1, 'filter'),
+             |                        (2, 'stream'), (2, 'window'),
+             |                        (3, 'quality'), (3, 'score'), (3, 'text')) v(qid, term)
+             |), q AS (
+             |  SELECT doc, term FROM terms
+             |  WHERE term IN (SELECT DISTINCT term FROM qt)
+             |), tf AS (
+             |  SELECT doc, term, COUNT(*) AS tf FROM q GROUP BY doc, term
+             |), dfreq AS (
+             |  SELECT term, COUNT(DISTINCT doc) AS df FROM q GROUP BY term
+             |), contrib AS (
+             |  SELECT qt.qid, tf.doc,
+             |         LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             |           * CAST(tf AS DOUBLE)
+             |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+             |  FROM qt JOIN tf ON qt.term = tf.term
+             |       JOIN dfreq ON tf.term = dfreq.term
+             |       JOIN dl ON tf.doc = dl.doc, stats
+             |), sc AS (
+             |  SELECT qid, doc, ROUND(SUM(c), 6) AS score FROM contrib GROUP BY qid, doc
+             |), cr AS (
+             |  SELECT qid, doc, score,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc ASC) AS rn
+             |  FROM sc
+             |), cand AS (
+             |  SELECT qid, doc, score FROM cr WHERE rn <= 20
+             |), qv AS (
+             |  SELECT vq.qid, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS qv
+             |  FROM (VALUES (1, 7), (2, 14), (3, 21)) vq(qid, vid)
+             |  JOIN read_parquet('{SFDIR}/embeddings.parquet') e ON e.vec_id = vq.vid
+             |), hy AS (
+             |  SELECT c.qid, c.doc, c.score,
+             |         ROUND(0.5 * c.score +
+             |               0.5 * ROUND(list_cosine_similarity(
+             |                       list_transform(d.embedding, x -> CAST(x AS DOUBLE)), qv.qv), 6), 6) AS hybrid
+             |  FROM cand c
+             |  JOIN read_parquet('{SFDIR}/embeddings.parquet') d ON d.vec_id = c.doc
+             |  JOIN qv ON c.qid = qv.qid
+             |), hr AS (
+             |  SELECT CAST(qid AS BIGINT) AS qid,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hybrid DESC, doc ASC) AS INT) AS rank,
+             |         doc, hybrid, score
+             |  FROM hy
+             |)
+             |SELECT qid, rank, doc, hybrid, score FROM hr
+             |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

@@ -106,4 +106,36 @@ class TextSearchSpec extends SparkSpec {
       TextSearch.searchTopK(spark, dir, Seq.empty, k = 5))
     assert(e.getMessage.contains("query term"))
   }
+
+  test("hybrid rerank: alpha=1 ≡ BM25, alpha=0 orders by cosine, vectorless docs drop") {
+    val hdir = s"$dir-hybrid"
+    TextSearch.writeIndex(corpus, "doc_id", "text", hdir, buckets = 16)
+    OperatorCache.releaseAll(spark)
+    // doc 5 has NO vector; doc 2's vector matches the query exactly
+    val vectors = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)), (4L, Seq(1f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val workload = Seq((1L, "join vector filter", Seq(0f, 1f)))
+      .toDF("qid", "query", "qvec")
+    def hybrid(alpha: Double) =
+      TextSearch.searchHybridBatch(workload, "qid", "query", "qvec", hdir,
+        vectors, "vec_id", "embedding", k = 4, candidates = 5, alpha = alpha)
+        .select("doc", "rank").as[(Long, Int)].collect().sortBy(_._2).map(_._1).toSeq
+    // alpha = 1: pure BM25 order over candidates WITH vectors (5 drops)
+    val bm = TextSearch.searchTopKBatch(workload.select("qid", "query"),
+        "qid", "query", hdir, k = 5)
+      .where(col("doc") =!= 5L)
+      .orderBy(col("score").desc, col("doc").asc)
+      .select("doc").as[Long].collect().toSeq
+    assert(hybrid(1.0) == bm, s"alpha=1 must reduce to BM25: ${hybrid(1.0)} vs $bm")
+    assert(!hybrid(1.0).contains(5L), "a candidate without a vector must drop")
+    // candidates = docs matching a query term = {2 (filter), 3 (join),
+    // 5 (all)}; 5 has no vector → {2, 3}. alpha = 0: cosine decides —
+    // doc 2's vector matches the query exactly, doc 3's is at 45°
+    assert(hybrid(0.0) == Seq(2L, 3L), s"cosine-only order: ${hybrid(0.0)}")
+    intercept[IllegalArgumentException](hybrid(1.5))
+    intercept[IllegalArgumentException](
+      TextSearch.searchHybridBatch(workload, "qid", "query", "qvec", hdir,
+        vectors, "vec_id", "embedding", k = 10, candidates = 5))
+  }
 }
