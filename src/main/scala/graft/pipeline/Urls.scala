@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   *    canonicalization do it off the hot path)
   *
   * A non-URL string normalizes to itself minus a fragment-lookalike
-  * suffix — garbage in, garbage out, no nulls introduced.
+  * suffix — garbage in, garbage out, no nulls introduced. Bracketed
+  * IPv6 authorities (`http://[::1]:8080/`) are out of scope: the
+  * host/port split assumes the registered-name grammar crawl URLs use.
   */
 object Urls {
 

@@ -393,7 +393,8 @@ object Warc {
       spark.sparkContext.hadoopConfiguration)
     val index = spark.read.parquet(s"$dir/_index")
     implicit val enc: Encoder[WarcRecord] = Encoders.product[WarcRecord]
-    index.join(wanted.select(col("id")), "id")
+    // distinct: a duplicated wanted id must not fetch its record twice
+    index.join(wanted.select(col("id")).distinct(), "id")
       .select(col("file"), col("offset"), col("length"))
       .repartition(col("file"))
       .sortWithinPartitions("file", "offset")
