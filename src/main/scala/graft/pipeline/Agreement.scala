@@ -45,8 +45,12 @@ object Agreement {
       .crossJoin(broadcast(s)) // 1-row scalar idiom
       .select(
         col("__n").as("n"),
-        round(col("__agree").cast("double") / col("__n"), 6).as("po"),
-        round(col("__s").cast("double") / (col("__n") * col("__n")), 6).as("pe"),
+        // n = 0 (empty/all-abstained frame) → null ratios, not a
+        // DIVIDE_BY_ZERO under ANSI mode
+        when(col("__n") > 0,
+          round(col("__agree").cast("double") / col("__n"), 6)).as("po"),
+        when(col("__n") > 0,
+          round(col("__s").cast("double") / (col("__n") * col("__n")), 6)).as("pe"),
         when(col("__n") * col("__n") =!= col("__s"),
           round((col("__agree") * col("__n") - col("__s")).cast("double") /
             (col("__n") * col("__n") - col("__s")), 6)).as("kappa"))

@@ -182,4 +182,34 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.ivfRecallAudit(vecs, "vec_id", "embedding", queries,
       k = 10, ivfK = 4, nprobe = 2).count() == 0)
   }
+
+  test("r14 third-wave operators honor the degenerate-input contracts") {
+    val weights = Seq("train" -> 0.8, "val" -> 0.2)
+    assert(Curation.leakageSafeSplit(emptyDocs, "doc_id", "text", weights)
+      .count() == 0)
+    assert(Curation.capPerStratum(
+      Seq.empty[(Long, String)].toDF("id", "host"), "id", "host", 5).count() == 0)
+    // leakage audit on empty pairs: one zeros row (the card contract)
+    val zeros = Curation.splitLeakageAudit(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+      Seq((1L, "train")).toDF("doc_id", "split"), "doc_id")
+      .head()
+    assert(zeros.getLong(0) == 0 && zeros.getLong(1) == 0)
+    // agreement on an all-null or empty frame: n = 0, null kappa
+    val k = Agreement.cohenKappa(
+      Seq.empty[(String, String)].toDF("a", "b"), "a", "b").head()
+    assert(k.getLong(0) == 0 && k.isNullAt(3))
+    assert(Agreement.majorityVote(
+      Seq.empty[(Long, String, String)].toDF("id", "a", "b"),
+      "id", Seq("a", "b")).count() == 0)
+    // concentration of an empty frame: one row, null-safe fields
+    assert(Profiling.concentration(
+      Seq.empty[Tuple1[String]].toDF("k"), "k").count() == 1)
+    // URL normalization: nulls pass through as nulls, empty string as empty
+    val u = Seq((null.asInstanceOf[String], "")).toDF("a", "b")
+      .select(Urls.normalizeUrl(col("a")), Urls.normalizeUrl(col("b")),
+        Urls.hostOf(col("b"))).head()
+    assert(u.isNullAt(0) && u.getString(1) == "" && u.getString(2) == "")
+    OperatorCache.releaseAll(spark)
+  }
 }
