@@ -385,8 +385,13 @@ object Warc {
     * SEEKING its (file, offset) and decompressing exactly `length`
     * bytes — shard bytes outside the wanted ranges are never read.
     * Work partitions by FILE (each task walks its file's wanted
-    * offsets in order — one open, monotone seeks), so fetch cost is
-    * O(wanted records + touched files), independent of archive size.
+    * offsets in order — one open, monotone seeks). Cost, stated
+    * precisely: O(wanted records + touched files) of ARCHIVE I/O, plus
+    * one column-pruned scan of the `_index` parquet for the id join —
+    * the index is ~3 small columns per record (a fraction of a percent
+    * of archive bytes), so the scan is negligible but IS proportional
+    * to record count; an id-bucketed index layout would prune it
+    * further if it ever showed up in a profile.
     */
   def fetch(spark: SparkSession, dir: String, wanted: DataFrame): DataFrame = {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
