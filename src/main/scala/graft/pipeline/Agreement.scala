@@ -36,13 +36,20 @@ object Agreement {
     val counts = t.groupBy("__la", "__lb").agg(count(lit(1)).as("__c"))
     val rowM = counts.groupBy("__la").agg(sum("__c").as("__ra"))
     val colM = counts.groupBy("__lb").agg(sum("__c").as("__rb"))
+    // decimal(38,0), not Long: n², agree·n, and Σ rowMarg·colMarg all
+    // overflow LongType past ~3e9 labeled rows (an ANSI-mode error at
+    // the corpus scale this repo targets); exact decimal keeps the
+    // integer-ratio contract to n ≈ 1e19
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val s = rowM.join(colM, col("__la") === col("__lb"))
-      .agg(coalesce(sum(col("__ra") * col("__rb")), lit(0L)).as("__s"))
+      .agg(coalesce(sum(col("__ra").cast(dec) * col("__rb").cast(dec)),
+        lit(0L).cast(dec)).as("__s"))
     counts
       .agg(coalesce(sum("__c"), lit(0L)).as("__n"),
         coalesce(sum(when(col("__la") === col("__lb"), col("__c"))
           .otherwise(0L)), lit(0L)).as("__agree"))
       .crossJoin(broadcast(s)) // 1-row scalar idiom
+      .withColumn("__n2", col("__n").cast(dec) * col("__n").cast(dec))
       .select(
         col("__n").as("n"),
         // n = 0 (empty/all-abstained frame) → null ratios, not a
@@ -50,10 +57,11 @@ object Agreement {
         when(col("__n") > 0,
           round(col("__agree").cast("double") / col("__n"), 6)).as("po"),
         when(col("__n") > 0,
-          round(col("__s").cast("double") / (col("__n") * col("__n")), 6)).as("pe"),
-        when(col("__n") * col("__n") =!= col("__s"),
-          round((col("__agree") * col("__n") - col("__s")).cast("double") /
-            (col("__n") * col("__n") - col("__s")), 6)).as("kappa"))
+          round(col("__s").cast("double") / col("__n2").cast("double"), 6)).as("pe"),
+        when(col("__n2") =!= col("__s"),
+          round((col("__agree").cast(dec) * col("__n").cast(dec) - col("__s"))
+            .cast("double") /
+            (col("__n2") - col("__s")).cast("double"), 6)).as("kappa"))
   }
 
   /** Majority vote across annotator columns: per row, the label with

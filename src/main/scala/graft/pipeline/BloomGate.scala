@@ -31,6 +31,19 @@ import graft.functions.GraftFunctions
   */
 object BloomGate {
 
+  /** Version of the bit-placement scheme in [[positions]]. Bump whenever
+    * the key→bit mapping changes; persisted bitmaps record the version
+    * they were built with, and loaders refuse a mismatch
+    * ([[TrainingPipeline.readState]]). Without the check, a stale bitmap
+    * probes with mismatched positions and silently degrades to
+    * near-random "maybe"s — never unsound (the seen-key confirm keeps
+    * the gate exact) but an undetectable performance cliff.
+    *
+    * History: v1 = raw low-bit mask, appended salt (pre-r14 — weak, see
+    * [[positions]]'s scaladoc); v2 = high-word fold + prepended salt.
+    */
+  val FormatVersion: Int = 2
+
   /** Canonical document key: the normalized token stream re-joined with
     * single spaces — the same lowercase/strip/split normalization every
     * other hash-based text operator uses (Dedup.rawTokens), so "same

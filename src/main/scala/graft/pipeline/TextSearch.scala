@@ -118,15 +118,25 @@ object TextSearch {
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
   ): DataFrame = {
     require(queryTerms.nonEmpty, "searchTopK needs at least one query term")
+    // the index stores NORMALIZED terms (Dedup.rawTokens: lowercase,
+    // non-alnum stripped); normalize the caller's terms with the same
+    // rule so "Quantum," finds what "quantum" indexed — a verbatim
+    // match would silently return zero rows for cased/punctuated input
+    val normTerms = queryTerms
+      .map(t => t.trim.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^a-z0-9\\s]", ""))
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
+    require(normTerms.nonEmpty,
+      s"searchTopK: no query terms survive normalization: $queryTerms")
     val st = spark.read.parquet(s"$dir/stats").head()
     val nDocs = st.getAs[Long]("n_docs")
     val avgdl = st.getAs[Long]("sum_dl").toDouble / math.max(nDocs, 1L)
     val buckets = st.getAs[Int]("buckets")
-    val tbs = queryTerms
+    val tbs = normTerms
       .map(t => math.floorMod(Fnv1a64.hash(t.getBytes("UTF-8")), buckets.toLong))
       .distinct
     val tf = spark.read.parquet(s"$dir/postings")
-      .where(col("tb").isin(tbs: _*) && col("term").isin(queryTerms: _*))
+      .where(col("tb").isin(tbs: _*) && col("term").isin(normTerms: _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
       .withColumn("idf",

@@ -501,10 +501,12 @@ object TrainingPipeline {
     Seq((minQuality, languages.toSeq.sorted, minWords, minStopwordHits,
       dedupThreshold, shingleK, numHashes, bands, minEntropy,
       maxTopCharFrac, splits.map(_._1), splits.map(_._2),
-      bloom.map(_._2).getOrElse(0), bloom.map(_._3).getOrElse(0)))
+      bloom.map(_._2).getOrElse(0), bloom.map(_._3).getOrElse(0),
+      BloomGate.FormatVersion))
       .toDF("minQuality", "languages", "minWords", "minStopwordHits",
         "dedupThreshold", "shingleK", "numHashes", "bands", "minEntropy",
-        "maxTopCharFrac", "splitNames", "splitWeights", "bloomBits", "bloomK")
+        "maxTopCharFrac", "splitNames", "splitWeights", "bloomBits", "bloomK",
+        "bloomFormat")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
   }
 
@@ -514,8 +516,23 @@ object TrainingPipeline {
     * produces it. */
   def readState(spark: org.apache.spark.sql.SparkSession, dir: String): CurateState = {
     import spark.implicits._
-    val p = spark.read.parquet(s"$dir/params").head()
+    val params = spark.read.parquet(s"$dir/params")
+    val p = params.head()
     val bloomBits = p.getAs[Int]("bloomBits")
+    // bit-layout versioning: a bitmap built under an older positions()
+    // scheme would be probed at the wrong bits — never unsound (the
+    // seen-key confirm is exact) but a silent near-random-maybe cliff.
+    // Refuse and tell the operator to rebuild rather than degrade.
+    if (bloomBits > 0) {
+      val fmt =
+        if (params.columns.contains("bloomFormat")) p.getAs[Int]("bloomFormat")
+        else 1 // pre-versioning states predate the v2 layout
+      require(fmt == BloomGate.FormatVersion,
+        s"Bloom bitmap at $dir/bloom uses bit-layout format $fmt but this " +
+          s"build probes format ${BloomGate.FormatVersion}; rebuild the " +
+          "state (curateState + writeState) — probing a stale layout " +
+          "silently degrades the pre-gate to near-random maybes")
+    }
     val bloom =
       if (bloomBits <= 0) None
       else Some((

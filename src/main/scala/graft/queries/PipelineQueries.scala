@@ -4126,8 +4126,11 @@ object PipelineQueries {
       (s, dir) => Curation.epochMixture(
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
+            // cast to long: the oracle's LEN(...) is BIGINT, and the
+            // driver's correctness hash is dtype-sensitive on this
+            // returned column (r14 judge root-cause)
             when(col("text").isNotNull,
-              size(split(trim(col("text")), "\\s+"))).as("n_toks")),
+              size(split(trim(col("text")), "\\s+"))).cast("long").as("n_toks")),
         "doc_id", "n_toks", "lang",
         targets = Map("en" -> 30000L), defaultTarget = 2000L)
         .orderBy("doc_id"),
@@ -4147,8 +4150,8 @@ object PipelineQueries {
              |  FROM t JOIN a USING (lang)
              |), r AS (
              |  SELECT doc_id, lang, n_toks,
-             |         (CASE WHEN avail > 0 THEN target // avail ELSE 0 END)
-             |         + (CASE WHEN avail > 0 AND cum < target % avail THEN 1 ELSE 0 END) AS repeat_count
+             |         CAST((CASE WHEN avail > 0 THEN target // avail ELSE 0 END)
+             |         + (CASE WHEN avail > 0 AND cum < target % avail THEN 1 ELSE 0 END) AS BIGINT) AS repeat_count
              |  FROM c
              |)
              |SELECT doc_id, lang, n_toks, repeat_count FROM r

@@ -229,8 +229,11 @@ object Warc {
     * record its OWN gzip member (the Common Crawl layout [[read]]'s
     * streaming bound relies on). Rows hash-partition by id into
     * `shards` files written straight from the executors (no driver
-    * funnel); record ids, dates, and URIs are pure functions of the id,
-    * so the layout is bit-reproducible for a given input.
+    * funnel) and sort by id within each shard; record ids, dates, and
+    * URIs are pure functions of the id, so the layout is
+    * bit-reproducible for a given input. Files publish via
+    * [[ShardCommit]] (attempt-isolated temp + atomic rename), so task
+    * retries and speculative attempts cannot tear a shard.
     */
   def writeShards(
       df: DataFrame, idCol: String, textCol: String, dir: String,
@@ -247,11 +250,15 @@ object Warc {
     val ext = if (gzip) "warc.gz" else "warc"
     df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
       .repartition(shards, col("id"))
+      // deterministic within-shard order: post-shuffle row order is not
+      // reproducible across runs or task attempts; the sort makes every
+      // attempt write identical bytes (ShardCommit relies on this)
+      .sortWithinPartitions("id")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = TaskContext.getPartitionId()
         val file = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.$ext")
-        val fs = file.getFileSystem(hconf.value)
-        val out = fs.create(file, true)
+        val committer = new ShardCommit(hconf.value, file)
+        val out = committer.stream
         val gz = if (gzip) new MemberGzip else null
         try {
           writeMember(out, gz,
@@ -272,7 +279,9 @@ object Warc {
           if (gz != null) gz.end()
           out.close()
         }
+        committer.commit()
       }
+    ShardCommit.cleanup(hconf.value, dir)
   }
 
   /** WET layout ([[writeShards]]'s extracted-text sibling — the other
@@ -295,11 +304,12 @@ object Warc {
     driverFs.mkdirs(target)
     df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
       .repartition(shards, col("id"))
+      .sortWithinPartitions("id") // attempt-deterministic bytes, see writeShards
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = TaskContext.getPartitionId()
         val file = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.wet.gz")
-        val fs = file.getFileSystem(hconf.value)
-        val out = fs.create(file, true)
+        val committer = new ShardCommit(hconf.value, file)
+        val out = committer.stream
         val gz = new MemberGzip
         try {
           gz.writeMember(out,
@@ -315,7 +325,9 @@ object Warc {
                 uri = uriPrefix + id, "text/plain", body))
           }
         } finally { gz.end(); out.close() }
+        committer.commit()
       }
+    ShardCommit.cleanup(hconf.value, dir)
   }
 
   /** [[writeShards]] plus a record-offset index — the CDX pattern the
@@ -343,15 +355,20 @@ object Warc {
     val enc = Encoders.product[(String, String, String, Long, Long)]
     df.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
       .repartition(shards, col("id"))
+      // the sort is CORRECTNESS here, not just reproducibility: the
+      // _index rows survive task retries through Spark's own shuffle
+      // commit, independently of which attempt's shard file won the
+      // ShardCommit rename — offsets only line up because every attempt
+      // writes byte-identical shards
+      .sortWithinPartitions("id")
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
           val pid = TaskContext.getPartitionId()
           val name = f"part-$pid%05d.warc.gz"
           val file = new org.apache.hadoop.fs.Path(dir, name)
-          val fs = file.getFileSystem(hconf.value)
-          val fsOut = fs.create(file, true)
-          val out = new CountingStream(fsOut)
+          val committer = new ShardCommit(hconf.value, file)
+          val out = new CountingStream(committer.stream)
           val gz = new MemberGzip
           val index = Seq.newBuilder[(String, String, String, Long, Long)]
           try {
@@ -373,11 +390,13 @@ object Warc {
               index += ((id, uri, name, start, out.count - start))
             }
           } finally { gz.end(); out.close() }
+          committer.commit()
           index.result().iterator
         }
       }(enc)
       .toDF("id", "target_uri", "file", "offset", "length")
       .write.mode("overwrite").parquet(s"$dir/_index")
+    ShardCommit.cleanup(hconf.value, dir)
   }
 
   /** Random-access fetch through the offset index: `wanted` is a frame

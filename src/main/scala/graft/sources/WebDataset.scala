@@ -186,10 +186,10 @@ object WebDataset {
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = TaskContext.getPartitionId()
         val file = new org.apache.hadoop.fs.Path(dir, f"shard-$pid%05d.$ext")
-        val fs = file.getFileSystem(hconf.value)
-        val fsOut = fs.create(file, true)
+        val committer = new ShardCommit(hconf.value, file)
         val out: OutputStream =
-          if (gzip) new GZIPOutputStream(fsOut, 64 * 1024) else fsOut
+          if (gzip) new GZIPOutputStream(committer.stream, 64 * 1024)
+          else committer.stream
         try {
           it.foreach { r =>
             val key = r.getString(0)
@@ -200,7 +200,9 @@ object WebDataset {
           }
           out.write(new Array[Byte](2 * BlockSize)) // end-of-archive
         } finally out.close()
+        committer.commit()
       }
+    ShardCommit.cleanup(hconf.value, dir)
   }
 
   private def writeMember(out: OutputStream, name: String, data: Array[Byte]): Unit = {
