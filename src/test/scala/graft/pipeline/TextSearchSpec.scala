@@ -107,6 +107,27 @@ class TextSearchSpec extends SparkSpec {
     assert(e.getMessage.contains("query term"))
   }
 
+  test("searchTopK normalizes query terms with the index's own rule") {
+    TextSearch.writeIndex(corpus, "doc_id", "text", dir, buckets = 16)
+    OperatorCache.releaseAll(spark)
+    def serve(terms: Seq[String]) =
+      TextSearch.searchTopK(spark, dir, terms, k = 5)
+        .as[(Long, Double, Long)].collect().toSeq
+    val plain = serve(Seq("join", "vector", "filter"))
+    assert(plain.nonEmpty)
+    // cased + punctuated + multi-word input must hit the same postings
+    // the lowercase index stores — a verbatim match returned zero rows
+    assert(serve(Seq("Join,", "VECTOR!", "filter")) == plain)
+    assert(serve(Seq("join vector", "filter")) == plain,
+      "a multi-word term splits into its tokens, like the corpus side")
+    // duplicates collapse: BM25 is a termset score
+    assert(serve(Seq("join", "JOIN", "vector", "filter")) == plain)
+    // terms that normalize away entirely raise rather than serve nothing
+    val e = intercept[IllegalArgumentException](
+      TextSearch.searchTopK(spark, dir, Seq("!!!", "--"), k = 5))
+    assert(e.getMessage.contains("normaliz"))
+  }
+
   test("hybrid rerank: alpha=1 ≡ BM25, alpha=0 orders by cosine, vectorless docs drop") {
     val hdir = s"$dir-hybrid"
     TextSearch.writeIndex(corpus, "doc_id", "text", hdir, buckets = 16)

@@ -421,6 +421,31 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(live == Seq(11L) && reloaded == live)
   }
 
+  test("readState refuses a Bloom bitmap from a stale bit-layout format") {
+    val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
+    val state = TrainingPipeline.curateState(prev, "doc_id", "text")
+    val dir = "target/graft-tmp/curate-state-stalefmt"
+    TrainingPipeline.writeState(state, dir)
+    // doctor the persisted params to claim the pre-r14 v1 bit layout —
+    // the probe positions would no longer match the bitmap's bits
+    val p = spark.read.parquet(s"$dir/params").collect().head
+    val doctored = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(p), 1),
+      spark.read.parquet(s"$dir/params").schema)
+      .withColumn("bloomFormat", lit(1))
+    doctored.coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val e = intercept[IllegalArgumentException](
+      TrainingPipeline.readState(spark, dir))
+    assert(e.getMessage.contains("format 1") &&
+      e.getMessage.contains("rebuild"))
+    // a bloomless state carries no bitmap to mismatch — loads fine
+    val noBloom = TrainingPipeline.curateState(prev, "doc_id", "text",
+      bloomNumBits = 0)
+    val dir2 = "target/graft-tmp/curate-state-nobloom"
+    TrainingPipeline.writeState(noBloom, dir2)
+    assert(TrainingPipeline.readState(spark, dir2).bloom.isEmpty)
+  }
+
   test("composition is deterministic: two runs produce identical results") {
     def run() = TrainingPipeline.curate(
       corpus, "doc_id", "text", minWords = 10,
