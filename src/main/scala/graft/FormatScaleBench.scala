@@ -14,13 +14,16 @@ import graft.sources.{Warc, WebDataset}
   * per-task memory bound is one compressed shard — the 100 TB posture
   * is "more shards, same plan".
   *
-  * Usage: tools/run.sh graft.FormatScaleBench [docsDir] [shards]
-  *   (defaults target/docs500k, 32)
+  * Usage: tools/run.sh graft.FormatScaleBench [--only-mm] [docsDir] [shards]
+  *   (defaults target/docs500k, 32; --only-mm runs just the composed
+  *   multimodal-curate section)
   */
 object FormatScaleBench {
   def main(args: Array[String]): Unit = {
-    val docsDir = args.headOption.getOrElse("target/docs500k")
-    val shards = args.drop(1).headOption.map(_.toInt).getOrElse(32)
+    val (flags, rest) = args.partition(_.startsWith("--"))
+    val onlyMm = flags.contains("--only-mm")
+    val docsDir = rest.headOption.getOrElse("target/docs500k")
+    val shards = rest.drop(1).headOption.map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -45,7 +48,7 @@ object FormatScaleBench {
     val warcDir = "target/graft-tmp/format_scale_warc"
     val wdsDir = "target/graft-tmp/format_scale_wds"
     val idxDir = "target/graft-tmp/format_scale_warc_idx"
-    Seq(1, 2).foreach { round =>
+    if (!onlyMm) Seq(1, 2).foreach { round =>
       time(s"warc write round $round") {
         Warc.writeShards(docs, "doc_id", "text", warcDir, shards)
       }
@@ -72,10 +75,10 @@ object FormatScaleBench {
     // the random-access story: fetching k records must cost ~k range
     // reads + the index scan, NOT a shard scan — compare against the
     // full read above
-    time("warc indexed write") {
+    if (!onlyMm) time("warc indexed write") {
       Warc.writeShardsIndexed(docs, "doc_id", "text", idxDir, shards)
     }
-    Seq(100, 10000).foreach { k =>
+    if (!onlyMm) Seq(100, 10000).foreach { k =>
       val wanted = docs.select(col("doc_id").cast("string").as("id"))
         .where(pmod(col("doc_id"), lit(nDocs / k)) === 0)
       Seq(1, 2).foreach { round =>
@@ -88,40 +91,81 @@ object FormatScaleBench {
 
     // the property that matters: fetch cost is independent of ARCHIVE
     // size — scale the archive 4×, the scan grows, the fetch doesn't
-    val big = docs.crossJoin(spark.range(4).select(col("id").as("rep")))
-      .select((col("doc_id") * 4 + col("rep")).as("doc_id"), col("text"))
-    val bigDir = "target/graft-tmp/format_scale_warc_big"
-    time("warc indexed write x4 archive") {
-      Warc.writeShardsIndexed(big, "doc_id", "text", bigDir, shards)
+    if (!onlyMm) {
+      val big = docs.crossJoin(spark.range(4).select(col("id").as("rep")))
+        .select((col("doc_id") * 4 + col("rep")).as("doc_id"), col("text"))
+      val bigDir = "target/graft-tmp/format_scale_warc_big"
+      time("warc indexed write x4 archive") {
+        Warc.writeShardsIndexed(big, "doc_id", "text", bigDir, shards)
+      }
+      val wanted100 = big.select(col("doc_id").cast("string").as("id"))
+        .where(pmod(col("doc_id"), lit(4L * nDocs / 100)) === 0)
+      Seq(1, 2).foreach { round =>
+        time(s"warc full scan  x4 archive round $round") {
+          Warc.read(spark, bigDir + "/*.warc.gz")
+            .where(col("warc_type") === "response").count()
+        }
+        time(s"warc fetch k≈100 x4 archive round $round") {
+          require(Warc.fetch(spark, bigDir, wanted100).count() >= 50)
+        }
+      }
     }
-    val wanted100 = big.select(col("doc_id").cast("string").as("id"))
-      .where(pmod(col("doc_id"), lit(4L * nDocs / 100)) === 0)
-    Seq(1, 2).foreach { round =>
-      time(s"warc full scan  x4 archive round $round") {
-        Warc.read(spark, bigDir + "/*.warc.gz")
-          .where(col("warc_type") === "response").count()
+
+    // the composed multimodal curate loop (tar in → decode both
+    // modalities → pHash ∩ audio-landmark dedup → components → curated
+    // tar out) at 20–40× the oracle fixture. NOTE on the growth you see:
+    // the fixture's geometry is 18 equivalence classes, so near-dup
+    // PAIRS grow quadratically with n here — that is the fixture being
+    // deliberately dup-saturated, not the operator (real corpora have
+    // tiny clusters; the operator's joins are banded/landmark-keyed,
+    // never all-pairs). The decode+hash stages — the part that dominates
+    // at real dup rates — scale linearly and map-side.
+    Seq(2000L, 4000L).foreach { n =>
+      val ids = spark.range(n).select(col("id").as("doc_id"))
+      val png = graft.pipeline.Multimodal.patternedAssets(spark, ids, "doc_id")
+        .toDF().select(col("asset_id").as("id"), col("data").as("png"))
+      val wav = graft.pipeline.Multimodal.toneAssets(spark, ids, "doc_id")
+        .toDF().select(col("asset_id").as("id"), col("data").as("wav"))
+      val input = png.join(wav, "id")
+        .select(col("id").cast("string").as("key"), col("png"), col("wav"))
+      val mmIn = s"target/graft-tmp/format_scale_mm_in_$n"
+      val mmOut = s"target/graft-tmp/format_scale_mm_out_$n"
+      def timeMm(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label: $s%.1fs (${n / s}%.0f samples/s)")
       }
-      time(s"warc fetch k≈100 x4 archive round $round") {
-        require(Warc.fetch(spark, bigDir, wanted100).count() >= 50)
+      timeMm(s"mm shards write n=$n") {
+        WebDataset.writeShards(input, "key",
+          Seq("png" -> col("png"), "wav" -> col("wav")), mmIn, shards)
       }
+      timeMm(s"mm curate loop n=$n") {
+        val kept = graft.pipeline.Multimodal.curateShards(spark, mmIn, mmOut)
+          .count()
+        require(kept == 18, s"fixture collapses to its 18 classes, got $kept")
+      }
+      graft.pipeline.OperatorCache.releaseAll(spark)
     }
 
     // decontamination: persisted-postings probe vs the text-scan screen
     // on the same 500k corpus (the probe's saving = no re-tokenization)
-    val shIdx = "target/graft-tmp/format_scale_shidx"
-    val block = docs.where(pmod(col("doc_id"), lit(5000L)) === 0) // 100 docs
-    time("shingle index write (500k docs, k=8)") {
-      graft.pipeline.Dedup.writeShingleIndex(
-        docs, "doc_id", "text", shIdx, shingleK = 8, buckets = 64)
-    }
-    Seq(1, 2).foreach { round =>
-      time(s"probe decontaminate round $round") {
-        graft.pipeline.Dedup.probeContamination(
-          spark, shIdx, block, "doc_id", "text", minOverlap = 3).count()
+    if (!onlyMm) {
+      val shIdx = "target/graft-tmp/format_scale_shidx"
+      val block = docs.where(pmod(col("doc_id"), lit(5000L)) === 0) // 100 docs
+      time("shingle index write (500k docs, k=8)") {
+        graft.pipeline.Dedup.writeShingleIndex(
+          docs, "doc_id", "text", shIdx, shingleK = 8, buckets = 64)
       }
-      time(s"scan  decontaminate round $round") {
-        graft.pipeline.Dedup.decontaminate(docs, "doc_id", "text",
-          block, "doc_id", "text", shingleK = 8, minOverlap = 3).count()
+      Seq(1, 2).foreach { round =>
+        time(s"probe decontaminate round $round") {
+          graft.pipeline.Dedup.probeContamination(
+            spark, shIdx, block, "doc_id", "text", minOverlap = 3).count()
+        }
+        time(s"scan  decontaminate round $round") {
+          graft.pipeline.Dedup.decontaminate(docs, "doc_id", "text",
+            block, "doc_id", "text", shingleK = 8, minOverlap = 3).count()
+        }
       }
     }
     spark.stop()

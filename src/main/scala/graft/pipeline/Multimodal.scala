@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support: image/audio/video as opaque `binary` columns
@@ -822,6 +822,92 @@ object Multimodal {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_matched"))
       .where(col("n_matched") >= minFrames)
+  }
+
+  /** End-to-end multimodal curation loop over a WebDataset layout — the
+    * composed form of the pieces above, run as ONE job the way a real
+    * sample-dedup pass over crawl shards is: read tar shards whose
+    * samples carry `<key>.png` + `<key>.wav` members, decode both
+    * modalities with the real JDK codecs, find near-duplicate samples,
+    * keep one canonical per cluster, and write the survivors back out
+    * as curated tar shards (payloads intact, both parts).
+    *
+    * Duplicate semantics are CONSERVATIVE: a pair is a duplicate only
+    * when BOTH modalities agree — image perceptual hashes within
+    * `maxHamming` bits AND audio landmark peaks matching on ≥
+    * `minFrames` frames. A sample missing a modality can never be
+    * dropped (an inner join of the two pair sets — absent evidence is
+    * not agreement). Clusters are connected components over the
+    * intersected pairs; the canonical is the min-id member (the same
+    * representative rule the text dedup path uses).
+    *
+    * Scale shape: payload bytes stay map-side end to end — each
+    * modality's decode+feature pass is a `mapPartitions` over the tar
+    * scan, and only 16-byte fingerprints / (frame, peak) landmark rows
+    * ever shuffle. The image pair join is the banded-Hamming equi-join
+    * (total recall within the radius, never all-pairs); audio pairs
+    * join on the landmark key; components run through
+    * [[Dedup.nearDupClusters]] (bounded driver union-find with the
+    * distributed label-propagation fallback). The curated layout is
+    * published with the same [[graft.sources.ShardCommit]] protocol as
+    * every shard sink, plus a `_manifest` parquet (doc, cluster,
+    * n_members) so downstream jobs need not recompute the clustering.
+    *
+    * @return the curated manifest READ BACK FROM THE OUTPUT — one row
+    *         per kept sample, `(doc, cluster, n_members, n_parts)`,
+    *         where `doc`/`n_parts` come from re-scanning the written
+    *         tar shards and `cluster`/`n_members` from the manifest;
+    *         a green oracle check on it proves the whole loop (tar in,
+    *         decode, near-dup, canonical keep, tar out) end to end.
+    *         Sample keys must parse as longs (the asset-id contract).
+    */
+  def curateShards(
+      spark: SparkSession, inDir: String, outDir: String,
+      maxHamming: Int = 4, minFrames: Long = 5, shards: Int = 4,
+  ): DataFrame = {
+    import spark.implicits._
+    val members = graft.sources.WebDataset.read(spark, s"$inDir/*.tar")
+      .where(col("ext").isin("png", "wav"))
+      .select(col("key").cast("long").as("id"), col("ext"), col("payload"))
+    implicit val encA: Encoder[Asset] = Encoders.product[Asset]
+    def assetsOf(ext: String, modality: String): Dataset[Asset] =
+      members.where(col("ext") === ext)
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+        .map { case (id, e, data) => Asset(id, modality, data, e, 0, 0, 0L) }
+
+    // both modalities must agree: inner join of the pair sets
+    val imgPairs = imageNearDups(spark, assetsOf("png", "image"), maxHamming)
+      .select("doc_a", "doc_b")
+    val audPairs = audioMatches(spark, assetsOf("wav", "audio"), minFrames)
+      .select("doc_a", "doc_b")
+    val pairs = imgPairs.join(audPairs, Seq("doc_a", "doc_b"))
+
+    val labels = Dedup.nearDupClusters(pairs) // (doc, label = min id reachable)
+    val lab = members.select(col("id").as("doc")).distinct()
+      .join(labels, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("label"), col("doc")).as("cluster"))
+    val manifest = lab.groupBy("cluster")
+      .agg(min("doc").as("doc"), count(lit(1)).as("n_members"))
+      .select("doc", "cluster", "n_members")
+
+    // publish shards FIRST (writeShards clears outDir), manifest second
+    val samples = members
+      .groupBy(col("id").cast("string").as("key"))
+      .agg(max(when(col("ext") === "png", col("payload"))).as("png"),
+        max(when(col("ext") === "wav", col("payload"))).as("wav"))
+    val kept = samples.join(
+      broadcast(manifest.select(col("doc").cast("string").as("key"))), "key")
+    graft.sources.WebDataset.writeShards(kept, "key",
+      Seq("png" -> col("png"), "wav" -> col("wav")), outDir, shards)
+    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
+
+    // the RETURNED frame reads only the published artifacts — the check
+    // sees what a downstream consumer of the curated layout sees
+    graft.sources.WebDataset.read(spark, s"$outDir/shard-*.tar")
+      .groupBy(col("key").cast("long").as("doc"))
+      .agg(countDistinct(col("ext")).as("n_parts"))
+      .join(spark.read.parquet(s"$outDir/_manifest"), "doc")
+      .select("doc", "cluster", "n_members", "n_parts")
   }
 
   /** Deterministic REAL-payload fixture table: actual PNG bytes (solid

@@ -3627,6 +3627,142 @@ object PipelineQueries {
              |HAVING COUNT(*) >= 3
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // The COMPOSED multimodal curation loop, end to end as one job:
+    // WebDataset tar shards in (key.png + key.wav per sample, real PNG
+    // and WAV bytes) → JDK decode → image pHash near-dups ∩ audio
+    // landmark matches (a pair is a duplicate only when BOTH modalities
+    // agree) → connected components → min-id canonical per cluster →
+    // curated tar shards + manifest OUT — and the checked frame is read
+    // back from the published output, so a green hash proves the whole
+    // loop including the tar round trip. The oracle replays the p77
+    // pixel/DCT/median/bit-pack pipeline and the p78 triangle/DFT/argmax
+    // pipeline verbatim, intersects the pair sets, runs recursive-CTE
+    // components, and reproduces the canonical frontier. Fixture
+    // geometry: image class = id % 9, audio class = id % 6 → multimodal
+    // duplicates agree mod 18, so the 96 docs collapse to 18 clusters.
+    QueryDef("p115_multimodal_curate",
+      (s, dir) => {
+        val scratch = s"target/graft-tmp/mmcurate_p115_${math.abs(dir.hashCode)}"
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("doc_id") < 96).select("doc_id")
+        val png = Multimodal.patternedAssets(s, docs, "doc_id").toDF()
+          .select(col("asset_id").as("id"), col("data").as("png"))
+        val wav = Multimodal.toneAssets(s, docs, "doc_id").toDF()
+          .select(col("asset_id").as("id"), col("data").as("wav"))
+        val input = png.join(wav, "id")
+          .select(col("id").cast("string").as("key"), col("png"), col("wav"))
+        graft.sources.WebDataset.writeShards(input, "key",
+          Seq("png" -> col("png"), "wav" -> col("wav")), s"$scratch/in", shards = 4)
+        Multimodal.curateShards(s, s"$scratch/in", s"$scratch/out")
+          .orderBy("doc")
+      },
+      Some(s"""WITH RECURSIVE ids AS (
+             |  SELECT doc_id AS id FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE doc_id < 96
+             |), xs AS (SELECT unnest(range(0, 64)) AS x
+             |), ys AS (SELECT unnest(range(0, 64)) AS y
+             |), px AS (
+             |  SELECT id, x, y,
+             |         LEAST(255, GREATEST(0,
+             |           40
+             |           + ((x // ([8,16,32])[CAST(id % 9 AS INT) % 3 + 1]
+             |               + y // ([32,16,8])[CAST((id % 9) // 3 AS INT) % 3 + 1]) % 2) * 120
+             |           + (((x * y * ((id % 9) + 3)) // 7) % 48)
+             |           + CASE WHEN x >= (id * 31) % 62 AND x < (id * 31) % 62 + 2
+             |                   AND y >= (id * 17) % 62 AND y < (id * 17) % 62 + 2
+             |                  THEN 16 ELSE 0 END)) AS g
+             |  FROM ids, xs, ys
+             |), cell AS (
+             |  SELECT id, x // 2 AS cx, y // 2 AS cy, CAST(SUM(g) AS BIGINT) AS s
+             |  FROM px GROUP BY 1, 2, 3
+             |), kt AS (
+             |  SELECT CAST(xx.x AS INT) AS x, CAST(uu.u AS INT) AS u,
+             |         ($dctTableSql)[CAST(xx.x AS INT) + 1][CAST(uu.u AS INT) + 1] AS kv
+             |  FROM (SELECT unnest(range(0, 32)) AS x) xx,
+             |       (SELECT unnest(range(0, 8)) AS u) uu
+             |), t AS (
+             |  SELECT cell.id, kt.u, cell.cy, CAST(SUM(cell.s * kt.kv) AS BIGINT) AS tv
+             |  FROM cell JOIN kt ON kt.x = cell.cx GROUP BY 1, 2, 3
+             |), cc AS (
+             |  SELECT t.id, t.u, kt.u AS v, CAST(SUM(t.tv * kt.kv) AS BIGINT) AS cv
+             |  FROM t JOIN kt ON kt.x = t.cy GROUP BY 1, 2, 3
+             |), med AS (
+             |  SELECT id, cv AS m FROM (
+             |    SELECT id, cv, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cv) AS rn
+             |    FROM cc WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32
+             |), fph AS (
+             |  SELECT cc.id,
+             |         SUM(CASE WHEN NOT (u = 0 AND v = 0) AND cv > m
+             |                  THEN CAST(1 AS HUGEINT) << CAST(8 * u + v AS INT)
+             |                  ELSE CAST(0 AS HUGEINT) END) AS ufp
+             |  FROM cc JOIN med USING (id) GROUP BY cc.id
+             |), fps AS (
+             |  SELECT id, CAST(CASE WHEN ufp >= CAST('9223372036854775808' AS HUGEINT)
+             |                       THEN ufp - CAST('18446744073709551616' AS HUGEINT)
+             |                       ELSE ufp END AS BIGINT) AS sfp
+             |  FROM fph
+             |), ipairs AS (
+             |  SELECT a.id AS doc_a, b.id AS doc_b
+             |  FROM fps a JOIN fps b ON a.id < b.id
+             |  WHERE bit_count(xor(a.sfp, b.sfp)) <= 4
+             |), par AS (
+             |  SELECT id, ([32,48,64,96,128,192])[CAST(id % 6 AS INT) + 1] AS P FROM ids
+             |), ts AS (SELECT unnest(range(0, 1536)) AS t
+             |), sm AS (
+             |  SELECT id, t // 256 AS frame, t % 256 AS tt,
+             |         CASE WHEN ((t + id * 13) % P) < P // 2
+             |              THEN -8192 + (4 * 8192 * ((t + id * 13) % P)) // P
+             |              ELSE 3 * 8192 - (4 * 8192 * ((t + id * 13) % P)) // P END AS s
+             |  FROM par, ts
+             |), ct AS (
+             |  SELECT CAST(tx.t AS INT) AS tt, CAST(kk.k AS INT) AS k,
+             |         ($dftCosSql)[CAST(tx.t AS INT) + 1][CAST(kk.k AS INT)] AS cq,
+             |         ($dftSinSql)[CAST(tx.t AS INT) + 1][CAST(kk.k AS INT)] AS sq
+             |  FROM (SELECT unnest(range(0, 256)) AS t) tx,
+             |       (SELECT unnest(range(1, 9)) AS k) kk
+             |), sp AS (
+             |  SELECT sm.id, sm.frame, ct.k,
+             |         CAST(SUM(sm.s * ct.cq) AS BIGINT) AS sc,
+             |         CAST(SUM(sm.s * ct.sq) AS BIGINT) AS ss
+             |  FROM sm JOIN ct ON ct.tt = sm.tt GROUP BY 1, 2, 3
+             |), pk AS (
+             |  SELECT id, frame, k AS peak_bin FROM (
+             |    SELECT id, frame, k,
+             |           ROW_NUMBER() OVER (PARTITION BY id, frame
+             |                              ORDER BY sc * sc + ss * ss DESC, k ASC) AS rn
+             |    FROM sp) WHERE rn = 1
+             |), apairs AS (
+             |  SELECT a.id AS doc_a, b.id AS doc_b
+             |  FROM pk a JOIN pk b
+             |    ON a.frame = b.frame AND a.peak_bin = b.peak_bin AND a.id < b.id
+             |  GROUP BY a.id, b.id
+             |  HAVING COUNT(*) >= 5
+             |), pairs AS (
+             |  -- INTERSECT spelled as a join: DuckDB's WITH RECURSIVE
+             |  -- parser rejects non-UNION set ops anywhere in the block
+             |  SELECT i.doc_a, i.doc_b
+             |  FROM ipairs i JOIN apairs a
+             |    ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+             |), edges AS (
+             |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+             |  UNION
+             |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+             |), reach AS (
+             |  SELECT src AS doc, src AS r FROM edges
+             |  UNION
+             |  SELECT e.src AS doc, reach.r AS r FROM edges e JOIN reach ON e.dst = reach.doc
+             |), labels AS (
+             |  SELECT doc, MIN(r) AS label FROM reach GROUP BY doc
+             |), lab AS (
+             |  SELECT i.id AS doc, COALESCE(l.label, i.id) AS cluster
+             |  FROM ids i LEFT JOIN labels l ON i.id = l.doc
+             |), m AS (
+             |  SELECT cluster, MIN(doc) AS doc, CAST(COUNT(*) AS BIGINT) AS n_members
+             |  FROM lab GROUP BY cluster
+             |)
+             |SELECT doc, cluster, n_members, CAST(2 AS BIGINT) AS n_parts
+             |FROM m ORDER BY doc""".stripMargin)),
+
     // Feature-hashed text embeddings (the hashing trick): token →
     // bucket fnv % 16 with sign from hash bit 31, tf-weighted signed
     // sums, L2 normalize. dims = 16 is a power of two, so the unsigned

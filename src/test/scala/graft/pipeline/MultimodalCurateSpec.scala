@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.WebDataset
+
+/** The composed multimodal curation loop ([[Multimodal.curateShards]]):
+  * tar shards in → decode both modalities → duplicate only when image
+  * AND audio agree → canonical per component → curated tar shards out.
+  *
+  * Fixture geometry: image class = id % 9, audio class = id % 6, so a
+  * pair is a multimodal duplicate iff ids agree mod 18 (lcm). With ids
+  * 0..35 every doc i pairs with exactly i±18 — and the ids 9 apart
+  * (image-dup, audio-distinct) pin the conservative intersection.
+  */
+class MultimodalCurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate loop: intersection dedup, canonical keep, payloads intact") {
+    val base = s"target/graft-test/mmcurate_${System.nanoTime()}"
+    val ids = (0L until 36L).toDF("doc_id")
+    val png = Multimodal.patternedAssets(spark, ids, "doc_id")
+      .collect().map(a => a.asset_id -> a.data).toMap
+    val wav = Multimodal.toneAssets(spark, ids, "doc_id")
+      .collect().map(a => a.asset_id -> a.data).toMap
+    // id 100: image class 1 (same as docs 1 and 19) but NO audio part —
+    // absent evidence must never drop a sample
+    val orphanPng = Multimodal.patternedAssets(
+      spark, Seq(100L).toDF("doc_id"), "doc_id").collect().head.data
+    val input = ((0L until 36L).map(i =>
+      (i.toString, png(i), wav(i))) :+ (("100", orphanPng, null)))
+      .toDF("key", "png", "wav")
+    WebDataset.writeShards(input, "key",
+      Seq("png" -> col("png"), "wav" -> col("wav")), s"$base/in", shards = 2)
+
+    val out = Multimodal.curateShards(spark, s"$base/in", s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    OperatorCache.releaseAll(spark)
+
+    // clusters are exactly {i, i+18} (both modalities agree) plus the
+    // singleton 100; i and i+9 (image-only dup) never merge
+    val expected = (0L until 18L).map(i => (i, i, 2L, 2L)) :+ ((100L, 100L, 1L, 1L))
+    assert(out.toSeq == expected, s"got ${out.toSeq}")
+
+    // the curated tar really carries the payloads, byte-identical
+    val outParts = WebDataset.read(spark, s"$base/out/shard-*.tar")
+      .select("key", "ext", "payload")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Array[Byte]](2))
+      .toMap
+    assert(java.util.Arrays.equals(outParts(("7", "png")), png(7L)))
+    assert(java.util.Arrays.equals(outParts(("7", "wav")), wav(7L)))
+    assert(java.util.Arrays.equals(outParts(("100", "png")), orphanPng))
+    assert(!outParts.contains(("100", "wav")), "no wav part was ever written for 100")
+    assert(!outParts.keySet.exists(_._1 == "25"), "dropped docs must not be re-published")
+
+    // the manifest parquet matches what the returned frame reported
+    val mf = spark.read.parquet(s"$base/out/_manifest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(mf.toSeq == expected.map(e => (e._1, e._2, e._3)))
+  }
+}
