@@ -26,6 +26,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_ANSI=true runs the whole suite under ANSI SQL mode —
+      // the round-close sweep that turns silent-null arithmetic
+      // (div-by-zero, overflow) into loud errors (r14's cohenKappa
+      // div-by-zero was this class of bug)
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

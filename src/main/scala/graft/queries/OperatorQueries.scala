@@ -29,7 +29,8 @@ object OperatorQueries {
           .select("n_nationkey", "n_name", "n_regionkey")
           .orderBy("n_nationkey")
       },
-      Some("""SELECT n_nationkey, n_name, n_regionkey
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             |       CAST(n_regionkey AS BIGINT) AS n_regionkey
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
     // Backward as-of join: every error event attributed to the user's

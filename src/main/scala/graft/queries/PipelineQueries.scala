@@ -561,7 +561,7 @@ object PipelineQueries {
     |  FROM fp
     |)
     |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    |       bit_count(xor(a.sfp, b.sfp)) AS hamming
+    |       CAST(bit_count(xor(a.sfp, b.sfp)) AS INTEGER) AS hamming
     |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
     |WHERE bit_count(xor(a.sfp, b.sfp)) <= 3
     |ORDER BY doc_a, doc_b""".stripMargin
@@ -1728,9 +1728,10 @@ object PipelineQueries {
             // for NULL and the operator's non-negative-token contract
             // would raise with a misleading 'got -1' (benign on this
             // fixture, which has no NULL text — but the pattern is the
-            // template users copy)
+            // template users copy); long to match the oracle's BIGINT
+            // width on the returned column (as in p99)
             when(col("text").isNotNull,
-              size(split(trim(col("text")), "\\s+"))).as("n_toks")),
+              size(split(trim(col("text")), "\\s+"))).cast("long").as("n_toks")),
         "doc_id", "n_toks", "lang",
         budgets = Map("en" -> 20000L), defaultBudget = 5000L)
         .orderBy("doc_id"),
@@ -3494,7 +3495,7 @@ object PipelineQueries {
              |  FROM fph
              |)
              |SELECT a.id AS doc_a, b.id AS doc_b,
-             |       bit_count(xor(a.sfp, b.sfp)) AS hamming
+             |       CAST(bit_count(xor(a.sfp, b.sfp)) AS INTEGER) AS hamming
              |FROM fps a JOIN fps b ON a.id < b.id
              |WHERE bit_count(xor(a.sfp, b.sfp)) <= 4
              |ORDER BY doc_a, doc_b""".stripMargin)),
@@ -4189,7 +4190,7 @@ object PipelineQueries {
            |), binned AS (
            |  SELECT LEAST(CAST(floor(CAST(s9 AS DOUBLE) * 10 / 1000000000.0) AS INT), 9) AS bin, s9, y FROM sc
            |)
-           |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |SELECT CAST(bin AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
            |       ROUND(CAST(SUM(s9) AS DOUBLE) / (COUNT(*) * 1000000000.0), 6) AS mean_score,
            |       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
            |       ROUND(ABS(CAST(SUM(s9) AS DOUBLE) / (COUNT(*) * 1000000000.0)

@@ -398,7 +398,8 @@ object RelationalQueries {
         Tables.load(s, dir, "orders")
           .filter(col("o_custkey") < 200)
           .select(col("o_custkey"), col("o_orderkey"),
-            row_number().over(w).as("rn"),
+            // long: DuckDB's ROW_NUMBER is BIGINT, Spark's int32
+            row_number().over(w).cast("long").as("rn"),
             lag(col("o_totalprice"), 1).over(w).as("prev_price"),
             sum(col("o_totalprice").cast(dec2)).over(
               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -536,10 +537,13 @@ object RelationalQueries {
       |  AND c_acctbal > (SELECT MAX(s_acctbal) FROM supplier WHERE s_nationkey = c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+  // ranking functions CAST to BIGINT: Spark returns int32, DuckDB int64
+  // — the same SQL text must land in the same dtype on both engines for
+  // the driver's dtype-sensitive hash
   private val WINDOW_RANK_SQL =
     """SELECT p_partkey, p_brand,
-      |  DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS price_rank,
-      |  NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS quartile,
+      |  CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS price_rank,
+      |  CAST(NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS quartile,
       |  FIRST_VALUE(p_partkey) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_part
       |FROM part ORDER BY p_brand, price_rank, p_partkey""".stripMargin
