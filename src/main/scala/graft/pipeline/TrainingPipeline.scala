@@ -703,4 +703,57 @@ object TrainingPipeline {
     rewrite("seen_keys", _.distinct())
     readState(spark, dir)
   }
+
+  /** End-to-end ARCHIVE curation loop — the text sibling of
+    * [[Multimodal.curateShards]], run the way a crawl-curation job is:
+    * read `.warc.gz` response shards, curate the extracted text through
+    * the full [[curate]] pipeline (quality floors, near-dup connected
+    * components, Gopher screen, reproducible splits), and publish the
+    * survivors as `.warc.wet.gz` conversion shards — the extracted-text
+    * layout the public crawls themselves distribute — plus a
+    * `_manifest` parquet (doc_id, split).
+    *
+    * Document ids ride the WARC `Target-URI` (the `<uriPrefix><id>`
+    * convention [[graft.sources.Warc.writeShards]] uses), so the loop
+    * composes with the archive writers without a side channel.
+    *
+    * Scale shape: both archive scans are file-parallel streaming walks
+    * (no shuffle); the curation stages shuffle only what [[curate]]
+    * already does; the WET publish is the committed shard sink. The
+    * curated frame is materialized once ([[OperatorCache]]) so the WET
+    * write and the manifest write don't each recompute the pipeline.
+    *
+    * @return the curated corpus READ BACK from the published WET shards
+    *         joined to the manifest — (doc_id, text, split); a green
+    *         oracle check proves archive-in → curate → archive-out
+    *         including text fidelity through the WET round trip
+    */
+  def curateArchive(
+      spark: org.apache.spark.sql.SparkSession, inDir: String, outDir: String,
+      minQuality: Double = 0.3, minWords: Long = 20, shards: Int = 4,
+      uriPrefix: String = "http://example.org/doc/",
+  ): DataFrame = {
+    val docs = graft.sources.Warc.read(spark, s"$inDir/*.warc.gz")
+      .where(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        decode(col("payload"), "UTF-8").as("text"))
+    val curated = OperatorCache.materialize(curate(
+      docs, "doc_id", "text",
+      minQuality = minQuality, minWords = minWords, spanK = 0))
+    graft.sources.Warc.writeWetShards(
+      curated, "doc_id", "text", outDir, shards, uriPrefix)
+    curated.select("doc_id", "split")
+      .write.mode("overwrite").parquet(s"$outDir/_manifest")
+
+    graft.sources.Warc.read(spark, s"$outDir/*.warc.wet.gz")
+      .where(col("warc_type") === "conversion")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        decode(col("payload"), "UTF-8").as("text"))
+      .join(spark.read.parquet(s"$outDir/_manifest"), "doc_id")
+      .select("doc_id", "text", "split")
+  }
 }

@@ -3764,6 +3764,33 @@ object PipelineQueries {
              |SELECT doc, cluster, n_members, CAST(2 AS BIGINT) AS n_parts
              |FROM m ORDER BY doc""".stripMargin)),
 
+    // The ARCHIVE curation loop — p115's text sibling, the crawl-job
+    // shape end to end: .warc.gz response shards in → extract text →
+    // full curate pipeline (floors, CC dedup, Gopher screen, splits) →
+    // survivors published as .warc.wet.gz conversion shards (the layout
+    // the public crawls distribute) + a _manifest parquet — and the
+    // checked frame is read back from the published WET, so a green
+    // hash proves archive-in → curate → archive-out including text
+    // fidelity through both container round trips. The oracle is the
+    // same full-pipeline replay the p49/p95 family pins, over the whole
+    // corpus (no batch cut).
+    QueryDef("p116_archive_curate",
+      (s, dir) => {
+        val scratch = s"target/graft-tmp/archcurate_p116_${math.abs(dir.hashCode)}"
+        graft.sources.Warc.writeShards(
+          Tables.load(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", s"$scratch/in", shards = 4)
+        TrainingPipeline.curateArchive(s, s"$scratch/in", s"$scratch/out")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $curateStagesSql
+             |SELECT doc_id, text,
+             |       CASE WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 980000 THEN 'train'
+             |            WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 990000 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM screened
+             |ORDER BY doc_id""".stripMargin)),
+
     // Feature-hashed text embeddings (the hashing trick): token →
     // bucket fnv % 16 with sign from hash bit 31, tf-weighted signed
     // sums, L2 normalize. dims = 16 is a power of two, so the unsigned

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Warc
+
+/** The archive curation loop ([[TrainingPipeline.curateArchive]]):
+  * WARC response shards in → full curate → WET conversion shards +
+  * manifest out, with the returned frame read back from the output.
+  */
+class ArchiveCurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sentence(tag: String): String =
+    (1 to 30).map(i => s"the $tag word$i of a plain sentence").mkString(" ")
+
+  test("curate loop: floors drop, dups collapse, WET round-trips the text") {
+    val base = s"target/graft-test/archcurate_${System.nanoTime()}"
+    val docs = Seq(
+      1L -> sentence("alpha"),
+      2L -> sentence("alpha"), // exact dup of 1 → dropped by CC dedup
+      3L -> sentence("bravo"),
+      4L -> "too short", // fails the word floor
+      5L -> sentence("charlie"),
+    ).toDF("doc_id", "text")
+    Warc.writeShards(docs, "doc_id", "text", s"$base/in", shards = 2)
+
+    val out = TrainingPipeline.curateArchive(spark, s"$base/in", s"$base/out")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    OperatorCache.releaseAll(spark)
+
+    assert(rows.map(_._1).toSeq == Seq(1L, 3L, 5L),
+      s"kept ${rows.map(_._1).toSeq}: dup keeps min id, floor drops 4")
+    // text fidelity through WARC response in AND WET conversion out
+    assert(rows.find(_._1 == 3L).get._2 == sentence("bravo"))
+    assert(rows.forall(r => Set("train", "val", "test")(r._3)))
+
+    // the published layout stands alone: WET shards parse, manifest agrees
+    val wet = Warc.read(spark, s"$base/out/*.warc.wet.gz")
+      .where(col("warc_type") === "conversion").count()
+    assert(wet == 3)
+    val mf = spark.read.parquet(s"$base/out/_manifest")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(mf == Seq(1L, 3L, 5L))
+  }
+}
