@@ -1,0 +1,49 @@
+#!/bin/bash
+# Standing round-close sweep (VERDICT r14 items 5/8, institutionalized):
+#   1. full ScalaTest suite
+#   2. full Verify at sf0.01 + DuckDB differential + dtype sweep
+#   3. the same Verify once under ANSI mode (silent-null arithmetic
+#      becomes loud errors)
+#   4. Bench at sf0.1 with the per-query map snapshotted to
+#      bench/attribution_r<N>.json (diffable by a reader with no
+#      builder context — the rolling attribution.json keeps moving)
+#   5. Bench at sf1 (tools/make_sf1.py output) refreshing
+#      bench/BENCH_sf1.json + bench/attribution_sf1.json, then
+#      compare_bench triage vs the fresh sf0.1 numbers
+# Usage: tools/round_close.sh <roundNumber>
+set -euo pipefail
+cd /root/repo
+R="${1:?usage: tools/round_close.sh <roundNumber>}"
+
+echo "== [1/5] sbt test"
+sbt -batch test 2>&1 | tail -4
+
+echo "== [2/5] Verify @ sf0.01 + differential + dtype sweep"
+SPARK_GRAFT_CPUS=16 tools/run.sh graft.Verify /root/testdata/sf0.01 target/verify_close
+python3 tools/verify_local.py /root/testdata/sf0.01 target/verify_close | tail -3
+python3 tools/dtype_sweep.py /root/testdata/sf0.01 target/verify_close | tail -4
+
+echo "== [3/5] Verify @ sf0.01 under ANSI mode"
+SPARK_GRAFT_ANSI=true SPARK_GRAFT_CPUS=16 \
+  tools/run.sh graft.Verify /root/testdata/sf0.01 target/verify_ansi_close \
+  2>&1 | grep "\[verify\]" || echo "ANSI sweep: 0 errors"
+
+echo "== [4/5] Bench @ sf0.1"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  tools/run.sh graft.Bench 2>/dev/null | tail -2 > "/tmp/bench_sf01_r$R.txt"
+cp bench/attribution.json "bench/attribution_r$R.json"
+tail -1 "/tmp/bench_sf01_r$R.txt" | head -c 400; echo
+
+echo "== [5/5] Bench @ sf1 + triage"
+if [ -d target/sf1 ]; then
+  SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_CPUS=32 \
+    tools/run.sh graft.Bench 2>/dev/null | tail -2 > /tmp/bench_sf1_raw.txt
+  tail -1 /tmp/bench_sf1_raw.txt > bench/BENCH_sf1.json
+  cp bench/attribution.json bench/attribution_sf1.json
+  # compare the min-of-two totals lines (the ones carrying "queries")
+  python3 tools/compare_bench.py "/tmp/bench_sf01_r$R.txt" \
+    bench/BENCH_sf1.json 10 | tail -20
+else
+  echo "target/sf1 missing — run: python3 tools/make_sf1.py"
+fi
+echo "== round_close done — triage superlinear flags into PLANS.md"
