@@ -76,7 +76,7 @@ object Bench {
     "p108_label_agreement", "p109_majority_vote", "p110_unicode_normalize",
     "p111_bpe_roundtrip", "p112_host_concentration",
     "p113_archive_decontaminate", "p114_hybrid_search",
-    "p115_multimodal_curate", "p116_archive_curate",
+    "p115_multimodal_curate", "p116_archive_curate", "p117_html_extract",
     "s14_warc_roundtrip", "s15_webdataset_roundtrip", "s16_warc_fetch",
     "s17_wet_roundtrip")
 

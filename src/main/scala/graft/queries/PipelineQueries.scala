@@ -3791,6 +3791,42 @@ object PipelineQueries {
              |FROM screened
              |ORDER BY doc_id""".stripMargin)),
 
+    // HTML → text extraction (the WET-generation step): each doc's text
+    // wrapped into a full page — head with title/style, nav chrome, an
+    // h1, a comment, the prose paragraph, an entity-heavy trailing div,
+    // a footer — then extracted by the Html.toText rewrite chain. The
+    // oracle replays the IDENTICAL chain (Html.toTextSql emits it from
+    // the same rewrite list — one source of truth), so a green hash
+    // pins every rule: block drops, chrome drops, block-close newlines,
+    // tag stripping, the fixed-order entity decode (&amp; last, so
+    // &amp;lt; decodes one level to &lt;), and whitespace discipline.
+    QueryDef("p117_html_extract",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>t</title><style>p{color:red}</style>" +
+            "</head><body><nav><a href=\"/\">Home</a> | <a href=\"/a\">" +
+            "About</a></nav><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- chrome --><p>"), col("text"),
+          lit("</p><div>tail &amp; &quot;q&quot; &amp;lt;kept&amp;gt;" +
+            "</div><footer>fin</footer></body></html>"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Html.toText(html).as("extracted"))
+          .orderBy("doc_id")
+      },
+      Some({
+        val htmlSql =
+          "'<html><head><title>t</title><style>p{color:red}</style>" +
+            "</head><body><nav><a href=\"/\">Home</a> | <a href=\"/a\">" +
+            "About</a></nav><h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
+            "'</h1><!-- chrome --><p>' || text || " +
+            "'</p><div>tail &amp; &quot;q&quot; &amp;lt;kept&amp;gt;" +
+            "</div><footer>fin</footer></body></html>'"
+        s"""SELECT doc_id, ${Html.toTextSql(s"($htmlSql)")} AS extracted
+           |FROM read_parquet('{SFDIR}/documents.parquet')
+           |ORDER BY doc_id""".stripMargin
+      })),
+
     // Feature-hashed text embeddings (the hashing trick): token →
     // bucket fnv % 16 with sign from hash bit 31, tf-weighted signed
     // sums, L2 normalize. dims = 16 is a power of two, so the unsigned
