@@ -918,6 +918,35 @@ object Dedup {
     * fingerprints may differ everywhere); callers wanting all-pairs at
     * that radius should cross-join explicitly.
     */
+  /** Cross-corpus variant of [[simhashCandidatesFromFp]]: pairs one
+    * (doc, fp) frame against another through the same band layout —
+    * total recall within the radius by the identical pigeonhole
+    * argument (any two fingerprints within maxHamming bits agree on at
+    * least one band, whichever frame each lives in). The shape of a
+    * probe against persisted fingerprint state: band the (small) probe
+    * side, equi-join into the prior side, verify Hamming.
+    *
+    * @return (doc_a from `a`, doc_b from `b`, hamming) — NO id-order
+    *         constraint (the frames are different corpora)
+    */
+  def simhashCandidatesBetween(
+      a: DataFrame, b: DataFrame, maxHamming: Int): DataFrame = {
+    def banded(fp: DataFrame, doc: String, fpc: String) = {
+      val bandVals = simhashBandLayout(maxHamming).map { case (off, w) =>
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
+        shiftright(col("fp"), off).bitwiseAND(mask)
+      }
+      fp.select(col("doc"), col("fp"), posexplode(array(bandVals: _*)))
+        .toDF(doc, fpc, "band", "band_val")
+    }
+    banded(a, "doc_a", "fp_a")
+      .join(banded(b, "doc_b", "fp_b"), Seq("band", "band_val"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   def simhashCandidatesFromFp(fp: DataFrame, maxHamming: Int): DataFrame = {
     val bandVals = simhashBandLayout(maxHamming).map { case (off, w) =>
       val mask = if (w >= 64) -1L else (1L << w) - 1L

@@ -910,6 +910,134 @@ object Multimodal {
       .select("doc", "cluster", "n_members", "n_parts")
   }
 
+  /** Persist the multimodal dedup state of a shard corpus — what a
+    * recrawl needs to dedup a NEW batch against everything already
+    * ingested without re-decoding it: `fp/` (doc, fp) image perceptual
+    * hashes and `peaks/` (doc, frame, peak_bin) audio landmarks, for
+    * ALL samples in `inDir` (kept and dropped alike — a batch doc
+    * matching a previously-DROPPED doc is still a duplicate, the same
+    * lesson [[TrainingPipeline.curateState]]'s band index encodes).
+    * Fingerprint rows are ~16 bytes/doc and landmark rows
+    * audioFrames/doc, so the state is a vanishing fraction of the
+    * payload bytes it summarizes.
+    */
+  def writeMmState(
+      spark: SparkSession, inDir: String, dir: String, batchSize: Int = 64,
+  ): Unit = {
+    val members = graft.sources.WebDataset.read(spark, s"$inDir/*.tar")
+      .where(col("ext").isin("png", "wav"))
+      .select(col("key").cast("long").as("id"), col("ext"), col("payload"))
+    implicit val encA: Encoder[Asset] = Encoders.product[Asset]
+    def assetsOf(ext: String, modality: String): Dataset[Asset] =
+      members.where(col("ext") === ext)
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+        .map { case (id, e, data) => Asset(id, modality, data, e, 0, 0, 0L) }
+    imagePhashes(spark, assetsOf("png", "image"), batchSize)
+      .write.mode("overwrite").parquet(s"$dir/fp")
+    audioPeaks(spark, assetsOf("wav", "audio"), batchSize)
+      .write.mode("overwrite").parquet(s"$dir/peaks")
+  }
+
+  /** Incremental [[curateShards]]: curate a NEW batch of tar shards
+    * against persisted [[writeMmState]] state — the multimodal recrawl
+    * shape, mirroring [[TrainingPipeline.curateIncremental]].
+    *
+    * A batch sample drops when (a) BOTH its modalities match a prior
+    * sample (same intersection rule as the full loop), or (b) it
+    * clusters with a smaller-id batch sample, or (c) ANY member of its
+    * batch cluster matches prior — in the full run that whole cluster
+    * merges into the prior sample's component, whose representative is
+    * a prior doc, so no member of it survives. With batch ids larger
+    * than all prior ids, the kept-batch set equals
+    * `curateShards(prior ∪ batch)` restricted to batch ids EXACTLY —
+    * including when a batch doc bridges two prior clusters (the bridge
+    * re-elects prior representatives, but those are not batch ids, so
+    * the batch-restricted outputs still agree; the p118 oracle pins
+    * this by replaying the FULL run and restricting).
+    *
+    * Cost: the batch decodes once; the prior corpus is touched only
+    * through its fingerprint/landmark state (banded equi-joins — the
+    * probe side is batch-sized). On success the batch's fingerprints
+    * and landmarks APPEND to the state, so recrawls chain.
+    *
+    * @return curated batch manifest read back from the published
+    *         output, (doc, cluster, n_members, n_parts) — cluster and
+    *         membership over the BATCH's own clusters
+    */
+  def curateShardsIncremental(
+      spark: SparkSession, stateDir: String, inDir: String, outDir: String,
+      maxHamming: Int = 4, minFrames: Long = 5, shards: Int = 4,
+  ): DataFrame = {
+    import spark.implicits._
+    val members = graft.sources.WebDataset.read(spark, s"$inDir/*.tar")
+      .where(col("ext").isin("png", "wav"))
+      .select(col("key").cast("long").as("id"), col("ext"), col("payload"))
+    implicit val encA: Encoder[Asset] = Encoders.product[Asset]
+    def assetsOf(ext: String, modality: String): Dataset[Asset] =
+      members.where(col("ext") === ext)
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+        .map { case (id, e, data) => Asset(id, modality, data, e, 0, 0, 0L) }
+
+    // decode once per modality; both pair joins reuse the cached frames
+    val fpB = OperatorCache.materialize(
+      imagePhashes(spark, assetsOf("png", "image")))
+    val pkB = OperatorCache.materialize(
+      audioPeaks(spark, assetsOf("wav", "audio")))
+    val fpP = spark.read.parquet(s"$stateDir/fp")
+    val pkP = spark.read.parquet(s"$stateDir/peaks")
+
+    def audioPairs(a: DataFrame, b: DataFrame): DataFrame =
+      a.toDF("doc_a", "frame", "peak_bin")
+        .join(b.toDF("doc_b", "frame", "peak_bin"), Seq("frame", "peak_bin"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_matched"))
+        .where(col("n_matched") >= minFrames)
+        .select("doc_a", "doc_b")
+
+    // (a) contaminated: both modalities match some prior doc
+    val contaminated = Dedup.simhashCandidatesBetween(fpB, fpP, maxHamming)
+      .select("doc_a", "doc_b")
+      .join(audioPairs(pkB, pkP), Seq("doc_a", "doc_b"))
+      .select(col("doc_a").as("doc")).distinct()
+
+    // (b)+(c): batch-internal clusters, whole cluster drops if any
+    // member is contaminated
+    val bbPairs = Dedup.simhashCandidatesFromFp(fpB, maxHamming)
+      .select("doc_a", "doc_b")
+      .join(audioPairs(pkB, pkB).where(col("doc_a") < col("doc_b")),
+        Seq("doc_a", "doc_b"))
+    val labels = Dedup.nearDupClusters(bbPairs)
+    val lab = members.select(col("id").as("doc")).distinct()
+      .join(labels, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("label"), col("doc")).as("cluster"))
+    val dirty = lab.join(contaminated, Seq("doc"))
+      .select(col("cluster")).distinct()
+    val manifest = lab.join(broadcast(dirty), Seq("cluster"), "left_anti")
+      .groupBy("cluster")
+      .agg(min("doc").as("doc"), count(lit(1)).as("n_members"))
+      .select("doc", "cluster", "n_members")
+
+    val samples = members
+      .groupBy(col("id").cast("string").as("key"))
+      .agg(max(when(col("ext") === "png", col("payload"))).as("png"),
+        max(when(col("ext") === "wav", col("payload"))).as("wav"))
+    val kept = samples.join(
+      broadcast(manifest.select(col("doc").cast("string").as("key"))), "key")
+    graft.sources.WebDataset.writeShards(kept, "key",
+      Seq("png" -> col("png"), "wav" -> col("wav")), outDir, shards)
+    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
+
+    // advance the state: the WHOLE batch's fingerprints append (kept
+    // and dropped — the next batch must dedup against both)
+    fpB.write.mode("append").parquet(s"$stateDir/fp")
+    pkB.write.mode("append").parquet(s"$stateDir/peaks")
+
+    graft.sources.WebDataset.read(spark, s"$outDir/shard-*.tar")
+      .groupBy(col("key").cast("long").as("doc"))
+      .agg(countDistinct(col("ext")).as("n_parts"))
+      .join(spark.read.parquet(s"$outDir/_manifest"), "doc")
+      .select("doc", "cluster", "n_members", "n_parts")
+  }
+
   /** Deterministic REAL-payload fixture table: actual PNG bytes (solid
     * id-derived color, id-derived small dimensions), actual 16-bit
     * PCM WAV bytes (id-derived frequency sine), and actual MJPEG AVI

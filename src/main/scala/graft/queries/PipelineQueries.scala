@@ -3791,6 +3791,145 @@ object PipelineQueries {
              |FROM screened
              |ORDER BY doc_id""".stripMargin)),
 
+    // INCREMENTAL multimodal curation — the recrawl shape for p115:
+    // prior shards (ids < 13, covering duplicate classes 0..12) reduce
+    // to fingerprint/landmark state; the batch (ids 13..95) curates
+    // against that state WITHOUT re-decoding the prior corpus. Batch
+    // docs in prior-seen classes drop (both modalities match prior);
+    // the five fresh classes (13..17) survive as batch-internal
+    // clusters with min-id canonicals. The oracle replays the FULL
+    // p115 pipeline over prior ∪ batch and restricts to batch ids —
+    // monotone ids make the batch-restricted outputs exactly equal
+    // (curateShardsIncremental's scaladoc derives why, including the
+    // bridge case), so a green hash PROVES incremental ≡ full on the
+    // batch, the whole contract.
+    QueryDef("p118_multimodal_curate_incremental",
+      (s, dir) => {
+        val scratch = s"target/graft-tmp/mmcurate_p118_${math.abs(dir.hashCode)}"
+        def shardsOf(docs: org.apache.spark.sql.DataFrame, out: String): Unit = {
+          val png = Multimodal.patternedAssets(s, docs, "doc_id").toDF()
+            .select(col("asset_id").as("id"), col("data").as("png"))
+          val wav = Multimodal.toneAssets(s, docs, "doc_id").toDF()
+            .select(col("asset_id").as("id"), col("data").as("wav"))
+          graft.sources.WebDataset.writeShards(
+            png.join(wav, "id")
+              .select(col("id").cast("string").as("key"), col("png"), col("wav")),
+            "key", Seq("png" -> col("png"), "wav" -> col("wav")), out, shards = 4)
+        }
+        val all = Tables.load(s, dir, "documents").select("doc_id")
+        shardsOf(all.where(col("doc_id") < 13), s"$scratch/prior")
+        shardsOf(all.where(col("doc_id") >= 13 && col("doc_id") < 96),
+          s"$scratch/batch")
+        Multimodal.writeMmState(s, s"$scratch/prior", s"$scratch/state")
+        Multimodal.curateShardsIncremental(
+          s, s"$scratch/state", s"$scratch/batch", s"$scratch/out")
+          .orderBy("doc")
+      },
+      Some(s"""WITH RECURSIVE ids AS (
+             |  SELECT doc_id AS id FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE doc_id < 96
+             |), xs AS (SELECT unnest(range(0, 64)) AS x
+             |), ys AS (SELECT unnest(range(0, 64)) AS y
+             |), px AS (
+             |  SELECT id, x, y,
+             |         LEAST(255, GREATEST(0,
+             |           40
+             |           + ((x // ([8,16,32])[CAST(id % 9 AS INT) % 3 + 1]
+             |               + y // ([32,16,8])[CAST((id % 9) // 3 AS INT) % 3 + 1]) % 2) * 120
+             |           + (((x * y * ((id % 9) + 3)) // 7) % 48)
+             |           + CASE WHEN x >= (id * 31) % 62 AND x < (id * 31) % 62 + 2
+             |                   AND y >= (id * 17) % 62 AND y < (id * 17) % 62 + 2
+             |                  THEN 16 ELSE 0 END)) AS g
+             |  FROM ids, xs, ys
+             |), cell AS (
+             |  SELECT id, x // 2 AS cx, y // 2 AS cy, CAST(SUM(g) AS BIGINT) AS s
+             |  FROM px GROUP BY 1, 2, 3
+             |), kt AS (
+             |  SELECT CAST(xx.x AS INT) AS x, CAST(uu.u AS INT) AS u,
+             |         ($dctTableSql)[CAST(xx.x AS INT) + 1][CAST(uu.u AS INT) + 1] AS kv
+             |  FROM (SELECT unnest(range(0, 32)) AS x) xx,
+             |       (SELECT unnest(range(0, 8)) AS u) uu
+             |), t AS (
+             |  SELECT cell.id, kt.u, cell.cy, CAST(SUM(cell.s * kt.kv) AS BIGINT) AS tv
+             |  FROM cell JOIN kt ON kt.x = cell.cx GROUP BY 1, 2, 3
+             |), cc AS (
+             |  SELECT t.id, t.u, kt.u AS v, CAST(SUM(t.tv * kt.kv) AS BIGINT) AS cv
+             |  FROM t JOIN kt ON kt.x = t.cy GROUP BY 1, 2, 3
+             |), med AS (
+             |  SELECT id, cv AS m FROM (
+             |    SELECT id, cv, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cv) AS rn
+             |    FROM cc WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32
+             |), fph AS (
+             |  SELECT cc.id,
+             |         SUM(CASE WHEN NOT (u = 0 AND v = 0) AND cv > m
+             |                  THEN CAST(1 AS HUGEINT) << CAST(8 * u + v AS INT)
+             |                  ELSE CAST(0 AS HUGEINT) END) AS ufp
+             |  FROM cc JOIN med USING (id) GROUP BY cc.id
+             |), fps AS (
+             |  SELECT id, CAST(CASE WHEN ufp >= CAST('9223372036854775808' AS HUGEINT)
+             |                       THEN ufp - CAST('18446744073709551616' AS HUGEINT)
+             |                       ELSE ufp END AS BIGINT) AS sfp
+             |  FROM fph
+             |), ipairs AS (
+             |  SELECT a.id AS doc_a, b.id AS doc_b
+             |  FROM fps a JOIN fps b ON a.id < b.id
+             |  WHERE bit_count(xor(a.sfp, b.sfp)) <= 4
+             |), par AS (
+             |  SELECT id, ([32,48,64,96,128,192])[CAST(id % 6 AS INT) + 1] AS P FROM ids
+             |), ts AS (SELECT unnest(range(0, 1536)) AS t
+             |), sm AS (
+             |  SELECT id, t // 256 AS frame, t % 256 AS tt,
+             |         CASE WHEN ((t + id * 13) % P) < P // 2
+             |              THEN -8192 + (4 * 8192 * ((t + id * 13) % P)) // P
+             |              ELSE 3 * 8192 - (4 * 8192 * ((t + id * 13) % P)) // P END AS s
+             |  FROM par, ts
+             |), ct AS (
+             |  SELECT CAST(tx.t AS INT) AS tt, CAST(kk.k AS INT) AS k,
+             |         ($dftCosSql)[CAST(tx.t AS INT) + 1][CAST(kk.k AS INT)] AS cq,
+             |         ($dftSinSql)[CAST(tx.t AS INT) + 1][CAST(kk.k AS INT)] AS sq
+             |  FROM (SELECT unnest(range(0, 256)) AS t) tx,
+             |       (SELECT unnest(range(1, 9)) AS k) kk
+             |), sp AS (
+             |  SELECT sm.id, sm.frame, ct.k,
+             |         CAST(SUM(sm.s * ct.cq) AS BIGINT) AS sc,
+             |         CAST(SUM(sm.s * ct.sq) AS BIGINT) AS ss
+             |  FROM sm JOIN ct ON ct.tt = sm.tt GROUP BY 1, 2, 3
+             |), pk AS (
+             |  SELECT id, frame, k AS peak_bin FROM (
+             |    SELECT id, frame, k,
+             |           ROW_NUMBER() OVER (PARTITION BY id, frame
+             |                              ORDER BY sc * sc + ss * ss DESC, k ASC) AS rn
+             |    FROM sp) WHERE rn = 1
+             |), apairs AS (
+             |  SELECT a.id AS doc_a, b.id AS doc_b
+             |  FROM pk a JOIN pk b
+             |    ON a.frame = b.frame AND a.peak_bin = b.peak_bin AND a.id < b.id
+             |  GROUP BY a.id, b.id
+             |  HAVING COUNT(*) >= 5
+             |), pairs AS (
+             |  SELECT i.doc_a, i.doc_b
+             |  FROM ipairs i JOIN apairs a
+             |    ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+             |), edges AS (
+             |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+             |  UNION
+             |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+             |), reach AS (
+             |  SELECT src AS doc, src AS r FROM edges
+             |  UNION
+             |  SELECT e.src AS doc, reach.r AS r FROM edges e JOIN reach ON e.dst = reach.doc
+             |), labels AS (
+             |  SELECT doc, MIN(r) AS label FROM reach GROUP BY doc
+             |), lab AS (
+             |  SELECT i.id AS doc, COALESCE(l.label, i.id) AS cluster
+             |  FROM ids i LEFT JOIN labels l ON i.id = l.doc
+             |), m AS (
+             |  SELECT cluster, MIN(doc) AS doc, CAST(COUNT(*) AS BIGINT) AS n_members
+             |  FROM lab GROUP BY cluster
+             |)
+             |SELECT doc, cluster, n_members, CAST(2 AS BIGINT) AS n_parts
+             |FROM m WHERE doc >= 13 ORDER BY doc""".stripMargin)),
+
     // HTML → text extraction (the WET-generation step): each doc's text
     // wrapped into a full page — head with title/style, nav chrome, an
     // h1, a comment, the prose paragraph, an entity-heavy trailing div,

@@ -60,4 +60,51 @@ class MultimodalCurateSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(mf.toSeq == expected.map(e => (e._1, e._2, e._3)))
   }
+
+  private def writeFixtureShards(ids: Seq[Long], dir: String): Unit = {
+    val df = ids.toDF("doc_id")
+    val png = Multimodal.patternedAssets(spark, df, "doc_id")
+      .collect().map(a => a.asset_id -> a.data).toMap
+    val wav = Multimodal.toneAssets(spark, df, "doc_id")
+      .collect().map(a => a.asset_id -> a.data).toMap
+    WebDataset.writeShards(
+      ids.map(i => (i.toString, png(i), wav(i))).toDF("key", "png", "wav"),
+      "key", Seq("png" -> col("png"), "wav" -> col("wav")), dir, shards = 2)
+  }
+
+  test("incremental ≡ full on the batch; state append chains recrawls") {
+    val base = s"target/graft-test/mmcurate_inc_${System.nanoTime()}"
+    // prior covers classes 0..12 (mod 18); batch 13..35 brings classes
+    // 13..17 fresh twice over and re-crawls 0..12 once
+    writeFixtureShards(0L until 13L, s"$base/prior")
+    writeFixtureShards(13L until 36L, s"$base/batch1")
+    Multimodal.writeMmState(spark, s"$base/prior", s"$base/state")
+
+    val inc = Multimodal.curateShardsIncremental(
+      spark, s"$base/state", s"$base/batch1", s"$base/out1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    OperatorCache.releaseAll(spark)
+    assert(inc == (13L until 18L).map(i => (i, i, 2L, 2L)),
+      s"fresh classes 13..17 survive as {i, i+18} clusters, got $inc")
+
+    // the ≡ proof on crafted data: full run over prior ∪ batch,
+    // restricted to batch ids, must agree exactly
+    writeFixtureShards(0L until 36L, s"$base/all")
+    val full = Multimodal.curateShards(spark, s"$base/all", s"$base/allout")
+      .where(col("doc") >= 13).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    OperatorCache.releaseAll(spark)
+    assert(full == inc, s"full-restricted $full vs incremental $inc")
+
+    // chaining: batch 1's fingerprints appended, so a second batch
+    // re-crawling ANY class 0..17 is now fully contaminated
+    assert(spark.read.parquet(s"$base/state/fp").count() == 13 + 23)
+    writeFixtureShards(36L until 54L, s"$base/batch2")
+    val inc2 = Multimodal.curateShardsIncremental(
+      spark, s"$base/state", s"$base/batch2", s"$base/out2")
+    assert(inc2.isEmpty, "every class was seen by now — nothing survives")
+    OperatorCache.releaseAll(spark)
+  }
 }
