@@ -77,7 +77,7 @@ object Bench {
     "p111_bpe_roundtrip", "p112_host_concentration",
     "p113_archive_decontaminate", "p114_hybrid_search",
     "p115_multimodal_curate", "p116_archive_curate", "p117_html_extract",
-    "p118_multimodal_curate_incremental",
+    "p118_multimodal_curate_incremental", "p119_html_archive_curate",
     "s14_warc_roundtrip", "s15_webdataset_roundtrip", "s16_warc_fetch",
     "s17_wet_roundtrip")
 

@@ -728,17 +728,26 @@ object TrainingPipeline {
     *         oracle check proves archive-in → curate → archive-out
     *         including text fidelity through the WET round trip
     */
+  /** @param extractHtml treat response payloads as raw HTML and run
+    *                     [[Html.toText]] before curating — the real
+    *                     crawl shape (a web archive carries pages, not
+    *                     prose); the WET output then holds the
+    *                     EXTRACTED text, exactly what the public WET
+    *                     files are
+    */
   def curateArchive(
       spark: org.apache.spark.sql.SparkSession, inDir: String, outDir: String,
       minQuality: Double = 0.3, minWords: Long = 20, shards: Int = 4,
       uriPrefix: String = "http://example.org/doc/",
+      extractHtml: Boolean = false,
   ): DataFrame = {
+    val payloadText = decode(col("payload"), "UTF-8")
     val docs = graft.sources.Warc.read(spark, s"$inDir/*.warc.gz")
       .where(col("warc_type") === "response")
       .select(
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
           .cast("long").as("doc_id"),
-        decode(col("payload"), "UTF-8").as("text"))
+        (if (extractHtml) Html.toText(payloadText) else payloadText).as("text"))
     val curated = OperatorCache.materialize(curate(
       docs, "doc_id", "text",
       minQuality = minQuality, minWords = minWords, spanK = 0))

@@ -3930,6 +3930,50 @@ object PipelineQueries {
              |SELECT doc, cluster, n_members, CAST(2 AS BIGINT) AS n_parts
              |FROM m WHERE doc >= 13 ORDER BY doc""".stripMargin)),
 
+    // The FULL crawl pipeline in one oracle: .warc.gz shards whose
+    // response payloads are raw HTML pages → Html.toText extraction →
+    // the complete curate pipeline → .warc.wet.gz out — p116 with the
+    // real first stage attached (a web archive carries pages, not
+    // prose). The oracle derives the extracted text with the SAME
+    // rewrite chain (Html.toTextSql over the same page template) and
+    // feeds it through the same curate-stage CTEs the p49 family pins —
+    // so a green hash proves extract→curate composition on DERIVED
+    // text, not just each stage alone.
+    QueryDef("p119_html_archive_curate",
+      (s, dir) => {
+        val scratch = s"target/graft-tmp/htmlarch_p119_${math.abs(dir.hashCode)}"
+        val page = concat(
+          lit("<html><head><title>t</title><style>p{color:red}</style>" +
+            "</head><body><nav><a href=\"/\">Home</a> | <a href=\"/a\">" +
+            "About</a></nav><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- chrome --><p>"), col("text"),
+          lit("</p><footer>fin</footer></body></html>"))
+        graft.sources.Warc.writeShards(
+          Tables.load(s, dir, "documents").select(col("doc_id"), page.as("html")),
+          "doc_id", "html", s"$scratch/in", shards = 4)
+        TrainingPipeline.curateArchive(s, s"$scratch/in", s"$scratch/out",
+          extractHtml = true)
+          .orderBy("doc_id")
+      },
+      Some({
+        val htmlSql =
+          "'<html><head><title>t</title><style>p{color:red}</style>" +
+            "</head><body><nav><a href=\"/\">Home</a> | <a href=\"/a\">" +
+            "About</a></nav><h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
+            "'</h1><!-- chrome --><p>' || text || " +
+            "'</p><footer>fin</footer></body></html>'"
+        val src = s"(SELECT doc_id, ${Html.toTextSql(s"($htmlSql)")} AS text " +
+          "FROM read_parquet('{SFDIR}/documents.parquet'))"
+        s"""WITH RECURSIVE ${curateStagesSqlFrom(src)}
+           |SELECT doc_id, text,
+           |       CASE WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 980000 THEN 'train'
+           |            WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 990000 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM screened
+           |ORDER BY doc_id""".stripMargin
+      })),
+
     // HTML → text extraction (the WET-generation step): each doc's text
     // wrapped into a full page — head with title/style, nav chrome, an
     // h1, a comment, the prose paragraph, an entity-heavy trailing div,
@@ -5154,11 +5198,17 @@ object PipelineQueries {
     * selecting from them.
     */
   private def curateStagesSql: String =
+    curateStagesSqlFrom("read_parquet('{SFDIR}/documents.parquet')")
+
+  /** [[curateStagesSql]] over an arbitrary (doc_id, text) source
+    * relation — lets a composition oracle (p119: HTML extraction feeding
+    * the curate pipeline) replay the stages over DERIVED text. */
+  private def curateStagesSqlFrom(source: String): String =
     s"""f AS (
              |  SELECT doc_id, text,
              |         LENGTH(text) AS n_chars,
              |         string_split_regex(TRIM(text), '\\s+') AS words
-             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |  FROM $source
              |), g AS (
              |  SELECT doc_id, text,
              |         LEAST(CAST(LEN(words) AS DOUBLE) / 20.0, 1.0) AS len_score,

@@ -45,4 +45,24 @@ class ArchiveCurateSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(mf == Seq(1L, 3L, 5L))
   }
+
+  test("extractHtml: raw pages extract before curating; WET carries prose") {
+    val base = s"target/graft-test/archcurate_html_${System.nanoTime()}"
+    def page(body: String) =
+      s"""<html><head><style>p{x}</style></head><body><nav>Home</nav>
+         |<p>$body</p><footer>fin</footer></body></html>""".stripMargin
+    val docs = Seq(
+      1L -> page(sentence("alpha")),
+      2L -> page("too short"), // prose fails the word floor after extraction
+    ).toDF("doc_id", "text")
+    Warc.writeShards(docs, "doc_id", "text", s"$base/in", shards = 1)
+    val out = TrainingPipeline.curateArchive(
+      spark, s"$base/in", s"$base/out", extractHtml = true)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    OperatorCache.releaseAll(spark)
+    assert(out.map(_._1).toSeq == Seq(1L))
+    val text = out.head._2
+    assert(text == sentence("alpha"),
+      s"chrome and tags must be gone from the WET text: $text")
+  }
 }
