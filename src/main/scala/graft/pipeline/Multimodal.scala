@@ -968,53 +968,13 @@ object Multimodal {
       spark: SparkSession, stateDir: String, inDir: String, outDir: String,
       maxHamming: Int = 4, minFrames: Long = 5, shards: Int = 4,
   ): DataFrame = {
-    import spark.implicits._
     val members = graft.sources.WebDataset.read(spark, s"$inDir/*.tar")
       .where(col("ext").isin("png", "wav"))
       .select(col("key").cast("long").as("id"), col("ext"), col("payload"))
-    implicit val encA: Encoder[Asset] = Encoders.product[Asset]
-    def assetsOf(ext: String, modality: String): Dataset[Asset] =
-      members.where(col("ext") === ext)
-        .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
-        .map { case (id, e, data) => Asset(id, modality, data, e, 0, 0, 0L) }
-
-    // decode once per modality; both pair joins reuse the cached frames
-    val fpB = OperatorCache.materialize(
-      imagePhashes(spark, assetsOf("png", "image")))
-    val pkB = OperatorCache.materialize(
-      audioPeaks(spark, assetsOf("wav", "audio")))
     val fpP = spark.read.parquet(s"$stateDir/fp")
     val pkP = spark.read.parquet(s"$stateDir/peaks")
-
-    def audioPairs(a: DataFrame, b: DataFrame): DataFrame =
-      a.toDF("doc_a", "frame", "peak_bin")
-        .join(b.toDF("doc_b", "frame", "peak_bin"), Seq("frame", "peak_bin"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_matched"))
-        .where(col("n_matched") >= minFrames)
-        .select("doc_a", "doc_b")
-
-    // (a) contaminated: both modalities match some prior doc
-    val contaminated = Dedup.simhashCandidatesBetween(fpB, fpP, maxHamming)
-      .select("doc_a", "doc_b")
-      .join(audioPairs(pkB, pkP), Seq("doc_a", "doc_b"))
-      .select(col("doc_a").as("doc")).distinct()
-
-    // (b)+(c): batch-internal clusters, whole cluster drops if any
-    // member is contaminated
-    val bbPairs = Dedup.simhashCandidatesFromFp(fpB, maxHamming)
-      .select("doc_a", "doc_b")
-      .join(audioPairs(pkB, pkB).where(col("doc_a") < col("doc_b")),
-        Seq("doc_a", "doc_b"))
-    val labels = Dedup.nearDupClusters(bbPairs)
-    val lab = members.select(col("id").as("doc")).distinct()
-      .join(labels, Seq("doc"), "left")
-      .select(col("doc"), coalesce(col("label"), col("doc")).as("cluster"))
-    val dirty = lab.join(contaminated, Seq("doc"))
-      .select(col("cluster")).distinct()
-    val manifest = lab.join(broadcast(dirty), Seq("cluster"), "left_anti")
-      .groupBy("cluster")
-      .agg(min("doc").as("doc"), count(lit(1)).as("n_members"))
-      .select("doc", "cluster", "n_members")
+    val (manifest, fpB, pkB) =
+      curateBatchCore(spark, members, fpP, pkP, maxHamming, minFrames)
 
     val samples = members
       .groupBy(col("id").cast("string").as("key"))
@@ -1036,6 +996,68 @@ object Multimodal {
       .agg(countDistinct(col("ext")).as("n_parts"))
       .join(spark.read.parquet(s"$outDir/_manifest"), "doc")
       .select("doc", "cluster", "n_members", "n_parts")
+  }
+
+  /** The batch-against-prior curation core shared by
+    * [[curateShardsIncremental]] (parquet state) and
+    * [[graft.streaming.StreamingMultimodal]] (rolling checkpointed
+    * state): decode the batch once per modality, find samples whose
+    * BOTH modalities match prior, cluster the batch internally, drop
+    * whole contaminated clusters, keep min-id canonicals.
+    *
+    * @param members (id long, ext in {png,wav}, payload) batch rows
+    * @return (manifest (doc, cluster, n_members) of KEPT batch samples,
+    *         batch fingerprints (doc, fp), batch landmarks
+    *         (doc, frame, peak_bin)) — fp/peaks are OperatorCache-
+    *         materialized; the caller owns the release
+    */
+  private[graft] def curateBatchCore(
+      spark: SparkSession, members: DataFrame,
+      fpPrior: DataFrame, pkPrior: DataFrame,
+      maxHamming: Int, minFrames: Long,
+  ): (DataFrame, DataFrame, DataFrame) = {
+    implicit val encA: Encoder[Asset] = Encoders.product[Asset]
+    def assetsOf(ext: String, modality: String): Dataset[Asset] =
+      members.where(col("ext") === ext)
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+        .map { case (id, e, data) => Asset(id, modality, data, e, 0, 0, 0L) }
+
+    // decode once per modality; both pair joins reuse the cached frames
+    val fpB = OperatorCache.materialize(
+      imagePhashes(spark, assetsOf("png", "image")))
+    val pkB = OperatorCache.materialize(
+      audioPeaks(spark, assetsOf("wav", "audio")))
+
+    def audioPairs(a: DataFrame, b: DataFrame): DataFrame =
+      a.toDF("doc_a", "frame", "peak_bin")
+        .join(b.toDF("doc_b", "frame", "peak_bin"), Seq("frame", "peak_bin"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_matched"))
+        .where(col("n_matched") >= minFrames)
+        .select("doc_a", "doc_b")
+
+    // (a) contaminated: both modalities match some prior doc
+    val contaminated = Dedup.simhashCandidatesBetween(fpB, fpPrior, maxHamming)
+      .select("doc_a", "doc_b")
+      .join(audioPairs(pkB, pkPrior), Seq("doc_a", "doc_b"))
+      .select(col("doc_a").as("doc")).distinct()
+
+    // (b)+(c): batch-internal clusters, whole cluster drops if any
+    // member is contaminated
+    val bbPairs = Dedup.simhashCandidatesFromFp(fpB, maxHamming)
+      .select("doc_a", "doc_b")
+      .join(audioPairs(pkB, pkB).where(col("doc_a") < col("doc_b")),
+        Seq("doc_a", "doc_b"))
+    val labels = Dedup.nearDupClusters(bbPairs)
+    val lab = members.select(col("id").as("doc")).distinct()
+      .join(labels, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("label"), col("doc")).as("cluster"))
+    val dirty = lab.join(contaminated, Seq("doc"))
+      .select(col("cluster")).distinct()
+    val manifest = lab.join(broadcast(dirty), Seq("cluster"), "left_anti")
+      .groupBy("cluster")
+      .agg(min("doc").as("doc"), count(lit(1)).as("n_members"))
+      .select("doc", "cluster", "n_members")
+    (manifest, fpB, pkB)
   }
 
   /** Deterministic REAL-payload fixture table: actual PNG bytes (solid

@@ -55,6 +55,24 @@ object WebDataset {
       .toDF()
   }
 
+  /** Streaming [[read]]: watch `dir` for NEW tar shards (Structured
+    * Streaming's file source tracks arrivals), one member row per tar
+    * entry per micro-batch — the multimodal sibling of
+    * [[Warc.readStream]], and the front door of the streaming ingest
+    * gate ([[graft.streaming.StreamingMultimodal]]). The shard file is
+    * the unit of both storage and progress.
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path string, modificationTime timestamp, length long, content binary")
+    val files = spark.readStream.format("binaryFile").schema(schema).load(dir)
+      .select(col("path"), col("content"))
+    implicit val enc: Encoder[Member] = Encoders.product[Member]
+    files.as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (p, bytes) => parseShard(p, bytes) }
+      .toDF()
+  }
+
   /** [[read]] + sample assembly: one row per key with a `parts` map of
     * ext → payload. One groupBy on the key — the only shuffle, and the
     * natural one (samples must meet somewhere). */
