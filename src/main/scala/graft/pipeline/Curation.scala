@@ -440,6 +440,50 @@ object Curation {
         col("col.n_tokens").cast("long").as("n_tokens"))
   }
 
+  /** Sentence-aware document chunking — [[chunkDocuments]]'s
+    * boundary-respecting sibling, the shape embedding/RAG pipelines
+    * actually want: a chunk never cuts a sentence in half. Sentences
+    * split on terminal punctuation (`[.!?]` followed by whitespace —
+    * deliberately simple, deterministic, and RE2-replayable; no
+    * abbreviation dictionary), then pack greedily into ≤ `maxTokens`
+    * chunks by the same exclusive-running-sum floor rule
+    * [[packSequences]] uses: a sentence belongs to chunk
+    * ⌊(tokens before it) / maxTokens⌋, so a chunk overflows the budget
+    * by at most its last sentence, and a single sentence longer than
+    * the budget becomes its own oversized chunk rather than being
+    * split.
+    *
+    * Scale shape: the sentence explode is map-only; one doc-keyed
+    * window (running token sum) and one (doc, chunk) aggregate — no
+    * state, no driver work. Texts are assumed free of U+0001 (the
+    * internal boundary marker).
+    *
+    * @return (idCol, chunk_idx, chunk_text, n_sentences, n_tokens),
+    *         chunk_idx 0-based per doc; empty docs yield no chunks
+    */
+  def chunkBySentences(
+      df: DataFrame, idCol: String, textCol: String, maxTokens: Int,
+  ): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
+    val marked = regexp_replace(trim(col(textCol)), "([.!?])\\s+", "$1\u0001")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), posexplode(split(marked, "\u0001")))
+      .select(col(idCol), col("pos"), trim(col("col")).as("sent"))
+      .where(col("sent") =!= "")
+      .withColumn("n_toks",
+        size(filter(split(col("sent"), "\\s+"), t => t =!= "")).cast("long"))
+      .withColumn("chunk_idx",
+        floor((sum("n_toks").over(w) - col("n_toks")) / maxTokens).cast("int"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sent")))),
+          x => x.getField("sent")), " ").as("chunk_text"),
+        count(lit(1)).as("n_sentences"),
+        sum("n_toks").as("n_tokens"))
+  }
+
   /** Deterministic global shuffle into training shards: every row gets a
     * `shard` in [0, nShards) and a 0-based `pos` within the shard, both
     * derived only from the id — the "epoch shuffle" that turns a curated

@@ -3974,6 +3974,46 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin
       })),
 
+    // Sentence-aware chunking (p32's boundary-respecting sibling):
+    // sentences split on terminal punctuation, packed into ≤24-token
+    // chunks by the exclusive-running-sum floor rule — a chunk never
+    // cuts a sentence. The oracle replays the boundary marking (same
+    // regex, RE2 both sides), the per-sentence token counts, the
+    // running-sum window under the same (doc, pos) order, and the
+    // ordered string_agg reassembly.
+    QueryDef("p120_chunk_sentences",
+      (s, dir) => Curation.chunkBySentences(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", maxTokens = 24)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         regexp_replace(TRIM(text), '([.!?])\s+', '\1' || chr(1), 'g') AS marked
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), s AS (
+             |  SELECT doc_id,
+             |         unnest(string_split(marked, chr(1))) AS sent,
+             |         unnest(range(1, len(string_split(marked, chr(1))) + 1)) AS pos
+             |  FROM t
+             |), f AS (
+             |  SELECT doc_id, pos, TRIM(sent) AS sent,
+             |         CAST(len(list_filter(string_split_regex(TRIM(sent), '\s+'),
+             |                              x -> x <> '')) AS BIGINT) AS n_toks
+             |  FROM s WHERE TRIM(sent) <> ''
+             |), c AS (
+             |  SELECT doc_id, pos, sent, n_toks,
+             |         SUM(n_toks) OVER (PARTITION BY doc_id ORDER BY pos
+             |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           - n_toks AS cum
+             |  FROM f
+             |)
+             |SELECT doc_id, CAST(cum // 24 AS INT) AS chunk_idx,
+             |       string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
+             |       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+             |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY doc_id, CAST(cum // 24 AS INT)
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // HTML → text extraction (the WET-generation step): each doc's text
     // wrapped into a full page — head with title/style, nav chrome, an
     // h1, a comment, the prose paragraph, an entity-heavy trailing div,

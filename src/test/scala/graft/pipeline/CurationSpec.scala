@@ -102,6 +102,34 @@ class CurationSpec extends SparkSpec {
       Curation.chunkDocuments(doc, "doc_id", "text", 8, 9))
   }
 
+  test("chunkBySentences: never cuts a sentence; floor rule; oversized sentence intact") {
+    val text = "One two three. Four five six seven! Eight nine? " +
+      "Ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen. Tail end."
+    val doc = Seq((7L, text)).toDF("doc_id", "text")
+    val rows = Curation.chunkBySentences(doc, "doc_id", "text", maxTokens = 6)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getAs[Int]("chunk_idx"), r.getAs[String]("chunk_text"),
+        r.getAs[Long]("n_sentences"), r.getAs[Long]("n_tokens")))
+    // sentence token counts: 3, 4, 2, 9, 2; exclusive cums 0,3,7,9,18 →
+    // chunks ⌊cum/6⌋ = 0,0,1,1,3 — a chunk may overflow by its last
+    // sentence (chunk 0 holds 7 tokens) and the 9-token sentence lands
+    // whole in chunk 1 rather than splitting
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 3), s"chunk ids: ${rows.toSeq}")
+    assert(rows(0)._2 == "One two three. Four five six seven!" &&
+      rows(0)._3 == 2L && rows(0)._4 == 7L)
+    assert(rows(1)._2 == "Eight nine? Ten eleven twelve thirteen fourteen " +
+      "fifteen sixteen seventeen eighteen." && rows(1)._4 == 11L)
+    assert(rows(2)._2 == "Tail end." && rows(2)._4 == 2L)
+    // reassembling chunks in order rebuilds the document
+    assert(rows.map(_._2).mkString(" ") == text)
+    // empty docs yield no chunks; punctuation-free text is one sentence
+    assert(Curation.chunkBySentences(
+      Seq((1L, ""), (2L, "no terminal punctuation here")).toDF("doc_id", "text"),
+      "doc_id", "text", 6).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    intercept[IllegalArgumentException](
+      Curation.chunkBySentences(doc, "doc_id", "text", 0))
+  }
+
   test("sampleByTokenBudget: fills per-stratum token budgets deterministically, bounded overflow") {
     // 2000 docs over en/de with 10..99 tokens each (from the shared fixture)
     val kept = Curation.sampleByTokenBudget(docs, "id", "toks", "lang",
