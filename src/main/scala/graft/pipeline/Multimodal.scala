@@ -890,15 +890,21 @@ object Multimodal {
       .agg(min("doc").as("doc"), count(lit(1)).as("n_members"))
       .select("doc", "cluster", "n_members")
 
-    // publish shards FIRST (writeShards clears outDir), manifest second
-    val samples = members
-      .groupBy(col("id").cast("string").as("key"))
-      .agg(max(when(col("ext") === "png", col("payload"))).as("png"),
-        max(when(col("ext") === "wav", col("payload"))).as("wav"))
-    val kept = samples.join(
-      broadcast(manifest.select(col("doc").cast("string").as("key"))), "key")
+    // publish shards FIRST (writeShards clears outDir), manifest second.
+    // AT MOST ONE payload exchange end-to-end: samples assemble
+    // shard-locally in the tar scan (readSamplesLocal — members of a
+    // sample are adjacent per the WebDataset convention); the kept join
+    // carries no FORCED broadcast (at 1e8+ kept samples a corpus-sized
+    // manifest broadcast is a driver-memory cliff — AQE still
+    // broadcasts it when it fits, and then payloads never shuffle at
+    // all); and the writer reuses the join's partitioning as the shard
+    // layout (preShuffled — the full loop's shard count follows the
+    // publish join's AQE-sized partitioning, not the `shards` knob,
+    // which sizes the batch-scale incremental/streaming publishes).
+    val kept = publishKept(spark, inDir, manifest)
     graft.sources.WebDataset.writeShards(kept, "key",
-      Seq("png" -> col("png"), "wav" -> col("wav")), outDir, shards)
+      Seq("png" -> col("png"), "wav" -> col("wav")), outDir, shards,
+      preShuffled = true)
     manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
 
     // the RETURNED frame reads only the published artifacts — the check
@@ -910,6 +916,27 @@ object Multimodal {
       .select("doc", "cluster", "n_members", "n_parts")
   }
 
+  /** The curated-shard publish frame: samples assembled SHARD-LOCALLY
+    * from the input tars (zero-shuffle —
+    * [[graft.sources.WebDataset.readSamplesLocal]]), inner-joined to
+    * the kept manifest's keys with NO broadcast hint: the manifest is
+    * corpus-sized in the full loop (one row per kept sample), so the
+    * plan must stay valid when it does NOT fit on the driver — AQE
+    * still broadcasts it when it actually fits. Payload bytes cross AT
+    * MOST ONE exchange: the join's own shuffle when the manifest is
+    * too big to broadcast (AQE sizes those partitions by bytes — the
+    * right shard sizing at 100 TB), and NONE when it broadcasts.
+    * Because a sample is one assembled row, any join output is
+    * key-complete per partition, so `writeShards(preShuffled = true)`
+    * emits it directly — one tar per join partition, no re-shard on
+    * top (pinned by MultimodalPublishPlanSpec).
+    */
+  private[graft] def publishKept(
+      spark: SparkSession, inDir: String, manifest: DataFrame): DataFrame =
+    graft.sources.WebDataset
+      .readSamplesLocal(spark, s"$inDir/*.tar", Seq("png", "wav"))
+      .join(manifest.select(col("doc").cast("string").as("key")), "key")
+
   /** Persist the multimodal dedup state of a shard corpus — what a
     * recrawl needs to dedup a NEW batch against everything already
     * ingested without re-decoding it: `fp/` (doc, fp) image perceptual
@@ -920,10 +947,25 @@ object Multimodal {
     * Fingerprint rows are ~16 bytes/doc and landmark rows
     * audioFrames/doc, so the state is a vanishing fraction of the
     * payload bytes it summarizes.
+    *
+    * Layout: each state advance lands in its own `batch=<id>` partition
+    * subdirectory (`fp/batch=initial` here; [[curateShardsIncremental]]
+    * adds `fp/batch=<batch-dir-id>`). A batch's advance is a plain
+    * OVERWRITE of its own subdirectory — replaying a batch after a
+    * partial failure replaces its rows instead of appending duplicates
+    * (duplicate landmark rows would multiply the audio-match counts and
+    * falsely contaminate future batches — r15 ADVICE). Readers see one
+    * logical table via partition discovery and select (doc, fp) /
+    * (doc, frame, peak_bin), dropping the batch column.
     */
   def writeMmState(
       spark: SparkSession, inDir: String, dir: String, batchSize: Int = 64,
   ): Unit = {
+    // initialize = clear any prior state wholesale, then write batch=initial
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "fp"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "peaks"), true)
     val members = graft.sources.WebDataset.read(spark, s"$inDir/*.tar")
       .where(col("ext").isin("png", "wav"))
       .select(col("key").cast("long").as("id"), col("ext"), col("payload"))
@@ -933,9 +975,21 @@ object Multimodal {
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
         .map { case (id, e, data) => Asset(id, modality, data, e, 0, 0, 0L) }
     imagePhashes(spark, assetsOf("png", "image"), batchSize)
-      .write.mode("overwrite").parquet(s"$dir/fp")
+      .write.mode("overwrite").parquet(s"$dir/fp/batch=initial")
     audioPeaks(spark, assetsOf("wav", "audio"), batchSize)
-      .write.mode("overwrite").parquet(s"$dir/peaks")
+      .write.mode("overwrite").parquet(s"$dir/peaks/batch=initial")
+  }
+
+  /** Stable per-batch state-partition id: the batch dir's basename
+    * (sanitized) plus a hash of the full path — deterministic across
+    * reruns of the same batch, distinct across batches. The leading
+    * 'b' keeps partition-value type inference on the string side even
+    * for all-digit names.
+    */
+  private[graft] def batchStateId(inDir: String): String = {
+    val base = new org.apache.hadoop.fs.Path(inDir).getName
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    f"b${base}_${inDir.hashCode & 0x7fffffff}%08x"
   }
 
   /** Incremental [[curateShards]]: curate a NEW batch of tar shards
@@ -971,25 +1025,33 @@ object Multimodal {
     val members = graft.sources.WebDataset.read(spark, s"$inDir/*.tar")
       .where(col("ext").isin("png", "wav"))
       .select(col("key").cast("long").as("id"), col("ext"), col("payload"))
-    val fpP = spark.read.parquet(s"$stateDir/fp")
+    // partition discovery surfaces the batch column; drop it — the pair
+    // joins key on (doc, fp) / (doc, frame, peak_bin) only
+    val fpP = spark.read.parquet(s"$stateDir/fp").select("doc", "fp")
     val pkP = spark.read.parquet(s"$stateDir/peaks")
+      .select("doc", "frame", "peak_bin")
     val (manifest, fpB, pkB) =
       curateBatchCore(spark, members, fpP, pkP, maxHamming, minFrames)
 
-    val samples = members
-      .groupBy(col("id").cast("string").as("key"))
-      .agg(max(when(col("ext") === "png", col("payload"))).as("png"),
-        max(when(col("ext") === "wav", col("payload"))).as("wav"))
-    val kept = samples.join(
-      broadcast(manifest.select(col("doc").cast("string").as("key"))), "key")
+    // samples assemble shard-locally (zero-shuffle) and the manifest IS
+    // batch-sized here, so the broadcast hint is right — the writer's
+    // own repartition is then the single payload-bytes exchange
+    val kept = graft.sources.WebDataset
+      .readSamplesLocal(spark, s"$inDir/*.tar", Seq("png", "wav"))
+      .join(broadcast(manifest.select(col("doc").cast("string").as("key"))),
+        "key")
     graft.sources.WebDataset.writeShards(kept, "key",
       Seq("png" -> col("png"), "wav" -> col("wav")), outDir, shards)
     manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
 
-    // advance the state: the WHOLE batch's fingerprints append (kept
-    // and dropped — the next batch must dedup against both)
-    fpB.write.mode("append").parquet(s"$stateDir/fp")
-    pkB.write.mode("append").parquet(s"$stateDir/peaks")
+    // advance the state: the WHOLE batch's fingerprints (kept and
+    // dropped — the next batch must dedup against both) land in this
+    // batch's OWN batch=<id> partition as an overwrite, so replaying a
+    // batch (partial-failure rerun, double-submitted dir) replaces its
+    // rows instead of appending duplicates (r15 ADVICE)
+    val bid = batchStateId(inDir)
+    fpB.write.mode("overwrite").parquet(s"$stateDir/fp/batch=$bid")
+    pkB.write.mode("overwrite").parquet(s"$stateDir/peaks/batch=$bid")
 
     graft.sources.WebDataset.read(spark, s"$outDir/shard-*.tar")
       .groupBy(col("key").cast("long").as("doc"))

@@ -92,6 +92,17 @@ object OperatorCache {
     df
   }
 
+  /** Unpersist ONE tracked frame and drop it from the registry — the
+    * surgical form of [[releaseAll]] for callers sharing a session with
+    * other live jobs (a foreachBatch body must not blow away caches
+    * that concurrent queries on the same session still read).
+    */
+  def release(df: DataFrame): Unit = {
+    val tracked = registry.get(df.sparkSession)
+    if (tracked != null) tracked.remove(df)
+    df.unpersist(blocking = false)
+  }
+
   /** Immediately free a DEAD checkpoint's storage blocks (one no plan
     * will read again — e.g. a superseded iteration's label frame). No-op
     * for non-checkpoint frames.

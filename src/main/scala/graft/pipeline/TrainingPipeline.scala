@@ -741,11 +741,16 @@ object TrainingPipeline {
       uriPrefix: String = "http://example.org/doc/",
       extractHtml: Boolean = false,
   ): DataFrame = {
+    // The id pattern derives from uriPrefix (quoted literally) on BOTH
+    // the input and read-back sides — a caller whose prefix doesn't end
+    // in "/doc/" must not silently extract nulls (r15 ADVICE).
+    val idPattern =
+      java.util.regex.Pattern.quote(uriPrefix) + "(\\d+)$"
     val payloadText = decode(col("payload"), "UTF-8")
     val docs = graft.sources.Warc.read(spark, s"$inDir/*.warc.gz")
       .where(col("warc_type") === "response")
       .select(
-        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+        regexp_extract(col("target_uri"), idPattern, 1)
           .cast("long").as("doc_id"),
         (if (extractHtml) Html.toText(payloadText) else payloadText).as("text"))
     val curated = OperatorCache.materialize(curate(
@@ -759,7 +764,7 @@ object TrainingPipeline {
     graft.sources.Warc.read(spark, s"$outDir/*.warc.wet.gz")
       .where(col("warc_type") === "conversion")
       .select(
-        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+        regexp_extract(col("target_uri"), idPattern, 1)
           .cast("long").as("doc_id"),
         decode(col("payload"), "UTF-8").as("text"))
       .join(spark.read.parquet(s"$outDir/_manifest"), "doc_id")

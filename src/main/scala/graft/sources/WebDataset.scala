@@ -7,6 +7,14 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** One assembled WebDataset sample ([[WebDataset.readSamplesLocal]]):
+  * the key plus an ext -> payload map. Top-level and public — encoder
+  * deserializers are code-generated, and Janino cannot construct a
+  * private nested class (a private SampleRow broke the p118 publish
+  * under Verify while interpreted fallback hid it in the test JVM).
+  */
+final case class WdSample(key: String, parts: Map[String, Array[Byte]])
+
 /** WebDataset-style tar shards — the sample-per-basename tar layout
   * multimodal training loaders stream (a shard is a POSIX ustar archive;
   * a SAMPLE is every member sharing a basename: `1234.txt`, `1234.json`,
@@ -81,6 +89,46 @@ object WebDataset {
       .groupBy("key")
       .agg(map_from_entries(collect_list(struct(col("ext"), col("payload"))))
         .as("parts"))
+
+  /** ZERO-SHUFFLE sample assembly: one row per key with one binary
+    * column per ext in `exts` (null when the sample lacks that part),
+    * assembled by grouping ADJACENT members inside each tar walk — the
+    * WebDataset convention guarantees a sample's members are contiguous
+    * within a shard (our own [[writeShards]] emits them key-sorted).
+    *
+    * This is the at-scale publish shape: where [[readSamples]] pays a
+    * payload-bytes exchange to meet a sample's parts, this pays none —
+    * the assembled row leaves the scan, so a downstream re-shard or
+    * key join is the ONLY exchange that ever carries asset bytes.
+    * Contract: a key split across shards (or non-contiguous inside one)
+    * yields one row per contiguous run, not a merged sample — callers
+    * needing to tolerate that layout should use [[readSamples]].
+    */
+  def readSamplesLocal(
+      spark: SparkSession, path: String, exts: Seq[String]): DataFrame = {
+    require(exts.nonEmpty, "readSamplesLocal needs at least one ext")
+    val keep = exts.toSet
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    implicit val enc: Encoder[WdSample] = Encoders.product[WdSample]
+    files.as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (p, bytes) =>
+        val ms = parseShard(p, bytes).filter(m => keep(m.ext)).buffered
+        new Iterator[WdSample] {
+          override def hasNext: Boolean = ms.hasNext
+          override def next(): WdSample = {
+            val k = ms.head.key
+            val b = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
+            while (ms.hasNext && ms.head.key == k) {
+              val m = ms.next(); b(m.ext) = m.payload
+            }
+            WdSample(k, b.toMap)
+          }
+        }
+      }
+      .toDF()
+      .select(col("key") +: exts.map(e => col("parts").getItem(e).as(e)): _*)
+  }
 
   /** Walk one shard's members (gzip auto-detected). Never throws. */
   def parseShard(path: String, bytes: Array[Byte]): Iterator[Member] = {
@@ -182,9 +230,20 @@ object WebDataset {
     * into `shards` tars; within a shard, members emit in sorted key
     * order with zeroed metadata → bit-reproducible shards.
     */
+  /** @param preShuffled the caller already partitioned `df` so that all
+    *                     rows of a key share a partition (a
+    *                     `repartition(n, key)` or a key-equi-join over
+    *                     one) — skip this writer's own repartition and
+    *                     emit one shard PER INPUT PARTITION (`shards` is
+    *                     ignored). This is how a publish pipeline keeps
+    *                     payload bytes to ONE exchange end-to-end: the
+    *                     upstream exchange does double duty as the
+    *                     shard layout.
+    */
   def writeShards(
       df: DataFrame, keyCol: String, parts: Seq[(String, Column)],
       dir: String, shards: Int, gzip: Boolean = false,
+      preShuffled: Boolean = false,
   ): Unit = {
     require(shards >= 1, s"shards must be >= 1: $shards")
     require(parts.nonEmpty, "writeShards needs at least one part")
@@ -198,8 +257,11 @@ object WebDataset {
     val cols = col(keyCol).cast("string").as("__key") +:
       parts.map { case (e, c) => c.cast("binary").as(s"__p_$e") }
     val ext = if (gzip) "tar.gz" else "tar"
-    df.select(cols: _*)
-      .repartition(shards, col("__key"))
+    val projected = df.select(cols: _*)
+    val placed =
+      if (preShuffled) projected
+      else projected.repartition(shards, col("__key"))
+    placed
       .sortWithinPartitions("__key")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = TaskContext.getPartitionId()

@@ -35,8 +35,10 @@ object StreamingMultimodal {
   /** Attach the gate to a streaming member source
     * ([[graft.sources.WebDataset.readStream]] output: path/key/ext/
     * payload rows). `initialFp`/`initialPeaks` are the prior corpus's
-    * state ([[Multimodal.writeMmState]] layout, or empty frames for a
-    * cold start). The sink receives one row per KEPT sample:
+    * state ([[Multimodal.writeMmState]] layout — select the
+    * (doc, fp) / (doc, frame, peak_bin) columns off the parquet read,
+    * which also carries the batch partition column — or empty frames
+    * for a cold start). The sink receives one row per KEPT sample:
     * (key string, png binary, wav binary) — materialize what you need
     * (the standard foreachBatch contract).
     */
@@ -56,9 +58,13 @@ object StreamingMultimodal {
           .where(col("ext").isin("png", "wav"))
           .select(col("key").cast("long").as("id"), col("ext"), col("payload"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        var batchFp: DataFrame = null
+        var batchPk: DataFrame = null
         try {
           val (manifest, fpB, pkB) = Multimodal.curateBatchCore(
             spark, b, fpState, pkState, maxHamming, minFrames)
+          batchFp = fpB
+          batchPk = pkB
           val kept = b
             .groupBy(col("id").cast("string").as("key"))
             .agg(max(when(col("ext") === "png", col("payload"))).as("png"),
@@ -77,7 +83,12 @@ object StreamingMultimodal {
           fpState = newFp
           pkState = newPk
         } finally {
-          OperatorCache.releaseAll(b.sparkSession)
+          // release only THIS batch's materialized frames — releaseAll
+          // would unpersist every tracked frame in the shared session,
+          // costing concurrent jobs their caches each micro-batch
+          // (r15 ADVICE)
+          if (batchFp != null) OperatorCache.release(batchFp)
+          if (batchPk != null) OperatorCache.release(batchPk)
           b.unpersist(blocking = false)
         }
       }

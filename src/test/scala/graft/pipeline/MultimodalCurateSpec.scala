@@ -106,5 +106,19 @@ class MultimodalCurateSpec extends SparkSpec {
       spark, s"$base/state", s"$base/batch2", s"$base/out2")
     assert(inc2.isEmpty, "every class was seen by now — nothing survives")
     OperatorCache.releaseAll(spark)
+
+    // idempotent advance: replaying a batch dir (partial-failure rerun)
+    // must OVERWRITE its own batch= state partition, not append
+    // duplicate fingerprint/landmark rows (duplicates would multiply
+    // the audio join counts and falsely contaminate future batches)
+    val fpAfter = spark.read.parquet(s"$base/state/fp").count()
+    val pkAfter = spark.read.parquet(s"$base/state/peaks").count()
+    Multimodal.curateShardsIncremental(
+      spark, s"$base/state", s"$base/batch2", s"$base/out2_replay")
+    OperatorCache.releaseAll(spark)
+    assert(spark.read.parquet(s"$base/state/fp").count() == fpAfter,
+      "batch replay must not duplicate fp state rows")
+    assert(spark.read.parquet(s"$base/state/peaks").count() == pkAfter,
+      "batch replay must not duplicate landmark state rows")
   }
 }

@@ -47,8 +47,9 @@ class StreamingMultimodalSpec extends SparkSpec {
     val kept = ArrayBuffer.empty[Long]
     val q = StreamingMultimodal.ingestGate(
       WebDataset.readStream(spark, watch),
-      spark.read.parquet(s"$base/state/fp"),
-      spark.read.parquet(s"$base/state/peaks")) { (batch, _) =>
+      spark.read.parquet(s"$base/state/fp").select("doc", "fp"),
+      spark.read.parquet(s"$base/state/peaks")
+        .select("doc", "frame", "peak_bin")) { (batch, _) =>
       kept ++= batch.select(col("key").cast("long")).as[Long].collect()
     }.start()
     try {

@@ -24,9 +24,26 @@ python3 tools/verify_local.py /root/testdata/sf0.01 target/verify_close | tail -
 python3 tools/dtype_sweep.py /root/testdata/sf0.01 target/verify_close | tail -4
 
 echo "== [3/5] Verify @ sf0.01 under ANSI mode"
+# Capture the Verify exit code explicitly: under pipefail a crashed run
+# piped into grep used to print "0 errors" and continue — this step must
+# GATE like steps 1-2, not merely detect (r15 ADVICE).
+ansi_log=/tmp/verify_ansi_close.log
+set +e
 SPARK_GRAFT_ANSI=true SPARK_GRAFT_CPUS=16 \
   tools/run.sh graft.Verify /root/testdata/sf0.01 target/verify_ansi_close \
-  2>&1 | grep "\[verify\]" || echo "ANSI sweep: 0 errors"
+  > "$ansi_log" 2>&1
+ansi_rc=$?
+set -e
+if [ "$ansi_rc" -ne 0 ]; then
+  echo "ANSI Verify CRASHED (exit $ansi_rc) — tail of $ansi_log:"
+  tail -20 "$ansi_log"
+  exit 1
+fi
+if grep "\[verify\]" "$ansi_log"; then
+  echo "ANSI sweep: per-query errors above — failing the close"
+  exit 1
+fi
+echo "ANSI sweep: 0 errors"
 
 echo "== [4/5] Bench @ sf0.1"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
