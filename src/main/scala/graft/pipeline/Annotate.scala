@@ -3,7 +3,7 @@ package graft.pipeline
 import java.util.concurrent.{ExecutorCompletionService, ExecutorService, Executors, ThreadFactory, TimeUnit}
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType, StringType, StructType}
 
@@ -380,5 +380,61 @@ object Annotate {
         .drop("embedding", "annotation_error"),
       textCol, config, batchSize)
     ok.unionByName(retried)
+  }
+
+  /** The composed annotate → train → screen loop (the FineWeb-Edu
+    * recipe, "LLM calls as operators" end to end): [[llmLabel]] a
+    * SAMPLE of the corpus through the endpoint (`samplePredicate` is
+    * the annotation-budget knob — at 100 TB you label 1e5 docs, not
+    * 1e10), [[TextClassifier.train]] a fastText-style classifier on
+    * the teacher's labels (y = 1 for `posLabel`; ambiguous replies
+    * drop), then screen the WHOLE corpus with the student model at the
+    * corpus's lower-median score — the p56 data-derived floor, so the
+    * frontier is non-vacuous under any drift.
+    *
+    * Scale shape: HTTP touches only the sample, once (the training
+    * feature frame persists across epochs); the corpus-wide pass is
+    * the classifier's one tokenize+hash+margin scan with the weights
+    * riding as a literal. The returned frame no longer depends on the
+    * endpoint at all — the model is data by then — so the caller can
+    * stop a fixture server before materializing it. When the teacher
+    * is DETERMINISTIC (a fixed function of the prompt, e.g.
+    * [[graft.agent.StubLlmServer]]), every keep/drop decision is
+    * externally replayable: the p121 oracle re-derives the labels, the
+    * full GD trajectory, the median floor, and the exact keep set in
+    * SQL.
+    *
+    * @return `df`'s kept rows, original columns ([[TextClassifier.screen]])
+    */
+  /** @param minScore9 an explicit keep floor on the 1e9 sigmoid grid
+    *                   (`Scale/2` = the margin-sign hyperplane); None →
+    *                   the corpus's lower-median score, which stays
+    *                   non-vacuous under any drift (ties at the median
+    *                   keep — an order statistic, not a class boundary)
+    */
+  def llmDistillScreen(
+      df: DataFrame, idCol: String, textCol: String,
+      promptTemplate: String, posLabel: String, negLabel: String,
+      config: LlmAnnotateConfig, samplePredicate: Column,
+      numBuckets: Int = 256, epochs: Int = 3,
+      minScore9: Option[Long] = None,
+  ): DataFrame = {
+    val labeled = llmLabel(
+      df.where(samplePredicate).select(col(idCol), col(textCol)),
+      textCol, promptTemplate, Seq(posLabel, negLabel), config)
+      .where(col("label").isNotNull)
+      .withColumn("__y", (col("label") === posLabel).cast("int"))
+    val model = TextClassifier.train(labeled, idCol, textCol, "__y",
+      numBuckets = numBuckets, epochs = epochs)
+    val scores = OperatorCache.materialize(TextClassifier.score(
+      df.withColumn("__y", lit(0)), idCol, textCol, "__y", model))
+    val floor = minScore9.getOrElse {
+      val n = scores.count()
+      val k = ((n + 1) / 2).toInt
+      scores.select("score9").orderBy("score9").limit(k)
+        .agg(max("score9")).head.getLong(0)
+    }
+    TextClassifier.screen(df, idCol, textCol, model, minScore9 = floor,
+      precomputed = Some(scores))
   }
 }

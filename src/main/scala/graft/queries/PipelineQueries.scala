@@ -659,19 +659,30 @@ object PipelineQueries {
     * Weight CTEs are MATERIALIZED: m_i and w_i both read w_{i-1}, so
     * the default inlining would double the tree per epoch (see bpeCtes).
     */
-  private def classifierCtes(epochs: Int, buckets: Int): String = {
+  /** @param labelSql    SQL expression over `t`'s columns producing the
+    *                     0/1 training label (default: the p53/p56
+    *                     lang='en' proxy; p121 derives it from the
+    *                     deterministic LLM teacher's reply rule)
+    * @param trainFilter SQL predicate over `t` restricting the TRAINING
+    *                     set (p121 labels only the annotation-budget
+    *                     sample; scoring CTEs over the full corpus are
+    *                     the caller's suffix)
+    */
+  private def classifierCtes(epochs: Int, buckets: Int,
+      labelSql: String = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+      trainFilter: String = "TRUE"): String = {
     val base =
       s"""WITH t AS (
-         |  SELECT doc_id, lang,
+         |  SELECT doc_id, lang, text,
          |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
          |                     x -> x <> '') AS tk
          |  FROM read_parquet('{SFDIR}/documents.parquet')
          |), lab AS MATERIALIZED (
-         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |  SELECT doc_id, $labelSql AS y,
          |         CAST(len(tk) AS BIGINT) AS n
-         |  FROM t WHERE len(tk) > 0
+         |  FROM t WHERE len(tk) > 0 AND ($trainFilter)
          |), tok AS (
-         |  SELECT doc_id, unnest(tk) AS tok FROM t
+         |  SELECT doc_id, unnest(tk) AS tok FROM t WHERE ($trainFilter)
          |), hb AS (
          |  SELECT doc_id,
          |         CAST(list_reduce(
@@ -4013,6 +4024,79 @@ object PipelineQueries {
              |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
              |FROM c GROUP BY doc_id, CAST(cum // 24 AS INT)
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // The composed annotate → train → screen loop (FineWeb-Edu shape,
+    // "LLM calls as operators" end to end): a DETERMINISTIC in-JVM
+    // teacher labels the doc_id%5 sample good/bad by whitespace-token
+    // parity of the raw text, TextClassifier distills those labels, and
+    // the student screens the WHOLE corpus at the lower-median floor.
+    // The oracle re-derives the teacher's labels in SQL (the reply is a
+    // pure function of the prompt — that's what makes an LLM-distilled
+    // filter auditable), replays the full fixed-point GD trajectory on
+    // the sample, re-scores the corpus, and re-derives the floor and
+    // the exact keep set, so a green hash proves the ENTIRE chain —
+    // HTTP annotation included — not just the classifier arithmetic
+    // p53/p56 already pin piecewise.
+    QueryDef("p121_llm_distill_screen",
+      (s, dir) => {
+        val stub = graft.agent.StubLlmServer.start { prompt =>
+          if (prompt.split("\\s+").count(_.nonEmpty) % 2 == 0) "good"
+          else "bad"
+        }
+        try {
+          Annotate.llmDistillScreen(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            "{text}", "good", "bad",
+            LlmAnnotateConfig(baseUrl = stub.url, model = "stub",
+              apiKey = Some("sk-test"), maxRetries = 4,
+              backoffMillis = 1L, concurrency = 8,
+              requestsPerSecond = 1e6),
+            samplePredicate = col("doc_id") % 5 === 0,
+            numBuckets = tcBuckets, epochs = tcEpochs)
+            .select("doc_id", "lang", "source").orderBy("doc_id")
+        } finally stub.stop()
+      },
+      Some(classifierCtes(tcEpochs, tcBuckets,
+        labelSql = "CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) % 2 = 0 THEN 1 ELSE 0 END",
+        trainFilter = "doc_id % 5 = 0") +
+        s"""
+           |, lab_all AS (
+           |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n
+           |  FROM t WHERE len(tk) > 0
+           |), tok_all AS (
+           |  SELECT doc_id, unnest(tk) AS tok FROM t
+           |), hb_all AS (
+           |  SELECT doc_id,
+           |         CAST(list_reduce(
+           |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+           |                        list_transform(regexp_extract_all(hex(encode(tok)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+           |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+           |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+           |         ) % $tcBuckets AS INT) AS bucket
+           |  FROM tok_all
+           |), f_all AS MATERIALIZED (
+           |  SELECT doc_id, bucket, CAST(count(*) AS HUGEINT) AS c
+           |  FROM hb_all GROUP BY doc_id, bucket
+           |), mf AS (
+           |  SELECT f.doc_id, SUM(f.c * w.w) AS mm
+           |  FROM f_all f JOIN w$tcEpochs w ON f.bucket = w.b GROUP BY f.doc_id
+           |), sc AS (
+           |  SELECT m.doc_id,
+           |         CAST(round(1000000000.0 / (1.0 + exp(-(CAST(m.mm AS DOUBLE) / (CAST(l.n AS DOUBLE) * 1000000000.0))))) AS HUGEINT) AS s9
+           |  FROM mf m JOIN lab_all l USING (doc_id)
+           |), ranked AS (
+           |  SELECT s9, row_number() OVER (ORDER BY s9) AS rk,
+           |         count(*) OVER () AS n
+           |  FROM sc
+           |), thr AS (
+           |  SELECT s9 AS t FROM ranked WHERE rk = (n + 1) // 2
+           |), keep AS (
+           |  SELECT doc_id FROM sc CROSS JOIN thr WHERE sc.s9 >= thr.t
+           |)
+           |SELECT d.doc_id, d.lang, d.source
+           |FROM read_parquet('{SFDIR}/documents.parquet') d
+           |JOIN keep USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin)),
 
     // HTML → text extraction (the WET-generation step): each doc's text
     // wrapped into a full page — head with title/style, nav chrome, an

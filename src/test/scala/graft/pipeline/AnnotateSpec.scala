@@ -418,4 +418,54 @@ class AnnotateSpec extends SparkSpec {
       embedded.unpersist()
     } finally stub.stop()
   }
+
+  test("llmDistillScreen: annotate the sample, train, screen the corpus") {
+    // deterministic teacher: "good" iff the text's whitespace-token
+    // count is even (a pure function of the prompt — replayable)
+    val stub = new Stub(scoreOf = p =>
+      if (p.split("\\s+").count(_.nonEmpty) % 2 == 0) "good" else "bad")
+    try {
+      // texts engineered so parity correlates with a token ("quality"
+      // appears only in even-length docs) — a signal the hashed-unigram
+      // student can actually learn from 3 GD epochs
+      val corpus = (0 until 40).map { i =>
+        val t =
+          if (i % 2 == 0) s"quality prose item $i here ok"  // 6 toks: even
+          else s"junk filler row $i noise"                  // 5 toks: odd
+        (i.toLong, t)
+      }.toDF("doc_id", "text")
+
+      // explicit margin-sign floor (Scale/2): the crisp class test —
+      // the median default is an order statistic whose ties keep
+      val screened = Annotate.llmDistillScreen(
+        corpus, "doc_id", "text", "{text}", "good", "bad",
+        cfg(stub.url), samplePredicate = col("doc_id") % 2 === 0
+          || col("doc_id") % 3 === 0,
+        minScore9 = Some(TextClassifier.Scale / 2))
+      val kept = screened.select("doc_id").collect().map(_.getLong(0)).toSet
+
+      // HTTP touched ONLY the sample — the annotation-budget contract
+      val sampleSize = (0 until 40).count(i => i % 2 == 0 || i % 3 == 0)
+      assert(stub.hits.get() == sampleSize,
+        s"expected $sampleSize teacher calls, saw ${stub.hits.get()}")
+
+      // the student separates the classes: trained on the sample's
+      // parity labels, the median-floor screen keeps exactly the
+      // positive class across the WHOLE corpus (unsampled odd docs
+      // included — that's the distillation point)
+      assert(kept == (0 until 40 by 2).map(_.toLong).toSet,
+        s"screen must keep the positive class corpus-wide, got $kept")
+
+      // determinism: a second run (fresh teacher calls, fresh GD) lands
+      // on the identical keep set — the provenance-replay contract
+      val again = Annotate.llmDistillScreen(
+        corpus, "doc_id", "text", "{text}", "good", "bad",
+        cfg(stub.url), samplePredicate = col("doc_id") % 2 === 0
+          || col("doc_id") % 3 === 0,
+        minScore9 = Some(TextClassifier.Scale / 2))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(again == kept, "distill loop must be exactly reproducible")
+      OperatorCache.releaseAll(spark)
+    } finally stub.stop()
+  }
 }
