@@ -116,10 +116,24 @@ object TextClassifier {
       numBuckets: Int = 256, epochs: Int = 3, lrNum: Long = 1, lrDen: Long = 2,
       persistFeatures: Boolean = true,
   ): Model = {
-    require(epochs >= 1, s"epochs must be >= 1: $epochs")
-    require(lrNum > 0 && lrDen > 0, s"learning rate must be positive: $lrNum/$lrDen")
     val feats0 = features(df, idCol, textCol, labelCol, numBuckets)
     val feats = if (persistFeatures) OperatorCache.materialize(feats0) else feats0
+    trainOnFeatures(feats, numBuckets, epochs, lrNum, lrDen)
+  }
+
+  /** The GD loop over a PREBUILT feature frame (doc, y, bucket, c, n) —
+    * shared by [[train]] (hashed word unigrams) and
+    * [[LangId.train]] (hashed character n-grams, one binary model per
+    * language): the feature extractor is the pluggable part, the
+    * fixed-point trajectory is not. The caller owns persisting `feats`
+    * (it is scanned 2×epochs + once here).
+    */
+  def trainOnFeatures(
+      feats: DataFrame, numBuckets: Int, epochs: Int,
+      lrNum: Long = 1, lrDen: Long = 2,
+  ): Model = {
+    require(epochs >= 1, s"epochs must be >= 1: $epochs")
+    require(lrNum > 0 && lrDen > 0, s"learning rate must be positive: $lrNum/$lrDen")
     val n = feats.select("doc").distinct().count()
     require(n > 0, "train: no documents with tokens")
     var w = Array.fill(numBuckets)(0L)

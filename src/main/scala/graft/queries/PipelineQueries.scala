@@ -726,6 +726,127 @@ object PipelineQueries {
     base + steps
   }
 
+  /** Shared fixture for the trained-langid loop (p122): language order
+    * (= argmax tie-break order) and 12-word language-flavored
+    * vocabularies. The fixture TEXT is a pure function of
+    * (doc_id, lang) — word j of doc i is vocab[lang][(i + 7j) mod 12]
+    * — so the oracle rebuilds every document from the table alone.
+    */
+  private val liLangs = Seq("de", "en", "es", "fr", "zh")
+  private val liVocab: Seq[Seq[String]] = Seq(
+    Seq("der", "und", "sch", "ein", "nicht", "mit", "das", "auf", "für",
+      "ist", "werden", "zeit"),
+    Seq("the", "and", "with", "that", "have", "this", "from", "they",
+      "which", "their", "about", "would"),
+    Seq("que", "los", "una", "por", "con", "para", "ciudad", "hacer",
+      "tiempo", "siempre", "más", "años"),
+    Seq("les", "des", "une", "est", "dans", "pour", "qui", "avec",
+      "plus", "être", "faire", "jamais"),
+    Seq("的是", "不了", "在人", "有我", "他这", "中大", "来上", "国个",
+      "到说", "们为", "子和", "你地"))
+
+  /** DuckDB replay of the FULL trained-langid loop: fixture text
+    * reconstruction, char-3-gram explode, FNV bucket hashing, one
+    * p53-style fixed-point GD trajectory PER LANGUAGE (one-vs-rest,
+    * shared zero-init w0), per-language eval margins, and the
+    * >=-chained argmax CASE that spells the same (margin, earliest
+    * lang) total order as the Spark side's struct array_max.
+    */
+  private def langIdCtes(epochs: Int, buckets: Int): String = {
+    def fnvBucket(in: String): String =
+      s"""CAST(list_reduce(
+         |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
+         |                        list_transform(regexp_extract_all(hex(encode($in)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
+         |           (acc, x) -> ((acc - (acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT))
+         |                        * CAST('1099511628211' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+         |         ) % $buckets AS INT)""".stripMargin
+    val vocabCols = liLangs.zip(liVocab).map { case (l, ws) =>
+      ws.map(w => s"'$w'").mkString(s"[", ",", s"] AS v_$l")
+    }.mkString(", ")
+    val vocabCase = "CASE lang " +
+      liLangs.dropRight(1).map(l => s"WHEN '$l' THEN v_$l ").mkString +
+      s"ELSE v_${liLangs.last} END"
+    val base =
+      s"""WITH v AS (SELECT $vocabCols
+         |), fx AS MATERIALIZED (
+         |  SELECT doc_id, lang,
+         |         array_to_string(list_transform(range(0, 20), j ->
+         |           ($vocabCase)[CAST((doc_id + j * 7) % 12 AS INT) + 1]), ' ') AS text
+         |  FROM read_parquet('{SFDIR}/documents.parquet') CROSS JOIN v
+         |), f AS MATERIALIZED (
+         |  SELECT doc_id, bucket, CAST(count(*) AS HUGEINT) AS c FROM (
+         |    SELECT doc_id, ${fnvBucket("substr(text, CAST(p AS INT), 3)")} AS bucket
+         |    FROM (SELECT doc_id, text, unnest(range(1, len(text) - 1)) AS p
+         |          FROM fx WHERE doc_id % 2 = 0))
+         |  GROUP BY doc_id, bucket
+         |), lab AS MATERIALIZED (
+         |  SELECT f0.doc_id, fx.lang, CAST(SUM(f0.c) AS HUGEINT) AS n
+         |  FROM f f0 JOIN fx USING (doc_id) GROUP BY f0.doc_id, fx.lang
+         |), nn AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS nd FROM lab
+         |), w0 AS MATERIALIZED (
+         |  SELECT CAST(unnest(range(0, $buckets)) AS INT) AS b, CAST(0 AS HUGEINT) AS w
+         |)""".stripMargin
+    val trains = liLangs.map { l =>
+      (1 to epochs).map { i =>
+        val prev = if (i == 1) "w0" else s"w_${l}_${i - 1}"
+        s""", m_${l}_$i AS (
+           |  SELECT f.doc_id, SUM(f.c * w.w) AS mm
+           |  FROM f JOIN $prev w ON f.bucket = w.b GROUP BY f.doc_id
+           |), s_${l}_$i AS (
+           |  SELECT l.doc_id, CASE WHEN l.lang = '$l' THEN 1 ELSE 0 END AS y, l.n,
+           |         CAST(round(1000000000.0 / (1.0 + exp(-(CAST(m.mm AS DOUBLE) / (CAST(l.n AS DOUBLE) * 1000000000.0))))) AS HUGEINT) AS s9
+           |  FROM m_${l}_$i m JOIN lab l USING (doc_id)
+           |), fd_${l}_$i AS (
+           |  SELECT doc_id, (r - ((r % n) + n) % n) // n AS fd FROM (
+           |    SELECT doc_id, s9 - CAST(y AS HUGEINT) * 1000000000 AS r,
+           |           CAST(n AS HUGEINT) AS n FROM s_${l}_$i)
+           |), g_${l}_$i AS (
+           |  SELECT f.bucket, SUM(fd.fd * f.c) AS g
+           |  FROM f JOIN fd_${l}_$i fd USING (doc_id) GROUP BY f.bucket
+           |), w_${l}_$i AS MATERIALIZED (
+           |  SELECT b, w - (gg - ((gg % d) + d) % d) // d AS w FROM (
+           |    SELECT w.b, w.w, COALESCE(g.g, CAST(0 AS HUGEINT)) AS gg,
+           |           2 * nn.nd AS d
+           |    FROM $prev w LEFT JOIN g_${l}_$i g ON g.bucket = w.b CROSS JOIN nn)
+           |)""".stripMargin
+      }.mkString
+    }.mkString
+    val evalMargins =
+      s""", ef AS MATERIALIZED (
+         |  SELECT doc_id, bucket, CAST(count(*) AS HUGEINT) AS c FROM (
+         |    SELECT doc_id, ${fnvBucket("substr(text, CAST(p AS INT), 3)")} AS bucket
+         |    FROM (SELECT doc_id, text, unnest(range(1, len(text) - 1)) AS p
+         |          FROM fx WHERE doc_id % 2 = 1))
+         |  GROUP BY doc_id, bucket
+         |)""".stripMargin +
+        liLangs.map { l =>
+          s""", mm_$l AS (
+             |  SELECT ef.doc_id, SUM(ef.c * w.w) AS m
+             |  FROM ef JOIN w_${l}_$epochs w ON ef.bucket = w.b GROUP BY ef.doc_id
+             |)""".stripMargin
+        }.mkString
+    // >=-chain: lang k wins iff its margin >= every later lang's, and
+    // no earlier lang won — exactly (max margin, earliest index)
+    val predCase = "CASE " + liLangs.indices.dropRight(1).map { k =>
+      val conds = (k + 1 until liLangs.length)
+        .map(j => s"mm_${liLangs(k)}.m >= mm_${liLangs(j)}.m").mkString(" AND ")
+      s"WHEN $conds THEN '${liLangs(k)}' "
+    }.mkString + s"ELSE '${liLangs.last}' END"
+    val joins = liLangs.map(l => s"JOIN mm_$l USING (doc_id)").mkString(" ")
+    base + trains + evalMargins +
+      s""", pr AS (
+         |  SELECT fx.lang, $predCase AS lang_pred
+         |  FROM fx $joins
+         |), cm AS (
+         |  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM pr GROUP BY lang, lang_pred
+         |)
+         |SELECT lang, lang_pred, n_docs,
+         |       ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang), 6) AS share
+         |FROM cm ORDER BY lang, lang_pred""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: first-id-wins per duplicate group (deterministic, unlike
@@ -4097,6 +4218,36 @@ object PipelineQueries {
            |FROM read_parquet('{SFDIR}/documents.parquet') d
            |JOIN keep USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin)),
+
+    // TRAINED language ID (the p94 upgrade): hashed char-3-gram
+    // one-vs-rest linear models on the fixed-point GD, trained on the
+    // even-doc_id half of a language-flavored labeled fixture (text is
+    // a pure function of (doc_id, lang) so the oracle rebuilds it) and
+    // evaluated on the held-out odd half. The oracle replays fixture
+    // construction, gram hashing, ALL FIVE GD trajectories, the eval
+    // margins, and the argmax tie-break, so a green hash pins every
+    // cell of the confusion matrix — whose diagonal is the learned
+    // recall the heuristic p94 audit showed it lacked.
+    QueryDef("p122_langid_trained",
+      (s, dir) => {
+        val vLit = typedlit(liVocab)
+        val lidx = liLangs.zipWithIndex.foldLeft(lit(-1)) {
+          case (acc, (l, i)) => when(col("lang") === l, lit(i)).otherwise(acc)
+        }
+        val fx = Tables.load(s, dir, "documents").select("doc_id", "lang")
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(0), lit(19)), j =>
+              element_at(element_at(vLit, lidx + 1),
+                pmod(col("doc_id") + j.cast("long") * 7L, lit(12L))
+                  .cast("int") + 1))))
+        val model = LangId.train(fx.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", "lang", liLangs,
+          n = 3, numBuckets = 256, epochs = 2)
+        LangId.confusion(fx.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", "lang", model)
+          .orderBy("lang", "lang_pred")
+      },
+      Some(langIdCtes(epochs = 2, buckets = 256))),
 
     // HTML → text extraction (the WET-generation step): each doc's text
     // wrapped into a full page — head with title/style, nav chrome, an
