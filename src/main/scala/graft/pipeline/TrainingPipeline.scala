@@ -734,25 +734,44 @@ object TrainingPipeline {
     *                     prose); the WET output then holds the
     *                     EXTRACTED text, exactly what the public WET
     *                     files are
+    * @param boilerplate  (with extractHtml) use the line-level
+    *                     boilerplate screen ([[Html.extractMainText]]:
+    *                     link-density / length / stopword-density gates
+    *                     per extracted line) instead of the plain strip
+    *                     chain — the jusText step that drops the
+    *                     link-farm and chrome-ish lines toText keeps.
+    *                     Costs one doc-keyed exchange (the line
+    *                     reassembly); the per-line replay is
+    *                     oracle-pinned by p123
     */
   def curateArchive(
       spark: org.apache.spark.sql.SparkSession, inDir: String, outDir: String,
       minQuality: Double = 0.3, minWords: Long = 20, shards: Int = 4,
       uriPrefix: String = "http://example.org/doc/",
       extractHtml: Boolean = false,
+      boilerplate: Boolean = false,
   ): DataFrame = {
+    require(!boilerplate || extractHtml,
+      "boilerplate screening operates on HTML input (set extractHtml)")
     // The id pattern derives from uriPrefix (quoted literally) on BOTH
     // the input and read-back sides — a caller whose prefix doesn't end
     // in "/doc/" must not silently extract nulls (r15 ADVICE).
     val idPattern =
       java.util.regex.Pattern.quote(uriPrefix) + "(\\d+)$"
     val payloadText = decode(col("payload"), "UTF-8")
-    val docs = graft.sources.Warc.read(spark, s"$inDir/*.warc.gz")
+    val responses = graft.sources.Warc.read(spark, s"$inDir/*.warc.gz")
       .where(col("warc_type") === "response")
       .select(
         regexp_extract(col("target_uri"), idPattern, 1)
           .cast("long").as("doc_id"),
-        (if (extractHtml) Html.toText(payloadText) else payloadText).as("text"))
+        payloadText.as("raw"))
+    val docs =
+      if (boilerplate)
+        Html.extractMainText(responses, "doc_id", "raw")
+          .select(col("doc").as("doc_id"), col("text_main").as("text"))
+      else
+        responses.select(col("doc_id"),
+          (if (extractHtml) Html.toText(col("raw")) else col("raw")).as("text"))
     val curated = OperatorCache.materialize(curate(
       docs, "doc_id", "text",
       minQuality = minQuality, minWords = minWords, spanK = 0))

@@ -4249,6 +4249,82 @@ object PipelineQueries {
       },
       Some(langIdCtes(epochs = 2, buckets = 256))),
 
+    // Line-level boilerplate features + keep/drop (jusText-style, the
+    // extraction-quality step Html.toText alone lacks): each doc's text
+    // wrapped into a page whose OTHER lines are a link farm (high link
+    // density), a stopword-free "Copyright" line, and a mixed prose
+    // line with one inline anchor; anchors are sentinel-marked BEFORE
+    // tag stripping so per-line link chars survive extraction. The
+    // oracle replays the marked strip chain (Html.toTextMarkedSql —
+    // same rewrite list, engine-local backref spelling), the line
+    // explode, every feature (lengths, words, link chars via the same
+    // span arithmetic, stopword hits), both densities with the
+    // round-before-compare rule, and the keep gates — so a green hash
+    // pins every per-line keep/drop decision.
+    QueryDef("p123_boilerplate_lines",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>t</title></head><body>" +
+            "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+            "<p>Links: <a href=\"/1\">one link</a> <a href=\"/2\">two link" +
+            "</a> <a href=\"/3\">three more</a> go</p><p>"),
+          col("text"),
+          lit("</p><p>Copyright 2024 MegaCorp</p>" +
+            "<p>Read <a href=\"/m\">more</a> about the thing that we have " +
+            "here with it</p></body></html>"))
+        Html.lineFeatures(
+          Tables.load(s, dir, "documents").select(col("doc_id"), html.as("h")),
+          "doc_id", "h")
+          .withColumn("keep",
+            col("link_density") <= 0.4 && col("n_words") >= 5 &&
+              col("stop_density") >= 0.03)
+          .orderBy("doc", "pos")
+      },
+      Some({
+        val htmlSql =
+          "'<html><head><title>t</title></head><body>" +
+            "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+            "<p>Links: <a href=\"/1\">one link</a> <a href=\"/2\">two link" +
+            "</a> <a href=\"/3\">three more</a> go</p><p>' || text || " +
+            "'</p><p>Copyright 2024 MegaCorp</p>" +
+            "<p>Read <a href=\"/m\">more</a> about the thing that we have " +
+            "here with it</p></body></html>'"
+        val sp = "chr(2) || '[^' || chr(3) || ']*' || chr(3)"
+        val stopPat =
+          "'(?i)\\b(the|be|to|of|and|that|have|with|a|in|is|it)\\b'"
+        s"""WITH h AS (
+           |  SELECT doc_id, ${Html.toTextMarkedSql(s"($htmlSql)")} AS t
+           |  FROM read_parquet('{SFDIR}/documents.parquet')
+           |), lines AS (
+           |  SELECT doc_id, unnest(string_split(t, chr(10))) AS mline,
+           |         unnest(range(0, len(string_split(t, chr(10))))) AS pos
+           |  FROM h
+           |), f AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |         replace(replace(mline, chr(2), ''), chr(3), '') AS line,
+           |         CAST(len(mline) - len(regexp_replace(mline, $sp, '', 'g'))
+           |              - 2 * len(regexp_extract_all(mline, $sp)) AS BIGINT) AS link_chars
+           |  FROM lines
+           |), g AS (
+           |  SELECT doc_id, pos, line, link_chars,
+           |         CAST(len(line) AS BIGINT) AS n_chars,
+           |         CAST(len(list_filter(string_split_regex(trim(line), '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+           |         CAST(len(regexp_extract_all(line, $stopPat)) AS BIGINT) AS stop_hits
+           |  FROM f
+           |), d AS (
+           |  SELECT doc_id, pos, line, n_chars, n_words, link_chars, stop_hits,
+           |         CASE WHEN n_chars = 0 THEN 1.0
+           |              ELSE ROUND(CAST(link_chars AS DOUBLE) / n_chars, 6) END AS link_density,
+           |         CASE WHEN n_words = 0 THEN 0.0
+           |              ELSE ROUND(CAST(stop_hits AS DOUBLE) / n_words, 6) END AS stop_density
+           |  FROM g
+           |)
+           |SELECT doc_id AS doc, pos, line, n_chars, n_words, link_chars,
+           |       link_density, stop_hits, stop_density,
+           |       (link_density <= 0.4 AND n_words >= 5 AND stop_density >= 0.03) AS keep
+           |FROM d ORDER BY doc, pos""".stripMargin
+      })),
+
     // HTML → text extraction (the WET-generation step): each doc's text
     // wrapped into a full page — head with title/style, nav chrome, an
     // h1, a comment, the prose paragraph, an entity-heavy trailing div,

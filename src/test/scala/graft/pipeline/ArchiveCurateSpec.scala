@@ -65,4 +65,40 @@ class ArchiveCurateSpec extends SparkSpec {
     assert(text == sentence("alpha"),
       s"chrome and tags must be gone from the WET text: $text")
   }
+
+  test("boilerplate flag: link-farm lines drop from the WET text, prose survives") {
+    val base = s"target/graft-test/archcurate_bp_${System.nanoTime()}"
+    // a page whose <p>-wrapped link farm SURVIVES plain toText (it is
+    // not chrome markup) but must die to the line-level density screen
+    def page(body: String) =
+      "<html><head><title>t</title></head><body>" +
+        "<p><a href=\"/1\">one link</a> <a href=\"/2\">two link</a> " +
+        "<a href=\"/3\">three</a></p>" +
+        s"<p>$body</p>" +
+        "<p>Copyright 2024 MegaCorp</p>" +
+        "</body></html>"
+    val docs = Seq(1L -> page(sentence("alpha"))).toDF("doc_id", "text")
+    Warc.writeShards(docs, "doc_id", "text", s"$base/in", shards = 1)
+
+    val plain = TrainingPipeline.curateArchive(
+      spark, s"$base/in", s"$base/plain", extractHtml = true)
+      .collect().map(_.getString(1)).head
+    OperatorCache.releaseAll(spark)
+    assert(plain.contains("one link") && plain.contains("Copyright"),
+      s"plain toText keeps the boilerplate lines (the gap): $plain")
+
+    val screened = TrainingPipeline.curateArchive(
+      spark, s"$base/in", s"$base/out", extractHtml = true,
+      boilerplate = true)
+      .collect().map(_.getString(1)).head
+    OperatorCache.releaseAll(spark)
+    assert(screened == sentence("alpha"),
+      s"the line screen must keep exactly the prose line: $screened")
+
+    // flag contract: boilerplate without extractHtml is a caller bug
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.curateArchive(
+        spark, s"$base/in", s"$base/x", boilerplate = true)
+    }
+  }
 }

@@ -62,4 +62,43 @@ class HtmlSpec extends SparkSpec {
       .select(Html.toText(col("h"))).collect().head
     assert(out.isNullAt(0))
   }
+
+  test("lineFeatures: link chars survive tag stripping, per-line densities") {
+    val html = "<html><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" + // chrome: dropped whole
+      "<p>Links: <a href=\"/1\">one link</a> and <a href=\"/2\">two</a></p>" +
+      "<p>the plain prose line is here with it all and that is fine</p>" +
+      "<p>Copyright 2024 MegaCorp</p>" +
+      "</body></html>"
+    val lf = Html.lineFeatures(Seq((1L, html)).toDF("doc_id", "h"), "doc_id", "h")
+      .orderBy("pos").collect()
+    assert(lf.length == 3, s"nav dropped, three <p> lines: ${lf.mkString("|")}")
+    val linkLine = lf(0)
+    assert(linkLine.getAs[String]("line") == "Links: one link and two")
+    assert(linkLine.getAs[Long]("link_chars") == "one link".length + "two".length)
+    assert(linkLine.getAs[Double]("link_density") ==
+      math.rint(11.0 / 23.0 * 1e6) / 1e6)
+    val prose = lf(1)
+    assert(prose.getAs[Long]("link_chars") == 0L)
+    assert(prose.getAs[Long]("stop_hits") >= 5L) // the,is,with,it,and,that,is
+    val copyright = lf(2)
+    assert(copyright.getAs[Long]("n_words") == 3L &&
+      copyright.getAs[Long]("stop_hits") == 0L)
+  }
+
+  test("extractMainText keeps prose, drops link farms and chrome-ish lines") {
+    val html = "<html><body>" +
+      "<p><a href=\"/1\">one link</a> <a href=\"/2\">two link</a> <a href=\"/3\">x</a></p>" +
+      "<p>the plain prose line is here with it all and that is fine</p>" +
+      "<p>Copyright 2024 MegaCorp</p>" +
+      "<p>Read <a href=\"/m\">more</a> about the thing that we have here with it</p>" +
+      "</body></html>"
+    val out = Html.extractMainText(Seq((7L, html)).toDF("doc_id", "h"),
+      "doc_id", "h").collect().head
+    assert(out.getAs[Long]("n_lines") == 4L)
+    assert(out.getAs[Long]("n_lines_kept") == 2L)
+    assert(out.getAs[String]("text_main") ==
+      "the plain prose line is here with it all and that is fine\n" +
+        "Read more about the thing that we have here with it")
+  }
 }
