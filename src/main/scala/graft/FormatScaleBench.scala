@@ -209,6 +209,90 @@ object FormatScaleBench {
         f"${stateB * 100.0 / priorB}%.1f%% of the prior payload it replaces")
     }
 
+    // Publish-path exchange accounting (r16, closing the r15 finding):
+    // with MB-SCALE assets — where a redundant payload shuffle is
+    // visible — compare the r15 publish shape (groupBy sample assembly,
+    // then the writer re-shards: payload bytes cross the exchange
+    // twice) against the r16 shape (shard-local assembly in the tar
+    // scan; the kept join's single exchange IS the shard layout).
+    // Broadcast disabled so the measured plan is the at-scale one (a
+    // corpus-sized manifest does not fit on the driver); with broadcast
+    // on, the new shape's payload shuffle drops to ZERO.
+    {
+      import spark.implicits._
+      val n = 96
+      val root = "target/graft-tmp/format_scale_mm_pub"
+      // random payloads: shuffle writes are compressed, so constant
+      // bytes would hide the exchange (a 1 MB repeat() shuffles as ~1 KB)
+      val big = spark.range(n.toLong).as[Long].mapPartitions { it =>
+        it.map { id =>
+          val r = new java.util.Random(id)
+          val png = new Array[Byte](1 << 20); r.nextBytes(png)
+          val wav = new Array[Byte](1 << 18); r.nextBytes(wav)
+          (id.toString, png, wav)
+        }
+      }.toDF("key", "png", "wav")
+      WebDataset.writeShards(big, "key",
+        Seq("png" -> col("png"), "wav" -> col("wav")), s"$root/in", 8)
+      val manifest = spark.range(0, n.toLong, 2).select(col("id").as("doc"),
+        col("id").as("cluster"), lit(1L).as("n_members"))
+      val shuffleB = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) shuffleB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      val totalPayload = n.toLong * ((1L << 20) + (1L << 18))
+      def noBroadcast(f: => Unit): Unit = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try f finally {
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+      }
+      def measure(label: String)(f: => Unit): Unit = {
+        spark.sparkContext.addSparkListener(listener)
+        shuffleB.set(0L)
+        val t0 = System.nanoTime(); f
+        val s = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // let the async listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"$label: $s%.1fs, shuffle ${shuffleB.get / 1e6}%.1f MB = " +
+          f"${shuffleB.get.toDouble / totalPayload}%.2fx the corpus payload " +
+          f"(${totalPayload / 1e6}%.0f MB, half kept)")
+      }
+      def oldShape(out: String): Unit = {
+        val samples = WebDataset.read(spark, s"$root/in/*.tar")
+          .groupBy(col("key"))
+          .agg(max(when(col("ext") === "png", col("payload"))).as("png"),
+            max(when(col("ext") === "wav", col("payload"))).as("wav"))
+        val kept = samples.join(
+          manifest.select(col("doc").cast("string").as("key")), "key")
+        WebDataset.writeShards(kept, "key",
+          Seq("png" -> col("png"), "wav" -> col("wav")), out, 8)
+      }
+      def newShape(out: String): Unit = {
+        val kept = graft.pipeline.Multimodal.publishKept(spark, s"$root/in", manifest)
+        WebDataset.writeShards(kept, "key",
+          Seq("png" -> col("png"), "wav" -> col("wav")), out, 8,
+          preShuffled = true)
+      }
+      noBroadcast {
+        measure("mm publish OLD shape, no broadcast (groupBy assembly + re-shard)") {
+          oldShape(s"$root/old")
+        }
+        measure("mm publish NEW shape, no broadcast (join exchange IS the shard layout)") {
+          newShape(s"$root/new")
+        }
+      }
+      measure("mm publish NEW shape, manifest broadcasts (payloads never shuffle)") {
+        newShape(s"$root/new_bc")
+      }
+    }
+
     // decontamination: persisted-postings probe vs the text-scan screen
     // on the same 500k corpus (the probe's saving = no re-tokenization)
     if (!onlyMm) {
