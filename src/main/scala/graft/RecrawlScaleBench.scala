@@ -104,7 +104,8 @@ object RecrawlScaleBench {
         TrainingPipeline.curateIncremental(state, batches(i), "doc_id", "text")))
       val (next, advSec) = timed {
         val a = TrainingPipeline.appendState(
-          state, batches(i), "doc_id", "text", stateDir)
+          state, batches(i), "doc_id", "text", stateDir,
+          batchId = Some(s"bench_batch_$i"))
         OperatorCache.releaseAll(spark)
         a
       }

@@ -644,28 +644,111 @@ object TrainingPipeline {
     * (lazy scans — a following [[curateIncremental]] reads only the
     * bucket-matched slices).
     */
+  /** @param batchId stable identity of this batch (e.g. its input dir
+    *                 name). With an id, the advance is IDEMPOTENT under
+    *                 replay (a rerun after a partial failure, a
+    *                 double-submitted dir): an `_applied_<id>` marker
+    *                 (written LAST) makes a completed batch a no-op,
+    *                 and a replay of an incomplete one first deletes
+    *                 the batch's own `batch_<id>_*` files and
+    *                 recomputes the delta from the cleaned-up dir — so
+    *                 the seen-gate never sees the batch's own partial
+    *                 rows (which would otherwise empty the delta and
+    *                 LOSE the landed rows), and nothing ever lands
+    *                 twice (duplicate band-index rows would duplicate
+    *                 candidate links — the hazard class the multimodal
+    *                 state closed the same round). None = plain append
+    *                 (the caller owns replay discipline). Don't replay
+    *                 a batch across a [[compactState]] — compaction
+    *                 erases per-batch file identity (it is the natural
+    *                 barrier).
+    */
   def appendState(
       state: CurateState, delta: DataFrame, idCol: String, textCol: String,
-      dir: String,
+      dir: String, batchId: Option[String] = None,
   ): CurateState = {
+    import org.apache.hadoop.fs.Path
     val spark = delta.sparkSession
     import spark.implicits._
-    val (cleanedDelta, indexDelta, newBloom, deltaKeys) =
-      deltaState(state, delta, idCol, textCol)
-    cleanedDelta.write.mode("append").parquet(s"$dir/cleaned")
-    indexDelta.write.mode("append").parquet(s"$dir/band_index")
-    newBloom.foreach { case (bitmap, _, _) =>
+    val tables = Seq("cleaned", "band_index", "seen_keys")
+    def repointed(st: CurateState, bloom: Option[(Array[Long], Int, Int)]) =
+      st.copy(
+        cleaned = spark.read.parquet(s"$dir/cleaned"),
+        bandIndex = spark.read.parquet(s"$dir/band_index"),
+        bloom = bloom,
+        seenKeys = st.seenKeys.map(_ => spark.read.parquet(s"$dir/seen_keys")))
+    batchId match {
+      case None =>
+        val (cleanedDelta, indexDelta, newBloom, deltaKeys) =
+          deltaState(state, delta, idCol, textCol)
+        cleanedDelta.write.mode("append").parquet(s"$dir/cleaned")
+        indexDelta.write.mode("append").parquet(s"$dir/band_index")
+        writeBloomTable(spark, dir, newBloom)
+        deltaKeys.foreach(
+          _.write.mode("append").parquet(s"$dir/seen_keys"))
+        repointed(state, newBloom).copy(
+          seenKeys = deltaKeys.map(_ => spark.read.parquet(s"$dir/seen_keys")))
+      case Some(id0) =>
+        val safe = id0.replaceAll("[^A-Za-z0-9._-]", "_")
+        val fs = new Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val marker = new Path(dir, s"_applied_$safe")
+        if (fs.exists(marker)) {
+          // fully applied before: converge without touching anything
+          val st = readState(spark, dir)
+          return repointed(st, st.bloom)
+        }
+        // clean up any partial landing, THEN compute the delta from the
+        // dir (the source of truth once batches replay)
+        tables.foreach { t =>
+          val tp = new Path(s"$dir/$t")
+          if (fs.exists(tp))
+            fs.listStatus(tp)
+              .filter(_.getPath.getName.startsWith(s"batch_${safe}_"))
+              .foreach(s => fs.delete(s.getPath, false))
+        }
+        val st = readState(spark, dir)
+        val (cleanedDelta, indexDelta, newBloom, deltaKeys) =
+          deltaState(st, delta, idCol, textCol)
+        appendBatchFiles(cleanedDelta, s"$dir/cleaned", safe)
+        appendBatchFiles(indexDelta, s"$dir/band_index", safe)
+        writeBloomTable(spark, dir, newBloom)
+        deltaKeys.foreach(appendBatchFiles(_, s"$dir/seen_keys", safe))
+        fs.create(marker, true).close()
+        repointed(st, newBloom)
+    }
+  }
+
+  private def writeBloomTable(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      bloom: Option[(Array[Long], Int, Int)]): Unit = {
+    import spark.implicits._
+    bloom.foreach { case (bitmap, _, _) =>
       bitmap.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
         .toDF("pos", "word").coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/bloom")
     }
-    deltaKeys.foreach(
-      _.write.mode("append").parquet(s"$dir/seen_keys"))
-    state.copy(
-      cleaned = spark.read.parquet(s"$dir/cleaned"),
-      bandIndex = spark.read.parquet(s"$dir/band_index"),
-      bloom = newBloom,
-      seenKeys = deltaKeys.map(_ => spark.read.parquet(s"$dir/seen_keys")))
+  }
+
+  /** Stage-and-rename append: write the frame to a hidden staging dir,
+    * then move its part files into `dir` under `batch_<id>_` names. A
+    * crash leaves only ignorable staging (dot-prefixed — parquet scans
+    * skip it) or a partial prefix set the replay's cleanup deletes.
+    */
+  private def appendBatchFiles(df: DataFrame, dir: String, safe: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(dir)
+    val fs = target.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir, s".staging_$safe")
+    df.write.mode("overwrite").parquet(staging.toString)
+    if (!fs.exists(target)) fs.mkdirs(target)
+    fs.listStatus(staging)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (p, i) =>
+        fs.rename(p.getPath, new Path(target, s"batch_${safe}_$i.parquet"))
+      }
+    fs.delete(staging, true)
   }
 
   /** Compact an [[appendState]]-grown layout in place: every append

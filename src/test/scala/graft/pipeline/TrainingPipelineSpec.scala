@@ -319,6 +319,56 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(ids(appended) == Seq(22L) && ids(advanced) == Seq(22L))
   }
 
+  test("appendState with a batchId is idempotent: replay converges, partial landing heals") {
+    val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
+    val state0 = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 5, dedupThreshold = 0.7)
+    val dir = s"target/graft-tmp/curate-state-idem-${System.nanoTime()}"
+    TrainingPipeline.writeState(state0, dir)
+    val batch = Seq(10L -> sentence("echo"), 11L -> sentence("foxtrot"))
+      .toDF("doc_id", "text")
+
+    val once = TrainingPipeline.appendState(
+      TrainingPipeline.readState(spark, dir), batch, "doc_id", "text", dir,
+      batchId = Some("b1"))
+    def counts() = (
+      spark.read.parquet(s"$dir/cleaned").count(),
+      spark.read.parquet(s"$dir/band_index").count(),
+      spark.read.parquet(s"$dir/seen_keys").count())
+    val after1 = counts()
+    assert(once.cleaned.count() == after1._1 && after1._1 == 3L,
+      s"prior alpha + echo + foxtrot in the reference set: $after1")
+
+    // full replay (double-submitted batch): marker short-circuits,
+    // nothing lands twice, nothing is lost
+    TrainingPipeline.appendState(
+      TrainingPipeline.readState(spark, dir), batch, "doc_id", "text", dir,
+      batchId = Some("b1"))
+    assert(counts() == after1, "completed-batch replay must be a no-op")
+
+    // partial-failure replay: simulate a crash after the cleaned append
+    // but before the marker — delete the marker and one table's files
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_applied_b1"), false)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/band_index"))
+      .filter(_.getPath.getName.startsWith("batch_b1_"))
+      .foreach(s => fs.delete(s.getPath, false))
+    TrainingPipeline.appendState(
+      TrainingPipeline.readState(spark, dir), batch, "doc_id", "text", dir,
+      batchId = Some("b1"))
+    assert(counts() == after1,
+      "replay after a partial landing must heal to exactly one copy")
+
+    // a different batch still appends on top
+    val more = TrainingPipeline.appendState(
+      TrainingPipeline.readState(spark, dir),
+      Seq(20L -> sentence("golf")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = Some("b2"))
+    assert(more.cleaned.count() == after1._1 + 1)
+    OperatorCache.releaseAll(spark)
+  }
+
   test("bloom auto-sizing: next pow2 ≥ 16×docs, floored, disableable") {
     val prev = Seq(1L -> sentence("alpha"), 2L -> sentence("bravo"))
       .toDF("doc_id", "text")
