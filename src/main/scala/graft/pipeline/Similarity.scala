@@ -165,8 +165,8 @@ object Similarity {
     val probes: Seq[Long] =
       if (multiProbe) qSig +: (0 until planes).map(p => qSig ^ (1L << p))
       else Seq(qSig)
-    spark.read.parquet(path)
-      .where(col("bucket").isin(probes: _*)) // → PartitionFilters, pruned scan
+    minusTombstones(spark, path, spark.read.parquet(path)
+      .where(col("bucket").isin(probes: _*))) // → PartitionFilters, pruned scan
       .select(col(idCol), round(cosine(col(vecCol), vecLit(query)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
@@ -694,8 +694,8 @@ object Similarity {
     val ranked = coarse.centroids
       .map { case (id, c) => (id, c.zip(q).map { case (a, b) => a * b }.sum) }
       .sortBy(-_._2).take(nprobe)
-    val cells = spark.read.parquet(path)
-      .where(col("centroid").isin(ranked.map(_._1).map(Integer.valueOf): _*))
+    val cells = minusTombstones(spark, path, spark.read.parquet(path)
+      .where(col("centroid").isin(ranked.map(_._1).map(Integer.valueOf): _*)))
     pqAdcRescore(cells, idCol, vecCol, books, query, k, rescoreFactor,
       adcConst = element_at(typedlit(ranked.toMap), col("centroid")))
   }
@@ -748,9 +748,81 @@ object Similarity {
     val probes = coarse.centroids
       .map { case (id, c) => (id, c.zip(q).map { case (a, b) => a * b }.sum) }
       .sortBy(-_._2).take(nprobe).map(_._1)
-    val cells = spark.read.parquet(path)
-      .where(col("centroid").isin(probes.map(Integer.valueOf): _*))
+    val cells = minusTombstones(spark, path, spark.read.parquet(path)
+      .where(col("centroid").isin(probes.map(Integer.valueOf): _*)))
     pqAdcRescore(cells, idCol, vecCol, books, query, k, rescoreFactor)
+  }
+
+  // --- serving-index lifecycle: delete + compact ---------------------
+
+  /** Tombstone-delete ids from ANY written serving layout
+    * ([[writeIndexed]], [[writeIvfPq]], [[writeIvfPqResidual]]): the id
+    * set appends under `_tombstones` inside the index root (a name
+    * parquet scans of the root ignore) — O(deletes) cost, the index
+    * files untouched. Every probe anti-joins the (broadcast,
+    * delete-sized) set, so deletions are visible immediately;
+    * [[compactIndex]] later folds them into the files and clears the
+    * set. Right-to-forget note: until compaction the vector BYTES are
+    * still on disk — compaction, not deletion, is the erasure point.
+    */
+  def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(s"$path/_tombstones")
+
+  private def tombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Drop tombstoned rows from an index scan: anti-join against the
+    * delete-sized set (broadcast — the probe's pruned slice stays
+    * map-only). The tombstone frame's single column names the id. */
+  private def minusTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      cells: DataFrame): DataFrame =
+    tombstones(spark, path).fold(cells) { t =>
+      val idc = t.schema.fieldNames.head
+      cells.join(broadcast(t.select(idc).distinct()), Seq(idc), "left_anti")
+    }
+
+  /** Fold tombstones into the files and merge append-accumulated small
+    * ones: rewrite the layout minus deleted ids — the partition scheme
+    * is re-derived from the layout's own `<col>=` directory names, so
+    * probes prune identically after the swap — sized toward
+    * `targetBytesPerFile`, then swap it in and clear `_tombstones`.
+    * Same operational slot as
+    * [[graft.pipeline.TrainingPipeline.compactState]] and the IVF
+    * drift retrain; a probe running concurrently with the swap should
+    * be drained first (single-writer discipline, like every layout
+    * rewrite here).
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytesPerFile: Long = 128L << 20): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partCol = fs.listStatus(root).map(_.getPath.getName)
+      .collectFirst {
+        case n if n.contains("=") && !n.startsWith("_") && !n.startsWith(".") =>
+          n.split("=")(0)
+      }
+    val kept = minusTombstones(spark, path, spark.read.parquet(path))
+    val bytes = fs.getContentSummary(root).getLength
+    val files =
+      math.max(1L, (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    val arranged = partCol match {
+      case Some(c) => kept.repartition(files, col(c))
+      case None    => kept.coalesce(files)
+    }
+    val staging = new Path(path + "__compact")
+    fs.delete(staging, true)
+    val w = arranged.write.mode("overwrite")
+    partCol.fold(w)(c => w.partitionBy(c)).parquet(staging.toString)
+    fs.delete(root, true)
+    fs.rename(staging, root)
   }
 
   /** Semantic decontamination: drop corpus rows whose embedding has

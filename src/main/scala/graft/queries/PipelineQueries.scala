@@ -464,6 +464,47 @@ object PipelineQueries {
     |FROM v JOIN cand39 USING (vec_id), q39
     |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** p124 oracle: the serving-index DELETE lifecycle — the p39 replay
+    * (coarse + both PQ subspace Lloyd trajectories, probe → ADC →
+    * rescore) with the deleted ids (vec_id % 7 = 3) excluded from the
+    * probed cells, exactly where the engine's tombstone anti-join
+    * excludes them (before the ADC candidate cut, so the rescore pool
+    * shifts identically). Emitted twice under phase labels: the
+    * tombstoned probe (delete visible with no rewrite) and the
+    * compacted probe (tombstones folded into the files) must BOTH
+    * equal this ground truth.
+    */
+  private val annDeleteOracleSql: String = ivfAssignSql(8) +
+    pqAssignSql(0, 1, 32, 4) + pqAssignSql(1, 33, 64, 4) +
+    """, q124 AS (
+    |  SELECT e AS qe, e[1:32] AS q0, e[33:64] AS q1 FROM v WHERE vec_id = 0
+    |), probes124 AS (
+    |  SELECT cid FROM c2, q124
+    |  ORDER BY list_dot_product(c2.c, q124.qe) DESC, cid ASC LIMIT 3
+    |), incell AS (
+    |  SELECT vec_id FROM a3
+    |  WHERE cid IN (SELECT cid FROM probes124) AND vec_id % 7 <> 3
+    |), d0 AS (
+    |  SELECT a.vec_id, list_dot_product(c.c, q124.q0) AS d
+    |  FROM a3_0 a JOIN c2_0 c USING (cid), q124
+    |), d1 AS (
+    |  SELECT a.vec_id, list_dot_product(c.c, q124.q1) AS d
+    |  FROM a3_1 a JOIN c2_1 c USING (cid), q124
+    |), adc124 AS (
+    |  SELECT i.vec_id, ROUND(d0.d + d1.d, 6) AS adc
+    |  FROM incell i JOIN d0 USING (vec_id) JOIN d1 USING (vec_id)
+    |), cand124 AS (
+    |  SELECT vec_id FROM adc124 ORDER BY adc DESC, vec_id ASC LIMIT 50
+    |), final124 AS (
+    |  SELECT v.vec_id, ROUND(list_cosine_similarity(v.e, q124.qe), 6) AS cosine
+    |  FROM v JOIN cand124 USING (vec_id), q124
+    |  ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    |)
+    |SELECT 'compacted' AS phase, vec_id, cosine FROM final124
+    |UNION ALL
+    |SELECT 'tombstoned' AS phase, vec_id, cosine FROM final124
+    |ORDER BY phase, cosine DESC, vec_id""".stripMargin
+
   /** p42 oracle: residual IVF-PQ — coarse replay, the residual frame
     * r = e − c(cid), BOTH subspace Lloyd replays over the residual
     * slices, then the inner-product ADC decomposition
@@ -1957,6 +1998,41 @@ object PipelineQueries {
         Similarity.ivfPqTopK(emb, "vec_id", "embedding", coarse, books, q, k = 10)
       },
       Some(ivfPqOracleSql)),
+
+    // Serving-index lifecycle (delete + compact): build the IVF-PQ
+    // serving layout, tombstone-delete vec_id % 7 = 3 (O(deletes), no
+    // rewrite — probes anti-join the set immediately), probe; then
+    // COMPACT (tombstones fold into the files, _tombstones clears,
+    // partition scheme preserved) and probe again. Both phases must
+    // equal the oracle's ground truth — the full p39 replay with the
+    // deleted ids excluded from the probed cells.
+    QueryDef("p124_ann_index_delete",
+      (s, dir) => {
+        import s.implicits._
+        val emb = OperatorCache.persist(Tables.load(s, dir, "embeddings"))
+        val q = emb.where(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
+        val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 2, k = 4)
+        val path = s"target/graft-tmp/ann_lifecycle_p124_${math.abs(dir.hashCode)}"
+        Similarity.writeIvfPq(emb, "embedding", path, coarse, books)
+        Similarity.deleteFromIndex(
+          emb.where(pmod(col("vec_id"), lit(7L)) === 3).select("vec_id"),
+          "vec_id", path)
+        def probe() = Similarity.probeIvfPq(s, path, "vec_id", "embedding",
+          coarse, books, q, k = 10, nprobe = 3, rescoreFactor = 5)
+        // materialize the tombstoned probe BEFORE compaction swaps the
+        // files out from under its scan
+        val tombstoned = probe().collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          .toDF("vec_id", "cosine").withColumn("phase", lit("tombstoned"))
+        Similarity.compactIndex(s, path)
+        probe().withColumn("phase", lit("compacted"))
+          .unionByName(tombstoned)
+          .select("phase", "vec_id", "cosine")
+          .orderBy(col("phase"), col("cosine").desc, col("vec_id"))
+      },
+      Some(annDeleteOracleSql)),
 
     // Residual IVF-PQ: PQ codebooks trained on coarse-assignment
     // residuals (the true Faiss IndexIVFPQ), inner-product ADC =

@@ -1005,6 +1005,54 @@ class PipelineSpec extends SparkSpec {
       s"expected pruned scan, got:\n${plan.take(600)}")
   }
 
+  test("index lifecycle: tombstones hide ids immediately, compact folds and clears") {
+    val path = "/root/repo/target/graft-tmp/ann-index-lifecycle"
+    Similarity.writeIndexed(emb, "embedding", path, planes = 4)
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    def probe() = Similarity.probeIndexed(spark, path, "vec_id", "embedding",
+      q, k = 5, planes = 4).collect().map(_.getLong(0)).toSeq
+    val before = probe()
+    val victim = before.head
+
+    // delete is visible at the NEXT probe — no rewrite happened
+    Similarity.deleteFromIndex(Seq(Tuple1(victim)).toDF("vec_id"), "vec_id", path)
+    val after = probe()
+    assert(!after.contains(victim), s"deleted id served: $after")
+    assert(after.take(4) == before.filterNot(_ == victim).take(4),
+      "the survivors keep their order")
+    // the bytes are still in the layout — deletion is a tombstone
+    assert(spark.read.parquet(path).where(col("vec_id") === victim).count() == 1)
+
+    // re-deleting is idempotent; compaction folds + clears + preserves
+    Similarity.deleteFromIndex(Seq(Tuple1(victim)).toDF("vec_id"), "vec_id", path)
+    Similarity.compactIndex(spark, path)
+    assert(probe() == after, "compaction must not change probe results")
+    assert(!new java.io.File(s"$path/_tombstones").exists(),
+      "compaction clears the tombstone set")
+    assert(spark.read.parquet(path).where(col("vec_id") === victim).count() == 0,
+      "compaction is the erasure point")
+    // the partition scheme survived the rewrite: probes still prune
+    val plan = Similarity.probeIndexed(spark, path, "vec_id", "embedding",
+      q, k = 5, planes = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"compacted layout must stay partition-pruned:\n${plan.take(600)}")
+
+    // the same lifecycle over the IVF-PQ serving layout
+    val p2 = "/root/repo/target/graft-tmp/ann-ivfpq-lifecycle"
+    val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 4)
+    val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 2, k = 4)
+    Similarity.writeIvfPq(emb, "embedding", p2, coarse, books)
+    def probe2() = Similarity.probeIvfPq(spark, p2, "vec_id", "embedding",
+      coarse, books, q, k = 5, nprobe = 2).collect().map(_.getLong(0)).toSeq
+    val b2 = probe2()
+    Similarity.deleteFromIndex(Seq(Tuple1(b2.head)).toDF("vec_id"), "vec_id", p2)
+    assert(!probe2().contains(b2.head))
+    Similarity.compactIndex(spark, p2)
+    assert(!probe2().contains(b2.head))
+    assert(spark.read.parquet(p2).where(col("vec_id") === b2.head).count() == 0)
+    OperatorCache.releaseAll(spark)
+  }
+
   test("p13 materializes with a pinned job set: the collect_set aggregate runs exactly once") {
     // The r6/r7 broadcast-cache race's signature was DUPLICATE work: the
     // shingle-set collect_set aggregate re-ran as up to 6 concurrent
