@@ -79,7 +79,7 @@ object Bench {
     "p115_multimodal_curate", "p116_archive_curate", "p117_html_extract",
     "p118_multimodal_curate_incremental", "p119_html_archive_curate",
     "p120_chunk_sentences", "p121_llm_distill_screen", "p122_langid_trained",
-    "p123_boilerplate_lines", "p124_ann_index_delete",
+    "p123_boilerplate_lines", "p124_ann_index_delete", "p125_text_search_delete",
     "s14_warc_roundtrip", "s15_webdataset_roundtrip", "s16_warc_fetch",
     "s17_wet_roundtrip")
 

@@ -54,6 +54,9 @@ object TextSearch {
         pmod(GraftFunctions.fnv1a64(col("term")), lit(buckets.toLong)))
       .select("tb", "term", "doc", "tf", "dl")
       .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
+    // (doc, dl) keyed by doc: what a DELETE needs to adjust the corpus
+    // stats closed-form without scanning term-bucketed postings
+    docLen.write.mode("overwrite").parquet(s"$dir/doclens")
     // sum_dl is the EXACT integer token total — avgdl derives at serve
     // time as sum_dl/n_docs (identical to avg() while the total stays
     // under 2^53), and incremental appends stay exact long additions
@@ -95,12 +98,97 @@ object TextSearch {
         pmod(GraftFunctions.fnv1a64(col("term")), lit(buckets.toLong)))
       .select("tb", "term", "doc", "tf", "dl")
       .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
+    docLen.write.mode("append").parquet(s"$dir/doclens")
     val d = docLen.agg(count(lit(1)).as("dn"),
       coalesce(sum("dl"), lit(0L)).as("dsum")).head()
     spark.createDataFrame(Seq(
       (nDocs + d.getAs[Long]("dn"), sumDl + d.getAs[Long]("dsum"), buckets)))
       .toDF("n_docs", "sum_dl", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Serving-time corpus constants, DELETE-adjusted: subtract the
+    * tombstoned docs' count and token total from the stored stats
+    * (exact long arithmetic — the same closed form [[appendIndex]]
+    * adds with), and hand back the tombstone frame so the caller can
+    * anti-join its postings slice. None = no deletes pending.
+    */
+  private def servingStats(
+      spark: SparkSession, dir: String): (Long, Double, Int, Option[DataFrame]) = {
+    val st = spark.read.parquet(s"$dir/stats").head()
+    var nDocs = st.getAs[Long]("n_docs")
+    var sumDl = st.getAs[Long]("sum_dl")
+    val buckets = st.getAs[Int]("buckets")
+    val tomb = {
+      val t = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
+      val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(t)) Some(spark.read.parquet(t.toString)) else None
+    }
+    tomb.foreach { t =>
+      val r = t.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+      nDocs -= r.getLong(0)
+      sumDl -= r.getLong(1)
+    }
+    (nDocs, sumDl.toDouble / math.max(nDocs, 1L), buckets, tomb)
+  }
+
+  /** Drop tombstoned docs from a postings slice (broadcast anti-join —
+    * the slice stays map-only; the tombstone set is delete-sized). */
+  private def minusDeleted(
+      tomb: Option[DataFrame])(postings: DataFrame): DataFrame =
+    tomb.fold(postings)(t =>
+      postings.join(broadcast(t.select("doc")), Seq("doc"), "left_anti"))
+
+  /** Tombstone-delete docs from a [[writeIndex]] layout: the deleted
+    * ids join their stored lengths (`doclens/` — one map-side scan of
+    * a 2-column doc-keyed table, never the term-bucketed postings) and
+    * land as (doc, dl) rows under `_tombstones`. Serving subtracts
+    * them from the BM25 corpus constants and anti-joins the postings
+    * slice, so a delete is visible at the NEXT query with no rewrite;
+    * ids already tombstoned (or never indexed) are skipped, so the
+    * operation is idempotent and replay-safe. [[compactIndex]] later
+    * folds the set into the files — the erasure point, as with
+    * [[Similarity.compactIndex]].
+    */
+  def deleteFromIndex(
+      spark: SparkSession, dir: String, ids: DataFrame, idCol: String,
+  ): Unit = {
+    val want = ids.select(col(idCol).cast("long").as("doc")).distinct()
+    val dls = spark.read.parquet(s"$dir/doclens")
+    val fresh0 = dls.join(broadcast(want), Seq("doc"), "left_semi")
+    val (_, _, _, tomb) = servingStats(spark, dir)
+    val fresh = tomb.fold(fresh0)(t =>
+      fresh0.join(broadcast(t.select("doc")), Seq("doc"), "left_anti"))
+    fresh.write.mode("append").parquet(s"$dir/_tombstones")
+  }
+
+  /** Fold tombstones into the layout: rewrite `postings/` (partition
+    * scheme preserved) and `doclens/` minus the deleted docs, refresh
+    * `stats/` with the already-adjusted constants, clear the set. */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val (nDocs, _, buckets, tomb) = servingStats(spark, dir)
+    if (tomb.isEmpty) return
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(table: String, partBy: Option[String])(df: DataFrame): Unit = {
+      val staging = new Path(s"$dir/${table}__compact")
+      fs.delete(staging, true)
+      val w = df.write.mode("overwrite")
+      partBy.fold(w)(c => w.partitionBy(c)).parquet(staging.toString)
+      fs.delete(new Path(s"$dir/$table"), true)
+      fs.rename(staging, new Path(s"$dir/$table"))
+    }
+    swap("postings", Some("tb"))(
+      minusDeleted(tomb)(spark.read.parquet(s"$dir/postings")))
+    swap("doclens", None)(
+      minusDeleted(tomb)(spark.read.parquet(s"$dir/doclens")))
+    val sumDl = spark.read.parquet(s"$dir/doclens")
+      .agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
+    spark.createDataFrame(Seq((nDocs, sumDl, buckets)))
+      .toDF("n_docs", "sum_dl", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    fs.delete(new Path(s"$dir/_tombstones"), true)
   }
 
   /** Top-k BM25 over the [[writeIndex]] layout. The postings scan is
@@ -128,15 +216,12 @@ object TextSearch {
       .flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
     require(normTerms.nonEmpty,
       s"searchTopK: no query terms survive normalization: $queryTerms")
-    val st = spark.read.parquet(s"$dir/stats").head()
-    val nDocs = st.getAs[Long]("n_docs")
-    val avgdl = st.getAs[Long]("sum_dl").toDouble / math.max(nDocs, 1L)
-    val buckets = st.getAs[Int]("buckets")
+    val (nDocs, avgdl, buckets, tomb) = servingStats(spark, dir)
     val tbs = normTerms
       .map(t => math.floorMod(Fnv1a64.hash(t.getBytes("UTF-8")), buckets.toLong))
       .distinct
-    val tf = spark.read.parquet(s"$dir/postings")
-      .where(col("tb").isin(tbs: _*) && col("term").isin(normTerms: _*))
+    val tf = minusDeleted(tomb)(spark.read.parquet(s"$dir/postings")
+      .where(col("tb").isin(tbs: _*) && col("term").isin(normTerms: _*)))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
       .withColumn("idf",
@@ -176,10 +261,7 @@ object TextSearch {
   ): DataFrame = {
     val spark = queries.sparkSession
     GraftFunctions.ensureRegistered(spark)
-    val st = spark.read.parquet(s"$dir/stats").head()
-    val nDocs = st.getAs[Long]("n_docs")
-    val avgdl = st.getAs[Long]("sum_dl").toDouble / math.max(nDocs, 1L)
-    val buckets = st.getAs[Int]("buckets")
+    val (nDocs, avgdl, buckets, tomb) = servingStats(spark, dir)
     // DISTINCT (qid, term): BM25 is a termSET score — a term repeated
     // in a query must not double its contribution
     val qterms = queries.select(col(qidCol).as("qid"),
@@ -196,7 +278,7 @@ object TextSearch {
       .where(col("tb").isin(tbs.toIndexedSeq: _*))
     // per-term df is a property of the INDEX, independent of the
     // workload — aggregate it once over the distinct matched terms
-    val matched = postings.join(
+    val matched = minusDeleted(tomb)(postings).join(
       broadcast(qterms.select("term").distinct()), "term")
     val dfreq = matched.groupBy("term")
       .agg(count(lit(1)).as("df"))

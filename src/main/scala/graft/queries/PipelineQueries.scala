@@ -5059,6 +5059,70 @@ object PipelineQueries {
              |FROM contrib GROUP BY doc
              |ORDER BY score DESC, doc ASC LIMIT 10""".stripMargin)),
 
+    // Text-search index lifecycle (delete + compact): tombstone-delete
+    // doc_id % 9 = 2 from the p102 layout — the (doc, dl) rows land
+    // under _tombstones, serving subtracts them from the BM25 corpus
+    // constants (n_docs, avgdl) closed-form and anti-joins the postings
+    // slice, so ranked results AND scores shift exactly as a rebuild's
+    // would, with no rewrite. Then compact (postings/doclens rewritten
+    // minus the docs, stats refreshed, set cleared) and search again.
+    // The oracle is the full BM25 replay over the corpus WITHOUT the
+    // deleted docs, emitted under both phase labels — a green hash
+    // proves tombstoned serving ≡ compacted serving ≡ rebuild.
+    QueryDef("p125_text_search_delete",
+      (s, dir) => {
+        import s.implicits._
+        val idx = s"target/graft-tmp/textsearch_p125_${math.abs(dir.hashCode)}"
+        val docs = Tables.load(s, dir, "documents")
+        TextSearch.writeIndex(docs, "doc_id", "text", idx)
+        OperatorCache.releaseAll(s)
+        TextSearch.deleteFromIndex(s, idx,
+          docs.where(pmod(col("doc_id"), lit(9L)) === 2).select("doc_id"),
+          "doc_id")
+        def search() = TextSearch.searchTopK(s, idx,
+          Seq("join", "vector", "filter"), k = 10)
+        val tombstoned = search().collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+          .toDF("doc", "score", "n_matched")
+          .withColumn("phase", lit("tombstoned"))
+        TextSearch.compactIndex(s, idx)
+        search().withColumn("phase", lit("compacted"))
+          .unionByName(tombstoned)
+          .select("phase", "doc", "score", "n_matched")
+          .orderBy(col("phase"), col("score").desc, col("doc"))
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS term
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE doc_id % 9 <> 2
+             |), dl AS (
+             |  SELECT doc, COUNT(*) AS dl FROM terms GROUP BY doc
+             |), stats AS (
+             |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+             |), q AS (
+             |  SELECT doc, term FROM terms WHERE term IN ('join', 'vector', 'filter')
+             |), tf AS (
+             |  SELECT doc, term, COUNT(*) AS tf FROM q GROUP BY doc, term
+             |), dfreq AS (
+             |  SELECT term, COUNT(DISTINCT doc) AS df FROM q GROUP BY term
+             |), contrib AS (
+             |  SELECT tf.doc,
+             |         LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             |           * CAST(tf AS DOUBLE)
+             |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+             |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc = dl.doc, stats
+             |), final125 AS (
+             |  SELECT doc, ROUND(SUM(c), 6) AS score, COUNT(*) AS n_matched
+             |  FROM contrib GROUP BY doc
+             |  ORDER BY score DESC, doc ASC LIMIT 10
+             |)
+             |SELECT 'compacted' AS phase, doc, score, n_matched FROM final125
+             |UNION ALL
+             |SELECT 'tombstoned' AS phase, doc, score, n_matched FROM final125
+             |ORDER BY phase, score DESC, doc""".stripMargin)),
+
     // Batched serving over the same index: a whole query workload in
     // one pass (the decontamination-audit shape), per-query top-k via
     // a qid-partitioned row_number on the pre-rounded score. The

@@ -159,4 +159,38 @@ class TextSearchSpec extends SparkSpec {
       TextSearch.searchHybridBatch(workload, "qid", "query", "qvec", hdir,
         vectors, "vec_id", "embedding", k = 10, candidates = 5))
   }
+
+  test("deleteFromIndex ≡ rebuild on the remaining corpus; compact folds and clears") {
+    val d1 = "target/graft-tmp/textsearch-del"
+    val d2 = "target/graft-tmp/textsearch-del-rebuilt"
+    TextSearch.writeIndex(corpus, "doc_id", "text", d1, buckets = 16)
+    OperatorCache.releaseAll(spark)
+    // deleting doc 5 (the all-terms top hit) shifts BOTH the ranking
+    // and every surviving score (n_docs and avgdl change — BM25's
+    // corpus constants), which only the closed-form stats adjustment
+    // gets right
+    TextSearch.deleteFromIndex(spark, d1,
+      Seq(Tuple1(5L)).toDF("doc_id"), "doc_id")
+    def top(dir: String) = TextSearch.searchTopK(spark, dir,
+      Seq("join", "vector", "filter"), k = 5)
+      .as[(Long, Double, Long)].collect().toSeq
+    TextSearch.writeIndex(corpus.where(col("doc_id") =!= 5),
+      "doc_id", "text", d2, buckets = 16)
+    OperatorCache.releaseAll(spark)
+    val rebuilt = top(d2)
+    assert(top(d1) == rebuilt,
+      "tombstoned serving must be bit-identical to a rebuild without the doc")
+    assert(!rebuilt.map(_._1).contains(5L) && rebuilt.nonEmpty)
+
+    // idempotent re-delete, then compact: same results, set cleared,
+    // the doc's postings bytes gone
+    TextSearch.deleteFromIndex(spark, d1,
+      Seq(Tuple1(5L)).toDF("doc_id"), "doc_id")
+    TextSearch.compactIndex(spark, d1)
+    assert(top(d1) == rebuilt, "compaction must not change served results")
+    assert(!new java.io.File(s"$d1/_tombstones").exists())
+    assert(spark.read.parquet(s"$d1/postings")
+      .where(col("doc") === 5L).count() == 0, "compaction erases the postings")
+    OperatorCache.releaseAll(spark)
+  }
 }
