@@ -52,17 +52,23 @@ object TextSearch {
     tfAll.join(docLen, "doc")
       .withColumn("tb",
         pmod(GraftFunctions.fnv1a64(col("term")), lit(buckets.toLong)))
-      .select("tb", "term", "doc", "tf", "dl")
+      .withColumn("gen", lit(0L))
+      .select("tb", "term", "doc", "tf", "dl", "gen")
       .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
-    // (doc, dl) keyed by doc: what a DELETE needs to adjust the corpus
-    // stats closed-form without scanning term-bucketed postings
-    docLen.write.mode("overwrite").parquet(s"$dir/doclens")
+    // (doc, dl, gen) keyed by doc: what a DELETE needs to adjust the
+    // corpus stats closed-form without scanning term-bucketed postings.
+    // gen is the LSM-style version stamp: every append advances it, a
+    // tombstone names (doc, gen) VERSIONS, so an UPDATE (delete old +
+    // append new) never shadows its own fresh rows
+    docLen.withColumn("gen", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
     // sum_dl is the EXACT integer token total — avgdl derives at serve
     // time as sum_dl/n_docs (identical to avg() while the total stays
     // under 2^53), and incremental appends stay exact long additions
     docLen.agg(count(lit(1)).as("n_docs"),
       coalesce(sum("dl"), lit(0L)).as("sum_dl"))
       .withColumn("buckets", lit(buckets))
+      .withColumn("max_gen", lit(0L))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -74,8 +80,9 @@ object TextSearch {
     * the same append-don't-rebuild shape as `TrainingPipeline
     * .appendState` and `Similarity.appendIvfPq`. Serving reflects the
     * union immediately; the spec pins append ≡ one-shot rebuild score
-    * equality. Batch doc ids must be new (a re-crawled id would stack
-    * duplicate postings — gate upstream with the curate seen-gate).
+    * equality. Batch doc ids must be NEW here (a re-crawled id would
+    * stack duplicate postings) — a CHANGED document goes through
+    * [[updateIndex]], whose delete half retires the old version first.
     */
   def appendIndex(
       df: DataFrame, idCol: String, textCol: String, dir: String,
@@ -86,6 +93,7 @@ object TextSearch {
     val nDocs = st.getAs[Long]("n_docs")
     val sumDl = st.getAs[Long]("sum_dl")
     val buckets = st.getAs[Int]("buckets")
+    val gen = st.getAs[Long]("max_gen") + 1
     val terms = df.select(col(idCol).as("doc"),
       explode(Dedup.rawTokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
@@ -96,14 +104,16 @@ object TextSearch {
     tfAll.join(docLen, "doc")
       .withColumn("tb",
         pmod(GraftFunctions.fnv1a64(col("term")), lit(buckets.toLong)))
-      .select("tb", "term", "doc", "tf", "dl")
+      .withColumn("gen", lit(gen))
+      .select("tb", "term", "doc", "tf", "dl", "gen")
       .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
-    docLen.write.mode("append").parquet(s"$dir/doclens")
+    docLen.withColumn("gen", lit(gen))
+      .write.mode("append").parquet(s"$dir/doclens")
     val d = docLen.agg(count(lit(1)).as("dn"),
       coalesce(sum("dl"), lit(0L)).as("dsum")).head()
     spark.createDataFrame(Seq(
-      (nDocs + d.getAs[Long]("dn"), sumDl + d.getAs[Long]("dsum"), buckets)))
-      .toDF("n_docs", "sum_dl", "buckets")
+      (nDocs + d.getAs[Long]("dn"), sumDl + d.getAs[Long]("dsum"), buckets, gen)))
+      .toDF("n_docs", "sum_dl", "buckets", "max_gen")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -132,12 +142,15 @@ object TextSearch {
     (nDocs, sumDl.toDouble / math.max(nDocs, 1L), buckets, tomb)
   }
 
-  /** Drop tombstoned docs from a postings slice (broadcast anti-join —
-    * the slice stays map-only; the tombstone set is delete-sized). */
+  /** Drop tombstoned VERSIONS from a postings slice (broadcast
+    * anti-join on (doc, gen) — the slice stays map-only; the tombstone
+    * set is delete-sized, and rows a later append re-added under a
+    * fresh gen survive, which is what makes delete+append an UPDATE). */
   private def minusDeleted(
       tomb: Option[DataFrame])(postings: DataFrame): DataFrame =
     tomb.fold(postings)(t =>
-      postings.join(broadcast(t.select("doc")), Seq("doc"), "left_anti"))
+      postings.join(broadcast(t.select("doc", "gen")),
+        Seq("doc", "gen"), "left_anti"))
 
   /** Tombstone-delete docs from a [[writeIndex]] layout: the deleted
     * ids join their stored lengths (`doclens/` — one map-side scan of
@@ -157,9 +170,29 @@ object TextSearch {
     val dls = spark.read.parquet(s"$dir/doclens")
     val fresh0 = dls.join(broadcast(want), Seq("doc"), "left_semi")
     val (_, _, _, tomb) = servingStats(spark, dir)
+    // every still-live VERSION of the doc tombstones; already-dead
+    // (doc, gen) rows are skipped, so the operation is idempotent
     val fresh = tomb.fold(fresh0)(t =>
-      fresh0.join(broadcast(t.select("doc")), Seq("doc"), "left_anti"))
-    fresh.write.mode("append").parquet(s"$dir/_tombstones")
+      fresh0.join(broadcast(t.select("doc", "gen")),
+        Seq("doc", "gen"), "left_anti"))
+    fresh.select("doc", "dl", "gen")
+      .write.mode("append").parquet(s"$dir/_tombstones")
+  }
+
+  /** UPDATE re-crawled documents in place: tombstone the ids' current
+    * postings, then append the new text — the delete+append
+    * composition IS the update (the recrawl shape: a page changed, its
+    * old tokens must stop matching and its new ones start). Serving
+    * reflects the new versions at the next query; [[compactIndex]]
+    * folds the superseded postings out on its usual cadence. Ids not
+    * yet indexed just append (an upsert, matching a crawl frontier's
+    * mixed new/changed batches).
+    */
+  def updateIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+  ): Unit = {
+    deleteFromIndex(df.sparkSession, dir, df.select(col(idCol)), idCol)
+    appendIndex(df, idCol, textCol, dir)
   }
 
   /** Fold tombstones into the layout: rewrite `postings/` (partition
@@ -170,6 +203,7 @@ object TextSearch {
     import spark.implicits._
     val (nDocs, _, buckets, tomb) = servingStats(spark, dir)
     if (tomb.isEmpty) return
+    val maxGen = spark.read.parquet(s"$dir/stats").head().getAs[Long]("max_gen")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def swap(table: String, partBy: Option[String])(df: DataFrame): Unit = {
       val staging = new Path(s"$dir/${table}__compact")
@@ -185,8 +219,8 @@ object TextSearch {
       minusDeleted(tomb)(spark.read.parquet(s"$dir/doclens")))
     val sumDl = spark.read.parquet(s"$dir/doclens")
       .agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
-    spark.createDataFrame(Seq((nDocs, sumDl, buckets)))
-      .toDF("n_docs", "sum_dl", "buckets")
+    spark.createDataFrame(Seq((nDocs, sumDl, buckets, maxGen)))
+      .toDF("n_docs", "sum_dl", "buckets", "max_gen")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     fs.delete(new Path(s"$dir/_tombstones"), true)
   }

@@ -193,4 +193,40 @@ class TextSearchSpec extends SparkSpec {
       .where(col("doc") === 5L).count() == 0, "compaction erases the postings")
     OperatorCache.releaseAll(spark)
   }
+
+  test("updateIndex: a re-crawled doc's new text serves, its old text stops matching") {
+    val d1 = "target/graft-tmp/textsearch-upd"
+    val d2 = "target/graft-tmp/textsearch-upd-rebuilt"
+    TextSearch.writeIndex(corpus, "doc_id", "text", d1, buckets = 16)
+    OperatorCache.releaseAll(spark)
+    // doc 5 changes: loses all three query terms, gains new prose; the
+    // generation-aware tombstone must retire ONLY the old version —
+    // a doc-keyed tombstone would shadow the fresh rows too
+    val changed = Seq(
+      (5L, "completely different prose now nothing from the old page")
+    ).toDF("doc_id", "text")
+    TextSearch.updateIndex(changed, "doc_id", "text", d1)
+    OperatorCache.releaseAll(spark)
+    def top(dir: String) = TextSearch.searchTopK(spark, dir,
+      Seq("join", "vector", "filter"), k = 5)
+      .as[(Long, Double, Long)].collect().toSeq
+    TextSearch.writeIndex(
+      corpus.where(col("doc_id") =!= 5).unionByName(changed),
+      "doc_id", "text", d2, buckets = 16)
+    OperatorCache.releaseAll(spark)
+    val rebuilt = top(d2)
+    assert(top(d1) == rebuilt,
+      s"updated serving must equal a rebuild with the new text: ${top(d1)} vs $rebuilt")
+    assert(!rebuilt.map(_._1).contains(5L),
+      "the new version of doc 5 has none of the query terms")
+    // and the NEW text is findable
+    val fresh = TextSearch.searchTopK(spark, d1, Seq("prose"), k = 3)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(fresh.map(_._1) == Seq(5L), s"new tokens must serve: $fresh")
+    // compaction folds the superseded version out and keeps the world
+    TextSearch.compactIndex(spark, d1)
+    assert(top(d1) == rebuilt && spark.read.parquet(s"$d1/postings")
+      .where(col("doc") === 5L && col("term") === "join").count() == 0)
+    OperatorCache.releaseAll(spark)
+  }
 }
