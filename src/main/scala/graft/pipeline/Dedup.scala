@@ -278,6 +278,15 @@ object Dedup {
     * [[graft.sources.Warc.fetch]] the flagged docs from the archive).
     * A `stats` row records (shingle_k, buckets) so probes can't run
     * with mismatched parameters.
+    *
+    * Lifecycle (the [[graft.pipeline.TextSearch]] pattern, uniform
+    * across every persisted serving layout here): postings carry an
+    * LSM-style generation stamp (`gen`, 0 at build), a doc-keyed
+    * `docs/` side table maps ids to their live versions so a DELETE
+    * never scans the shingle-bucketed postings, and `stats` rolls
+    * `max_gen` so appends stamp fresh versions. A re-crawled document
+    * goes through [[updateShingleIndex]] (tombstone old gen + append
+    * new); [[compactShingleIndex]] is the erasure point.
     */
   def writeShingleIndex(
       df: DataFrame, idCol: String, textCol: String, dir: String,
@@ -290,19 +299,26 @@ object Dedup {
       .distinct()
       .withColumn("sb",
         pmod(GraftFunctions.fnv1a64(col("shingle")), lit(buckets.toLong)))
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("sb").parquet(s"$dir/postings")
+    // (doc, gen) keyed by doc — what a DELETE reads to find a doc's
+    // live versions (docs with no shingles still get a row, so their
+    // delete is a no-op instead of a silent miss)
+    df.select(col(idCol).as("doc")).distinct().withColumn("gen", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/docs")
     import spark.implicits._
-    Seq((shingleK, buckets)).toDF("shingle_k", "buckets")
+    Seq((shingleK, buckets, 0L)).toDF("shingle_k", "buckets", "max_gen")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   /** Advance a [[writeShingleIndex]] layout past a NEW batch of docs —
     * the recrawl form, like every index in this family (appendIndex,
     * appendState, appendIvfPq): batch-sized postings append into the
-    * same partitioning, prior postings never read or rewritten. The
-    * stats row holds only (shingle_k, buckets) — nothing rolls — so
-    * append ≡ rebuild exactly (spec-pinned). Caller contract: batch doc
-    * ids must be new (re-appending a doc would double its postings).
+    * same partitioning under a fresh `gen`, prior postings never read
+    * or rewritten; only `max_gen` rolls in stats, so append ≡ rebuild
+    * exactly (spec-pinned). Batch doc ids must be NEW here — a
+    * re-crawled (changed) document goes through [[updateShingleIndex]],
+    * whose delete half retires the old version first.
     */
   def appendShingleIndex(
       batch: DataFrame, idCol: String, textCol: String, dir: String,
@@ -312,11 +328,99 @@ object Dedup {
     val st = spark.read.parquet(s"$dir/stats").head()
     val k = st.getAs[Int]("shingle_k")
     val buckets = st.getAs[Int]("buckets")
+    val gen = st.getAs[Long]("max_gen") + 1
     shingleRows(batch, idCol, textCol, k)
       .distinct()
       .withColumn("sb",
         pmod(GraftFunctions.fnv1a64(col("shingle")), lit(buckets.toLong)))
+      .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("sb").parquet(s"$dir/postings")
+    batch.select(col(idCol).as("doc")).distinct().withColumn("gen", lit(gen))
+      .write.mode("append").parquet(s"$dir/docs")
+    import spark.implicits._
+    Seq((k, buckets, gen)).toDF("shingle_k", "buckets", "max_gen")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The pending tombstone set of a [[writeShingleIndex]] layout, if
+    * any — (doc, gen) VERSION rows under `_tombstones` (a name parquet
+    * scans of subdirs ignore). */
+  private def shingleTombstones(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Tombstone-delete docs from a [[writeShingleIndex]] layout: the
+    * ids' live (doc, gen) versions come from the doc-keyed `docs/`
+    * table (one map-side scan of a 2-column frame — the
+    * shingle-bucketed postings are never touched) and land under
+    * `_tombstones` — O(deletes), visible at the NEXT probe via a
+    * broadcast anti-join. Already-tombstoned (or never-indexed) ids
+    * are skipped, so the operation is idempotent and replay-safe.
+    * [[compactShingleIndex]] later folds the set into the files — the
+    * erasure point, as with [[graft.pipeline.Similarity.compactIndex]].
+    */
+  def deleteFromShingleIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String,
+  ): Unit = {
+    val want = ids.select(col(idCol).cast("long").as("doc")).distinct()
+    val live0 = spark.read.parquet(s"$dir/docs")
+      .join(broadcast(want), Seq("doc"), "left_semi")
+    val live = shingleTombstones(spark, dir).fold(live0)(t =>
+      live0.join(broadcast(t.select("doc", "gen")),
+        Seq("doc", "gen"), "left_anti"))
+    live.select("doc", "gen")
+      .write.mode("append").parquet(s"$dir/_tombstones")
+  }
+
+  /** UPDATE re-crawled documents in place: tombstone the ids' current
+    * postings, then append the new text under a fresh generation — the
+    * delete+append composition IS the update, and the (doc, gen)
+    * tombstones never shadow the fresh rows. Ids not yet indexed just
+    * append (an upsert — a crawl frontier's mixed new/changed batch
+    * goes through in one call). Probes reflect the new content
+    * immediately; [[compactShingleIndex]] folds the superseded
+    * postings out on its usual cadence.
+    */
+  def updateShingleIndex(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+  ): Unit = {
+    deleteFromShingleIndex(df.sparkSession, dir, df.select(col(idCol)), idCol)
+    appendShingleIndex(df, idCol, textCol, dir)
+  }
+
+  /** Fold tombstones into the layout: rewrite `postings/` (the `sb`
+    * partition scheme preserved, so probes prune identically after the
+    * swap) and `docs/` minus the deleted versions, clear the set.
+    * Stats are version bookkeeping only (`max_gen` stays — reusing a
+    * dead generation number could resurrect a same-numbered tombstone),
+    * so nothing rolls. Single-writer discipline, like every layout
+    * rewrite in this family. */
+  def compactShingleIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tomb = shingleTombstones(spark, dir)
+    if (tomb.isEmpty) return
+    val t = tomb.get.select("doc", "gen")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(table: String, partBy: Option[String])(df: DataFrame): Unit = {
+      val staging = new Path(s"$dir/${table}__compact")
+      fs.delete(staging, true)
+      val w = df.write.mode("overwrite")
+      partBy.fold(w)(c => w.partitionBy(c)).parquet(staging.toString)
+      fs.delete(new Path(s"$dir/$table"), true)
+      fs.rename(staging, new Path(s"$dir/$table"))
+    }
+    swap("postings", Some("sb"))(
+      spark.read.parquet(s"$dir/postings")
+        .join(broadcast(t), Seq("doc", "gen"), "left_anti"))
+    swap("docs", None)(
+      spark.read.parquet(s"$dir/docs")
+        .join(broadcast(t), Seq("doc", "gen"), "left_anti"))
+    fs.delete(new Path(s"$dir/_tombstones"), true)
   }
 
   /** Probe a [[writeShingleIndex]] layout with a blocklist: corpus docs
@@ -341,8 +445,14 @@ object Dedup {
       .withColumn("sb",
         pmod(GraftFunctions.fnv1a64(col("shingle")), lit(buckets.toLong)))
     val sbs = bsh.select("sb").distinct().collect().map(_.getLong(0))
-    spark.read.parquet(s"$dir/postings")
+    val slice0 = spark.read.parquet(s"$dir/postings")
       .where(col("sb").isin(sbs.toIndexedSeq: _*))
+    // deletes are visible immediately: anti-join the (delete-sized,
+    // broadcast) tombstoned versions — the pruned slice stays map-only
+    val slice = shingleTombstones(spark, dir).fold(slice0)(t =>
+      slice0.join(broadcast(t.select("doc", "gen")),
+        Seq("doc", "gen"), "left_anti"))
+    slice
       .join(broadcast(bsh), Seq("sb", "shingle"))
       .groupBy("doc")
       .agg(countDistinct("shingle").as("n_overlap"))

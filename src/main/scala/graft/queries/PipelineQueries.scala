@@ -5567,6 +5567,87 @@ object PipelineQueries {
              |SELECT o.doc_id, o.n_overlap, c.text
              |FROM ov o JOIN corpus c USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // Shingle-index recrawl lifecycle (update + delete + compact): the
+    // decontamination layout advanced past a re-crawl batch the way
+    // p125 advances the BM25 index. v1 indexes docs %10=3 as draft
+    // placeholders; the UPDATE re-crawls them to their real text (new
+    // contamination appears) and rewrites docs %10=1 to clean pages
+    // (old contamination retires — gen-aware tombstones, not doc-wide);
+    // docs %10=5 are DELETED. Probe once tombstoned, once compacted —
+    // both phases must equal the corpus-scan screen over the FINAL
+    // corpus, which the oracle replays (p113's overlap chain + the
+    // lifecycle's CASE text and filters).
+    QueryDef("p126_shingle_index_update",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = docs.where(pmod(col("doc_id"), lit(20)) =!= 0)
+        val block = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+        val idx = s"target/graft-tmp/shidx_p126_${math.abs(dir.hashCode)}"
+        val m10 = pmod(col("doc_id"), lit(10))
+        Dedup.writeShingleIndex(
+          corpus.select(col("doc_id"),
+            when(m10 === 3, concat(lit("draft placeholder "), col("doc_id")))
+              .otherwise(col("text")).as("text")),
+          "doc_id", "text", idx, shingleK = 8)
+        Dedup.updateShingleIndex(
+          corpus.where(m10 === 3 || m10 === 1)
+            .select(col("doc_id"),
+              when(m10 === 1,
+                concat(lit("rewritten clean page "), col("doc_id")))
+                .otherwise(col("text")).as("text")),
+          "doc_id", "text", idx)
+        Dedup.deleteFromShingleIndex(s, idx,
+          corpus.where(m10 === 5).select("doc_id"), "doc_id")
+        def probe() = Dedup.probeContamination(
+          s, idx, block, "doc_id", "text", minOverlap = 3)
+        val tombstoned = probe().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+          .toDF("doc", "n_overlap").withColumn("phase", lit("tombstoned"))
+        Dedup.compactShingleIndex(s, idx)
+        probe().withColumn("phase", lit("compacted"))
+          .unionByName(tombstoned)
+          .select("phase", "doc", "n_overlap")
+          .orderBy("phase", "doc")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 10 = 1
+             |              THEN 'rewritten clean page ' || CAST(doc_id AS VARCHAR)
+             |              ELSE text END AS text
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE doc_id % 20 <> 0 AND doc_id % 10 <> 5
+             |), block AS (
+             |  SELECT text FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 20 = 0
+             |), btoks AS (
+             |  SELECT list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM block
+             |), bsh AS (
+             |  SELECT DISTINCT shingle FROM (
+             |    SELECT unnest(list_transform(range(1, len(toks) - 8 + 2),
+             |                                 i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
+             |    FROM btoks WHERE len(toks) >= 8
+             |  )
+             |), ctoks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM corpus
+             |), csh AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8 + 2),
+             |                                       i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
+             |  FROM ctoks WHERE len(toks) >= 8
+             |), ov AS (
+             |  SELECT doc_id AS doc, COUNT(DISTINCT csh.shingle) AS n_overlap
+             |  FROM csh JOIN bsh USING (shingle)
+             |  GROUP BY doc_id HAVING COUNT(DISTINCT csh.shingle) >= 3
+             |)
+             |SELECT 'compacted' AS phase, doc, n_overlap FROM ov
+             |UNION ALL
+             |SELECT 'tombstoned' AS phase, doc, n_overlap FROM ov
+             |ORDER BY phase, doc""".stripMargin)),
+
     // Hybrid retrieval: BM25 candidates (k=20 through the index)
     // reranked by embedding cosine, blended 50/50 with both sides
     // 6-rounded. Query vectors are real embedding rows (vec_id = 7·qid);

@@ -77,4 +77,46 @@ class ShingleIndexSpec extends SparkSpec {
     // the appended doc is itself flagged (it contains phrase("one"))
     assert(probe(appendDir).map(_._1).contains(10L))
   }
+
+  test("lifecycle: delete, update (recrawl), compact ≡ rebuild; replay-safe") {
+    val dir = s"target/graft-test/shidx_lc_${System.nanoTime()}"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", dir,
+      shingleK = 5, buckets = 16)
+    def probe() =
+      Dedup.probeContamination(spark, dir, block, "doc_id", "text",
+        minOverlap = 3).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // DELETE doc 2: stops matching at the next probe, no rewrite
+    Dedup.deleteFromShingleIndex(spark, dir, Seq(2L).toDF("doc_id"), "doc_id")
+    assert(probe().map(_._1) == Seq(1L), s"after delete: ${probe()}")
+    // replaying the same delete appends nothing (idempotent)
+    Dedup.deleteFromShingleIndex(spark, dir, Seq(2L).toDF("doc_id"), "doc_id")
+    val tombs = spark.read.parquet(s"$dir/_tombstones").count()
+    assert(tombs == 1L, s"delete replay must not re-tombstone: $tombs rows")
+    // UPDATE doc 1 (recrawl: content no longer contaminated) + doc 3
+    // (recrawl: now contaminated) — the mixed changed batch, one call
+    Dedup.updateShingleIndex(Seq(
+        (1L, "rewritten page with none of the benchmark phrasing left"),
+        (3L, phrase("one")),
+      ).toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(probe().map(_._1) == Seq(3L), s"after update: ${probe()}")
+    // COMPACT folds the versions out; the probe verdict is unchanged
+    // and matches an index built fresh from the final corpus
+    val before = probe()
+    Dedup.compactShingleIndex(spark, dir)
+    assert(probe() == before, "compaction must not change the verdict")
+    val rb = s"target/graft-test/shidx_lc_rb_${System.nanoTime()}"
+    Dedup.writeShingleIndex(Seq(
+        (1L, "rewritten page with none of the benchmark phrasing left"),
+        (3L, phrase("one")),
+      ).toDF("doc_id", "text"), "doc_id", "text", rb,
+      shingleK = 5, buckets = 16)
+    assert(probe() == Dedup.probeContamination(spark, rb, block, "doc_id",
+        "text", minOverlap = 3).as[(Long, Long)].collect().sortBy(_._1).toSeq,
+      "compacted index must probe identically to a final-corpus rebuild")
+    // compacted: tombstones cleared, no dead versions left on disk
+    assert(!new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/_tombstones")))
+    assert(spark.read.parquet(s"$dir/docs").count() == 2L)
+  }
 }
