@@ -975,6 +975,19 @@ object Similarity {
     // output anti-join) — same materialize contract as semanticDedup
     val assigned =
       if (persistAssigned) OperatorCache.materialize(assigned0) else assigned0
+    semanticDedupIncrementalAssigned(
+      priorAssigned, assigned, idCol, vecCol, threshold)
+  }
+
+  /** [[semanticDedupIncremental]]'s core over a PRE-ASSIGNED batch
+    * frame (centroid column present, already materialized if the
+    * caller wants the three consumers to share it) — lets
+    * [[semanticDedupFromState]] assign once and reuse the cells for
+    * partition pruning. */
+  private def semanticDedupIncrementalAssigned(
+      priorAssigned: DataFrame, assigned: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+  ): DataFrame = {
     val b = assigned.select(col("centroid"),
       col(idCol).as("__id_b"), col(vecCol).as("__vec_b"))
     val priorDrops = b
@@ -990,6 +1003,206 @@ object Similarity {
       .select(col("__id_b").as("__drop"))
     assigned.join(priorDrops.unionByName(batchDrops).distinct(),
       assigned(idCol) === col("__drop"), "left_anti")
+  }
+
+  // --- persisted semantic-dedup state + lifecycle ---------------------
+
+  /** Persist [[semanticDedupIncremental]]'s prior state as a LAYOUT —
+    * the missing member of the serving-lifecycle family ([[writeIvfPq]]
+    * for ANN, [[graft.pipeline.TextSearch.writeIndex]] for BM25,
+    * [[graft.pipeline.Dedup.writeShingleIndex]] for decontamination):
+    * the frozen coarse centroids travel WITH the assignment instead of
+    * in the driver, so recrawl batches arriving weeks later dedup
+    * against the same state with no side channel.
+    *
+    * Layout: `assigned/` — the FULL corpus assignment (including rows a
+    * one-shot dedup would drop: the pair graph needs them), partitioned
+    * by centroid so a batch probe reads only its own cells; `ids/` — the
+    * id-keyed (id, gen) version table a DELETE reads instead of scanning
+    * the centroid-partitioned frame; `centroids/` — the frozen index;
+    * `params/` — (id_col, vec_col, threshold, max_gen), so probes can't
+    * run with a drifted drop rule. Generations and `_tombstones` follow
+    * the family convention: appends stamp fresh versions, tombstones
+    * name (id, gen), [[updateDedupState]] = delete + append is a correct
+    * re-embed UPDATE, [[compactDedupState]] is the erasure point.
+    */
+  def writeDedupState(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      threshold: Double, k: Int = 0, iters: Int = 2,
+  ): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val src = if (k > 0) corpus else OperatorCache.persist(corpus)
+    val cells = if (k > 0) k else semanticDedupCellCount(src.count())
+    val index = ivfTrain(src, idCol, vecCol, cells, iters)
+    ivfIndex(src, vecCol, index)
+      .withColumn("gen", lit(0L))
+      .select(col("centroid"), col(idCol), col(vecCol), col("gen"))
+      .write.mode("overwrite").partitionBy("centroid")
+      .parquet(s"$dir/assigned")
+    src.select(col(idCol)).distinct().withColumn("gen", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/ids")
+    index.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((idCol, vecCol, threshold, 0L))
+      .toDF("id_col", "vec_col", "threshold", "max_gen")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** The frozen coarse index of a [[writeDedupState]] layout. */
+  def readDedupIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1))
+
+  private def dedupStateParams(
+      spark: org.apache.spark.sql.SparkSession, dir: String
+  ): (String, String, Double, Long) = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    (p.getAs[String]("id_col"), p.getAs[String]("vec_col"),
+      p.getAs[Double]("threshold"), p.getAs[Long]("max_gen"))
+  }
+
+  private def dedupTombstones(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Dedup a NEW batch against a [[writeDedupState]] layout — the
+    * persisted form of [[semanticDedupIncremental]]: assign the batch
+    * ONCE to the stored frozen centroids, prune the prior side to the
+    * batch's own cells with a literal partition-filter list (static
+    * pruning, the probeContamination pattern — never the whole
+    * assignment), drop tombstoned versions (a deleted prior vector no
+    * longer suppresses arrivals — the retraction semantics), and apply
+    * the stored threshold. Returns the surviving batch rows
+    * (batch columns + `centroid`); advancing the state past the batch
+    * is the separate [[appendDedupState]], so callers orchestrate
+    * probe-then-advance exactly like
+    * [[graft.pipeline.TrainingPipeline.curateIncremental]] +
+    * `appendState`.
+    */
+  def semanticDedupFromState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, persistAssigned: Boolean = true,
+  ): DataFrame = {
+    val (idCol, vecCol, threshold, _) = dedupStateParams(spark, dir)
+    val index = readDedupIndex(spark, dir)
+    val assigned0 = ivfIndex(batch, vecCol, index)
+    val assigned =
+      if (persistAssigned) OperatorCache.materialize(assigned0) else assigned0
+    val cells = assigned.select("centroid").distinct()
+      .collect().map(r => Integer.valueOf(r.getInt(0)))
+    val prior0 = spark.read.parquet(s"$dir/assigned")
+      .where(col("centroid").isin(cells.toIndexedSeq: _*))
+    val prior = dedupTombstones(spark, dir).fold(prior0)(t =>
+      prior0.join(broadcast(t.select(idCol, "gen")),
+        Seq(idCol, "gen"), "left_anti"))
+    semanticDedupIncrementalAssigned(prior, assigned, idCol, vecCol, threshold)
+  }
+
+  /** Advance a [[writeDedupState]] layout past a batch: assign to the
+    * frozen centroids and append under a fresh generation — the FULL
+    * batch, not just dedup survivors (the pair graph needs dropped rows
+    * too, exactly like [[semanticDedupIncremental]]'s priorAssigned
+    * contract). Batch ids must be NEW — a re-embedded id goes through
+    * [[updateDedupState]]. Only `max_gen` rolls; prior files are never
+    * read or rewritten.
+    */
+  def appendDedupState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame,
+  ): Unit = {
+    import spark.implicits._
+    val (idCol, vecCol, threshold, maxGen) = dedupStateParams(spark, dir)
+    val gen = maxGen + 1
+    val index = readDedupIndex(spark, dir)
+    ivfIndex(batch, vecCol, index)
+      .withColumn("gen", lit(gen))
+      .select(col("centroid"), col(idCol), col(vecCol), col("gen"))
+      .write.mode("append").partitionBy("centroid")
+      .parquet(s"$dir/assigned")
+    batch.select(col(idCol)).distinct().withColumn("gen", lit(gen))
+      .write.mode("append").parquet(s"$dir/ids")
+    Seq((idCol, vecCol, threshold, gen))
+      .toDF("id_col", "vec_col", "threshold", "max_gen")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Tombstone-delete ids from a [[writeDedupState]] layout: live
+    * (id, gen) versions come from the id-keyed `ids/` table (one
+    * map-side scan — the centroid-partitioned assignment is never
+    * touched), land under `_tombstones`, and stop suppressing batch
+    * arrivals at the NEXT [[semanticDedupFromState]] probe. Idempotent
+    * under replay; [[compactDedupState]] is the erasure point (the
+    * vector BYTES stay on disk until then — the right-to-forget note,
+    * as on [[deleteFromIndex]]).
+    */
+  def deleteFromDedupState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idColArg: String,
+  ): Unit = {
+    val (idCol, _, _, _) = dedupStateParams(spark, dir)
+    val want = ids.select(col(idColArg).as(idCol)).distinct()
+    val live0 = spark.read.parquet(s"$dir/ids")
+      .join(broadcast(want), Seq(idCol), "left_semi")
+    val live = dedupTombstones(spark, dir).fold(live0)(t =>
+      live0.join(broadcast(t.select(idCol, "gen")),
+        Seq(idCol, "gen"), "left_anti"))
+    live.select(idCol, "gen")
+      .write.mode("append").parquet(s"$dir/_tombstones")
+  }
+
+  /** UPDATE re-embedded ids in place (the recrawl shape: a document
+    * changed, its new embedding must participate and its old one must
+    * stop): tombstone the current versions, append the new vectors
+    * under a fresh generation. Ids not yet in the state just append
+    * (an upsert — mixed new/changed batches go through in one call).
+    */
+  def updateDedupState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idColArg: String,
+  ): Unit = {
+    deleteFromDedupState(spark, dir, batch.select(col(idColArg)), idColArg)
+    appendDedupState(spark, dir, batch)
+  }
+
+  /** Fold tombstones into a [[writeDedupState]] layout: rewrite
+    * `assigned/` (centroid partition scheme preserved — probes prune
+    * identically after the swap) and `ids/` minus the deleted versions,
+    * clear the set. `max_gen` stays (reusing a dead generation number
+    * could resurrect a same-numbered tombstone). Centroid drift from
+    * accumulated appends is the standard frozen-IVF story — retrain
+    * here (rewrite the layout from the live rows with a fresh
+    * [[ivfTrain]]) when the p90/p96-style audit triggers it.
+    */
+  def compactDedupState(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tomb = dedupTombstones(spark, dir)
+    if (tomb.isEmpty) return
+    val (idCol, _, _, _) = dedupStateParams(spark, dir)
+    val t = tomb.get.select(idCol, "gen")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(table: String, partBy: Option[String])(df: DataFrame): Unit = {
+      val staging = new Path(s"$dir/${table}__compact")
+      fs.delete(staging, true)
+      val w = df.write.mode("overwrite")
+      partBy.fold(w)(c => w.partitionBy(c)).parquet(staging.toString)
+      fs.delete(new Path(s"$dir/$table"), true)
+      fs.rename(staging, new Path(s"$dir/$table"))
+    }
+    swap("assigned", Some("centroid"))(
+      spark.read.parquet(s"$dir/assigned")
+        .join(broadcast(t), Seq(idCol, "gen"), "left_anti"))
+    swap("ids", None)(
+      spark.read.parquet(s"$dir/ids")
+        .join(broadcast(t), Seq(idCol, "gen"), "left_anti"))
+    fs.delete(new Path(s"$dir/_tombstones"), true)
   }
 
   /** Symmetric scalar quantization (SQ8): each vector compressed to

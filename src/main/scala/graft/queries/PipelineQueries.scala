@@ -4769,6 +4769,56 @@ object PipelineQueries {
           |WHERE vec_id > (SELECT cut FROM cutoff)
           |  AND vec_id NOT IN (SELECT d FROM dups)
           |ORDER BY vec_id""".stripMargin)),
+
+    // Persisted semantic-dedup state lifecycle: p98's shape through the
+    // writeDedupState layout (frozen centroids + full prior assignment
+    // + stored threshold travel ON DISK), with prior ids %11=4
+    // tombstone-DELETED before the batch probe — a retracted prior
+    // vector must stop suppressing arrivals. Probe once tombstoned,
+    // once compacted; both phases must equal the oracle, which replays
+    // the frozen-centroid training + assignment and excludes exactly
+    // the deleted priors from the drop rule's suppressor side.
+    QueryDef("p127_semantic_state_lifecycle",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val cut = emb.agg(max("vec_id")).head().getLong(0) * 7 / 10
+        val prev = emb.where(col("vec_id") <= cut)
+        val batch = emb.where(col("vec_id") > cut)
+        val st = s"target/graft-tmp/semstate_p127_${math.abs(dir.hashCode)}"
+        Similarity.writeDedupState(prev, "vec_id", "embedding", st,
+          threshold = 0.30, k = 16)
+        Similarity.deleteFromDedupState(s, st,
+          prev.where(pmod(col("vec_id"), lit(11L)) === 4).select("vec_id"),
+          "vec_id")
+        def probe() = Similarity.semanticDedupFromState(s, st, batch)
+          .select("vec_id", "centroid")
+        val tombstoned = probe().collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSeq
+          .toDF("vec_id", "centroid").withColumn("phase", lit("tombstoned"))
+        OperatorCache.releaseAll(s)
+        Similarity.compactDedupState(s, st)
+        probe().withColumn("phase", lit("compacted"))
+          .unionByName(tombstoned)
+          .select("phase", "vec_id", "centroid")
+          .orderBy("phase", "vec_id")
+      },
+      Some(ivfAssignIncrementalSql(16) +
+        """, dups AS (
+          |  SELECT DISTINCT b.vec_id AS d
+          |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          |  WHERE b.vec_id > (SELECT cut FROM cutoff)
+          |    AND NOT (a.vec_id <= (SELECT cut FROM cutoff) AND a.vec_id % 11 = 4)
+          |    AND ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.30
+          |), surv AS (
+          |  SELECT vec_id, CAST(cid AS INT) AS centroid FROM a3
+          |  WHERE vec_id > (SELECT cut FROM cutoff)
+          |    AND vec_id NOT IN (SELECT d FROM dups)
+          |)
+          |SELECT 'compacted' AS phase, vec_id, centroid FROM surv
+          |UNION ALL
+          |SELECT 'tombstoned' AS phase, vec_id, centroid FROM surv
+          |ORDER BY phase, vec_id""".stripMargin)),
   ) ++ defsAfterPqAudit
 
   /** Oracle head of the PQ recall audits: the (optionally gated) `v`
