@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One recrawl batch → every persisted serving layout advances in
+  * lockstep. A crawl cycle produces exactly three deltas — pages that
+  * CHANGED (or are new), pages that DISAPPEARED, and (when an embedding
+  * stage runs) the changed pages' re-embedded vectors — and every
+  * derived layout must see all of them or serving drifts from the
+  * corpus: the BM25 index keeps matching deleted pages' old tokens,
+  * the decontamination index keeps flagging text that no longer
+  * exists, the semantic-dedup state keeps suppressing arrivals against
+  * retracted content.
+  *
+  * [[advance]] is the single entry point that applies one batch's
+  * deltas to each registered layout through that layout's own
+  * generation-aware lifecycle ops (delete = (id, gen) tombstones,
+  * update = delete + append under a fresh gen, so an id in BOTH
+  * `changed` and a layout is an in-place UPDATE, and compaction stays
+  * each layout's own erasure point on its own cadence — this call
+  * never rewrites files). Cost per layout is batch-sized; the shared
+  * `changed` frame is materialized once so each layout's tokenize /
+  * assign pass reads the cached batch instead of re-running its
+  * upstream plan (release via [[OperatorCache.releaseAll]]).
+  *
+  * Reference scope note: the reference engine has no serving-index
+  * maintenance at all (it re-reads sources per query); this is part of
+  * the beyond-reference pipeline surface, built on the public
+  * LSM/tombstone design every incremental search index uses.
+  */
+object Recrawl {
+
+  /** The serving layouts one corpus feeds — each optional, so a
+    * pipeline registers exactly what it maintains.
+    *
+    * @param textIndex    a [[TextSearch.writeIndex]] layout (BM25)
+    * @param shingleIndex a [[Dedup.writeShingleIndex]] layout
+    *                     (decontamination postings)
+    * @param dedupState   a [[Similarity.writeDedupState]] layout
+    *                     (semantic-dedup prior state; advances only
+    *                     when the batch's re-embedded vectors are
+    *                     passed to [[advance]])
+    */
+  final case class ServingLayouts(
+      textIndex: Option[String] = None,
+      shingleIndex: Option[String] = None,
+      dedupState: Option[String] = None,
+  )
+
+  /** Apply one recrawl batch to every registered layout.
+    *
+    * @param changed        changed-or-new docs as (idCol, textCol) —
+    *                       upserted into the text layouts
+    * @param deletedIds     ids that left the corpus (single column
+    *                       `idCol`) — tombstoned everywhere
+    * @param changedVectors the changed docs' re-embedded vectors,
+    *                       named per the dedup state's stored params —
+    *                       required for the dedupState layout to
+    *                       advance (text layouts don't need it)
+    */
+  def advance(
+      spark: SparkSession,
+      changed: DataFrame, deletedIds: DataFrame,
+      idCol: String, textCol: String,
+      layouts: ServingLayouts,
+      changedVectors: Option[DataFrame] = None,
+  ): Unit = {
+    val batch = OperatorCache.persist(changed.select(col(idCol), col(textCol)))
+    layouts.textIndex.foreach { dir =>
+      TextSearch.deleteFromIndex(spark, dir, deletedIds, idCol)
+      TextSearch.updateIndex(batch, idCol, textCol, dir)
+    }
+    layouts.shingleIndex.foreach { dir =>
+      Dedup.deleteFromShingleIndex(spark, dir, deletedIds, idCol)
+      Dedup.updateShingleIndex(batch, idCol, textCol, dir)
+    }
+    layouts.dedupState.foreach { dir =>
+      Similarity.deleteFromDedupState(spark, dir, deletedIds, idCol)
+      changedVectors.foreach(v =>
+        Similarity.updateDedupState(spark, dir, v, idCol))
+    }
+  }
+
+  /** Compact every registered layout — the erasure point, run on the
+    * operator's cadence (typically every N batches), not per batch. */
+  def compact(spark: SparkSession, layouts: ServingLayouts): Unit = {
+    layouts.textIndex.foreach(TextSearch.compactIndex(spark, _))
+    layouts.shingleIndex.foreach(Dedup.compactShingleIndex(spark, _))
+    layouts.dedupState.foreach(Similarity.compactDedupState(spark, _))
+  }
+}

@@ -5698,6 +5698,129 @@ object PipelineQueries {
              |SELECT 'tombstoned' AS phase, doc, n_overlap FROM ov
              |ORDER BY phase, doc""".stripMargin)),
 
+    // The composed recrawl capstone: ONE Recrawl.advance call applies a
+    // crawl cycle's deltas (changed docs %10∈{1,3}, deletions %10=5) to
+    // BOTH text-serving layouts — the BM25 index and the shingle
+    // decontamination index — then both are SERVED, once with
+    // tombstones pending and once compacted. The oracle rebuilds both
+    // families from the final corpus in SQL (p125's BM25 chain + p126's
+    // overlap chain over the same CASE'd corpus), so a green hash
+    // proves one advance call ≡ per-layout rebuilds, across both
+    // layouts and both lifecycle phases.
+    QueryDef("p128_recrawl_serving",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = docs.where(pmod(col("doc_id"), lit(20)) =!= 0)
+        val block = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+        val base = s"target/graft-tmp/recrawl_p128_${math.abs(dir.hashCode)}"
+        val m10 = pmod(col("doc_id"), lit(10))
+        val v1 = corpus.select(col("doc_id"),
+          when(m10 === 3, concat(lit("draft placeholder "), col("doc_id")))
+            .otherwise(col("text")).as("text"))
+        val layouts = Recrawl.ServingLayouts(
+          textIndex = Some(s"$base/bm25"),
+          shingleIndex = Some(s"$base/shingles"))
+        TextSearch.writeIndex(v1, "doc_id", "text", s"$base/bm25")
+        Dedup.writeShingleIndex(v1, "doc_id", "text", s"$base/shingles",
+          shingleK = 8)
+        OperatorCache.releaseAll(s)
+        val changed = corpus.where(m10 === 3 || m10 === 1)
+          .select(col("doc_id"),
+            when(m10 === 1,
+              concat(lit("rewritten clean page "), col("doc_id")))
+              .otherwise(col("text")).as("text"))
+        Recrawl.advance(s, changed,
+          corpus.where(m10 === 5).select("doc_id"), "doc_id", "text", layouts)
+        OperatorCache.releaseAll(s)
+        def probes() = {
+          val bm = TextSearch.searchTopK(s, s"$base/bm25",
+              Seq("join", "vector", "filter"), k = 10)
+            .select(lit("bm25").as("family"), col("doc"),
+              col("score").as("metric"))
+          val de = Dedup.probeContamination(s, s"$base/shingles",
+              block, "doc_id", "text", minOverlap = 3)
+            .select(lit("decon").as("family"), col("doc"),
+              col("n_overlap").cast("double").as("metric"))
+          bm.unionByName(de)
+        }
+        val tombstoned = probes().collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+          .toDF("family", "doc", "metric")
+          .withColumn("phase", lit("tombstoned"))
+        Recrawl.compact(s, layouts)
+        probes().withColumn("phase", lit("compacted"))
+          .unionByName(tombstoned)
+          .select("phase", "family", "doc", "metric")
+          .orderBy("phase", "family", "doc")
+      },
+      Some("""WITH corpus128 AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 10 = 1
+             |              THEN 'rewritten clean page ' || CAST(doc_id AS VARCHAR)
+             |              ELSE text END AS text
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE doc_id % 20 <> 0 AND doc_id % 10 <> 5
+             |), terms AS (
+             |  SELECT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS term
+             |  FROM corpus128
+             |), dl AS (
+             |  SELECT doc, COUNT(*) AS dl FROM terms GROUP BY doc
+             |), stats AS (
+             |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+             |), q AS (
+             |  SELECT doc, term FROM terms WHERE term IN ('join', 'vector', 'filter')
+             |), tf AS (
+             |  SELECT doc, term, COUNT(*) AS tf FROM q GROUP BY doc, term
+             |), dfreq AS (
+             |  SELECT term, COUNT(DISTINCT doc) AS df FROM q GROUP BY term
+             |), contrib AS (
+             |  SELECT tf.doc,
+             |         LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             |           * CAST(tf AS DOUBLE)
+             |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+             |  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc = dl.doc, stats
+             |), bmfinal AS (
+             |  SELECT doc, ROUND(SUM(c), 6) AS metric
+             |  FROM contrib GROUP BY doc
+             |  ORDER BY metric DESC, doc ASC LIMIT 10
+             |), block AS (
+             |  SELECT text FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 20 = 0
+             |), btoks AS (
+             |  SELECT list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM block
+             |), bsh AS (
+             |  SELECT DISTINCT shingle FROM (
+             |    SELECT unnest(list_transform(range(1, len(toks) - 8 + 2),
+             |                                 i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
+             |    FROM btoks WHERE len(toks) >= 8
+             |  )
+             |), ctoks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                     x -> x <> '') AS toks
+             |  FROM corpus128
+             |), csh AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8 + 2),
+             |                                       i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
+             |  FROM ctoks WHERE len(toks) >= 8
+             |), ov AS (
+             |  SELECT doc_id AS doc, COUNT(DISTINCT csh.shingle) AS n_overlap
+             |  FROM csh JOIN bsh USING (shingle)
+             |  GROUP BY doc_id HAVING COUNT(DISTINCT csh.shingle) >= 3
+             |), probes AS (
+             |  SELECT 'bm25' AS family, doc, metric FROM bmfinal
+             |  UNION ALL
+             |  SELECT 'decon' AS family, doc, CAST(n_overlap AS DOUBLE) AS metric FROM ov
+             |)
+             |SELECT 'compacted' AS phase, family, doc, metric FROM probes
+             |UNION ALL
+             |SELECT 'tombstoned' AS phase, family, doc, metric FROM probes
+             |ORDER BY phase, family, doc""".stripMargin)),
+
     // Hybrid retrieval: BM25 candidates (k=20 through the index)
     // reranked by embedding cosine, blended 50/50 with both sides
     // 6-rounded. Query vectors are real embedding rows (vec_id = 7·qid);
