@@ -514,6 +514,88 @@ object TrainingPipeline {
     * parquet scans — only the bucket-matched slices are ever read by a
     * batch); the bitmap is driver-collected like [[BloomGate.build]]
     * produces it. */
+  /** The pending doc-tombstone set of a state layout, if any — single
+    * `doc` column under `_tombstones` (ignored by the table scans). */
+  private def stateTombstones(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Pending seen-key tombstones (`_tombstone_keys`, single `key`
+    * column) — the raw-text keys of retracted docs, so the exact-seen
+    * gate stops killing future copies of retracted content. */
+  private def stateKeyTombstones(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_tombstone_keys")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** A state table scan minus its pending tombstones (broadcast,
+    * delete-sized anti-join — the scan stays map-only). */
+  private def liveStateTable(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      table: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$table")
+    table match {
+      case "cleaned" | "band_index" =>
+        stateTombstones(spark, dir).fold(df)(t =>
+          df.join(broadcast(t.select("doc")), Seq("doc"), "left_anti"))
+      case "seen_keys" =>
+        stateKeyTombstones(spark, dir).fold(df)(t =>
+          df.join(broadcast(t.select("key")), Seq("key"), "left_anti"))
+      case _ => df
+    }
+  }
+
+  /** Tombstone-delete docs from a [[writeState]] layout — the
+    * RETRACTION form (a takedown, a page that must stop suppressing
+    * future near-duplicates): the docs' `cleaned` text stops being a
+    * dedup reference, their `band_index` rows stop producing candidate
+    * links, and (when `textCol` supplies the retracted content) their
+    * raw-text keys retire from the exact-seen gate, all at the NEXT
+    * batch with no rewrite — O(deletes), folded out by
+    * [[compactState]]. The Bloom bitmap cannot un-set bits, which is
+    * harmless: the gate drops a doc only on the exact key CONFIRM, and
+    * the key is gone (the bitmap just over-approximates until the next
+    * full state rebuild).
+    *
+    * Identity note: this state's ids are immutable by the
+    * [[curateIncremental]] monotone-id contract (a re-crawled page
+    * arrives under a NEW id), so deletion is retraction-only — there
+    * is no delete-then-reappend of the same id here, which is why doc
+    * tombstones need no generation stamps (contrast
+    * [[Dedup.updateShingleIndex]], where ids are stable and versions
+    * roll). Idempotent under replay: already-tombstoned docs/keys are
+    * skipped.
+    */
+  def deleteFromState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      deleted: DataFrame, idCol: String, textCol: Option[String] = None,
+  ): Unit = {
+    val want = deleted.select(col(idCol).as("doc")).distinct()
+    val live0 = spark.read.parquet(s"$dir/cleaned").select("doc")
+      .join(broadcast(want), Seq("doc"), "left_semi")
+    val live = stateTombstones(spark, dir).fold(live0)(t =>
+      live0.join(broadcast(t.select("doc")), Seq("doc"), "left_anti"))
+    live.write.mode("append").parquet(s"$dir/_tombstones")
+    textCol.foreach { tc =>
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/seen_keys")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/seen_keys"))) {
+        val wantKeys = deleted
+          .select(BloomGate.docKeyHash(col(tc)).as("key")).distinct()
+        val inTable = spark.read.parquet(s"$dir/seen_keys")
+          .join(broadcast(wantKeys), Seq("key"), "left_semi").distinct()
+        val fresh = stateKeyTombstones(spark, dir).fold(inTable)(t =>
+          inTable.join(broadcast(t.select("key")), Seq("key"), "left_anti"))
+        fresh.write.mode("append").parquet(s"$dir/_tombstone_keys")
+      }
+    }
+  }
+
   def readState(spark: org.apache.spark.sql.SparkSession, dir: String): CurateState = {
     import spark.implicits._
     val params = spark.read.parquet(s"$dir/params")
@@ -540,12 +622,12 @@ object TrainingPipeline {
           .select("word").as[Long].collect(),
         bloomBits, p.getAs[Int]("bloomK")))
     CurateState(
-      cleaned = spark.read.parquet(s"$dir/cleaned"),
-      bandIndex = spark.read.parquet(s"$dir/band_index"),
+      cleaned = liveStateTable(spark, dir, "cleaned"),
+      bandIndex = liveStateTable(spark, dir, "band_index"),
       bloom = bloom,
       seenKeys =
         if (bloomBits <= 0) None
-        else Some(spark.read.parquet(s"$dir/seen_keys")),
+        else Some(liveStateTable(spark, dir, "seen_keys")),
       minQuality = p.getAs[Double]("minQuality"),
       languages = p.getAs[scala.collection.Seq[String]]("languages").toSet,
       minWords = p.getAs[Long]("minWords"),
@@ -673,10 +755,10 @@ object TrainingPipeline {
     val tables = Seq("cleaned", "band_index", "seen_keys")
     def repointed(st: CurateState, bloom: Option[(Array[Long], Int, Int)]) =
       st.copy(
-        cleaned = spark.read.parquet(s"$dir/cleaned"),
-        bandIndex = spark.read.parquet(s"$dir/band_index"),
+        cleaned = liveStateTable(spark, dir, "cleaned"),
+        bandIndex = liveStateTable(spark, dir, "band_index"),
         bloom = bloom,
-        seenKeys = st.seenKeys.map(_ => spark.read.parquet(s"$dir/seen_keys")))
+        seenKeys = st.seenKeys.map(_ => liveStateTable(spark, dir, "seen_keys")))
     batchId match {
       case None =>
         val (cleanedDelta, indexDelta, newBloom, deltaKeys) =
@@ -687,7 +769,7 @@ object TrainingPipeline {
         deltaKeys.foreach(
           _.write.mode("append").parquet(s"$dir/seen_keys"))
         repointed(state, newBloom).copy(
-          seenKeys = deltaKeys.map(_ => spark.read.parquet(s"$dir/seen_keys")))
+          seenKeys = deltaKeys.map(_ => liveStateTable(spark, dir, "seen_keys")))
       case Some(id0) =>
         val safe = id0.replaceAll("[^A-Za-z0-9._-]", "_")
         val fs = new Path(dir).getFileSystem(
@@ -781,9 +863,18 @@ object TrainingPipeline {
         fs.rename(new Path(s"$dir/${name}__compact"), path)
       }
     }
-    rewrite("cleaned", identity)
-    rewrite("band_index", identity)
-    rewrite("seen_keys", _.distinct())
+    // fold pending retraction tombstones into the rewrite (the erasure
+    // point, as in every layout of this family) and clear the sets
+    val docTomb = stateTombstones(spark, dir).map(_.select("doc"))
+    val keyTomb = stateKeyTombstones(spark, dir).map(_.select("key"))
+    def minusDocs(df: DataFrame): DataFrame =
+      docTomb.fold(df)(t => df.join(broadcast(t), Seq("doc"), "left_anti"))
+    rewrite("cleaned", minusDocs)
+    rewrite("band_index", minusDocs)
+    rewrite("seen_keys", df => keyTomb.fold(df.distinct())(t =>
+      df.join(broadcast(t), Seq("key"), "left_anti").distinct()))
+    fs.delete(new Path(s"$dir/_tombstones"), true)
+    fs.delete(new Path(s"$dir/_tombstone_keys"), true)
     readState(spark, dir)
   }
 

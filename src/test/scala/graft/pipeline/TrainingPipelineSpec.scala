@@ -319,6 +319,50 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(ids(appended) == Seq(22L) && ids(advanced) == Seq(22L))
   }
 
+  test("deleteFromState: retraction stops suppression; compact folds it out") {
+    val prev = Seq(1L -> sentence("alpha"), 2L -> sentence("bravo"))
+      .toDF("doc_id", "text")
+    val state0 = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 5, dedupThreshold = 0.7)
+    val dir = s"target/graft-tmp/curate-state-del-${System.nanoTime()}"
+    TrainingPipeline.writeState(state0, dir)
+    def inc(batch: Seq[(Long, String)]): Seq[Long] = {
+      val r = TrainingPipeline.curateIncremental(
+          TrainingPipeline.readState(spark, dir),
+          batch.toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      OperatorCache.releaseAll(spark)
+      r
+    }
+    val nearDup = Seq(10L -> (sentence("alpha") + " too"))
+    val exactCopy = Seq(12L -> sentence("alpha"))
+    // before the retraction: the prior link kills 10, the seen gate 12
+    assert(inc(nearDup) == Seq() && inc(exactCopy) == Seq())
+    // RETRACT doc 1 (with its text, so the exact-seen key retires too)
+    TrainingPipeline.deleteFromState(spark, dir,
+      Seq(1L -> sentence("alpha")).toDF("doc_id", "text"),
+      "doc_id", textCol = Some("text"))
+    assert(inc(nearDup) == Seq(10L), "near-dup of retracted doc must survive")
+    assert(inc(exactCopy) == Seq(12L), "exact copy of retracted doc must survive")
+    // unrelated suppression is untouched
+    assert(inc(Seq(13L -> (sentence("bravo") + " too"))) == Seq())
+    // delete replay appends nothing (idempotent)
+    TrainingPipeline.deleteFromState(spark, dir,
+      Seq(1L -> sentence("alpha")).toDF("doc_id", "text"),
+      "doc_id", textCol = Some("text"))
+    assert(spark.read.parquet(s"$dir/_tombstones").count() == 1L)
+    assert(spark.read.parquet(s"$dir/_tombstone_keys").count() == 1L)
+    // compaction folds the retraction out and clears the sets
+    TrainingPipeline.compactState(spark, dir)
+    assert(inc(nearDup) == Seq(10L) && inc(exactCopy) == Seq(12L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_tombstone_keys")))
+    assert(spark.read.parquet(s"$dir/cleaned").select("doc")
+      .as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("appendState with a batchId is idempotent: replay converges, partial landing heals") {
     val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
     val state0 = TrainingPipeline.curateState(prev, "doc_id", "text",
