@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   * `changed` and a layout is an in-place UPDATE, and compaction stays
   * each layout's own erasure point on its own cadence — this call
   * never rewrites files). Cost per layout is batch-sized; the shared
-  * `changed` frame is materialized once so each layout's tokenize /
-  * assign pass reads the cached batch instead of re-running its
-  * upstream plan (release via [[OperatorCache.releaseAll]]).
+  * `changed` frame is cached once so each layout's tokenize / assign
+  * pass reads the cached batch instead of re-running its upstream
+  * plan, and released before [[advance]] returns (so a streaming
+  * caller needs no per-batch releaseAll).
   *
   * Reference scope note: the reference engine has no serving-index
   * maintenance at all (it re-reads sources per query); this is part of
@@ -67,18 +68,26 @@ object Recrawl {
       changedVectors: Option[DataFrame] = None,
   ): Unit = {
     val batch = OperatorCache.persist(changed.select(col(idCol), col(textCol)))
-    layouts.textIndex.foreach { dir =>
-      TextSearch.deleteFromIndex(spark, dir, deletedIds, idCol)
-      TextSearch.updateIndex(batch, idCol, textCol, dir)
-    }
-    layouts.shingleIndex.foreach { dir =>
-      Dedup.deleteFromShingleIndex(spark, dir, deletedIds, idCol)
-      Dedup.updateShingleIndex(batch, idCol, textCol, dir)
-    }
-    layouts.dedupState.foreach { dir =>
-      Similarity.deleteFromDedupState(spark, dir, deletedIds, idCol)
-      changedVectors.foreach(v =>
-        Similarity.updateDedupState(spark, dir, v, idCol))
+    try {
+      layouts.textIndex.foreach { dir =>
+        TextSearch.deleteFromIndex(spark, dir, deletedIds, idCol)
+        TextSearch.updateIndex(batch, idCol, textCol, dir)
+      }
+      layouts.shingleIndex.foreach { dir =>
+        Dedup.deleteFromShingleIndex(spark, dir, deletedIds, idCol)
+        Dedup.updateShingleIndex(batch, idCol, textCol, dir)
+      }
+      layouts.dedupState.foreach { dir =>
+        Similarity.deleteFromDedupState(spark, dir, deletedIds, idCol)
+        changedVectors.foreach(v =>
+          Similarity.updateDedupState(spark, dir, v, idCol))
+      }
+    } finally {
+      // every consumer of the cached batch runs inside this call (the
+      // layout writes are synchronous actions), so release here rather
+      // than asking callers for a releaseAll — which a shared-session
+      // streaming caller must NOT issue per micro-batch
+      OperatorCache.release(batch)
     }
   }
 
