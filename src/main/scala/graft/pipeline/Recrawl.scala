@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object Recrawl {
 
+  /** An [[Similarity.writeIvfPq]] ANN serving layout plus the frozen
+    * model artifacts that travel with it (the probe contract). */
+  final case class AnnIvfPq(
+      dir: String, vecCol: String,
+      coarse: Similarity.IvfIndex, books: Seq[Similarity.IvfIndex],
+  )
+
   /** The serving layouts one corpus feeds — each optional, so a
     * pipeline registers exactly what it maintains.
     *
@@ -42,11 +49,16 @@ object Recrawl {
     *                     (semantic-dedup prior state; advances only
     *                     when the batch's re-embedded vectors are
     *                     passed to [[advance]])
+    * @param annIndex     a [[Similarity.writeIvfPq]] serving layout
+    *                     (embedding search; like dedupState, upserts
+    *                     only when re-embedded vectors are passed —
+    *                     deletions always apply)
     */
   final case class ServingLayouts(
       textIndex: Option[String] = None,
       shingleIndex: Option[String] = None,
       dedupState: Option[String] = None,
+      annIndex: Option[AnnIvfPq] = None,
   )
 
   /** Apply one recrawl batch to every registered layout.
@@ -68,26 +80,35 @@ object Recrawl {
       changedVectors: Option[DataFrame] = None,
   ): Unit = {
     val batch = OperatorCache.persist(changed.select(col(idCol), col(textCol)))
+    // deletes fan out to every registered layout — cache them too, so a
+    // file-sourced CDC batch isn't re-read once per layout
+    val dels = OperatorCache.persist(deletedIds.select(col(idCol)))
     try {
       layouts.textIndex.foreach { dir =>
-        TextSearch.deleteFromIndex(spark, dir, deletedIds, idCol)
+        TextSearch.deleteFromIndex(spark, dir, dels, idCol)
         TextSearch.updateIndex(batch, idCol, textCol, dir)
       }
       layouts.shingleIndex.foreach { dir =>
-        Dedup.deleteFromShingleIndex(spark, dir, deletedIds, idCol)
+        Dedup.deleteFromShingleIndex(spark, dir, dels, idCol)
         Dedup.updateShingleIndex(batch, idCol, textCol, dir)
       }
       layouts.dedupState.foreach { dir =>
-        Similarity.deleteFromDedupState(spark, dir, deletedIds, idCol)
+        Similarity.deleteFromDedupState(spark, dir, dels, idCol)
         changedVectors.foreach(v =>
           Similarity.updateDedupState(spark, dir, v, idCol))
       }
+      layouts.annIndex.foreach { a =>
+        Similarity.deleteFromIndex(dels, idCol, a.dir)
+        changedVectors.foreach(v =>
+          Similarity.updateIvfPq(v, idCol, a.vecCol, a.dir, a.coarse, a.books))
+      }
     } finally {
-      // every consumer of the cached batch runs inside this call (the
+      // every consumer of the cached frames runs inside this call (the
       // layout writes are synchronous actions), so release here rather
       // than asking callers for a releaseAll — which a shared-session
       // streaming caller must NOT issue per micro-batch
       OperatorCache.release(batch)
+      OperatorCache.release(dels)
     }
   }
 
@@ -97,5 +118,6 @@ object Recrawl {
     layouts.textIndex.foreach(TextSearch.compactIndex(spark, _))
     layouts.shingleIndex.foreach(Dedup.compactShingleIndex(spark, _))
     layouts.dedupState.foreach(Similarity.compactDedupState(spark, _))
+    layouts.annIndex.foreach(a => Similarity.compactIndex(spark, a.dir))
   }
 }

@@ -128,9 +128,12 @@ object Similarity {
     * scan), never the full corpus.
     */
   def writeIndexed(corpus: DataFrame, vecCol: String, path: String,
-      planes: Int = 12, seed: Long = 42L): Unit =
+      planes: Int = 12, seed: Long = 42L): Unit = {
     indexed(corpus, vecCol, planes, seed)
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeIndexMeta(corpus.sparkSession, path, 0L)
+  }
 
   /** Append a new vector batch to a [[writeIndexed]] LSH layout: the
     * hyperplanes are a pure function of (dim, planes, seed), so batch
@@ -142,9 +145,25 @@ object Similarity {
     * not a recall concern).
     */
   def appendIndexed(batch: DataFrame, vecCol: String, path: String,
-      planes: Int = 12, seed: Long = 42L): Unit =
+      planes: Int = 12, seed: Long = 42L): Unit = {
+    val spark = batch.sparkSession
+    val gen = readIndexMaxGen(spark, path) + 1
     indexed(batch, vecCol, planes, seed)
+      .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket").parquet(path)
+    writeIndexMeta(spark, path, gen)
+  }
+
+  /** UPDATE re-embedded ids in a [[writeIndexed]] layout: tombstone
+    * every current version (cutoff = the pre-append max_gen), then
+    * append the new vectors under a fresh generation above it — ids
+    * not yet indexed just append (the upsert shape, as in every
+    * update of this family). */
+  def updateIndexed(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, planes: Int = 12, seed: Long = 42L): Unit = {
+    deleteFromIndex(batch.select(col(idCol)), idCol, path)
+    appendIndexed(batch, vecCol, path, planes, seed)
+  }
 
   /** Serve an ANN query from a [[writeIndexed]] layout: the bucket
     * predicate prunes partitions at planning time, so only
@@ -677,10 +696,34 @@ object Similarity {
     * the m-int residual codes; the transient residual column is dropped.
     */
   def writeIvfPqResidual(corpus: DataFrame, vecCol: String, path: String,
-      coarse: IvfIndex, books: Seq[IvfIndex]): Unit =
+      coarse: IvfIndex, books: Seq[IvfIndex]): Unit = {
     pqEncode(residualFrame(corpus, vecCol, coarse, widen = true), "__res", books)
       .drop("__res")
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("centroid").parquet(path)
+    writeIndexMeta(corpus.sparkSession, path, 0L)
+  }
+
+  /** Append a batch into a [[writeIvfPqResidual]] layout — same
+    * frozen-model contract and drift story as [[appendIvfPq]], with
+    * the residual encode. */
+  def appendIvfPqResidual(batch: DataFrame, vecCol: String, path: String,
+      coarse: IvfIndex, books: Seq[IvfIndex]): Unit = {
+    val spark = batch.sparkSession
+    val gen = readIndexMaxGen(spark, path) + 1
+    pqEncode(residualFrame(batch, vecCol, coarse, widen = true), "__res", books)
+      .drop("__res")
+      .withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("centroid").parquet(path)
+    writeIndexMeta(spark, path, gen)
+  }
+
+  /** [[updateIvfPq]] for the residual layout. */
+  def updateIvfPqResidual(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, coarse: IvfIndex, books: Seq[IvfIndex]): Unit = {
+    deleteFromIndex(batch.select(col(idCol)), idCol, path)
+    appendIvfPqResidual(batch, vecCol, path, coarse, books)
+  }
 
   /** Probe a [[writeIvfPqResidual]] layout: pruned partitions, ADC over
     * stored residual codes plus the per-cell dot(q, c) constant, exact
@@ -709,9 +752,12 @@ object Similarity {
     * only for the k·rescoreFactor rescore rows.
     */
   def writeIvfPq(corpus: DataFrame, vecCol: String, path: String,
-      coarse: IvfIndex, books: Seq[IvfIndex]): Unit =
+      coarse: IvfIndex, books: Seq[IvfIndex]): Unit = {
     pqEncode(ivfIndex(corpus, vecCol, coarse), vecCol, books)
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("centroid").parquet(path)
+    writeIndexMeta(corpus.sparkSession, path, 0L)
+  }
 
   /** Probe a [[writeIvfPq]] layout: rank coarse centroids driver-side,
     * scan only the `nprobe` pruned partitions, ADC over the STORED
@@ -735,9 +781,27 @@ object Similarity {
     * map-only encode job, no shuffle).
     */
   def appendIvfPq(batch: DataFrame, vecCol: String, path: String,
-      coarse: IvfIndex, books: Seq[IvfIndex]): Unit =
+      coarse: IvfIndex, books: Seq[IvfIndex]): Unit = {
+    val spark = batch.sparkSession
+    val gen = readIndexMaxGen(spark, path) + 1
     pqEncode(ivfIndex(batch, vecCol, coarse), vecCol, books)
+      .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("centroid").parquet(path)
+    writeIndexMeta(spark, path, gen)
+  }
+
+  /** UPDATE re-embedded ids in a [[writeIvfPq]] layout — the recrawl
+    * shape for the ANN serving index (a document changed, its new
+    * embedding must rank and its old one must stop): tombstone every
+    * current version, then append the re-encoded batch under a fresh
+    * generation. The cutoff-tombstone rule (see [[deleteFromIndex]])
+    * is what makes the composition correct — the delete names versions
+    * `gen <= cutoff`, the append lands above the cutoff. */
+  def updateIvfPq(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, coarse: IvfIndex, books: Seq[IvfIndex]): Unit = {
+    deleteFromIndex(batch.select(col(idCol)), idCol, path)
+    appendIvfPq(batch, vecCol, path, coarse, books)
+  }
 
   def probeIvfPq(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -753,21 +817,53 @@ object Similarity {
     pqAdcRescore(cells, idCol, vecCol, books, query, k, rescoreFactor)
   }
 
-  // --- serving-index lifecycle: delete + compact ---------------------
+  // --- serving-index lifecycle: delete + update + compact ------------
+
+  /** `_meta/` bookkeeping of the ANN serving layouts: the rolling
+    * generation counter appends stamp and cutoff-tombstones name.
+    * Lives under an underscore path so root scans of the layout frame
+    * ignore it. */
+  private def writeIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxGen: Long): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(maxGen)).toDF("max_gen")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  private def readIndexMaxGen(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no _meta — built by a pre-generation writer; rebuild " +
+        "the layout (writeIndexed/writeIvfPq/writeIvfPqResidual) before " +
+        "appending to it")
+    spark.read.parquet(p.toString).head().getAs[Long]("max_gen")
+  }
 
   /** Tombstone-delete ids from ANY written serving layout
-    * ([[writeIndexed]], [[writeIvfPq]], [[writeIvfPqResidual]]): the id
-    * set appends under `_tombstones` inside the index root (a name
-    * parquet scans of the root ignore) — O(deletes) cost, the index
-    * files untouched. Every probe anti-joins the (broadcast,
-    * delete-sized) set, so deletions are visible immediately;
-    * [[compactIndex]] later folds them into the files and clears the
-    * set. Right-to-forget note: until compaction the vector BYTES are
-    * still on disk — compaction, not deletion, is the erasure point.
+    * ([[writeIndexed]], [[writeIvfPq]], [[writeIvfPqResidual]]): one
+    * CUTOFF row per id — (id, cutoff = the layout's current max_gen) —
+    * appends under `_tombstones` inside the index root (a name parquet
+    * scans of the root ignore). The rule a probe applies is
+    * "a row dies iff some tombstone names its id with
+    * `row.gen <= cutoff`", which costs O(deletes) to record (one _meta
+    * read, no index scan, no live-version lookup) and makes
+    * delete-then-append a correct UPDATE: the re-appended rows land at
+    * `max_gen + 1 > cutoff` and survive the very tombstone that
+    * retired their predecessors. Replay-safe: a replayed delete
+    * re-records the same retirement (dedup'd at probe aggregation).
+    * [[compactIndex]] later folds the set into the files — the erasure
+    * point (until then the vector BYTES are still on disk; the
+    * right-to-forget note).
     */
-  def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit =
+  def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit = {
+    val cutoff = readIndexMaxGen(ids.sparkSession, path)
     ids.select(col(idCol)).distinct()
+      .withColumn("cutoff", lit(cutoff))
       .write.mode("append").parquet(s"$path/_tombstones")
+  }
 
   private def tombstones(
       spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
@@ -776,15 +872,26 @@ object Similarity {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
-  /** Drop tombstoned rows from an index scan: anti-join against the
-    * delete-sized set (broadcast — the probe's pruned slice stays
-    * map-only). The tombstone frame's single column names the id. */
+  /** Drop tombstoned rows from an index scan (broadcast, delete-sized
+    * — the probe's pruned slice stays map-only). Cutoff semantics: a
+    * row dies iff a tombstone names its id with `row.gen <= cutoff`,
+    * applied as a broadcast left join against the per-id MAX cutoff
+    * plus a filter — so versions appended after the delete survive it
+    * (the update contract). A layout or tombstone set without
+    * generation columns (a pre-generation build) falls back to the
+    * plain id anti-join. */
   private def minusTombstones(
       spark: org.apache.spark.sql.SparkSession, path: String,
       cells: DataFrame): DataFrame =
     tombstones(spark, path).fold(cells) { t =>
       val idc = t.schema.fieldNames.head
-      cells.join(broadcast(t.select(idc).distinct()), Seq(idc), "left_anti")
+      if (t.columns.contains("cutoff") && cells.columns.contains("gen")) {
+        val cut = t.groupBy(idc).agg(max("cutoff").as("__cutoff"))
+        cells.join(broadcast(cut), Seq(idc), "left")
+          .where(col("__cutoff").isNull || col("gen") > col("__cutoff"))
+          .drop("__cutoff")
+      } else
+        cells.join(broadcast(t.select(idc).distinct()), Seq(idc), "left_anti")
     }
 
   /** Fold tombstones into the files and merge append-accumulated small
@@ -821,6 +928,11 @@ object Similarity {
     fs.delete(staging, true)
     val w = arranged.write.mode("overwrite")
     partCol.fold(w)(c => w.partitionBy(c)).parquet(staging.toString)
+    // the generation counter survives the swap (tombstones don't —
+    // they were just folded in); losing it would restart gens at 0 and
+    // let a pre-compaction cutoff's number be reused by a later append
+    if (fs.exists(new Path(s"$path/_meta")))
+      writeIndexMeta(spark, staging.toString, readIndexMaxGen(spark, path))
     fs.delete(root, true)
     fs.rename(staging, root)
   }

@@ -1053,6 +1053,71 @@ class PipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("index UPDATE: delete+append under cutoff tombstones re-ranks, never shadows") {
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    // LSH layout: re-embed a mid-ranked id to the query vector itself —
+    // it must move to the top (cosine 1.0), appear exactly once, and a
+    // brand-new id must upsert through the same call
+    val path = "/root/repo/target/graft-tmp/ann-index-update"
+    Similarity.writeIndexed(emb, "embedding", path, planes = 4)
+    def probe() = Similarity.probeIndexed(spark, path, "vec_id", "embedding",
+      q, k = 5, planes = 4).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val victim = probe().last._1
+    val newId = 999999L
+    Similarity.updateIndexed(
+      Seq((victim, q), (newId, q)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, planes = 4)
+    val after = probe()
+    // both updated rows serve at cosine 1.0 (with id 0, whose vector q is)
+    assert(after.take(3).map(_._1).toSet == Set(0L, victim, newId) &&
+      after.take(3).forall(_._2 == 1.0), s"update not served: $after")
+    assert(after.map(_._1).count(_ == victim) == 1, "updated id must not duplicate")
+    // the tombstone that retired the old version did NOT shadow the new
+    // one, and compaction erases exactly the superseded row
+    Similarity.compactIndex(spark, path)
+    assert(probe() == after, "compaction changed the served ranking")
+    assert(spark.read.parquet(path).where(col("vec_id") === victim).count() == 1)
+    // a replayed UPDATE converges (one live version, same serving)
+    Similarity.updateIndexed(Seq((victim, q)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, planes = 4)
+    assert(probe() == after, "update replay changed the served ranking")
+
+    // IVF-PQ layout: same composition through the encoded path
+    val p2 = "/root/repo/target/graft-tmp/ann-ivfpq-update"
+    val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 4)
+    val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 2, k = 4)
+    Similarity.writeIvfPq(emb, "embedding", p2, coarse, books)
+    def probe2() = Similarity.probeIvfPq(spark, p2, "vec_id", "embedding",
+      coarse, books, q, k = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val victim2 = probe2().last._1
+    Similarity.updateIvfPq(Seq((victim2, q)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", p2, coarse, books)
+    val after2 = probe2()
+    assert(after2.count(_._1 == victim2) == 1 &&
+      after2.find(_._1 == victim2).exists(_._2 == 1.0),
+      s"ivfpq update not served at cosine 1.0 exactly once: $after2")
+    Similarity.compactIndex(spark, p2)
+    assert(probe2() == after2)
+
+    // residual layout: append + update exist with the same contract
+    val p3 = "/root/repo/target/graft-tmp/ann-ivfpqr-update"
+    val booksR = Similarity.trainPqResidual(emb, "vec_id", "embedding", coarse,
+      m = 2, k = 4)
+    Similarity.writeIvfPqResidual(emb, "embedding", p3, coarse, booksR)
+    def probe3() = Similarity.probeIvfPqResidual(spark, p3, "vec_id",
+      "embedding", coarse, booksR, q, k = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val victim3 = probe3().last._1
+    Similarity.updateIvfPqResidual(Seq((victim3, q)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", p3, coarse, booksR)
+    val after3 = probe3()
+    assert(after3.count(_._1 == victim3) == 1 &&
+      after3.find(_._1 == victim3).exists(_._2 == 1.0),
+      s"residual update not served at cosine 1.0 exactly once: $after3")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("p13 materializes with a pinned job set: the collect_set aggregate runs exactly once") {
     // The r6/r7 broadcast-cache race's signature was DUPLICATE work: the
     // shingle-set collect_set aggregate re-ran as up to 6 concurrent

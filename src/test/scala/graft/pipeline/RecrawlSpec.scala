@@ -34,15 +34,19 @@ class RecrawlSpec extends SparkSpec {
     ).toDF("doc_id", "embedding")
     val block = Seq((100L, phrase("one"))).toDF("doc_id", "text")
 
+    val coarse = Similarity.ivfTrain(vecs1, "doc_id", "embedding", k = 2)
+    val books = Similarity.trainPq(vecs1, "doc_id", "embedding", m = 2, k = 4)
     val layouts = Recrawl.ServingLayouts(
       textIndex = Some(s"$base/bm25"),
       shingleIndex = Some(s"$base/shingles"),
-      dedupState = Some(s"$base/semstate"))
+      dedupState = Some(s"$base/semstate"),
+      annIndex = Some(Recrawl.AnnIvfPq(s"$base/ann", "embedding", coarse, books)))
     TextSearch.writeIndex(v1, "doc_id", "text", s"$base/bm25")
     Dedup.writeShingleIndex(v1, "doc_id", "text", s"$base/shingles",
       shingleK = 5, buckets = 16)
     Similarity.writeDedupState(vecs1, "doc_id", "embedding", s"$base/semstate",
       threshold = 0.9, k = 2)
+    Similarity.writeIvfPq(vecs1, "embedding", s"$base/ann", coarse, books)
     OperatorCache.releaseAll(spark)
 
     // the recrawl delta: doc 2 changed (now contaminated + re-embedded
@@ -110,14 +114,31 @@ class RecrawlSpec extends SparkSpec {
     assert(survivors(probeBatch) == Seq(20L, 21L),
       s"semantic survivors ${survivors(probeBatch)}")
 
+    // ANN serving advanced in the same call: deleted doc 3 is gone,
+    // doc 2 serves its NEW embedding (exact match on the probe), the
+    // new doc 10 serves too
+    def ann(query: Seq[Float]) = {
+      val r = Similarity.probeIvfPq(spark, s"$base/ann", "doc_id",
+          "embedding", coarse, books, query, k = 6, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      OperatorCache.releaseAll(spark); r
+    }
+    assert(!ann(vec(2, 0f)).exists(_._1 == 3L), "deleted doc 3 still serves")
+    assert(ann(vec(5, 0f)).headOption.exists(t => t._1 == 2L && t._2 == 1.0),
+      s"doc 2's re-embedding must rank first: ${ann(vec(5, 0f))}")
+    assert(ann(vec(6, 0f)).headOption.exists(t => t._1 == 10L && t._2 == 1.0),
+      s"new doc 10 must serve: ${ann(vec(6, 0f))}")
+
     // compaction changes no verdict anywhere
     Recrawl.compact(spark, layouts)
     assert(bm25() == bmTruth && decon() == deconTruth &&
-      survivors(probeBatch) == Seq(20L, 21L), "verdict drifted after compact")
+      survivors(probeBatch) == Seq(20L, 21L) &&
+      ann(vec(5, 0f)).headOption.exists(t => t._1 == 2L && t._2 == 1.0),
+      "verdict drifted after compact")
     // and every layout's tombstone set is cleared
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (d <- Seq("bm25", "shingles", "semstate"))
+    for (d <- Seq("bm25", "shingles", "semstate", "ann"))
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/$d/_tombstones")),
         s"$d tombstones not cleared")
   }
