@@ -725,6 +725,67 @@ object Similarity {
     appendIvfPqResidual(batch, vecCol, path, coarse, books)
   }
 
+  /** Retrain-and-rewrite a [[writeIvfPq]] layout from its own LIVE
+    * rows — the compaction-cadence answer to frozen-centroid drift
+    * (every [[appendIvfPq]] encodes against centroids trained on an
+    * older corpus; [[ivfRecallAudit]] is the trigger). The layout
+    * carries the exact vectors (the rescore column), so the rebuild
+    * needs no side channel: fold tombstones, train a FRESH coarse
+    * index + codebooks on the survivors, re-encode, swap the staging
+    * in. Generations reset to 0 — the fold erased every tombstone a
+    * cutoff could name — and the caller gets the new (coarse, books)
+    * back, because the model travels with the index (old artifacts
+    * must not probe the new layout). At 100 TB this is one full-corpus
+    * map-only encode job plus the write — no shuffle beyond Lloyd's
+    * bounded aggregates.
+    */
+  def rebuildIvfPq(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, k: Int, m: Int, kBook: Int,
+      iters: Int = 2,
+  ): (IvfIndex, Seq[IvfIndex]) = {
+    import org.apache.hadoop.fs.Path
+    val live = OperatorCache.persist(
+      minusTombstones(spark, path, spark.read.parquet(path))
+        .select(col(idCol), col(vecCol)))
+    try {
+      val coarse = ivfTrain(live, idCol, vecCol, k, iters)
+      val books = trainPq(live, idCol, vecCol, m, kBook)
+      val staging = path + "__rebuild"
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(staging), true)
+      writeIvfPq(live, vecCol, staging, coarse, books)
+      fs.delete(new Path(path), true)
+      fs.rename(new Path(staging), new Path(path))
+      (coarse, books)
+    } finally OperatorCache.release(live)
+  }
+
+  /** [[rebuildIvfPq]] for the persisted semantic-dedup state: retrain
+    * the frozen coarse index on the state's LIVE vectors and rewrite
+    * `assigned/` under the fresh cells — the drift answer for
+    * [[writeDedupState]] (same audit-triggered cadence). Thresholds
+    * and column names carry over; generations reset with the fold.
+    */
+  def rebuildDedupState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 0, iters: Int = 2,
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (idCol, vecCol, threshold, _) = dedupStateParams(spark, dir)
+    val live0 = spark.read.parquet(s"$dir/assigned")
+    val live = dedupTombstones(spark, dir).fold(live0)(t =>
+      live0.join(broadcast(t.select(idCol, "gen")),
+        Seq(idCol, "gen"), "left_anti"))
+      .select(col(idCol), col(vecCol))
+    val staging = dir + "__rebuild"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staging), true)
+    writeDedupState(live, idCol, vecCol, staging, threshold, k, iters)
+    fs.delete(new Path(dir), true)
+    fs.rename(new Path(staging), new Path(dir))
+  }
+
   /** Probe a [[writeIvfPqResidual]] layout: pruned partitions, ADC over
     * stored residual codes plus the per-cell dot(q, c) constant, exact
     * rescore. */

@@ -1118,6 +1118,68 @@ class PipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("drift retrain: rebuildIvfPq / rebuildDedupState retrain from live rows") {
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val path = "/root/repo/target/graft-tmp/ann-ivfpq-rebuild"
+    val coarse0 = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 4)
+    val books0 = Similarity.trainPq(emb, "vec_id", "embedding", m = 2, k = 4)
+    Similarity.writeIvfPq(emb, "embedding", path, coarse0, books0)
+    // accumulate lifecycle noise: a delete and an append
+    val victim = emb.where(col("vec_id") === 7).select("vec_id")
+    Similarity.deleteFromIndex(victim, "vec_id", path)
+    Similarity.appendIvfPq(
+      emb.where(col("vec_id").between(1, 5))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+      "embedding", path, coarse0, books0)
+
+    val (coarse1, books1) = Similarity.rebuildIvfPq(spark, path,
+      "vec_id", "embedding", k = 4, m = 2, kBook = 4)
+    // the fold happened: victim erased, generations reset, counter at 0
+    val layout = spark.read.parquet(path)
+    assert(layout.where(col("vec_id") === 7L).count() == 0)
+    assert(layout.select("gen").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(spark.read.parquet(s"$path/_meta").head().getAs[Long]("max_gen") == 0L)
+    // the layout probes exactly like the in-memory path over the SAME
+    // live rows with the SAME fresh artifacts (model travels with index)
+    val live = layout.select("vec_id", "embedding")
+    val served = Similarity.probeIvfPq(spark, path, "vec_id", "embedding",
+      coarse1, books1, q, k = 5, nprobe = 2).collect().map(_.getLong(0)).toSeq
+    val direct = Similarity.ivfPqTopK(live, "vec_id", "embedding",
+      coarse1, books1, q, k = 5, nprobe = 2).collect().map(_.getLong(0)).toSeq
+    assert(served == direct, s"rebuilt layout $served vs in-memory $direct")
+    // and the lifecycle keeps working on the rebuilt layout
+    Similarity.appendIvfPq(
+      emb.where(col("vec_id") === 11).select(
+        (col("vec_id") + 200000L).as("vec_id"), col("embedding")),
+      "embedding", path, coarse1, books1)
+    assert(spark.read.parquet(s"$path/_meta").head().getAs[Long]("max_gen") == 1L)
+    OperatorCache.releaseAll(spark)
+
+    // the dedup-state sibling: retrain folds the retraction permanently
+    // and preserves the stored params
+    def vec8(g: Int): Seq[Float] = {
+      val v = Array.fill(8)(0f); v(g) = 1f; v.toSeq
+    }
+    val sdir = "/root/repo/target/graft-tmp/semstate-rebuild"
+    val prev = Seq((1L, vec8(0)), (2L, vec8(1)), (3L, vec8(2)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeDedupState(prev, "vec_id", "embedding", sdir,
+      threshold = 0.9, k = 2)
+    Similarity.deleteFromDedupState(spark, sdir, Seq(2L).toDF("vec_id"), "vec_id")
+    Similarity.rebuildDedupState(spark, sdir, k = 2)
+    assert(spark.read.parquet(s"$sdir/assigned").count() == 2L,
+      "rebuild must fold the retraction")
+    val p = spark.read.parquet(s"$sdir/params").head()
+    assert(p.getAs[Double]("threshold") == 0.9 &&
+      p.getAs[String]("id_col") == "vec_id")
+    // a batch near the retracted vector survives; near a live one drops
+    val s = Similarity.semanticDedupFromState(spark, sdir,
+        Seq((10L, vec8(1)), (11L, vec8(0))).toDF("vec_id", "embedding"))
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(s == Seq(10L), s"post-rebuild state survivors: $s")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("p13 materializes with a pinned job set: the collect_set aggregate runs exactly once") {
     // The r6/r7 broadcast-cache race's signature was DUPLICATE work: the
     // shingle-set collect_set aggregate re-ran as up to 6 concurrent
