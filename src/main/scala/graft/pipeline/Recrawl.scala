@@ -61,6 +61,36 @@ object Recrawl {
       annIndex: Option[AnnIvfPq] = None,
   )
 
+  /** Bootstrap every registered layout from the initial corpus — the
+    * build sibling of [[advance]] (build once → advance per crawl
+    * cycle → [[compact]] on cadence is the whole serving loop). The
+    * text layouts build from (idCol, textCol); the vector layouts
+    * build only when `vectors` supplies (idCol, vecCol) rows — the ANN
+    * layout encodes them with its own frozen artifacts (the caller
+    * trains those: the model travels with the index), the dedup state
+    * trains its coarse cells here and persists them with the
+    * threshold.
+    */
+  def build(
+      spark: SparkSession,
+      corpus: DataFrame, idCol: String, textCol: String,
+      layouts: ServingLayouts,
+      vectors: Option[DataFrame] = None, vecCol: String = "embedding",
+      dedupThreshold: Double = 0.9, dedupK: Int = 0,
+  ): Unit = {
+    val src = OperatorCache.persist(corpus.select(col(idCol), col(textCol)))
+    try {
+      layouts.textIndex.foreach(TextSearch.writeIndex(src, idCol, textCol, _))
+      layouts.shingleIndex.foreach(
+        Dedup.writeShingleIndex(src, idCol, textCol, _))
+      layouts.dedupState.foreach(d => vectors.foreach(v =>
+        Similarity.writeDedupState(v, idCol, vecCol, d,
+          dedupThreshold, dedupK)))
+      layouts.annIndex.foreach(a => vectors.foreach(v =>
+        Similarity.writeIvfPq(v, a.vecCol, a.dir, a.coarse, a.books)))
+    } finally OperatorCache.release(src)
+  }
+
   /** Apply one recrawl batch to every registered layout.
     *
     * @param changed        changed-or-new docs as (idCol, textCol) —

@@ -142,4 +142,43 @@ class RecrawlSpec extends SparkSpec {
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/$d/_tombstones")),
         s"$d tombstones not cleared")
   }
+
+  test("Recrawl.build bootstraps all four layouts probe-ready in one call") {
+    val base = s"target/graft-test/recrawl_build_${System.nanoTime()}"
+    val corpus = Seq(
+      (1L, "vector join filter engine " + phrase("one")),
+      (2L, phrase("two")),
+    ).toDF("doc_id", "text")
+    val vecs = Seq((1L, vec(0, 0f)), (2L, vec(1, 0f)))
+      .toDF("doc_id", "embedding")
+    val coarse = Similarity.ivfTrain(vecs, "doc_id", "embedding", k = 2)
+    val books = Similarity.trainPq(vecs, "doc_id", "embedding", m = 2, k = 4)
+    val layouts = Recrawl.ServingLayouts(
+      textIndex = Some(s"$base/bm25"),
+      shingleIndex = Some(s"$base/shingles"),
+      dedupState = Some(s"$base/semstate"),
+      annIndex = Some(Recrawl.AnnIvfPq(s"$base/ann", "embedding", coarse, books)))
+    Recrawl.build(spark, corpus, "doc_id", "text", layouts,
+      vectors = Some(vecs), dedupThreshold = 0.9, dedupK = 2)
+    OperatorCache.releaseAll(spark)
+
+    val ranked = TextSearch.searchTopK(spark, s"$base/bm25",
+      Seq("vector", "join"), k = 5).collect().map(_.getLong(0)).toSeq
+    assert(ranked == Seq(1L), s"bm25 from build: $ranked")
+    val block = Seq((100L, phrase("two"))).toDF("doc_id", "text")
+    // both docs share the blocklist phrase's non-tag 8-shingle runs
+    val flagged = Dedup.probeContamination(spark, s"$base/shingles", block,
+      "doc_id", "text", minOverlap = 3).select("doc").as[Long].collect().sorted.toSeq
+    assert(flagged == Seq(1L, 2L), s"decon from build: $flagged")
+    val surv = Similarity.semanticDedupFromState(spark, s"$base/semstate",
+        Seq((10L, vec(0, 0.01f)), (11L, vec(5, 0f))).toDF("doc_id", "embedding"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    OperatorCache.releaseAll(spark)
+    assert(surv == Seq(11L), s"dedup state from build: $surv")
+    val top = Similarity.probeIvfPq(spark, s"$base/ann", "doc_id", "embedding",
+      coarse, books, vec(1, 0f), k = 1, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top == Seq((2L, 1.0)), s"ann from build: $top")
+    OperatorCache.releaseAll(spark)
+  }
 }
