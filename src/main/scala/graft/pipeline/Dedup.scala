@@ -392,34 +392,43 @@ object Dedup {
     appendShingleIndex(df, idCol, textCol, dir)
   }
 
-  /** Fold tombstones into the layout: rewrite `postings/` (the `sb`
-    * partition scheme preserved, so probes prune identically after the
-    * swap) and `docs/` minus the deleted versions, clear the set.
+  /** Fold tombstones into the layout AND merge append-accumulated
+    * small files: rewrite `postings/` (the `sb` partition scheme
+    * preserved, so probes prune identically after the swap) and
+    * `docs/` minus the deleted versions, sized toward
+    * `targetBytesPerFile` (every [[updateShingleIndex]] lands another
+    * handful of batch files per touched bucket — after enough batches
+    * the probe pays more for file opens than data, so compaction
+    * rewrites even with no tombstones pending), then clear the set.
     * Stats are version bookkeeping only (`max_gen` stays — reusing a
     * dead generation number could resurrect a same-numbered tombstone),
     * so nothing rolls. Single-writer discipline, like every layout
     * rewrite in this family. */
   def compactShingleIndex(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytesPerFile: Long = 128L << 20): Unit = {
     import org.apache.hadoop.fs.Path
-    val tomb = shingleTombstones(spark, dir)
-    if (tomb.isEmpty) return
-    val t = tomb.get.select("doc", "gen")
+    val t = shingleTombstones(spark, dir).map(_.select("doc", "gen"))
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(table: String, partBy: Option[String])(df: DataFrame): Unit = {
+    def swap(table: String, partBy: Option[String])(df0: DataFrame): Unit = {
+      val df = t.fold(df0)(tt =>
+        df0.join(broadcast(tt), Seq("doc", "gen"), "left_anti"))
+      val bytes = fs.getContentSummary(new Path(s"$dir/$table")).getLength
+      val files = math.max(1L,
+        (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+      val arranged = partBy match {
+        case Some(c) => df.repartition(files, col(c))
+        case None    => df.coalesce(files)
+      }
       val staging = new Path(s"$dir/${table}__compact")
       fs.delete(staging, true)
-      val w = df.write.mode("overwrite")
+      val w = arranged.write.mode("overwrite")
       partBy.fold(w)(c => w.partitionBy(c)).parquet(staging.toString)
       fs.delete(new Path(s"$dir/$table"), true)
       fs.rename(staging, new Path(s"$dir/$table"))
     }
-    swap("postings", Some("sb"))(
-      spark.read.parquet(s"$dir/postings")
-        .join(broadcast(t), Seq("doc", "gen"), "left_anti"))
-    swap("docs", None)(
-      spark.read.parquet(s"$dir/docs")
-        .join(broadcast(t), Seq("doc", "gen"), "left_anti"))
+    swap("postings", Some("sb"))(spark.read.parquet(s"$dir/postings"))
+    swap("docs", None)(spark.read.parquet(s"$dir/docs"))
     fs.delete(new Path(s"$dir/_tombstones"), true)
   }
 

@@ -1344,37 +1344,41 @@ object Similarity {
     appendDedupState(spark, dir, batch)
   }
 
-  /** Fold tombstones into a [[writeDedupState]] layout: rewrite
-    * `assigned/` (centroid partition scheme preserved — probes prune
-    * identically after the swap) and `ids/` minus the deleted versions,
-    * clear the set. `max_gen` stays (reusing a dead generation number
-    * could resurrect a same-numbered tombstone). Centroid drift from
-    * accumulated appends is the standard frozen-IVF story — retrain
-    * here (rewrite the layout from the live rows with a fresh
-    * [[ivfTrain]]) when the p90/p96-style audit triggers it.
+  /** Fold tombstones into a [[writeDedupState]] layout AND merge
+    * append-accumulated small files: rewrite `assigned/` (centroid
+    * partition scheme preserved — probes prune identically after the
+    * swap, files sized toward `targetBytesPerFile`) and `ids/` minus
+    * the deleted versions, clear the set. `max_gen` stays (reusing a
+    * dead generation number could resurrect a same-numbered tombstone).
+    * Centroid drift from accumulated appends is the
+    * [[rebuildDedupState]] story, on the p90/p96-style audit's trigger.
     */
   def compactDedupState(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytesPerFile: Long = 128L << 20): Unit = {
     import org.apache.hadoop.fs.Path
-    val tomb = dedupTombstones(spark, dir)
-    if (tomb.isEmpty) return
     val (idCol, _, _, _) = dedupStateParams(spark, dir)
-    val t = tomb.get.select(idCol, "gen")
+    val t = dedupTombstones(spark, dir).map(_.select(idCol, "gen"))
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(table: String, partBy: Option[String])(df: DataFrame): Unit = {
+    def swap(table: String, partBy: Option[String])(df0: DataFrame): Unit = {
+      val df = t.fold(df0)(tt =>
+        df0.join(broadcast(tt), Seq(idCol, "gen"), "left_anti"))
+      val bytes = fs.getContentSummary(new Path(s"$dir/$table")).getLength
+      val files = math.max(1L,
+        (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+      val arranged = partBy match {
+        case Some(c) => df.repartition(files, col(c))
+        case None    => df.coalesce(files)
+      }
       val staging = new Path(s"$dir/${table}__compact")
       fs.delete(staging, true)
-      val w = df.write.mode("overwrite")
+      val w = arranged.write.mode("overwrite")
       partBy.fold(w)(c => w.partitionBy(c)).parquet(staging.toString)
       fs.delete(new Path(s"$dir/$table"), true)
       fs.rename(staging, new Path(s"$dir/$table"))
     }
-    swap("assigned", Some("centroid"))(
-      spark.read.parquet(s"$dir/assigned")
-        .join(broadcast(t), Seq(idCol, "gen"), "left_anti"))
-    swap("ids", None)(
-      spark.read.parquet(s"$dir/ids")
-        .join(broadcast(t), Seq(idCol, "gen"), "left_anti"))
+    swap("assigned", Some("centroid"))(spark.read.parquet(s"$dir/assigned"))
+    swap("ids", None)(spark.read.parquet(s"$dir/ids"))
     fs.delete(new Path(s"$dir/_tombstones"), true)
   }
 

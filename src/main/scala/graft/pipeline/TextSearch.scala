@@ -195,20 +195,31 @@ object TextSearch {
     appendIndex(df, idCol, textCol, dir)
   }
 
-  /** Fold tombstones into the layout: rewrite `postings/` (partition
-    * scheme preserved) and `doclens/` minus the deleted docs, refresh
-    * `stats/` with the already-adjusted constants, clear the set. */
-  def compactIndex(spark: SparkSession, dir: String): Unit = {
+  /** Fold tombstones into the layout AND merge append-accumulated
+    * small files: rewrite `postings/` (partition scheme preserved,
+    * sized toward `targetBytesPerFile` — every [[updateIndex]] lands
+    * another handful of batch files per touched bucket, so compaction
+    * rewrites even with no tombstones pending) and `doclens/` minus
+    * the deleted docs, refresh `stats/` with the already-adjusted
+    * constants, clear the set. */
+  def compactIndex(spark: SparkSession, dir: String,
+      targetBytesPerFile: Long = 128L << 20): Unit = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val (nDocs, _, buckets, tomb) = servingStats(spark, dir)
-    if (tomb.isEmpty) return
     val maxGen = spark.read.parquet(s"$dir/stats").head().getAs[Long]("max_gen")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def swap(table: String, partBy: Option[String])(df: DataFrame): Unit = {
+      val bytes = fs.getContentSummary(new Path(s"$dir/$table")).getLength
+      val files = math.max(1L,
+        (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+      val arranged = partBy match {
+        case Some(c) => df.repartition(files, col(c))
+        case None    => df.coalesce(files)
+      }
       val staging = new Path(s"$dir/${table}__compact")
       fs.delete(staging, true)
-      val w = df.write.mode("overwrite")
+      val w = arranged.write.mode("overwrite")
       partBy.fold(w)(c => w.partitionBy(c)).parquet(staging.toString)
       fs.delete(new Path(s"$dir/$table"), true)
       fs.rename(staging, new Path(s"$dir/$table"))
