@@ -5725,11 +5725,17 @@ object PipelineQueries {
         Dedup.writeShingleIndex(v1, "doc_id", "text", s"$base/shingles",
           shingleK = 8)
         OperatorCache.releaseAll(s)
+        // the delta also carries brand-NEW pages (ids above the corpus
+        // range) — the upsert half of the update contract, oracle-covered
         val changed = corpus.where(m10 === 3 || m10 === 1)
           .select(col("doc_id"),
             when(m10 === 1,
               concat(lit("rewritten clean page "), col("doc_id")))
               .otherwise(col("text")).as("text"))
+          .unionByName(corpus.where(m10 === 7)
+            .select((col("doc_id") + 10000000L).as("doc_id"),
+              concat(lit("fresh crawled page about join vector filter "),
+                col("doc_id")).as("text")))
         Recrawl.advance(s, changed,
           corpus.where(m10 === 5).select("doc_id"), "doc_id", "text", layouts)
         OperatorCache.releaseAll(s)
@@ -5761,6 +5767,11 @@ object PipelineQueries {
              |              ELSE text END AS text
              |  FROM read_parquet('{SFDIR}/documents.parquet')
              |  WHERE doc_id % 20 <> 0 AND doc_id % 10 <> 5
+             |  UNION ALL
+             |  SELECT doc_id + 10000000,
+             |         'fresh crawled page about join vector filter ' || CAST(doc_id AS VARCHAR)
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |  WHERE doc_id % 20 <> 0 AND doc_id % 10 = 7
              |), terms AS (
              |  SELECT doc_id AS doc,
              |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
