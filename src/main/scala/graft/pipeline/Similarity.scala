@@ -132,7 +132,8 @@ object Similarity {
     indexed(corpus, vecCol, planes, seed)
       .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    writeIndexMeta(corpus.sparkSession, path, 0L)
+    writeIndexMeta(corpus.sparkSession, path, 0L,
+      Seq("planes" -> planes.toLong, "seed" -> seed))
   }
 
   /** Append a new vector batch to a [[writeIndexed]] LSH layout: the
@@ -147,11 +148,12 @@ object Similarity {
   def appendIndexed(batch: DataFrame, vecCol: String, path: String,
       planes: Int = 12, seed: Long = 42L): Unit = {
     val spark = batch.sparkSession
-    val gen = readIndexMaxGen(spark, path) + 1
+    val params = Seq("planes" -> planes.toLong, "seed" -> seed)
+    val gen = readIndexMeta(spark, path, params) + 1
     indexed(batch, vecCol, planes, seed)
       .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket").parquet(path)
-    writeIndexMeta(spark, path, gen)
+    writeIndexMeta(spark, path, gen, params)
   }
 
   /** UPDATE re-embedded ids in a [[writeIndexed]] layout: tombstone
@@ -701,7 +703,8 @@ object Similarity {
       .drop("__res")
       .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("centroid").parquet(path)
-    writeIndexMeta(corpus.sparkSession, path, 0L)
+    writeIndexMeta(corpus.sparkSession, path, 0L,
+      Seq("model" -> modelFingerprint(coarse, books)))
   }
 
   /** Append a batch into a [[writeIvfPqResidual]] layout — same
@@ -710,12 +713,13 @@ object Similarity {
   def appendIvfPqResidual(batch: DataFrame, vecCol: String, path: String,
       coarse: IvfIndex, books: Seq[IvfIndex]): Unit = {
     val spark = batch.sparkSession
-    val gen = readIndexMaxGen(spark, path) + 1
+    val params = Seq("model" -> modelFingerprint(coarse, books))
+    val gen = readIndexMeta(spark, path, params) + 1
     pqEncode(residualFrame(batch, vecCol, coarse, widen = true), "__res", books)
       .drop("__res")
       .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("centroid").parquet(path)
-    writeIndexMeta(spark, path, gen)
+    writeIndexMeta(spark, path, gen, params)
   }
 
   /** [[updateIvfPq]] for the residual layout. */
@@ -817,7 +821,8 @@ object Similarity {
     pqEncode(ivfIndex(corpus, vecCol, coarse), vecCol, books)
       .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("centroid").parquet(path)
-    writeIndexMeta(corpus.sparkSession, path, 0L)
+    writeIndexMeta(corpus.sparkSession, path, 0L,
+      Seq("model" -> modelFingerprint(coarse, books)))
   }
 
   /** Probe a [[writeIvfPq]] layout: rank coarse centroids driver-side,
@@ -844,11 +849,12 @@ object Similarity {
   def appendIvfPq(batch: DataFrame, vecCol: String, path: String,
       coarse: IvfIndex, books: Seq[IvfIndex]): Unit = {
     val spark = batch.sparkSession
-    val gen = readIndexMaxGen(spark, path) + 1
+    val params = Seq("model" -> modelFingerprint(coarse, books))
+    val gen = readIndexMeta(spark, path, params) + 1
     pqEncode(ivfIndex(batch, vecCol, coarse), vecCol, books)
       .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("centroid").parquet(path)
-    writeIndexMeta(spark, path, gen)
+    writeIndexMeta(spark, path, gen, params)
   }
 
   /** UPDATE re-embedded ids in a [[writeIvfPq]] layout — the recrawl
@@ -881,26 +887,61 @@ object Similarity {
   // --- serving-index lifecycle: delete + update + compact ------------
 
   /** `_meta/` bookkeeping of the ANN serving layouts: the rolling
-    * generation counter appends stamp and cutoff-tombstones name.
-    * Lives under an underscore path so root scans of the layout frame
-    * ignore it. */
+    * generation counter appends stamp and cutoff-tombstones name, plus
+    * the layout's WRITE-TIME parameters — (planes, seed) for LSH, a
+    * model fingerprint for the PQ layouts — so an append with drifted
+    * parameters/artifacts fails fast instead of silently mixing
+    * incompatible rows into one index. Lives under an underscore path
+    * so root scans of the layout frame ignore it. */
   private def writeIndexMeta(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      maxGen: Long): Unit = {
+      maxGen: Long, extras: Seq[(String, Long)] = Nil): Unit = {
     import spark.implicits._
-    Seq(Tuple1(maxGen)).toDF("max_gen")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    extras.foldLeft(Seq(Tuple1(maxGen)).toDF("max_gen")) {
+      case (d, (k, v)) => d.withColumn(k, lit(v))
+    }.coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
   }
 
-  private def readIndexMaxGen(
-      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+  /** Read `_meta`, checking any expected parameter that the layout
+    * recorded at write time (layouts predating a given guard simply
+    * lack the column and skip that check). Returns max_gen. */
+  private def readIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      expect: Seq[(String, Long)] = Nil): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"$path has no _meta — built by a pre-generation writer; rebuild " +
         "the layout (writeIndexed/writeIvfPq/writeIvfPqResidual) before " +
         "appending to it")
-    spark.read.parquet(p.toString).head().getAs[Long]("max_gen")
+    val row = spark.read.parquet(p.toString).head()
+    val fields = row.schema.fieldNames.toSet
+    expect.foreach { case (k, v) =>
+      if (fields.contains(k))
+        require(row.getAs[Long](k) == v,
+          s"$path was written with $k=${row.getAs[Long](k)} but this call " +
+            s"passes $k=$v — appends and probes must use the layout's own " +
+            "parameters/artifacts (mixing them silently corrupts serving)")
+    }
+    row.getAs[Long]("max_gen")
+  }
+
+  private def readIndexMaxGen(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    readIndexMeta(spark, path)
+
+  /** Order-sensitive fingerprint of the frozen artifacts a PQ layout
+    * was encoded with — appends must present the SAME model. */
+  private def modelFingerprint(coarse: IvfIndex, books: Seq[IvfIndex]): Long = {
+    var h = 1125899906842597L
+    def mix(x: Long): Unit = h = h * 31 + x
+    (coarse +: books).foreach { ix =>
+      ix.centroids.foreach { case (cid, c) =>
+        mix(cid.toLong)
+        c.foreach(d => mix(java.lang.Double.doubleToLongBits(d)))
+      }
+    }
+    h
   }
 
   /** Tombstone-delete ids from ANY written serving layout
@@ -989,11 +1030,14 @@ object Similarity {
     fs.delete(staging, true)
     val w = arranged.write.mode("overwrite")
     partCol.fold(w)(c => w.partitionBy(c)).parquet(staging.toString)
-    // the generation counter survives the swap (tombstones don't —
-    // they were just folded in); losing it would restart gens at 0 and
-    // let a pre-compaction cutoff's number be reused by a later append
+    // the meta row survives the swap VERBATIM (tombstones don't — they
+    // were just folded in): losing the generation counter would let a
+    // pre-compaction cutoff's number be reused by a later append, and
+    // losing the recorded write parameters / model fingerprint would
+    // disarm the mixed-artifact append guard
     if (fs.exists(new Path(s"$path/_meta")))
-      writeIndexMeta(spark, staging.toString, readIndexMaxGen(spark, path))
+      spark.read.parquet(s"$path/_meta").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/_meta")
     fs.delete(root, true)
     fs.rename(staging, root)
   }

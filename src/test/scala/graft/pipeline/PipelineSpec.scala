@@ -1118,6 +1118,49 @@ class PipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("ANN layout guards: appends with drifted params or artifacts fail fast") {
+    val path = "/root/repo/target/graft-tmp/ann-guard-lsh"
+    Similarity.writeIndexed(emb, "embedding", path, planes = 4)
+    val batch = emb.limit(3).select((col("vec_id") + 500000L).as("vec_id"),
+      col("embedding"))
+    // wrong planes or seed → refuse (a mixed-parameter index serves garbage)
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.appendIndexed(batch, "embedding", path, planes = 6))
+    assert(e1.getMessage.contains("planes"), e1.getMessage)
+    intercept[IllegalArgumentException](
+      Similarity.appendIndexed(batch, "embedding", path, planes = 4, seed = 7L))
+    // matching parameters append fine — including across a compaction
+    Similarity.appendIndexed(batch, "embedding", path, planes = 4)
+    Similarity.compactIndex(spark, path)
+    intercept[IllegalArgumentException](
+      Similarity.appendIndexed(batch, "embedding", path, planes = 6))
+    Similarity.appendIndexed(batch, "embedding", path, planes = 4)
+
+    val p2 = "/root/repo/target/graft-tmp/ann-guard-ivfpq"
+    val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 4)
+    val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 2, k = 4)
+    Similarity.writeIvfPq(emb, "embedding", p2, coarse, books)
+    // a DIFFERENT trained model (other cell count) must be refused
+    val coarseOther = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 3)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.appendIvfPq(batch, "embedding", p2, coarseOther, books))
+    assert(e2.getMessage.contains("model"), e2.getMessage)
+    Similarity.appendIvfPq(batch, "embedding", p2, coarse, books)
+    Similarity.compactIndex(spark, p2)
+    intercept[IllegalArgumentException](
+      Similarity.appendIvfPq(batch, "embedding", p2, coarseOther, books))
+    Similarity.appendIvfPq(batch, "embedding", p2, coarse, books)
+    // rebuild re-fingerprints: the OLD artifacts are refused afterwards
+    val (coarse2, books2) = Similarity.rebuildIvfPq(spark, p2,
+      "vec_id", "embedding", k = 4, m = 2, kBook = 4)
+    intercept[IllegalArgumentException](
+      Similarity.appendIvfPq(batch, "embedding", p2, coarse, books))
+    Similarity.appendIvfPq(
+      batch.select((col("vec_id") + 500000L).as("vec_id"), col("embedding")),
+      "embedding", p2, coarse2, books2)
+    OperatorCache.releaseAll(spark)
+  }
+
   test("drift retrain: rebuildIvfPq / rebuildDedupState retrain from live rows") {
     val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
     val path = "/root/repo/target/graft-tmp/ann-ivfpq-rebuild"
