@@ -178,6 +178,7 @@ object Similarity {
       query: Seq[Float], k: Int, planes: Int = 12, seed: Long = 42L,
       multiProbe: Boolean = true,
   ): DataFrame = {
+    checkIndexMeta(spark, path, Seq("planes" -> planes.toLong, "seed" -> seed))
     val hp = hyperplanes(query.length, planes, seed)
     val qSig = hp.zipWithIndex.map { case (plane, p) =>
       val d = plane.zip(query).map { case (w, x) => w * x.toDouble }.sum
@@ -798,6 +799,7 @@ object Similarity {
       idCol: String, vecCol: String,
       coarse: IvfIndex, books: Seq[IvfIndex], query: Seq[Float], k: Int,
       nprobe: Int = 3, rescoreFactor: Int = 5): DataFrame = {
+    checkIndexMeta(spark, path, Seq("model" -> modelFingerprint(coarse, books)))
     val q = query.map(_.toDouble).toArray
     val ranked = coarse.centroids
       .map { case (id, c) => (id, c.zip(q).map { case (a, b) => a * b }.sum) }
@@ -875,6 +877,7 @@ object Similarity {
       idCol: String, vecCol: String,
       coarse: IvfIndex, books: Seq[IvfIndex], query: Seq[Float], k: Int,
       nprobe: Int = 3, rescoreFactor: Int = 5): DataFrame = {
+    checkIndexMeta(spark, path, Seq("model" -> modelFingerprint(coarse, books)))
     val q = query.map(_.toDouble).toArray
     val probes = coarse.centroids
       .map { case (id, c) => (id, c.zip(q).map { case (a, b) => a * b }.sum) }
@@ -929,6 +932,17 @@ object Similarity {
   private def readIndexMaxGen(
       spark: org.apache.spark.sql.SparkSession, path: String): Long =
     readIndexMeta(spark, path)
+
+  /** Probe-side parameter check: like [[readIndexMeta]] but a no-op on
+    * a layout without `_meta` (probes must serve pre-generation
+    * layouts; only APPENDS require the bookkeeping). */
+  private def checkIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      expect: Seq[(String, Long)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) readIndexMeta(spark, path, expect)
+  }
 
   /** Order-sensitive fingerprint of the frozen artifacts a PQ layout
     * was encoded with — appends must present the SAME model. */

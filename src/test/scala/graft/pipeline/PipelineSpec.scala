@@ -1145,6 +1145,12 @@ class PipelineSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       Similarity.appendIvfPq(batch, "embedding", p2, coarseOther, books))
     assert(e2.getMessage.contains("model"), e2.getMessage)
+    // the probe enforces the same contract (wrong artifacts would rank
+    // stored codes against the wrong codebooks — wrong results, quietly)
+    val q0 = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    intercept[IllegalArgumentException](
+      Similarity.probeIvfPq(spark, p2, "vec_id", "embedding",
+        coarseOther, books, q0, k = 3))
     Similarity.appendIvfPq(batch, "embedding", p2, coarse, books)
     Similarity.compactIndex(spark, p2)
     intercept[IllegalArgumentException](
