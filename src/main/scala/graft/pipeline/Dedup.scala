@@ -366,9 +366,15 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       ids: DataFrame, idCol: String,
   ): Unit = {
-    val want = ids.select(col(idCol).cast("long").as("doc")).distinct()
-    val live0 = spark.read.parquet(s"$dir/docs")
-      .join(broadcast(want), Seq("doc"), "left_semi")
+    val docs = spark.read.parquet(s"$dir/docs")
+    // cast the delete ids to the STORED id type (the layout preserves
+    // the native key type — long doc ids or string URL keys); a fixed
+    // cast("long") made a string-keyed delete a silent no-op (r16
+    // ADVICE, same fix as TextSearch.deleteFromIndex)
+    val want =
+      ids.select(col(idCol).cast(docs.schema("doc").dataType).as("doc"))
+        .distinct()
+    val live0 = docs.join(broadcast(want), Seq("doc"), "left_semi")
     val live = shingleTombstones(spark, dir).fold(live0)(t =>
       live0.join(broadcast(t.select("doc", "gen")),
         Seq("doc", "gen"), "left_anti"))

@@ -1025,11 +1025,21 @@ object Multimodal {
     val members = graft.sources.WebDataset.read(spark, s"$inDir/*.tar")
       .where(col("ext").isin("png", "wav"))
       .select(col("key").cast("long").as("id"), col("ext"), col("payload"))
-    // partition discovery surfaces the batch column; drop it — the pair
-    // joins key on (doc, fp) / (doc, frame, peak_bin) only
-    val fpP = spark.read.parquet(s"$stateDir/fp").select("doc", "fp")
+    // "prior" = every state partition EXCEPT this batch's own. On a
+    // replay (partial-failure rerun, double-submitted dir) the earlier
+    // run's batch=<bid> partition is already on disk; reading it back
+    // as prior would self-match every sample (hamming 0, all frames),
+    // mark the whole batch contaminated, and the rerun would publish an
+    // empty manifest over the previously-good shards (r16 ADVICE).
+    // Excluding the batch's own partition makes the replay see exactly
+    // the state the first run saw — idempotent by construction. The
+    // batch column itself is then dropped: the pair joins key on
+    // (doc, fp) / (doc, frame, peak_bin) only.
+    val bid = batchStateId(inDir)
+    val fpP = spark.read.parquet(s"$stateDir/fp")
+      .where(col("batch") =!= bid).select("doc", "fp")
     val pkP = spark.read.parquet(s"$stateDir/peaks")
-      .select("doc", "frame", "peak_bin")
+      .where(col("batch") =!= bid).select("doc", "frame", "peak_bin")
     val (manifest, fpB, pkB) =
       curateBatchCore(spark, members, fpP, pkP, maxHamming, minFrames)
 
@@ -1049,7 +1059,6 @@ object Multimodal {
     // batch's OWN batch=<id> partition as an overwrite, so replaying a
     // batch (partial-failure rerun, double-submitted dir) replaces its
     // rows instead of appending duplicates (r15 ADVICE)
-    val bid = batchStateId(inDir)
     fpB.write.mode("overwrite").parquet(s"$stateDir/fp/batch=$bid")
     pkB.write.mode("overwrite").parquet(s"$stateDir/peaks/batch=$bid")
 

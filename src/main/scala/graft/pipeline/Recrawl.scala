@@ -33,10 +33,13 @@ import org.apache.spark.sql.functions._
 object Recrawl {
 
   /** An [[Similarity.writeIvfPq]] ANN serving layout plus the frozen
-    * model artifacts that travel with it (the probe contract). */
+    * model artifacts that travel with it (the probe contract).
+    * `idCol` is the layout's id column — compaction folds the
+    * fixed-name tombstone set against it. */
   final case class AnnIvfPq(
       dir: String, vecCol: String,
       coarse: Similarity.IvfIndex, books: Seq[Similarity.IvfIndex],
+      idCol: String = "doc",
   )
 
   /** The serving layouts one corpus feeds — each optional, so a
@@ -148,6 +151,7 @@ object Recrawl {
     layouts.textIndex.foreach(TextSearch.compactIndex(spark, _))
     layouts.shingleIndex.foreach(Dedup.compactShingleIndex(spark, _))
     layouts.dedupState.foreach(Similarity.compactDedupState(spark, _))
-    layouts.annIndex.foreach(a => Similarity.compactIndex(spark, a.dir))
+    layouts.annIndex.foreach(a =>
+      Similarity.compactIndex(spark, a.dir, a.idCol))
   }
 }

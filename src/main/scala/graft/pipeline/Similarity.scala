@@ -188,7 +188,8 @@ object Similarity {
       if (multiProbe) qSig +: (0 until planes).map(p => qSig ^ (1L << p))
       else Seq(qSig)
     minusTombstones(spark, path, spark.read.parquet(path)
-      .where(col("bucket").isin(probes: _*))) // → PartitionFilters, pruned scan
+      .where(col("bucket").isin(probes: _*)), // → PartitionFilters, pruned scan
+      idCol)
       .select(col(idCol), round(cosine(col(vecCol), vecLit(query)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
@@ -751,7 +752,7 @@ object Similarity {
   ): (IvfIndex, Seq[IvfIndex]) = {
     import org.apache.hadoop.fs.Path
     val live = OperatorCache.persist(
-      minusTombstones(spark, path, spark.read.parquet(path))
+      minusTombstones(spark, path, spark.read.parquet(path), idCol)
         .select(col(idCol), col(vecCol)))
     try {
       val coarse = ivfTrain(live, idCol, vecCol, k, iters)
@@ -805,7 +806,8 @@ object Similarity {
       .map { case (id, c) => (id, c.zip(q).map { case (a, b) => a * b }.sum) }
       .sortBy(-_._2).take(nprobe)
     val cells = minusTombstones(spark, path, spark.read.parquet(path)
-      .where(col("centroid").isin(ranked.map(_._1).map(Integer.valueOf): _*)))
+      .where(col("centroid").isin(ranked.map(_._1).map(Integer.valueOf): _*)),
+      idCol)
     pqAdcRescore(cells, idCol, vecCol, books, query, k, rescoreFactor,
       adcConst = element_at(typedlit(ranked.toMap), col("centroid")))
   }
@@ -883,7 +885,7 @@ object Similarity {
       .map { case (id, c) => (id, c.zip(q).map { case (a, b) => a * b }.sum) }
       .sortBy(-_._2).take(nprobe).map(_._1)
     val cells = minusTombstones(spark, path, spark.read.parquet(path)
-      .where(col("centroid").isin(probes.map(Integer.valueOf): _*)))
+      .where(col("centroid").isin(probes.map(Integer.valueOf): _*)), idCol)
     pqAdcRescore(cells, idCol, vecCol, books, query, k, rescoreFactor)
   }
 
@@ -976,7 +978,12 @@ object Similarity {
     */
   def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit = {
     val cutoff = readIndexMaxGen(ids.sparkSession, path)
-    ids.select(col(idCol)).distinct()
+    // tombstones land under a FIXED column name regardless of the
+    // caller's idCol spelling — two deletes with different spellings
+    // would otherwise produce mixed-schema files that a later
+    // spark.read silently collapses to one of them (r16 ADVICE); the
+    // join side renames back to the layout's id column at probe time
+    ids.select(col(idCol).as("doc")).distinct()
       .withColumn("cutoff", lit(cutoff))
       .write.mode("append").parquet(s"$path/_tombstones")
   }
@@ -995,19 +1002,26 @@ object Similarity {
     * plus a filter — so versions appended after the delete survive it
     * (the update contract). A layout or tombstone set without
     * generation columns (a pre-generation build) falls back to the
-    * plain id anti-join. */
+    * plain id anti-join. The caller names the LAYOUT's id column —
+    * tombstones are stored under the fixed name "doc" (see
+    * [[deleteFromIndex]]) and rename to it at join time, so a probe
+    * whose idCol spelling differs from the deleter's still filters
+    * (r16 ADVICE; pre-fix sets stored under the deleter's own idCol
+    * normalize through the same rename). */
   private def minusTombstones(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      cells: DataFrame): DataFrame =
-    tombstones(spark, path).fold(cells) { t =>
-      val idc = t.schema.fieldNames.head
+      cells: DataFrame, idCol: String): DataFrame =
+    tombstones(spark, path).fold(cells) { t0 =>
+      val stored = t0.schema.fieldNames.filterNot(_ == "cutoff").head
+      val t = t0.withColumnRenamed(stored, idCol)
       if (t.columns.contains("cutoff") && cells.columns.contains("gen")) {
-        val cut = t.groupBy(idc).agg(max("cutoff").as("__cutoff"))
-        cells.join(broadcast(cut), Seq(idc), "left")
+        val cut = t.groupBy(idCol).agg(max("cutoff").as("__cutoff"))
+        cells.join(broadcast(cut), Seq(idCol), "left")
           .where(col("__cutoff").isNull || col("gen") > col("__cutoff"))
           .drop("__cutoff")
       } else
-        cells.join(broadcast(t.select(idc).distinct()), Seq(idc), "left_anti")
+        cells.join(broadcast(t.select(idCol).distinct()),
+          Seq(idCol), "left_anti")
     }
 
   /** Fold tombstones into the files and merge append-accumulated small
@@ -1020,10 +1034,14 @@ object Similarity {
     * drift retrain; a probe running concurrently with the swap should
     * be drained first (single-writer discipline, like every layout
     * rewrite here).
+    *
+    * @param idCol the LAYOUT's id column (what probes pass) — the
+    *              tombstone set is stored under a fixed name, so the
+    *              fold must be told which layout column it names
     */
   def compactIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      targetBytesPerFile: Long = 128L << 20): Unit = {
+      idCol: String, targetBytesPerFile: Long = 128L << 20): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1032,7 +1050,7 @@ object Similarity {
         case n if n.contains("=") && !n.startsWith("_") && !n.startsWith(".") =>
           n.split("=")(0)
       }
-    val kept = minusTombstones(spark, path, spark.read.parquet(path))
+    val kept = minusTombstones(spark, path, spark.read.parquet(path), idCol)
     val bytes = fs.getContentSummary(root).getLength
     val files =
       math.max(1L, (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt

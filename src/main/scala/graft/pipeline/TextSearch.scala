@@ -166,8 +166,15 @@ object TextSearch {
   def deleteFromIndex(
       spark: SparkSession, dir: String, ids: DataFrame, idCol: String,
   ): Unit = {
-    val want = ids.select(col(idCol).cast("long").as("doc")).distinct()
     val dls = spark.read.parquet(s"$dir/doclens")
+    // join on the id column AS STORED: the layout preserves the native
+    // id type (long-keyed ids here, string keys on a URL-keyed
+    // recrawl), so the delete ids cast to the STORED type — a fixed
+    // cast("long") turned a string-keyed delete into all-null ids, a
+    // semi-join matching nothing, and a silent no-op (r16 ADVICE)
+    val want =
+      ids.select(col(idCol).cast(dls.schema("doc").dataType).as("doc"))
+        .distinct()
     val fresh0 = dls.join(broadcast(want), Seq("doc"), "left_semi")
     val (_, _, _, tomb) = servingStats(spark, dir)
     // every still-live VERSION of the doc tombstones; already-dead

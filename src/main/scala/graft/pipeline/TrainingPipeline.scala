@@ -771,7 +771,14 @@ object TrainingPipeline {
         repointed(state, newBloom).copy(
           seenKeys = deltaKeys.map(_ => liveStateTable(spark, dir, "seen_keys")))
       case Some(id0) =>
-        val safe = id0.replaceAll("[^A-Za-z0-9._-]", "_")
+        // collision-free safe id: the readable sanitized form PLUS a
+        // hash of the raw id (as Multimodal.batchStateId does) — plain
+        // sanitization maps distinct ids like "a/b" and "a b" to the
+        // same "a_b", and a replay of one batch would then delete the
+        // OTHER batch's batch_<safe>_* files during cleanup, silently
+        // losing its landed rows (r16 ADVICE)
+        val safe = f"${id0.replaceAll("[^A-Za-z0-9._-]", "_")}_${
+          id0.hashCode & 0x7fffffff}%08x"
         val fs = new Path(dir).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val marker = new Path(dir, s"_applied_$safe")

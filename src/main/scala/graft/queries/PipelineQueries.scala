@@ -2026,7 +2026,7 @@ object PipelineQueries {
         val tombstoned = probe().collect()
           .map(r => (r.getLong(0), r.getDouble(1))).toSeq
           .toDF("vec_id", "cosine").withColumn("phase", lit("tombstoned"))
-        Similarity.compactIndex(s, path)
+        Similarity.compactIndex(s, path, "vec_id")
         probe().withColumn("phase", lit("compacted"))
           .unionByName(tombstoned)
           .select("phase", "vec_id", "cosine")

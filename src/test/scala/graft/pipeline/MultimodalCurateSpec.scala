@@ -98,6 +98,28 @@ class MultimodalCurateSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
     assert(full == inc, s"full-restricted $full vs incremental $inc")
 
+    // replay of a batch WITH kept samples (r16 ADVICE): the prior-state
+    // read must exclude the batch's own partition — if the earlier
+    // run's fingerprints read back as "prior", every sample self-matches
+    // (hamming 0, all audio frames), the rerun marks the whole batch
+    // contaminated, and publishes an empty manifest over the
+    // previously-good shards
+    val fpOnce = spark.read.parquet(s"$base/state/fp").count()
+    val replay = Multimodal.curateShardsIncremental(
+      spark, s"$base/state", s"$base/batch1", s"$base/out1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    OperatorCache.releaseAll(spark)
+    assert(replay == inc,
+      s"replay must reproduce the original keep set $inc, got $replay")
+    assert(spark.read.parquet(s"$base/state/fp").count() == fpOnce,
+      "replay overwrites its own state partition, never appends")
+    // the re-published shards still carry the kept samples' payloads
+    val replayKeys = WebDataset.read(spark, s"$base/out1/shard-*.tar")
+      .select("key").distinct().collect().map(_.getString(0)).toSet
+    assert(replayKeys == (13L until 18L).map(_.toString).toSet,
+      s"kept payloads survive the rerun, got $replayKeys")
+
     // chaining: batch 1's fingerprints appended, so a second batch
     // re-crawling ANY class 0..17 is now fully contaminated
     assert(spark.read.parquet(s"$base/state/fp").count() == 13 + 23)

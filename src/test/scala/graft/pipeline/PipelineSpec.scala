@@ -1005,6 +1005,34 @@ class PipelineSpec extends SparkSpec {
       s"expected pruned scan, got:\n${plan.take(600)}")
   }
 
+  test("tombstones store a fixed id column: mixed deleter spellings still filter") {
+    // r16 ADVICE: _tombstones used to land under whatever idCol each
+    // deleteFromIndex caller passed — two spellings produced
+    // mixed-schema files (spark.read picks one), and a probe whose
+    // idCol differed from the deleter's silently failed to filter
+    val path = "/root/repo/target/graft-tmp/ann-tomb-mixed"
+    Similarity.writeIndexed(emb, "embedding", path, planes = 4)
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    def probe() = Similarity.probeIndexed(spark, path, "vec_id", "embedding",
+      q, k = 5, planes = 4).collect().map(_.getLong(0)).toSeq
+    val before = probe()
+    Similarity.deleteFromIndex(
+      Seq(Tuple1(before.head)).toDF("vec_id"), "vec_id", path)
+    Similarity.deleteFromIndex(
+      Seq(Tuple1(before(1))).toDF("id"), "id", path) // different spelling
+    val after = probe()
+    assert(!after.contains(before.head) && !after.contains(before(1)),
+      s"both deletes must filter regardless of spelling: $after")
+    // the on-disk set is one uniform schema, no matter the spellings
+    assert(spark.read.parquet(s"$path/_tombstones")
+      .columns.toSeq.sorted == Seq("cutoff", "doc"))
+    Similarity.compactIndex(spark, path, "vec_id")
+    assert(probe() == after, "compaction folds both spellings' deletes")
+    assert(spark.read.parquet(path)
+      .where(col("vec_id").isin(before.head, before(1))).count() == 0)
+    OperatorCache.releaseAll(spark)
+  }
+
   test("index lifecycle: tombstones hide ids immediately, compact folds and clears") {
     val path = "/root/repo/target/graft-tmp/ann-index-lifecycle"
     Similarity.writeIndexed(emb, "embedding", path, planes = 4)
@@ -1025,7 +1053,7 @@ class PipelineSpec extends SparkSpec {
 
     // re-deleting is idempotent; compaction folds + clears + preserves
     Similarity.deleteFromIndex(Seq(Tuple1(victim)).toDF("vec_id"), "vec_id", path)
-    Similarity.compactIndex(spark, path)
+    Similarity.compactIndex(spark, path, "vec_id")
     assert(probe() == after, "compaction must not change probe results")
     assert(!new java.io.File(s"$path/_tombstones").exists(),
       "compaction clears the tombstone set")
@@ -1047,7 +1075,7 @@ class PipelineSpec extends SparkSpec {
     val b2 = probe2()
     Similarity.deleteFromIndex(Seq(Tuple1(b2.head)).toDF("vec_id"), "vec_id", p2)
     assert(!probe2().contains(b2.head))
-    Similarity.compactIndex(spark, p2)
+    Similarity.compactIndex(spark, p2, "vec_id")
     assert(!probe2().contains(b2.head))
     assert(spark.read.parquet(p2).where(col("vec_id") === b2.head).count() == 0)
     OperatorCache.releaseAll(spark)
@@ -1074,7 +1102,7 @@ class PipelineSpec extends SparkSpec {
     assert(after.map(_._1).count(_ == victim) == 1, "updated id must not duplicate")
     // the tombstone that retired the old version did NOT shadow the new
     // one, and compaction erases exactly the superseded row
-    Similarity.compactIndex(spark, path)
+    Similarity.compactIndex(spark, path, "vec_id")
     assert(probe() == after, "compaction changed the served ranking")
     assert(spark.read.parquet(path).where(col("vec_id") === victim).count() == 1)
     // a replayed UPDATE converges (one live version, same serving)
@@ -1097,7 +1125,7 @@ class PipelineSpec extends SparkSpec {
     assert(after2.count(_._1 == victim2) == 1 &&
       after2.find(_._1 == victim2).exists(_._2 == 1.0),
       s"ivfpq update not served at cosine 1.0 exactly once: $after2")
-    Similarity.compactIndex(spark, p2)
+    Similarity.compactIndex(spark, p2, "vec_id")
     assert(probe2() == after2)
 
     // residual layout: append + update exist with the same contract
@@ -1131,7 +1159,7 @@ class PipelineSpec extends SparkSpec {
       Similarity.appendIndexed(batch, "embedding", path, planes = 4, seed = 7L))
     // matching parameters append fine — including across a compaction
     Similarity.appendIndexed(batch, "embedding", path, planes = 4)
-    Similarity.compactIndex(spark, path)
+    Similarity.compactIndex(spark, path, "vec_id")
     intercept[IllegalArgumentException](
       Similarity.appendIndexed(batch, "embedding", path, planes = 6))
     Similarity.appendIndexed(batch, "embedding", path, planes = 4)
@@ -1152,7 +1180,7 @@ class PipelineSpec extends SparkSpec {
       Similarity.probeIvfPq(spark, p2, "vec_id", "embedding",
         coarseOther, books, q0, k = 3))
     Similarity.appendIvfPq(batch, "embedding", p2, coarse, books)
-    Similarity.compactIndex(spark, p2)
+    Similarity.compactIndex(spark, p2, "vec_id")
     intercept[IllegalArgumentException](
       Similarity.appendIvfPq(batch, "embedding", p2, coarseOther, books))
     Similarity.appendIvfPq(batch, "embedding", p2, coarse, books)

@@ -40,7 +40,7 @@ class RecrawlSpec extends SparkSpec {
       textIndex = Some(s"$base/bm25"),
       shingleIndex = Some(s"$base/shingles"),
       dedupState = Some(s"$base/semstate"),
-      annIndex = Some(Recrawl.AnnIvfPq(s"$base/ann", "embedding", coarse, books)))
+      annIndex = Some(Recrawl.AnnIvfPq(s"$base/ann", "embedding", coarse, books, "doc_id")))
     TextSearch.writeIndex(v1, "doc_id", "text", s"$base/bm25")
     Dedup.writeShingleIndex(v1, "doc_id", "text", s"$base/shingles",
       shingleK = 5, buckets = 16)
@@ -157,7 +157,7 @@ class RecrawlSpec extends SparkSpec {
       textIndex = Some(s"$base/bm25"),
       shingleIndex = Some(s"$base/shingles"),
       dedupState = Some(s"$base/semstate"),
-      annIndex = Some(Recrawl.AnnIvfPq(s"$base/ann", "embedding", coarse, books)))
+      annIndex = Some(Recrawl.AnnIvfPq(s"$base/ann", "embedding", coarse, books, "doc_id")))
     Recrawl.build(spark, corpus, "doc_id", "text", layouts,
       vectors = Some(vecs), dedupThreshold = 0.9, dedupK = 2)
     OperatorCache.releaseAll(spark)

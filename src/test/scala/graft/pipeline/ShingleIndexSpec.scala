@@ -78,6 +78,27 @@ class ShingleIndexSpec extends SparkSpec {
     assert(probe(appendDir).map(_._1).contains(10L))
   }
 
+  test("string-keyed layout: delete joins on the id AS STORED (no long cast)") {
+    // URL-keyed recrawl shape (r16 ADVICE): a delete that cast string
+    // keys to long produced all-null join keys and tombstoned nothing
+    val dir = s"target/graft-test/shidx_str_${System.nanoTime()}"
+    val urls = Seq(
+      ("https://example.org/a", phrase("one")),
+      ("https://example.org/b", "entirely different content nothing shared"),
+    ).toDF("url", "text")
+    Dedup.writeShingleIndex(urls, "url", "text", dir,
+      shingleK = 5, buckets = 8)
+    Dedup.deleteFromShingleIndex(spark, dir,
+      Seq(Tuple1("https://example.org/a")).toDF("url"), "url")
+    val flagged = Dedup.probeContamination(spark, dir, block, "doc_id",
+      "text", minOverlap = 3).select("doc").as[String].collect().toSeq
+    assert(flagged.isEmpty,
+      s"the deleted url must stop matching the blocklist, got $flagged")
+    assert(spark.read.parquet(s"$dir/_tombstones")
+      .where(col("doc") === "https://example.org/a").count() == 1,
+      "the tombstone must actually land for the string key")
+  }
+
   test("lifecycle: delete, update (recrawl), compact ≡ rebuild; replay-safe") {
     val dir = s"target/graft-test/shidx_lc_${System.nanoTime()}"
     Dedup.writeShingleIndex(corpus, "doc_id", "text", dir,

@@ -194,6 +194,31 @@ class TextSearchSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("string-keyed layout: delete joins on the id AS STORED (no long cast)") {
+    // URL-keyed recrawl shape (r16 ADVICE): the layout preserves the
+    // native string key; a delete that cast ids to long produced
+    // all-null join keys and silently tombstoned nothing
+    val d = "target/graft-tmp/textsearch-del-str"
+    val urls = Seq(
+      ("https://example.org/a", "spark join vector over wide tables"),
+      ("https://example.org/b", "join vector filter all terms here"),
+      ("https://example.org/c", "nothing relevant in this page"),
+    ).toDF("url", "text")
+    TextSearch.writeIndex(urls, "url", "text", d, buckets = 8)
+    OperatorCache.releaseAll(spark)
+    TextSearch.deleteFromIndex(spark, d,
+      Seq(Tuple1("https://example.org/b")).toDF("url"), "url")
+    val served = TextSearch.searchTopK(spark, d,
+      Seq("join", "vector"), k = 5)
+      .select("doc").as[String].collect().toSeq
+    assert(served == Seq("https://example.org/a"),
+      s"the deleted url must stop serving, got $served")
+    // the tombstone actually landed (the no-op wrote zero usable rows)
+    assert(spark.read.parquet(s"$d/_tombstones")
+      .where(col("doc") === "https://example.org/b").count() == 1)
+    OperatorCache.releaseAll(spark)
+  }
+
   test("updateIndex: a re-crawled doc's new text serves, its old text stops matching") {
     val d1 = "target/graft-tmp/textsearch-upd"
     val d2 = "target/graft-tmp/textsearch-upd-rebuilt"

@@ -394,9 +394,11 @@ class TrainingPipelineSpec extends SparkSpec {
     // but before the marker — delete the marker and one table's files
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir, "_applied_b1"), false)
+    val marker = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).find(_.getName.startsWith("_applied_b1")).get
+    fs.delete(marker, false)
     fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/band_index"))
-      .filter(_.getPath.getName.startsWith("batch_b1_"))
+      .filter(_.getPath.getName.startsWith("batch_b1"))
       .foreach(s => fs.delete(s.getPath, false))
     TrainingPipeline.appendState(
       TrainingPipeline.readState(spark, dir), batch, "doc_id", "text", dir,
@@ -410,6 +412,36 @@ class TrainingPipelineSpec extends SparkSpec {
       Seq(20L -> sentence("golf")).toDF("doc_id", "text"),
       "doc_id", "text", dir, batchId = Some("b2"))
     assert(more.cleaned.count() == after1._1 + 1)
+
+    // sanitize-collision safety (r16 ADVICE): "a/b" and "a b" both
+    // sanitize to "a_b" — with a plain sanitizer, replaying one batch
+    // would sweep the OTHER's batch_a_b_* files during cleanup and
+    // silently lose its landed rows; the hashed safe id keeps them apart
+    TrainingPipeline.appendState(
+      TrainingPipeline.readState(spark, dir),
+      Seq(30L -> sentence("hotel")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = Some("a/b"))
+    TrainingPipeline.appendState(
+      TrainingPipeline.readState(spark, dir),
+      Seq(31L -> sentence("india")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = Some("a b"))
+    val full = counts()
+    // replay "a/b" (marker short-circuits) then force its landing path:
+    // drop its marker so cleanup really runs — "a b"'s rows must survive
+    val mAB = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("_applied_a_b"))
+    assert(mAB.length == 2, s"distinct markers per raw id: ${mAB.toSeq}")
+    val slashHash = f"${"a/b".hashCode & 0x7fffffff}%08x"
+    fs.delete(mAB.find(_.getName.endsWith(slashHash)).get, false)
+    TrainingPipeline.appendState(
+      TrainingPipeline.readState(spark, dir),
+      Seq(30L -> sentence("hotel")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = Some("a/b"))
+    assert(counts() == full,
+      "replaying a/b must not sweep 'a b''s batch files")
+    assert(spark.read.parquet(s"$dir/cleaned").select("doc")
+      .as[Long].collect().toSet.intersect(Set(30L, 31L)) == Set(30L, 31L),
+      "both collision-prone batches' rows survive the replay")
     OperatorCache.releaseAll(spark)
   }
 
