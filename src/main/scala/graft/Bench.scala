@@ -81,7 +81,8 @@ object Bench {
     "p120_chunk_sentences", "p121_llm_distill_screen", "p122_langid_trained",
     "p123_boilerplate_lines", "p124_ann_index_delete", "p125_text_search_delete",
     "p126_shingle_index_update", "p127_semantic_state_lifecycle",
-    "p128_recrawl_serving",
+    "p128_recrawl_serving", "p129_pack_related", "p130_rrf_search",
+    "p131_robots_screen",
     "s14_warc_roundtrip", "s15_webdataset_roundtrip", "s16_warc_fetch",
     "s17_wet_roundtrip")
 

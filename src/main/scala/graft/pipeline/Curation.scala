@@ -910,6 +910,64 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Relatedness-grouped sequence packing (the "in-context
+    * pretraining" shape, Shi et al. 2023, arXiv:2310.10638): instead
+    * of packing documents in arbitrary order, every pack draws only
+    * from ONE relatedness cell — IVF cluster, topic label, registrable
+    * host, whatever grouping the caller supplies — so a training
+    * sequence's context window contains semantically related
+    * neighbors rather than random concatenation. The caller computes
+    * the cell column (e.g. [[graft.pipeline.Similarity.ivfIndex]] over
+    * an embedding column, which is map-only against `typedlit`
+    * centroids); this operator is deliberately decoupled from HOW
+    * relatedness was derived.
+    *
+    * Packing rule matches [[packSequences]]: within each (cell,
+    * subshard), docs order by id, a running token sum assigns
+    * `pack = floor(cum_before / budgetTokens)` — greedy
+    * concat-and-cut, deterministic, one window exchange.
+    *
+    * Scale shape: one equi-join (docs ↔ cells, both keyed by id — at
+    * 100 TB this is the payload exchange and co-partitions by id) and
+    * one window sort partitioned by (cell, subshard). Cells are
+    * corpus-sized / k, so bound the per-task sort the same way
+    * [[packSequences]] bounds its shards: raise `subshards` until
+    * cell/subshards fits a task. Subsharding keeps every pack inside a
+    * single cell — the semantic property — it only splits WHICH packs
+    * a cell's docs land in (the [[idGate]] split is deterministic, so
+    * the oracle replays it).
+    *
+    * @return (idCol, n_tokens, cell, subshard, pack)
+    */
+  def packRelated(
+      docs: DataFrame, idCol: String, tokenCol: String,
+      cells: DataFrame, cellIdCol: String, cellCol: String,
+      budgetTokens: Long, subshards: Int = 1, salt: Int = 1,
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(subshards > 0, s"subshards must be positive: $subshards")
+    val nTok = col(tokenCol).cast("long")
+    val guarded = docs.select(col(idCol),
+      when(nTok.isNull.or(nTok < 0),
+        raise_error(concat(
+          lit(s"packRelated: token column '$tokenCol' must be a non-negative count, got "),
+          coalesce(nTok.cast("string"), lit("NULL")),
+          lit(" for id "), col(idCol).cast("string"))))
+        .otherwise(nTok).as("n_tokens"))
+    val withCell = guarded.join(
+      cells.select(col(cellIdCol).as(idCol), col(cellCol).as("cell")),
+      Seq(idCol))
+      .withColumn("subshard",
+        pmod(idGate(col(idCol), salt), lit(subshards.toLong)).cast("int"))
+    val w = Window.partitionBy("cell", "subshard").orderBy(col(idCol).asc)
+    withCell
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack",
+        floor((col("__cum") - col("n_tokens")).cast("double") / budgetTokens.toDouble)
+          .cast("long"))
+      .drop("__cum")
+  }
+
   /** Domain-interleaved length curriculum (Bengio et al. 2009 framing;
     * length as the standard model-free difficulty proxy): docs are
     * ranked easy→hard WITHIN each domain, and the global training order

@@ -395,4 +395,60 @@ object TextSearch {
       .where(col("rank") <= k)
       .select("qid", "rank", "doc", "hybrid", "score")
   }
+
+  /** Reciprocal-rank fusion of the BM25 and embedding retrievers
+    * (Cormack, Clarke & Büttcher, SIGIR 2009): each side contributes
+    * `1/(rrfK + rank)` and the fused score is their sum — rank-only
+    * fusion, which is the standard hybrid baseline precisely because
+    * BM25 scores and cosines live on incomparable scales and RRF
+    * needs no calibration (unlike [[searchHybridBatch]]'s alpha
+    * blend). A doc retrieved by only one side keeps that side's term
+    * (the other contributes 0), so lexical-only and semantic-only
+    * hits both surface.
+    *
+    * The embedding side defaults to a brute-force cosine rank over
+    * `vectors` — exact, the correctness baseline. At corpus scale
+    * pass `vecRanks` instead: (qid, doc, rank_cos) from the ANN
+    * serving layout ([[graft.pipeline.Similarity.probeIvfPq]] per
+    * query), which replaces the full-scan rank with partition-pruned
+    * probes; the fusion itself is workload-bounded either way
+    * (qid × candidates rows, one full-outer join, one qid window).
+    */
+  def searchRrfBatch(
+      workload: DataFrame, qidCol: String, queryCol: String, qvecCol: String,
+      dir: String, vectors: DataFrame, vecIdCol: String, vecCol: String,
+      k: Int = 10, candidates: Int = 50, rrfK: Int = 60,
+      vecRanks: Option[DataFrame] = None,
+  ): DataFrame = {
+    // unlike the alpha blend, fusion can return up to 2×candidates docs
+    // (each side contributes its own list), so k may exceed candidates
+    require(k >= 1 && candidates >= 1,
+      s"need k >= 1 and candidates >= 1, got k=$k candidates=$candidates")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val bm = searchTopKBatch(
+      workload.select(col(qidCol), col(queryCol)), qidCol, queryCol, dir,
+      k = candidates)
+      .select(col("qid"), col("doc"), col("rank").as("rank_bm25"))
+    val vr = vecRanks.getOrElse {
+      val qv = workload.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("__cos").desc, col("doc").asc)
+      vectors.select(col(vecIdCol).as("doc"), col(vecCol).as("__dv"))
+        .crossJoin(broadcast(qv))
+        .withColumn("__cos",
+          round(graft.pipeline.Similarity.cosine(col("__dv"), col("__qv")), 6))
+        .withColumn("rank_cos", row_number().over(wv))
+        .where(col("rank_cos") <= candidates)
+        .select("qid", "doc", "rank_cos")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rrf").desc, col("doc").asc)
+    bm.join(vr, Seq("qid", "doc"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_cos")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "doc", "rrf", "rank_bm25", "rank_cos")
+  }
 }

@@ -5910,11 +5910,235 @@ object PipelineQueries {
              |)
              |SELECT qid, rank, doc, hybrid, score FROM hr
              |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Relatedness-grouped packing (the in-context-pretraining shape):
+    // every training sequence draws only from ONE semantic cell, so a
+    // context window holds related neighbors instead of random
+    // concatenation. Cells come from the deterministic IVF trainer
+    // (map-only typedlit assignment); the oracle replays the full
+    // Lloyd trajectory (ivfAssignSql) plus the same gate/cumsum
+    // packing rule as p29.
+    QueryDef("p129_pack_related",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val index = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
+        val cells = Similarity.ivfIndex(
+          emb.select("vec_id", "embedding"), "embedding", index)
+          .select(col("vec_id"), col("centroid"))
+        Curation.packRelated(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"),
+              when(col("text").isNotNull,
+                size(split(trim(col("text")), "\\s+"))).as("n_toks")),
+          "doc_id", "n_toks",
+          cells, "vec_id", "centroid",
+          budgetTokens = 256L, subshards = 2)
+          .select(col("doc_id"), col("cell"), col("subshard"),
+            col("pack"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(ivfAssignSql(8) +
+        """, toks AS (
+        |  SELECT doc_id,
+        |         CAST((((doc_id % 100000) + 1) * 2654435761) % 1000000 % 2 AS INT) AS subshard,
+        |         CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM read_parquet('{SFDIR}/documents.parquet')
+        |), pj AS (
+        |  SELECT t.doc_id, a3.cid AS cell, t.subshard, t.n_tokens
+        |  FROM toks t JOIN a3 ON a3.vec_id = t.doc_id
+        |), pc AS (
+        |  SELECT doc_id, cell, subshard, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY cell, subshard
+        |                             ORDER BY doc_id) AS cum
+        |  FROM pj
+        |)
+        |SELECT doc_id, cell, subshard,
+        |       CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 256.0) AS BIGINT) AS pack,
+        |       n_tokens
+        |FROM pc ORDER BY doc_id""".stripMargin)),
+
+    // Reciprocal-rank fusion over the BM25 index + exact cosine ranks
+    // (Cormack et al. 2009): rank-only fusion, no score calibration.
+    // The oracle replays BM25 (p114's CTEs), the brute-force cosine
+    // rank, and the 1/(60+rank) sum.
+    QueryDef("p130_rrf_search",
+      (s, dir) => {
+        val idx = s"target/graft-tmp/textsearch_p130_${math.abs(dir.hashCode)}"
+        TextSearch.writeIndex(Tables.load(s, dir, "documents"),
+          "doc_id", "text", idx)
+        OperatorCache.releaseAll(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val workload = s.createDataFrame(Seq(
+            (1L, "join vector filter", 7L),
+            (2L, "stream window", 14L),
+            (3L, "quality score text", 21L))).toDF("qid", "query", "vid")
+          .join(emb.select(col("vec_id").as("vid"),
+            col("embedding").as("qvec")), "vid")
+        TextSearch.searchRrfBatch(workload, "qid", "query", "qvec", idx,
+          emb, "vec_id", "embedding", k = 5, candidates = 20)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id AS doc,
+             |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             |                            x -> x <> '')) AS term
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), dl AS (
+             |  SELECT doc, COUNT(*) AS dl FROM terms GROUP BY doc
+             |), stats AS (
+             |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+             |), qt AS (
+             |  SELECT * FROM (VALUES (1, 'join'), (1, 'vector'), (1, 'filter'),
+             |                        (2, 'stream'), (2, 'window'),
+             |                        (3, 'quality'), (3, 'score'), (3, 'text')) v(qid, term)
+             |), q AS (
+             |  SELECT doc, term FROM terms
+             |  WHERE term IN (SELECT DISTINCT term FROM qt)
+             |), tf AS (
+             |  SELECT doc, term, COUNT(*) AS tf FROM q GROUP BY doc, term
+             |), dfreq AS (
+             |  SELECT term, COUNT(DISTINCT doc) AS df FROM q GROUP BY term
+             |), contrib AS (
+             |  SELECT qt.qid, tf.doc,
+             |         LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             |           * CAST(tf AS DOUBLE)
+             |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+             |  FROM qt JOIN tf ON qt.term = tf.term
+             |       JOIN dfreq ON tf.term = dfreq.term
+             |       JOIN dl ON tf.doc = dl.doc, stats
+             |), sc AS (
+             |  SELECT qid, doc, ROUND(SUM(c), 6) AS score FROM contrib GROUP BY qid, doc
+             |), bm AS (
+             |  SELECT qid, doc,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc ASC) AS rank_bm25
+             |  FROM sc QUALIFY rank_bm25 <= 20
+             |), qv AS (
+             |  SELECT vq.qid, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS qv
+             |  FROM (VALUES (1, 7), (2, 14), (3, 21)) vq(qid, vid)
+             |  JOIN read_parquet('{SFDIR}/embeddings.parquet') e ON e.vec_id = vq.vid
+             |), vr AS (
+             |  SELECT qid, doc,
+             |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, doc ASC) AS rank_cos
+             |  FROM (
+             |    SELECT qv.qid, d.vec_id AS doc,
+             |           ROUND(list_cosine_similarity(
+             |             list_transform(d.embedding, x -> CAST(x AS DOUBLE)), qv.qv), 6) AS cos
+             |    FROM read_parquet('{SFDIR}/embeddings.parquet') d, qv
+             |  ) QUALIFY rank_cos <= 20
+             |), fused AS (
+             |  SELECT COALESCE(bm.qid, vr.qid) AS qid,
+             |         COALESCE(bm.doc, vr.doc) AS doc,
+             |         ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + bm.rank_bm25), 0)
+             |             + COALESCE(CAST(1 AS DOUBLE) / (60 + vr.rank_cos), 0), 6) AS rrf,
+             |         CAST(bm.rank_bm25 AS INT) AS rank_bm25,
+             |         CAST(vr.rank_cos AS INT) AS rank_cos
+             |  FROM bm FULL OUTER JOIN vr ON bm.qid = vr.qid AND bm.doc = vr.doc
+             |)
+             |SELECT CAST(qid AS BIGINT) AS qid,
+             |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc ASC) AS INT) AS rank,
+             |       doc, rrf, rank_bm25, rank_cos
+             |FROM fused
+             |QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // robots.txt screen (RFC 9309 subset): parse per-host Disallow
+    // rules for agent '*' — comments, stacked User-agent lines,
+    // other-agent groups, empty Disallow — then drop URLs whose path a
+    // rule prefix-matches on the EXACT host. The oracle replays the
+    // same parse over the byte-identical fixture text (shared
+    // robotsTxtExpr) and screens with NOT EXISTS.
+    QueryDef("p131_robots_screen",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val robots = docs
+          .select(pmod(col("doc_id"), lit(37L)).as("hn")).distinct()
+          .select(concat(lit("host-"), col("hn").cast("string"),
+            lit(".example.org")).as("host"),
+            expr(robotsTxtExpr).as("robots"))
+        val rules = Urls.robotsDisallows(robots, "host", "robots")
+        val urls = docs.select(col("doc_id"),
+          expr(syntheticUrlExpr).as("url"))
+        Urls.robotsScreen(urls, "url", rules)
+          .select(col("doc_id"),
+            Urls.hostOf(col("url")).as("host"),
+            Urls.pathOf(col("url")).as("path"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH hosts AS (
+             |  SELECT DISTINCT doc_id % 37 AS hn
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), rob AS (
+             |  SELECT 'host-' || hn || '.example.org' AS host,
+             |         $robotsTxtExpr AS txt
+             |  FROM hosts
+             |), rl0 AS (
+             |  SELECT host, unnest(ls) AS raw, unnest(range(1, len(ls) + 1)) AS pos
+             |  FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM rob)
+             |), rlines AS (
+             |  SELECT host, pos,
+             |         trim(regexp_replace(raw, '#.*$$', '')) AS line
+             |  FROM rl0
+             |), cls AS (
+             |  SELECT host, pos, line,
+             |         lower(line) LIKE 'user-agent:%' AS is_ua,
+             |         CASE WHEN lower(line) LIKE 'user-agent:%'
+             |              THEN trim(substr(line, 12)) END AS ua,
+             |         CASE WHEN lower(line) LIKE 'disallow:%'
+             |              THEN trim(substr(line, 10)) END AS prefix
+             |  FROM rlines
+             |), prv AS (
+             |  SELECT *, COALESCE(lag(is_ua) OVER (PARTITION BY host ORDER BY pos),
+             |                     false) AS prev_ua
+             |  FROM cls
+             |), grp AS (
+             |  SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+             |         OVER (PARTITION BY host ORDER BY pos) AS g
+             |  FROM prv
+             |), star AS (
+             |  SELECT DISTINCT host, g FROM grp WHERE ua = '*'
+             |), rrules AS (
+             |  SELECT DISTINCT grp.host, grp.prefix
+             |  FROM grp JOIN star USING (host, g)
+             |  WHERE grp.prefix IS NOT NULL AND grp.prefix <> ''
+             |), u AS (
+             |  SELECT doc_id,
+             |         lower(CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+             |           || 'host-' || (doc_id % 37) || '.example.org') AS host,
+             |         '/Pages/' || doc_id AS path
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |)
+             |SELECT doc_id, host, path FROM u
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM rrules r
+             |  WHERE r.host = u.host AND starts_with(u.path, r.prefix))
+             |ORDER BY doc_id""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared
     * input of p105/p106 (SQL so both engines could build it, though only
     * Spark needs to: the oracles replay the EXPECTED outputs instead). */
+  /** Deterministic robots.txt body for fixture host number `hn` —
+    * ONE expression string valid in BOTH Spark SQL and DuckDB (concat /
+    * chr / CASE WHEN are shared dialect), so the p131 oracle parses the
+    * byte-identical text the Spark side parses. Exercises: comments,
+    * an ignored other-agent group, stacked User-agent lines (star in
+    * the second), an empty Disallow (allow-all, no rule), and per-host
+    * rule variation.
+    */
+  private val robotsTxtExpr: String =
+    """concat(
+      |  '# synthetic robots fixture', chr(10),
+      |  'User-agent: badbot', chr(10),
+      |  'Disallow: /', chr(10),
+      |  chr(10),
+      |  'User-agent: goodbot', chr(10),
+      |  'User-agent: *', chr(10),
+      |  'Disallow: /private  # members only', chr(10),
+      |  CASE WHEN hn % 2 = 0 THEN concat('Disallow: /Pages/1', chr(10)) ELSE '' END,
+      |  CASE WHEN hn % 3 = 0 THEN concat('Disallow:', chr(10)) ELSE '' END,
+      |  chr(10),
+      |  'User-agent: extra', chr(10),
+      |  'Disallow: /never', chr(10))""".stripMargin
+
   private val syntheticUrlExpr: String =
     """concat('HTTP://',
       |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,

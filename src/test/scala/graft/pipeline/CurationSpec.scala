@@ -72,6 +72,39 @@ class CurationSpec extends SparkSpec {
     assert(sharers == 1, "an over-budget doc must not share its pack")
   }
 
+  test("packRelated: packs never cross cells; in-cell packing matches the cum rule") {
+    // cells: id % 3; token counts vary by id so packs split mid-cell
+    val toks = (0L until 300L).map(i => (i, 20L + i % 50)).toDF("id", "toks")
+    val cells = (0L until 300L).map(i => (i, (i % 3).toInt)).toDF("cid", "cell")
+    val packed = Curation.packRelated(toks, "id", "toks",
+      cells, "cid", "cell", budgetTokens = 256L, subshards = 2)
+    assert(packed.count() == 300, "no doc lost or duplicated")
+    // bounded overflow: a pack never exceeds budget + its largest doc
+    packed.groupBy("cell", "subshard", "pack")
+      .agg(sum("n_tokens").as("total"), max("n_tokens").as("biggest"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("total") < 256L + r.getAs[Long]("biggest"),
+          s"overflowing pack: $r")
+      }
+    // the packing rule per (cell, subshard) is the same greedy cum rule
+    // packSequences uses — replay it driver-side
+    val rows = packed.select("id", "cell", "subshard", "n_tokens", "pack")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, grp) =>
+      var cum = 0L
+      grp.sortBy(_._1).foreach { case (id, _, _, n, pack) =>
+        assert(pack == cum / 256L, s"doc $id: pack $pack != ${cum / 256L}")
+        cum += n
+      }
+    }
+    // null/negative token counts raise, same contract as packSequences
+    val bad = Seq((1L, null.asInstanceOf[java.lang.Long])).toDF("id", "toks")
+    intercept[Exception] {
+      Curation.packRelated(bad, "id", "toks",
+        Seq((1L, 0)).toDF("cid", "cell"), "cid", "cell", 256L).collect()
+    }
+  }
+
   test("chunkDocuments: sliding windows cover every token with the declared overlap") {
     val text = (1 to 40).map(i => s"w$i").mkString(" ")
     val doc = Seq((7L, text)).toDF("doc_id", "text")

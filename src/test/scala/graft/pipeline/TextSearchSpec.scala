@@ -194,6 +194,53 @@ class TextSearchSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("RRF fusion: 1/(k+rank) sums, single-retriever hits surface, vecRanks injectable") {
+    val rdir = s"$dir-rrf"
+    TextSearch.writeIndex(corpus, "doc_id", "text", rdir, buckets = 16)
+    OperatorCache.releaseAll(spark)
+    // doc 4 matches NO query term (semantic-only); doc 5 has NO vector
+    // (lexical-only); docs 2/3 are in both lists
+    val vectors = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)), (4L, Seq(0f, 1f)),
+    ).toDF("vec_id", "embedding")
+    val workload = Seq((1L, "join vector filter", Seq(0f, 1f)))
+      .toDF("qid", "query", "qvec")
+    val fused = TextSearch.searchRrfBatch(workload, "qid", "query", "qvec",
+      rdir, vectors, "vec_id", "embedding", k = 10, candidates = 5, rrfK = 60)
+      .collect().map(r => (r.getLong(2),
+        r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Int]),
+        Option(r.get(5)).map(_.asInstanceOf[Int]))).toSeq
+    val byDoc = fused.map(t => t._1 -> t).toMap
+    // lexical-only doc 5 (no vector) and semantic-only doc 4 (no term
+    // match) both surface, each with one side null
+    assert(byDoc(5L)._4.isEmpty && byDoc(5L)._3.nonEmpty, s"doc5: ${byDoc(5L)}")
+    assert(byDoc(4L)._3.isEmpty && byDoc(4L)._4.nonEmpty, s"doc4: ${byDoc(4L)}")
+    // the fused score is exactly the 1/(60+rank) sum of the present sides
+    fused.foreach { case (doc, rrf, rb, rv) =>
+      val expect = BigDecimal(
+        rb.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          rv.map(r => 1.0 / (60 + r)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf == expect, s"doc $doc: rrf $rrf != $expect")
+    }
+    // a doc in BOTH lists outranks one with only a comparable single side
+    val both = fused.filter(t => t._3.nonEmpty && t._4.nonEmpty).map(_._1)
+    assert(both.nonEmpty, "fixture must produce dual-retriever docs")
+    // injected vecRanks (the ANN-serving path) replaces the brute force
+    val inject = Seq((1L, 2L, 1), (1L, 4L, 2)).toDF("qid", "doc", "rank_cos")
+    val viaInject = TextSearch.searchRrfBatch(workload, "qid", "query", "qvec",
+      rdir, vectors, "vec_id", "embedding", k = 10, candidates = 5,
+      vecRanks = Some(inject))
+      .where(col("rank_cos").isNotNull)
+      .select("doc", "rank_cos").as[(Long, Int)].collect().toMap
+    assert(viaInject == Map(2L -> 1, 4L -> 2), s"got $viaInject")
+    intercept[IllegalArgumentException](
+      TextSearch.searchRrfBatch(workload, "qid", "query", "qvec", rdir,
+        vectors, "vec_id", "embedding", k = 10, candidates = 5, rrfK = 0))
+    OperatorCache.releaseAll(spark)
+  }
+
   test("string-keyed layout: delete joins on the id AS STORED (no long cast)") {
     // URL-keyed recrawl shape (r16 ADVICE): the layout preserves the
     // native string key; a delete that cast ids to long produced

@@ -68,4 +68,50 @@ class UrlsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.capPerStratum(df, "id", "host", cap = 0))
   }
+
+  test("robotsDisallows: groups, stacked agents, comments, empty Disallow") {
+    val txt = Seq(
+      "# site robots",
+      "User-agent: badbot",
+      "Disallow: /",
+      "",
+      "User-agent: goodbot",
+      "User-agent: *", // stacked: star shares the group header
+      "Disallow: /private  # members only",
+      "Disallow: /tmp",
+      "Disallow:", // empty = allow-all, no rule
+      "",
+      "User-agent: extra",
+      "Disallow: /never",
+    ).mkString("\n")
+    val rules = Urls.robotsDisallows(
+      Seq(("a.example.org", txt)).toDF("host", "robots"), "host", "robots")
+      .as[(String, String)].collect().toSet
+    assert(rules == Set(
+      ("a.example.org", "/private"),
+      ("a.example.org", "/tmp")),
+      s"only the *-group's non-empty Disallows apply: $rules")
+
+    // a robots body with no *-group yields no rules at all
+    val none = Urls.robotsDisallows(
+      Seq(("b.example.org", "User-agent: x\nDisallow: /"))
+        .toDF("host", "robots"), "host", "robots").count()
+    assert(none == 0)
+  }
+
+  test("robotsScreen: exact-host prefix matching drops disallowed URLs only") {
+    val rules = Seq(("a.example.org", "/private"), ("a.example.org", "/p/1"))
+      .toDF("host", "prefix")
+    val urls = Seq(
+      (1L, "http://a.example.org/private/x"),   // blocked: prefix
+      (2L, "http://a.example.org/p/12"),        // blocked: /p/1 prefix-matches /p/12
+      (3L, "http://a.example.org/p/2"),         // kept
+      (4L, "http://www.a.example.org/private"), // kept: www. is a DIFFERENT host
+      (5L, "http://b.example.org/private"),     // kept: no rules for host b
+      (6L, "http://A.EXAMPLE.ORG:8080/private"),// blocked: host lowercases, port ignored
+    ).toDF("doc_id", "url")
+    val kept = Urls.robotsScreen(urls, "url", rules)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L, 5L), s"got $kept")
+  }
 }
