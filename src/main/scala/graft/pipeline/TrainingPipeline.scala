@@ -924,6 +924,18 @@ object TrainingPipeline {
     *                     Costs one doc-keyed exchange (the line
     *                     reassembly); the per-line replay is
     *                     oracle-pinned by p123
+    * @param robotsArchive archive dir holding the crawl's captured
+    *                     `robots.txt` response records (the public
+    *                     crawls publish these as a SEPARATE
+    *                     `robotstxt/` subset beside the page archives
+    *                     — same layout here). When set, the rules for
+    *                     agent `*` are parsed per host
+    *                     ([[graft.pipeline.Urls.robotsDisallows]]) and
+    *                     pages whose target URI a rule prefix-matches
+    *                     are dropped BEFORE extraction — politeness
+    *                     first, so disallowed content never enters the
+    *                     corpus. Rule-set cost is |hosts|-sized (the
+    *                     broadcast side of the screen anti-join).
     */
   def curateArchive(
       spark: org.apache.spark.sql.SparkSession, inDir: String, outDir: String,
@@ -931,6 +943,7 @@ object TrainingPipeline {
       uriPrefix: String = "http://example.org/doc/",
       extractHtml: Boolean = false,
       boilerplate: Boolean = false,
+      robotsArchive: Option[String] = None,
   ): DataFrame = {
     require(!boilerplate || extractHtml,
       "boilerplate screening operates on HTML input (set extractHtml)")
@@ -940,8 +953,19 @@ object TrainingPipeline {
     val idPattern =
       java.util.regex.Pattern.quote(uriPrefix) + "(\\d+)$"
     val payloadText = decode(col("payload"), "UTF-8")
-    val responses = graft.sources.Warc.read(spark, s"$inDir/*.warc.gz")
+    val fetched = graft.sources.Warc.read(spark, s"$inDir/*.warc.gz")
       .where(col("warc_type") === "response")
+    val polite = robotsArchive.fold(fetched) { rdir =>
+      val robots = graft.sources.Warc.read(spark, s"$rdir/*.warc.gz")
+        .where(col("warc_type") === "response" &&
+          col("target_uri").rlike("://[^/]+/robots\\.txt$"))
+        .select(graft.pipeline.Urls.hostOf(col("target_uri")).as("host"),
+          decode(col("payload"), "UTF-8").as("robots"))
+      graft.pipeline.Urls.robotsScreen(
+        fetched, "target_uri",
+        graft.pipeline.Urls.robotsDisallows(robots, "host", "robots"))
+    }
+    val responses = polite
       .select(
         regexp_extract(col("target_uri"), idPattern, 1)
           .cast("long").as("doc_id"),

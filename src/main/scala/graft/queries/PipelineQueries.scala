@@ -6111,6 +6111,64 @@ object PipelineQueries {
              |  SELECT 1 FROM rrules r
              |  WHERE r.host = u.host AND starts_with(u.path, r.prefix))
              |ORDER BY doc_id""".stripMargin)),
+
+    // The polite-crawl capstone: page archive + the crawl's captured
+    // robots.txt archive (the public crawls publish robotstxt/ as a
+    // separate subset) → robots screen BEFORE extraction → HTML→text →
+    // full curate chain → WET out, checked frame READ BACK from the
+    // published shards. The robots parse itself is oracle-pinned by
+    // p131; here the fixture's one rule (Disallow: /doc/1 for agent *)
+    // reduces to the closed-form id screen the oracle applies.
+    QueryDef("p132_robots_archive_curate",
+      (s, dir) => {
+        val scratch = s"target/graft-tmp/robarch_p132_${math.abs(dir.hashCode)}"
+        val page = concat(
+          lit("<html><head><title>t</title><style>p{color:red}</style>" +
+            "</head><body><nav><a href=\"/\">Home</a> | <a href=\"/a\">" +
+            "About</a></nav><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><!-- chrome --><p>"), col("text"),
+          lit("</p><footer>fin</footer></body></html>"))
+        graft.sources.Warc.writeShards(
+          Tables.load(s, dir, "documents").select(col("doc_id"), page.as("html")),
+          "doc_id", "html", s"$scratch/in", shards = 4)
+        val robotsBody = Seq(
+          "# crawl politeness",
+          "User-agent: badbot",
+          "Disallow: /",
+          "",
+          "User-agent: *",
+          "Disallow: /doc/1",
+        ).mkString("\n")
+        graft.sources.Warc.writeShards(
+          s.createDataFrame(Seq(("robots.txt", robotsBody))).toDF("k", "body"),
+          "k", "body", s"$scratch/robots", shards = 1,
+          uriPrefix = "http://example.org/")
+        TrainingPipeline.curateArchive(s, s"$scratch/in", s"$scratch/out",
+          extractHtml = true, robotsArchive = Some(s"$scratch/robots"))
+          .orderBy("doc_id")
+      },
+      Some({
+        val htmlSql =
+          "'<html><head><title>t</title><style>p{color:red}</style>" +
+            "</head><body><nav><a href=\"/\">Home</a> | <a href=\"/a\">" +
+            "About</a></nav><h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
+            "'</h1><!-- chrome --><p>' || text || " +
+            "'</p><footer>fin</footer></body></html>'"
+        // the robots rule (Disallow: /doc/1, agent *) screens exactly
+        // the URIs whose path starts with /doc/1 — ids rendering with a
+        // leading '1'; the parse that derives this is pinned by p131
+        val src = s"(SELECT doc_id, ${Html.toTextSql(s"($htmlSql)")} AS text " +
+          "FROM read_parquet('{SFDIR}/documents.parquet') " +
+          "WHERE CAST(doc_id AS VARCHAR) NOT LIKE '1%')"
+        s"""WITH RECURSIVE ${curateStagesSqlFrom(src)}
+           |SELECT doc_id, text,
+           |       CASE WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 980000 THEN 'train'
+           |            WHEN ((doc_id % 100000) * 2654435761) % 1000000 < 990000 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM screened
+           |ORDER BY doc_id""".stripMargin
+      })),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

@@ -46,6 +46,35 @@ class ArchiveCurateSpec extends SparkSpec {
     assert(mf == Seq(1L, 3L, 5L))
   }
 
+  test("robotsArchive: disallowed pages never enter the corpus; other agents ignored") {
+    val base = s"target/graft-test/archcurate_robots_${System.nanoTime()}"
+    val docs = Seq(
+      1L -> sentence("alpha"),   // path /doc/1 — disallowed for *
+      12L -> sentence("bravo"),  // path /doc/12 — prefix /doc/1 matches
+      3L -> sentence("charlie"), // kept
+      20L -> sentence("delta"),  // kept ('/doc/2' is not a rule)
+    ).toDF("doc_id", "text")
+    Warc.writeShards(docs, "doc_id", "text", s"$base/in", shards = 2)
+    // robots: badbot's Disallow: / must NOT apply; * disallows /doc/1
+    val robots = Seq(("robots.txt",
+      "User-agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /doc/1\n"))
+      .toDF("k", "body")
+    Warc.writeShards(robots, "k", "body", s"$base/robots", shards = 1,
+      uriPrefix = "http://example.org/")
+
+    val out = TrainingPipeline.curateArchive(spark, s"$base/in", s"$base/out",
+      robotsArchive = Some(s"$base/robots"))
+    val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
+    OperatorCache.releaseAll(spark)
+    assert(kept == Seq(3L, 20L), s"robots must gate 1 and 12, got $kept")
+    // the published WET really never carried the disallowed pages
+    val wetIds = Warc.read(spark, s"$base/out/*.warc.wet.gz")
+      .where(col("warc_type") === "conversion")
+      .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long"))
+      .as[Long].collect().sorted.toSeq
+    assert(wetIds == Seq(3L, 20L), s"published shards: $wetIds")
+  }
+
   test("extractHtml: raw pages extract before curating; WET carries prose") {
     val base = s"target/graft-test/archcurate_html_${System.nanoTime()}"
     def page(body: String) =
