@@ -55,6 +55,24 @@ object PackScaleBench {
       s""""pack_sec":${f"$sec%.2f"},"packs":${stats.getLong(0)},""" +
       s""""mean_fill":${f"${stats.getDouble(1) / budget}%.3f"},""" +
       s""""max_fill":${f"${stats.getLong(2).toDouble / budget}%.3f"}}""")
+
+    // packRelated on the same corpus: cells stand in for the IVF
+    // assignment (any deterministic grouping exercises the identical
+    // plan — one id equi-join + one (cell, subshard) window); 64 cells
+    // with 8 subshards bounds the per-task sort to ~nDocs/512
+    val cells = scaled.select(col("doc_id").as("cid"),
+      pmod(xxhash64(col("doc_id")), lit(64L)).cast("int").as("cell"))
+    val t1 = System.nanoTime()
+    val related = Curation.packRelated(scaled, "doc_id", "n_toks",
+      cells, "cid", "cell", budget, subshards = 8)
+    val rstats = related.groupBy("cell", "subshard", "pack")
+      .agg(sum("n_tokens").as("total"))
+      .agg(count("*").as("n_packs"), avg("total").as("mean_fill"))
+      .head()
+    val rsec = (System.nanoTime() - t1) / 1e9
+    println(s"""{"docs":$nDocs,"replicas":$replicas,""" +
+      s""""pack_related_sec":${f"$rsec%.2f"},"packs":${rstats.getLong(0)},""" +
+      s""""mean_fill":${f"${rstats.getDouble(1) / budget}%.3f"}}""")
     spark.stop()
   }
 }
