@@ -937,7 +937,7 @@ object Curation {
     * a cell's docs land in (the [[idGate]] split is deterministic, so
     * the oracle replays it).
     *
-    * @return (idCol, n_tokens, cell, subshard, pack)
+    * @return the input columns plus (n_tokens, cell, subshard, pack)
     */
   def packRelated(
       docs: DataFrame, idCol: String, tokenCol: String,
@@ -947,13 +947,16 @@ object Curation {
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
     require(subshards > 0, s"subshards must be positive: $subshards")
     val nTok = col(tokenCol).cast("long")
-    val guarded = docs.select(col(idCol),
+    // withColumn, not select: the caller's other columns (token arrays,
+    // text) ride through to the pack assignment, as in [[packSequences]]
+    // — [[materializePacks]] needs them on the same frame
+    val guarded = docs.withColumn("n_tokens",
       when(nTok.isNull.or(nTok < 0),
         raise_error(concat(
           lit(s"packRelated: token column '$tokenCol' must be a non-negative count, got "),
           coalesce(nTok.cast("string"), lit("NULL")),
           lit(" for id "), col(idCol).cast("string"))))
-        .otherwise(nTok).as("n_tokens"))
+        .otherwise(nTok))
     val withCell = guarded.join(
       cells.select(col(cellIdCol).as(idCol), col(cellCol).as("cell")),
       Seq(idCol))
@@ -966,6 +969,64 @@ object Curation {
         floor((col("__cum") - col("n_tokens")).cast("double") / budgetTokens.toDouble)
           .cast("long"))
       .drop("__cum")
+  }
+
+  /** Materialize pack assignments ([[packSequences]] /
+    * [[packRelated]]) into trainer-ready rows: ONE row per pack
+    * carrying the concatenated token sequence (documents in the exact
+    * order the packer's running sum consumed them) plus the doc
+    * boundary offsets a trainer needs to reset attention across
+    * document joins — the standard pretraining input shape (each
+    * sequence is a concat of whole documents; cross-document attention
+    * masked at the recorded boundaries).
+    *
+    * Scale shape: one hash aggregation on the pack key — the SAME
+    * exchange a pack-keyed shard write needs anyway, so materializing
+    * is free at the write. The per-row array lambdas (field
+    * projection, flatten, the boundary prefix scan) operate on
+    * PACK-sized arrays (≤ budget tokens by construction), bounded per
+    * row regardless of corpus size — the repo's no-higher-order-
+    * lambdas-in-corpus-scale-paths rule keys on per-element
+    * re-evaluation of corpus-scale inputs, which a budget-bounded
+    * array is not.
+    *
+    * @param packKeys     the packer's partition columns ("shard" for
+    *                     [[packSequences]]; "cell", "subshard" for
+    *                     [[packRelated]]) — with "pack" they identify
+    *                     a pack
+    * @param longestFirst true to concatenate in [[packSequences]]'s
+    *                     fill order (n_tokens desc, id asc); false for
+    *                     [[packRelated]]'s id order
+    * @return packKeys ++ (pack, n_docs, n_tokens, docs, doc_boundaries,
+    *         token_ids) — doc_boundaries has n_docs+1 offsets, 0 first
+    *         and the total last
+    */
+  def materializePacks(
+      packed: DataFrame, packKeys: Seq[String], idCol: String,
+      tokensCol: String, longestFirst: Boolean = false,
+  ): DataFrame = {
+    val orderKey =
+      if (longestFirst) (-col("n_tokens")).cast("long") else lit(0L)
+    val member = struct(
+      orderKey.as("o"), col(idCol).as("id"), col(tokensCol).as("toks"))
+    val keys = packKeys.map(col) :+ col("pack")
+    packed
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(member)).as("__m"))
+      .select(keys ++ Seq(
+        transform(col("__m"), m => m.getField("id")).as("docs"),
+        flatten(transform(col("__m"), m => m.getField("toks")))
+          .as("token_ids"),
+        aggregate(
+          transform(col("__m"), m => size(m.getField("toks")).cast("long")),
+          array(lit(0L)),
+          (acc, s) => concat(acc, array(element_at(acc, -1) + s)))
+          .as("doc_boundaries")): _*)
+      .withColumn("n_docs", size(col("docs")).cast("long"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      .select(packKeys.map(col) ++ Seq(col("pack"), col("n_docs"),
+        col("n_tokens"), col("docs"), col("doc_boundaries"),
+        col("token_ids")): _*)
   }
 
   /** Domain-interleaved length curriculum (Bengio et al. 2009 framing;

@@ -6169,6 +6169,59 @@ object PipelineQueries {
            |FROM screened
            |ORDER BY doc_id""".stripMargin
       })),
+
+    // Pack materialization — the trainer handoff: one row per pack
+    // carrying the concatenated token sequence (docs in the packer's
+    // fill order) and the doc-boundary offsets cross-document
+    // attention masking needs. The oracle rebuilds the p29 packing,
+    // then replays the ordered concat + prefix-sum boundaries.
+    QueryDef("p133_pack_materialize",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("text").isNotNull,
+              split(trim(col("text")), "\\s+")).as("toks"))
+          .withColumn("n_toks", size(col("toks")).cast("long"))
+        val packed = Curation.packSequences(docs, "doc_id", "n_toks",
+          budgetTokens = 256L, shards = 8)
+        Curation.materializePacks(packed, Seq("shard"), "doc_id", "toks",
+          longestFirst = true)
+          .select(col("shard"), col("pack"), col("n_docs"), col("n_tokens"),
+            array_join(transform(col("docs"), d => d.cast("string")), " ")
+              .as("docs"),
+            array_join(transform(col("doc_boundaries"), b => b.cast("string")), " ")
+              .as("bounds"),
+            array_join(col("token_ids"), " ").as("tokens"))
+          .orderBy("shard", "pack")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         CAST((((doc_id % 100000) + 1) * 2654435761) % 1000000 % 8 AS INT) AS shard,
+             |         string_split_regex(TRIM(text), '\s+') AS toks,
+             |         CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), c AS (
+             |  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard
+             |                                ORDER BY n_tokens DESC, doc_id
+             |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM t
+             |), p AS (
+             |  SELECT *, CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 256.0) AS BIGINT) AS pack
+             |  FROM c
+             |), p2 AS (
+             |  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard, pack
+             |                                ORDER BY n_tokens DESC, doc_id
+             |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+             |  FROM p
+             |)
+             |SELECT shard, pack,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY n_tokens DESC, doc_id), ' ') AS docs,
+             |       array_to_string(list_prepend('0', list(CAST(cum2 AS VARCHAR) ORDER BY n_tokens DESC, doc_id)), ' ') AS bounds,
+             |       array_to_string(flatten(list(toks ORDER BY n_tokens DESC, doc_id)), ' ') AS tokens
+             |FROM p2 GROUP BY shard, pack
+             |ORDER BY shard, pack""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

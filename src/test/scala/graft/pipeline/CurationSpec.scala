@@ -105,6 +105,48 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("materializePacks: fill-order concat, boundary offsets, both packers") {
+    val toks = Seq(
+      (1L, Seq("a", "b", "c")),   // 3 tokens
+      (2L, Seq("d", "e")),        // 2
+      (3L, Seq("f", "g", "h", "i")), // 4
+      (4L, Seq("j")),             // 1
+    ).toDF("id", "toks").withColumn("n", size(col("toks")).cast("long"))
+    // one shard, budget 5: fill order (n desc, id asc) = 3,1,2,4 →
+    // cum-before 0,4,7,9 → packs 0,0,1,1
+    val packed = Curation.packSequences(toks, "id", "n", budgetTokens = 5L,
+      shards = 1)
+    val mat = Curation.materializePacks(packed, Seq("shard"), "id", "toks",
+      longestFirst = true)
+      .orderBy("pack").collect()
+    assert(mat.length == 2)
+    def seqOf[T](r: org.apache.spark.sql.Row, c: String): Seq[T] =
+      r.getSeq[T](r.fieldIndex(c)).toList
+    val p0 = mat(0)
+    assert(seqOf[Long](p0, "docs") == Seq(3L, 1L))
+    assert(seqOf[String](p0, "token_ids") ==
+      Seq("f", "g", "h", "i", "a", "b", "c"))
+    assert(seqOf[Long](p0, "doc_boundaries") == Seq(0L, 4L, 7L),
+      "n_docs+1 offsets: 0, after doc 3, total")
+    assert(p0.getAs[Long]("n_docs") == 2L && p0.getAs[Long]("n_tokens") == 7L)
+    val p1 = mat(1)
+    assert(seqOf[Long](p1, "docs") == Seq(2L, 4L))
+    assert(seqOf[String](p1, "token_ids") == Seq("d", "e", "j"))
+    assert(seqOf[Long](p1, "doc_boundaries") == Seq(0L, 2L, 3L))
+
+    // packRelated path: id order within (cell, subshard)
+    val cells = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 0)).toDF("cid", "cell")
+    val rel = Curation.packRelated(toks, "id", "n", cells, "cid", "cell",
+      budgetTokens = 100L)
+    val rmat = Curation.materializePacks(rel, Seq("cell", "subshard"), "id",
+      "toks").collect()
+    assert(rmat.length == 1)
+    assert(seqOf[Long](rmat(0), "docs") == Seq(1L, 2L, 3L, 4L),
+      "packRelated materializes in id order")
+    assert(seqOf[String](rmat(0), "token_ids") ==
+      Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
+  }
+
   test("chunkDocuments: sliding windows cover every token with the declared overlap") {
     val text = (1 to 40).map(i => s"w$i").mkString(" ")
     val doc = Seq((7L, text)).toDF("doc_id", "text")
