@@ -937,6 +937,60 @@ object TrainingPipeline {
     *                     corpus. Rule-set cost is |hosts|-sized (the
     *                     broadcast side of the screen anti-join).
     */
+  /** The training-set FREEZE — the last step of the curation pipeline,
+    * where a corpus stops being a table and becomes trainer input:
+    * curate ([[curate]], spanK=0 — the p119 stage set) → semantic
+    * cells over the survivors' embeddings (deterministic
+    * [[graft.pipeline.Similarity.ivfTrain]] + map-only assignment) →
+    * relatedness-grouped packing
+    * ([[graft.pipeline.Curation.packRelated]], the in-context-
+    * pretraining order) → [[graft.pipeline.Curation.materializePacks]]
+    * → the pack rows PUBLISHED as a parquet layout under
+    * `outDir/packs`, and the returned frame READ BACK from the
+    * published files (the loop's proof, as [[curateArchive]] does for
+    * WET).
+    *
+    * Scale shape: the curate stages are the dominant cost (already
+    * measured per stage); cells add one Lloyd's train (bounded
+    * aggregates) + a map-only assignment; the pack window is
+    * (cell, subshard)-bounded; materialization reuses the pack-keyed
+    * exchange the write needs anyway. Tokens here are whitespace
+    * tokens — swap the tokenizer by mapping `toks` before packing.
+    *
+    * @return (cell, subshard, pack, n_docs, n_tokens, docs,
+    *         doc_boundaries, token_ids) read back from `outDir/packs`
+    */
+  def freezePacks(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String, textCol: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      outDir: String,
+      budgetTokens: Long = 256L, cells: Int = 8, subshards: Int = 2,
+      minQuality: Double = 0.3, minWords: Long = 20,
+  ): DataFrame = {
+    val curated = OperatorCache.materialize(
+      curate(docs, idCol, textCol,
+        minQuality = minQuality, minWords = minWords, spanK = 0)
+        .select(col(idCol), col(textCol)))
+    // cells train on the SURVIVORS' embeddings only — the mixture a
+    // dropped doc would pull the centroids toward no longer exists
+    val emb = vectors.join(
+      curated.select(col(idCol).as(vecIdCol)), Seq(vecIdCol), "left_semi")
+    val index = Similarity.ivfTrain(emb, vecIdCol, vecCol, cells)
+    val cellsDf = Similarity
+      .ivfIndex(emb.select(col(vecIdCol), col(vecCol)), vecCol, index)
+      .select(col(vecIdCol), col("centroid"))
+    val toks = curated.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+    val packed = Curation.packRelated(toks, idCol, "n_toks",
+      cellsDf, vecIdCol, "centroid", budgetTokens, subshards)
+    Curation.materializePacks(packed, Seq("cell", "subshard"), idCol, "toks")
+      .write.mode("overwrite").parquet(s"$outDir/packs")
+    OperatorCache.release(curated)
+    spark.read.parquet(s"$outDir/packs")
+  }
+
   def curateArchive(
       spark: org.apache.spark.sql.SparkSession, inDir: String, outDir: String,
       minQuality: Double = 0.3, minWords: Long = 20, shards: Int = 4,

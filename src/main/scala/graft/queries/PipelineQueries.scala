@@ -6222,6 +6222,66 @@ object PipelineQueries {
              |       array_to_string(flatten(list(toks ORDER BY n_tokens DESC, doc_id)), ' ') AS tokens
              |FROM p2 GROUP BY shard, pack
              |ORDER BY shard, pack""".stripMargin)),
+
+    // The training-set freeze capstone: curate → semantic cells over
+    // the SURVIVORS' embeddings → relatedness-grouped packing →
+    // materialized packs published as a parquet layout and READ BACK.
+    // The oracle chains the proven fragments end to end: the curate
+    // stages, the Lloyd trajectory restricted to screened survivors,
+    // the gate/cumsum packing, the ordered concat + boundary replay.
+    QueryDef("p134_training_freeze",
+      (s, dir) => {
+        val out = s"target/graft-tmp/freeze_p134_${math.abs(dir.hashCode)}"
+        TrainingPipeline.freezePacks(s,
+          Tables.load(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text",
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          out)
+          .select(col("cell"), col("subshard"), col("pack"),
+            col("n_docs"), col("n_tokens"),
+            array_join(transform(col("docs"), d => d.cast("string")), " ")
+              .as("docs"),
+            array_join(transform(col("doc_boundaries"), b => b.cast("string")), " ")
+              .as("bounds"),
+            array_join(col("token_ids"), " ").as("tokens"))
+          .orderBy("cell", "subshard", "pack")
+      },
+      Some(s"""WITH RECURSIVE ${curateStagesSqlFrom(
+                 "read_parquet('{SFDIR}/documents.parquet')")},
+             |${ivfAssignSql(8,
+                 " WHERE vec_id IN (SELECT doc_id FROM screened)")
+                 .stripPrefix("WITH ")},
+             |ftoks AS (
+             |  SELECT doc_id,
+             |         CAST((((doc_id % 100000) + 1) * 2654435761) % 1000000 % 2 AS INT) AS subshard,
+             |         string_split_regex(TRIM(text), '\\s+') AS toks,
+             |         CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+             |  FROM screened
+             |), fpj AS (
+             |  SELECT t.doc_id, a3.cid AS cell, t.subshard, t.toks, t.n_tokens
+             |  FROM ftoks t JOIN a3 ON a3.vec_id = t.doc_id
+             |), fpc AS (
+             |  SELECT *, SUM(n_tokens) OVER (PARTITION BY cell, subshard
+             |                                ORDER BY doc_id
+             |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM fpj
+             |), fpp AS (
+             |  SELECT *, CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 256.0) AS BIGINT) AS pack
+             |  FROM fpc
+             |), fp2 AS (
+             |  SELECT *, SUM(n_tokens) OVER (PARTITION BY cell, subshard, pack
+             |                                ORDER BY doc_id
+             |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+             |  FROM fpp
+             |)
+             |SELECT cell, subshard, pack,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ' ') AS docs,
+             |       array_to_string(list_prepend('0', list(CAST(cum2 AS VARCHAR) ORDER BY doc_id)), ' ') AS bounds,
+             |       array_to_string(flatten(list(toks ORDER BY doc_id)), ' ') AS tokens
+             |FROM fp2 GROUP BY cell, subshard, pack
+             |ORDER BY cell, subshard, pack""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

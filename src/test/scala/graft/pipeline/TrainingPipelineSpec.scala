@@ -363,6 +363,36 @@ class TrainingPipelineSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("freezePacks: curated docs pack exactly once, cells pure, read-back real") {
+    val base = s"target/graft-tmp/freeze-spec-${System.nanoTime()}"
+    // 40 curate-surviving docs + one floor-failing doc + one exact dup
+    val docs = ((0L until 40L).map(i => (i, sentence(s"tag$i"))) ++
+      Seq(100L -> "too short", 101L -> sentence("tag0"))) // dup of doc 0
+      .toDF("doc_id", "text")
+    val vectors = (0L until 102L)
+      .map(i => (i, Seq.tabulate(4)(d => ((i % 7) + d).toFloat / 7f)))
+      .toDF("vec_id", "embedding")
+    val frozen = TrainingPipeline.freezePacks(spark, docs, "doc_id", "text",
+      vectors, "vec_id", "embedding", base, budgetTokens = 64L, cells = 3)
+    val rows = frozen.collect()
+    OperatorCache.releaseAll(spark)
+
+    // every pack's boundary walk is consistent and every curated doc
+    // appears exactly once across all packs
+    val allDocs = rows.flatMap(_.getSeq[Long](rows.head.fieldIndex("docs")))
+    assert(allDocs.length == allDocs.distinct.length, "no doc packs twice")
+    assert(allDocs.toSet == (0L until 40L).toSet,
+      s"survivors = the 40 curate-passing docs, got ${allDocs.sorted.toSeq}")
+    rows.foreach { r =>
+      val b = r.getSeq[Long](r.fieldIndex("doc_boundaries"))
+      assert(b.head == 0L && b.last == r.getAs[Long]("n_tokens") &&
+        b.length == r.getAs[Long]("n_docs") + 1,
+        s"boundaries must walk 0..n_tokens with n_docs+1 offsets: $r")
+    }
+    // the frame really came from the published layout
+    assert(spark.read.parquet(s"$base/packs").count() == rows.length)
+  }
+
   test("appendState with a batchId is idempotent: replay converges, partial landing heals") {
     val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
     val state0 = TrainingPipeline.curateState(prev, "doc_id", "text",
