@@ -83,7 +83,7 @@ object Bench {
     "p126_shingle_index_update", "p127_semantic_state_lifecycle",
     "p128_recrawl_serving", "p129_pack_related", "p130_rrf_search",
     "p131_robots_screen", "p132_robots_archive_curate",
-    "p133_pack_materialize", "p134_training_freeze",
+    "p133_pack_materialize", "p134_training_freeze", "p135_rrf_ann",
     "s14_warc_roundtrip", "s15_webdataset_roundtrip", "s16_warc_fetch",
     "s17_wet_roundtrip")
 

@@ -6282,6 +6282,108 @@ object PipelineQueries {
              |       array_to_string(flatten(list(toks ORDER BY doc_id)), ' ') AS tokens
              |FROM fp2 GROUP BY cell, subshard, pack
              |ORDER BY cell, subshard, pack""".stripMargin)),
+
+    // RRF in its SERVING form: the embedding side's rank list comes
+    // from cell-pruned IVF probes (the vecRanks injection point), not
+    // the brute-force scan — p130's exact baseline becomes the
+    // production path. The oracle replays the Lloyd trajectory, the
+    // per-query probe selection, the in-cell cosine ranks, the BM25
+    // ranks, and the 1/(60+rank) fusion.
+    QueryDef("p135_rrf_ann",
+      (s, dir) => {
+        val idx = s"target/graft-tmp/textsearch_p135_${math.abs(dir.hashCode)}"
+        TextSearch.writeIndex(Tables.load(s, dir, "documents"),
+          "doc_id", "text", idx)
+        OperatorCache.releaseAll(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val index = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
+        val qs = Seq((1L, "join vector filter", 7L),
+          (2L, "stream window", 14L), (3L, "quality score text", 21L))
+        val vecRanks = qs.map { case (qid, _, vid) =>
+          val q = emb.where(col("vec_id") === vid)
+            .select("embedding").head().getSeq[Float](0)
+          Similarity.ivfTopK(emb, "vec_id", "embedding", index, q,
+            k = 20, nprobe = 3)
+            .select(lit(qid).as("qid"), col("vec_id").as("doc"),
+              col("cosine"))
+        }.reduce(_.unionByName(_))
+          .withColumn("rank_cos", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(col("cosine").desc, col("doc").asc)))
+          .select("qid", "doc", "rank_cos")
+        val workload = s.createDataFrame(qs).toDF("qid", "query", "vid")
+        TextSearch.searchRrfBatch(workload, "qid", "query", "query", idx,
+          emb, "vec_id", "embedding", k = 5, candidates = 20,
+          vecRanks = Some(vecRanks))
+          .orderBy("qid", "rank")
+      },
+      Some(ivfAssignSql(8) +
+        """, qv2 AS (
+           |  SELECT vq.qid, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS qe
+           |  FROM (VALUES (1, 7), (2, 14), (3, 21)) vq(qid, vid)
+           |  JOIN read_parquet('{SFDIR}/embeddings.parquet') e ON e.vec_id = vq.vid
+           |), probes AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qv2.qid, c2.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY qv2.qid
+           |                              ORDER BY list_dot_product(c2.c, qv2.qe) DESC, c2.cid ASC) AS rn
+           |    FROM c2, qv2
+           |  ) WHERE rn <= 3
+           |), vr AS (
+           |  SELECT qid, doc, rank_cos FROM (
+           |    SELECT p.qid, a3.vec_id AS doc,
+           |           ROW_NUMBER() OVER (PARTITION BY p.qid
+           |                              ORDER BY ROUND(list_cosine_similarity(a3.e, qv2.qe), 6) DESC, a3.vec_id ASC) AS rank_cos
+           |    FROM a3 JOIN probes p ON a3.cid = p.cid JOIN qv2 ON qv2.qid = p.qid
+           |  ) WHERE rank_cos <= 20
+           |), terms AS (
+           |  SELECT doc_id AS doc,
+           |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+           |                            x -> x <> '')) AS term
+           |  FROM read_parquet('{SFDIR}/documents.parquet')
+           |), dl AS (
+           |  SELECT doc, COUNT(*) AS dl FROM terms GROUP BY doc
+           |), bstats AS (
+           |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+           |), qt AS (
+           |  SELECT * FROM (VALUES (1, 'join'), (1, 'vector'), (1, 'filter'),
+           |                        (2, 'stream'), (2, 'window'),
+           |                        (3, 'quality'), (3, 'score'), (3, 'text')) v(qid, term)
+           |), bq AS (
+           |  SELECT doc, term FROM terms
+           |  WHERE term IN (SELECT DISTINCT term FROM qt)
+           |), btf AS (
+           |  SELECT doc, term, COUNT(*) AS tf FROM bq GROUP BY doc, term
+           |), bdf AS (
+           |  SELECT term, COUNT(DISTINCT doc) AS df FROM bq GROUP BY term
+           |), bcontrib AS (
+           |  SELECT qt.qid, btf.doc,
+           |         LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           |           * CAST(tf AS DOUBLE)
+           |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+           |  FROM qt JOIN btf ON qt.term = btf.term
+           |       JOIN bdf ON btf.term = bdf.term
+           |       JOIN dl ON btf.doc = dl.doc, bstats
+           |), bsc AS (
+           |  SELECT qid, doc, ROUND(SUM(c), 6) AS score FROM bcontrib GROUP BY qid, doc
+           |), bm AS (
+           |  SELECT qid, doc,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc ASC) AS rank_bm25
+           |  FROM bsc QUALIFY rank_bm25 <= 20
+           |), fused AS (
+           |  SELECT COALESCE(bm.qid, vr.qid) AS qid,
+           |         COALESCE(bm.doc, vr.doc) AS doc,
+           |         ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + bm.rank_bm25), 0)
+           |             + COALESCE(CAST(1 AS DOUBLE) / (60 + vr.rank_cos), 0), 6) AS rrf,
+           |         CAST(bm.rank_bm25 AS INT) AS rank_bm25,
+           |         CAST(vr.rank_cos AS INT) AS rank_cos
+           |  FROM bm FULL OUTER JOIN vr ON bm.qid = vr.qid AND bm.doc = vr.doc
+           |)
+           |SELECT CAST(qid AS BIGINT) AS qid,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc ASC) AS INT) AS rank,
+           |       doc, rrf, rank_bm25, rank_cos
+           |FROM fused
+           |QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

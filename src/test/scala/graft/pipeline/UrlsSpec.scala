@@ -114,4 +114,20 @@ class UrlsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(3L, 4L, 5L), s"got $kept")
   }
+
+  test("robotsScreen plan: hosts-sized rule side broadcasts, anti-join stays hashed") {
+    // the 100 TB claim: the rule side is |hosts|-scale and BROADCASTS,
+    // so the URL side is one map-side pass — the host equality must be
+    // extracted as the hash-join key (a nested-loop anti-join over the
+    // corpus would be the silent failure mode this spec pins)
+    val rules = Seq(("a.example.org", "/private")).toDF("host", "prefix")
+    val urls = (1L to 100L).map(i => (i, s"http://a.example.org/p/$i"))
+      .toDF("doc_id", "url")
+    val plan = Urls.robotsScreen(urls, "url", rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast hash anti-join on host:\n${plan.take(800)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the host equality must become the join key, not a residual filter")
+  }
 }
