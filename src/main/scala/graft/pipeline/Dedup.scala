@@ -367,13 +367,11 @@ object Dedup {
       ids: DataFrame, idCol: String,
   ): Unit = {
     val docs = spark.read.parquet(s"$dir/docs")
-    // cast the delete ids to the STORED id type (the layout preserves
-    // the native key type — long doc ids or string URL keys); a fixed
-    // cast("long") made a string-keyed delete a silent no-op (r16
-    // ADVICE, same fix as TextSearch.deleteFromIndex)
-    val want =
-      ids.select(col(idCol).cast(docs.schema("doc").dataType).as("doc"))
-        .distinct()
+    // cast the delete ids to the STORED id type, failing fast on any
+    // id the cast nulls out — see [[Keys.castIdsToStored]] for both
+    // halves of the silent-no-op hazard this closes (r16 + r17 ADVICE)
+    val want = Keys.castIdsToStored(
+      ids, idCol, docs.schema("doc").dataType, "deleteFromShingleIndex")
     val live0 = docs.join(broadcast(want), Seq("doc"), "left_semi")
     val live = shingleTombstones(spark, dir).fold(live0)(t =>
       live0.join(broadcast(t.select("doc", "gen")),

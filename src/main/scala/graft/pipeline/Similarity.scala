@@ -992,7 +992,14 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    // mergeSchema: a dir can hold files written BEFORE the fixed-name
+    // fix (id under the deleter's own idCol) alongside new ones (id
+    // under "doc"); without it spark picks one file's schema and the
+    // other files' id column reads as null — those tombstones silently
+    // stop filtering and deleted ids resurface (r17 ADVICE)
+    if (fs.exists(p))
+      Some(spark.read.option("mergeSchema", "true").parquet(p.toString))
+    else None
   }
 
   /** Drop tombstoned rows from an index scan (broadcast, delete-sized
@@ -1012,15 +1019,26 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       cells: DataFrame, idCol: String): DataFrame =
     tombstones(spark, path).fold(cells) { t0 =>
-      val stored = t0.schema.fieldNames.filterNot(_ == "cutoff").head
-      val t = t0.withColumnRenamed(stored, idCol)
-      if (t.columns.contains("cutoff") && cells.columns.contains("gen")) {
-        val cut = t.groupBy(idCol).agg(max("cutoff").as("__cutoff"))
+      // the mergeSchema'd read surfaces a mixed legacy/new set as
+      // parallel mostly-null id columns — the id is the COALESCE over
+      // every non-cutoff column, cast to the layout's key type, so
+      // every file's tombstones filter no matter which schema era
+      // wrote them (r17 ADVICE)
+      val idT = cells.schema(idCol).dataType
+      val stored = t0.schema.fieldNames.filterNot(_ == "cutoff")
+      val id = coalesce(stored.map(n => col(n).cast(idT)): _*).as(idCol)
+      if (t0.columns.contains("cutoff") && cells.columns.contains("gen")) {
+        // a null cutoff (a pre-generation file merged beside cutoff
+        // files) means an UNCONDITIONAL delete, not "no tombstone" —
+        // fold it to MaxValue so it kills every generation
+        val cut = t0
+          .select(id, coalesce(col("cutoff"), lit(Long.MaxValue)).as("cutoff"))
+          .groupBy(idCol).agg(max("cutoff").as("__cutoff"))
         cells.join(broadcast(cut), Seq(idCol), "left")
           .where(col("__cutoff").isNull || col("gen") > col("__cutoff"))
           .drop("__cutoff")
       } else
-        cells.join(broadcast(t.select(idCol).distinct()),
+        cells.join(broadcast(t0.select(id).distinct()),
           Seq(idCol), "left_anti")
     }
 

@@ -167,14 +167,11 @@ object TextSearch {
       spark: SparkSession, dir: String, ids: DataFrame, idCol: String,
   ): Unit = {
     val dls = spark.read.parquet(s"$dir/doclens")
-    // join on the id column AS STORED: the layout preserves the native
-    // id type (long-keyed ids here, string keys on a URL-keyed
-    // recrawl), so the delete ids cast to the STORED type — a fixed
-    // cast("long") turned a string-keyed delete into all-null ids, a
-    // semi-join matching nothing, and a silent no-op (r16 ADVICE)
-    val want =
-      ids.select(col(idCol).cast(dls.schema("doc").dataType).as("doc"))
-        .distinct()
+    // join on the id column AS STORED, failing fast on any id the cast
+    // nulls out — see [[Keys.castIdsToStored]] for both halves of the
+    // silent-no-op hazard this closes (r16 + r17 ADVICE)
+    val want = Keys.castIdsToStored(
+      ids, idCol, dls.schema("doc").dataType, "deleteFromIndex")
     val fresh0 = dls.join(broadcast(want), Seq("doc"), "left_semi")
     val (_, _, _, tomb) = servingStats(spark, dir)
     // every still-live VERSION of the doc tombstones; already-dead

@@ -777,23 +777,40 @@ object TrainingPipeline {
         // same "a_b", and a replay of one batch would then delete the
         // OTHER batch's batch_<safe>_* files during cleanup, silently
         // losing its landed rows (r16 ADVICE)
-        val safe = f"${id0.replaceAll("[^A-Za-z0-9._-]", "_")}_${
-          id0.hashCode & 0x7fffffff}%08x"
+        val legacySafe = id0.replaceAll("[^A-Za-z0-9._-]", "_")
+        val safe = f"${legacySafe}_${id0.hashCode & 0x7fffffff}%08x"
         val fs = new Path(dir).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val marker = new Path(dir, s"_applied_$safe")
-        if (fs.exists(marker)) {
+        // a state dir written before the hashed-id fix carries markers
+        // under the un-hashed sanitized name — treat EITHER marker as
+        // "applied", else replaying an already-applied batch after the
+        // upgrade would land its rows twice (r17 ADVICE); the legacy
+        // marker migrates to the hashed name so later probes take the
+        // one-stat fast path
+        if (fs.exists(marker) || fs.exists(new Path(dir, s"_applied_$legacySafe"))) {
+          if (!fs.exists(marker)) fs.create(marker, true).close()
           // fully applied before: converge without touching anything
           val st = readState(spark, dir)
           return repointed(st, st.bloom)
         }
         // clean up any partial landing, THEN compute the delta from the
-        // dir (the source of truth once batches replay)
+        // dir (the source of truth once batches replay) — including a
+        // partial landing left by the PRE-hash code, whose files sit at
+        // batch_<legacy>_<i>.parquet (the tight `\d+\.parquet` tail
+        // keeps this from ever matching another batch's hashed
+        // batch_<legacy'>_<hex8>_<i>.parquet names)
+        val legacyFile =
+          s"batch_${java.util.regex.Pattern.quote(legacySafe)}_\\d+\\.parquet".r
         tables.foreach { t =>
           val tp = new Path(s"$dir/$t")
           if (fs.exists(tp))
             fs.listStatus(tp)
-              .filter(_.getPath.getName.startsWith(s"batch_${safe}_"))
+              .filter { s =>
+                val n = s.getPath.getName
+                n.startsWith(s"batch_${safe}_") ||
+                  legacyFile.pattern.matcher(n).matches()
+              }
               .foreach(s => fs.delete(s.getPath, false))
         }
         val st = readState(spark, dir)
@@ -885,58 +902,6 @@ object TrainingPipeline {
     readState(spark, dir)
   }
 
-  /** End-to-end ARCHIVE curation loop — the text sibling of
-    * [[Multimodal.curateShards]], run the way a crawl-curation job is:
-    * read `.warc.gz` response shards, curate the extracted text through
-    * the full [[curate]] pipeline (quality floors, near-dup connected
-    * components, Gopher screen, reproducible splits), and publish the
-    * survivors as `.warc.wet.gz` conversion shards — the extracted-text
-    * layout the public crawls themselves distribute — plus a
-    * `_manifest` parquet (doc_id, split).
-    *
-    * Document ids ride the WARC `Target-URI` (the `<uriPrefix><id>`
-    * convention [[graft.sources.Warc.writeShards]] uses), so the loop
-    * composes with the archive writers without a side channel.
-    *
-    * Scale shape: both archive scans are file-parallel streaming walks
-    * (no shuffle); the curation stages shuffle only what [[curate]]
-    * already does; the WET publish is the committed shard sink. The
-    * curated frame is materialized once ([[OperatorCache]]) so the WET
-    * write and the manifest write don't each recompute the pipeline.
-    *
-    * @return the curated corpus READ BACK from the published WET shards
-    *         joined to the manifest — (doc_id, text, split); a green
-    *         oracle check proves archive-in → curate → archive-out
-    *         including text fidelity through the WET round trip
-    */
-  /** @param extractHtml treat response payloads as raw HTML and run
-    *                     [[Html.toText]] before curating — the real
-    *                     crawl shape (a web archive carries pages, not
-    *                     prose); the WET output then holds the
-    *                     EXTRACTED text, exactly what the public WET
-    *                     files are
-    * @param boilerplate  (with extractHtml) use the line-level
-    *                     boilerplate screen ([[Html.extractMainText]]:
-    *                     link-density / length / stopword-density gates
-    *                     per extracted line) instead of the plain strip
-    *                     chain — the jusText step that drops the
-    *                     link-farm and chrome-ish lines toText keeps.
-    *                     Costs one doc-keyed exchange (the line
-    *                     reassembly); the per-line replay is
-    *                     oracle-pinned by p123
-    * @param robotsArchive archive dir holding the crawl's captured
-    *                     `robots.txt` response records (the public
-    *                     crawls publish these as a SEPARATE
-    *                     `robotstxt/` subset beside the page archives
-    *                     — same layout here). When set, the rules for
-    *                     agent `*` are parsed per host
-    *                     ([[graft.pipeline.Urls.robotsDisallows]]) and
-    *                     pages whose target URI a rule prefix-matches
-    *                     are dropped BEFORE extraction — politeness
-    *                     first, so disallowed content never enters the
-    *                     corpus. Rule-set cost is |hosts|-sized (the
-    *                     broadcast side of the screen anti-join).
-    */
   /** The training-set FREEZE — the last step of the curation pipeline,
     * where a corpus stops being a table and becomes trainer input:
     * curate ([[curate]], spanK=0 — the p119 stage set) → semantic
@@ -991,6 +956,57 @@ object TrainingPipeline {
     spark.read.parquet(s"$outDir/packs")
   }
 
+  /** End-to-end ARCHIVE curation loop — the text sibling of
+    * [[Multimodal.curateShards]], run the way a crawl-curation job is:
+    * read `.warc.gz` response shards, curate the extracted text through
+    * the full [[curate]] pipeline (quality floors, near-dup connected
+    * components, Gopher screen, reproducible splits), and publish the
+    * survivors as `.warc.wet.gz` conversion shards — the extracted-text
+    * layout the public crawls themselves distribute — plus a
+    * `_manifest` parquet (doc_id, split).
+    *
+    * Document ids ride the WARC `Target-URI` (the `<uriPrefix><id>`
+    * convention [[graft.sources.Warc.writeShards]] uses), so the loop
+    * composes with the archive writers without a side channel.
+    *
+    * Scale shape: both archive scans are file-parallel streaming walks
+    * (no shuffle); the curation stages shuffle only what [[curate]]
+    * already does; the WET publish is the committed shard sink. The
+    * curated frame is materialized once ([[OperatorCache]]) so the WET
+    * write and the manifest write don't each recompute the pipeline.
+    *
+    * @param extractHtml treat response payloads as raw HTML and run
+    *                     [[Html.toText]] before curating — the real
+    *                     crawl shape (a web archive carries pages, not
+    *                     prose); the WET output then holds the
+    *                     EXTRACTED text, exactly what the public WET
+    *                     files are
+    * @param boilerplate  (with extractHtml) use the line-level
+    *                     boilerplate screen ([[Html.extractMainText]]:
+    *                     link-density / length / stopword-density gates
+    *                     per extracted line) instead of the plain strip
+    *                     chain — the jusText step that drops the
+    *                     link-farm and chrome-ish lines toText keeps.
+    *                     Costs one doc-keyed exchange (the line
+    *                     reassembly); the per-line replay is
+    *                     oracle-pinned by p123
+    * @param robotsArchive archive dir holding the crawl's captured
+    *                     `robots.txt` response records (the public
+    *                     crawls publish these as a SEPARATE
+    *                     `robotstxt/` subset beside the page archives
+    *                     — same layout here). When set, the rules for
+    *                     agent `*` are parsed per host
+    *                     ([[graft.pipeline.Urls.robotsDisallows]]) and
+    *                     pages whose target URI a rule prefix-matches
+    *                     are dropped BEFORE extraction — politeness
+    *                     first, so disallowed content never enters the
+    *                     corpus. Rule-set cost is |hosts|-sized (the
+    *                     broadcast side of the screen anti-join).
+    * @return the curated corpus READ BACK from the published WET shards
+    *         joined to the manifest — (doc_id, text, split); a green
+    *         oracle check proves archive-in → curate → archive-out
+    *         including text fidelity through the WET round trip
+    */
   def curateArchive(
       spark: org.apache.spark.sql.SparkSession, inDir: String, outDir: String,
       minQuality: Double = 0.3, minWords: Long = 20, shards: Int = 4,

@@ -1033,6 +1033,40 @@ class PipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("mixed-era _tombstones files all filter: legacy idCol and pre-gen schemas merge") {
+    // r17 ADVICE: a dir holding pre-fix files (id under the deleter's
+    // own idCol) beside new ones (id under 'doc') read without
+    // mergeSchema picked ONE file's schema — the other files' id
+    // column surfaced as null and those deletes silently stopped
+    // filtering (and compact folded them back in)
+    val path = "/root/repo/target/graft-tmp/ann-tomb-era"
+    Similarity.writeIndexed(emb, "embedding", path, planes = 4)
+    val q = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    def probe() = Similarity.probeIndexed(spark, path, "vec_id", "embedding",
+      q, k = 5, planes = 4).collect().map(_.getLong(0)).toSeq
+    val before = probe()
+    // legacy r16-era file: id under the deleter's idCol, cutoff present
+    Seq(Tuple1(before.head)).toDF("vec_id").withColumn("cutoff", lit(0L))
+      .write.mode("append").parquet(s"$path/_tombstones")
+    // pre-generation-era file: bare id column, no cutoff at all —
+    // merged beside cutoff files its null cutoff means UNCONDITIONAL
+    Seq(Tuple1(before(1))).toDF("id")
+      .write.mode("append").parquet(s"$path/_tombstones")
+    // current-era delete through the API (lands under 'doc' + cutoff)
+    Similarity.deleteFromIndex(
+      Seq(Tuple1(before(2))).toDF("vec_id"), "vec_id", path)
+    val after = probe()
+    assert(Seq(before.head, before(1), before(2))
+      .forall(id => !after.contains(id)),
+      s"every era's tombstones must filter, got $after")
+    Similarity.compactIndex(spark, path, "vec_id")
+    assert(probe() == after, "compaction folds every era's deletes")
+    assert(spark.read.parquet(path)
+      .where(col("vec_id").isin(before.head, before(1), before(2)))
+      .count() == 0)
+    OperatorCache.releaseAll(spark)
+  }
+
   test("index lifecycle: tombstones hide ids immediately, compact folds and clears") {
     val path = "/root/repo/target/graft-tmp/ann-index-lifecycle"
     Similarity.writeIndexed(emb, "embedding", path, planes = 4)

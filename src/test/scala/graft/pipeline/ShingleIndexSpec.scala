@@ -99,6 +99,20 @@ class ShingleIndexSpec extends SparkSpec {
       "the tombstone must actually land for the string key")
   }
 
+  test("delete ids that don't cast to the stored key type fail fast, not no-op") {
+    // r17 ADVICE: string garbage against a long-keyed layout cast to
+    // null and silently deleted nothing — a right-to-forget bug
+    val dir = s"target/graft-test/shidx_badkey_${System.nanoTime()}"
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", dir,
+      shingleK = 5, buckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.deleteFromShingleIndex(spark, dir,
+        Seq(Tuple1("https://example.org/a")).toDF("url"), "url")
+    }
+    assert(e.getMessage.contains("https://example.org/a") &&
+      e.getMessage.contains("stored key type"), e.getMessage)
+  }
+
   test("lifecycle: delete, update (recrawl), compact ≡ rebuild; replay-safe") {
     val dir = s"target/graft-test/shidx_lc_${System.nanoTime()}"
     Dedup.writeShingleIndex(corpus, "doc_id", "text", dir,

@@ -266,6 +266,28 @@ class TextSearchSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("delete ids that don't cast to the stored key type fail fast, not no-op") {
+    // r17 ADVICE: the typed cast fixed string-keyed layouts, but string
+    // garbage against a LONG-keyed layout still cast to null and the
+    // delete silently retained the data it was told to drop
+    val d = "target/graft-tmp/textsearch-del-badkey"
+    TextSearch.writeIndex(corpus, "doc_id", "text", d, buckets = 8)
+    OperatorCache.releaseAll(spark)
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.deleteFromIndex(spark, d,
+        Seq(Tuple1("https://example.org/b")).toDF("url"), "url")
+    }
+    assert(e.getMessage.contains("https://example.org/b") &&
+      e.getMessage.contains("stored key type"), e.getMessage)
+    // a CASTABLE string id against the long-keyed layout still deletes
+    TextSearch.deleteFromIndex(spark, d, Seq(Tuple1("5")).toDF("id"), "id")
+    val served = TextSearch.searchTopK(spark, d,
+      Seq("join", "vector", "filter"), k = 5)
+      .select("doc").as[Long].collect().toSeq
+    assert(!served.contains(5L), s"castable id must delete: $served")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("updateIndex: a re-crawled doc's new text serves, its old text stops matching") {
     val d1 = "target/graft-tmp/textsearch-upd"
     val d2 = "target/graft-tmp/textsearch-upd-rebuilt"

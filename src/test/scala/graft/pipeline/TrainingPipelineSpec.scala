@@ -475,6 +475,67 @@ class TrainingPipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("pre-hash state dirs: legacy _applied markers and batch files still replay safely") {
+    // r17 ADVICE: the hashed safe id changed the marker name — a state
+    // dir written BEFORE the change holds _applied_<sanitized> markers
+    // and batch_<sanitized>_<i>.parquet files the hashed code wouldn't
+    // match, so a replayed already-applied batch would land twice
+    val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
+    val state0 = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 5, dedupThreshold = 0.7)
+    val dir = s"target/graft-tmp/curate-state-legacy-${System.nanoTime()}"
+    TrainingPipeline.writeState(state0, dir)
+    val batch = Seq(10L -> sentence("echo")).toDF("doc_id", "text")
+    TrainingPipeline.appendState(
+      TrainingPipeline.readState(spark, dir), batch, "doc_id", "text", dir,
+      batchId = Some("b1"))
+    def counts() = (
+      spark.read.parquet(s"$dir/cleaned").count(),
+      spark.read.parquet(s"$dir/band_index").count())
+    val after1 = counts()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    // simulate the pre-upgrade dir: the marker sits at the UN-hashed
+    // name and the batch files at batch_b1_<i>.parquet
+    val hash = f"${"b1".hashCode & 0x7fffffff}%08x"
+    fs.rename(p(s"$dir/_applied_b1_$hash"), p(s"$dir/_applied_b1"))
+    Seq("cleaned", "band_index", "seen_keys")
+      .filter(t => fs.exists(p(s"$dir/$t"))).foreach { t =>
+      fs.listStatus(p(s"$dir/$t"))
+        .filter(_.getPath.getName.startsWith(s"batch_b1_${hash}_"))
+        .foreach { s =>
+          val legacy = s.getPath.getName.replace(s"batch_b1_${hash}_", "batch_b1_")
+          fs.rename(s.getPath, p(s"$dir/$t/$legacy"))
+        }
+    }
+    // replay: the legacy marker must short-circuit (no double landing)
+    // and migrate to the hashed name for later probes
+    TrainingPipeline.appendState(
+      TrainingPipeline.readState(spark, dir), batch, "doc_id", "text", dir,
+      batchId = Some("b1"))
+    assert(counts() == after1,
+      "a legacy-marked applied batch must replay as a no-op")
+    assert(fs.exists(p(s"$dir/_applied_b1_$hash")),
+      "the legacy marker migrates to the hashed name")
+
+    // pre-upgrade PARTIAL landing: no marker at either name, files at
+    // the legacy batch_b1_<i>.parquet names — the replay's cleanup must
+    // sweep them before re-landing, else the rows duplicate
+    fs.delete(p(s"$dir/_applied_b1_$hash"), false)
+    fs.delete(p(s"$dir/_applied_b1"), false)
+    TrainingPipeline.appendState(
+      TrainingPipeline.readState(spark, dir), batch, "doc_id", "text", dir,
+      batchId = Some("b1"))
+    assert(counts() == after1,
+      "replay over a legacy partial landing must heal to exactly one copy")
+    assert(spark.read.parquet(s"$dir/cleaned")
+      .where(col("doc") === 10L).count() == 1L,
+      "the legacy-named files were swept, not duplicated")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("bloom auto-sizing: next pow2 ≥ 16×docs, floored, disableable") {
     val prev = Seq(1L -> sentence("alpha"), 2L -> sentence("bravo"))
       .toDF("doc_id", "text")
