@@ -6040,12 +6040,15 @@ object PipelineQueries {
              |FROM fused
              |QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
-    // robots.txt screen (RFC 9309 subset): parse per-host Disallow
+    // robots.txt screen (RFC 9309): parse per-host Allow/Disallow
     // rules for agent '*' — comments, stacked User-agent lines,
-    // other-agent groups, empty Disallow — then drop URLs whose path a
-    // rule prefix-matches on the EXACT host. The oracle replays the
-    // same parse over the byte-identical fixture text (shared
-    // robotsTxtExpr) and screens with NOT EXISTS.
+    // other-agent groups, empty values, mid-path '*' wildcards,
+    // trailing-'$' anchors — then screen URLs on the EXACT host under
+    // longest-match precedence (most octets wins, Allow wins ties,
+    // unmatched allowed). The oracle replays the same parse over the
+    // byte-identical fixture text (shared robotsTxtExpr), compiles the
+    // same rule regexes, and replays the precedence with arg_max over
+    // the 2·octets+allow score (≡ the (octets, allow) struct order).
     QueryDef("p131_robots_screen",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
@@ -6057,7 +6060,7 @@ object PipelineQueries {
         val rules = Urls.robotsDisallows(robots, "host", "robots")
         val urls = docs.select(col("doc_id"),
           expr(syntheticUrlExpr).as("url"))
-        Urls.robotsScreen(urls, "url", rules)
+        Urls.robotsScreen(urls, "url", rules, idCol = Some("doc_id"))
           .select(col("doc_id"),
             Urls.hostOf(col("url")).as("host"),
             Urls.pathOf(col("url")).as("path"))
@@ -6083,7 +6086,9 @@ object PipelineQueries {
              |         CASE WHEN lower(line) LIKE 'user-agent:%'
              |              THEN trim(substr(line, 12)) END AS ua,
              |         CASE WHEN lower(line) LIKE 'disallow:%'
-             |              THEN trim(substr(line, 10)) END AS prefix
+             |              THEN trim(substr(line, 10)) END AS dis,
+             |         CASE WHEN lower(line) LIKE 'allow:%'
+             |              THEN trim(substr(line, 7)) END AS alw
              |  FROM rlines
              |), prv AS (
              |  SELECT *, COALESCE(lag(is_ua) OVER (PARTITION BY host ORDER BY pos),
@@ -6095,21 +6100,41 @@ object PipelineQueries {
              |  FROM prv
              |), star AS (
              |  SELECT DISTINCT host, g FROM grp WHERE ua = '*'
-             |), rrules AS (
-             |  SELECT DISTINCT grp.host, grp.prefix
+             |), rr0 AS (
+             |  SELECT DISTINCT grp.host, COALESCE(dis, alw) AS v,
+             |         (alw IS NOT NULL) AS allow
              |  FROM grp JOIN star USING (host, g)
-             |  WHERE grp.prefix IS NOT NULL AND grp.prefix <> ''
+             |  WHERE COALESCE(dis, alw) IS NOT NULL AND COALESCE(dis, alw) <> ''
+             |), rrules AS (
+             |  SELECT host, allow, LENGTH(v) AS speclen,
+             |         CASE WHEN strpos(v, '*') > 0 THEN substr(v, 1, strpos(v, '*') - 1)
+             |              WHEN v LIKE '%$$' THEN substr(v, 1, LENGTH(v) - 1)
+             |              ELSE v END AS prefix,
+             |         CASE WHEN strpos(v, '*') > 0 OR v LIKE '%$$'
+             |              THEN '^' || regexp_replace(regexp_replace(regexp_replace(v,
+             |                     '([.+?^$$*{}()|\\[\\]\\\\])', '\\\\\\1', 'g'),
+             |                     '\\\\\\*', '.*', 'g'),
+             |                     '\\\\\\$$$$', '$$')
+             |              END AS pattern
+             |  FROM rr0
              |), u AS (
              |  SELECT doc_id,
              |         lower(CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
              |           || 'host-' || (doc_id % 37) || '.example.org') AS host,
              |         '/Pages/' || doc_id AS path
              |  FROM read_parquet('{SFDIR}/documents.parquet')
+             |), m AS (
+             |  SELECT u.doc_id, r.allow, r.speclen
+             |  FROM u JOIN rrules r ON r.host = u.host
+             |   AND starts_with(u.path, r.prefix)
+             |   AND (r.pattern IS NULL OR regexp_matches(u.path, r.pattern))
+             |), blocked AS (
+             |  SELECT doc_id FROM m GROUP BY doc_id
+             |  HAVING NOT arg_max(allow,
+             |    speclen * 2 + CASE WHEN allow THEN 1 ELSE 0 END)
              |)
              |SELECT doc_id, host, path FROM u
-             |WHERE NOT EXISTS (
-             |  SELECT 1 FROM rrules r
-             |  WHERE r.host = u.host AND starts_with(u.path, r.prefix))
+             |WHERE NOT EXISTS (SELECT 1 FROM blocked b WHERE b.doc_id = u.doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
     // The polite-crawl capstone: page archive + the crawl's captured
@@ -6407,7 +6432,10 @@ object PipelineQueries {
       |  'User-agent: *', chr(10),
       |  'Disallow: /private  # members only', chr(10),
       |  CASE WHEN hn % 2 = 0 THEN concat('Disallow: /Pages/1', chr(10)) ELSE '' END,
+      |  CASE WHEN hn % 2 = 0 THEN concat('Allow: /Pages/12', chr(10)) ELSE '' END,
       |  CASE WHEN hn % 3 = 0 THEN concat('Disallow:', chr(10)) ELSE '' END,
+      |  CASE WHEN hn % 5 = 0 THEN concat('Disallow: /Pages/2*3', chr(10)) ELSE '' END,
+      |  CASE WHEN hn % 7 = 0 THEN concat('Disallow: /Pages/', CAST(hn AS STRING), '$', chr(10)) ELSE '' END,
       |  chr(10),
       |  'User-agent: extra', chr(10),
       |  'Disallow: /never', chr(10))""".stripMargin
