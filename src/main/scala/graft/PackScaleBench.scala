@@ -73,6 +73,29 @@ object PackScaleBench {
     println(s"""{"docs":$nDocs,"replicas":$replicas,""" +
       s""""pack_related_sec":${f"$rsec%.2f"},"packs":${rstats.getLong(0)},""" +
       s""""mean_fill":${f"${rstats.getDouble(1) / budget}%.3f"}}""")
+
+    // the skew case the de-skew exists for (r17 VERDICT): ONE cell
+    // holds 50% of the corpus (a dominant topic), subshards left at 1
+    // so nothing but the gate-bucket window stands between the mega
+    // cell and a single-task sort — wall should stay in the uniform
+    // run's neighborhood, not blow up to one-core time
+    val skewed = scaled.select(col("doc_id").as("cid"),
+      when(pmod(xxhash64(col("doc_id")), lit(2L)) === 0L, lit(0))
+        .otherwise(pmod(xxhash64(col("doc_id"), lit(7L)), lit(63L))
+          .cast("int") + 1).as("cell"))
+    val t2 = System.nanoTime()
+    val srel = Curation.packRelated(scaled, "doc_id", "n_toks",
+      skewed, "cid", "cell", budget, subshards = 1)
+    val sstats = srel.groupBy("cell", "subshard", "pack")
+      .agg(sum("n_tokens").as("total"))
+      .agg(count("*").as("n_packs"), avg("total").as("mean_fill"))
+      .head()
+    val ssec = (System.nanoTime() - t2) / 1e9
+    val megaShare = srel.where(col("cell") === 0).count().toDouble / nDocs
+    println(s"""{"docs":$nDocs,"replicas":$replicas,""" +
+      s""""pack_skewed_sec":${f"$ssec%.2f"},"packs":${sstats.getLong(0)},""" +
+      s""""mega_cell_share":${f"$megaShare%.3f"},""" +
+      s""""mean_fill":${f"${sstats.getDouble(1) / budget}%.3f"}}""")
     spark.stop()
   }
 }

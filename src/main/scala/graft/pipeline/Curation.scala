@@ -64,10 +64,16 @@ object Curation {
     */
   private def bucketOffsets(
       df: DataFrame, strataCol: String, aggExpr: Column): DataFrame =
-    df.groupBy(col(strataCol), col("__b")).agg(aggExpr.as("__n"))
+    bucketOffsets(df, Seq(strataCol), aggExpr)
+
+  private def bucketOffsets(
+      df: DataFrame, strataCols: Seq[String], aggExpr: Column): DataFrame =
+    df.groupBy((strataCols.map(col) :+ col("__b")): _*).agg(aggExpr.as("__n"))
       .withColumn("__off",
-        sum("__n").over(Window.partitionBy(strataCol).orderBy("__b")) - col("__n"))
-      .select(col(strataCol), col("__b"), col("__off"))
+        sum("__n").over(
+          Window.partitionBy(strataCols.map(col): _*).orderBy("__b"))
+          - col("__n"))
+      .select((strataCols.map(col) :+ col("__b") :+ col("__off")): _*)
 
   /** Keep a reproducible `fraction` of rows: the same ids survive every
     * run, every engine, every cluster size — one scan, no shuffle, no
@@ -923,21 +929,33 @@ object Curation {
     * relatedness was derived.
     *
     * Packing rule matches [[packSequences]]: within each (cell,
-    * subshard), docs order by id, a running token sum assigns
+    * subshard), docs order by (gate, id) — [[idGate]] then id, the
+    * repo's deterministic spread order, which doubles as the de-skew
+    * bucket key below — and a running token sum assigns
     * `pack = floor(cum_before / budgetTokens)` — greedy
     * concat-and-cut, deterministic, one window exchange.
     *
     * Scale shape: one equi-join (docs ↔ cells, both keyed by id — at
     * 100 TB this is the payload exchange and co-partitions by id) and
-    * one window sort partitioned by (cell, subshard). Cells are
-    * corpus-sized / k, so bound the per-task sort the same way
-    * [[packSequences]] bounds its shards: raise `subshards` until
-    * cell/subshards fits a task. Subsharding keeps every pack inside a
-    * single cell — the semantic property — it only splits WHICH packs
-    * a cell's docs land in (the [[idGate]] split is deterministic, so
-    * the oracle replays it).
+    * the running-sum window DE-SKEWED over [[clampBucket]] gate
+    * buckets with per-bucket token offsets, exactly as
+    * [[curriculumOrder]] / [[composeMixture]] bound their windows
+    * (r17 VERDICT — the plain (cell, subshard) window sorted a
+    * dominant relatedness cell, one topic at 30% of a corpus, in ONE
+    * task): each task sorts ≤ 1/1024 of a cell-subshard, and the
+    * exclusive bucket token sum restores the exact running total.
+    * The offset frame is (cells × subshards × ≤1024) rows with NO
+    * broadcast hint — AQE broadcasts it at the parameter-sized k this
+    * operator is used with, and at extreme k the join co-partitions
+    * with the window exchange instead of forcing a multi-GB broadcast
+    * (the hazard class the robots screen's fix closed the same
+    * round). `subshards` remains available to split oversized cells'
+    * PACKS, not their sorts. Subsharding and bucketing both keep
+    * every pack inside a single cell — the semantic property.
     *
-    * @return the input columns plus (n_tokens, cell, subshard, pack)
+    * @return the input columns plus (n_tokens, cell, subshard, gate,
+    *         pack) — `gate` is the in-pack order key;
+    *         [[materializePacks]] consumes it via `orderCol`
     */
   def packRelated(
       docs: DataFrame, idCol: String, tokenCol: String,
@@ -960,15 +978,20 @@ object Curation {
     val withCell = guarded.join(
       cells.select(col(cellIdCol).as(idCol), col(cellCol).as("cell")),
       Seq(idCol))
+      .withColumn("gate", idGate(col(idCol), salt))
       .withColumn("subshard",
-        pmod(idGate(col(idCol), salt), lit(subshards.toLong)).cast("int"))
-    val w = Window.partitionBy("cell", "subshard").orderBy(col(idCol).asc)
-    withCell
-      .withColumn("__cum", sum(col("n_tokens")).over(w))
+        pmod(col("gate"), lit(subshards.toLong)).cast("int"))
+      .withColumn("__b", clampBucket(col("gate"), 977L))
+    val offs = bucketOffsets(withCell, Seq("cell", "subshard"),
+      sum(col("n_tokens")))
+    val w = Window.partitionBy("cell", "subshard", "__b")
+      .orderBy(col("gate").asc, col(idCol).asc)
+    withCell.join(offs, Seq("cell", "subshard", "__b"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w) + col("__off"))
       .withColumn("pack",
         floor((col("__cum") - col("n_tokens")).cast("double") / budgetTokens.toDouble)
           .cast("long"))
-      .drop("__cum")
+      .drop("__cum", "__b", "__off")
   }
 
   /** Materialize pack assignments ([[packSequences]] /
@@ -995,8 +1018,11 @@ object Curation {
     *                     [[packRelated]]) — with "pack" they identify
     *                     a pack
     * @param longestFirst true to concatenate in [[packSequences]]'s
-    *                     fill order (n_tokens desc, id asc); false for
-    *                     [[packRelated]]'s id order
+    *                     fill order (n_tokens desc, id asc)
+    * @param orderCol     name of the packer's order-key column —
+    *                     [[packRelated]] callers pass "gate" so the
+    *                     concat replays its (gate, id) fill order;
+    *                     takes precedence over `longestFirst`
     * @return packKeys ++ (pack, n_docs, n_tokens, docs, doc_boundaries,
     *         token_ids) — doc_boundaries has n_docs+1 offsets, 0 first
     *         and the total last
@@ -1004,9 +1030,10 @@ object Curation {
   def materializePacks(
       packed: DataFrame, packKeys: Seq[String], idCol: String,
       tokensCol: String, longestFirst: Boolean = false,
+      orderCol: Option[String] = None,
   ): DataFrame = {
-    val orderKey =
-      if (longestFirst) (-col("n_tokens")).cast("long") else lit(0L)
+    val orderKey = orderCol.map(col(_).cast("long")).getOrElse(
+      if (longestFirst) (-col("n_tokens")).cast("long") else lit(0L))
     val member = struct(
       orderKey.as("o"), col(idCol).as("id"), col(tokensCol).as("toks"))
     val keys = packKeys.map(col) :+ col("pack")

@@ -917,8 +917,9 @@ object TrainingPipeline {
     *
     * Scale shape: the curate stages are the dominant cost (already
     * measured per stage); cells add one Lloyd's train (bounded
-    * aggregates) + a map-only assignment; the pack window is
-    * (cell, subshard)-bounded; materialization reuses the pack-keyed
+    * aggregates) + a map-only assignment; the pack window is de-skewed
+    * over (cell, subshard, gate-bucket) — a dominant relatedness cell
+    * never sorts in one task; materialization reuses the pack-keyed
     * exchange the write needs anyway. Tokens here are whitespace
     * tokens — swap the tokenizer by mapping `toks` before packing.
     *
@@ -950,7 +951,8 @@ object TrainingPipeline {
       .withColumn("n_toks", size(col("toks")).cast("long"))
     val packed = Curation.packRelated(toks, idCol, "n_toks",
       cellsDf, vecIdCol, "centroid", budgetTokens, subshards)
-    Curation.materializePacks(packed, Seq("cell", "subshard"), idCol, "toks")
+    Curation.materializePacks(packed, Seq("cell", "subshard"), idCol, "toks",
+      orderCol = Some("gate"))
       .write.mode("overwrite").parquet(s"$outDir/packs")
     OperatorCache.release(curated)
     spark.read.parquet(s"$outDir/packs")

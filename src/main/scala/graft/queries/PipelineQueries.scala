@@ -5940,16 +5940,17 @@ object PipelineQueries {
       Some(ivfAssignSql(8) +
         """, toks AS (
         |  SELECT doc_id,
+        |         (((doc_id % 100000) + 1) * 2654435761) % 1000000 AS gate,
         |         CAST((((doc_id % 100000) + 1) * 2654435761) % 1000000 % 2 AS INT) AS subshard,
         |         CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
         |  FROM read_parquet('{SFDIR}/documents.parquet')
         |), pj AS (
-        |  SELECT t.doc_id, a3.cid AS cell, t.subshard, t.n_tokens
+        |  SELECT t.doc_id, a3.cid AS cell, t.subshard, t.gate, t.n_tokens
         |  FROM toks t JOIN a3 ON a3.vec_id = t.doc_id
         |), pc AS (
         |  SELECT doc_id, cell, subshard, n_tokens,
         |         SUM(n_tokens) OVER (PARTITION BY cell, subshard
-        |                             ORDER BY doc_id) AS cum
+        |                             ORDER BY gate, doc_id) AS cum
         |  FROM pj
         |)
         |SELECT doc_id, cell, subshard,
@@ -6278,16 +6279,17 @@ object PipelineQueries {
                  .stripPrefix("WITH ")},
              |ftoks AS (
              |  SELECT doc_id,
+             |         (((doc_id % 100000) + 1) * 2654435761) % 1000000 AS gate,
              |         CAST((((doc_id % 100000) + 1) * 2654435761) % 1000000 % 2 AS INT) AS subshard,
              |         string_split_regex(TRIM(text), '\\s+') AS toks,
              |         CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
              |  FROM screened
              |), fpj AS (
-             |  SELECT t.doc_id, a3.cid AS cell, t.subshard, t.toks, t.n_tokens
+             |  SELECT t.doc_id, a3.cid AS cell, t.subshard, t.gate, t.toks, t.n_tokens
              |  FROM ftoks t JOIN a3 ON a3.vec_id = t.doc_id
              |), fpc AS (
              |  SELECT *, SUM(n_tokens) OVER (PARTITION BY cell, subshard
-             |                                ORDER BY doc_id
+             |                                ORDER BY gate, doc_id
              |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
              |  FROM fpj
              |), fpp AS (
@@ -6295,16 +6297,16 @@ object PipelineQueries {
              |  FROM fpc
              |), fp2 AS (
              |  SELECT *, SUM(n_tokens) OVER (PARTITION BY cell, subshard, pack
-             |                                ORDER BY doc_id
+             |                                ORDER BY gate, doc_id
              |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
              |  FROM fpp
              |)
              |SELECT cell, subshard, pack,
              |       CAST(COUNT(*) AS BIGINT) AS n_docs,
              |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-             |       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ' ') AS docs,
-             |       array_to_string(list_prepend('0', list(CAST(cum2 AS VARCHAR) ORDER BY doc_id)), ' ') AS bounds,
-             |       array_to_string(flatten(list(toks ORDER BY doc_id)), ' ') AS tokens
+             |       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY gate, doc_id), ' ') AS docs,
+             |       array_to_string(list_prepend('0', list(CAST(cum2 AS VARCHAR) ORDER BY gate, doc_id)), ' ') AS bounds,
+             |       array_to_string(flatten(list(toks ORDER BY gate, doc_id)), ' ') AS tokens
              |FROM fp2 GROUP BY cell, subshard, pack
              |ORDER BY cell, subshard, pack""".stripMargin)),
 

@@ -87,12 +87,13 @@ class CurationSpec extends SparkSpec {
           s"overflowing pack: $r")
       }
     // the packing rule per (cell, subshard) is the same greedy cum rule
-    // packSequences uses — replay it driver-side
+    // packSequences uses, in (gate, id) order — replay it driver-side
+    def gateOf(id: Long) = ((id % 100000L + 1L) * 2654435761L) % 1000000L
     val rows = packed.select("id", "cell", "subshard", "n_tokens", "pack")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
     rows.groupBy(r => (r._2, r._3)).foreach { case (_, grp) =>
       var cum = 0L
-      grp.sortBy(_._1).foreach { case (id, _, _, n, pack) =>
+      grp.sortBy(r => (gateOf(r._1), r._1)).foreach { case (id, _, _, n, pack) =>
         assert(pack == cum / 256L, s"doc $id: pack $pack != ${cum / 256L}")
         cum += n
       }
@@ -134,17 +135,19 @@ class CurationSpec extends SparkSpec {
     assert(seqOf[String](p1, "token_ids") == Seq("d", "e", "j"))
     assert(seqOf[Long](p1, "doc_boundaries") == Seq(0L, 2L, 3L))
 
-    // packRelated path: id order within (cell, subshard)
+    // packRelated path: (gate, id) order within (cell, subshard) —
+    // gates for ids 1..4 (salt 1): 871522, 307283, 743044, 178805,
+    // so the fill order is 4, 2, 3, 1
     val cells = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 0)).toDF("cid", "cell")
     val rel = Curation.packRelated(toks, "id", "n", cells, "cid", "cell",
       budgetTokens = 100L)
     val rmat = Curation.materializePacks(rel, Seq("cell", "subshard"), "id",
-      "toks").collect()
+      "toks", orderCol = Some("gate")).collect()
     assert(rmat.length == 1)
-    assert(seqOf[Long](rmat(0), "docs") == Seq(1L, 2L, 3L, 4L),
-      "packRelated materializes in id order")
+    assert(seqOf[Long](rmat(0), "docs") == Seq(4L, 2L, 3L, 1L),
+      "packRelated materializes in its (gate, id) fill order")
     assert(seqOf[String](rmat(0), "token_ids") ==
-      Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
+      Seq("j", "d", "e", "f", "g", "h", "i", "a", "b", "c"))
   }
 
   test("chunkDocuments: sliding windows cover every token with the declared overlap") {
