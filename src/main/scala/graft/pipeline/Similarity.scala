@@ -889,6 +889,108 @@ object Similarity {
     pqAdcRescore(cells, idCol, vecCol, books, query, k, rescoreFactor)
   }
 
+  /** Workload-batched probe of a [[writeIvfPq]] layout — the ANN
+    * sibling of [[graft.pipeline.TextSearch.searchTopKBatch]]: top-k
+    * per query over a whole query WORKLOAD (a decontamination audit,
+    * a retrieval-eval sweep — 10⁴–10⁶ query vectors) in ONE pass over
+    * the union of the probed cells, instead of a driver loop issuing
+    * one pruned-scan job per query.
+    *
+    * Plan shape, stage by stage:
+    *  1. probe selection is map-only over the workload — the coarse
+    *     centroids ride as one typedlit and each query keeps its
+    *     `nprobe` best cells under the [[ivfTopK]] ranking rule
+    *     (dot desc, cell id asc on ties: array_sort on the
+    *     (−dot, id) struct reproduces the stable driver-side sort);
+    *  2. each query's dense ADC lookup table is ALSO computed map-only
+    *     on the workload (m·k_code dots per QUERY — the amortization
+    *     that makes ADC worth it; per-ROW work stays m lookups+adds,
+    *     never dim multiplies);
+    *  3. the layout is scanned ONCE, partition-pruned to the DISTINCT
+    *     probed cells of the whole workload (the only driver round
+    *     trip — a ≤k_coarse-element cell list, not per-query work);
+    *  4. scan rows meet their probing queries through one broadcast
+    *     hash join on the cell id (the broadcast side is
+    *     workload × nprobe rows — workload-bounded by definition,
+    *     exactly searchTopKBatch's qterms contract);
+    *  5. the ADC candidate cut and the exact-cosine rescore are
+    *     qid-partitioned windows kept to k·rescoreFactor / k rows by
+    *     WindowGroupLimit — no global sort, no corpus-wide work.
+    *
+    * Scores, 6-decimal rounding, and every tie-break are IDENTICAL to
+    * [[probeIvfPq]] — a 1-row workload returns exactly that query's
+    * probe rows (pinned in AnnRecallSpec) — so the loop and the batch
+    * are interchangeable, and the batch is the production default for
+    * the embedding side of RRF fusion
+    * ([[graft.pipeline.TextSearch.searchRrfBatch]]'s `vecRanks`).
+    *
+    * @param workload (qidCol, qvecCol: array&lt;float&gt;) query frame
+    * @return (qid, rank, idCol, cosine), rank 1..k per qid, rank by
+    *         (cosine desc, id asc) — the searchTopKBatch shape
+    */
+  def probeIvfPqBatch(
+      workload: DataFrame, qidCol: String, qvecCol: String,
+      path: String, idCol: String, vecCol: String,
+      coarse: IvfIndex, books: Seq[IvfIndex], k: Int,
+      nprobe: Int = 3, rescoreFactor: Int = 5): DataFrame = {
+    val spark = workload.sparkSession
+    checkIndexMeta(spark, path, Seq("model" -> modelFingerprint(coarse, books)))
+    require(books.nonEmpty, "probeIvfPqBatch needs at least one codebook")
+    val dim = dimOf(workload, qvecCol)
+    val m = books.length
+    require(dim % m == 0, s"codebook count ($m) must divide the dimension ($dim)")
+    val sub = dim / m
+    val cents: Column = typedlit(coarse.centroids.toSeq.map {
+      case (id, c) => (id, c.toSeq)
+    })
+    val probeCells = transform(
+      slice(array_sort(transform(cents, c =>
+        struct((-dot(col("__qv"), c.getField("_2"))).as("negsim"),
+          c.getField("_1").as("cell")))), 1, nprobe),
+      p => p.getField("cell"))
+    // dense [subspace][code] codebook literal (absent code ids — empty
+    // Lloyd cells — hold zero vectors; no stored code references them),
+    // dotted with the query's subspace slice once per query
+    val booksDense: Seq[Seq[Seq[Double]]] = books.map { b =>
+      val size = b.centroids.map(_._1).max + 1
+      val dense = Array.fill(size)(Seq.fill(sub)(0.0))
+      b.centroids.foreach { case (id, c) => dense(id) = c.toSeq }
+      dense.toIndexedSeq
+    }
+    val booksLit: Column = typedlit(booksDense)
+    val tables = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(booksLit, s + 1), entry =>
+        dot(slice(col("__qv"), s * lit(sub) + 1, lit(sub)), entry)))
+    val probes = workload
+      .select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
+      .withColumn("centroid", explode(probeCells))
+      .withColumn("__tables", tables)
+    val cellIds = probes.select("centroid").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val cells = minusTombstones(spark, path, spark.read.parquet(path)
+      .where(col("centroid").isin(cellIds.map(Integer.valueOf): _*)), idCol)
+    // the single-query ADC expression ([[adcScore]]) with the lookup
+    // tables read from the joined probe row instead of a literal
+    val adc = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (code, s) => element_at(element_at(col("__tables"), s + 1), code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc").desc, col(idCol).asc)
+    val wCos = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col(idCol).asc)
+    cells.join(broadcast(probes), Seq("centroid"))
+      .select(col("qid"), col(idCol), col(vecCol), col("__qv"),
+        round(adc, 6).as("adc"))
+      .withColumn("__arank", row_number().over(wAdc))
+      .where(col("__arank") <= k * rescoreFactor)
+      .select(col("qid"), col(idCol),
+        round(cosine(col(vecCol), col("__qv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wCos))
+      .where(col("rank") <= k)
+      .select("qid", "rank", idCol, "cosine")
+  }
+
   // --- serving-index lifecycle: delete + update + compact ------------
 
   /** `_meta/` bookkeeping of the ANN serving layouts: the rolling

@@ -404,12 +404,14 @@ object TextSearch {
     * hits both surface.
     *
     * The embedding side defaults to a brute-force cosine rank over
-    * `vectors` — exact, the correctness baseline. At corpus scale
-    * pass `vecRanks` instead: (qid, doc, rank_cos) from the ANN
-    * serving layout ([[graft.pipeline.Similarity.probeIvfPq]] per
-    * query), which replaces the full-scan rank with partition-pruned
-    * probes; the fusion itself is workload-bounded either way
-    * (qid × candidates rows, one full-outer join, one qid window).
+    * `vectors` — exact, the correctness baseline, and a corpus×workload
+    * window: the DANGEROUS path at scale. The production default is to
+    * pass `vecRanks` from
+    * [[graft.pipeline.Similarity.probeIvfPqBatch]] — the whole
+    * workload's (qid, doc, rank) from ONE partition-pruned pass over
+    * the ANN serving layout (select `rank` as `rank_cos`); the fusion
+    * itself is workload-bounded either way (qid × candidates rows,
+    * one full-outer join, one qid window).
     */
   def searchRrfBatch(
       workload: DataFrame, qidCol: String, queryCol: String, qvecCol: String,

@@ -6411,6 +6411,66 @@ object PipelineQueries {
            |       doc, rrf, rank_bm25, rank_cos
            |FROM fused
            |QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // The workload-batched ANN layout probe — the embedding sibling of
+    // the batched BM25 serve (p114): the whole query workload answered
+    // by ONE partition-pruned pass over the union of the probed cells
+    // (the p135 serving entry built its vecRanks by looping queries on
+    // the driver — this is the shape a 10⁴-query decontamination audit
+    // actually runs). The oracle replays the coarse + both subspace
+    // Lloyd trajectories, each query's probe selection, the per-query
+    // ADC candidate cut, and the exact rescore, batch-wise.
+    QueryDef("p136_ann_probe_batch",
+      (s, dir) => {
+        val emb = OperatorCache.persist(Tables.load(s, dir, "embeddings"))
+        val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
+        val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 2, k = 4)
+        val path = s"target/graft-tmp/ann_batch_p136_${math.abs(dir.hashCode)}"
+        Similarity.writeIvfPq(emb, "embedding", path, coarse, books)
+        val workload = emb.where(col("vec_id").isin(7L, 14L, 21L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Similarity.probeIvfPqBatch(workload, "qid", "qv", path,
+          "vec_id", "embedding", coarse, books, k = 10)
+          .orderBy("qid", "rank")
+      },
+      Some(ivfAssignSql(8) +
+        pqAssignSql(0, 1, 32, 4) + pqAssignSql(1, 33, 64, 4) +
+        """, q136 AS (
+           |  SELECT vec_id AS qid, e AS qe, e[1:32] AS q0, e[33:64] AS q1
+           |  FROM v WHERE vec_id IN (7, 14, 21)
+           |), probes136 AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT q.qid, c2.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY q.qid
+           |                              ORDER BY list_dot_product(c2.c, q.qe) DESC, c2.cid ASC) AS rn
+           |    FROM c2, q136 q
+           |  ) WHERE rn <= 3
+           |), d0 AS (
+           |  SELECT q.qid, a.vec_id, list_dot_product(c.c, q.q0) AS d
+           |  FROM a3_0 a JOIN c2_0 c USING (cid), q136 q
+           |), d1 AS (
+           |  SELECT q.qid, a.vec_id, list_dot_product(c.c, q.q1) AS d
+           |  FROM a3_1 a JOIN c2_1 c USING (cid), q136 q
+           |), incell136 AS (
+           |  SELECT p.qid, a3.vec_id FROM a3 JOIN probes136 p ON a3.cid = p.cid
+           |), adc136 AS (
+           |  SELECT i.qid, i.vec_id, ROUND(d0.d + d1.d, 6) AS adc
+           |  FROM incell136 i
+           |  JOIN d0 ON d0.qid = i.qid AND d0.vec_id = i.vec_id
+           |  JOIN d1 ON d1.qid = i.qid AND d1.vec_id = i.vec_id
+           |), cand136 AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS rn
+           |    FROM adc136
+           |  ) WHERE rn <= 50
+           |)
+           |SELECT q.qid,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY q.qid
+           |              ORDER BY ROUND(list_cosine_similarity(v.e, q.qe), 6) DESC, v.vec_id ASC) AS INT) AS rank,
+           |       v.vec_id, ROUND(list_cosine_similarity(v.e, q.qe), 6) AS cosine
+           |FROM cand136 cd JOIN v ON v.vec_id = cd.vec_id JOIN q136 q ON q.qid = cd.qid
+           |QUALIFY rank <= 10 ORDER BY q.qid, rank""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

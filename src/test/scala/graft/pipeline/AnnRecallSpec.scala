@@ -193,6 +193,43 @@ class AnnRecallSpec extends SparkSpec {
     assert(r6 >= r4, "recall must not fall as nprobe grows")
   }
 
+  test("probeIvfPqBatch: one pruned pass equals the per-query probe loop, " +
+      "through deletes") {
+    val coarse = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)
+    val books = Similarity.trainPq(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val path = "target/graft-tmp/ivfpq-batch"
+    Similarity.writeIvfPq(corpus, "embedding", path, coarse, books)
+    import spark.implicits._
+    val workload = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("qid", "qv")
+    def loopRows() = queries.zipWithIndex.flatMap { case (q, i) =>
+      Similarity.probeIvfPq(spark, path, "vec_id", "embedding", coarse,
+        books, q, K, nprobe = 6, rescoreFactor = 10).collect().zipWithIndex
+        .map { case (r, j) => (i.toLong, j + 1, r.getLong(0), r.getDouble(1)) }
+    }.toSet
+    def batchDf() = Similarity.probeIvfPqBatch(workload, "qid", "qv", path,
+      "vec_id", "embedding", coarse, books, K, nprobe = 6, rescoreFactor = 10)
+    def batchRows() = batchDf().collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(batchRows() == loopRows(),
+      "batch probe must equal the per-query loop, rank for rank")
+    // plan pins: the whole workload is served by ONE centroid-pruned
+    // scan of the layout (the loop pays one scan job per query)
+    val plan = batchDf().queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[centroid".r.findAllIn(plan).length
+    assert(pruned == 1,
+      s"expected exactly one centroid-pruned layout scan, got $pruned:\n${plan.take(800)}")
+    // tombstoned deletes flow through the same pruned pass
+    Similarity.deleteFromIndex(
+      corpus.where(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", path)
+    val afterDelete = batchRows()
+    assert(afterDelete == loopRows(),
+      "batch probe must equal the loop after a tombstone delete")
+    assert(!afterDelete.exists(_._3 % 3 == 0),
+      "deleted ids must not surface in the batch probe")
+  }
+
   test("SQ8 two-stage rescoring is near-exact") {
     val quantized = Similarity.quantizeSq8(corpus, "embedding").persist()
     quantized.count()
