@@ -920,11 +920,24 @@ object TrainingPipeline {
     * aggregates) + a map-only assignment; the pack window is de-skewed
     * over (cell, subshard, gate-bucket) — a dominant relatedness cell
     * never sorts in one task; materialization reuses the pack-keyed
-    * exchange the write needs anyway. Tokens here are whitespace
-    * tokens — swap the tokenizer by mapping `toks` before packing.
+    * exchange the write needs anyway.
+    *
+    * Tokenization: by default tokens are whitespace tokens (the packs
+    * then carry raw words). Pass `tokenizer` — a trained
+    * [[graft.pipeline.Bpe.BpeModel]] — and the freeze ships what a
+    * trainer actually loads: each doc's subword-piece stream
+    * ([[graft.pipeline.Bpe.encode]], `wordEnd`-marked so the stream is
+    * exactly invertible, the p111 property), the pack budget counted
+    * in PIECES, a published `outDir/vocab` (piece, id) table, and a
+    * `vocab_ids` column mapping every pack's pieces to model vocab
+    * ids. The vocabulary is MODEL-bounded, not corpus-bounded (every
+    * piece is a character of the alphabet or one merge's output,
+    * optionally marker-suffixed), so it rides as one map literal —
+    * the id mapping costs no join, no exchange.
     *
     * @return (cell, subshard, pack, n_docs, n_tokens, docs,
-    *         doc_boundaries, token_ids) read back from `outDir/packs`
+    *         doc_boundaries, token_ids[, vocab_ids]) read back from
+    *         `outDir/packs`
     */
   def freezePacks(
       spark: org.apache.spark.sql.SparkSession,
@@ -933,6 +946,7 @@ object TrainingPipeline {
       outDir: String,
       budgetTokens: Long = 256L, cells: Int = 8, subshards: Int = 2,
       minQuality: Double = 0.3, minWords: Long = 20,
+      tokenizer: Option[Bpe.BpeModel] = None, wordEnd: String = "</w>",
   ): DataFrame = {
     val curated = OperatorCache.materialize(
       curate(docs, idCol, textCol,
@@ -946,14 +960,45 @@ object TrainingPipeline {
     val cellsDf = Similarity
       .ivfIndex(emb.select(col(vecIdCol), col(vecCol)), vecCol, index)
       .select(col(vecIdCol), col("centroid"))
-    val toks = curated.select(col(idCol),
-      split(trim(col(textCol)), "\\s+").as("toks"))
-      .withColumn("n_toks", size(col("toks")).cast("long"))
+    // tokenize: whitespace words, or the trained model's subword-piece
+    // stream (docs whose text normalizes to zero alnum tokens drop on
+    // the BPE path — the encode contract; the curate floors make that
+    // an edge, not a population)
+    val toks = tokenizer match {
+      case Some(model) => OperatorCache.materialize(
+        Bpe.encode(curated, idCol, textCol, model, wordEnd = wordEnd)
+          .select(col("doc").as(idCol),
+            split(col("pieces"), " ").as("toks"),
+            col("n_pieces").as("n_toks")))
+      case None => curated.select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+    }
     val packed = Curation.packRelated(toks, idCol, "n_toks",
       cellsDf, vecIdCol, "centroid", budgetTokens, subshards)
-    Curation.materializePacks(packed, Seq("cell", "subshard"), idCol, "toks",
-      orderCol = Some("gate"))
-      .write.mode("overwrite").parquet(s"$outDir/packs")
+    val packs0 = Curation.materializePacks(packed, Seq("cell", "subshard"),
+      idCol, "toks", orderCol = Some("gate"))
+    val packs = tokenizer match {
+      case Some(_) =>
+        // the reachable piece set is bounded by the MODEL (alphabet +
+        // one output per merge, ×2 for the marker-suffixed variants),
+        // so the collect is artifact-sized — the centroids contract,
+        // not a corpus collect. Ids are 1..V in byte order (ASCII
+        // pieces: Spark's and any replayer's string sort agree).
+        val pieces = toks.select(explode(col("toks")).as("piece"))
+          .distinct().collect().map(_.getString(0)).sorted
+        import spark.implicits._
+        pieces.zipWithIndex.toSeq
+          .map { case (p, i) => (p, (i + 1).toLong) }.toDF("piece", "id")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/vocab")
+        val vmap = typedlit(pieces.zipWithIndex
+          .map { case (p, i) => p -> (i + 1).toLong }.toMap)
+        packs0.withColumn("vocab_ids",
+          transform(col("token_ids"), p => element_at(vmap, p)))
+      case None => packs0
+    }
+    packs.write.mode("overwrite").parquet(s"$outDir/packs")
+    tokenizer.foreach(_ => OperatorCache.release(toks))
     OperatorCache.release(curated)
     spark.read.parquet(s"$outDir/packs")
   }

@@ -6471,6 +6471,87 @@ object PipelineQueries {
            |       v.vec_id, ROUND(list_cosine_similarity(v.e, q.qe), 6) AS cosine
            |FROM cand136 cd JOIN v ON v.vec_id = cd.vec_id JOIN q136 q ON q.qid = cd.qid
            |QUALIFY rank <= 10 ORDER BY q.qid, rank""".stripMargin)),
+
+    // The freeze with the trained tokenizer wired in: packs carry the
+    // BPE piece stream (</w>-marked, exactly invertible — p111's
+    // property), budgets counted in PIECES, and every piece mapped to
+    // a model vocab id against the published outDir/vocab table. The
+    // oracle chains three already-proven trajectories — the curate
+    // stages, the full 40-merge BPE replay (p48), the survivors-only
+    // Lloyd cells (p134) — then replays the per-word piece fold, the
+    // gate/cumsum packing over PIECE counts, and the byte-ordered
+    // vocab-id assignment end to end.
+    QueryDef("p137_training_freeze_bpe",
+      (s, dir) => {
+        val out = s"target/graft-tmp/freeze_p137_${math.abs(dir.hashCode)}"
+        val model = Bpe.train(Tables.load(s, dir, "documents"), "text",
+          numMerges = bpeMerges, maxWords = bpeMaxWords)
+        TrainingPipeline.freezePacks(s,
+          Tables.load(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text",
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          out, tokenizer = Some(model))
+          .select(col("cell"), col("subshard"), col("pack"),
+            col("n_docs"), col("n_tokens"),
+            array_join(transform(col("docs"), d => d.cast("string")), " ")
+              .as("docs"),
+            array_join(transform(col("doc_boundaries"), b => b.cast("string")), " ")
+              .as("bounds"),
+            array_join(col("token_ids"), " ").as("tokens"),
+            array_join(transform(col("vocab_ids"), v => v.cast("string")), " ")
+              .as("vids"))
+          .orderBy("cell", "subshard", "pack")
+      },
+      Some(s"""WITH RECURSIVE ${curateStagesSqlFrom(
+                 "read_parquet('{SFDIR}/documents.parquet')")},
+             |${ivfAssignSql(8,
+                 " WHERE vec_id IN (SELECT doc_id FROM screened)")
+                 .stripPrefix("WITH ")},
+             |${bpeCtes(bpeMerges, bpeMaxWords).stripPrefix("WITH ")},
+             |enc AS MATERIALIZED (
+             |  SELECT tok.doc_id, tok.pos, st.s || '</w>' AS ps,
+             |         CAST(LEN(string_split(st.s, ' ')) AS BIGINT) AS np
+             |  FROM tok JOIN st$bpeMerges st ON tok.tok = st.word
+             |  WHERE tok.doc_id IN (SELECT doc_id FROM screened)
+             |), bdoc AS MATERIALIZED (
+             |  SELECT doc_id,
+             |         (((doc_id % 100000) + 1) * 2654435761) % 1000000 AS gate,
+             |         CAST((((doc_id % 100000) + 1) * 2654435761) % 1000000 % 2 AS INT) AS subshard,
+             |         string_split(string_agg(ps, ' ' ORDER BY pos), ' ') AS toks,
+             |         SUM(np) AS n_tokens
+             |  FROM enc GROUP BY doc_id
+             |), vocab AS (
+             |  SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY piece) AS BIGINT) AS vid
+             |  FROM (SELECT DISTINCT unnest(toks) AS piece FROM bdoc)
+             |), vm AS (
+             |  SELECT map_from_entries(list({'key': piece, 'value': vid})) AS m FROM vocab
+             |), bpj AS (
+             |  SELECT t.doc_id, a3.cid AS cell, t.subshard, t.gate, t.toks, t.n_tokens,
+             |         list_transform(t.toks, p -> CAST(map_extract(vm.m, p)[1] AS VARCHAR)) AS ids
+             |  FROM bdoc t JOIN a3 ON a3.vec_id = t.doc_id, vm
+             |), bpc AS (
+             |  SELECT *, SUM(n_tokens) OVER (PARTITION BY cell, subshard
+             |                                ORDER BY gate, doc_id
+             |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM bpj
+             |), bpp AS (
+             |  SELECT *, CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 256.0) AS BIGINT) AS pack
+             |  FROM bpc
+             |), bp2 AS (
+             |  SELECT *, SUM(n_tokens) OVER (PARTITION BY cell, subshard, pack
+             |                                ORDER BY gate, doc_id
+             |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+             |  FROM bpp
+             |)
+             |SELECT cell, subshard, pack,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY gate, doc_id), ' ') AS docs,
+             |       array_to_string(list_prepend('0', list(CAST(cum2 AS VARCHAR) ORDER BY gate, doc_id)), ' ') AS bounds,
+             |       array_to_string(flatten(list(toks ORDER BY gate, doc_id)), ' ') AS tokens,
+             |       array_to_string(flatten(list(ids ORDER BY gate, doc_id)), ' ') AS vids
+             |FROM bp2 GROUP BY cell, subshard, pack
+             |ORDER BY cell, subshard, pack""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

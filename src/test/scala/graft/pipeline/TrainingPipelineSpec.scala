@@ -393,6 +393,55 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/packs").count() == rows.length)
   }
 
+  test("freezePacks with a BPE tokenizer: packs carry the invertible piece " +
+      "stream and published-vocab ids") {
+    val base = s"target/graft-tmp/freeze-bpe-spec-${System.nanoTime()}"
+    val docs = (0L until 40L).map(i => (i, sentence(s"tag$i")))
+      .toDF("doc_id", "text")
+    val vectors = (0L until 40L)
+      .map(i => (i, Seq.tabulate(4)(d => ((i % 7) + d).toFloat / 7f)))
+      .toDF("vec_id", "embedding")
+    val model = Bpe.train(docs, "text", numMerges = 10, maxWords = 1000)
+    val frozen = TrainingPipeline.freezePacks(spark, docs, "doc_id", "text",
+      vectors, "vec_id", "embedding", base, budgetTokens = 64L, cells = 3,
+      tokenizer = Some(model))
+    val rows = frozen.collect()
+    OperatorCache.releaseAll(spark)
+
+    // boundaries count PIECES and walk each pack exactly
+    rows.foreach { r =>
+      val b = r.getSeq[Long](r.fieldIndex("doc_boundaries"))
+      val n = r.getAs[Long]("n_tokens")
+      assert(b.head == 0L && b.last == n &&
+        r.getSeq[String](r.fieldIndex("token_ids")).length == n,
+        s"piece-counted boundaries must walk 0..n_tokens: $r")
+    }
+    // the piece stream is invertible: stripping separators and turning
+    // each </w> marker into one space reconstructs the docs' normalized
+    // token streams, concatenated in pack order (the p111 property,
+    // applied to the trainer handoff)
+    val packedDocs = rows.flatMap(_.getSeq[Long](rows.head.fieldIndex("docs")))
+    val norm = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.replaceAll("[^a-z0-9\\s]", "")
+        .trim.split("\\s+").mkString(" ")).toMap
+    val decoded = rows.map { r =>
+      r.getSeq[String](r.fieldIndex("token_ids")).mkString(" ")
+        .replace(" ", "").replace("</w>", " ").trim
+    }.mkString(" ")
+    val expected = packedDocs.map(norm).mkString(" ")
+    assert(decoded == expected,
+      "pack piece streams must decode to the packed docs' token streams")
+    // vocab_ids align 1:1 with the pieces through the PUBLISHED vocab
+    val vocab = spark.read.parquet(s"$base/vocab").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val pieces = r.getSeq[String](r.fieldIndex("token_ids"))
+      val ids = r.getSeq[Long](r.fieldIndex("vocab_ids"))
+      assert(ids == pieces.map(vocab),
+        "vocab_ids must be the published vocab applied to token_ids")
+    }
+  }
+
   test("appendState with a batchId is idempotent: replay converges, partial landing heals") {
     val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
     val state0 = TrainingPipeline.curateState(prev, "doc_id", "text",
