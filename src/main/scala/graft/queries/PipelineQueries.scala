@@ -6552,6 +6552,129 @@ object PipelineQueries {
              |       array_to_string(flatten(list(ids ORDER BY gate, doc_id)), ' ') AS vids
              |FROM bp2 GROUP BY cell, subshard, pack
              |ORDER BY cell, subshard, pack""".stripMargin)),
+
+    // RRF in its fully-SERVED form — the production default end to
+    // end: the embedding side's rank list comes from ONE
+    // probeIvfPqBatch pass over the written IVF-PQ layout (per-query
+    // probe selection + ADC candidate cut + exact rescore, all
+    // batch-wise — p136's plan), fused with the batched BM25 ranks by
+    // 1/(60+rank). p135 proved the fusion with driver-looped exact
+    // in-cell ranks; this replaces that loop with the batched layout
+    // probe, so the whole hybrid answer is three jobs' worth of
+    // corpus work regardless of workload size.
+    QueryDef("p138_rrf_ann_served",
+      (s, dir) => {
+        val idx = s"target/graft-tmp/textsearch_p138_${math.abs(dir.hashCode)}"
+        TextSearch.writeIndex(Tables.load(s, dir, "documents"),
+          "doc_id", "text", idx)
+        OperatorCache.releaseAll(s)
+        val emb = OperatorCache.persist(Tables.load(s, dir, "embeddings"))
+        val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
+        val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 2, k = 4)
+        val ann = s"target/graft-tmp/ann_p138_${math.abs(dir.hashCode)}"
+        Similarity.writeIvfPq(emb, "embedding", ann, coarse, books)
+        val qs = Seq((1L, "join vector filter", 7L),
+          (2L, "stream window", 14L), (3L, "quality score text", 21L))
+        val workload = s.createDataFrame(qs).toDF("qid", "query", "vid")
+          .join(emb.select(col("vec_id").as("vid"), col("embedding").as("qv")),
+            "vid")
+        val vecRanks = Similarity.probeIvfPqBatch(workload, "qid", "qv", ann,
+          "vec_id", "embedding", coarse, books, k = 20)
+          .select(col("qid"), col("vec_id").as("doc"),
+            col("rank").as("rank_cos"))
+        TextSearch.searchRrfBatch(workload, "qid", "query", "qv", idx,
+          emb, "vec_id", "embedding", k = 5, candidates = 20,
+          vecRanks = Some(vecRanks))
+          .orderBy("qid", "rank")
+      },
+      Some(ivfAssignSql(8) +
+        pqAssignSql(0, 1, 32, 4) + pqAssignSql(1, 33, 64, 4) +
+        """, q138 AS (
+           |  SELECT vq.qid, e2.e AS qe, e2.e[1:32] AS q0, e2.e[33:64] AS q1
+           |  FROM (VALUES (1, 7), (2, 14), (3, 21)) vq(qid, vid)
+           |  JOIN v e2 ON e2.vec_id = vq.vid
+           |), probes138 AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT q.qid, c2.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY q.qid
+           |                              ORDER BY list_dot_product(c2.c, q.qe) DESC, c2.cid ASC) AS rn
+           |    FROM c2, q138 q
+           |  ) WHERE rn <= 3
+           |), d0 AS (
+           |  SELECT q.qid, a.vec_id, list_dot_product(c.c, q.q0) AS d
+           |  FROM a3_0 a JOIN c2_0 c USING (cid), q138 q
+           |), d1 AS (
+           |  SELECT q.qid, a.vec_id, list_dot_product(c.c, q.q1) AS d
+           |  FROM a3_1 a JOIN c2_1 c USING (cid), q138 q
+           |), incell138 AS (
+           |  SELECT p.qid, a3.vec_id FROM a3 JOIN probes138 p ON a3.cid = p.cid
+           |), adc138 AS (
+           |  SELECT i.qid, i.vec_id, ROUND(d0.d + d1.d, 6) AS adc
+           |  FROM incell138 i
+           |  JOIN d0 ON d0.qid = i.qid AND d0.vec_id = i.vec_id
+           |  JOIN d1 ON d1.qid = i.qid AND d1.vec_id = i.vec_id
+           |), cand138 AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS rn
+           |    FROM adc138
+           |  ) WHERE rn <= 100
+           |), vr AS (
+           |  SELECT qid, doc, rank_cos FROM (
+           |    SELECT q.qid, v.vec_id AS doc,
+           |           ROW_NUMBER() OVER (PARTITION BY q.qid
+           |                              ORDER BY ROUND(list_cosine_similarity(v.e, q.qe), 6) DESC, v.vec_id ASC) AS rank_cos
+           |    FROM cand138 cd JOIN v ON v.vec_id = cd.vec_id
+           |         JOIN q138 q ON q.qid = cd.qid
+           |  ) WHERE rank_cos <= 20
+           |), terms AS (
+           |  SELECT doc_id AS doc,
+           |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+           |                            x -> x <> '')) AS term
+           |  FROM read_parquet('{SFDIR}/documents.parquet')
+           |), dl AS (
+           |  SELECT doc, COUNT(*) AS dl FROM terms GROUP BY doc
+           |), bstats AS (
+           |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+           |), qt AS (
+           |  SELECT * FROM (VALUES (1, 'join'), (1, 'vector'), (1, 'filter'),
+           |                        (2, 'stream'), (2, 'window'),
+           |                        (3, 'quality'), (3, 'score'), (3, 'text')) v(qid, term)
+           |), bq AS (
+           |  SELECT doc, term FROM terms
+           |  WHERE term IN (SELECT DISTINCT term FROM qt)
+           |), btf AS (
+           |  SELECT doc, term, COUNT(*) AS tf FROM bq GROUP BY doc, term
+           |), bdf AS (
+           |  SELECT term, COUNT(DISTINCT doc) AS df FROM bq GROUP BY term
+           |), bcontrib AS (
+           |  SELECT qt.qid, btf.doc,
+           |         LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           |           * CAST(tf AS DOUBLE)
+           |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+           |  FROM qt JOIN btf ON qt.term = btf.term
+           |       JOIN bdf ON btf.term = bdf.term
+           |       JOIN dl ON btf.doc = dl.doc, bstats
+           |), bsc AS (
+           |  SELECT qid, doc, ROUND(SUM(c), 6) AS score FROM bcontrib GROUP BY qid, doc
+           |), bm AS (
+           |  SELECT qid, doc,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc ASC) AS rank_bm25
+           |  FROM bsc QUALIFY rank_bm25 <= 20
+           |), fused AS (
+           |  SELECT COALESCE(bm.qid, vr.qid) AS qid,
+           |         COALESCE(bm.doc, vr.doc) AS doc,
+           |         ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + bm.rank_bm25), 0)
+           |             + COALESCE(CAST(1 AS DOUBLE) / (60 + vr.rank_cos), 0), 6) AS rrf,
+           |         CAST(bm.rank_bm25 AS INT) AS rank_bm25,
+           |         CAST(vr.rank_cos AS INT) AS rank_cos
+           |  FROM bm FULL OUTER JOIN vr ON bm.qid = vr.qid AND bm.doc = vr.doc
+           |)
+           |SELECT CAST(qid AS BIGINT) AS qid,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc ASC) AS INT) AS rank,
+           |       doc, rrf, rank_bm25, rank_cos
+           |FROM fused
+           |QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared
