@@ -84,6 +84,8 @@ object Bench {
     "p128_recrawl_serving", "p129_pack_related", "p130_rrf_search",
     "p131_robots_screen", "p132_robots_archive_curate",
     "p133_pack_materialize", "p134_training_freeze", "p135_rrf_ann",
+    "p136_ann_probe_batch", "p137_training_freeze_bpe", "p138_rrf_ann_served",
+    "p139_ann_residual_batch",
     "s14_warc_roundtrip", "s15_webdataset_roundtrip", "s16_warc_fetch",
     "s17_wet_roundtrip")
 

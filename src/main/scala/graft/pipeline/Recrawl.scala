@@ -112,36 +112,65 @@ object Recrawl {
       layouts: ServingLayouts,
       changedVectors: Option[DataFrame] = None,
   ): Unit = {
-    val batch = OperatorCache.persist(changed.select(col(idCol), col(textCol)))
+    // eager materialization, not lazy persist: the layouts' first
+    // actions run CONCURRENTLY below, and concurrent consumers of a
+    // lazily-persisted frame each recompute its full plan until one
+    // commits partitions (the OperatorCache.materialize contract) —
+    // the count() barrier makes every layout's read a cache hit
+    val batch = OperatorCache.materialize(
+      changed.select(col(idCol), col(textCol)))
     // deletes fan out to every registered layout — cache them too, so a
     // file-sourced CDC batch isn't re-read once per layout
-    val dels = OperatorCache.persist(deletedIds.select(col(idCol)))
+    val dels = OperatorCache.materialize(deletedIds.select(col(idCol)))
+    val vecs = changedVectors.map(OperatorCache.materialize(_))
     try {
-      layouts.textIndex.foreach { dir =>
-        TextSearch.deleteFromIndex(spark, dir, dels, idCol)
-        TextSearch.updateIndex(batch, idCol, textCol, dir)
-      }
-      layouts.shingleIndex.foreach { dir =>
-        Dedup.deleteFromShingleIndex(spark, dir, dels, idCol)
-        Dedup.updateShingleIndex(batch, idCol, textCol, dir)
-      }
-      layouts.dedupState.foreach { dir =>
-        Similarity.deleteFromDedupState(spark, dir, dels, idCol)
-        changedVectors.foreach(v =>
-          Similarity.updateDedupState(spark, dir, v, idCol))
-      }
-      layouts.annIndex.foreach { a =>
-        Similarity.deleteFromIndex(dels, idCol, a.dir)
-        changedVectors.foreach(v =>
-          Similarity.updateIvfPq(v, idCol, a.vecCol, a.dir, a.coarse, a.books))
+      // each layout's lifecycle ops are ORDERED within the layout
+      // (delete, then append under a fresh generation) but the four
+      // layouts touch disjoint directories — so they advance on
+      // concurrent threads over the shared session. Every op here is a
+      // chain of small batch-sized jobs (latency-bound, the
+      // LifecycleScaleBench finding), so running layouts side by side
+      // cuts the advance wall from the sum of the chains toward their
+      // max; per-layout job counts and results are untouched
+      // (RecrawlSpec pins serving equality against the rebuild).
+      val tasks: Seq[() => Unit] = Seq(
+        layouts.textIndex.map(dir => () => {
+          TextSearch.deleteFromIndex(spark, dir, dels, idCol)
+          TextSearch.updateIndex(batch, idCol, textCol, dir)
+        }),
+        layouts.shingleIndex.map(dir => () => {
+          Dedup.deleteFromShingleIndex(spark, dir, dels, idCol)
+          Dedup.updateShingleIndex(batch, idCol, textCol, dir)
+        }),
+        layouts.dedupState.map(dir => () => {
+          Similarity.deleteFromDedupState(spark, dir, dels, idCol)
+          vecs.foreach(v => Similarity.updateDedupState(spark, dir, v, idCol))
+        }),
+        layouts.annIndex.map(a => () => {
+          Similarity.deleteFromIndex(dels, idCol, a.dir)
+          vecs.foreach(v =>
+            Similarity.updateIvfPq(v, idCol, a.vecCol, a.dir, a.coarse, a.books))
+        }),
+      ).flatten
+      if (tasks.lengthCompare(1) <= 0) tasks.foreach(_.apply())
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+        finally pool.shutdown()
       }
     } finally {
       // every consumer of the cached frames runs inside this call (the
-      // layout writes are synchronous actions), so release here rather
-      // than asking callers for a releaseAll — which a shared-session
-      // streaming caller must NOT issue per micro-batch
+      // layout writes are synchronous actions awaited above), so
+      // release here rather than asking callers for a releaseAll —
+      // which a shared-session streaming caller must NOT issue per
+      // micro-batch
       OperatorCache.release(batch)
       OperatorCache.release(dels)
+      vecs.foreach(OperatorCache.release)
     }
   }
 

@@ -932,7 +932,31 @@ object Similarity {
       workload: DataFrame, qidCol: String, qvecCol: String,
       path: String, idCol: String, vecCol: String,
       coarse: IvfIndex, books: Seq[IvfIndex], k: Int,
-      nprobe: Int = 3, rescoreFactor: Int = 5): DataFrame = {
+      nprobe: Int = 3, rescoreFactor: Int = 5): DataFrame =
+    probePqBatchImpl(workload, qidCol, qvecCol, path, idCol, vecCol,
+      coarse, books, k, nprobe, rescoreFactor, residual = false)
+
+  /** Workload-batched probe of a [[writeIvfPqResidual]] layout — the
+    * residual sibling of [[probeIvfPqBatch]], same plan shape plus the
+    * inner-product ADC decomposition's per-(query, cell) constant:
+    * `dot(q, v) ≈ dot(q, c_cell) + Σ_s dot(q_s, book_s[code])`. The
+    * constant is computed map-only on the workload's probe pairs
+    * (workload × nprobe dots — never per corpus row) and rides the
+    * broadcast join like the lookup tables. Results are identical to a
+    * [[probeIvfPqResidual]] loop, rank for rank (AnnRecallSpec). */
+  def probeIvfPqResidualBatch(
+      workload: DataFrame, qidCol: String, qvecCol: String,
+      path: String, idCol: String, vecCol: String,
+      coarse: IvfIndex, books: Seq[IvfIndex], k: Int,
+      nprobe: Int = 3, rescoreFactor: Int = 5): DataFrame =
+    probePqBatchImpl(workload, qidCol, qvecCol, path, idCol, vecCol,
+      coarse, books, k, nprobe, rescoreFactor, residual = true)
+
+  private def probePqBatchImpl(
+      workload: DataFrame, qidCol: String, qvecCol: String,
+      path: String, idCol: String, vecCol: String,
+      coarse: IvfIndex, books: Seq[IvfIndex], k: Int,
+      nprobe: Int, rescoreFactor: Int, residual: Boolean): DataFrame = {
     val spark = workload.sparkSession
     checkIndexMeta(spark, path, Seq("model" -> modelFingerprint(coarse, books)))
     require(books.nonEmpty, "probeIvfPqBatch needs at least one codebook")
@@ -961,17 +985,29 @@ object Similarity {
     val tables = transform(sequence(lit(0), lit(m - 1)), s =>
       transform(element_at(booksLit, s + 1), entry =>
         dot(slice(col("__qv"), s * lit(sub) + 1, lit(sub)), entry)))
+    // residual layouts add the decomposition's per-(query, cell)
+    // constant dot(q, c_cell) — map-only on the probe pairs, dense
+    // centroid literal indexed by cell id (missing ids hold zero
+    // vectors; no probe ever selects them)
+    val aconst: Column = if (!residual) lit(0.0) else {
+      val size = coarse.centroids.map(_._1).max + 1
+      val dimC = coarse.centroids.head._2.length
+      val dense = Array.fill(size)(Seq.fill(dimC)(0.0))
+      coarse.centroids.foreach { case (id, c) => dense(id) = c.toSeq }
+      dot(col("__qv"), element_at(typedlit(dense.toIndexedSeq), col("centroid") + 1))
+    }
     val probes = workload
       .select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
       .withColumn("centroid", explode(probeCells))
       .withColumn("__tables", tables)
+      .withColumn("__aconst", aconst)
     val cellIds = probes.select("centroid").distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
     val cells = minusTombstones(spark, path, spark.read.parquet(path)
       .where(col("centroid").isin(cellIds.map(Integer.valueOf): _*)), idCol)
     // the single-query ADC expression ([[adcScore]]) with the lookup
     // tables read from the joined probe row instead of a literal
-    val adc = aggregate(
+    val adc = col("__aconst") + aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (code, s) => element_at(element_at(col("__tables"), s + 1), code + 1)),
       lit(0.0), (acc, x) => acc + x)

@@ -6675,6 +6675,76 @@ object PipelineQueries {
            |       doc, rrf, rank_bm25, rank_cos
            |FROM fused
            |QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // The residual sibling of p136: the batched probe over a
+    // writeIvfPqResidual layout, with the IP-ADC decomposition's
+    // per-(query, cell) constant computed map-only on the probe pairs.
+    // The oracle composes the coarse replay, the residual frame, BOTH
+    // residual-subspace Lloyd trajectories, per-query probes, the
+    // constant + table ADC, and the exact rescore, batch-wise.
+    QueryDef("p139_ann_residual_batch",
+      (s, dir) => {
+        val emb = OperatorCache.persist(Tables.load(s, dir, "embeddings"))
+        val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
+        val books = Similarity.trainPqResidual(
+          emb, "vec_id", "embedding", coarse, m = 2, k = 4)
+        val path = s"target/graft-tmp/ann_res_batch_p139_${math.abs(dir.hashCode)}"
+        Similarity.writeIvfPqResidual(emb, "embedding", path, coarse, books)
+        val workload = emb.where(col("vec_id").isin(7L, 14L, 21L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Similarity.probeIvfPqResidualBatch(workload, "qid", "qv", path,
+          "vec_id", "embedding", coarse, books, k = 10)
+          .orderBy("qid", "rank")
+      },
+      Some(ivfAssignSql(8) +
+        """, res AS (
+           |  SELECT a3.vec_id,
+           |         list_transform(range(1, len(a3.e) + 1), i -> a3.e[i] - c2.c[i]) AS r
+           |  FROM a3 JOIN c2 USING (cid)
+           |)""".stripMargin +
+        pqAssignSql(0, 1, 32, 4, src = "res", srcCol = "r") +
+        pqAssignSql(1, 33, 64, 4, src = "res", srcCol = "r") +
+        """, q139 AS (
+           |  SELECT vec_id AS qid, e AS qe, e[1:32] AS q0, e[33:64] AS q1
+           |  FROM v WHERE vec_id IN (7, 14, 21)
+           |), probes139 AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT q.qid, c2.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY q.qid
+           |                              ORDER BY list_dot_product(c2.c, q.qe) DESC, c2.cid ASC) AS rn
+           |    FROM c2, q139 q
+           |  ) WHERE rn <= 3
+           |), incell139 AS (
+           |  SELECT p.qid, a3.vec_id, a3.cid FROM a3 JOIN probes139 p ON a3.cid = p.cid
+           |), cc139 AS (
+           |  SELECT ic.qid, ic.vec_id, list_dot_product(c2.c, q.qe) AS cd
+           |  FROM incell139 ic JOIN c2 ON c2.cid = ic.cid
+           |       JOIN q139 q ON q.qid = ic.qid
+           |), d0 AS (
+           |  SELECT q.qid, a.vec_id, list_dot_product(c.c, q.q0) AS d
+           |  FROM a3_0 a JOIN c2_0 c USING (cid), q139 q
+           |), d1 AS (
+           |  SELECT q.qid, a.vec_id, list_dot_product(c.c, q.q1) AS d
+           |  FROM a3_1 a JOIN c2_1 c USING (cid), q139 q
+           |), adc139 AS (
+           |  SELECT i.qid, i.vec_id, ROUND(cc.cd + d0.d + d1.d, 6) AS adc
+           |  FROM incell139 i
+           |  JOIN cc139 cc ON cc.qid = i.qid AND cc.vec_id = i.vec_id
+           |  JOIN d0 ON d0.qid = i.qid AND d0.vec_id = i.vec_id
+           |  JOIN d1 ON d1.qid = i.qid AND d1.vec_id = i.vec_id
+           |), cand139 AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS rn
+           |    FROM adc139
+           |  ) WHERE rn <= 50
+           |)
+           |SELECT q.qid,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY q.qid
+           |              ORDER BY ROUND(list_cosine_similarity(v.e, q.qe), 6) DESC, v.vec_id ASC) AS INT) AS rank,
+           |       v.vec_id, ROUND(list_cosine_similarity(v.e, q.qe), 6) AS cosine
+           |FROM cand139 cd JOIN v ON v.vec_id = cd.vec_id JOIN q139 q ON q.qid = cd.qid
+           |QUALIFY rank <= 10 ORDER BY q.qid, rank""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

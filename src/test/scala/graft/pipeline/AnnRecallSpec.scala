@@ -230,6 +230,30 @@ class AnnRecallSpec extends SparkSpec {
       "deleted ids must not surface in the batch probe")
   }
 
+  test("probeIvfPqResidualBatch equals the per-query residual probe loop") {
+    val coarse = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)
+    val books = Similarity.trainPqResidual(corpus, "vec_id", "embedding",
+      coarse, m = 8, k = 16)
+    val path = "target/graft-tmp/ivfpq-res-batch"
+    Similarity.writeIvfPqResidual(corpus, "embedding", path, coarse, books)
+    import spark.implicits._
+    val workload = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("qid", "qv")
+    val got = Similarity.probeIvfPqResidualBatch(workload, "qid", "qv", path,
+      "vec_id", "embedding", coarse, books, K, nprobe = 6, rescoreFactor = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = queries.zipWithIndex.flatMap { case (q, i) =>
+      Similarity.probeIvfPqResidual(spark, path, "vec_id", "embedding",
+        coarse, books, q, K, nprobe = 6, rescoreFactor = 10)
+        .collect().zipWithIndex
+        .map { case (r, j) => (i.toLong, j + 1, r.getLong(0), r.getDouble(1)) }
+    }.toSet
+    assert(got == want,
+      "residual batch probe must equal the per-query loop, rank for rank")
+  }
+
   test("SQ8 two-stage rescoring is near-exact") {
     val quantized = Similarity.quantizeSq8(corpus, "embedding").persist()
     quantized.count()
