@@ -195,6 +195,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Workload-batched probe of a [[writeIndexed]] LSH layout — the
+    * third member of the batched-serve family ([[probeIvfPqBatch]],
+    * [[probeIvfPqResidualBatch]]): every query's signature and its
+    * Hamming-1 multi-probe bucket set are computed map-only over the
+    * workload (the hyperplanes are a pure function of (dim, planes,
+    * seed), inlined as literals), the layout is scanned ONCE pruned to
+    * the union of probed buckets, rows meet their probing queries
+    * through a broadcast hash join on the bucket id (each row lives in
+    * exactly one bucket, so no per-pair dedup is needed), and the
+    * exact-cosine rank is a qid window under WindowGroupLimit. Results
+    * equal a [[probeIndexed]] loop rank for rank (AnnRecallSpec).
+    *
+    * @return (qid, rank, idCol, cosine), rank 1..k per qid
+    */
+  def probeIndexedBatch(
+      workload: DataFrame, qidCol: String, qvecCol: String,
+      path: String, idCol: String, vecCol: String,
+      k: Int, planes: Int = 12, seed: Long = 42L,
+      multiProbe: Boolean = true): DataFrame = {
+    val spark = workload.sparkSession
+    checkIndexMeta(spark, path, Seq("planes" -> planes.toLong, "seed" -> seed))
+    val dim = dimOf(workload, qvecCol)
+    val sigd = workload
+      .select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
+      .withColumn("__sig", lshSignature(col("__qv"), dim, planes, seed))
+    val probeCols: Seq[Column] =
+      if (multiProbe)
+        col("__sig") +: (0 until planes).map(p =>
+          col("__sig").bitwiseXOR(lit(1L << p)))
+      else Seq(col("__sig"))
+    val probes = sigd.withColumn("bucket", explode(array(probeCols: _*)))
+      .select("qid", "__qv", "bucket")
+    val buckets = probes.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val cells = minusTombstones(spark, path, spark.read.parquet(path)
+      .where(col("bucket").isin(buckets: _*)), idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col(idCol).asc)
+    cells.join(broadcast(probes), Seq("bucket"))
+      .select(col("qid"), col(idCol),
+        round(cosine(col(vecCol), col("__qv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", idCol, "cosine")
+  }
+
   /** Plane count sized to the corpus: 2^planes buckets targeting
     * `targetBucketSize` vectors per bucket, so the multi-probe candidate
     * set stays big enough to hold the true neighbors. A fixed plane

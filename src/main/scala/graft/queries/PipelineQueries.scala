@@ -6745,6 +6745,38 @@ object PipelineQueries {
            |       v.vec_id, ROUND(list_cosine_similarity(v.e, q.qe), 6) AS cosine
            |FROM cand139 cd JOIN v ON v.vec_id = cd.vec_id JOIN q139 q ON q.qid = cd.qid
            |QUALIFY rank <= 10 ORDER BY q.qid, rank""".stripMargin)),
+
+    // The LSH member of the batched-serve family: a whole workload
+    // probed against a writeIndexed layout in one pruned pass —
+    // per-query signatures and Hamming-1 probe sets computed map-only
+    // (hyperplanes are literals), broadcast bucket join, qid rank
+    // windows. Oracle replays the sign-plane buckets with the SAME
+    // inlined hyperplanes and the bit_count(xor) <= 1 multi-probe rule.
+    QueryDef("p140_ann_lsh_batch",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val path = s"target/graft-tmp/lsh_batch_p140_${math.abs(dir.hashCode)}"
+        Similarity.writeIndexed(emb, "embedding", path, planes = 6)
+        val workload = emb.where(col("vec_id").isin(7L, 14L, 21L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Similarity.probeIndexedBatch(workload, "qid", "qv", path,
+          "vec_id", "embedding", k = 10, planes = 6)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH b AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             |         ${bucketSql("CAST(embedding AS DOUBLE[])", 6)} AS bucket
+             |  FROM read_parquet('{SFDIR}/embeddings.parquet')
+             |), q140 AS (
+             |  SELECT vec_id AS qid, bucket AS qb, e AS qe FROM b
+             |  WHERE vec_id IN (7, 14, 21)
+             |)
+             |SELECT q.qid,
+             |       CAST(ROW_NUMBER() OVER (PARTITION BY q.qid
+             |              ORDER BY ROUND(list_cosine_similarity(b.e, q.qe), 6) DESC, b.vec_id ASC) AS INT) AS rank,
+             |       b.vec_id, ROUND(list_cosine_similarity(b.e, q.qe), 6) AS cosine
+             |FROM b JOIN q140 q ON bit_count(xor(b.bucket, q.qb)) <= 1
+             |QUALIFY rank <= 10 ORDER BY q.qid, rank""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

@@ -254,6 +254,26 @@ class AnnRecallSpec extends SparkSpec {
       "residual batch probe must equal the per-query loop, rank for rank")
   }
 
+  test("probeIndexedBatch equals the per-query LSH probe loop") {
+    val path = "target/graft-tmp/lsh-batch"
+    val planes = 4
+    Similarity.writeIndexed(corpus, "embedding", path, planes)
+    import spark.implicits._
+    val workload = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("qid", "qv")
+    val got = Similarity.probeIndexedBatch(workload, "qid", "qv", path,
+      "vec_id", "embedding", K, planes).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = queries.zipWithIndex.flatMap { case (q, i) =>
+      Similarity.probeIndexed(spark, path, "vec_id", "embedding", q, K,
+        planes).collect().zipWithIndex
+        .map { case (r, j) => (i.toLong, j + 1, r.getLong(0), r.getDouble(1)) }
+    }.toSet
+    assert(got == want,
+      "LSH batch probe must equal the per-query loop, rank for rank")
+  }
+
   test("SQ8 two-stage rescoring is near-exact") {
     val quantized = Similarity.quantizeSq8(corpus, "embedding").persist()
     quantized.count()
