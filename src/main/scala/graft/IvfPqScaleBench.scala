@@ -88,13 +88,38 @@ object IvfPqScaleBench {
           coarse, resBooks, query, k = 10, nprobe = 3).collect()
       }._2
       val resProbeSec = math.min(probeRes(), probeRes())
-      (replicas, nVecs, buildSec, probeSec, resBuildSec, resProbeSec)
+
+      // workload serving: W queries through the per-query loop vs ONE
+      // probeIvfPqBatch pass (both against the page-cache-warm raw
+      // layout — the partitions were just probed above). The batch's
+      // claim: wall grows with the UNION of probed cells, not with W,
+      // while the loop pays W job round trips.
+      val W = 64
+      val qvecs = emb.where(col("vec_id") < W)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val queriesW = qvecs.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+      val (batchRows, batchSec) = timed {
+        Similarity.probeIvfPqBatch(qvecs, "qid", "qv", path,
+          "vec_id", "embedding", coarse, books, k = 10, nprobe = 3).collect()
+      }
+      val (loopRows, loopSec) = timed {
+        queriesW.map { case (_, q) =>
+          Similarity.probeIvfPq(spark, path, "vec_id", "embedding",
+            coarse, books, q, k = 10, nprobe = 3).collect()
+        }
+      }
+      require(batchRows.length == loopRows.map(_.length).sum,
+        s"batch and loop must return the same row count at x$replicas")
+      (replicas, nVecs, buildSec, probeSec, resBuildSec, resProbeSec,
+        batchSec, loopSec)
     }
 
-    results.foreach { case (r, n, b, p, rb, rp) =>
+    results.foreach { case (r, n, b, p, rb, rp, bs, ls) =>
       println(s"""{"replicas":$r,"vectors":$n,""" +
         s""""build_sec":${f"$b%.2f"},"probe_sec":${f"$p%.2f"},""" +
-        s""""res_build_sec":${f"$rb%.2f"},"res_probe_sec":${f"$rp%.2f"}}""")
+        s""""res_build_sec":${f"$rb%.2f"},"res_probe_sec":${f"$rp%.2f"},""" +
+        s""""batch64_sec":${f"$bs%.2f"},"loop64_sec":${f"$ls%.2f"}}""")
     }
     spark.stop()
   }
