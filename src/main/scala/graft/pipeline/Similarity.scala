@@ -216,6 +216,21 @@ object Similarity {
       multiProbe: Boolean = true): DataFrame = {
     val spark = workload.sparkSession
     checkIndexMeta(spark, path, Seq("planes" -> planes.toLong, "seed" -> seed))
+    if (workload.isEmpty) {
+      // the hyperplanes need the dimension, which only the data carries
+      // here (no model artifact) — an empty workload has none, so
+      // return the well-typed empty result directly (the layout footer
+      // supplies the id type; no partition is scanned)
+      import org.apache.spark.sql.types._
+      val idT = spark.read.parquet(path).schema(idCol).dataType
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("qid", workload.schema(qidCol).dataType),
+          StructField("rank", IntegerType, nullable = false),
+          StructField(idCol, idT),
+          StructField("cosine", DoubleType))))
+    }
     val dim = dimOf(workload, qvecCol)
     val sigd = workload
       .select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
@@ -1006,7 +1021,10 @@ object Similarity {
     val spark = workload.sparkSession
     checkIndexMeta(spark, path, Seq("model" -> modelFingerprint(coarse, books)))
     require(books.nonEmpty, "probeIvfPqBatch needs at least one codebook")
-    val dim = dimOf(workload, qvecCol)
+    // the model KNOWS its dimension — no data probe, and an empty
+    // workload flows through to a well-typed empty result instead of
+    // crashing a dimension inference
+    val dim = coarse.centroids.head._2.length
     val m = books.length
     require(dim % m == 0, s"codebook count ($m) must divide the dimension ($dim)")
     val sub = dim / m

@@ -212,4 +212,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(u.isNullAt(0) && u.getString(1) == "" && u.getString(2) == "")
     OperatorCache.releaseAll(spark)
   }
+
+  test("batched layout probes return empty on an empty workload") {
+    val vecs = (0L until 60L)
+      .map(i => (i, Seq.tabulate(8)(d => ((i % 5) + d).toFloat / 5f)))
+      .toDF("vec_id", "embedding")
+    val coarse = Similarity.ivfTrain(vecs, "vec_id", "embedding", k = 2)
+    val books = Similarity.trainPq(vecs, "vec_id", "embedding", m = 2, k = 2)
+    val resBooks = Similarity.trainPqResidual(
+      vecs, "vec_id", "embedding", coarse, m = 2, k = 2)
+    val base = "target/graft-tmp/empty-batch-probe"
+    Similarity.writeIvfPq(vecs, "embedding", s"$base/pq", coarse, books)
+    Similarity.writeIvfPqResidual(
+      vecs, "embedding", s"$base/res", coarse, resBooks)
+    Similarity.writeIndexed(vecs, "embedding", s"$base/lsh", planes = 2)
+    val w = Seq.empty[(Long, Seq[Float])].toDF("qid", "qv")
+    val pq = Similarity.probeIvfPqBatch(w, "qid", "qv", s"$base/pq",
+      "vec_id", "embedding", coarse, books, k = 3)
+    assert(pq.count() == 0 &&
+      pq.columns.toSeq == Seq("qid", "rank", "vec_id", "cosine"))
+    assert(Similarity.probeIvfPqResidualBatch(w, "qid", "qv", s"$base/res",
+      "vec_id", "embedding", coarse, resBooks, k = 3).count() == 0)
+    val lsh = Similarity.probeIndexedBatch(w, "qid", "qv", s"$base/lsh",
+      "vec_id", "embedding", k = 3, planes = 2)
+    assert(lsh.count() == 0 &&
+      lsh.columns.toSeq == Seq("qid", "rank", "vec_id", "cosine"))
+    OperatorCache.releaseAll(spark)
+  }
 }
