@@ -450,4 +450,77 @@ object TextSearch {
       .where(col("rank") <= k)
       .select("qid", "rank", "doc", "rrf", "rank_bm25", "rank_cos")
   }
+
+  /** Retrieval-quality evaluation of ANY ranked run — the metric layer
+    * every retriever here feeds ([[searchTopKBatch]],
+    * [[searchHybridBatch]], [[searchRrfBatch]], the
+    * [[graft.pipeline.Similarity.probeIvfPqBatch]] family): per query,
+    * the standard IR measures against graded relevance judgments.
+    *
+    *  - `precision@k` = relevant retrieved / k, `recall@k` = relevant
+    *    retrieved / total relevant (null when a query has no judged
+    *    relevant doc — 0/0 is "unjudged", not failure)
+    *  - `mrr` = 1 / rank of the first relevant result (0 if none)
+    *  - `ndcg@k` = DCG/IDCG with the standard (2^rel − 1)/log2(rank+1)
+    *    gain, IDCG from the judgments' own top-k — graded, so a rel-3
+    *    doc at rank 1 beats three rel-1 docs
+    *
+    * Determinism contract (the oracle-replay requirement every operator
+    * here carries): each DCG term is rounded to 6 decimals and
+    * accumulated in DECIMAL — double sums are order-dependent across
+    * engines, decimal sums are exact — and log2 is spelled ln(x)/ln(2)
+    * so both engines evaluate the identical expression tree.
+    *
+    * Scale shape: both inputs are workload-bounded by definition (a run
+    * is qid × k rows, qrels are human- or rule-priced); two broadcast
+    * joins and qid-keyed aggregates, no corpus-side work at all.
+    *
+    * @param run   ranked results (qidCol, docCol, rankCol), rank 1-based
+    * @param qrels judgments (qidCol, docCol, relCol), rel > 0 = relevant
+    * @return (qid, n_rel, n_hit, precision, recall, mrr, ndcg) — one row
+    *         per qid present in EITHER input (a judged query the run
+    *         never answered scores 0, not absent)
+    */
+  def evalRetrieval(
+      run: DataFrame, qidCol: String, docCol: String, rankCol: String,
+      qrels: DataFrame, qrelQidCol: String, qrelDocCol: String,
+      relCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dcgTerm(rel: org.apache.spark.sql.Column,
+        rank: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round((pow(lit(2.0), rel) - lit(1.0)) /
+        (log(rank.cast("double") + lit(1.0)) / log(lit(2.0))), 6).cast(dec6)
+    val r = run.select(col(qidCol).as("qid"), col(docCol).as("doc"),
+      col(rankCol).cast("int").as("rank")).where(col("rank") <= k)
+    val q = qrels.select(col(qrelQidCol).as("qid"), col(qrelDocCol).as("doc"),
+      col(relCol).cast("double").as("rel")).where(col("rel") > 0)
+    val perQ = q.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rel").desc, col("doc").asc)
+    val idcg = q.withColumn("irank", row_number().over(wIdeal))
+      .where(col("irank") <= k)
+      .groupBy("qid")
+      .agg(sum(dcgTerm(col("rel"), col("irank"))).cast("double").as("idcg"))
+    val agg = r.join(q, Seq("qid", "doc"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0.0)))
+      .groupBy("qid")
+      .agg(
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hit"),
+        sum(dcgTerm(col("rel"), col("rank"))).cast("double").as("dcg"),
+        max(when(col("rel") > 0, lit(1.0) / col("rank")).otherwise(lit(0.0)))
+          .as("rr"))
+    agg.join(perQ.join(idcg, Seq("qid")), Seq("qid"), "full_outer")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble), 6)
+          .as("precision"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          round(coalesce(col("n_hit"), lit(0L)) /
+            col("n_rel").cast("double"), 6)).as("recall"),
+        round(coalesce(col("rr"), lit(0.0)), 6).as("mrr"),
+        when(col("idcg").isNotNull && col("idcg") > 0,
+          round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6)).as("ndcg"))
+  }
 }

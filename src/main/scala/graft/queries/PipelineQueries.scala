@@ -6777,6 +6777,110 @@ object PipelineQueries {
              |       b.vec_id, ROUND(list_cosine_similarity(b.e, q.qe), 6) AS cosine
              |FROM b JOIN q140 q ON bit_count(xor(b.bucket, q.qb)) <= 1
              |QUALIFY rank <= 10 ORDER BY q.qid, rank""".stripMargin)),
+
+    // Retrieval-quality evaluation — the metric layer over any ranked
+    // run: precision/recall@k, MRR, graded nDCG@k against judgments,
+    // here a BM25 batch run scored against rule-priced qrels (the
+    // query's head term, graded by capped tf). DCG terms are 6-rounded
+    // and decimal-accumulated and log2 is spelled ln(x)/ln(2) on both
+    // sides, so the replay is exact (the dsum discipline).
+    QueryDef("p141_retrieval_eval",
+      (s, dir) => {
+        val idx = s"target/graft-tmp/textsearch_p141_${math.abs(dir.hashCode)}"
+        TextSearch.writeIndex(Tables.load(s, dir, "documents"),
+          "doc_id", "text", idx)
+        OperatorCache.releaseAll(s)
+        val workload = s.createDataFrame(Seq(
+          (1L, "join vector filter"), (2L, "stream window"),
+          (3L, "quality score text"))).toDF("qid", "query")
+        val run = TextSearch.searchTopKBatch(workload, "qid", "query", idx,
+          k = 20)
+        val jt = s.createDataFrame(Seq(
+          (1L, "vector"), (2L, "stream"), (3L, "quality")))
+          .toDF("qid", "jterm")
+        val qrels = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(Dedup.tokensOf(col("text"))).as("term"))
+          .join(broadcast(jt), col("term") === col("jterm"))
+          .groupBy("qid", "doc_id")
+          .agg(least(count(lit(1)), lit(3L)).cast("double").as("rel"))
+        TextSearch.evalRetrieval(run, "qid", "doc", "rank",
+          qrels, "qid", "doc_id", "rel", k = 10)
+          .orderBy("qid")
+      },
+      Some("""WITH terms AS (
+           |  SELECT doc_id AS doc,
+           |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+           |                            x -> x <> '')) AS term
+           |  FROM read_parquet('{SFDIR}/documents.parquet')
+           |), dl AS (
+           |  SELECT doc, COUNT(*) AS dl FROM terms GROUP BY doc
+           |), bstats AS (
+           |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+           |), qt AS (
+           |  SELECT * FROM (VALUES (1, 'join'), (1, 'vector'), (1, 'filter'),
+           |                        (2, 'stream'), (2, 'window'),
+           |                        (3, 'quality'), (3, 'score'), (3, 'text')) v(qid, term)
+           |), bq AS (
+           |  SELECT doc, term FROM terms
+           |  WHERE term IN (SELECT DISTINCT term FROM qt)
+           |), btf AS (
+           |  SELECT doc, term, COUNT(*) AS tf FROM bq GROUP BY doc, term
+           |), bdf AS (
+           |  SELECT term, COUNT(DISTINCT doc) AS df FROM bq GROUP BY term
+           |), bcontrib AS (
+           |  SELECT qt.qid, btf.doc,
+           |         LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           |           * CAST(tf AS DOUBLE)
+           |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+           |  FROM qt JOIN btf ON qt.term = btf.term
+           |       JOIN bdf ON btf.term = bdf.term
+           |       JOIN dl ON btf.doc = dl.doc, bstats
+           |), bsc AS (
+           |  SELECT qid, doc, ROUND(SUM(c), 6) AS score FROM bcontrib GROUP BY qid, doc
+           |), rk AS (
+           |  SELECT qid, doc, rank FROM (
+           |    SELECT qid, doc,
+           |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc ASC) AS rank
+           |    FROM bsc
+           |  ) WHERE rank <= 10
+           |), jt AS (
+           |  SELECT * FROM (VALUES (1, 'vector'), (2, 'stream'), (3, 'quality')) v(qid, jterm)
+           |), qr AS (
+           |  SELECT jt.qid, t.doc, CAST(LEAST(COUNT(*), 3) AS DOUBLE) AS rel
+           |  FROM terms t JOIN jt ON t.term = jt.jterm GROUP BY jt.qid, t.doc
+           |), prq AS (
+           |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qr GROUP BY qid
+           |), idcg AS (
+           |  SELECT qid,
+           |         CAST(SUM(CAST(ROUND((POW(2.0, rel) - 1) / (LN(CAST(irank AS DOUBLE) + 1.0) / LN(2.0)), 6) AS DECIMAL(28,6))) AS DOUBLE) AS idcg
+           |  FROM (SELECT qid, rel, doc,
+           |               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, doc ASC) AS irank
+           |        FROM qr)
+           |  WHERE irank <= 10 GROUP BY qid
+           |), sc AS (
+           |  SELECT r.qid, r.rank, COALESCE(qr.rel, 0.0) AS rel
+           |  FROM rk r LEFT JOIN qr ON qr.qid = r.qid AND qr.doc = r.doc
+           |), ag AS (
+           |  SELECT qid,
+           |         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |         CAST(SUM(CAST(ROUND((POW(2.0, rel) - 1) / (LN(CAST(rank AS DOUBLE) + 1.0) / LN(2.0)), 6) AS DECIMAL(28,6))) AS DOUBLE) AS dcg,
+           |         MAX(CASE WHEN rel > 0 THEN 1.0 / rank ELSE 0.0 END) AS rr
+           |  FROM sc GROUP BY qid
+           |), jmeta AS (
+           |  SELECT prq.qid, prq.n_rel, idcg.idcg FROM prq JOIN idcg USING (qid)
+           |)
+           |SELECT CAST(COALESCE(ag.qid, jm.qid) AS BIGINT) AS qid,
+           |       CAST(COALESCE(jm.n_rel, 0) AS BIGINT) AS n_rel,
+           |       CAST(COALESCE(ag.n_hit, 0) AS BIGINT) AS n_hit,
+           |       ROUND(COALESCE(ag.n_hit, 0) / 10.0, 6) AS precision,
+           |       CASE WHEN COALESCE(jm.n_rel, 0) > 0
+           |            THEN ROUND(COALESCE(ag.n_hit, 0) / CAST(jm.n_rel AS DOUBLE), 6) END AS recall,
+           |       ROUND(COALESCE(ag.rr, 0.0), 6) AS mrr,
+           |       CASE WHEN jm.idcg IS NOT NULL AND jm.idcg > 0
+           |            THEN ROUND(COALESCE(ag.dcg, 0.0) / jm.idcg, 6) END AS ndcg
+           |FROM ag FULL OUTER JOIN jmeta jm ON ag.qid = jm.qid
+           |ORDER BY qid""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

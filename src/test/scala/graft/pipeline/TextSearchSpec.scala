@@ -323,4 +323,45 @@ class TextSearchSpec extends SparkSpec {
       .where(col("doc") === 5L && col("term") === "join").count() == 0)
     OperatorCache.releaseAll(spark)
   }
+
+  test("evalRetrieval: hand-checked precision/recall/MRR/nDCG, judged-only " +
+      "queries score zero, unjudged queries null out ratio metrics") {
+    import spark.implicits._
+    // q1: graded hits at ranks 1 and 3; q2: judged, zero hits;
+    // q3: answered but unjudged; q4: judged, never answered
+    val run = Seq(
+      (1L, 10L, 1), (1L, 40L, 2), (1L, 20L, 3),
+      (2L, 50L, 1), (2L, 60L, 2), (2L, 70L, 3),
+      (3L, 10L, 1)).toDF("qid", "doc", "rank")
+    val qrels = Seq(
+      (1L, 10L, 3), (1L, 20L, 1), (1L, 30L, 1),
+      (2L, 90L, 2),
+      (4L, 10L, 1)).toDF("qid", "doc", "rel")
+    val out = TextSearch.evalRetrieval(run, "qid", "doc", "rank",
+      qrels, "qid", "doc", "rel", k = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val q1 = out(1L)
+    assert(q1.getLong(1) == 3 && q1.getLong(2) == 2, "q1 n_rel=3, n_hit=2")
+    assert(q1.getDouble(3) == 0.666667 && q1.getDouble(4) == 0.666667)
+    assert(q1.getDouble(5) == 1.0, "first relevant at rank 1")
+    // dcg = 7/log2(2) + 0 + 1/log2(4); idcg = 7 + 1/log2(3) + 1/log2(4),
+    // each term 6-rounded before the exact decimal sum
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val ndcg = r6((r6(7.0) + r6(0.0) + r6(1.0 / log2(4))) /
+      (r6(7.0) + r6(1.0 / log2(3)) + r6(1.0 / log2(4))))
+    assert(math.abs(q1.getDouble(6) - ndcg) < 1e-9, s"q1 ndcg ${q1.getDouble(6)} vs $ndcg")
+    val q2 = out(2L)
+    assert(q2.getLong(1) == 1 && q2.getLong(2) == 0 && q2.getDouble(3) == 0.0
+      && q2.getDouble(4) == 0.0 && q2.getDouble(5) == 0.0
+      && q2.getDouble(6) == 0.0, s"judged-but-missed scores zero: $q2")
+    val q3 = out(3L)
+    assert(q3.getLong(1) == 0 && q3.isNullAt(4) && q3.isNullAt(6),
+      s"unjudged query nulls recall/ndcg (0/0 is unjudged, not failure): $q3")
+    val q4 = out(4L)
+    assert(q4.getLong(1) == 1 && q4.getLong(2) == 0 && q4.getDouble(5) == 0.0
+      && q4.getDouble(6) == 0.0,
+      s"judged query the run never answered scores zero, not absent: $q4")
+  }
 }
