@@ -1111,4 +1111,71 @@ object TrainingPipeline {
       .join(spark.read.parquet(s"$outDir/_manifest"), "doc_id")
       .select("doc_id", "text", "split")
   }
+
+  /** Cost-based cascade ordering of INDEPENDENT screens — the classic
+    * rank-ordering result: for independent per-row predicates, the
+    * expected-cost-minimizing cascade runs screens in decreasing
+    * drop-rate-per-unit-cost (a cheap screen that kills a third of the
+    * corpus belongs before an expensive one that kills a half). At
+    * 100 TB, screen ORDER is a first-order cost lever: every doc a
+    * front screen drops is a doc every later screen never prices.
+    *
+    * Selectivities are MEASURED, not guessed: each screen's pass count
+    * is computed on a deterministic absolute-target sample (the
+    * [[graft.pipeline.Curation.idGate]] — the same ids survive on every
+    * engine, partitioning, and cluster size, so the plan is
+    * reproducible evidence, not a point-in-time accident). Costs are
+    * the caller's relative per-doc prices (a regex pass costs more
+    * than a length check).
+    *
+    * Returns one row per screen with the measured evidence and the
+    * recommended position — a PLANNING artifact the cascade caller
+    * feeds back into its stage order, not a mutation of any pipeline.
+    *
+    * Scale shape: one count (the sample-rate denominator) plus ONE
+    * map-side-combined aggregate over the sampled slice computing all
+    * screens' pass counts in a single pass; the screen-count result
+    * rows are built on the driver (screens are few by construction).
+    *
+    * @param screens (name, keeps-predicate over `docs`' columns,
+    *                relative per-doc cost > 0) — names must be unique
+    * @return (rank, screen, sample_n, kept, drop_rate, cost,
+    *         drop_per_cost), rank 1 = run first, ordered by
+    *         drop_per_cost desc with name-asc ties
+    */
+  def orderScreens(
+      docs: DataFrame, idCol: String,
+      screens: Seq[(String, Column, Double)],
+      sampleTarget: Long = 100000L, salt: Int = 0): DataFrame = {
+    require(screens.nonEmpty, "orderScreens needs at least one screen")
+    require(screens.map(_._1).distinct.size == screens.size,
+      s"screen names must be unique: ${screens.map(_._1)}")
+    screens.foreach { case (n, _, c) =>
+      require(c > 0, s"screen cost must be positive: $n has $c") }
+    val spark = docs.sparkSession
+    val total = docs.count()
+    val frac = math.min(1.0, sampleTarget.toDouble / math.max(total, 1L))
+    val sampled = docs.where(
+      Curation.idGate(col(idCol), salt) < lit(math.round(frac * 1e6)))
+    val aggs = count(lit(1)).as("__n") +:
+      screens.map { case (name, keeps, _) =>
+        sum(when(keeps, 1L).otherwise(0L)).as(s"__k_$name") }
+    val row = sampled.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n")
+    require(n > 0, s"orderScreens sample is empty (corpus $total rows, " +
+      s"target $sampleTarget) — selectivities need evidence")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = screens.map { case (name, _, cost) =>
+      val kept = row.getAs[Long](s"__k_$name")
+      val drop = 1.0 - kept.toDouble / n
+      (name, n, kept, r6(drop), cost, r6(drop / cost))
+    }.sortBy { case (name, _, _, _, _, dpc) => (-dpc, name) }
+      .zipWithIndex.map { case ((name, sn, kept, drop, cost, dpc), i) =>
+        (i + 1, name, sn, kept, drop, cost, dpc)
+      }
+    import spark.implicits._
+    scored.toDF("rank", "screen", "sample_n", "kept", "drop_rate", "cost",
+      "drop_per_cost")
+  }
 }

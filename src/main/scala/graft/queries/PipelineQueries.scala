@@ -6881,6 +6881,64 @@ object PipelineQueries {
            |            THEN ROUND(COALESCE(ag.dcg, 0.0) / jm.idcg, 6) END AS ndcg
            |FROM ag FULL OUTER JOIN jmeta jm ON ag.qid = jm.qid
            |ORDER BY qid""".stripMargin)),
+
+    // Cost-based cascade ordering (the rank-ordering law): measure each
+    // screen's drop rate on the deterministic idGate sample, order by
+    // drop-per-unit-cost. The oracle replays the sample gate, all four
+    // pass counts (the curate g-stage predicate expressions, parity
+    // already proven by p49's stages), and the ratio sort.
+    QueryDef("p142_screen_order",
+      (s, dir) => {
+        val feats = TextAnalysis.qualityFeatures(col("text")).toMap
+        TrainingPipeline.orderScreens(
+          Tables.load(s, dir, "documents").select("doc_id", "text"),
+          "doc_id",
+          Seq(
+            ("minwords", feats("n_words") >= 20, 1.0),
+            ("punct", feats("punct_ratio") <= 0.2, 2.0),
+            ("digit", feats("digit_ratio") <= 0.3, 2.0),
+            ("uniq", feats("uniq_word_ratio") >= 0.5, 3.0)),
+          sampleTarget = 2000L)
+          .orderBy("rank")
+      },
+      Some("""WITH f AS (
+           |  SELECT doc_id, text, LENGTH(text) AS n_chars,
+           |         string_split_regex(TRIM(text), '\s+') AS words
+           |  FROM read_parquet('{SFDIR}/documents.parquet')
+           |), smp AS (
+           |  SELECT * FROM f
+           |  WHERE (doc_id % 100000 * 2654435761) % 1000000 <
+           |        (SELECT CAST(ROUND(LEAST(1.0, 2000.0 / COUNT(*)) * 1000000) AS BIGINT)
+           |         FROM read_parquet('{SFDIR}/documents.parquet'))
+           |), m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |         CAST(SUM(CASE WHEN LEN(words) >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS k_minwords,
+           |         CAST(SUM(CASE WHEN CAST(LEN(regexp_extract_all(text, '[\.,;:!\?''"()\[\]{}-]')) AS DOUBLE)
+           |                            / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS k_punct,
+           |         CAST(SUM(CASE WHEN CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           |                            / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS k_digit,
+           |         CAST(SUM(CASE WHEN CAST(LEN(list_distinct(words)) AS DOUBLE)
+           |                            / CAST(GREATEST(LEN(words), 1) AS DOUBLE) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS k_uniq
+           |  FROM smp
+           |), sdef AS (
+           |  SELECT * FROM (VALUES
+           |    ('minwords', 1.0), ('punct', 2.0), ('digit', 2.0), ('uniq', 3.0)) v(screen, cost)
+           |), j AS (
+           |  SELECT sdef.screen, m.n AS sample_n,
+           |         CASE sdef.screen WHEN 'minwords' THEN k_minwords
+           |              WHEN 'punct' THEN k_punct
+           |              WHEN 'digit' THEN k_digit ELSE k_uniq END AS kept,
+           |         sdef.cost
+           |  FROM sdef, m
+           |)
+           |SELECT CAST(ROW_NUMBER() OVER (
+           |         ORDER BY ROUND((1.0 - kept / CAST(sample_n AS DOUBLE)) / cost, 6) DESC,
+           |                  screen ASC) AS INT) AS rank,
+           |       screen, sample_n, kept,
+           |       ROUND(1.0 - kept / CAST(sample_n AS DOUBLE), 6) AS drop_rate,
+           |       cost,
+           |       ROUND((1.0 - kept / CAST(sample_n AS DOUBLE)) / cost, 6) AS drop_per_cost
+           |FROM j ORDER BY rank""".stripMargin)),
   )
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared

@@ -442,6 +442,32 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("orderScreens: measured drop rates, the rank-ordering law, cost flips") {
+    val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val screens = Seq(
+      ("mod2", col("doc_id") % 2 === 0, 1.0),   // drop 0.5, ratio 0.50
+      ("mod4", col("doc_id") % 4 === 0, 3.0),   // drop 0.75, ratio 0.25
+      ("mod5", col("doc_id") % 5 === 0, 2.0))   // drop 0.8, ratio 0.40
+    val out = TrainingPipeline.orderScreens(docs, "doc_id", screens,
+      sampleTarget = 1000L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(6)))
+    assert(out.map(_._2).toSeq == Seq("mod2", "mod5", "mod4"),
+      s"rank ordering = drop-per-cost desc: ${out.toSeq}")
+    val byName = out.map(t => t._2 -> t).toMap
+    assert(byName("mod2")._3 == 100 && byName("mod2")._4 == 50 &&
+      byName("mod2")._5 == 0.5 && byName("mod2")._6 == 0.5)
+    assert(byName("mod5")._5 == 0.8 && byName("mod5")._6 == 0.4)
+    assert(byName("mod4")._5 == 0.75 && byName("mod4")._6 == 0.25)
+    // unit costs: the pure-selectivity order (cheapest-information
+    // argument gone, highest drop first) — cost genuinely moves the plan
+    val unit = TrainingPipeline.orderScreens(docs, "doc_id",
+      screens.map { case (n, p, _) => (n, p, 1.0) }, sampleTarget = 1000L)
+      .collect().map(_.getString(1)).toSeq
+    assert(unit == Seq("mod5", "mod4", "mod2"),
+      s"unit costs must order by raw drop rate: $unit")
+  }
+
   test("appendState with a batchId is idempotent: replay converges, partial landing heals") {
     val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
     val state0 = TrainingPipeline.curateState(prev, "doc_id", "text",
