@@ -451,6 +451,35 @@ object TextSearch {
       .select("qid", "rank", "doc", "rrf", "rank_bm25", "rank_cos")
   }
 
+  /** The fully-SERVED RRF hybrid — [[searchRrfBatch]] with its
+    * embedding side wired to the batched ANN layout probe
+    * ([[graft.pipeline.Similarity.probeIvfPqBatch]]), the production
+    * composition in one call: BM25 ranks from the pruned text index,
+    * cosine ranks from ONE pruned pass over the IVF-PQ layout, fused
+    * by 1/(rrfK+rank). Corpus work is three jobs' worth regardless of
+    * workload size (oracle-pinned end to end by p138).
+    *
+    * @param annIdCol the ANN layout's id column — must share the text
+    *                 index's doc-id domain (the fusion joins on it)
+    */
+  def searchRrfServed(
+      workload: DataFrame, qidCol: String, queryCol: String, qvecCol: String,
+      dir: String, annPath: String, annIdCol: String, annVecCol: String,
+      coarse: Similarity.IvfIndex, books: Seq[Similarity.IvfIndex],
+      k: Int = 10, candidates: Int = 50, rrfK: Int = 60,
+      nprobe: Int = 3, rescoreFactor: Int = 5,
+  ): DataFrame = {
+    val vecRanks = Similarity.probeIvfPqBatch(
+      workload, qidCol, qvecCol, annPath, annIdCol, annVecCol,
+      coarse, books, k = candidates, nprobe, rescoreFactor)
+      .select(col("qid"), col(annIdCol).as("doc"), col("rank").as("rank_cos"))
+    searchRrfBatch(workload, qidCol, queryCol, qvecCol, dir,
+      // vectors are unused when vecRanks is injected — pass the empty
+      // projection so no accidental plan hangs off the brute-force path
+      workload.sparkSession.emptyDataFrame, annIdCol, annVecCol,
+      k, candidates, rrfK, vecRanks = Some(vecRanks))
+  }
+
   /** Retrieval-quality evaluation of ANY ranked run — the metric layer
     * every retriever here feeds ([[searchTopKBatch]],
     * [[searchHybridBatch]], [[searchRrfBatch]], the

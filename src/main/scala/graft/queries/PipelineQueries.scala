@@ -6578,13 +6578,8 @@ object PipelineQueries {
         val workload = s.createDataFrame(qs).toDF("qid", "query", "vid")
           .join(emb.select(col("vec_id").as("vid"), col("embedding").as("qv")),
             "vid")
-        val vecRanks = Similarity.probeIvfPqBatch(workload, "qid", "qv", ann,
-          "vec_id", "embedding", coarse, books, k = 20)
-          .select(col("qid"), col("vec_id").as("doc"),
-            col("rank").as("rank_cos"))
-        TextSearch.searchRrfBatch(workload, "qid", "query", "qv", idx,
-          emb, "vec_id", "embedding", k = 5, candidates = 20,
-          vecRanks = Some(vecRanks))
+        TextSearch.searchRrfServed(workload, "qid", "query", "qv", idx,
+          ann, "vec_id", "embedding", coarse, books, k = 5, candidates = 20)
           .orderBy("qid", "rank")
       },
       Some(ivfAssignSql(8) +
