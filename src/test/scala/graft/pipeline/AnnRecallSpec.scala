@@ -274,6 +274,54 @@ class AnnRecallSpec extends SparkSpec {
       "LSH batch probe must equal the per-query loop, rank for rank")
   }
 
+  test("probeIvfPqBatch plan: workload meets cells through a broadcast " +
+      "hash join, never a shuffle of the pruned scan") {
+    val coarse = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)
+    val books = Similarity.trainPq(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val path = "target/graft-tmp/ivfpq-batch-plan"
+    Similarity.writeIvfPq(corpus, "embedding", path, coarse, books)
+    import spark.implicits._
+    val workload = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("qid", "qv")
+    val plan = Similarity.probeIvfPqBatch(workload, "qid", "qv", path,
+      "vec_id", "embedding", coarse, books, K)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe pairs must broadcast into the pruned scan:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus-side scan must never shuffle for the workload join")
+  }
+
+  test("evalRetrieval scores the batch probe against exact top-k (recall " +
+      "composition)") {
+    val coarse = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)
+    val books = Similarity.trainPq(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val path = "target/graft-tmp/ivfpq-batch-eval"
+    Similarity.writeIvfPq(corpus, "embedding", path, coarse, books)
+    import spark.implicits._
+    val workload = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("qid", "qv")
+    val run = Similarity.probeIvfPqBatch(workload, "qid", "qv", path,
+      "vec_id", "embedding", coarse, books, K, nprobe = 6, rescoreFactor = 10)
+    // qrels = the exact answer (rel 1 each): recall@k from evalRetrieval
+    // IS recall in the p90-audit sense, and mean nDCG has the same floor
+    val qrels = queries.zipWithIndex.flatMap { case (q, i) =>
+      Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, K)
+        .collect().map(r => (i.toLong, r.getLong(0), 1))
+    }.toDF("qid", "doc", "rel")
+    val m = TextSearch.evalRetrieval(run, "qid", "vec_id", "rank",
+      qrels, "qid", "doc", "rel", k = K).collect()
+    assert(m.length == queries.size, "one metric row per query")
+    val meanRecall = m.map(_.getDouble(4)).sum / m.length
+    info(f"batch-probe recall@$K via evalRetrieval = $meanRecall%.2f")
+    assert(meanRecall >= 0.55,
+      f"composition must reproduce the p90-style floor: $meanRecall%.2f")
+    m.foreach { r =>
+      assert(r.getLong(1) == K && r.getDouble(3) == r.getDouble(4),
+        s"with |qrels| = k, precision@k must equal recall@k: $r")
+    }
+  }
+
   test("SQ8 two-stage rescoring is near-exact") {
     val quantized = Similarity.quantizeSq8(corpus, "embedding").persist()
     quantized.count()

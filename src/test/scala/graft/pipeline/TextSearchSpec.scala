@@ -324,6 +324,36 @@ class TextSearchSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("searchRrfServed equals the manual probeIvfPqBatch + vecRanks " +
+      "composition") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val d = "target/graft-tmp/rrf-served-spec"
+    TextSearch.writeIndex(docs, "doc_id", "text", s"$d/text")
+    OperatorCache.releaseAll(spark)
+    val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 4)
+    val books = Similarity.trainPq(emb, "vec_id", "embedding", m = 2, k = 4)
+    Similarity.writeIvfPq(emb, "embedding", s"$d/ann", coarse, books)
+    val workload = Seq((1L, "join vector filter", 3L), (2L, "stream window", 9L))
+      .toDF("qid", "query", "vid")
+      .join(emb.select(col("vec_id").as("vid"), col("embedding").as("qv")),
+        "vid")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val served = rows(TextSearch.searchRrfServed(workload, "qid", "query",
+      "qv", s"$d/text", s"$d/ann", "vec_id", "embedding", coarse, books,
+      k = 5, candidates = 10))
+    val vecRanks = Similarity.probeIvfPqBatch(workload, "qid", "qv",
+      s"$d/ann", "vec_id", "embedding", coarse, books, k = 10)
+      .select(col("qid"), col("vec_id").as("doc"), col("rank").as("rank_cos"))
+    val manual = rows(TextSearch.searchRrfBatch(workload, "qid", "query",
+      "qv", s"$d/text", emb, "vec_id", "embedding", k = 5, candidates = 10,
+      vecRanks = Some(vecRanks)))
+    assert(served == manual && served.nonEmpty,
+      "the one-call served RRF must equal the manual composition")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("evalRetrieval: hand-checked precision/recall/MRR/nDCG, judged-only " +
       "queries score zero, unjudged queries null out ratio metrics") {
     import spark.implicits._
