@@ -207,6 +207,13 @@ object Similarity {
     * exact-cosine rank is a qid window under WindowGroupLimit. Results
     * equal a [[probeIndexed]] loop rank for rank (AnnRecallSpec).
     *
+    * The driver-side bucket union is min(workload × (planes+1),
+    * 2^planes) DISTINCT longs — at [[planesFor]]-sized layouts that is
+    * bounded by the layout's own bucket space, and at very large
+    * workloads the probe set approaches "all buckets" anyway (pruning
+    * stops mattering exactly when the workload already touches
+    * everything).
+    *
     * @return (qid, rank, idCol, cosine), rank 1..k per qid
     */
   def probeIndexedBatch(
