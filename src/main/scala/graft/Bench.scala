@@ -278,9 +278,26 @@ object Bench {
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve("attribution.json"), attrLine)
     } catch { case _: Throwable => () }
-    // the compact totals line is the official record — print it LAST
+    // full totals line: printed AND persisted to bench/ (the driver's
+    // stdout capture keeps only a ~2,000-char tail, which a 150-query
+    // map exceeds — r18's BENCH arrived parsed:null for exactly that
+    // reason, so the file is the durable record)
+    val fullLine =
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qJson,"errors":$nErr,"sf":"$sfDir"}"""
+    println(fullLine)
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench").resolve("totals.json"), fullLine)
+    } catch { case _: Throwable => () }
+    // compact totals line LAST — same contract shape, but `queries`
+    // carries only the 12 slowest (the full map is in bench/totals.json
+    // and the line above), so the whole line fits any tail capture
+    val slowest = results.collect { case (k, Right(runs)) =>
+      k -> math.round(runs.map(_.sec).min * 1000) / 1000.0
+    }.sortBy(-_._2).take(12)
+      .map { case (k, s) => s""""$k":$s""" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qJson,"errors":$nErr,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$slowest,"queries_n":${results.size},"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -121,6 +121,49 @@ object IvfPqScaleBench {
         s""""res_build_sec":${f"$rb%.2f"},"res_probe_sec":${f"$rp%.2f"},""" +
         s""""batch64_sec":${f"$bs%.2f"},"loop64_sec":${f"$ls%.2f"}}""")
     }
+
+    // LSH batched serving at a BULK workload (r18 VERDICT): 1e5 queries
+    // against the largest replica's LSH layout, once per regime. The
+    // claim under test: the bucket-union probe collects at most cap+1
+    // longs regardless of workload size, and above the cap the join
+    // regime serves the same workload with ZERO driver enumeration —
+    // so a 1e5–1e6-query offline scoring pass cannot OOM the driver.
+    val maxReplicas = replicaList.max
+    val scaledMax =
+      if (maxReplicas == 1) emb
+      else emb
+        .withColumn("copy", explode(sequence(lit(0), lit(maxReplicas - 1))))
+        .select((col("vec_id") + col("copy") * maxId).as("vec_id"), col("embedding"))
+    val nMax = scaledMax.count()
+    val lshPath = "target/graft-tmp/ivfpq-scale/lsh_bulk"
+    val planes = Similarity.planesFor(nMax)
+    val (_, lshBuildSec) = timed {
+      Similarity.writeIndexed(scaledMax, "embedding", lshPath, planes)
+    }
+    val bigW = args.lift(1).map(_.trim.toInt).getOrElse(100000)
+    val wReplicas = math.max(1, math.ceil(bigW.toDouble / nMax).toInt)
+    val bulk = (if (wReplicas == 1) scaledMax
+      else scaledMax
+        .withColumn("copy", explode(sequence(lit(0), lit(wReplicas - 1))))
+        .select((col("vec_id") + col("copy") * maxId * maxReplicas).as("vec_id"),
+          col("embedding")))
+      .limit(bigW)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // count(), not collect(): 1e5×k result rows stay distributed
+    def lshServe(cap: Int): (Long, Double) = timed {
+      Similarity.probeIndexedBatch(bulk, "qid", "qv", lshPath,
+        "vec_id", "embedding", k = 10, planes,
+        maxPrunedBuckets = cap).count()
+    }
+    val (prunedRows, prunedSec) = lshServe(100000) // default cap: isin regime
+    val (joinRows, joinSec) = lshServe(1) // forced join regime: no enumeration
+    require(prunedRows == joinRows,
+      s"regimes must serve identical workloads: $prunedRows vs $joinRows")
+    println(s"""{"lsh_bulk":true,"vectors":$nMax,"planes":$planes,""" +
+      s""""workload":$bigW,"build_sec":${f"$lshBuildSec%.2f"},""" +
+      s""""result_rows":$prunedRows,""" +
+      s""""pruned_serve_sec":${f"$prunedSec%.2f"},""" +
+      s""""join_serve_sec":${f"$joinSec%.2f"}}""")
     spark.stop()
   }
 }

@@ -207,12 +207,25 @@ object Similarity {
     * exact-cosine rank is a qid window under WindowGroupLimit. Results
     * equal a [[probeIndexed]] loop rank for rank (AnnRecallSpec).
     *
-    * The driver-side bucket union is min(workload × (planes+1),
-    * 2^planes) DISTINCT longs — at [[planesFor]]-sized layouts that is
-    * bounded by the layout's own bucket space, and at very large
-    * workloads the probe set approaches "all buckets" anyway (pruning
-    * stops mattering exactly when the workload already touches
-    * everything).
+    * The bucket union is min(workload × (planes+1), 2^planes) DISTINCT
+    * longs — workload-proportional, so it is never collected blind. Two
+    * regimes, chosen by a bounded limit(cap+1) probe of the union:
+    *  - AT OR BELOW `maxPrunedBuckets` the union (≤ cap longs) becomes
+    *    an `isin` partition filter: the layout scan reads only the
+    *    probed `bucket=` directories and the workload broadcasts into
+    *    it — zero shuffles of corpus data. This is the
+    *    interactive-serving shape.
+    *  - ABOVE the cap nothing more is collected: at 10⁵+ distinct
+    *    buckets the probe set approaches the whole bucket space (a
+    *    planesFor-sized layout holds ~corpus/1000 buckets), so
+    *    enumerating it buys no pruning while costing a driver-memory
+    *    spike and a 10⁵-literal IN predicate. The workload instead
+    *    meets the layout through the bucket equi-join alone — one
+    *    shuffle of the bucket-keyed scan, no broadcast of the
+    *    then-large workload, no driver enumeration. This is the
+    *    offline-bulk-scoring shape.
+    * Both regimes produce identical rows (AnnRecallSpec pins the
+    * equality and each regime's plan).
     *
     * @return (qid, rank, idCol, cosine), rank 1..k per qid
     */
@@ -220,10 +233,15 @@ object Similarity {
       workload: DataFrame, qidCol: String, qvecCol: String,
       path: String, idCol: String, vecCol: String,
       k: Int, planes: Int = 12, seed: Long = 42L,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true,
+      maxPrunedBuckets: Int = 100000): DataFrame = {
     val spark = workload.sparkSession
     checkIndexMeta(spark, path, Seq("planes" -> planes.toLong, "seed" -> seed))
-    if (workload.isEmpty) {
+    // ONE limit-1 job answers both "is the workload empty" and "what is
+    // the embedding dimension" — the former isEmpty + dimOf pair cost
+    // two scan jobs per serve on the hot path (r18 ADVICE)
+    val head = workload.select(size(col(qvecCol))).limit(1).collect()
+    if (head.isEmpty) {
       // the hyperplanes need the dimension, which only the data carries
       // here (no model artifact) — an empty workload has none, so
       // return the well-typed empty result directly (the layout footer
@@ -238,7 +256,10 @@ object Similarity {
           StructField(idCol, idT),
           StructField("cosine", DoubleType))))
     }
-    val dim = dimOf(workload, qvecCol)
+    val dim =
+      if (!head(0).isNullAt(0) && head(0).getInt(0) > 0) head(0).getInt(0)
+      else throw new IllegalArgumentException(
+        s"cannot infer embedding dimension: first '$qvecCol' is null or empty")
     val sigd = workload
       .select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
       .withColumn("__sig", lshSignature(col("__qv"), dim, planes, seed))
@@ -249,13 +270,24 @@ object Similarity {
       else Seq(col("__sig"))
     val probes = sigd.withColumn("bucket", explode(array(probeCols: _*)))
       .select("qid", "__qv", "bucket")
-    val buckets = probes.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toIndexedSeq
-    val cells = minusTombstones(spark, path, spark.read.parquet(path)
-      .where(col("bucket").isin(buckets: _*)), idCol)
+    // bounded union probe: collects at most cap+1 longs regardless of
+    // workload size — never the full workload-proportional union
+    val sample = probes.select("bucket").distinct()
+      .limit(maxPrunedBuckets + 1).collect()
+    val pruned = sample.length <= maxPrunedBuckets
+    val scan = spark.read.parquet(path)
+    val cells = minusTombstones(spark, path,
+      if (pruned)
+        scan.where(col("bucket").isin(
+          sample.map(_.getLong(0)).toIndexedSeq: _*)) // → PartitionFilters
+      else scan, // the equi-join below restricts to probed buckets
+      idCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col(idCol).asc)
-    cells.join(broadcast(probes), Seq("bucket"))
+    val paired =
+      if (pruned) cells.join(broadcast(probes), Seq("bucket"))
+      else cells.join(probes, Seq("bucket"))
+    paired
       .select(col("qid"), col(idCol),
         round(cosine(col(vecCol), col("__qv")), 6).as("cosine"))
       .withColumn("rank", row_number().over(w))

@@ -274,6 +274,43 @@ class AnnRecallSpec extends SparkSpec {
       "LSH batch probe must equal the per-query loop, rank for rank")
   }
 
+  test("probeIndexedBatch regimes: isin-pruned scan below the bucket cap, " +
+      "join-only (no driver enumeration) above it") {
+    val path = "target/graft-tmp/lsh-batch-regimes"
+    val planes = 4
+    Similarity.writeIndexed(corpus, "embedding", path, planes)
+    import spark.implicits._
+    val workload = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("qid", "qv")
+    val want = queries.zipWithIndex.flatMap { case (q, i) =>
+      Similarity.probeIndexed(spark, path, "vec_id", "embedding", q, K,
+        planes).collect().zipWithIndex
+        .map { case (r, j) => (i.toLong, j + 1, r.getLong(0), r.getDouble(1)) }
+    }.toSet
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // BELOW the cap (default): bucket union pushed as a partition
+    // filter, workload broadcast into the pruned scan
+    val below = Similarity.probeIndexedBatch(workload, "qid", "qv", path,
+      "vec_id", "embedding", K, planes)
+    val belowPlan = below.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[bucket".r.findFirstIn(belowPlan).isDefined,
+      s"pruned regime must push the bucket union into PartitionFilters:\n${belowPlan.take(800)}")
+    assert(belowPlan.contains("BroadcastHashJoin"),
+      "pruned regime must broadcast the workload into the pruned scan")
+    assert(rows(below) == want, "pruned regime must equal the loop")
+    // ABOVE the cap (forced with cap=1 on the fixture): no bucket
+    // enumeration — the scan carries NO static bucket partition filter,
+    // the workload meets it through the equi-join alone
+    val above = Similarity.probeIndexedBatch(workload, "qid", "qv", path,
+      "vec_id", "embedding", K, planes, maxPrunedBuckets = 1)
+    val abovePlan = above.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[bucket".r.findFirstIn(abovePlan).isEmpty,
+      s"join regime must not enumerate buckets into the scan:\n${abovePlan.take(800)}")
+    assert(rows(above) == want, "join regime must equal the loop")
+  }
+
   test("probeIvfPqBatch plan: workload meets cells through a broadcast " +
       "hash join, never a shuffle of the pruned scan") {
     val coarse = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)

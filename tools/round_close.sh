@@ -20,7 +20,16 @@ sbt -batch test 2>&1 | tail -4
 
 echo "== [2/5] Verify @ sf0.01 + differential + dtype sweep"
 SPARK_GRAFT_CPUS=16 tools/run.sh graft.Verify /root/testdata/sf0.01 target/verify_close
-python3 tools/verify_local.py /root/testdata/sf0.01 target/verify_close | tail -3
+# per-query map committed as the round's own correctness evidence
+# (r18: the driver's CORRECTNESS artifact arrived empty — the repo
+# must not depend on driver-side delivery for the hard signal)
+python3 tools/verify_local.py /root/testdata/sf0.01 target/verify_close \
+  "bench/correctness_r${R}_local.json" | tail -4
+if grep -q '"hash_match": false' "bench/correctness_r${R}_local.json"; then
+  echo "correctness snapshot has failures — failing the close"
+  grep -B1 '"hash_match": false' "bench/correctness_r${R}_local.json" | head -20
+  exit 1
+fi
 python3 tools/dtype_sweep.py /root/testdata/sf0.01 target/verify_close | tail -4
 
 echo "== [3/5] Verify @ sf0.01 under ANSI mode"
@@ -46,16 +55,26 @@ fi
 echo "ANSI sweep: 0 errors"
 
 echo "== [4/5] Bench @ sf0.1"
+# Bench now prints (attribution, FULL totals, compact totals) as its
+# last three lines and persists the full totals to bench/totals.json;
+# keep all three so compare_bench finds the full map
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  tools/run.sh graft.Bench 2>/dev/null | tail -2 > "/tmp/bench_sf01_r$R.txt"
+  tools/run.sh graft.Bench 2>/dev/null | tail -3 > "/tmp/bench_sf01_r$R.txt"
 cp bench/attribution.json "bench/attribution_r$R.json"
-tail -1 "/tmp/bench_sf01_r$R.txt" | head -c 400; echo
+tail -1 "/tmp/bench_sf01_r$R.txt" | head -c 800; echo
+prev=$((R-1))
+if [ -f "bench/attribution_r$prev.json" ]; then
+  echo "-- round-over-round triage vs r$prev (jobs + cpuMs classes; paste"
+  echo "-- the table into PLANS.md — r18 VERDICT item 8)"
+  python3 tools/triage_bench.py "bench/attribution_r$prev.json" \
+    "bench/attribution_r$R.json" | tail -40
+fi
 
 echo "== [5/5] Bench @ sf1 + triage"
 if [ -d target/sf1 ]; then
   SPARK_GRAFT_SF_DIR=target/sf1 SPARK_GRAFT_CPUS=32 \
-    tools/run.sh graft.Bench 2>/dev/null | tail -2 > /tmp/bench_sf1_raw.txt
-  tail -1 /tmp/bench_sf1_raw.txt > bench/BENCH_sf1.json
+    tools/run.sh graft.Bench 2>/dev/null | tail -3 > /tmp/bench_sf1_raw.txt
+  cp bench/totals.json bench/BENCH_sf1.json   # the FULL totals line
   cp bench/attribution.json bench/attribution_sf1.json
   # compare the min-of-two totals lines (the ones carrying "queries")
   python3 tools/compare_bench.py "/tmp/bench_sf01_r$R.txt" \
