@@ -156,11 +156,30 @@ object Recrawl {
       else {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
+        import scala.util.{Failure, Try}
         val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        try Await.result(
-          Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
-        finally pool.shutdown()
+        // await ALL tasks, not fail-fast: a Future.sequence rethrow on
+        // the first failure would return while sibling layout tasks are
+        // still mutating their directories (each layout assumes a
+        // single writer — a caller retry could overlap a straggler) and
+        // the finally below would unpersist the shared frames mid-read.
+        // Each task is wrapped in Try so the Await always sees every
+        // task finished; failures are then aggregated and rethrown.
+        val done =
+          try Await.result(
+            Future.sequence(tasks.map(t => Future(Try(t())))), Duration.Inf)
+          finally {
+            pool.shutdown()
+            // belt-and-braces: no task thread may outlive the call
+            pool.awaitTermination(Long.MaxValue,
+              java.util.concurrent.TimeUnit.NANOSECONDS)
+          }
+        val failures = done.collect { case Failure(e) => e }
+        failures.headOption.foreach { first =>
+          failures.drop(1).foreach(first.addSuppressed)
+          throw first
+        }
       }
     } finally {
       // every consumer of the cached frames runs inside this call (the

@@ -1099,17 +1099,30 @@ object Similarity {
       coarse.centroids.foreach { case (id, c) => dense(id) = c.toSeq }
       dot(col("__qv"), element_at(typedlit(dense.toIndexedSeq), col("centroid") + 1))
     }
+    // the broadcast side carries ONLY (qid, centroid, aconst) — ~24 B a
+    // probe row. The wide per-query payload (the m×k_code ADC lookup
+    // table plus the query vector itself) must NOT ride the centroid
+    // broadcast: duplicated workload × nprobe times it reaches tens of
+    // GB at the documented 10⁴–10⁶-query workloads (r18 ADVICE). It
+    // joins in once per qid AFTER the cell join instead — and that join
+    // piggybacks on the qid exchange the ADC-rank window pays anyway
+    // (at fixture workloads AQE broadcasts the small qtables side, at
+    // bulk workloads it shuffles qid-aligned with the window), so the
+    // plan gains no exchange the old shape didn't have.
     val probes = workload
       .select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
       .withColumn("centroid", explode(probeCells))
-      .withColumn("__tables", tables)
       .withColumn("__aconst", aconst)
+      .select("qid", "centroid", "__aconst")
+    val qtables = workload
+      .select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
+      .withColumn("__tables", tables)
     val cellIds = probes.select("centroid").distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
     val cells = minusTombstones(spark, path, spark.read.parquet(path)
       .where(col("centroid").isin(cellIds.map(Integer.valueOf): _*)), idCol)
     // the single-query ADC expression ([[adcScore]]) with the lookup
-    // tables read from the joined probe row instead of a literal
+    // tables read from the joined per-query row instead of a literal
     val adc = col("__aconst") + aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (code, s) => element_at(element_at(col("__tables"), s + 1), code + 1)),
@@ -1119,6 +1132,9 @@ object Similarity {
     val wCos = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col(idCol).asc)
     cells.join(broadcast(probes), Seq("centroid"))
+      .select(col("qid"), col(idCol), col(vecCol), col("codes"),
+        col("__aconst"))
+      .join(qtables, Seq("qid"))
       .select(col("qid"), col(idCol), col(vecCol), col("__qv"),
         round(adc, 6).as("adc"))
       .withColumn("__arank", row_number().over(wAdc))

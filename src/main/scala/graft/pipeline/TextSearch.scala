@@ -504,6 +504,13 @@ object TextSearch {
     * is qid × k rows, qrels are human- or rule-priced); two broadcast
     * joins and qid-keyed aggregates, no corpus-side work at all.
     *
+    * Duplicate keys (r18 ADVICE): a duplicated (qid, doc) judgment row
+    * would fan out the join and silently inflate n_hit/dcg/n_rel, so
+    * BOTH inputs are canonicalized to one row per (qid, doc) before
+    * any join — qrels keep the MAX rel (the standard TREC merge of
+    * conflicting assessments), the run keeps the doc's BEST (minimum)
+    * rank. For well-formed inputs both aggregates are exact no-ops.
+    *
     * @param run   ranked results (qidCol, docCol, rankCol), rank 1-based
     * @param qrels judgments (qidCol, docCol, relCol), rel > 0 = relevant
     * @return (qid, n_rel, n_hit, precision, recall, mrr, ndcg) — one row
@@ -522,8 +529,10 @@ object TextSearch {
         (log(rank.cast("double") + lit(1.0)) / log(lit(2.0))), 6).cast(dec6)
     val r = run.select(col(qidCol).as("qid"), col(docCol).as("doc"),
       col(rankCol).cast("int").as("rank")).where(col("rank") <= k)
+      .groupBy("qid", "doc").agg(min("rank").as("rank"))
     val q = qrels.select(col(qrelQidCol).as("qid"), col(qrelDocCol).as("doc"),
       col(relCol).cast("double").as("rel")).where(col("rel") > 0)
+      .groupBy("qid", "doc").agg(max("rel").as("rel"))
     val perQ = q.groupBy("qid").agg(count(lit(1)).as("n_rel"))
     val wIdeal = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("rel").desc, col("doc").asc)

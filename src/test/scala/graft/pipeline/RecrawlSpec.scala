@@ -181,4 +181,37 @@ class RecrawlSpec extends SparkSpec {
     assert(top == Seq((2L, 1.0)), s"ann from build: $top")
     OperatorCache.releaseAll(spark)
   }
+
+  test("advance awaits every layout task: a failing layout does not " +
+      "abandon siblings mid-write (r18 ADVICE)") {
+    val base = s"target/graft-test/recrawl_fail_${System.nanoTime()}"
+    val v1 = Seq((1L, phrase("one")), (2L, phrase("two"))).toDF("doc_id", "text")
+    // the shingle layout exists; the text layout path does NOT, so its
+    // task throws while the shingle task is advancing concurrently
+    Dedup.writeShingleIndex(v1, "doc_id", "text", s"$base/shingles",
+      shingleK = 5, buckets = 16)
+    OperatorCache.releaseAll(spark)
+    val layouts = Recrawl.ServingLayouts(
+      textIndex = Some(s"$base/bm25_missing"),
+      shingleIndex = Some(s"$base/shingles"))
+    val changed = Seq((3L, phrase("three"))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Recrawl.advance(spark, changed, Seq(2L).toDF("doc_id"),
+        "doc_id", "text", layouts)
+    }
+    OperatorCache.releaseAll(spark)
+    assert(e != null)
+    // the sibling layout must have COMPLETED its delete+update despite
+    // the co-scheduled failure — advance returns only when every task
+    // has finished, so no straggler writes after the call
+    val block = Seq((100L, phrase("three")), (101L, phrase("two")))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.probeContamination(spark, s"$base/shingles", block,
+      "doc_id", "text", minOverlap = 3)
+      .select("doc").as[Long].collect().sorted.toSeq
+    OperatorCache.releaseAll(spark)
+    assert(flagged.contains(3L) && !flagged.contains(2L),
+      s"shingle layout must hold the full advance (new doc in, deleted " +
+        s"doc out) even when a sibling layout task failed: $flagged")
+  }
 }

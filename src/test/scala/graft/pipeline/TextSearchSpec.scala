@@ -394,4 +394,30 @@ class TextSearchSpec extends SparkSpec {
       && q4.getDouble(6) == 0.0,
       s"judged query the run never answered scores zero, not absent: $q4")
   }
+
+  test("evalRetrieval canonicalizes duplicate (qid, doc) keys instead of " +
+      "fanning out the join (r18 ADVICE)") {
+    import spark.implicits._
+    val run = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("qid", "doc", "rank")
+    val qrels = Seq((1L, 10L, 3), (1L, 20L, 1)).toDF("qid", "doc", "rel")
+    val clean = TextSearch.evalRetrieval(run, "qid", "doc", "rank",
+      qrels, "qid", "doc", "rel", k = 3).collect().map(_.toSeq).toSeq
+    // duplicated judgment rows (conflicting grades -> max wins) and a
+    // duplicated run doc (best rank wins) must score identically
+    val dupQrels = Seq((1L, 10L, 3), (1L, 10L, 1), (1L, 10L, 2),
+      (1L, 20L, 1), (1L, 20L, 1)).toDF("qid", "doc", "rel")
+    val dupRun = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 20L, 3))
+      .toDF("qid", "doc", "rank")
+    val got = TextSearch.evalRetrieval(dupRun, "qid", "doc", "rank",
+      dupQrels, "qid", "doc", "rel", k = 3).collect().map(_.toSeq).toSeq
+    val cleanRun = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("qid", "doc", "rank")
+    val want = TextSearch.evalRetrieval(cleanRun, "qid", "doc", "rank",
+      qrels, "qid", "doc", "rel", k = 3).collect().map(_.toSeq).toSeq
+    assert(got == want,
+      s"duplicate keys must collapse to (max rel, min rank): $got vs $want")
+    // n_rel counts JUDGED DOCS, not judgment rows
+    assert(got.head(1) == 2L, s"n_rel must be 2 judged docs: ${got.head}")
+    assert(clean.head(1) == 2L)
+  }
 }
