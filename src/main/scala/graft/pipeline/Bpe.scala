@@ -9,10 +9,20 @@ import org.apache.spark.sql.functions._
   * public method every modern LM pipeline tokenizes with): train learns
   * an ordered merge list by repeatedly fusing the most frequent adjacent
   * symbol pair; encode applies the merges in rank order to each word.
-  * Word-level pretokenization is the canonical [[Dedup.rawTokens]]
-  * normalization (lowercase alnum, whitespace split) shared by every
-  * text operator here — merges never cross a word boundary (the
-  * standard word-dictionary BPE formulation; no end-of-word marker).
+  * Word-level pretokenization is the canonical SCRIPT-AWARE
+  * [[Dedup.rawTokensSeg]] normalization: lowercase alnum + whitespace
+  * split, with non-space-delimited scripts (Han/Hiragana/Katakana/
+  * Thai/Lao) segmented per codepoint first — identical to the old
+  * [[Dedup.rawTokens]] on Latin text, but on spaceless scripts a
+  * "word" is one codepoint instead of an entire sentence run, so the
+  * training dictionary stays bounded by the script's ALPHABET (a CJK
+  * sentence-run vocabulary never converges, and the old normalization
+  * deleted those scripts outright). Consequence of word-level BPE:
+  * one-codepoint words carry no intra-word pairs, so CJK pieces stay
+  * single codepoints (bounded and lossless — learning multi-codepoint
+  * CJK units would need stream-level BPE, a different algorithm).
+  * Merges never cross a word boundary (the standard word-dictionary
+  * BPE formulation; no end-of-word marker).
   *
   * SCALE SHAPE — where the 100 TB work actually is:
   *  - TRAIN: the corpus-scale step is ONE map-side-combined token-count
@@ -87,7 +97,7 @@ object Bpe {
     require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
     require(maxWords > 0, s"maxWords must be positive: $maxWords")
     val words: Array[(String, Long)] = df
-      .select(explode(Dedup.rawTokens(col(textCol))).as("term"))
+      .select(explode(Dedup.rawTokensSeg(col(textCol))).as("term"))
       .where(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
@@ -160,7 +170,7 @@ object Bpe {
       df: DataFrame, idCol: String, textCol: String, model: BpeModel,
       persistToks: Boolean = true, wordEnd: String = "",
   ): DataFrame = {
-    val toks0 = Dedup.densePositionedTokens(df, idCol, textCol)
+    val toks0 = Dedup.densePositionedTokens(df, idCol, textCol, seg = true)
     val toks = if (persistToks) OperatorCache.materialize(toks0) else toks0
     // the UDF runs per DISTINCT word; corpus rows only pay the join.
     // (A fold-expression chain would need numMerges nested interpreted

@@ -429,7 +429,11 @@ object Curation {
     val stride = if (strideTokens <= 0) chunkTokens else strideTokens
     require(stride <= chunkTokens,
       s"strideTokens ($stride) must not exceed chunkTokens ($chunkTokens) — gaps would drop tokens")
-    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    // script-aware split: CJK/Thai runs chunk per codepoint instead of
+    // riding one whole-sentence "token" past the budget (identity on
+    // space-delimited text — Dedup.segmentScripts)
+    val toks = filter(split(trim(Dedup.segmentScripts(col(textCol))), "\\s+"),
+      t => t =!= "")
     df.select(col(idCol), toks.as("__toks"))
       .where(size(col("__toks")) > 0)
       .select(col(idCol),
@@ -478,7 +482,8 @@ object Curation {
       .select(col(idCol), col("pos"), trim(col("col")).as("sent"))
       .where(col("sent") =!= "")
       .withColumn("n_toks",
-        size(filter(split(col("sent"), "\\s+"), t => t =!= "")).cast("long"))
+        size(filter(split(Dedup.segmentScripts(col("sent")), "\\s+"),
+          t => t =!= "")).cast("long"))
       .withColumn("chunk_idx",
         floor((sum("n_toks").over(w) - col("n_toks")) / maxTokens).cast("int"))
       .groupBy(col(idCol), col("chunk_idx"))
@@ -624,7 +629,8 @@ object Curation {
     df.groupBy(col(strataCol))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("n_tokens"),
+        sum(size(split(trim(Dedup.segmentScripts(col(textCol))), "\\s+"))
+          .cast("long")).as("n_tokens"),
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"),
         expr(s"bit_xor(graft_fnv1a64($textCol))").as("checksum"))

@@ -36,6 +36,52 @@ object Dedup {
     */
   def tokensOf(text: Column): Column = filter(rawTokens(text), t => t =!= "")
 
+  /** Java-regex character class of the scripts written WITHOUT word
+    * spaces (Han, Hiragana, Katakana, Thai, Lao). A whitespace split
+    * treats an entire CJK/Thai sentence run as one "word" — BPE
+    * dictionaries explode, token budgets overcount by ~sentence length,
+    * word-level quality rules misfire — so these scripts segment per
+    * CODEPOINT (the standard char-level fallback every multilingual
+    * tokenizer uses absent a learned segmenter). DuckDB/RE2 spells the
+    * same class `\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}\p{Lao}` —
+    * verified byte-identical on both engines.
+    */
+  private[pipeline] val SegScripts: String =
+    "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsThai}\\p{IsLao}"
+
+  /** The RE2 spelling of [[SegScripts]] for DuckDB oracle replays. */
+  private[pipeline] val SegScriptsRe2: String =
+    "\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}\\p{Lao}"
+
+  /** Insert spaces around every codepoint of a non-space-delimited
+    * script, so a downstream whitespace split yields per-codepoint
+    * tokens for those scripts. EXACT NO-OP on text containing none of
+    * them (the overwhelmingly common partition at web scale), which is
+    * why it runs unconditionally rather than behind a per-doc langid
+    * gate: identity is cheaper to prove than classification.
+    * Oracle mirror: `regexp_replace(text, '([<re2 class>])', ' \\1 ',
+    * 'g')`.
+    */
+  private[pipeline] def segmentScripts(text: Column): Column =
+    regexp_replace(text, s"([$SegScripts])", " $1 ")
+
+  /** Script-aware canonical tokenizer: [[rawTokens]]' normalization
+    * (lowercase, strip, whitespace split) with non-space-delimited
+    * scripts segmented per codepoint AND KEPT (rawTokens' `[^a-z0-9\s]`
+    * strip deletes them outright — CJK text normalizes to nothing).
+    * Identical to [[rawTokens]] on ASCII/Latin text. May contain ""
+    * edge tokens like rawTokens; consumers filter.
+    */
+  private[pipeline] def rawTokensSeg(text: Column): Column =
+    split(regexp_replace(lower(trim(segmentScripts(text))),
+      s"[^a-z0-9\\s$SegScripts]", ""), "\\s+")
+
+  /** Public segmented token stream ([[rawTokensSeg]] minus "" tokens) —
+    * the tokenizer the token-counting surfaces (BPE training, packing
+    * budgets, vocab builds) run on. */
+  def segTokensOf(text: Column): Column =
+    filter(rawTokensSeg(text), t => t =!= "")
+
   /** Exact dedup: keep the first (min id) ROW per duplicate group —
     * row-consistent via min_by, so non-key columns all come from that one
     * row (per-column min would stitch values from different rows).
@@ -689,10 +735,14 @@ object Dedup {
     * tokens, so posexplode's raw positions have gaps) — covered ranges
     * stay pure arithmetic. One doc-keyed window. */
   private[pipeline] def densePositionedTokens(
-      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String,
+      seg: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byRaw = Window.partitionBy("doc").orderBy("rawpos")
-    df.select(col(idCol).as("doc"), posexplode(rawTokens(col(textCol))))
+    // seg = script-aware tokens (BPE's pretokenizer); the span-surgery
+    // family stays on rawTokens — its oracle mirrors pin that spelling
+    val toks = if (seg) rawTokensSeg(col(textCol)) else rawTokens(col(textCol))
+    df.select(col(idCol).as("doc"), posexplode(toks))
       .toDF("doc", "rawpos", "tok")
       .where(col("tok") =!= "")
       .select(col("doc"), (row_number().over(byRaw) - 1).as("pos"), col("tok"))

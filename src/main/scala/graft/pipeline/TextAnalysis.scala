@@ -1046,7 +1046,9 @@ object TextAnalysis {
   def buildVocab(df: DataFrame, textCol: String, maxSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxSize > 0, s"maxSize must be positive: $maxSize")
-    val counts = df.select(explode(Dedup.rawTokens(col(textCol))).as("term"))
+    // script-aware canonical stream: CJK/Thai contribute per-codepoint
+    // terms instead of vanishing under the Latin-only strip
+    val counts = df.select(explode(Dedup.rawTokensSeg(col(textCol))).as("term"))
       .where(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("count"))
       .orderBy(col("count").desc, col("term").asc)
@@ -1072,7 +1074,7 @@ object TextAnalysis {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = df.select(col(idCol).as("doc"),
-      posexplode(Dedup.rawTokens(col(textCol))))
+      posexplode(Dedup.rawTokensSeg(col(textCol))))
       .toDF("doc", "rawpos", "term")
       .where(col("term") =!= "")
     val byRaw = Window.partitionBy("doc").orderBy("rawpos")

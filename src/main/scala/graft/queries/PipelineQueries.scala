@@ -647,12 +647,28 @@ object PipelineQueries {
     * of the parquet file ("Too many open files" long before any
     * result). Materialization makes the replay linear in numMerges.
     */
+  /** RE2 spelling of [[graft.pipeline.Dedup.SegScripts]] — the
+    * non-space-delimited scripts segmented per codepoint. */
+  private val segRe2 = "\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}\\p{Lao}"
+
+  /** DuckDB mirror of [[graft.pipeline.Dedup.segmentScripts]]. */
+  private def segSql(textExpr: String): String =
+    s"regexp_replace($textExpr, '([$segRe2])', ' \\1 ', 'g')"
+
+  /** DuckDB mirror of [[graft.pipeline.Dedup.segTokensOf]] (the
+    * script-aware canonical tokenizer): segment per codepoint, lower,
+    * trim, strip everything outside [a-z0-9, kept scripts], whitespace
+    * split, drop "" — byte-identical to the Spark expression on both
+    * Latin and CJK/Thai text (verified on both engines). */
+  private def segToksSql(textExpr: String): String =
+    s"list_filter(string_split_regex(regexp_replace(lower(trim(${segSql(textExpr)})), " +
+      s"'[^a-z0-9\\s$segRe2]', '', 'g'), '\\s+'), x -> x <> '')"
+
   private def bpeCtes(numMerges: Int, maxWords: Int): String = {
     val base =
       s"""WITH t AS (
          |  SELECT doc_id,
-         |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+'),
-         |                     x -> x <> '') AS toks
+         |         ${segToksSql("text")} AS toks
          |  FROM read_parquet('{SFDIR}/documents.parquet')
          |), tok AS MATERIALIZED (
          |  SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos
@@ -1680,9 +1696,9 @@ object PipelineQueries {
         Tables.load(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text", chunkTokens = 16, strideTokens = 8)
         .orderBy("doc_id", "chunk_idx"),
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
              |  SELECT doc_id,
-             |         list_filter(string_split_regex(TRIM(text), '\s+'), x -> x <> '') AS toks
+             |         list_filter(string_split_regex(TRIM(${segSql("text")}), '\\s+'), x -> x <> '') AS toks
              |  FROM read_parquet('{SFDIR}/documents.parquet')
              |), c AS (
              |  SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS start
@@ -1939,15 +1955,14 @@ object PipelineQueries {
             col("n_tokens"), col("n_oov"))
           .orderBy("doc_id")
       },
-      Some("""WITH tok AS (
+      Some(s"""WITH tok AS (
              |  SELECT doc_id, tok, pos FROM (
              |    SELECT doc_id,
              |           unnest(toks) AS tok,
              |           unnest(range(0, len(toks))) AS pos
              |    FROM (
              |      SELECT doc_id,
-             |             list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
-             |                         x -> x <> '') AS toks
+             |             ${segToksSql("text")} AS toks
              |      FROM read_parquet('{SFDIR}/documents.parquet'))
              |  )
              |), v AS (
@@ -2658,9 +2673,9 @@ object PipelineQueries {
       (s, dir) => Curation.corpusManifest(
         Tables.load(s, dir, "documents"), "doc_id", "text", "source")
         .orderBy("source"),
-      Some("""WITH h AS (
+      Some(s"""WITH h AS (
              |  SELECT source, doc_id,
-             |         CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_toks,
+             |         CAST(len(string_split_regex(TRIM(${segSql("text")}), '\\s+')) AS BIGINT) AS n_toks,
              |         list_reduce(
              |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
              |                        list_transform(regexp_extract_all(hex(encode(text)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
@@ -4194,9 +4209,9 @@ object PipelineQueries {
         Tables.load(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text", maxTokens = 24)
         .orderBy("doc_id", "chunk_idx"),
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
              |  SELECT doc_id,
-             |         regexp_replace(TRIM(text), '([.!?])\s+', '\1' || chr(1), 'g') AS marked
+             |         regexp_replace(TRIM(text), '([.!?])\\s+', '\\1' || chr(1), 'g') AS marked
              |  FROM read_parquet('{SFDIR}/documents.parquet')
              |), s AS (
              |  SELECT doc_id,
@@ -4205,7 +4220,7 @@ object PipelineQueries {
              |  FROM t
              |), f AS (
              |  SELECT doc_id, pos, TRIM(sent) AS sent,
-             |         CAST(len(list_filter(string_split_regex(TRIM(sent), '\s+'),
+             |         CAST(len(list_filter(string_split_regex(${segSql("TRIM(sent)")}, '\\s+'),
              |                              x -> x <> '')) AS BIGINT) AS n_toks
              |  FROM s WHERE TRIM(sent) <> ''
              |), c AS (
@@ -5515,10 +5530,9 @@ object PipelineQueries {
             Bpe.decodePieces(col("pieces"), "</w>").as("decoded"))
           .orderBy("doc")
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
              |  SELECT doc_id,
-             |         list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
-             |                     x -> x <> '') AS tk
+             |         ${segToksSql("text")} AS tk
              |  FROM read_parquet('{SFDIR}/documents.parquet')
              |)
              |SELECT doc_id AS doc, array_to_string(tk, ' ') AS decoded
@@ -6281,8 +6295,8 @@ object PipelineQueries {
              |  SELECT doc_id,
              |         (((doc_id % 100000) + 1) * 2654435761) % 1000000 AS gate,
              |         CAST((((doc_id % 100000) + 1) * 2654435761) % 1000000 % 2 AS INT) AS subshard,
-             |         string_split_regex(TRIM(text), '\\s+') AS toks,
-             |         CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+             |         string_split_regex(TRIM(${segSql("text")}), '\\s+') AS toks,
+             |         CAST(LEN(string_split_regex(TRIM(${segSql("text")}), '\\s+')) AS BIGINT) AS n_tokens
              |  FROM screened
              |), fpj AS (
              |  SELECT t.doc_id, a3.cid AS cell, t.subshard, t.gate, t.toks, t.n_tokens
@@ -6934,7 +6948,49 @@ object PipelineQueries {
            |       cost,
            |       ROUND((1.0 - kept / CAST(sample_n AS DOUBLE)) / cost, 6) AS drop_per_cost
            |FROM j ORDER BY rank""".stripMargin)),
+
+    // Script-aware segmentation on a non-space-delimited fixture (r18
+    // VERDICT item 3): CJK/Thai/Lao codepoints tokenize one-per-
+    // codepoint, Latin text exactly as the canonical tokenizer, mixed
+    // text both ways in one string — replayed byte-for-byte in DuckDB
+    // with the RE2 script classes, so the oracle pins the segmentation
+    // itself (token stream, counts, distinct counts), not just counts.
+    QueryDef("p143_cjk_segmentation",
+      (s, dir) => {
+        val docs = s.createDataFrame(cjkFixture).toDF("doc_id", "text")
+        docs.select(col("doc_id"),
+          Dedup.segTokensOf(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+            array_join(col("toks"), " ").as("tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH docs AS (
+           |  SELECT * FROM (VALUES $cjkFixtureSqlValues) v(doc_id, text)
+           |),
+           |t AS (SELECT doc_id, ${segToksSql("text")} AS toks FROM docs)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(len(toks) AS BIGINT) AS n_tokens,
+           |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+           |       array_to_string(toks, ' ') AS tokens
+           |FROM t ORDER BY doc_id""".stripMargin)),
   )
+
+  /** Multilingual fixture for the segmentation oracle (p143): spaceless
+    * CJK/Thai, Latin, and mixed-script lines. Inline VALUES on both
+    * engines — the sf tables are ASCII, and the whole point is the
+    * non-ASCII path. */
+  private val cjkFixture: Seq[(Long, String)] = Seq(
+    (1L, "Spark引擎は高速です and very fast"),
+    (2L, "ภาษาไทยไม่มีช่องว่าง between words"),
+    (3L, "plain latin text only, with punctuation!"),
+    (4L, "深度学习模型训练数据 mixed 管道 pipeline 123"),
+    (5L, "カタカナとひらがな混在のテキスト"))
+
+  private def cjkFixtureSqlValues: String = cjkFixture.map {
+    case (id, t) => s"($id, '${t.replace("'", "''")}')"
+  }.mkString(", ")
 
   /** Messy-but-deterministic URL synthesized from doc_id — the shared
     * input of p105/p106 (SQL so both engines could build it, though only

@@ -100,4 +100,61 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Bpe.decodePieces(col("x"), ""))
     OperatorCache.releaseAll(spark)
   }
+
+  test("spaceless scripts: the training dictionary stays BOUNDED by the " +
+      "alphabet, not the sentence inventory (r18 VERDICT item 3)") {
+    // every doc is a distinct spaceless CJK sentence-run — under a bare
+    // whitespace split each doc would be ONE unique giant "word" (a
+    // dictionary that grows with the corpus and merges that learn
+    // nothing transferable); under the script-aware tokenizer a word is
+    // one codepoint, so the dictionary is the codepoint alphabet
+    val docs = Seq(
+      (1L, "深度学习模型"),
+      (2L, "学习模型训练"),
+      (3L, "模型训练数据"),
+      (4L, "訓練データは高速"),
+      (5L, "データは高速です")).toDF("doc_id", "text")
+    val alphabet = docs.select(
+      org.apache.spark.sql.functions.explode(
+        Dedup.segTokensOf(col("text"))).as("t"))
+      .distinct().as[String].collect().toSet
+    assert(alphabet.forall(w => w.codePointCount(0, w.length) == 1),
+      s"each segmented word must be one codepoint: $alphabet")
+    // the dictionary Bpe.train aggregates is exactly that alphabet —
+    // and a one-codepoint word has no adjacent pair, so train
+    // terminates with ZERO merges instead of diverging on an unbounded
+    // sentence-run vocabulary (the word-dictionary BPE contract:
+    // merges never cross word boundaries)
+    val m = Bpe.train(docs, "text", numMerges = 3)
+    assert(m.merges.isEmpty,
+      s"per-codepoint words have no intra-word pairs to merge: ${m.merges}")
+    // encode stays lossless through the marker roundtrip on CJK
+    val decoded = Bpe.encode(docs, "doc_id", "text", m, wordEnd = "</w>")
+      .select(col("doc"), Bpe.decodePieces(col("pieces"), "</w>").as("d"))
+      .as[(Long, String)].collect().toMap
+    val want = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.array_join(
+        Dedup.segTokensOf(col("text")), " ").as("d"))
+      .as[(Long, String)].collect().toMap
+    assert(decoded == want, "CJK roundtrip must reconstruct the segmented stream")
+    OperatorCache.releaseAll(spark)
+  }
+
+  test("packing budgets count segmented tokens: a spaceless doc chunks " +
+      "by codepoints, not as one oversized token") {
+    val docs = Seq((1L, "深度学习模型训练数据")).toDF("doc_id", "text")
+    // 10 codepoints, chunkTokens=4, stride=4 -> 3 chunks (4+4+2)
+    val chunks = Curation.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 4).orderBy("chunk_idx")
+      .select("chunk_idx", "n_tokens").as[(Int, Long)].collect().toSeq
+    assert(chunks == Seq((0, 4L), (1, 4L), (2, 2L)),
+      s"10 CJK codepoints must chunk 4+4+2: $chunks")
+    // corpusManifest token totals count codepoints too
+    val manifest = Curation.corpusManifest(
+      docs.withColumn("src", org.apache.spark.sql.functions.lit("cjk")),
+      "doc_id", "text", "src")
+      .select("n_tokens").as[Long].head()
+    assert(manifest == 10L,
+      s"manifest must count 10 segmented tokens: $manifest")
+  }
 }
