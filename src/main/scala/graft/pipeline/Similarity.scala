@@ -805,8 +805,11 @@ object Similarity {
       .drop("__res")
       .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("centroid").parquet(path)
+    // the `residual` marker lets layout consumers ([[layoutKind]])
+    // dispatch raw vs residual serving without a side channel — the
+    // model fingerprint alone cannot tell the two encodings apart
     writeIndexMeta(corpus.sparkSession, path, 0L,
-      Seq("model" -> modelFingerprint(coarse, books)))
+      Seq("model" -> modelFingerprint(coarse, books), "residual" -> 1L))
   }
 
   /** Append a batch into a [[writeIvfPqResidual]] layout — same
@@ -815,7 +818,7 @@ object Similarity {
   def appendIvfPqResidual(batch: DataFrame, vecCol: String, path: String,
       coarse: IvfIndex, books: Seq[IvfIndex]): Unit = {
     val spark = batch.sparkSession
-    val params = Seq("model" -> modelFingerprint(coarse, books))
+    val params = Seq("model" -> modelFingerprint(coarse, books), "residual" -> 1L)
     val gen = readIndexMeta(spark, path, params) + 1
     pqEncode(residualFrame(batch, vecCol, coarse, widen = true), "__res", books)
       .drop("__res")
@@ -1201,6 +1204,78 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) readIndexMeta(spark, path, expect)
+  }
+
+  /** The serving-layout families [[layoutKind]] can tell apart from a
+    * layout's own `_meta` bookkeeping. */
+  sealed trait LayoutKind
+  object LayoutKind {
+    /** A [[writeIndexed]] LSH layout with its write-time parameters. */
+    final case class Lsh(planes: Int, seed: Long) extends LayoutKind
+    /** A [[writeIvfPq]] stored-code layout (raw-vector codebooks). */
+    case object IvfPq extends LayoutKind
+    /** A [[writeIvfPqResidual]] layout (residual codebooks). */
+    case object IvfPqResidual extends LayoutKind
+  }
+
+  /** Identify which serving family wrote a layout, from `_meta` alone:
+    * LSH metas carry (planes, seed), PQ metas a model fingerprint, and
+    * residual layouts additionally the `residual` marker (raw and
+    * residual encodings are indistinguishable by fingerprint — the
+    * marker closes that). This is what lets one serving entry point
+    * ([[probeBatchAuto]], [[graft.pipeline.TextSearch.searchRrfServed]])
+    * accept any layout path without a side channel naming its kind.
+    * Residual layouts written before the marker existed read as
+    * [[LayoutKind.IvfPq]] — rewrite or re-append once to stamp them. */
+  def layoutKind(
+      spark: org.apache.spark.sql.SparkSession, path: String): LayoutKind = {
+    val df = spark.read.parquet(s"$path/_meta")
+    val fields = df.schema.fieldNames.toSet
+    val row = df.head()
+    if (fields.contains("planes"))
+      LayoutKind.Lsh(row.getAs[Long]("planes").toInt, row.getAs[Long]("seed"))
+    else if (fields.contains("model")) {
+      if (fields.contains("residual") && row.getAs[Long]("residual") == 1L)
+        LayoutKind.IvfPqResidual
+      else LayoutKind.IvfPq
+    } else throw new IllegalArgumentException(
+      s"$path/_meta names no known serving layout " +
+        s"(fields: ${fields.toSeq.sorted.mkString(", ")})")
+  }
+
+  /** Workload-batched serve of ANY written ANN layout — dispatches on
+    * [[layoutKind]] to [[probeIndexedBatch]] / [[probeIvfPqBatch]] /
+    * [[probeIvfPqResidualBatch]], so composed callers (served RRF, bulk
+    * scoring) take a layout PATH and serve it without knowing which
+    * family built it. The PQ families need their frozen model artifacts
+    * (the model travels with the index); the LSH family reads its
+    * (planes, seed) from the meta and ignores them.
+    *
+    * @return (qid, rank, idCol, cosine), rank 1..k per qid — the shared
+    *         batch-probe shape
+    */
+  def probeBatchAuto(
+      workload: DataFrame, qidCol: String, qvecCol: String,
+      path: String, idCol: String, vecCol: String, k: Int,
+      coarse: Option[IvfIndex] = None, books: Seq[IvfIndex] = Nil,
+      nprobe: Int = 3, rescoreFactor: Int = 5): DataFrame = {
+    def model: (IvfIndex, Seq[IvfIndex]) = (coarse.getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is a PQ layout — probeBatchAuto needs its frozen " +
+          "coarse/books artifacts")), books)
+    layoutKind(workload.sparkSession, path) match {
+      case LayoutKind.Lsh(planes, seed) =>
+        probeIndexedBatch(workload, qidCol, qvecCol, path, idCol, vecCol,
+          k, planes, seed)
+      case LayoutKind.IvfPq =>
+        val (c, b) = model
+        probeIvfPqBatch(workload, qidCol, qvecCol, path, idCol, vecCol,
+          c, b, k, nprobe, rescoreFactor)
+      case LayoutKind.IvfPqResidual =>
+        val (c, b) = model
+        probeIvfPqResidualBatch(workload, qidCol, qvecCol, path, idCol,
+          vecCol, c, b, k, nprobe, rescoreFactor)
+    }
   }
 
   /** Order-sensitive fingerprint of the frozen artifacts a PQ layout

@@ -468,10 +468,30 @@ object TextSearch {
       coarse: Similarity.IvfIndex, books: Seq[Similarity.IvfIndex],
       k: Int = 10, candidates: Int = 50, rrfK: Int = 60,
       nprobe: Int = 3, rescoreFactor: Int = 5,
+  ): DataFrame =
+    searchRrfServedAuto(workload, qidCol, queryCol, qvecCol, dir, annPath,
+      annIdCol, annVecCol, Some(coarse), books, k, candidates, rrfK,
+      nprobe, rescoreFactor)
+
+  /** [[searchRrfServed]] over ANY written ANN layout — the embedding
+    * side dispatches on the layout's own `_meta`
+    * ([[graft.pipeline.Similarity.layoutKind]]): IVF-PQ, residual
+    * IVF-PQ, and LSH layouts all serve through their workload-batched
+    * probes (p136/p139/p140), so the fused RRF takes a layout PATH and
+    * needs no caller knowledge of which family built it. PQ layouts
+    * require their frozen artifacts in `coarse`/`books`; LSH layouts
+    * ignore them (parameters ride in the meta). */
+  def searchRrfServedAuto(
+      workload: DataFrame, qidCol: String, queryCol: String, qvecCol: String,
+      dir: String, annPath: String, annIdCol: String, annVecCol: String,
+      coarse: Option[Similarity.IvfIndex] = None,
+      books: Seq[Similarity.IvfIndex] = Nil,
+      k: Int = 10, candidates: Int = 50, rrfK: Int = 60,
+      nprobe: Int = 3, rescoreFactor: Int = 5,
   ): DataFrame = {
-    val vecRanks = Similarity.probeIvfPqBatch(
+    val vecRanks = Similarity.probeBatchAuto(
       workload, qidCol, qvecCol, annPath, annIdCol, annVecCol,
-      coarse, books, k = candidates, nprobe, rescoreFactor)
+      k = candidates, coarse, books, nprobe, rescoreFactor)
       .select(col("qid"), col(annIdCol).as("doc"), col("rank").as("rank_cos"))
     searchRrfBatch(workload, qidCol, queryCol, qvecCol, dir,
       // vectors are unused when vecRanks is injected — pass the empty

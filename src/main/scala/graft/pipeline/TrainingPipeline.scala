@@ -1182,4 +1182,69 @@ object TrainingPipeline {
     scored.toDF("rank", "screen", "sample_n", "kept", "drop_rate", "cost",
       "drop_per_cost")
   }
+
+  /** [[orderScreens]] with MEASURED costs (r18 VERDICT item 4): instead
+    * of taking the caller's relative prices on faith, each screen's
+    * predicate is timed over the SAME idGate sample — one extra
+    * sample-sized filter-count pass per screen, min-of-two so the
+    * second (cache-warm, codegen-warm) pass prices the predicate
+    * rather than the first run's compilation — and the cascade ranks
+    * by measured drop-per-measured-millisecond.
+    *
+    * The sample is MATERIALIZED first (cache barrier), so the timing
+    * passes price the screen expression, not the upstream scan+gate.
+    * The wall clock still includes Spark's fixed per-job overhead;
+    * over a 10⁵-row sample that overhead is a near-constant additive
+    * term shared by every screen, so the RANKING it produces is the
+    * per-doc cost ranking — and per-doc cost is what dominates at the
+    * corpus scale the cascade actually runs at.
+    *
+    * Clock values are evidence, not replayable oracle material — the
+    * deterministic columns (kept, drop_rate) equal [[orderScreens]]'
+    * exactly (p142 pins that cross-check through the oracle), while
+    * `cost_ms` and the measured rank are pinned by spec invariants
+    * (positive, rank sorted by drop_per_cost_ms desc).
+    *
+    * @return (rank, screen, sample_n, kept, drop_rate, cost_ms,
+    *         drop_per_cost_ms), rank 1 = run first
+    */
+  def orderScreensMeasured(
+      docs: DataFrame, idCol: String,
+      screens: Seq[(String, Column)],
+      sampleTarget: Long = 100000L, salt: Int = 0): DataFrame = {
+    require(screens.nonEmpty, "orderScreensMeasured needs at least one screen")
+    require(screens.map(_._1).distinct.size == screens.size,
+      s"screen names must be unique: ${screens.map(_._1)}")
+    val spark = docs.sparkSession
+    val total = docs.count()
+    val frac = math.min(1.0, sampleTarget.toDouble / math.max(total, 1L))
+    val sampled = OperatorCache.materialize(docs.where(
+      Curation.idGate(col(idCol), salt) < lit(math.round(frac * 1e6))))
+    try {
+      val n = sampled.count() // cached — the materialize barrier ran it
+      require(n > 0, s"orderScreensMeasured sample is empty (corpus $total " +
+        s"rows, target $sampleTarget) — selectivities need evidence")
+      def pass(keeps: Column): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val kept = sampled
+          .agg(sum(when(keeps, 1L).otherwise(0L))).head().getLong(0)
+        (kept, (System.nanoTime() - t0) / 1e6)
+      }
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val scored = screens.map { case (name, keeps) =>
+        val (kept, ms1) = pass(keeps)
+        val (_, ms2) = pass(keeps)
+        val ms = math.max(math.min(ms1, ms2), 0.001) // clock floor: never /0
+        val drop = 1.0 - kept.toDouble / n
+        (name, n, kept, r6(drop), r6(ms), r6(drop / ms))
+      }.sortBy { case (name, _, _, _, _, dpc) => (-dpc, name) }
+        .zipWithIndex.map { case ((name, sn, kept, drop, ms, dpc), i) =>
+          (i + 1, name, sn, kept, drop, ms, dpc)
+        }
+      import spark.implicits._
+      scored.toDF("rank", "screen", "sample_n", "kept", "drop_rate",
+        "cost_ms", "drop_per_cost_ms")
+    } finally OperatorCache.release(sampled)
+  }
 }

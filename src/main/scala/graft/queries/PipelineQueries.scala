@@ -6899,15 +6899,25 @@ object PipelineQueries {
     QueryDef("p142_screen_order",
       (s, dir) => {
         val feats = TextAnalysis.qualityFeatures(col("text")).toMap
-        TrainingPipeline.orderScreens(
-          Tables.load(s, dir, "documents").select("doc_id", "text"),
-          "doc_id",
-          Seq(
-            ("minwords", feats("n_words") >= 20, 1.0),
-            ("punct", feats("punct_ratio") <= 0.2, 2.0),
-            ("digit", feats("digit_ratio") <= 0.3, 2.0),
-            ("uniq", feats("uniq_word_ratio") >= 0.5, 3.0)),
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val screens = Seq(
+          ("minwords", feats("n_words") >= 20, 1.0),
+          ("punct", feats("punct_ratio") <= 0.2, 2.0),
+          ("digit", feats("digit_ratio") <= 0.3, 2.0),
+          ("uniq", feats("uniq_word_ratio") >= 0.5, 3.0))
+        val ordered = TrainingPipeline.orderScreens(
+          docs, "doc_id", screens, sampleTarget = 2000L)
+        // the MEASURED-cost sibling over the same sample: its clock
+        // column is driver evidence (not oracle material), but its
+        // selectivities must agree exactly with the caller-cost pass —
+        // the oracle pins that cross-check via measured_kept = kept
+        val measured = TrainingPipeline.orderScreensMeasured(
+          docs, "doc_id", screens.map { case (n, p, _) => (n, p) },
           sampleTarget = 2000L)
+          .select(col("screen"), col("kept").as("measured_kept"))
+        ordered.join(measured, Seq("screen"))
+          .select("rank", "screen", "sample_n", "kept", "measured_kept",
+            "drop_rate", "cost", "drop_per_cost")
           .orderBy("rank")
       },
       Some("""WITH f AS (
@@ -6943,7 +6953,7 @@ object PipelineQueries {
            |SELECT CAST(ROW_NUMBER() OVER (
            |         ORDER BY ROUND((1.0 - kept / CAST(sample_n AS DOUBLE)) / cost, 6) DESC,
            |                  screen ASC) AS INT) AS rank,
-           |       screen, sample_n, kept,
+           |       screen, sample_n, kept, kept AS measured_kept,
            |       ROUND(1.0 - kept / CAST(sample_n AS DOUBLE), 6) AS drop_rate,
            |       cost,
            |       ROUND((1.0 - kept / CAST(sample_n AS DOUBLE)) / cost, 6) AS drop_per_cost
@@ -6975,6 +6985,136 @@ object PipelineQueries {
            |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
            |       array_to_string(toks, ' ') AS tokens
            |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // p138's residual sibling through the META-DISPATCHED serving entry
+    // (r18 VERDICT item 5): searchRrfServedAuto takes the layout PATH,
+    // reads its _meta (`residual` marker), and routes the embedding
+    // side to probeIvfPqResidualBatch — same fusion, different layout
+    // family, zero caller knowledge of which. The oracle replays the
+    // coarse trajectory, the residual frame, both residual-subspace
+    // codebooks, constant+table ADC, exact rescore, BM25, and the
+    // 1/(60+rank) fusion.
+    QueryDef("p144_rrf_residual_served",
+      (s, dir) => {
+        val idx = s"target/graft-tmp/textsearch_p144_${math.abs(dir.hashCode)}"
+        TextSearch.writeIndex(Tables.load(s, dir, "documents"),
+          "doc_id", "text", idx)
+        OperatorCache.releaseAll(s)
+        val emb = OperatorCache.persist(Tables.load(s, dir, "embeddings"))
+        val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding", k = 8)
+        val books = Similarity.trainPqResidual(
+          emb, "vec_id", "embedding", coarse, m = 2, k = 4)
+        val ann = s"target/graft-tmp/ann_p144_${math.abs(dir.hashCode)}"
+        Similarity.writeIvfPqResidual(emb, "embedding", ann, coarse, books)
+        val qs = Seq((1L, "join vector filter", 7L),
+          (2L, "stream window", 14L), (3L, "quality score text", 21L))
+        val workload = s.createDataFrame(qs).toDF("qid", "query", "vid")
+          .join(emb.select(col("vec_id").as("vid"), col("embedding").as("qv")),
+            "vid")
+        TextSearch.searchRrfServedAuto(workload, "qid", "query", "qv", idx,
+          ann, "vec_id", "embedding", Some(coarse), books,
+          k = 5, candidates = 20)
+          .orderBy("qid", "rank")
+      },
+      Some(ivfAssignSql(8) +
+        """, res AS (
+           |  SELECT a3.vec_id,
+           |         list_transform(range(1, len(a3.e) + 1), i -> a3.e[i] - c2.c[i]) AS r
+           |  FROM a3 JOIN c2 USING (cid)
+           |)""".stripMargin +
+        pqAssignSql(0, 1, 32, 4, src = "res", srcCol = "r") +
+        pqAssignSql(1, 33, 64, 4, src = "res", srcCol = "r") +
+        """, q144 AS (
+           |  SELECT vq.qid, e2.e AS qe, e2.e[1:32] AS q0, e2.e[33:64] AS q1
+           |  FROM (VALUES (1, 7), (2, 14), (3, 21)) vq(qid, vid)
+           |  JOIN v e2 ON e2.vec_id = vq.vid
+           |), probes144 AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT q.qid, c2.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY q.qid
+           |                              ORDER BY list_dot_product(c2.c, q.qe) DESC, c2.cid ASC) AS rn
+           |    FROM c2, q144 q
+           |  ) WHERE rn <= 3
+           |), incell144 AS (
+           |  SELECT p.qid, a3.vec_id, a3.cid FROM a3 JOIN probes144 p ON a3.cid = p.cid
+           |), cc144 AS (
+           |  SELECT ic.qid, ic.vec_id, list_dot_product(c2.c, q.qe) AS cd
+           |  FROM incell144 ic JOIN c2 ON c2.cid = ic.cid
+           |       JOIN q144 q ON q.qid = ic.qid
+           |), d0 AS (
+           |  SELECT q.qid, a.vec_id, list_dot_product(c.c, q.q0) AS d
+           |  FROM a3_0 a JOIN c2_0 c USING (cid), q144 q
+           |), d1 AS (
+           |  SELECT q.qid, a.vec_id, list_dot_product(c.c, q.q1) AS d
+           |  FROM a3_1 a JOIN c2_1 c USING (cid), q144 q
+           |), adc144 AS (
+           |  SELECT i.qid, i.vec_id, ROUND(cc.cd + d0.d + d1.d, 6) AS adc
+           |  FROM incell144 i
+           |  JOIN cc144 cc ON cc.qid = i.qid AND cc.vec_id = i.vec_id
+           |  JOIN d0 ON d0.qid = i.qid AND d0.vec_id = i.vec_id
+           |  JOIN d1 ON d1.qid = i.qid AND d1.vec_id = i.vec_id
+           |), cand144 AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id ASC) AS rn
+           |    FROM adc144
+           |  ) WHERE rn <= 100
+           |), vr AS (
+           |  SELECT qid, doc, rank_cos FROM (
+           |    SELECT q.qid, v.vec_id AS doc,
+           |           ROW_NUMBER() OVER (PARTITION BY q.qid
+           |                              ORDER BY ROUND(list_cosine_similarity(v.e, q.qe), 6) DESC, v.vec_id ASC) AS rank_cos
+           |    FROM cand144 cd JOIN v ON v.vec_id = cd.vec_id
+           |         JOIN q144 q ON q.qid = cd.qid
+           |  ) WHERE rank_cos <= 20
+           |), terms AS (
+           |  SELECT doc_id AS doc,
+           |         unnest(list_filter(string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+           |                            x -> x <> '')) AS term
+           |  FROM read_parquet('{SFDIR}/documents.parquet')
+           |), dl AS (
+           |  SELECT doc, COUNT(*) AS dl FROM terms GROUP BY doc
+           |), bstats AS (
+           |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+           |), qt AS (
+           |  SELECT * FROM (VALUES (1, 'join'), (1, 'vector'), (1, 'filter'),
+           |                        (2, 'stream'), (2, 'window'),
+           |                        (3, 'quality'), (3, 'score'), (3, 'text')) v(qid, term)
+           |), bq AS (
+           |  SELECT doc, term FROM terms
+           |  WHERE term IN (SELECT DISTINCT term FROM qt)
+           |), btf AS (
+           |  SELECT doc, term, COUNT(*) AS tf FROM bq GROUP BY doc, term
+           |), bdf AS (
+           |  SELECT term, COUNT(DISTINCT doc) AS df FROM bq GROUP BY term
+           |), bcontrib AS (
+           |  SELECT qt.qid, btf.doc,
+           |         LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           |           * CAST(tf AS DOUBLE)
+           |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+           |  FROM qt JOIN btf ON qt.term = btf.term
+           |       JOIN bdf ON btf.term = bdf.term
+           |       JOIN dl ON btf.doc = dl.doc, bstats
+           |), bsc AS (
+           |  SELECT qid, doc, ROUND(SUM(c), 6) AS score FROM bcontrib GROUP BY qid, doc
+           |), bm AS (
+           |  SELECT qid, doc,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc ASC) AS rank_bm25
+           |  FROM bsc QUALIFY rank_bm25 <= 20
+           |), fused AS (
+           |  SELECT COALESCE(bm.qid, vr.qid) AS qid,
+           |         COALESCE(bm.doc, vr.doc) AS doc,
+           |         ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + bm.rank_bm25), 0)
+           |             + COALESCE(CAST(1 AS DOUBLE) / (60 + vr.rank_cos), 0), 6) AS rrf,
+           |         CAST(bm.rank_bm25 AS INT) AS rank_bm25,
+           |         CAST(vr.rank_cos AS INT) AS rank_cos
+           |  FROM bm FULL OUTER JOIN vr ON bm.qid = vr.qid AND bm.doc = vr.doc
+           |)
+           |SELECT CAST(qid AS BIGINT) AS qid,
+           |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc ASC) AS INT) AS rank,
+           |       doc, rrf, rank_bm25, rank_cos
+           |FROM fused
+           |QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
   )
 
   /** Multilingual fixture for the segmentation oracle (p143): spaceless

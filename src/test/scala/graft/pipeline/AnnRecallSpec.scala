@@ -311,6 +311,51 @@ class AnnRecallSpec extends SparkSpec {
     assert(rows(above) == want, "join regime must equal the loop")
   }
 
+  test("layoutKind + probeBatchAuto: meta-dispatched serving equals each " +
+      "family's direct batch probe (r18 VERDICT item 5)") {
+    import spark.implicits._
+    val coarse = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)
+    val rawBooks = Similarity.trainPq(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val resBooks = Similarity.trainPqResidual(corpus, "vec_id", "embedding",
+      coarse, m = 8, k = 16)
+    val base = "target/graft-tmp/layout-dispatch"
+    Similarity.writeIndexed(corpus, "embedding", s"$base/lsh", planes = 4)
+    Similarity.writeIvfPq(corpus, "embedding", s"$base/raw", coarse, rawBooks)
+    Similarity.writeIvfPqResidual(corpus, "embedding", s"$base/res",
+      coarse, resBooks)
+    assert(Similarity.layoutKind(spark, s"$base/lsh") ==
+      Similarity.LayoutKind.Lsh(4, 42L))
+    assert(Similarity.layoutKind(spark, s"$base/raw") ==
+      Similarity.LayoutKind.IvfPq)
+    assert(Similarity.layoutKind(spark, s"$base/res") ==
+      Similarity.LayoutKind.IvfPqResidual)
+    val workload = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("qid", "qv")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows(Similarity.probeBatchAuto(workload, "qid", "qv",
+        s"$base/lsh", "vec_id", "embedding", K)) ==
+      rows(Similarity.probeIndexedBatch(workload, "qid", "qv",
+        s"$base/lsh", "vec_id", "embedding", K, planes = 4)),
+      "auto over the LSH layout must equal the direct LSH batch probe")
+    assert(rows(Similarity.probeBatchAuto(workload, "qid", "qv",
+        s"$base/raw", "vec_id", "embedding", K, Some(coarse), rawBooks)) ==
+      rows(Similarity.probeIvfPqBatch(workload, "qid", "qv",
+        s"$base/raw", "vec_id", "embedding", coarse, rawBooks, K)),
+      "auto over the raw layout must equal probeIvfPqBatch")
+    assert(rows(Similarity.probeBatchAuto(workload, "qid", "qv",
+        s"$base/res", "vec_id", "embedding", K, Some(coarse), resBooks)) ==
+      rows(Similarity.probeIvfPqResidualBatch(workload, "qid", "qv",
+        s"$base/res", "vec_id", "embedding", coarse, resBooks, K)),
+      "auto over the residual layout must equal probeIvfPqResidualBatch")
+    // a PQ layout with no artifacts fails fast, not silently wrong
+    intercept[IllegalArgumentException] {
+      Similarity.probeBatchAuto(workload, "qid", "qv",
+        s"$base/raw", "vec_id", "embedding", K)
+    }
+  }
+
   test("probeIvfPqBatch plan: workload meets cells through a broadcast " +
       "hash join, never a shuffle of the pruned scan") {
     val coarse = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)

@@ -468,6 +468,39 @@ class TrainingPipelineSpec extends SparkSpec {
       s"unit costs must order by raw drop rate: $unit")
   }
 
+  test("orderScreensMeasured: timed costs, selectivities equal the " +
+      "caller-cost pass, rank follows measured drop-per-ms (r18 VERDICT)") {
+    val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val screens = Seq(
+      ("mod2", col("doc_id") % 2 === 0),
+      ("mod4", col("doc_id") % 4 === 0),
+      ("mod5", col("doc_id") % 5 === 0))
+    val out = TrainingPipeline.orderScreensMeasured(docs, "doc_id", screens,
+      sampleTarget = 1000L).collect()
+    assert(out.length == 3)
+    val byName = out.map(r => r.getString(1) -> r).toMap
+    // the deterministic evidence (sample, kept, drop) is EXACTLY the
+    // caller-cost overload's — the clock only reprices, never recounts
+    assert(byName("mod2").getLong(2) == 100 && byName("mod2").getLong(3) == 50
+      && byName("mod2").getDouble(4) == 0.5)
+    assert(byName("mod4").getDouble(4) == 0.75)
+    assert(byName("mod5").getDouble(4) == 0.8)
+    // clock invariants: positive ms, ratio arithmetic consistent, rank
+    // sorted by measured drop-per-ms desc (ties name asc)
+    out.foreach { r =>
+      val ms = r.getDouble(5)
+      assert(ms > 0, s"cost_ms must be positive: $r")
+      assert(math.abs(r.getDouble(6) -
+        BigDecimal(r.getDouble(4) / ms).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"drop_per_cost_ms must equal drop/ms 6-rounded: $r")
+    }
+    val ranked = out.sortBy(_.getInt(0)).map(r => (r.getDouble(6), r.getString(1)))
+    assert(ranked.sameElements(ranked.sortBy { case (d, n) => (-d, n) }),
+      s"rank must sort by measured drop-per-ms desc: ${ranked.toSeq}")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("appendState with a batchId is idempotent: replay converges, partial landing heals") {
     val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
     val state0 = TrainingPipeline.curateState(prev, "doc_id", "text",
