@@ -22,10 +22,24 @@ import graft.agent.{ChatMessage, HttpLlm}
   * `requestsPerSecond` is a PER-PARTITION budget: the global request
   * rate is `requestsPerSecond × simultaneously-running partitions`
   * (≤ the executor core count). Size it as
-  * endpointBudget / min(numPartitions, totalCores). `concurrency` is
-  * the in-flight bound within one partition; the limiter still spaces
-  * request STARTS, so concurrency > 1 only helps hide latency, it
-  * never exceeds the rate.
+  * endpointBudget / min(numPartitions, totalCores) — or set
+  * `globalRequestsPerSecond` and let the operator do that division.
+  * `concurrency` is the in-flight bound within one partition; the
+  * limiter still spaces request STARTS, so concurrency > 1 only helps
+  * hide latency, it never exceeds the rate.
+  *
+  * `globalRequestsPerSecond` is the CLUSTER-WIDE budget (r18 ADVICE:
+  * a per-partition limit multiplies by however many partitions run —
+  * at 32 partitions a 10-rps limit is 320 rps at the endpoint). When
+  * set it overrides `requestsPerSecond`: each partition's limiter gets
+  * `global / numPartitions`, so the aggregate can never exceed the
+  * budget no matter how many partitions run concurrently. Division by
+  * the PARTITION count (not the core count) is deliberately the
+  * conservative side: when partitions outnumber cores the aggregate
+  * undershoots — an endpoint quota is a ceiling, not a target — and
+  * it needs no cross-executor coordination at 1000 executors (a
+  * driver-granted token service would be a single point of failure on
+  * the hot path of every request).
   */
 final case class LlmAnnotateConfig(
     baseUrl: String,
@@ -39,16 +53,26 @@ final case class LlmAnnotateConfig(
     requestTimeoutSec: Int = 60,
     concurrency: Int = 4,
     requestsPerSecond: Double = 8.0,
+    globalRequestsPerSecond: Option[Double] = None,
 ) extends Serializable {
   require(concurrency >= 1, s"concurrency must be >= 1: $concurrency")
   require(requestsPerSecond > 0, s"requestsPerSecond must be > 0: $requestsPerSecond")
+  globalRequestsPerSecond.foreach(g =>
+    require(g > 0, s"globalRequestsPerSecond must be > 0: $g"))
+
+  /** The per-partition rate a run over `numPartitions` partitions must
+    * pace at to honor the configured budget. */
+  private[pipeline] def partitionRps(numPartitions: Int): Double =
+    globalRequestsPerSecond
+      .map(_ / math.max(numPartitions, 1))
+      .getOrElse(requestsPerSecond)
 
   /** Case-class toString would print the API key into logs, task
     * descriptions, and error messages — redact it. */
   override def toString: String =
     s"LlmAnnotateConfig($baseUrl,$model,${apiKey.map(_ => "***")},$apiKeyEnv," +
       s"$temperature,$maxTokens,$maxRetries,$backoffMillis,$requestTimeoutSec," +
-      s"$concurrency,$requestsPerSecond)"
+      s"$concurrency,$requestsPerSecond,$globalRequestsPerSecond)"
 }
 
 /** Distributed batched LLM annotation — score, label, extract from, or
@@ -174,6 +198,14 @@ object Annotate {
     val outSchema = df.schema
       .add("annotation", StringType).add("annotation_error", StringType)
     val enc = Encoders.row(outSchema)
+    // the global budget divides over the partitions that will run —
+    // resolved ONCE at build time from the input's partitioning. A
+    // STREAMING input has no build-time partitioning (df.rdd is
+    // illegal); there the divisor is defaultParallelism, the ceiling
+    // on simultaneously-running tasks per micro-batch
+    val rps = config.partitionRps(
+      if (df.isStreaming) df.sparkSession.sparkContext.defaultParallelism
+      else df.rdd.getNumPartitions)
     df.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -182,7 +214,7 @@ object Annotate {
           temperature = config.temperature, maxTokens = config.maxTokens,
           requestTimeout = java.time.Duration.ofSeconds(config.requestTimeoutSec),
           maxRetries = config.maxRetries, backoffMillis = config.backoffMillis)
-        val limiter = new RateLimiter(config.requestsPerSecond)
+        val limiter = new RateLimiter(rps)
         val pool = taskScopedPool(config.concurrency)
         val annotated = pipelined(it, pool, config.concurrency) { row =>
           val text = if (row.isNullAt(textIdx)) "" else row.get(textIdx).toString
@@ -328,6 +360,9 @@ object Annotate {
     val outSchema = df.schema
       .add("embedding", ArrayType(FloatType)).add("annotation_error", StringType)
     val enc = Encoders.row(outSchema)
+    val rps = config.partitionRps(
+      if (df.isStreaming) df.sparkSession.sparkContext.defaultParallelism
+      else df.rdd.getNumPartitions)
     df.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -335,7 +370,7 @@ object Annotate {
           apiKey = config.apiKey, apiKeyEnv = config.apiKeyEnv,
           requestTimeout = java.time.Duration.ofSeconds(config.requestTimeoutSec),
           maxRetries = config.maxRetries, backoffMillis = config.backoffMillis)
-        val limiter = new RateLimiter(config.requestsPerSecond)
+        val limiter = new RateLimiter(rps)
         val pool = taskScopedPool(config.concurrency)
         val embedded: Iterator[Seq[Row]] =
           pipelined(it.grouped(batchSize), pool, config.concurrency) { batch =>

@@ -404,6 +404,54 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("release gate: the one-call served RRF holds a pinned quality " +
+      "floor against the exact fusion (r18 VERDICT item 7)") {
+    import spark.implicits._
+    // controlled text side: one doc per vector, text carries its label
+    // as a word, so BM25 behaves identically in the served run and the
+    // exact baseline and the only moving part is the ANN serving path
+    val docs = corpus.select(col("vec_id"),
+      concat(lit("cluster word"), col("label"),
+        lit(" embedding document")).as("text"))
+    val base = "target/graft-tmp/rrf-release-gate"
+    TextSearch.writeIndex(docs, "vec_id", "text", s"$base/bm25")
+    val coarse = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 8)
+    val books = Similarity.trainPq(corpus, "vec_id", "embedding", m = 8, k = 16)
+    Similarity.writeIvfPq(corpus, "embedding", s"$base/ann", coarse, books)
+    OperatorCache.releaseAll(spark)
+    val qlabels = corpus.orderBy("vec_id").limit(5)
+      .select("label").collect().map(_.getInt(0))
+    val workload = queries.zip(qlabels).zipWithIndex.map {
+      case ((qv, l), i) => (i.toLong, s"cluster word$l", qv)
+    }.toDF("qid", "query", "qv")
+    // qrels = the EXACT fusion (brute-force cosine ranks through the
+    // same RRF), rel 1 per returned doc — the ideal the serving path
+    // approximates; a layout/probe regression drops recall against it
+    val qrels = TextSearch.searchRrfBatch(workload, "qid", "query", "qv",
+      s"$base/bm25", corpus, "vec_id", "embedding", k = K, candidates = 20)
+      .select(col("qid"), col("doc"), lit(1).as("rel"))
+    val served = TextSearch.searchRrfServedAuto(workload, "qid", "query",
+      "qv", s"$base/bm25", s"$base/ann", "vec_id", "embedding",
+      Some(coarse), books, k = K, candidates = 20,
+      nprobe = 6, rescoreFactor = 10)
+    val m = TextSearch.evalRetrieval(served, "qid", "doc", "rank",
+      qrels, "qid", "doc", "rel", k = K).collect()
+    assert(m.length == queries.size, "one metric row per query")
+    val meanRecall = m.map(_.getDouble(4)).sum / m.length
+    val meanNdcg = m.map(_.getDouble(6)).sum / m.length
+    info(f"served-RRF vs exact fusion: recall@$K = $meanRecall%.2f, " +
+      f"nDCG@$K = $meanNdcg%.2f")
+    // floors ~0.1 under observed (the suite's convention): a serving
+    // regression — drifted layout, broken probe pruning, rank bug —
+    // fails HERE, in the production one-call path, not only in the
+    // recall-audit cards
+    assert(meanRecall >= 0.85,
+      f"served RRF recall@$K fell to $meanRecall%.2f (observed 0.98)")
+    assert(meanNdcg >= 0.85,
+      f"served RRF nDCG@$K fell to $meanNdcg%.2f (observed 0.99)")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("SQ8 two-stage rescoring is near-exact") {
     val quantized = Similarity.quantizeSq8(corpus, "embedding").persist()
     quantized.count()

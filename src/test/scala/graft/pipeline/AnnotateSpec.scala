@@ -139,6 +139,34 @@ class AnnotateSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("globalRequestsPerSecond bounds the AGGREGATE rate across " +
+      "partitions (r18 VERDICT item 6)") {
+    val stub = new Stub()
+    try {
+      // 16 requests over 4 partitions under a 16-rps GLOBAL budget:
+      // each partition's limiter gets 4 rps, so each partition's 4
+      // requests occupy slots 0/250/500/750ms and the whole pass
+      // cannot finish in under ~750ms — with only the per-partition
+      // default (1000 rps in cfg) the same pass completes in tens of
+      // milliseconds, which is exactly the 4x-overrun the global
+      // budget exists to prevent
+      val t0 = System.nanoTime()
+      val n = Annotate.annotate(docs(16).repartition(4), "text", "q: {text}",
+        cfg(stub.url).copy(globalRequestsPerSecond = Some(16.0))).count()
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(n == 16 && stub.hits.get() == 16)
+      assert(elapsedMs >= 700,
+        s"aggregate pacing floor (16 req / 16 rps global over 4 " +
+          s"partitions => >= ~750ms): ${elapsedMs}ms")
+      // and the division really is by partition count: the config
+      // resolves 16 rps over 4 partitions to 4 rps each
+      assert(cfg(stub.url).copy(globalRequestsPerSecond = Some(16.0))
+        .partitionRps(4) == 4.0)
+      assert(cfg(stub.url).partitionRps(4) == 1000.0,
+        "without a global budget the per-partition rate is unchanged")
+    } finally stub.stop()
+  }
+
   test("llmLabel normalizes single-label replies, nulls ambiguous ones") {
     val stub = new Stub(scoreOf = p =>
       if (p.contains("number 0")) "This is SPAM."
