@@ -72,9 +72,51 @@ object TextAnalysis {
     graft.functions.GraftFunctions.countWordsIn(padded, words)
   }
 
+  /** Codepoint share of each writing-script class — the routing
+    * primitive for script-gated screens. The quality/Gopher heuristics
+    * here are LATIN-TUNED (English stopwords, [A-Za-z] alpha words,
+    * 3–10 char mean word length): running them on CJK/Thai text
+    * misfires EVEN with per-codepoint segmentation (a CJK "word" is
+    * one codepoint — mean_word_len ≈ 1, alpha_frac ≈ 0), so a
+    * multilingual pipeline routes by script FIRST and applies each
+    * script's own thresholds. Counts are `translate`-free regexp
+    * counts (one linear scan each, codegen), denominated by the
+    * text's total matched codepoints.
+    *
+    * @return (script name, codepoint count) columns for latin / han /
+    *         hiragana / katakana / thai / lao
+    */
+  def scriptCounts(text: Column): Seq[(String, Column)] = Seq(
+    "latin" -> regexp_count(text, lit("[A-Za-z]")),
+    "han" -> regexp_count(text, lit("\\p{IsHan}")),
+    "hiragana" -> regexp_count(text, lit("\\p{IsHiragana}")),
+    "katakana" -> regexp_count(text, lit("\\p{IsKatakana}")),
+    "thai" -> regexp_count(text, lit("\\p{IsThai}")),
+    "lao" -> regexp_count(text, lit("\\p{IsLao}")),
+  ).map { case (n, c) => n -> c.cast("long") }
+
+  /** The argmax script label of [[scriptCounts]] — "other" when no
+    * class matches a single codepoint. Ties break by the fixed list
+    * order above (deterministic on both engines: the replay is a
+    * greatest-count CASE over the same regexp counts). One row-local
+    * expression; at 100 TB this is the screen-router that keeps the
+    * Latin-tuned quality cascade off text it would misjudge.
+    */
+  def dominantScript(text: Column): Column = {
+    val counts = scriptCounts(text)
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("other"): Column) { case ((name, c), rest) =>
+      when(c > 0 && c === best, lit(name)).otherwise(rest)
+    }
+  }
+
   /** Quality-scoring features: length, word stats, punctuation / stopword /
     * uppercase / digit / non-alnum ratios, mean word length, repetition.
     * Returned as individual columns so downstream filters push down.
+    *
+    * LATIN-TUNED (see [[scriptCounts]]): stopwords are English,
+    * upper/alpha classes are [A-Za-z]. Route non-Latin text by
+    * [[dominantScript]] before screening on these.
     */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val nChars = length(text)
@@ -212,6 +254,12 @@ object TextAnalysis {
     *         the threshold compare so an external replay makes the
     *         identical keep/drop decision on boundary rows
     */
+  /** LATIN-TUNED (see [[scriptCounts]]): the stopword list is English,
+    * alpha words are [A-Za-z], and the 3–10 mean-word-length band
+    * assumes space-delimited words — per-codepoint CJK segmentation
+    * would not fix the rule semantics (mean length ≈ 1 codepoint), so
+    * route by [[dominantScript]] and screen non-Latin scripts with
+    * their own thresholds. */
   def gopherQualityRules(
       df: DataFrame, idCol: String, textCol: String,
       minWords: Long = 50, maxWords: Long = 100000,

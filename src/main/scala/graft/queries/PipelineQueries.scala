@@ -7115,6 +7115,47 @@ object PipelineQueries {
            |       doc, rrf, rank_bm25, rank_cos
            |FROM fused
            |QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Script routing (the gate in front of the Latin-tuned quality /
+    // Gopher screens): per-class codepoint counts and the deterministic
+    // argmax label, replayed in DuckDB with the RE2 script classes over
+    // the same mixed-script fixture — so the router's every count and
+    // tie-break is oracle-pinned.
+    QueryDef("p145_script_route",
+      (s, dir) => {
+        val docs = s.createDataFrame(cjkFixture).toDF("doc_id", "text")
+        val counts = TextAnalysis.scriptCounts(col("text"))
+        docs.select(
+          col("doc_id") +:
+            counts.map { case (n, c) => c.as(s"n_$n") } :+
+            TextAnalysis.dominantScript(col("text")).as("script"): _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH docs AS (
+           |  SELECT * FROM (VALUES $cjkFixtureSqlValues) v(doc_id, text)
+           |), c AS (
+           |  SELECT doc_id,
+           |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+           |         CAST(len(regexp_extract_all(text, '\\p{Han}')) AS BIGINT) AS n_han,
+           |         CAST(len(regexp_extract_all(text, '\\p{Hiragana}')) AS BIGINT) AS n_hiragana,
+           |         CAST(len(regexp_extract_all(text, '\\p{Katakana}')) AS BIGINT) AS n_katakana,
+           |         CAST(len(regexp_extract_all(text, '\\p{Thai}')) AS BIGINT) AS n_thai,
+           |         CAST(len(regexp_extract_all(text, '\\p{Lao}')) AS BIGINT) AS n_lao
+           |  FROM docs
+           |), m AS (
+           |  SELECT *, GREATEST(n_latin, n_han, n_hiragana, n_katakana, n_thai, n_lao) AS best
+           |  FROM c
+           |)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       n_latin, n_han, n_hiragana, n_katakana, n_thai, n_lao,
+           |       CASE WHEN n_latin > 0 AND n_latin = best THEN 'latin'
+           |            WHEN n_han > 0 AND n_han = best THEN 'han'
+           |            WHEN n_hiragana > 0 AND n_hiragana = best THEN 'hiragana'
+           |            WHEN n_katakana > 0 AND n_katakana = best THEN 'katakana'
+           |            WHEN n_thai > 0 AND n_thai = best THEN 'thai'
+           |            WHEN n_lao > 0 AND n_lao = best THEN 'lao'
+           |            ELSE 'other' END AS script
+           |FROM m ORDER BY doc_id""".stripMargin)),
   )
 
   /** Multilingual fixture for the segmentation oracle (p143): spaceless

@@ -1376,4 +1376,28 @@ class PipelineSpec extends SparkSpec {
     assert(frames.select("asset_id").distinct().count() ==
       decoded.count(_.modality == "video"))
   }
+
+  test("dominantScript routes by codepoint majority with deterministic " +
+      "ties; Latin-tuned screens stay off non-Latin text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain english text"),
+      (2L, "深度学习模型"), // Han only
+      (3L, "ab 深度学"),                // Han 3 > latin 2
+      (4L, "abc 深度学"),               // TIE 3=3 -> list order: latin
+      (5L, "12345 ,.!?"),                           // no script -> other
+      (6L, "ภาษาไทย"), // Thai only
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      TextAnalysis.dominantScript(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "latin", 2L -> "han", 3L -> "han",
+      4L -> "latin", 5L -> "other", 6L -> "thai"), s"got $got")
+    // the routing composition: only latin-dominant docs reach the
+    // Latin-tuned Gopher rules, so a CJK doc is ROUTED, never misjudged
+    val routed = docs.where(
+      TextAnalysis.dominantScript(col("text")) === "latin")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(routed == Seq(1L, 4L), s"latin route: $routed")
+  }
 }
