@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // test fixtures carry CJK / supplementary-plane text; without an
+  // explicit UTF-8 stdout encoding a failure message containing one
+  // aborts the fork's JUnit XML writer (MalformedInputException)
+  "-Dfile.encoding=UTF-8",
+  "-Dstdout.encoding=UTF-8", "-Dstderr.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -68,11 +68,29 @@ object Bpe {
     out.toArray
   }
 
-  /** Encode one word: character symbols, then every merge in rank
+  /** A word's initial symbol sequence: one symbol per CODEPOINT, not
+    * per UTF-16 char — a supplementary-plane ideograph (CJK Ext-B,
+    * U+20000+) is ONE symbol, never a surrogate-half pair (isolated
+    * surrogates are not valid strings, and DuckDB's `string_split(w,
+    * '')` mirror splits by codepoint — char-splitting here learned
+    * phantom surrogate merges and broke the oracle parity). Identical
+    * to the per-char split on all BMP text. */
+  private[pipeline] def charSymbols(word: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Encode one word: codepoint symbols, then every merge in rank
     * order. Pure and context-free — the unit the dictionary frame maps
     * over. */
   def encodeWord(word: String, model: BpeModel): Array[String] = {
-    var p: Array[String] = word.map(_.toString).toArray
+    var p: Array[String] = charSymbols(word)
     model.merges.foreach { case (a, b) => p = applyMerge(p, a, b) }
     p
   }
@@ -104,7 +122,7 @@ object Bpe {
       .limit(maxWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    var pieces: Array[Array[String]] = words.map(_._1.map(_.toString).toArray)
+    var pieces: Array[Array[String]] = words.map(w => charSymbols(w._1))
     val counts: Array[Long] = words.map(_._2)
     val merges = new mutable.ArrayBuffer[(String, String)](numMerges)
     var i = 0

@@ -37,36 +37,44 @@ object Dedup {
   def tokensOf(text: Column): Column = filter(rawTokens(text), t => t =!= "")
 
   /** Java-regex character class of the scripts written WITHOUT word
-    * spaces (Han, Hiragana, Katakana, Thai, Lao). A whitespace split
-    * treats an entire CJK/Thai sentence run as one "word" — BPE
-    * dictionaries explode, token budgets overcount by ~sentence length,
-    * word-level quality rules misfire — so these scripts segment per
-    * CODEPOINT (the standard char-level fallback every multilingual
-    * tokenizer uses absent a learned segmenter). DuckDB/RE2 spells the
-    * same class `\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}\p{Lao}` —
-    * verified byte-identical on both engines.
+    * spaces (Han, Hiragana, Katakana, Thai, Lao, Khmer, Myanmar,
+    * Tibetan). A whitespace split treats an entire CJK/Thai sentence
+    * run as one "word" — BPE dictionaries explode, token budgets
+    * overcount by ~sentence length, word-level quality rules misfire —
+    * so these scripts segment per CODEPOINT (the standard char-level
+    * fallback every multilingual tokenizer uses absent a learned
+    * segmenter). DuckDB/RE2 spells the same class
+    * `\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}\p{Lao}\p{Khmer}
+    * \p{Myanmar}\p{Tibetan}` — verified byte-identical on both engines
+    * (p143 oracle, including supplementary-plane Han).
     */
   private[pipeline] val SegScripts: String =
-    "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsThai}\\p{IsLao}"
+    "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsThai}\\p{IsLao}" +
+      "\\p{IsKhmer}\\p{IsMyanmar}\\p{IsTibetan}"
 
   /** The RE2 spelling of [[SegScripts]] for DuckDB oracle replays. */
   private[pipeline] val SegScriptsRe2: String =
-    "\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}\\p{Lao}"
+    "\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}\\p{Lao}" +
+      "\\p{Khmer}\\p{Myanmar}\\p{Tibetan}"
 
   /** Cheap pre-filter for the expensive script-class regexes: every
-    * codepoint of the five [[SegScripts]] sits at U+0E00 or above
-    * (Thai 0E00+, Lao 0E80+, Han radicals 2E80+, kana 3040+;
-    * supplementary-plane Han arrives as surrogate pairs whose chars
-    * are ≥ U+D800 — inside this range too), while ASCII / Latin-1 /
-    * Cyrillic / Greek / Arabic / Devanagari all sit below it. One
-    * simple range-class scan decides whether a row must pay the
-    * per-char script lookups at all — on a majority-Latin web corpus
-    * that turns the segmentation surcharge from two script-class
-    * scans per doc into one range scan (measured: corpusManifest
-    * cpu ×4.5 → ~×1 at sf1 on the ASCII fixture). False POSITIVES
-    * (e.g. Hangul, emoji) just run the no-op replace; false negatives
-    * are impossible by the range argument above. */
-  private val SegGuard: String = "[\\u0E00-\\uFFFF]"
+    * BMP codepoint of the [[SegScripts]] classes sits at U+0E00 or
+    * above (Thai 0E00+, Tibetan 0F00+, Myanmar 1000+, Khmer 1780+,
+    * Han radicals 2E80+, kana 3040+), while ASCII / Latin-1 /
+    * Cyrillic / Greek / Arabic / Devanagari all sit below it; the
+    * supplementary planes (CJK Ext-B+ Han at U+20000+) need their own
+    * `\x{10000}-\x{10FFFF}` arm because Java regex character classes
+    * match whole CODEPOINTS — a `\uXXXX`-range class never matches a
+    * supplementary codepoint (verified: U+20000 fails `[฀-￿]`
+    * while matching `\p{IsHan}`). One simple range-class scan decides
+    * whether a row must pay the per-char script lookups at all — on a
+    * majority-Latin web corpus that turns the segmentation surcharge
+    * from two script-class scans per doc into one range scan
+    * (measured: corpusManifest cpu ×4.5 → ~×1 at sf1 on the ASCII
+    * fixture). False POSITIVES (e.g. Hangul, emoji) just run the
+    * no-op replace; false negatives are impossible by the range
+    * argument above. */
+  private val SegGuard: String = "[\\u0E00-\\uFFFF\\x{10000}-\\x{10FFFF}]"
 
   /** Insert spaces around every codepoint of a non-space-delimited
     * script, so a downstream whitespace split yields per-codepoint

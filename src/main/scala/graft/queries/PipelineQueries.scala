@@ -649,7 +649,8 @@ object PipelineQueries {
     */
   /** RE2 spelling of [[graft.pipeline.Dedup.SegScripts]] — the
     * non-space-delimited scripts segmented per codepoint. */
-  private val segRe2 = "\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}\\p{Lao}"
+  private val segRe2 = "\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}\\p{Lao}" +
+    "\\p{Khmer}\\p{Myanmar}\\p{Tibetan}"
 
   /** DuckDB mirror of [[graft.pipeline.Dedup.segmentScripts]]. */
   private def segSql(textExpr: String): String =
@@ -7167,7 +7168,19 @@ object PipelineQueries {
     (2L, "ภาษาไทยไม่มีช่องว่าง between words"),
     (3L, "plain latin text only, with punctuation!"),
     (4L, "深度学习模型训练数据 mixed 管道 pipeline 123"),
-    (5L, "カタカナとひらがな混在のテキスト"))
+    (5L, "カタカナとひらがな混在のテキスト"),
+    // r19 ADVICE: a doc whose ONLY target-script codepoints are
+    // supplementary-plane Han (CJK Ext-B, U+20000+) — pins the
+    // widened SegGuard (a BMP-only guard skips segmentation here and
+    // the strip deletes the text outright)
+    (6L, new String(Character.toChars(0x20000)) +
+      new String(Character.toChars(0x20001)) +
+      new String(Character.toChars(0x2000B)) + " ext-b only"),
+    // r19 VERDICT item 3: Khmer / Myanmar / Tibetan — spaceless
+    // scripts that the five-script class deleted outright
+    (7L, "ភាសាខ្មែរ khmer text"),
+    (8L, "မြန်မာဘာသာ myanmar text"),
+    (9L, "བོད་སྐད་ tibetan text"))
 
   private def cjkFixtureSqlValues: String = cjkFixture.map {
     case (id, t) => s"($id, '${t.replace("'", "''")}')"

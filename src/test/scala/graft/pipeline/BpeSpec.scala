@@ -113,7 +113,17 @@ class BpeSpec extends SparkSpec {
       (2L, "学习模型训练"),
       (3L, "模型训练数据"),
       (4L, "訓練データは高速"),
-      (5L, "データは高速です")).toDF("doc_id", "text")
+      (5L, "データは高速です"),
+      // r19 VERDICT item 3: Khmer / Myanmar / Tibetan are spaceless
+      // too — they must segment per codepoint, not delete or fuse
+      (6L, "ភាសាខ្មែរសរសេរ"),
+      (7L, "မြန်မာဘာသာစကား"),
+      (8L, "བོད་སྐད་ཡིག"),
+      // r19 ADVICE: supplementary-plane Han (CJK Ext-B) — 2 chars but
+      // 1 codepoint per ideograph; the widened SegGuard must route it
+      (9L, new String(Character.toChars(0x20000)) +
+        new String(Character.toChars(0x20001)) +
+        new String(Character.toChars(0x2000B)))).toDF("doc_id", "text")
     val alphabet = docs.select(
       org.apache.spark.sql.functions.explode(
         Dedup.segTokensOf(col("text"))).as("t"))
