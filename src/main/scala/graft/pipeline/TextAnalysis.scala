@@ -93,7 +93,18 @@ object TextAnalysis {
     "katakana" -> regexp_count(text, lit("\\p{IsKatakana}")),
     "thai" -> regexp_count(text, lit("\\p{IsThai}")),
     "lao" -> regexp_count(text, lit("\\p{IsLao}")),
+    "khmer" -> regexp_count(text, lit("\\p{IsKhmer}")),
+    "myanmar" -> regexp_count(text, lit("\\p{IsMyanmar}")),
+    "tibetan" -> regexp_count(text, lit("\\p{IsTibetan}")),
   ).map { case (n, c) => n -> c.cast("long") }
+
+  /** The [[scriptCounts]] labels whose scripts are written without word
+    * spaces — exactly [[graft.pipeline.Dedup.SegScripts]]'s classes. A
+    * doc routed here is screened on SEGMENTED tokens and script-
+    * calibrated thresholds, never the Latin-tuned word rules. */
+  val SegmentedScriptLabels: Seq[String] = Seq(
+    "han", "hiragana", "katakana", "thai", "lao",
+    "khmer", "myanmar", "tibetan")
 
   /** The argmax script label of [[scriptCounts]] — "other" when no
     * class matches a single codepoint. Ties break by the fixed list
@@ -254,24 +265,15 @@ object TextAnalysis {
     *         the threshold compare so an external replay makes the
     *         identical keep/drop decision on boundary rows
     */
-  /** LATIN-TUNED (see [[scriptCounts]]): the stopword list is English,
-    * alpha words are [A-Za-z], and the 3–10 mean-word-length band
-    * assumes space-delimited words — per-codepoint CJK segmentation
-    * would not fix the rule semantics (mean length ≈ 1 codepoint), so
-    * route by [[dominantScript]] and screen non-Latin scripts with
-    * their own thresholds. */
-  def gopherQualityRules(
-      df: DataFrame, idCol: String, textCol: String,
-      minWords: Long = 50, maxWords: Long = 100000,
-      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
-      minStopwordHits: Long = 2,
-  ): DataFrame = {
-    // null/blank text is the 0-WORD doc (fails the word floor, never a
-    // NULL pass flag): a bare size(split(...)) yields NULL for null
-    // text and 1 for "", and null-propagation would make every rule —
-    // and the composite — NULL instead of false
-    val text = coalesce(col(textCol), lit(""))
+  /** The five Gopher doc-level feature columns over `text` (expects
+    * the null-coalesced column): (n_words, mean_word_len,
+    * symbol_ratio, alpha_frac, stopword_hits) — shared by
+    * [[gopherQualityRules]] and the Latin branch of
+    * [[multilingualQualityRules]] so the two screens can never drift
+    * on the Latin rule semantics. Ratios rounded to 6 BEFORE any
+    * threshold compare (boundary-row determinism on both engines). */
+  private def gopherFeatureCols(
+      text: Column): (Column, Column, Column, Column, Column) = {
     val nWords = when(trim(text) === "", lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
     val nw = greatest(nWords, lit(1L)).cast("double")
@@ -284,6 +286,30 @@ object TextAnalysis {
       round(regexp_count(text, lit("\\S*[A-Za-z]\\S*")).cast("double") / nw, 6)
     val stopHits = wordOccurrences(boundaryPadded(lower(text)),
       Seq("the", "be", "to", "of", "and", "that", "have", "with")).cast("long")
+    (nWords, meanLen, symbolRatio, alphaFrac, stopHits)
+  }
+
+  /** LATIN-TUNED (see [[scriptCounts]]): the stopword list is English,
+    * alpha words are [A-Za-z], and the 3–10 mean-word-length band
+    * assumes space-delimited words — per-codepoint CJK segmentation
+    * would not fix the rule semantics (mean length ≈ 1 codepoint), so
+    * route by [[dominantScript]] and screen non-Latin scripts with
+    * their own thresholds — [[multilingualQualityRules]] is that
+    * router composed with this screen. */
+  def gopherQualityRules(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwordHits: Long = 2,
+  ): DataFrame = {
+    // null/blank text is the 0-WORD doc (fails the word floor, never a
+    // NULL pass flag): a bare size(split(...)) yields NULL for null
+    // text and 1 for "", and null-propagation would make every rule —
+    // and the composite — NULL instead of false
+    val text = coalesce(col(textCol), lit(""))
+    val (nWords, meanLen, symbolRatio, alphaFrac, stopHits) =
+      gopherFeatureCols(text)
     df.select(col(idCol).as("doc"),
         nWords.as("n_words"), meanLen.as("mean_word_len"),
         symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
@@ -294,6 +320,83 @@ object TextAnalysis {
           col("symbol_ratio") <= maxSymbolRatio &&
           col("alpha_frac") >= minAlphaFrac &&
           col("stopword_hits") >= minStopwordHits)
+  }
+
+  /** Script-ROUTED quality screen — the multilingual front door the
+    * Latin-tuned [[gopherQualityRules]] needs at web scale (r19
+    * VERDICT item 1): a Chinese/Thai/Khmer document used to reach the
+    * quality cascade as an EMPTY token stream (the canonical
+    * tokenizer's `[^a-z0-9\s]` strip deletes every non-Latin
+    * codepoint) and was screened on vacuous statistics. Here every doc
+    * is routed by [[dominantScript]] first:
+    *
+    *  - `latin` (and `other`) route: the exact Gopher doc-level
+    *    conjunction, expression-for-expression [[gopherFeatureCols]] —
+    *    pinned equal to [[gopherQualityRules]].pass by spec.
+    *  - `segmented` route ([[SegmentedScriptLabels]] — the scripts
+    *    written without word spaces): rules re-based on the SEGMENTED
+    *    token stream ([[Dedup.segTokensOf]], one token per codepoint
+    *    for those scripts — the standard char-level fallback), with
+    *    script-calibrated equivalents of the Gopher bounds:
+    *    token-count floor/ceiling (a CJK codepoint ≈ a word for budget
+    *    purposes), symbol ratio per segmented token, `content_frac`
+    *    (share of non-space codepoints the tokenizer KEEPS — the
+    *    analogue of alpha_frac; symbol soup fails it), and
+    *    `uniq_frac` (distinct/total segmented tokens — the repetition
+    *    rule: a doc that repeats one phrase collapses to a handful of
+    *    distinct codepoints).
+    *
+    * Everything is ONE map-only projection (script counts, segmented
+    * split, regexp counts — all codegen), so a `where(pass)` pushes
+    * the whole routed conjunction into the scan; at 100 TB this
+    * screens a mixed-script crawl in a single pass with no shuffle.
+    * Oracle: p146 replays routing, segmentation, every feature, and
+    * the routed pass in DuckDB over a mixed Latin+CJK fixture.
+    *
+    * @return (doc, script, route, n_tokens, symbol_ratio,
+    *         content_frac, uniq_frac, pass); ratios rounded to 6
+    *         BEFORE the threshold compare
+    */
+  def multilingualQualityRules(
+      df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwordHits: Long = 2,
+      minContentFrac: Double = 0.8, minUniqFrac: Double = 0.05,
+  ): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val script = dominantScript(text)
+    val route = when(script.isin(SegmentedScriptLabels: _*), lit("segmented"))
+      .otherwise(lit("latin"))
+    val toks = Dedup.segTokensOf(text)
+    val nToks = size(toks).cast("long")
+    val nt = greatest(nToks, lit(1L)).cast("double")
+    // same symbol inventory as the Gopher screen, denominated by
+    // segmented tokens so CJK symbol soup is visible
+    val symbols = charClassCount(text, "#") +
+      (length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)
+    val symbolRatio = round(symbols.cast("double") / nt, 6)
+    // share of non-space codepoints the segmented tokenizer keeps —
+    // alpha_frac's script-neutral analogue (Latin letters, digits, and
+    // every segmented-script codepoint count as content)
+    val contentFrac = round(
+      regexp_count(text, lit(s"[A-Za-z0-9${Dedup.SegScripts}]")).cast("double") /
+        greatest(regexp_count(text, lit("\\S")), lit(1)).cast("double"), 6)
+    val uniqFrac = round(size(array_distinct(toks)).cast("double") / nt, 6)
+    val (nWords, meanLen, gSymbolRatio, alphaFrac, stopHits) =
+      gopherFeatureCols(text)
+    val latinPass = nWords.between(minTokens, maxTokens) &&
+      meanLen.between(minMeanWordLen, maxMeanWordLen) &&
+      gSymbolRatio <= maxSymbolRatio && alphaFrac >= minAlphaFrac &&
+      stopHits >= minStopwordHits
+    val segPass = nToks.between(minTokens, maxTokens) &&
+      symbolRatio <= maxSymbolRatio && contentFrac >= minContentFrac &&
+      uniqFrac >= minUniqFrac
+    df.select(col(idCol).as("doc"), script.as("script"), route.as("route"),
+      nToks.as("n_tokens"), symbolRatio.as("symbol_ratio"),
+      contentFrac.as("content_frac"), uniqFrac.as("uniq_frac"),
+      when(route === "latin", latinPass).otherwise(segPass).as("pass"))
   }
 
   /** Per-rule drop attribution for the [[gopherQualityRules]] screen —
@@ -1320,20 +1423,29 @@ object TextAnalysis {
     * (~n²/2⁶⁴ — and the DuckDB oracle, which groups by the real
     * strings, would catch one).
     *
+    * @param segmented tokenize with [[Dedup.rawTokensSeg]] (CJK/Thai/
+    *        Lao/Khmer/Myanmar/Tibetan segmented per codepoint and KEPT)
+    *        instead of the Latin-only canonical tokenizer — a
+    *        repetitive CJK doc then reports REAL top/dup-gram
+    *        fractions instead of vanishing on an empty token stream
+    *        (r19 VERDICT item 1; default false keeps every existing
+    *        oracle byte-stable)
     * @return (doc, n_chars_norm, top_{n}_gram_frac…, dup_{n}_gram_frac…)
     */
   def gopherRepetitionStats(
       df: DataFrame, idCol: String, textCol: String,
       topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10),
-      persist: Boolean = true,
+      persist: Boolean = true, segmented: Boolean = false,
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topNs.nonEmpty && dupNs.nonEmpty, "need at least one n per family")
     val maxN = (topNs ++ dupNs).max
     val wDoc = Window.partitionBy("doc").orderBy("pos")
 
+    val tokenize: Column => Column =
+      if (segmented) Dedup.rawTokensSeg else Dedup.rawTokens
     val toks0 = df.select(col(idCol).as("doc"),
-        posexplode(Dedup.rawTokens(col(textCol))))
+        posexplode(tokenize(col(textCol))))
       .toDF("doc", "pos", "tok")
       .where(col("tok") =!= "")
       .withColumn("tlen", length(col("tok")).cast("long"))

@@ -7141,22 +7141,120 @@ object PipelineQueries {
            |         CAST(len(regexp_extract_all(text, '\\p{Hiragana}')) AS BIGINT) AS n_hiragana,
            |         CAST(len(regexp_extract_all(text, '\\p{Katakana}')) AS BIGINT) AS n_katakana,
            |         CAST(len(regexp_extract_all(text, '\\p{Thai}')) AS BIGINT) AS n_thai,
-           |         CAST(len(regexp_extract_all(text, '\\p{Lao}')) AS BIGINT) AS n_lao
+           |         CAST(len(regexp_extract_all(text, '\\p{Lao}')) AS BIGINT) AS n_lao,
+           |         CAST(len(regexp_extract_all(text, '\\p{Khmer}')) AS BIGINT) AS n_khmer,
+           |         CAST(len(regexp_extract_all(text, '\\p{Myanmar}')) AS BIGINT) AS n_myanmar,
+           |         CAST(len(regexp_extract_all(text, '\\p{Tibetan}')) AS BIGINT) AS n_tibetan
            |  FROM docs
            |), m AS (
-           |  SELECT *, GREATEST(n_latin, n_han, n_hiragana, n_katakana, n_thai, n_lao) AS best
+           |  SELECT *, GREATEST(n_latin, n_han, n_hiragana, n_katakana, n_thai, n_lao,
+           |                     n_khmer, n_myanmar, n_tibetan) AS best
            |  FROM c
            |)
            |SELECT CAST(doc_id AS BIGINT) AS doc_id,
            |       n_latin, n_han, n_hiragana, n_katakana, n_thai, n_lao,
+           |       n_khmer, n_myanmar, n_tibetan,
            |       CASE WHEN n_latin > 0 AND n_latin = best THEN 'latin'
            |            WHEN n_han > 0 AND n_han = best THEN 'han'
            |            WHEN n_hiragana > 0 AND n_hiragana = best THEN 'hiragana'
            |            WHEN n_katakana > 0 AND n_katakana = best THEN 'katakana'
            |            WHEN n_thai > 0 AND n_thai = best THEN 'thai'
            |            WHEN n_lao > 0 AND n_lao = best THEN 'lao'
+           |            WHEN n_khmer > 0 AND n_khmer = best THEN 'khmer'
+           |            WHEN n_myanmar > 0 AND n_myanmar = best THEN 'myanmar'
+           |            WHEN n_tibetan > 0 AND n_tibetan = best THEN 'tibetan'
            |            ELSE 'other' END AS script
            |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Script-ROUTED quality screen (r19 VERDICT item 1): every doc is
+    // routed by dominant script first — Latin docs get the exact
+    // Gopher conjunction, segmented-script docs (CJK/Thai/Lao/Khmer/
+    // Myanmar/Tibetan) get script-calibrated rules over the SEGMENTED
+    // token stream (token bounds, per-token symbol ratio, kept-content
+    // fraction, distinct-token repetition floor). The oracle replays
+    // routing, segmentation, every feature, and the routed pass —
+    // pinning that a CJK doc is screened on REAL statistics (a
+    // repetitive one FAILS uniq_frac) instead of an empty token stream.
+    QueryDef("p146_multilingual_screen",
+      (s, dir) => {
+        val docs = s.createDataFrame(screenFixture).toDF("doc_id", "text")
+        TextAnalysis.multilingualQualityRules(docs, "doc_id", "text",
+          minTokens = 3, maxTokens = 60, minMeanWordLen = 2.0,
+          maxMeanWordLen = 8.0, maxSymbolRatio = 0.1, minAlphaFrac = 0.7,
+          minStopwordHits = 1, minContentFrac = 0.7, minUniqFrac = 0.3)
+          .orderBy("doc")
+      },
+      Some(s"""WITH docs AS (
+           |  SELECT * FROM (VALUES $screenFixtureSqlValues) v(doc_id, text)
+           |), c AS (
+           |  SELECT doc_id, text,
+           |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+           |         CAST(len(regexp_extract_all(text, '\\p{Han}')) AS BIGINT) AS n_han,
+           |         CAST(len(regexp_extract_all(text, '\\p{Hiragana}')) AS BIGINT) AS n_hiragana,
+           |         CAST(len(regexp_extract_all(text, '\\p{Katakana}')) AS BIGINT) AS n_katakana,
+           |         CAST(len(regexp_extract_all(text, '\\p{Thai}')) AS BIGINT) AS n_thai,
+           |         CAST(len(regexp_extract_all(text, '\\p{Lao}')) AS BIGINT) AS n_lao,
+           |         CAST(len(regexp_extract_all(text, '\\p{Khmer}')) AS BIGINT) AS n_khmer,
+           |         CAST(len(regexp_extract_all(text, '\\p{Myanmar}')) AS BIGINT) AS n_myanmar,
+           |         CAST(len(regexp_extract_all(text, '\\p{Tibetan}')) AS BIGINT) AS n_tibetan
+           |  FROM docs
+           |), m AS (
+           |  SELECT *, GREATEST(n_latin, n_han, n_hiragana, n_katakana, n_thai,
+           |                     n_lao, n_khmer, n_myanmar, n_tibetan) AS best
+           |  FROM c
+           |), r AS (
+           |  SELECT doc_id, text,
+           |         CASE WHEN n_latin > 0 AND n_latin = best THEN 'latin'
+           |              WHEN n_han > 0 AND n_han = best THEN 'han'
+           |              WHEN n_hiragana > 0 AND n_hiragana = best THEN 'hiragana'
+           |              WHEN n_katakana > 0 AND n_katakana = best THEN 'katakana'
+           |              WHEN n_thai > 0 AND n_thai = best THEN 'thai'
+           |              WHEN n_lao > 0 AND n_lao = best THEN 'lao'
+           |              WHEN n_khmer > 0 AND n_khmer = best THEN 'khmer'
+           |              WHEN n_myanmar > 0 AND n_myanmar = best THEN 'myanmar'
+           |              WHEN n_tibetan > 0 AND n_tibetan = best THEN 'tibetan'
+           |              ELSE 'other' END AS script
+           |  FROM m
+           |), f AS (
+           |  SELECT doc_id, script,
+           |         CASE WHEN script IN ('han','hiragana','katakana','thai','lao',
+           |                              'khmer','myanmar','tibetan')
+           |              THEN 'segmented' ELSE 'latin' END AS route,
+           |         ${segToksSql("text")} AS toks,
+           |         CASE WHEN TRIM(text) = '' THEN 0
+           |              ELSE CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) END AS n_words,
+           |         len(regexp_replace(TRIM(text), '\\s+', '', 'g')) AS n_wchars,
+           |         (len(text) - len(replace(text, '#', '')))
+           |           + (len(text) - len(replace(text, '...', ''))) / 3 AS symbols,
+           |         CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS BIGINT) AS alpha_words,
+           |         CAST(len(regexp_extract_all(lower(text), '\\b(the|be|to|of|and|that|have|with)\\b')) AS BIGINT) AS stopword_hits,
+           |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9$segRe2]')) AS BIGINT) AS n_content,
+           |         CAST(len(regexp_extract_all(text, '\\S')) AS BIGINT) AS n_nonspace
+           |  FROM r
+           |), g AS (
+           |  SELECT doc_id, script, route,
+           |         CAST(len(toks) AS BIGINT) AS n_tokens,
+           |         ROUND(CAST(symbols AS DOUBLE) / GREATEST(len(toks), 1), 6) AS symbol_ratio,
+           |         ROUND(CAST(n_content AS DOUBLE) / GREATEST(n_nonspace, 1), 6) AS content_frac,
+           |         ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1), 6) AS uniq_frac,
+           |         n_words,
+           |         ROUND(CAST(n_wchars AS DOUBLE) / GREATEST(n_words, 1), 6) AS mean_word_len,
+           |         ROUND(CAST(symbols AS DOUBLE) / GREATEST(n_words, 1), 6) AS g_symbol_ratio,
+           |         ROUND(CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1), 6) AS alpha_frac,
+           |         stopword_hits
+           |  FROM f
+           |)
+           |SELECT CAST(doc_id AS BIGINT) AS doc,
+           |       script, route, n_tokens, symbol_ratio, content_frac, uniq_frac,
+           |       CASE WHEN route = 'latin'
+           |            THEN (n_words BETWEEN 3 AND 60
+           |                  AND mean_word_len BETWEEN 2.0 AND 8.0
+           |                  AND g_symbol_ratio <= 0.1 AND alpha_frac >= 0.7
+           |                  AND stopword_hits >= 1)
+           |            ELSE (n_tokens BETWEEN 3 AND 60
+           |                  AND symbol_ratio <= 0.1 AND content_frac >= 0.7
+           |                  AND uniq_frac >= 0.3) END AS pass
+           |FROM g ORDER BY doc""".stripMargin)),
   )
 
   /** Multilingual fixture for the segmentation oracle (p143): spaceless
@@ -7183,6 +7281,31 @@ object PipelineQueries {
     (9L, "བོད་སྐད་ tibetan text"))
 
   private def cjkFixtureSqlValues: String = cjkFixture.map {
+    case (id, t) => s"($id, '${t.replace("'", "''")}')"
+  }.mkString(", ")
+
+  /** Mixed-script fixture for the ROUTED quality screen (p146): Latin
+    * docs that pass/fail the Gopher rules, segmented-script docs that
+    * pass, a repetitive CJK doc (fails the uniq_frac repetition rule
+    * on REAL segmented statistics — the whole point of the router), a
+    * CJK symbol-soup doc, Khmer/Tibetan rows, a supplementary-Han-only
+    * row, and a mixed row whose argmax routing is pinned. */
+  private val screenFixture: Seq[(Long, String)] = Seq(
+    (1L, "the cat sat on the mat and it is that good"),
+    (2L, "zzz qqq www xyz abc"),
+    (3L, "深度学习模型训练数据是大规模的语料库"),
+    (4L, "的的的的的的的的的的的的"),
+    (5L, "ภาษาไทยไม่มีช่องว่างเลยสักนิด"),
+    (6L, "学习### 学习### 学习### ..."),
+    (7L, "ភាសាខ្មែរគឺល្អសម្រាប់ការសរសេរ"),
+    (8L, new String(Character.toChars(0x20000)) +
+      new String(Character.toChars(0x20001)) +
+      new String(Character.toChars(0x2000B)) +
+      new String(Character.toChars(0x20021))),
+    (9L, "mixed 混合 text with the 語 and of 123"),
+    (10L, "བོད་སྐད་ནི་སྙན་པོ་ཡོད"))
+
+  private def screenFixtureSqlValues: String = screenFixture.map {
     case (id, t) => s"($id, '${t.replace("'", "''")}')"
   }.mkString(", ")
 

@@ -1400,4 +1400,71 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(routed == Seq(1L, 4L), s"latin route: $routed")
   }
+
+  test("multilingualQualityRules screens CJK docs on REAL segmented " +
+      "statistics: good CJK passes, repetitive CJK fails the " +
+      "repetition rule, and the latin route equals gopherQualityRules") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog with a bone"),
+      (2L, "zzz qqq www"), // latin, no stopwords
+      (3L, "深度学习模型训练数据是大规模的语料库"), // good CJK
+      (4L, "的的的的的的的的的的的的"), // repetitive CJK
+      (5L, "ភាសាខ្មែរគឺល្អសម្រាប់ការសរសេរ"), // Khmer
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.multilingualQualityRules(docs, "doc_id", "text",
+      minTokens = 3, maxTokens = 60, minMeanWordLen = 2.0,
+      maxMeanWordLen = 8.0, minAlphaFrac = 0.7, minStopwordHits = 1,
+      minUniqFrac = 0.3)
+      .select("doc", "route", "n_tokens", "uniq_frac", "pass")
+      .as[(Long, String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // CJK docs reach the screen with NON-VACUOUS token statistics
+    assert(got(3L)._3 == 18 && got(3L)._2 == "segmented", s"${got(3L)}")
+    assert(got(3L)._5, "good CJK doc must pass the segmented rules")
+    assert(got(5L)._5, "Khmer doc must pass the segmented rules")
+    // the repetition rule fires on real statistics: 12 tokens, 1 distinct
+    assert(got(4L)._3 == 12 && got(4L)._4 == math.round(1.0 / 12 * 1e6) / 1e6,
+      s"${got(4L)}")
+    assert(!got(4L)._5, "repetitive CJK doc must FAIL uniq_frac")
+    // latin route is the EXACT Gopher conjunction — pinned equal
+    val gop = TextAnalysis.gopherQualityRules(docs, "doc_id", "text",
+      minWords = 3, maxWords = 60, minMeanWordLen = 2.0,
+      maxMeanWordLen = 8.0, minAlphaFrac = 0.7, minStopwordHits = 1)
+      .select("doc", "pass").as[(Long, Boolean)].collect().toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(got(id)._2 == "latin" && got(id)._5 == gop(id),
+        s"latin route must equal gopherQualityRules for doc $id")
+    }
+    // the UNROUTED screen misjudges BOTH CJK docs the same way (the
+    // strip deletes their text; they fail on vacuous stats) — the
+    // router is what makes good-vs-repetitive distinguishable
+    assert(!gop(3L) && !gop(4L), "unrouted screen cannot distinguish CJK docs")
+  }
+
+  test("gopherRepetitionStats(segmented=true): a repetitive CJK doc " +
+      "reports real top/dup-gram fractions and FAILS the Gopher caps; " +
+      "unsegmented it vanishes on an empty token stream") {
+    import spark.implicits._
+    val phrase = "深度学习" // 4 codepoints, repeated 10x
+    val docs = Seq(
+      (1L, phrase * 10),
+      (2L, "互联网语料库质量筛选规则评估体系研究进展概述"), // varied CJK
+    ).toDF("doc_id", "text")
+    // unsegmented: the canonical tokenizer deletes the text — no rows
+    val unseg = TextAnalysis.gopherRepetitionStats(docs, "doc_id", "text")
+    assert(unseg.count() == 0, "unsegmented CJK must produce no stats rows")
+    val seg = TextAnalysis.gopherRepetitionStats(docs, "doc_id", "text",
+      segmented = true)
+      .select("doc", "top_2_gram_frac", "dup_5_gram_frac")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 40 one-codepoint tokens, phrase period 4 — the top 2-gram
+    // occurs ~10+ times and 5-grams cover the whole doc
+    assert(seg(1L)._2 > 0.2, s"top_2_gram_frac must exceed the Gopher cap: ${seg(1L)}")
+    assert(seg(1L)._3 > 0.5, s"dup_5_gram_frac must mark near-total coverage: ${seg(1L)}")
+    // doc 2: all-distinct codepoints — no repeated grams at all
+    assert(seg(2L)._2 <= 0.2 && seg(2L)._3 == 0.0,
+      s"varied CJK doc must pass the caps: ${seg(2L)}")
+    OperatorCache.releaseAll(spark)
+  }
 }
