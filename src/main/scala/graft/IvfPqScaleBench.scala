@@ -164,6 +164,30 @@ object IvfPqScaleBench {
       s""""result_rows":$prunedRows,""" +
       s""""pruned_serve_sec":${f"$prunedSec%.2f"},""" +
       s""""join_serve_sec":${f"$joinSec%.2f"}}""")
+
+    // THIRD regime at bulk scale (r19 VERDICT item 2): a small-bucket
+    // layout (planes=12 → 4096 buckets, ALWAYS under the prune cap)
+    // serving the same bulk workload. Before the regime split this
+    // combination BROADCAST the full workload×13 probe frame (each row
+    // carrying the query vector — gigabytes at 10⁶ queries, a job
+    // abort); now the workload-size probe routes it to the shuffle
+    // join while keeping the isin partition prune, so it completes at
+    // any workload size. The plan is asserted broadcast-free.
+    val lshSmallPath = "target/graft-tmp/ivfpq-scale/lsh_bulk_p12"
+    val (_, smallBuildSec) = timed {
+      Similarity.writeIndexed(scaledMax, "embedding", lshSmallPath, 12)
+    }
+    val bulkServe = Similarity.probeIndexedBatch(bulk, "qid", "qv",
+      lshSmallPath, "vec_id", "embedding", k = 10, planes = 12)
+    val bulkPlan = bulkServe.queryExecution.executedPlan.toString
+    require(!bulkPlan.contains("BroadcastHashJoin"),
+      s"bulk workload must not broadcast the probe frame:\n${bulkPlan.take(400)}")
+    require("PartitionFilters: \\[bucket".r.findFirstIn(bulkPlan).isDefined,
+      s"small-bucket layout must keep the isin prune:\n${bulkPlan.take(400)}")
+    val (p12Rows, p12Sec) = timed { bulkServe.count() }
+    println(s"""{"lsh_bulk_pruned_shuffle":true,"vectors":$nMax,"planes":12,""" +
+      s""""workload":$bigW,"build_sec":${f"$smallBuildSec%.2f"},""" +
+      s""""result_rows":$p12Rows,"serve_sec":${f"$p12Sec%.2f"}}""")
     spark.stop()
   }
 }

@@ -309,6 +309,30 @@ class AnnRecallSpec extends SparkSpec {
     assert("PartitionFilters: \\[bucket".r.findFirstIn(abovePlan).isEmpty,
       s"join regime must not enumerate buckets into the scan:\n${abovePlan.take(800)}")
     assert(rows(above) == want, "join regime must equal the loop")
+    // THIRD regime (r19 VERDICT item 2 — prune and join strategy are
+    // independent): small bucket union + BIG workload keeps the isin
+    // partition-prune but must NOT carry the broadcast hint (the probe
+    // frame holds full query vectors — a 10⁶-query broadcast is a job
+    // abort). With auto-broadcast disabled the plan must survive as a
+    // shuffle join; the hinted small-workload path must still broadcast.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bulk = Similarity.probeIndexedBatch(workload, "qid", "qv", path,
+        "vec_id", "embedding", K, planes, maxBroadcastQueries = 1)
+      val bulkPlan = bulk.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[bucket".r.findFirstIn(bulkPlan).isDefined,
+        s"bulk regime keeps the partition prune:\n${bulkPlan.take(800)}")
+      assert(!bulkPlan.contains("BroadcastHashJoin"),
+        s"bulk regime must not broadcast the workload:\n${bulkPlan.take(800)}")
+      assert(rows(bulk) == want, "bulk regime must equal the loop")
+      val hinted = Similarity.probeIndexedBatch(workload, "qid", "qv", path,
+        "vec_id", "embedding", K, planes)
+      assert(hinted.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "small-workload path must broadcast via the hint, not the threshold")
+      assert(rows(hinted) == want, "hinted regime must equal the loop")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
   test("layoutKind + probeBatchAuto: meta-dispatched serving equals each " +
