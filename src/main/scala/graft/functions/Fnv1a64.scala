@@ -76,6 +76,8 @@ object GraftFunctions {
   val CmsName = "graft_cms"
   val BloomBitsName = "graft_bloom_bits"
   val UnicodeNormalizeName = "graft_unicode_normalize"
+  val SegTokensName = "graft_seg_tokens"
+  val SegSplitName = "graft_seg_split"
 
   // idempotent PER FUNCTION: each name gets its own exists-check, so a
   // registry that predates a later-added function still picks the new
@@ -165,6 +167,14 @@ object GraftFunctions {
       UnicodeNormalize(exprs.head, UnicodeNormalize.formOf(
         formE.eval(null).toString))
     },
+    SegTokensName -> { exprs =>
+      requireArity(SegTokensName, exprs, 1)
+      SegTokens(exprs.head)
+    },
+    SegSplitName -> { exprs =>
+      requireArity(SegSplitName, exprs, 1)
+      SegSplit(exprs.head)
+    },
   )
 
   def ensureRegistered(spark: SparkSession): Unit =
@@ -192,6 +202,15 @@ object GraftFunctions {
   def unicodeNormalize(c: Column, form: String): Column =
     call_function(UnicodeNormalizeName, c,
       org.apache.spark.sql.functions.lit(form))
+
+  /** Single-pass script-aware canonical tokenizer — see [[SegTokens]].
+    * [[ensureRegistered]] must have been called on the owning session. */
+  def segTokens(c: Column): Column = call_function(SegTokensName, c)
+
+  /** Single-pass preserve-text segmented whitespace split — see
+    * [[SegSplit]]. [[ensureRegistered]] must have been called on the
+    * owning session. */
+  def segSplit(c: Column): Column = call_function(SegSplitName, c)
 
   /** Max dot product of a vector column against a fixed matrix — see
     * [[MaxDotStatic]]. [[ensureRegistered]] must have been called on the

@@ -115,8 +115,7 @@ object Bpe {
     require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
     require(maxWords > 0, s"maxWords must be positive: $maxWords")
     val words: Array[(String, Long)] = df
-      .select(explode(Dedup.rawTokensSeg(col(textCol))).as("term"))
-      .where(col("term") =!= "")
+      .select(explode(Dedup.segTokensOf(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(maxWords)

@@ -430,10 +430,10 @@ object Curation {
     require(stride <= chunkTokens,
       s"strideTokens ($stride) must not exceed chunkTokens ($chunkTokens) — gaps would drop tokens")
     // script-aware split: CJK/Thai runs chunk per codepoint instead of
-    // riding one whole-sentence "token" past the budget (identity on
-    // space-delimited text — Dedup.segmentScripts)
-    val toks = filter(split(trim(Dedup.segmentScripts(col(textCol))), "\\s+"),
-      t => t =!= "")
+    // riding one whole-sentence "token" past the budget; native
+    // single-pass split, tokens keep source codepoints (chunk_text
+    // reassembles faithfully up to whitespace normalization)
+    val toks = Dedup.segSplitOf(col(textCol))
     df.select(col(idCol), toks.as("__toks"))
       .where(size(col("__toks")) > 0)
       .select(col(idCol),
@@ -482,8 +482,7 @@ object Curation {
       .select(col(idCol), col("pos"), trim(col("col")).as("sent"))
       .where(col("sent") =!= "")
       .withColumn("n_toks",
-        size(filter(split(Dedup.segmentScripts(col("sent")), "\\s+"),
-          t => t =!= "")).cast("long"))
+        size(Dedup.segSplitOf(col("sent"))).cast("long"))
       .withColumn("chunk_idx",
         floor((sum("n_toks").over(w) - col("n_toks")) / maxTokens).cast("int"))
       .groupBy(col(idCol), col("chunk_idx"))
@@ -629,7 +628,7 @@ object Curation {
     df.groupBy(col(strataCol))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(trim(Dedup.segmentScripts(col(textCol))), "\\s+"))
+        sum(size(Dedup.segSplitOf(col(textCol)))
           .cast("long")).as("n_tokens"),
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"),

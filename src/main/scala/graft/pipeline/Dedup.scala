@@ -112,10 +112,55 @@ object Dedup {
       .otherwise(rawTokens(text))
 
   /** Public segmented token stream ([[rawTokensSeg]] minus "" tokens) —
-    * the tokenizer the token-counting surfaces (BPE training, packing
-    * budgets, vocab builds) run on. */
-  def segTokensOf(text: Column): Column =
+    * the tokenizer every segmented surface (BPE training, packing
+    * budgets, vocab builds, the routed quality screens) runs on.
+    *
+    * Compiles to the NATIVE single-pass
+    * [[graft.functions.SegTokens]] expression (r19 VERDICT "Missing
+    * #3": the three-regex spelling re-paid ~×1.2–1.5 cpu per token
+    * surface corpus-wide; the fused loop touches each codepoint once
+    * and stays inside whole-stage codegen). Value-identical to
+    * [[segTokensOfRegex]] — SegTokensSpec pins the equality, and the
+    * DuckDB oracles keep replaying the regex spelling, so the parity
+    * chain (DuckDB ≡ regex ≡ native) stays closed. Needs an active
+    * SparkSession on the building thread (per-session function
+    * registry), like every native function here. */
+  def segTokensOf(text: Column): Column = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        "segTokensOf must be built on a thread with an active " +
+          "SparkSession (graft_seg_tokens registers per session)"))
+    GraftFunctions.ensureRegistered(session)
+    GraftFunctions.segTokens(text)
+  }
+
+  /** The three-regex spelling [[segTokensOf]] replaced — kept as the
+    * executable specification the native expression is pinned against
+    * (SegTokensSpec) and the exact form the DuckDB oracle mirrors. */
+  private[pipeline] def segTokensOfRegex(text: Column): Column =
     filter(rawTokensSeg(text), t => t =!= "")
+
+  /** PRESERVE-TEXT segmented whitespace split: tokens keep their
+    * source codepoints verbatim (case, punctuation, every script),
+    * segmented-script codepoints become single-codepoint tokens — the
+    * tokenizer for surfaces that must reassemble original text
+    * (chunking, sequence packing). Compiles to the native single-pass
+    * [[graft.functions.SegSplit]]; value-identical to
+    * [[segSplitOfRegex]] (SegTokensSpec pins it), which is the
+    * spelling the DuckDB oracles replay. */
+  def segSplitOf(text: Column): Column = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        "segSplitOf must be built on a thread with an active " +
+          "SparkSession (graft_seg_split registers per session)"))
+    GraftFunctions.ensureRegistered(session)
+    GraftFunctions.segSplit(text)
+  }
+
+  /** The regex spelling [[segSplitOf]] replaced — the executable
+    * specification (SegTokensSpec) and the DuckDB oracle form. */
+  private[pipeline] def segSplitOfRegex(text: Column): Column =
+    filter(split(trim(segmentScripts(text)), "\\s+"), t => t =!= "")
 
   /** Exact dedup: keep the first (min id) ROW per duplicate group —
     * row-consistent via min_by, so non-key columns all come from that one

@@ -1198,9 +1198,9 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(maxSize > 0, s"maxSize must be positive: $maxSize")
     // script-aware canonical stream: CJK/Thai contribute per-codepoint
-    // terms instead of vanishing under the Latin-only strip
-    val counts = df.select(explode(Dedup.rawTokensSeg(col(textCol))).as("term"))
-      .where(col("term") =!= "")
+    // terms instead of vanishing under the Latin-only strip (native
+    // single-pass tokenizer; emits no "" tokens)
+    val counts = df.select(explode(Dedup.segTokensOf(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("count"))
       .orderBy(col("count").desc, col("term").asc)
       .limit(maxSize)
@@ -1225,9 +1225,8 @@ object TextAnalysis {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = df.select(col(idCol).as("doc"),
-      posexplode(Dedup.rawTokensSeg(col(textCol))))
+      posexplode(Dedup.segTokensOf(col(textCol))))
       .toDF("doc", "rawpos", "term")
-      .where(col("term") =!= "")
     val byRaw = Window.partitionBy("doc").orderBy("rawpos")
     val toks = raw.select(col("doc"),
       (row_number().over(byRaw) - 1).as("pos"), col("term"))
@@ -1443,7 +1442,7 @@ object TextAnalysis {
     val wDoc = Window.partitionBy("doc").orderBy("pos")
 
     val tokenize: Column => Column =
-      if (segmented) Dedup.rawTokensSeg else Dedup.rawTokens
+      if (segmented) Dedup.segTokensOf _ else Dedup.rawTokens
     val toks0 = df.select(col(idCol).as("doc"),
         posexplode(tokenize(col(textCol))))
       .toDF("doc", "pos", "tok")

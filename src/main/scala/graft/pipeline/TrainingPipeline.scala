@@ -972,10 +972,10 @@ object TrainingPipeline {
             col("n_pieces").as("n_toks")))
       case None => curated.select(col(idCol),
         // script-aware: CJK/Thai runs count one token per codepoint
-        // (Dedup.segmentScripts is identity on space-delimited text),
-        // so a multilingual pack budget is not overcounted by whole
-        // sentence-runs masquerading as single "words"
-        split(trim(Dedup.segmentScripts(col(textCol))), "\\s+").as("toks"))
+        // (the native segmented split is identity on space-delimited
+        // text), so a multilingual pack budget is not overcounted by
+        // whole sentence-runs masquerading as single "words"
+        Dedup.segSplitOf(col(textCol)).as("toks"))
         .withColumn("n_toks", size(col("toks")).cast("long"))
     }
     val packed = Curation.packRelated(toks, idCol, "n_toks",

@@ -2676,7 +2676,7 @@ object PipelineQueries {
         .orderBy("source"),
       Some(s"""WITH h AS (
              |  SELECT source, doc_id,
-             |         CAST(len(string_split_regex(TRIM(${segSql("text")}), '\\s+')) AS BIGINT) AS n_toks,
+             |         CAST(len(list_filter(string_split_regex(TRIM(${segSql("text")}), '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
              |         list_reduce(
              |           list_prepend(CAST('14695981039346656037' AS HUGEINT),
              |                        list_transform(regexp_extract_all(hex(encode(text)), '..'), c -> CAST(CAST(('0x' || c) AS INT) AS HUGEINT))),
@@ -6296,8 +6296,8 @@ object PipelineQueries {
              |  SELECT doc_id,
              |         (((doc_id % 100000) + 1) * 2654435761) % 1000000 AS gate,
              |         CAST((((doc_id % 100000) + 1) * 2654435761) % 1000000 % 2 AS INT) AS subshard,
-             |         string_split_regex(TRIM(${segSql("text")}), '\\s+') AS toks,
-             |         CAST(LEN(string_split_regex(TRIM(${segSql("text")}), '\\s+')) AS BIGINT) AS n_tokens
+             |         list_filter(string_split_regex(TRIM(${segSql("text")}), '\\s+'), x -> x <> '') AS toks,
+             |         CAST(LEN(list_filter(string_split_regex(TRIM(${segSql("text")}), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
              |  FROM screened
              |), fpj AS (
              |  SELECT t.doc_id, a3.cid AS cell, t.subshard, t.gate, t.toks, t.n_tokens
