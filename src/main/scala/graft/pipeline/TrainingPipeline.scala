@@ -1247,4 +1247,100 @@ object TrainingPipeline {
         "cost_ms", "drop_per_cost_ms")
     } finally OperatorCache.release(sampled)
   }
+
+  /** Execute a screen cascade in a GIVEN rank order and attribute every
+    * drop to the FIRST screen that kills the doc — the execution half
+    * the ordering advisories ([[orderScreens]] /
+    * [[orderScreensMeasured]]) feed (r19 VERDICT item 5: the measured
+    * order was a card nothing executed).
+    *
+    * Scale shape: attribution is ONE map-side-combined aggregate — the
+    * first-kill index is a row-local CASE over the ordered predicates,
+    * so nothing per-doc shuffles and the exchange carries
+    * (#screens + 1) partial sums; survivors are the plain conjunction
+    * `where`, which Catalyst pushes into the scan. Screens must be
+    * NULL-SAFE predicates (coalesce inputs yourself): a null keeps
+    * neither kills nor counts.
+    *
+    * @param order screen names in execution order (rank 1 first) —
+    *        exactly the `screen` column of an ordering advisory,
+    *        collected rank-ascending; must be a permutation of
+    *        `screens`' names
+    * @return (survivors, card); card = (rank, screen, docs_in,
+    *         docs_dropped, docs_surviving) in execution order, where
+    *         docs_dropped counts docs whose FIRST failing screen is
+    *         this one — so the column sums to total − kept and
+    *         realized (conditional) drops differ from the advisory's
+    *         marginal ones exactly where screens overlap
+    */
+  def runScreensOrdered(
+      docs: DataFrame, idCol: String,
+      screens: Seq[(String, Column)], order: Seq[String],
+  ): (DataFrame, DataFrame) = {
+    require(screens.map(_._1).distinct.size == screens.size,
+      s"screen names must be unique: ${screens.map(_._1)}")
+    require(order.sorted == screens.map(_._1).sorted,
+      s"order must be a permutation of the screens: $order vs ${screens.map(_._1)}")
+    val spark = docs.sparkSession
+    val byName = screens.toMap
+    val ordered: Seq[(String, Column)] = order.map(n => n -> byName(n))
+    // first-kill index: leftmost failing screen (outermost WHEN = rank 1)
+    val kill = ordered.zipWithIndex.foldRight(lit(-1): Column) {
+      case (((_, keeps), i), rest) => when(!keeps, lit(i)).otherwise(rest)
+    }
+    val aggs = count(lit(1)).as("__n") +: ordered.zipWithIndex.map {
+      case ((name, _), i) =>
+        sum(when(kill === i, 1L).otherwise(0L)).as(s"__d_$name")
+    }
+    val row = docs.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getAs[Long]("__n")
+    val drops = ordered.map { case (name, _) => row.getAs[Long](s"__d_$name") }
+    val card = ordered.zipWithIndex.map { case ((name, _), i) =>
+      val in = total - drops.take(i).sum
+      (i + 1, name, in, drops(i), in - drops(i))
+    }
+    val survivors = docs.where(ordered.map(_._2).reduce(_ && _))
+    import spark.implicits._
+    (survivors, card.toDF("rank", "screen", "docs_in", "docs_dropped",
+      "docs_surviving"))
+  }
+
+  /** [[runScreensOrdered]] driven by the DETERMINISTIC advisory: rank
+    * screens by [[orderScreens]] (measured selectivity on the idGate
+    * sample / caller-priced cost), then execute the cascade in that
+    * order. Fully replayable — the p147 oracle pins ranking AND
+    * realized attribution in DuckDB.
+    *
+    * @return (survivors, card) as [[runScreensOrdered]]
+    */
+  def curateOrdered(
+      docs: DataFrame, idCol: String,
+      screens: Seq[(String, Column, Double)],
+      sampleTarget: Long = 100000L, salt: Int = 0,
+  ): (DataFrame, DataFrame) = {
+    val ranked = orderScreens(docs, idCol, screens, sampleTarget, salt)
+      .select("rank", "screen").collect() // parameter-bounded: one row per screen
+      .sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    runScreensOrdered(docs, idCol,
+      screens.map { case (n, p, _) => (n, p) }, ranked)
+  }
+
+  /** [[runScreensOrdered]] driven by the MEASURED advisory
+    * ([[orderScreensMeasured]] — wall-clocked predicate prices). The
+    * order is evidence-based but clock-dependent, so this variant is
+    * spec-pinned (cascade executes in the measured rank order;
+    * attribution identities hold), not oracle-replayed.
+    *
+    * @return (survivors, card) as [[runScreensOrdered]]
+    */
+  def curateOrderedMeasured(
+      docs: DataFrame, idCol: String,
+      screens: Seq[(String, Column)],
+      sampleTarget: Long = 100000L, salt: Int = 0,
+  ): (DataFrame, DataFrame) = {
+    val ranked = orderScreensMeasured(docs, idCol, screens, sampleTarget, salt)
+      .select("rank", "screen").collect()
+      .sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    runScreensOrdered(docs, idCol, screens, ranked)
+  }
 }

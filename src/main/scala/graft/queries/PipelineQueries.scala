@@ -7255,6 +7255,90 @@ object PipelineQueries {
            |                  AND symbol_ratio <= 0.1 AND content_frac >= 0.7
            |                  AND uniq_frac >= 0.3) END AS pass
            |FROM g ORDER BY doc""".stripMargin)),
+
+    // Ordered screen-cascade EXECUTION (r19 VERDICT item 5: the
+    // ordering advisory is now wired into a runner): rank the p142
+    // screens deterministically (idGate-sampled selectivity / caller
+    // cost), execute the cascade in rank order, and attribute every
+    // dropped doc to the FIRST screen that kills it. The oracle
+    // replays the ranking AND the realized attribution — first-kill =
+    // the min-rank failing screen, an order-independent formulation
+    // DuckDB computes without dynamic CASE reordering.
+    QueryDef("p147_screen_cascade",
+      (s, dir) => {
+        val feats = TextAnalysis.qualityFeatures(col("text")).toMap
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val screens = Seq(
+          ("minwords", feats("n_words") >= 20, 1.0),
+          ("punct", feats("punct_ratio") <= 0.2, 2.0),
+          ("digit", feats("digit_ratio") <= 0.3, 2.0),
+          ("uniq", feats("uniq_word_ratio") >= 0.5, 3.0))
+        val (_, card) = TrainingPipeline.curateOrdered(
+          docs, "doc_id", screens, sampleTarget = 2000L)
+        card.orderBy("rank")
+      },
+      Some("""WITH f AS (
+           |  SELECT doc_id, text, LENGTH(text) AS n_chars,
+           |         string_split_regex(TRIM(text), '\s+') AS words
+           |  FROM read_parquet('{SFDIR}/documents.parquet')
+           |), smp AS (
+           |  SELECT * FROM f
+           |  WHERE (doc_id % 100000 * 2654435761) % 1000000 <
+           |        (SELECT CAST(ROUND(LEAST(1.0, 2000.0 / COUNT(*)) * 1000000) AS BIGINT)
+           |         FROM read_parquet('{SFDIR}/documents.parquet'))
+           |), m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |         CAST(SUM(CASE WHEN LEN(words) >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS k_minwords,
+           |         CAST(SUM(CASE WHEN CAST(LEN(regexp_extract_all(text, '[\.,;:!\?''"()\[\]{}-]')) AS DOUBLE)
+           |                            / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS k_punct,
+           |         CAST(SUM(CASE WHEN CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           |                            / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS k_digit,
+           |         CAST(SUM(CASE WHEN CAST(LEN(list_distinct(words)) AS DOUBLE)
+           |                            / CAST(GREATEST(LEN(words), 1) AS DOUBLE) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS k_uniq
+           |  FROM smp
+           |), sdef AS (
+           |  SELECT * FROM (VALUES
+           |    ('minwords', 1.0), ('punct', 2.0), ('digit', 2.0), ('uniq', 3.0)) v(screen, cost)
+           |), j AS (
+           |  SELECT sdef.screen, m.n AS sample_n,
+           |         CASE sdef.screen WHEN 'minwords' THEN k_minwords
+           |              WHEN 'punct' THEN k_punct
+           |              WHEN 'digit' THEN k_digit ELSE k_uniq END AS kept,
+           |         sdef.cost
+           |  FROM sdef, m
+           |), ranked AS (
+           |  SELECT CAST(ROW_NUMBER() OVER (
+           |           ORDER BY ROUND((1.0 - kept / CAST(sample_n AS DOUBLE)) / cost, 6) DESC,
+           |                    screen ASC) AS INT) AS rank,
+           |         screen
+           |  FROM j
+           |), ev AS (
+           |  SELECT f.doc_id, r.rank,
+           |         CASE r.screen
+           |           WHEN 'minwords' THEN LEN(words) >= 20
+           |           WHEN 'punct' THEN CAST(LEN(regexp_extract_all(text, '[\.,;:!\?''"()\[\]{}-]')) AS DOUBLE)
+           |                             / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.2
+           |           WHEN 'digit' THEN CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           |                             / CAST(GREATEST(n_chars, 1) AS DOUBLE) <= 0.3
+           |           ELSE CAST(LEN(list_distinct(words)) AS DOUBLE)
+           |                / CAST(GREATEST(LEN(words), 1) AS DOUBLE) >= 0.5 END AS keeps
+           |  FROM f, ranked r
+           |), kills AS (
+           |  SELECT doc_id, MIN(rank) AS krank FROM ev WHERE NOT keeps GROUP BY doc_id
+           |), dr AS (
+           |  SELECT krank, CAST(COUNT(*) AS BIGINT) AS dropped FROM kills GROUP BY krank
+           |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM f),
+           |card AS (
+           |  SELECT r.rank, r.screen, COALESCE(dr.dropped, 0) AS dropped, tot.total
+           |  FROM ranked r LEFT JOIN dr ON dr.krank = r.rank, tot
+           |)
+           |SELECT rank, screen,
+           |       CAST(total - COALESCE(SUM(dropped) OVER (ORDER BY rank
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS docs_in,
+           |       CAST(dropped AS BIGINT) AS docs_dropped,
+           |       CAST(total - SUM(dropped) OVER (ORDER BY rank
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_surviving
+           |FROM card ORDER BY rank""".stripMargin)),
   )
 
   /** Multilingual fixture for the segmentation oracle (p143): spaceless

