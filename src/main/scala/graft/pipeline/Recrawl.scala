@@ -131,25 +131,33 @@ object Recrawl {
       // chain of small batch-sized jobs (latency-bound, the
       // LifecycleScaleBench finding), so running layouts side by side
       // cuts the advance wall from the sum of the chains toward their
-      // max; per-layout job counts and results are untouched
-      // (RecrawlSpec pins serving equality against the rebuild).
+      // max. Per layout, the batch's RETIRE set (departed ids ∪ the
+      // upserted ids' old versions) tombstones in ONE delete pass
+      // before the append — the delete-then-update composition ran the
+      // delete machinery twice per layout for the same final state
+      // (r19 VERDICT item 6: p128's cost is job count, not data
+      // volume; RecrawlSpec pins serving equality against the rebuild
+      // either way).
+      val batchIds = batch.select(col(idCol))
+      val retireText = dels.unionByName(batchIds)
+      val retireVec = vecs.fold(dels)(v => dels.unionByName(v.select(col(idCol))))
       val tasks: Seq[() => Unit] = Seq(
         layouts.textIndex.map(dir => () => {
-          TextSearch.deleteFromIndex(spark, dir, dels, idCol)
-          TextSearch.updateIndex(batch, idCol, textCol, dir)
+          TextSearch.deleteFromIndex(spark, dir, retireText, idCol)
+          TextSearch.appendIndex(batch, idCol, textCol, dir)
         }),
         layouts.shingleIndex.map(dir => () => {
-          Dedup.deleteFromShingleIndex(spark, dir, dels, idCol)
-          Dedup.updateShingleIndex(batch, idCol, textCol, dir)
+          Dedup.deleteFromShingleIndex(spark, dir, retireText, idCol)
+          Dedup.appendShingleIndex(batch, idCol, textCol, dir)
         }),
         layouts.dedupState.map(dir => () => {
-          Similarity.deleteFromDedupState(spark, dir, dels, idCol)
-          vecs.foreach(v => Similarity.updateDedupState(spark, dir, v, idCol))
+          Similarity.deleteFromDedupState(spark, dir, retireVec, idCol)
+          vecs.foreach(v => Similarity.appendDedupState(spark, dir, v))
         }),
         layouts.annIndex.map(a => () => {
-          Similarity.deleteFromIndex(dels, idCol, a.dir)
+          Similarity.deleteFromIndex(retireVec, idCol, a.dir)
           vecs.foreach(v =>
-            Similarity.updateIvfPq(v, idCol, a.vecCol, a.dir, a.coarse, a.books))
+            Similarity.appendIvfPq(v, a.vecCol, a.dir, a.coarse, a.books))
         }),
       ).flatten
       if (tasks.lengthCompare(1) <= 0) tasks.foreach(_.apply())

@@ -45,10 +45,21 @@ object TextSearch {
     val terms = df.select(col(idCol).as("doc"),
       explode(Dedup.rawTokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
-    val tfAll = OperatorCache.materialize(
+    // lazy persist, NOT materialize: every consumer below is a
+    // sequential action on this thread, so the first one (the stats
+    // aggregate, run FIRST for exactly this reason) populates both
+    // caches in its own job — the two former materialize-count
+    // barriers were pure extra jobs here (the barrier form exists for
+    // CONCURRENT consumers; see OperatorCache.materialize)
+    val tfAll = OperatorCache.persist(
       terms.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
-    val docLen = OperatorCache.materialize(
+    val docLen = OperatorCache.persist(
       tfAll.groupBy("doc").agg(sum("tf").as("dl")))
+    // sum_dl is the EXACT integer token total — avgdl derives at serve
+    // time as sum_dl/n_docs (identical to avg() while the total stays
+    // under 2^53), and incremental appends stay exact long additions
+    val totals = docLen.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("dl"), lit(0L)).as("sum_dl")).head()
     tfAll.join(docLen, "doc")
       .withColumn("tb",
         pmod(GraftFunctions.fnv1a64(col("term")), lit(buckets.toLong)))
@@ -62,13 +73,10 @@ object TextSearch {
     // append new) never shadows its own fresh rows
     docLen.withColumn("gen", lit(0L))
       .write.mode("overwrite").parquet(s"$dir/doclens")
-    // sum_dl is the EXACT integer token total — avgdl derives at serve
-    // time as sum_dl/n_docs (identical to avg() while the total stays
-    // under 2^53), and incremental appends stay exact long additions
-    docLen.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum("dl"), lit(0L)).as("sum_dl"))
-      .withColumn("buckets", lit(buckets))
-      .withColumn("max_gen", lit(0L))
+    val spark = df.sparkSession
+    spark.createDataFrame(Seq((totals.getAs[Long]("n_docs"),
+      totals.getAs[Long]("sum_dl"), buckets, 0L)))
+      .toDF("n_docs", "sum_dl", "buckets", "max_gen")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -97,10 +105,16 @@ object TextSearch {
     val terms = df.select(col(idCol).as("doc"),
       explode(Dedup.rawTokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
-    val tfAll = OperatorCache.materialize(
+    // lazy persist + delta aggregate FIRST: one job populates both
+    // caches and returns the stats delta; the former two
+    // materialize-count barriers were extra jobs (sequential
+    // consumers — the barrier form is for concurrent ones)
+    val tfAll = OperatorCache.persist(
       terms.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
-    val docLen = OperatorCache.materialize(
+    val docLen = OperatorCache.persist(
       tfAll.groupBy("doc").agg(sum("tf").as("dl")))
+    val d = docLen.agg(count(lit(1)).as("dn"),
+      coalesce(sum("dl"), lit(0L)).as("dsum")).head()
     tfAll.join(docLen, "doc")
       .withColumn("tb",
         pmod(GraftFunctions.fnv1a64(col("term")), lit(buckets.toLong)))
@@ -109,8 +123,6 @@ object TextSearch {
       .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
     docLen.withColumn("gen", lit(gen))
       .write.mode("append").parquet(s"$dir/doclens")
-    val d = docLen.agg(count(lit(1)).as("dn"),
-      coalesce(sum("dl"), lit(0L)).as("dsum")).head()
     spark.createDataFrame(Seq(
       (nDocs + d.getAs[Long]("dn"), sumDl + d.getAs[Long]("dsum"), buckets, gen)))
       .toDF("n_docs", "sum_dl", "buckets", "max_gen")
@@ -123,12 +135,18 @@ object TextSearch {
     * adds with), and hand back the tombstone frame so the caller can
     * anti-join its postings slice. None = no deletes pending.
     */
+  /** @return (delete-adjusted n_docs, delete-adjusted sum_dl, buckets,
+    *         stored max_gen, pending tombstones) — sum_dl stays the
+    *         exact long so [[compactIndex]] can persist it closed-form
+    *         without re-scanning doclens; avgdl derives at call sites. */
   private def servingStats(
-      spark: SparkSession, dir: String): (Long, Double, Int, Option[DataFrame]) = {
+      spark: SparkSession,
+      dir: String): (Long, Long, Int, Long, Option[DataFrame]) = {
     val st = spark.read.parquet(s"$dir/stats").head()
     var nDocs = st.getAs[Long]("n_docs")
     var sumDl = st.getAs[Long]("sum_dl")
     val buckets = st.getAs[Int]("buckets")
+    val maxGen = st.getAs[Long]("max_gen")
     val tomb = {
       val t = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
       val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -139,7 +157,7 @@ object TextSearch {
       nDocs -= r.getLong(0)
       sumDl -= r.getLong(1)
     }
-    (nDocs, sumDl.toDouble / math.max(nDocs, 1L), buckets, tomb)
+    (nDocs, sumDl, buckets, maxGen, tomb)
   }
 
   /** Drop tombstoned VERSIONS from a postings slice (broadcast
@@ -173,7 +191,7 @@ object TextSearch {
     val want = Keys.castIdsToStored(
       ids, idCol, dls.schema("doc").dataType, "deleteFromIndex")
     val fresh0 = dls.join(broadcast(want), Seq("doc"), "left_semi")
-    val (_, _, _, tomb) = servingStats(spark, dir)
+    val (_, _, _, _, tomb) = servingStats(spark, dir)
     // every still-live VERSION of the doc tombstones; already-dead
     // (doc, gen) rows are skipped, so the operation is idempotent
     val fresh = tomb.fold(fresh0)(t =>
@@ -210,8 +228,12 @@ object TextSearch {
       targetBytesPerFile: Long = 128L << 20): Unit = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val (nDocs, _, buckets, tomb) = servingStats(spark, dir)
-    val maxGen = spark.read.parquet(s"$dir/stats").head().getAs[Long]("max_gen")
+    // sum_dl comes closed-form from servingStats (stored total minus
+    // tombstoned dl) — the post-swap doclens re-scan it replaces was a
+    // whole extra job for a value the stats math already had; the
+    // delete paths keep it exact by construction (appendIndex adds,
+    // deleteFromIndex tombstones live versions once)
+    val (nDocs, sumDl, buckets, maxGen, tomb) = servingStats(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def swap(table: String, partBy: Option[String])(df: DataFrame): Unit = {
       val bytes = fs.getContentSummary(new Path(s"$dir/$table")).getLength
@@ -232,8 +254,6 @@ object TextSearch {
       minusDeleted(tomb)(spark.read.parquet(s"$dir/postings")))
     swap("doclens", None)(
       minusDeleted(tomb)(spark.read.parquet(s"$dir/doclens")))
-    val sumDl = spark.read.parquet(s"$dir/doclens")
-      .agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
     spark.createDataFrame(Seq((nDocs, sumDl, buckets, maxGen)))
       .toDF("n_docs", "sum_dl", "buckets", "max_gen")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
@@ -265,7 +285,8 @@ object TextSearch {
       .flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
     require(normTerms.nonEmpty,
       s"searchTopK: no query terms survive normalization: $queryTerms")
-    val (nDocs, avgdl, buckets, tomb) = servingStats(spark, dir)
+    val (nDocs, sumDl, buckets, _, tomb) = servingStats(spark, dir)
+    val avgdl = sumDl.toDouble / math.max(nDocs, 1L)
     val tbs = normTerms
       .map(t => math.floorMod(Fnv1a64.hash(t.getBytes("UTF-8")), buckets.toLong))
       .distinct
@@ -310,7 +331,8 @@ object TextSearch {
   ): DataFrame = {
     val spark = queries.sparkSession
     GraftFunctions.ensureRegistered(spark)
-    val (nDocs, avgdl, buckets, tomb) = servingStats(spark, dir)
+    val (nDocs, sumDl, buckets, _, tomb) = servingStats(spark, dir)
+    val avgdl = sumDl.toDouble / math.max(nDocs, 1L)
     // DISTINCT (qid, term): BM25 is a termSET score — a term repeated
     // in a query must not double its contribution
     val qterms = queries.select(col(qidCol).as("qid"),

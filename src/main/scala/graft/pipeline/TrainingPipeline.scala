@@ -489,6 +489,26 @@ object TrainingPipeline {
     import state._
     val spark = state.cleaned.sparkSession
     import spark.implicits._
+    // a freshly written state SUPERSEDES any layout previously at this
+    // dir — including its batch-application HISTORY: stale
+    // `_applied_<id>` markers would make a later appendState of a
+    // same-named batch against the NEW state a silent no-op (the batch
+    // never lands, dedup links through it are lost — found as a
+    // 3-survivor drift in RecrawlScaleBench after a testdata
+    // regeneration reused the dir), and stale tombstones would retract
+    // docs the new state never contained. The table writes below
+    // already overwrite; the top-level marker/tombstone files must go
+    // explicitly.
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(d)) {
+      fs.listStatus(d).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_applied_") || n.startsWith("._applied_") ||
+          n == "_tombstones" || n == "_tombstone_keys")
+          fs.delete(st.getPath, true)
+      }
+    }
     cleaned.write.mode("overwrite").parquet(s"$dir/cleaned")
     bandIndex.write.mode("overwrite").parquet(s"$dir/band_index")
     bloom.foreach { case (bitmap, _, _) =>

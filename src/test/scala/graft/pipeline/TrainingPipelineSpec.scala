@@ -583,6 +583,40 @@ class TrainingPipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("writeState supersedes a dir's batch-application history: a NEW " +
+      "state in a reused dir accepts same-named batches again") {
+    // r20 regression (found via RecrawlScaleBench after a testdata
+    // regeneration reused its fixed state dir): writeState overwrote
+    // the tables but left the old generation's _applied_<id> markers,
+    // so appendState of a same-named batch against the NEW state
+    // no-op'd — the batch never landed, and every dedup link through
+    // it was silently lost
+    val prev = Seq(1L -> sentence("alpha")).toDF("doc_id", "text")
+    val dir = s"target/graft-tmp/curate-state-supersede-${System.nanoTime()}"
+    val batch = Seq(10L -> sentence("echo")).toDF("doc_id", "text")
+    def freshState() = TrainingPipeline.curateState(prev, "doc_id", "text",
+      minQuality = 0.3, minWords = 5, dedupThreshold = 0.7)
+    // generation 1: write, land batch "b1"
+    TrainingPipeline.writeState(freshState(), dir)
+    TrainingPipeline.appendState(
+      TrainingPipeline.readState(spark, dir), batch, "doc_id", "text", dir,
+      batchId = Some("b1"))
+    assert(spark.read.parquet(s"$dir/cleaned").count() == 2L)
+    // generation 2: SAME dir, fresh state — the old marker must not
+    // swallow the same-named batch
+    TrainingPipeline.writeState(freshState(), dir)
+    assert(spark.read.parquet(s"$dir/cleaned").count() == 1L,
+      "the rewritten state starts from the prior corpus alone")
+    TrainingPipeline.appendState(
+      TrainingPipeline.readState(spark, dir), batch, "doc_id", "text", dir,
+      batchId = Some("b1"))
+    assert(spark.read.parquet(s"$dir/cleaned").count() == 2L,
+      "the same-named batch must LAND against the new generation")
+    assert(spark.read.parquet(s"$dir/cleaned").select("doc")
+      .as[Long].collect().toSet == Set(1L, 10L))
+    OperatorCache.releaseAll(spark)
+  }
+
   test("pre-hash state dirs: legacy _applied markers and batch files still replay safely") {
     // r17 ADVICE: the hashed safe id changed the marker name — a state
     // dir written BEFORE the change holds _applied_<sanitized> markers
