@@ -40,6 +40,25 @@ import graft.agent.{ChatMessage, HttpLlm}
   * it needs no cross-executor coordination at 1000 executors (a
   * driver-granted token service would be a single point of failure on
   * the hot path of every request).
+  *
+  * `budgetByConcurrency` (r19 VERDICT item 7) divides the global
+  * budget by `min(numPartitions, maxConcurrentTasks)` instead — the
+  * throughput fix for oversubscribed runs (10× more partitions than
+  * cores would otherwise crawl at 10% of quota: queued partitions
+  * hold budget shares nobody is spending). At most
+  * `maxConcurrentTasks` partitions run at once, so the aggregate
+  * still never exceeds the budget — PROVIDED the task-slot ceiling
+  * passed in (defaultParallelism at the call sites) is a true
+  * ceiling; under dynamic executor allocation it can grow mid-job,
+  * which is why the conservative per-partition division stays the
+  * default.
+  *
+  * RETRY CAVEAT (both modes): a retried or speculatively-duplicated
+  * task restarts its partition's RateLimiter from scratch, so during
+  * the overlap the aggregate can transiently exceed the budget by
+  * that partition's share. Disable speculation for annotate stages
+  * (`spark.speculation=false`, the default) or size the budget with
+  * retry headroom.
   */
 final case class LlmAnnotateConfig(
     baseUrl: String,
@@ -54,6 +73,7 @@ final case class LlmAnnotateConfig(
     concurrency: Int = 4,
     requestsPerSecond: Double = 8.0,
     globalRequestsPerSecond: Option[Double] = None,
+    budgetByConcurrency: Boolean = false,
 ) extends Serializable {
   require(concurrency >= 1, s"concurrency must be >= 1: $concurrency")
   require(requestsPerSecond > 0, s"requestsPerSecond must be > 0: $requestsPerSecond")
@@ -61,11 +81,19 @@ final case class LlmAnnotateConfig(
     require(g > 0, s"globalRequestsPerSecond must be > 0: $g"))
 
   /** The per-partition rate a run over `numPartitions` partitions must
-    * pace at to honor the configured budget. */
-  private[pipeline] def partitionRps(numPartitions: Int): Double =
-    globalRequestsPerSecond
-      .map(_ / math.max(numPartitions, 1))
-      .getOrElse(requestsPerSecond)
+    * pace at to honor the configured budget; `maxConcurrentTasks` is
+    * the scheduler's simultaneous-task ceiling (only consulted under
+    * [[budgetByConcurrency]] — at most that many limiters tick at
+    * once, so the min-divisor aggregate stays within budget). */
+  private[pipeline] def partitionRps(
+      numPartitions: Int, maxConcurrentTasks: Int = Int.MaxValue): Double =
+    globalRequestsPerSecond.map { g =>
+      val divisor =
+        if (budgetByConcurrency)
+          math.max(math.min(numPartitions, maxConcurrentTasks), 1)
+        else math.max(numPartitions, 1)
+      g / divisor
+    }.getOrElse(requestsPerSecond)
 
   /** Case-class toString would print the API key into logs, task
     * descriptions, and error messages — redact it. */
@@ -205,7 +233,8 @@ object Annotate {
     // on simultaneously-running tasks per micro-batch
     val rps = config.partitionRps(
       if (df.isStreaming) df.sparkSession.sparkContext.defaultParallelism
-      else df.rdd.getNumPartitions)
+      else df.rdd.getNumPartitions,
+      df.sparkSession.sparkContext.defaultParallelism)
     df.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -362,7 +391,8 @@ object Annotate {
     val enc = Encoders.row(outSchema)
     val rps = config.partitionRps(
       if (df.isStreaming) df.sparkSession.sparkContext.defaultParallelism
-      else df.rdd.getNumPartitions)
+      else df.rdd.getNumPartitions,
+      df.sparkSession.sparkContext.defaultParallelism)
     df.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {

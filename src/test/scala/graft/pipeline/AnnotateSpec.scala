@@ -167,6 +167,37 @@ class AnnotateSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("budgetByConcurrency: oversubscribed partitions divide by the " +
+      "task-slot ceiling, never exceeding the budget (r19 VERDICT item 7)") {
+    val stub = new Stub()
+    try {
+      val base = cfg(stub.url).copy(globalRequestsPerSecond = Some(16.0))
+      // 64 partitions queued behind 8 task slots: the conservative
+      // default shares the budget over ALL partitions (0.25 rps each —
+      // the aggregate crawls at 8/64 = 12.5% of quota while only 8
+      // partitions ever tick at once); the concurrency divisor restores
+      // the floor (2 rps each, 8 concurrent limiters = exactly budget)
+      assert(base.partitionRps(64, maxConcurrentTasks = 8) == 0.25)
+      assert(base.copy(budgetByConcurrency = true)
+        .partitionRps(64, maxConcurrentTasks = 8) == 2.0,
+        "min(partitions, slots) divisor lifts the oversubscribed floor")
+      // UNDERsubscribed runs are unchanged: fewer partitions than slots
+      // means the partition count is still the divisor — at most
+      // numPartitions limiters exist, so both modes stay within budget
+      assert(base.copy(budgetByConcurrency = true)
+        .partitionRps(4, maxConcurrentTasks = 8) == 4.0)
+      assert(base.partitionRps(4, maxConcurrentTasks = 8) == 4.0)
+      // end-to-end: 16 requests over 8 partitions with 4 slots under a
+      // 16-rps budget — the flag resolves 4 rps per partition; with 4
+      // concurrent limiters the aggregate is exactly the 16-rps budget
+      val flagged = base.copy(budgetByConcurrency = true)
+      assert(flagged.partitionRps(8, maxConcurrentTasks = 4) == 4.0)
+      val n = Annotate.annotate(docs(16).repartition(8), "text", "q: {text}",
+        flagged).count()
+      assert(n == 16 && stub.hits.get() == 16)
+    } finally stub.stop()
+  }
+
   test("llmLabel normalizes single-label replies, nulls ambiguous ones") {
     val stub = new Stub(scoreOf = p =>
       if (p.contains("number 0")) "This is SPAM."
