@@ -286,10 +286,11 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":$qJson,"errors":$nErr,"sf":"$sfDir"}"""
     println(fullLine)
-    try {
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench").resolve("totals.json"), fullLine)
-    } catch { case _: Throwable => () }
+    // fail LOUDLY if the persist fails (r19 ADVICE): round_close copies
+    // bench/totals.json as the official per-sf record; a swallowed write
+    // failure would silently snapshot the PREVIOUS run's totals
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench").resolve("totals.json"), fullLine)
     // compact totals line LAST — same contract shape, but `queries`
     // carries only the 12 slowest (the full map is in bench/totals.json
     // and the line above), so the whole line fits any tail capture

@@ -418,6 +418,21 @@ object Curation {
     * re-tokenization trap the corpus hash paths avoid with explode
     * shapes.) Docs with no tokens yield no chunks.
     *
+    * TEXT FIDELITY (r19 ADVICE): `chunk_text` is the window's tokens
+    * re-joined with single spaces. Tokens keep their source codepoints
+    * verbatim (case, punctuation — the preserve-text [[Dedup.segSplitOf]]
+    * split), but the JOINS are not the source whitespace: runs of
+    * whitespace collapse to one space, and segmented-script text
+    * (CJK/Thai/Lao/Khmer/Myanmar/Tibetan) comes back with a space
+    * between every codepoint — the same normalized form the token
+    * budget counted. Downstream consumers that need byte-faithful
+    * source slices should treat chunk boundaries as token indices
+    * (start = chunk_idx · stride, length = n_tokens) and re-slice the
+    * original text themselves; the training-data consumers here
+    * tokenize again anyway, for which the normalized form is the
+    * canonical input. The same applies to [[materializePacks]]' packed
+    * text.
+    *
     * @return (idCol, chunk_idx, chunk_text, n_tokens) — chunk_idx is the
     *         0-based window index (start = chunk_idx · stride)
     */

@@ -1546,6 +1546,14 @@ object TextAnalysis {
     * here uses; the doc-level term gates are map-only predicates on the
     * original text, evaluated in the same aggregate's projection.
     *
+    * @param segmented count line words with the script-aware
+    *        [[Dedup.segSplitOf]] (a CJK/Thai line counts per codepoint
+    *        instead of reading as ONE whitespace "word" and failing
+    *        every word floor) and accept the CJK terminal punctuation
+    *        (。！？…) alongside the Latin set — the line-level arm of
+    *        the r19 "screens are CJK-blind" item; default false keeps
+    *        the published-C4 behavior and every existing oracle
+    *        byte-stable
     * @return (doc, text_clean, n_lines, n_lines_kept) for surviving docs
     */
   def c4CleanLines(
@@ -1554,14 +1562,18 @@ object TextAnalysis {
       banLineTerms: Seq[String] = Seq("javascript"),
       dropDocTerms: Seq[String] = Seq("lorem ipsum", "{"),
       minKeptLines: Int = 3,
+      segmented: Boolean = false,
   ): DataFrame = {
     val lines = df.select(col(idCol).as("doc"), col(textCol).as("__text"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val words = size(filter(split(trim(col("line")), "\\s+"), t => t =!= ""))
+    val words =
+      if (segmented) size(Dedup.segSplitOf(col("line")))
+      else size(filter(split(trim(col("line")), "\\s+"), t => t =!= ""))
     val banned = banLineTerms
       .map(t => lower(col("line")).contains(t.toLowerCase))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val keep = rtrim(col("line")).rlike("[.!?\"]$") &&
+    val terminal = if (segmented) "[.!?\"。！？…]$" else "[.!?\"]$"
+    val keep = rtrim(col("line")).rlike(terminal) &&
       words >= minLineWords && !banned
     val docDrop = dropDocTerms
       .map(t => lower(col("__text")).contains(t.toLowerCase))

@@ -1507,6 +1507,32 @@ class PipelineSpec extends SparkSpec {
       s"cascade must follow a measured ranking: $executed vs $measured")
   }
 
+  test("c4CleanLines(segmented=true): CJK lines count real words and " +
+      "CJK terminal punctuation ends a sentence") {
+    import spark.implicits._
+    val doc = Seq((1L, Seq(
+      "这是一个完整的中文句子。", // CJK line, CJK terminal — keep
+      "深度学习",                  // 4 codepoints, no terminal — drop
+      "a good latin line with words.", // keep either way
+      "短",                        // 1 codepoint < floor — drop
+      "另一个合格的中文长句子！" // keep
+    ).mkString("\n"))).toDF("doc_id", "text")
+    // unsegmented: every CJK line is ONE whitespace word (< 3) → only
+    // the latin line survives → doc dies on the kept-lines floor
+    assert(TextAnalysis.c4CleanLines(doc, "doc_id", "text",
+      minKeptLines = 3).count() == 0,
+      "latin-tuned rules drop the whole CJK doc")
+    val got = TextAnalysis.c4CleanLines(doc, "doc_id", "text",
+      minKeptLines = 3, segmented = true)
+      .select("text_clean", "n_lines", "n_lines_kept")
+      .as[(String, Long, Long)].head()
+    assert(got._2 == 5 && got._3 == 3, s"segmented keeps 3 of 5 lines: $got")
+    assert(got._1 == Seq("这是一个完整的中文句子。",
+      "a good latin line with words.",
+      "另一个合格的中文长句子！").mkString("\n"),
+      s"kept lines in order: ${got._1}")
+  }
+
   test("gopherRepetitionStats(segmented=true): a repetitive CJK doc " +
       "reports real top/dup-gram fractions and FAILS the Gopher caps; " +
       "unsegmented it vanishes on an empty token stream") {
