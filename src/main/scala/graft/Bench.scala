@@ -88,6 +88,7 @@ object Bench {
     "p139_ann_residual_batch", "p140_ann_lsh_batch", "p141_retrieval_eval",
     "p142_screen_order", "p143_cjk_segmentation", "p144_rrf_residual_served",
     "p145_script_route", "p146_multilingual_screen", "p147_screen_cascade",
+    "p148_multilingual_corpus",
     "s14_warc_roundtrip", "s15_webdataset_roundtrip", "s16_warc_fetch",
     "s17_wet_roundtrip")
 

@@ -64,6 +64,18 @@ object TrainingPipeline {
     * @param minEntropy / maxTopCharFrac gibberish screen thresholds
     *                     ([[TextAnalysis.entropySignals]] `suspect`
     *                     rule); minEntropy ≤ 0 disables the stage
+    * @param multilingual route the rule screen by script
+    *                     ([[TextAnalysis.multilingualQualityRules]]):
+    *                     Latin docs get the exact Gopher conjunction
+    *                     as before, segmented-script docs
+    *                     (CJK/Thai/Lao/Khmer/Myanmar/Tibetan) are
+    *                     screened on SEGMENTED tokens with
+    *                     script-calibrated rules instead of failing
+    *                     the Latin word rules on vacuous statistics —
+    *                     the switch a majority-non-English crawl
+    *                     throws; default false keeps the published
+    *                     Gopher behavior and every existing oracle
+    *                     byte-stable
     * @return (idCol, textCol, split?) — text rewritten by the span
     *         surgery stages when enabled
     */
@@ -82,6 +94,7 @@ object TrainingPipeline {
       seenFilter: Option[(Array[Long], Int, Int)] = None,
       minEntropy: Double = 0.0,
       maxTopCharFrac: Double = 0.25,
+      multilingual: Boolean = false,
   ): DataFrame = {
     // 0a. Bloom ingest pre-gate: drop docs already ingested yesterday —
     //     map-only (no join/shuffle), so it runs before anything that
@@ -115,11 +128,18 @@ object TrainingPipeline {
       else 0L
     val screened =
       if (minWords <= 0) cleaned
-      else cleaned.join(
-        TextAnalysis.gopherQualityRules(cleaned, idCol, textCol,
-          minWords = minWords, minStopwordHits = stopHits)
-          .where(col("pass")).select(col("doc").as("__pass_doc")),
-        cleaned(idCol) === col("__pass_doc"), "left_semi")
+      else {
+        val rules =
+          if (multilingual)
+            TextAnalysis.multilingualQualityRules(cleaned, idCol, textCol,
+              minTokens = minWords, minStopwordHits = stopHits)
+          else
+            TextAnalysis.gopherQualityRules(cleaned, idCol, textCol,
+              minWords = minWords, minStopwordHits = stopHits)
+        cleaned.join(
+          rules.where(col("pass")).select(col("doc").as("__pass_doc")),
+          cleaned(idCol) === col("__pass_doc"), "left_semi")
+      }
 
     // 3. fuzzy decontamination against the eval blocklist
     val decontaminated = blocklist match {

@@ -7339,6 +7339,47 @@ object PipelineQueries {
            |       CAST(total - SUM(dropped) OVER (ORDER BY rank
            |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_surviving
            |FROM card ORDER BY rank""".stripMargin)),
+
+    // The routed screen at CORPUS scale (p146 is the mixed-script
+    // fixture; this runs the same operator over the documents table
+    // with production-shaped thresholds, so the corpus-path plan and
+    // the Latin-route equivalence are oracle-pinned at data scale too).
+    QueryDef("p148_multilingual_corpus",
+      (s, dir) => TextAnalysis.multilingualQualityRules(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", minTokens = 40, minStopwordHits = 2)
+        .orderBy("doc"),
+      Some(s"""WITH r AS (
+           |  SELECT doc_id, text,
+           |         CASE WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0 THEN 'latin'
+           |              ELSE 'other' END AS script
+           |  FROM read_parquet('{SFDIR}/documents.parquet')
+           |), f AS (
+           |  SELECT doc_id, script, 'latin' AS route,
+           |         ${segToksSql("text")} AS toks,
+           |         CASE WHEN TRIM(text) = '' THEN 0
+           |              ELSE CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) END AS n_words,
+           |         len(regexp_replace(TRIM(text), '\\s+', '', 'g')) AS n_wchars,
+           |         (len(text) - len(replace(text, '#', '')))
+           |           + (len(text) - len(replace(text, '...', ''))) / 3 AS symbols,
+           |         CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS BIGINT) AS alpha_words,
+           |         CAST(len(regexp_extract_all(lower(text), '\\b(the|be|to|of|and|that|have|with)\\b')) AS BIGINT) AS stopword_hits,
+           |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9$segRe2]')) AS BIGINT) AS n_content,
+           |         CAST(len(regexp_extract_all(text, '\\S')) AS BIGINT) AS n_nonspace
+           |  FROM r
+           |)
+           |SELECT CAST(doc_id AS BIGINT) AS doc,
+           |       script, route,
+           |       CAST(len(toks) AS BIGINT) AS n_tokens,
+           |       ROUND(CAST(symbols AS DOUBLE) / GREATEST(len(toks), 1), 6) AS symbol_ratio,
+           |       ROUND(CAST(n_content AS DOUBLE) / GREATEST(n_nonspace, 1), 6) AS content_frac,
+           |       ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1), 6) AS uniq_frac,
+           |       (n_words BETWEEN 40 AND 100000
+           |        AND ROUND(CAST(n_wchars AS DOUBLE) / GREATEST(n_words, 1), 6) BETWEEN 3.0 AND 10.0
+           |        AND ROUND(CAST(symbols AS DOUBLE) / GREATEST(n_words, 1), 6) <= 0.1
+           |        AND ROUND(CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1), 6) >= 0.8
+           |        AND stopword_hits >= 2) AS pass
+           |FROM f ORDER BY doc""".stripMargin)),
   )
 
   /** Multilingual fixture for the segmentation oracle (p143): spaceless

@@ -82,6 +82,29 @@ class TrainingPipelineSpec extends SparkSpec {
     OperatorCache.releaseAll(spark)
   }
 
+  test("curate(multilingual=true): CJK docs survive the rule screen on " +
+      "segmented statistics; the default screen drops them; latin docs " +
+      "screen identically on both routes") {
+    val docs = Seq(
+      1L -> ("the quick brown fox jumps over the lazy dog and then " +
+        "the dog jumps over the fox with a bone to share in the sun"),
+      2L -> "深度学习模型训练数据是大规模的语料库需要清洗和筛选才能使用",
+      3L -> "的的的的的的的的的的的的的的的的的的的的的的的的的的的的",
+    ).toDF("doc_id", "text")
+    def run(ml: Boolean) = TrainingPipeline.curate(docs, "doc_id", "text",
+      minQuality = 0.3, minWords = 10, dedupThreshold = 1.1, spanK = 0,
+      splits = Seq.empty, multilingual = ml)
+      .select("doc_id").as[Long].collect().toSet
+    // default: every CJK doc reads as ONE whitespace word — both die
+    assert(run(false) == Set(1L), "latin-tuned screen drops all CJK")
+    // routed: the real CJK doc survives; the repetitive one still dies
+    // (uniq_frac repetition floor), and the latin doc's verdict is
+    // unchanged (the latin route IS the Gopher conjunction)
+    assert(run(true) == Set(1L, 2L),
+      "routed screen keeps good CJK, drops repetitive CJK")
+    OperatorCache.releaseAll(spark)
+  }
+
   test("Bloom pre-gate drops already-ingested docs before any scoring") {
     // yesterday's corpus contains doc 1's exact text (normalized) —
     // the gate must remove it while every other doc flows through to
