@@ -78,6 +78,7 @@ object GraftFunctions {
   val UnicodeNormalizeName = "graft_unicode_normalize"
   val SegTokensName = "graft_seg_tokens"
   val SegSplitName = "graft_seg_split"
+  val RawTokensName = "graft_raw_tokens"
 
   // idempotent PER FUNCTION: each name gets its own exists-check, so a
   // registry that predates a later-added function still picks the new
@@ -175,6 +176,10 @@ object GraftFunctions {
       requireArity(SegSplitName, exprs, 1)
       SegSplit(exprs.head)
     },
+    RawTokensName -> { exprs =>
+      requireArity(RawTokensName, exprs, 1)
+      RawTokens(exprs.head)
+    },
   )
 
   def ensureRegistered(spark: SparkSession): Unit =
@@ -211,6 +216,10 @@ object GraftFunctions {
     * [[SegSplit]]. [[ensureRegistered]] must have been called on the
     * owning session. */
   def segSplit(c: Column): Column = call_function(SegSplitName, c)
+
+  /** Single-pass Latin canonical tokenizer — see [[RawTokens]].
+    * [[ensureRegistered]] must have been called on the owning session. */
+  def rawTokens(c: Column): Column = call_function(RawTokensName, c)
 
   /** Max dot product of a vector column against a fixed matrix — see
     * [[MaxDotStatic]]. [[ensureRegistered]] must have been called on the

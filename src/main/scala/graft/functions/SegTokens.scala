@@ -90,6 +90,41 @@ case class SegSplit(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The LATIN-ONLY canonical tokenizer as one single-pass native
+  * expression: lowercase, strip everything outside [a-z0-9], split on
+  * ASCII whitespace, drop empty tokens. Value-identical to
+  * `filter(split(regexp_replace(lower(trim(text)), "[^a-z0-9\s]", ""),
+  * "\s+"), _ != "")` — the `Dedup.rawTokens` + drop-"" composition
+  * every Latin-tuned corpus surface (BM25 index builds, shingles, LM
+  * scoring, TF-IDF) evaluates per row; SegTokensSpec pins the
+  * equality on the same fixture + generator sweep as [[SegTokens]].
+  * The regex form pays two NFA passes plus a split per evaluation —
+  * on the index-build surfaces that regex was the dominant per-row
+  * cost. NOTE: deliberately NOT script-aware (it deletes non-Latin
+  * codepoints, exactly like the regex) — the multilingual surfaces
+  * use [[SegTokens]]; this twin exists so the Latin-tuned operators
+  * keep their published semantics at native speed.
+  */
+case class RawTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_raw_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    SegTokens.latinTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.SegTokens.latinTokens($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): RawTokens =
+    copy(child = newChild)
+}
+
 object SegTokens {
 
   /** Is `cp` in a segmented (spaceless) script? Mirrors the Java regex
@@ -128,6 +163,36 @@ object SegTokens {
       } else if (isSegScript(cp)) {
         flush()
         out.add(UTF8String.fromString(new String(Character.toChars(cp))))
+      } else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r') {
+        flush()
+      } // else: stripped — joins adjacent runs, exactly like the regex
+      i += Character.charCount(cp)
+    }
+    flush()
+    new GenericArrayData(out.toArray)
+  }
+
+  /** One pass for [[RawTokens]] — [[tokens]] without the
+    * segmented-script branch (those codepoints are stripped, joining
+    * adjacent runs, exactly like the `[^a-z0-9\s]` regex). Never
+    * returns null elements or "" tokens. */
+  def latinTokens(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val n = s.length
+    val out = new java.util.ArrayList[AnyRef]()
+    val sb = new java.lang.StringBuilder()
+    def flush(): Unit =
+      if (sb.length > 0) {
+        out.add(UTF8String.fromString(sb.toString))
+        sb.setLength(0)
+      }
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) {
+        sb.appendCodePoint(lc)
       } else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
         cp == '\f' || cp == '\r') {
         flush()

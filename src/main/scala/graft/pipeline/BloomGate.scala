@@ -51,7 +51,7 @@ object BloomGate {
     * Empty/whitespace-only docs key to "".
     */
   def docKey(text: Column): Column =
-    array_join(filter(Dedup.rawTokens(text), t => t =!= ""), " ")
+    array_join(Dedup.tokensOf(text), " ")
 
   /** 8-byte exact-seen identity: FNV-1a64 of [[docKey]] — what the
     * exact-confirm path behind a Bloom "maybe" stores and joins (8

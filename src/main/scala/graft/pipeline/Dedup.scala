@@ -31,10 +31,27 @@ object Dedup {
     split(regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", ""), "\\s+")
 
   /** Public view of the canonical token stream ([[rawTokens]] with the
-    * edge "" tokens dropped) for callers OUTSIDE the pipeline package
-    * (benchmark mains, downstream users) — one normalization, one name.
-    */
-  def tokensOf(text: Column): Column = filter(rawTokens(text), t => t =!= "")
+    * edge "" tokens dropped) — one normalization, one name. Compiles to
+    * the NATIVE single-pass [[graft.functions.RawTokens]] expression
+    * (the two-regex spelling was the dominant per-row cost on the
+    * index-build and LM-scoring surfaces); value-identical to
+    * [[tokensOfRegex]] — SegTokensSpec pins the equality, and the
+    * DuckDB oracles keep replaying the regex spelling, so the parity
+    * chain (DuckDB ≡ regex ≡ native) stays closed. Needs an active
+    * SparkSession on the building thread (per-session registry). */
+  def tokensOf(text: Column): Column = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        "tokensOf must be built on a thread with an active " +
+          "SparkSession (graft_raw_tokens registers per session)"))
+    GraftFunctions.ensureRegistered(session)
+    GraftFunctions.rawTokens(text)
+  }
+
+  /** The two-regex spelling [[tokensOf]] replaced — the executable
+    * specification (SegTokensSpec) and the DuckDB oracle form. */
+  private[pipeline] def tokensOfRegex(text: Column): Column =
+    filter(rawTokens(text), t => t =!= "")
 
   /** Java-regex character class of the scripts written WITHOUT word
     * spaces (Han, Hiragana, Katakana, Thai, Lao, Khmer, Myanmar,
@@ -185,7 +202,7 @@ object Dedup {
   def shingles(text: Column, k: Int): Column = {
     // empty tokens (from leading/trailing punctuation that strips to
     // whitespace) are dropped — mirrors the oracle-side normalization
-    val tokens = filter(rawTokens(text), t => t =!= "")
+    val tokens = tokensOf(text)
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(size(tokens) - k, lit(0))),
@@ -213,12 +230,8 @@ object Dedup {
     // contrast cleanCorpus/analyze, whose per-row scoring dwarfs a
     // narrow-input shuffle
     val toks = df.select(col(idCol).as("doc"),
-      posexplode(rawTokens(col(textCol))))
+      posexplode(tokensOf(col(textCol))))
       .toDF("doc", "pos", "tok")
-      // leading/trailing punctuation strips to whitespace and splits into
-      // "" tokens — drop them, matching the oracle's list_filter (pos
-      // gaps are harmless: the window below only needs relative order)
-      .where(col("tok") =!= "")
     val w = Window.partitionBy("doc").orderBy("pos")
     toks
       .select(col("doc"),
@@ -1099,7 +1112,7 @@ object Dedup {
     * sign of Σ over tokens of (±1 by token-hash bit i). Expression-only.
     */
   def simhash64(text: Column): Column = {
-    val tokens = filter(rawTokens(text), t => t =!= "")
+    val tokens = tokensOf(text)
     val hashes = transform(tokens, t => xxhash64(t))
     val counts = aggregate(
       hashes,
@@ -1128,8 +1141,7 @@ object Dedup {
     // no input fan-out here for the same measured reason as shingleRows:
     // the groupBy(doc) exchange right after spreads the heavy aggregation
     val toks = df.select(col(idCol).as("doc"),
-      explode(rawTokens(col(textCol))).as("tok"))
-      .where(col("tok") =!= "") // empty/whitespace-only text yields one "" token — no vote
+      explode(tokensOf(col(textCol))).as("tok"))
     val hashed = toks.select(col("doc"), hashFn(col("tok")).as("h"))
     val bitCols = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))

@@ -662,8 +662,7 @@ object TextAnalysis {
       k: Int = 256, withExact: Boolean = true): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
     val toks = df.select(col(strataCol).as("stratum"),
-      explode(Dedup.rawTokens(col(textCol))).as("tok"))
-      .where(col("tok") =!= "")
+      explode(Dedup.tokensOf(col(textCol))).as("tok"))
     val hashed = toks.select(col("stratum"),
       GraftFunctions.fnv1a64(col("tok")).as("h"))
     val two64 = 1.8446744073709552e19 // 2^64 as a double, exactly
@@ -702,8 +701,7 @@ object TextAnalysis {
       df: DataFrame, textCol: String,
       depth: Int = 3, width: Int = 32): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
-    val toks = df.select(explode(Dedup.rawTokens(col(textCol))).as("tok"))
-      .where(col("tok") =!= "")
+    val toks = df.select(explode(Dedup.tokensOf(col(textCol))).as("tok"))
     def pos(i: Int) = BloomGate.positions(col("tok"), width, depth, "#cms")(i)
     val posArr = array(BloomGate.positions(col("tok"), width, depth, "#cms"): _*)
     val sketch = toks.select(posArr.as("__pos"))
@@ -738,8 +736,7 @@ object TextAnalysis {
       b: DataFrame, bTextCol: String,
   ): DataFrame = {
     def termCounts(df: DataFrame, textCol: String, out: String) =
-      df.select(explode(Dedup.rawTokens(col(textCol))).as("term"))
-        .where(col("term") =!= "")
+      df.select(explode(Dedup.tokensOf(col(textCol))).as("term"))
         .groupBy("term").agg(count(lit(1)).as(out))
     val joined = termCounts(a, aTextCol, "ca")
       .join(termCounts(b, bTextCol, "cb"), Seq("term"), "full_outer")
@@ -860,8 +857,7 @@ object TextAnalysis {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = df.select(col(idCol).as("doc"),
-      explode(Dedup.rawTokens(col(textCol))).as("term"))
-      .where(col("term") =!= "")
+      explode(Dedup.tokensOf(col(textCol))).as("term"))
     // ONE corpus explode: df (per-term doc frequency) derives from the
     // (doc, term) aggregate — tf rows are distinct per (doc, term), so
     // counting rows per term IS count-distinct-doc.
@@ -914,8 +910,7 @@ object TextAnalysis {
   ): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val terms = df.select(col(idCol).as("doc"),
-      explode(Dedup.rawTokens(col(textCol))).as("term"))
-      .where(col("term") =!= "")
+      explode(Dedup.tokensOf(col(textCol))).as("term"))
     // ONE corpus pass: the (doc, term, tf) aggregate; doc length, corpus
     // stats, and query-term df all derive from it (exact — dl is an
     // integer sum).
@@ -968,8 +963,7 @@ object TextAnalysis {
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
       persistAgg: Boolean = true): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
-      explode(Dedup.rawTokens(col(textCol))).as("term"))
-      .where(col("term") =!= "")
+      explode(Dedup.tokensOf(col(textCol))).as("term"))
     val tf0 = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     // materialize: the stats broadcast job races this aggregate otherwise
     val tf = if (persistAgg) OperatorCache.materialize(tf0) else tf0
@@ -1062,9 +1056,8 @@ object TextAnalysis {
       persistAgg: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("doc"),
-      posexplode(Dedup.rawTokens(col(textCol))))
+      posexplode(Dedup.tokensOf(col(textCol))))
       .toDF("doc", "pos", "tok")
-      .where(col("tok") =!= "")
     val w = Window.partitionBy("doc").orderBy("pos")
     val bg0 = toks
       .select(col("doc"), col("tok").as("w1"), lead(col("tok"), 1).over(w).as("w2"))
@@ -1137,9 +1130,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
     val toks = df.select(col(idCol).as("doc"),
-      posexplode(Dedup.rawTokens(col(textCol))))
+      posexplode(Dedup.tokensOf(col(textCol))))
       .toDF("doc", "pos", "tok")
-      .where(col("tok") =!= "")
     val w = Window.partitionBy("doc").orderBy("pos")
     val tg0 = toks
       .select(col("doc"), col("tok").as("w1"),
@@ -1317,8 +1309,7 @@ object TextAnalysis {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
-      explode(Dedup.rawTokens(col(textCol))).as("tok"))
-      .where(col("tok") =!= "")
+      explode(Dedup.tokensOf(col(textCol))).as("tok"))
     val wordStats = toks.groupBy("doc", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc")
       .agg(sum("c").as("n_words"), max("c").as("top_word"))
@@ -1442,7 +1433,7 @@ object TextAnalysis {
     val wDoc = Window.partitionBy("doc").orderBy("pos")
 
     val tokenize: Column => Column =
-      if (segmented) Dedup.segTokensOf _ else Dedup.rawTokens
+      if (segmented) Dedup.segTokensOf _ else Dedup.tokensOf _
     val toks0 = df.select(col(idCol).as("doc"),
         posexplode(tokenize(col(textCol))))
       .toDF("doc", "pos", "tok")

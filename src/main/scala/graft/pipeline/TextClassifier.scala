@@ -65,7 +65,7 @@ object TextClassifier {
     require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
       s"numBuckets must be a power of two (oracle-portable modulus): $numBuckets")
     GraftFunctions.ensureRegistered(df.sparkSession)
-    val toks = filter(Dedup.rawTokens(col(textCol)), t => t =!= "")
+    val toks = Dedup.tokensOf(col(textCol))
     df.select(col(idCol).as("doc"), col(labelCol).cast("long").as("y"),
         explode(toks).as("tok"))
       .withColumn("bucket",

@@ -43,8 +43,7 @@ object TextSearch {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     GraftFunctions.ensureRegistered(df.sparkSession)
     val terms = df.select(col(idCol).as("doc"),
-      explode(Dedup.rawTokens(col(textCol))).as("term"))
-      .where(col("term") =!= "")
+      explode(Dedup.tokensOf(col(textCol))).as("term"))
     // lazy persist, NOT materialize: every consumer below is a
     // sequential action on this thread, so the first one (the stats
     // aggregate, run FIRST for exactly this reason) populates both
@@ -103,8 +102,7 @@ object TextSearch {
     val buckets = st.getAs[Int]("buckets")
     val gen = st.getAs[Long]("max_gen") + 1
     val terms = df.select(col(idCol).as("doc"),
-      explode(Dedup.rawTokens(col(textCol))).as("term"))
-      .where(col("term") =!= "")
+      explode(Dedup.tokensOf(col(textCol))).as("term"))
     // lazy persist + delta aggregate FIRST: one job populates both
     // caches and returns the stats delta; the former two
     // materialize-count barriers were extra jobs (sequential
@@ -336,8 +334,7 @@ object TextSearch {
     // DISTINCT (qid, term): BM25 is a termSET score — a term repeated
     // in a query must not double its contribution
     val qterms = queries.select(col(qidCol).as("qid"),
-      explode(Dedup.rawTokens(col(queryCol))).as("term"))
-      .where(col("term") =!= "").distinct()
+      explode(Dedup.tokensOf(col(queryCol))).as("term")).distinct()
     val tbs = qterms
       .select(pmod(GraftFunctions.fnv1a64(col("term")), lit(buckets.toLong))
         .as("tb")).distinct()

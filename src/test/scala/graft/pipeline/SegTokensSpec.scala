@@ -18,16 +18,22 @@ class SegTokensSpec extends SparkSpec {
         Dedup.segTokensOf(col("text")).as("native"),
         Dedup.segTokensOfRegex(col("text")).as("regex"),
         Dedup.segSplitOf(col("text")).as("vnative"),
-        Dedup.segSplitOfRegex(col("text")).as("vregex"))
-      .as[(Long, Seq[String], Seq[String], Seq[String], Seq[String])]
+        Dedup.segSplitOfRegex(col("text")).as("vregex"),
+        Dedup.tokensOf(col("text")).as("lnative"),
+        Dedup.tokensOfRegex(col("text")).as("lregex"))
+      .as[(Long, Seq[String], Seq[String], Seq[String], Seq[String],
+        Seq[String], Seq[String])]
       .collect()
-    rows.foreach { case (id, native, regex, vnative, vregex) =>
+    rows.foreach { case (id, native, regex, vnative, vregex, ln, lr) =>
       assert(native == regex,
         s"native != regex for input ${texts(id.toInt).take(80)}: " +
           s"$native vs $regex")
       assert(vnative == vregex,
         s"verbatim native != regex for input ${texts(id.toInt).take(80)}: " +
           s"$vnative vs $vregex")
+      assert(ln == lr,
+        s"latin native != regex for input ${texts(id.toInt).take(80)}: " +
+          s"$ln vs $lr")
     }
   }
 
