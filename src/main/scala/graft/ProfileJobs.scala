@@ -20,6 +20,12 @@ object ProfileJobs {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench's memory config exactly — without the off-heap
+      // execution pages the profile GC-thrashes and attributes heap
+      // pressure to whatever stage allocates first (measured r21: p49's
+      // doc-window stages read 8–11s on-heap vs 0.45s with this match)
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "24g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -38,8 +44,11 @@ object ProfileJobs {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val ms = (for { a <- si.completionTime; b <- si.submissionTime } yield a - b).getOrElse(-1L)
-        if (ms > 300) {
-          println(f"    stage ${si.stageId}%3d ${ms / 1e3}%7.2f s  tasks=${si.numTasks}  ${si.name.take(70)}")
+        val tm = si.taskMetrics
+        val cpuS = if (tm == null) -1.0 else tm.executorCpuTime / 1e9
+        val runS = if (tm == null) -1.0 else tm.executorRunTime / 1e3
+        if (ms > 300 || cpuS > 0.3) {
+          println(f"    stage ${si.stageId}%3d ${ms / 1e3}%7.2f s  cpu=$cpuS%7.2f s  run=$runS%7.2f s  tasks=${si.numTasks}  ${si.name.take(60)}")
           si.rddInfos.sortBy(_.id).foreach(r =>
             println(s"      rdd ${r.id} ${r.name.replaceAll("\\s+", " ").take(100)}"))
         }
